@@ -1,0 +1,160 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.core.Tables
+import graft.ops.Cdc
+
+/** The reference's CDC pipeline (enrich -> flatten -> route -> LWW
+  * dedup -> soft-delete view -> analytics) exercised end-to-end over
+  * the `events` table treated as a CDC fixture:
+  *
+  *   event_type signup -> insert, error -> delete (tombstone),
+  *   click/view/purchase -> update; user_id is the entity key;
+  *   value ~ watched_seconds, props.k ~ video_duration_seconds.
+  *
+  * This maps 1:1 onto the reference envelope {operation, document_id,
+  * timestamp, data:{...}} with data = NULL for deletes
+  * (producer/producer.py:57-62; delete at :61).
+  */
+object CdcQueries {
+
+  /** Build the nested CDC envelope from the flat events fixture —
+    * entity key at top level (like document_id in the reference),
+    * payload nested under `data`, NULL for deletes.
+    */
+  def envelope(s: SparkSession, d: String): DataFrame = {
+    val op = when(col("event_type") === "signup", lit("insert"))
+      .when(col("event_type") === "error", lit("delete"))
+      .otherwise(lit("update"))
+    Tables.events(s, d)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+      .select(
+        op.as("operation"),
+        col("event_id").as("document_id"),
+        col("user_id"),
+        col("ts"),
+        when(col("event_type") =!= "error",
+          struct(col("value").as("watched"),
+                 col("k").as("duration"),
+                 col("event_type").as("etype"))).as("data"))
+  }
+
+  /** Flattened + enriched upsert stream (P1 + P2 + P3). Unrounded ratio:
+    * cross-engine round(x,4) diverges near half-boundaries, raw IEEE
+    * division is bit-identical (library callers get the reference's
+    * rounded form via Cdc.watchedRatio).
+    */
+  private def enriched(s: SparkSession, d: String): DataFrame =
+    Cdc.enrichWatchedRatio(Cdc.flattenEnvelope(envelope(s, d)), "watched", "duration",
+      rounded = false)
+
+  private val envelopeSql: String =
+    """SELECT
+      |  CASE WHEN event_type = 'signup' THEN 'insert'
+      |       WHEN event_type = 'error' THEN 'delete'
+      |       ELSE 'update' END AS operation,
+      |  event_id AS document_id, user_id, ts,
+      |  CASE WHEN event_type = 'error' THEN NULL ELSE value END AS watched,
+      |  CASE WHEN event_type = 'error' THEN NULL
+      |       ELSE CAST(json_extract_string(props, '$.k') AS INT) END AS duration,
+      |  CASE WHEN event_type = 'error' THEN NULL ELSE event_type END AS etype
+      |FROM events""".stripMargin
+
+  private val ratioSql: String =
+    "(CASE WHEN coalesce(duration, 1) > 0 " +
+      "THEN coalesce(watched, 0.0) / coalesce(duration, 1) ELSE 0.0 END)"
+
+  // ---------------------------------------------------------------- q16
+  /** P1+P2+P3: route to upserts, flatten the envelope, enrich with the
+    * divide-by-zero-guarded watched ratio (duration 0 rows exist in the
+    * fixture: props.k = 0).
+    */
+  def q16EnrichFlatten(s: SparkSession, d: String): DataFrame =
+    Cdc.routeUpserts(enriched(s, d))
+      .select(col("document_id"), col("user_id"), col("operation"),
+              col("duration"), col("watched_ratio"))
+
+  val q16Sql: String =
+    s"""SELECT document_id, user_id, operation, duration,
+       |  $ratioSql AS watched_ratio
+       |FROM ($envelopeSql)
+       |WHERE operation IN ('insert', 'update')""".stripMargin
+
+  // ---------------------------------------------------------------- q17
+  /** A1 LWW dedup: latest record per entity, deterministic (ts,
+    * document_id) version order. Hash aggregate with map-side combine —
+    * see Cdc.latestByKey scaling note.
+    */
+  def q17LatestByKey(s: SparkSession, d: String): DataFrame =
+    Cdc.latestByKey(enriched(s, d), Seq("user_id"), Seq("ts", "document_id"))
+      .select(col("user_id"), col("document_id").as("last_document_id"),
+              col("operation").as("last_operation"),
+              unix_millis(col("ts")).as("last_ms"),
+              col("watched_ratio").as("last_ratio"))
+
+  val q17Sql: String =
+    s"""SELECT user_id, document_id AS last_document_id,
+       |  operation AS last_operation, epoch_ms(ts) AS last_ms,
+       |  $ratioSql AS last_ratio
+       |FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+       |        ORDER BY ts DESC, document_id DESC) AS rn
+       |      FROM ($envelopeSql))
+       |WHERE rn = 1""".stripMargin
+
+  // ---------------------------------------------------------------- q18
+  /** S7 soft-delete read path: LWW state minus entities whose latest
+    * record is a tombstone.
+    */
+  def q18LiveState(s: SparkSession, d: String): DataFrame =
+    Cdc.liveView(enriched(s, d), Seq("user_id"), Seq("ts", "document_id"))
+      .select(col("user_id"), col("document_id").as("last_document_id"),
+              col("etype").as("last_etype"), col("watched_ratio").as("last_ratio"))
+
+  val q18Sql: String =
+    s"""SELECT user_id, document_id AS last_document_id, etype AS last_etype,
+       |  $ratioSql AS last_ratio
+       |FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+       |        ORDER BY ts DESC, document_id DESC) AS rn
+       |      FROM ($envelopeSql))
+       |WHERE rn = 1 AND operation <> 'delete'""".stripMargin
+
+  // ---------------------------------------------------------------- q19
+  /** P3 routing stats: operation mix of the CDC stream. */
+  def q19RouteCounts(s: SparkSession, d: String): DataFrame =
+    envelope(s, d).groupBy(col("operation")).agg(count(lit(1)).as("n"))
+
+  val q19Sql: String =
+    s"SELECT operation, count(*) AS n FROM ($envelopeSql) GROUP BY operation"
+
+  // ---------------------------------------------------------------- q20
+  /** A2 flagship: the whole pipeline — envelope -> flatten -> enrich ->
+    * LWW dedup -> tombstone filter -> per-"video" analytics. DECIMAL
+    * sum keeps the avg deterministic under any partitioning.
+    */
+  def q20VideoAnalytics(s: SparkSession, d: String): DataFrame =
+    Cdc.liveView(enriched(s, d), Seq("user_id"), Seq("ts", "document_id"))
+      .groupBy(col("etype"))
+      .agg(count(lit(1)).as("n_entities"),
+           round(avg(col("watched_ratio")), 4).as("avg_ratio"))
+
+  val q20Sql: String =
+    s"""SELECT etype, count(*) AS n_entities,
+       |  round(avg(r), 4) AS avg_ratio
+       |FROM (SELECT etype, $ratioSql AS r,
+       |        row_number() OVER (PARTITION BY user_id
+       |          ORDER BY ts DESC, document_id DESC) AS rn,
+       |        operation
+       |      FROM ($envelopeSql))
+       |WHERE rn = 1 AND operation <> 'delete'
+       |GROUP BY etype""".stripMargin
+
+  val entries: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "q16_cdc_enrich_flatten" -> (q16EnrichFlatten _, q16Sql),
+    "q17_cdc_latest_by_key" -> (q17LatestByKey _, q17Sql),
+    "q18_cdc_live_state" -> (q18LiveState _, q18Sql),
+    "q19_cdc_route_counts" -> (q19RouteCounts _, q19Sql),
+    "q20_cdc_video_analytics" -> (q20VideoAnalytics _, q20Sql),
+  )
+}
