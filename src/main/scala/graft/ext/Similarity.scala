@@ -1,0 +1,99 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.VectorFunctions.cosineSim
+
+/** Similarity search over an embedding column (Array[Float]).
+  *
+  *  - Brute-force top-k: broadcast the (small) query set against the
+  *    corpus — one scan of the corpus, no shuffle of the embeddings;
+  *    the custom codegen'd CosineSimilarity expression keeps the
+  *    O(|corpus| * |queries| * dim) loop inside whole-stage codegen.
+  *    This is the exact baseline.
+  *  - Sign-random-projection LSH ANN: deterministic hyperplanes (fixed
+  *    seed, spec-fixed java.util.Random LCG) assign every vector a
+  *    bucket; candidate generation is an equi-join on the bucket id.
+  *    At 100 TB the corpus is bucketed once (narrow shuffle on an int
+  *    key) and each query probes one bucket — the scale path.
+  *
+  * Ranking discipline for oracle parity: rank by round(cosine, 6) DESC
+  * with vec_id tiebreak — sub-1e-6 float jitter can never flip ranks.
+  */
+object Similarity {
+
+  /** Deterministic LSH hyperplanes: java.util.Random's LCG is
+    * spec-fixed, so these are stable across JVMs/runs and can be
+    * embedded as literals in oracle SQL.
+    */
+  def planes(nPlanes: Int, dim: Int, seed: Long = 42L): Array[Array[Double]] = {
+    val r = new java.util.Random(seed)
+    Array.fill(nPlanes, dim)(r.nextDouble() * 2.0 - 1.0)
+  }
+
+  /** dot(embedding (float), plane (double literal)) via an in-order
+    * fold — same accumulation order as the DuckDB twin.
+    */
+  private def planeDot(emb: Column, plane: Array[Double]): Column = {
+    val planeLit = array(plane.map(lit): _*)
+    aggregate(
+      zip_with(emb.cast("array<double>"), planeLit, (x, y) => x * y),
+      lit(0.0), (acc, v) => acc + v)
+  }
+
+  /** Sign-LSH bucket id: bit p set iff dot(v, plane_p) >= 0. */
+  def lshBucket(emb: Column, ps: Array[Array[Double]]): Column =
+    ps.zipWithIndex.map { case (p, i) =>
+      when(planeDot(emb, p) >= 0.0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  private def ranked(scored: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos6").desc, col("cid").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("cid"), col("cos6"))
+  }
+
+  /** Exact top-k neighbors for each query vector (qid < nQueries). */
+  def knnBrute(emb: DataFrame, nQueries: Long, k: Int): DataFrame = {
+    val q = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val c = emb.select(col("vec_id").as("cid"), col("embedding").as("ce"))
+    val scored = c.crossJoin(broadcast(q)).filter(col("cid") =!= col("qid"))
+      .withColumn("cos6", round(cosineSim(col("qe"), col("ce")), 6))
+    ranked(scored, k)
+  }
+
+  /** ANN via LSH buckets: candidates share the query's bucket.
+    * Approximate by design (recall < 1 vs knnBrute — measured in
+    * tests); same ranking discipline.
+    */
+  def annLsh(emb: DataFrame, nQueries: Long, k: Int,
+             ps: Array[Array[Double]]): DataFrame = {
+    val withBucket = emb.withColumn("bucket", lshBucket(col("embedding"), ps))
+    val q = withBucket.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("bucket"))
+    val c = withBucket
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"), col("bucket"))
+    val scored = c.join(broadcast(q), Seq("bucket")).filter(col("cid") =!= col("qid"))
+      .withColumn("cos6", round(cosineSim(col("qe"), col("ce")), 6))
+    ranked(scored, k)
+  }
+
+  /** Embedding near-duplicate pairs: cosine >= threshold over a bounded
+    * id range (brute baseline; the LSH path above is the scale route).
+    */
+  def embeddingNearDups(emb: DataFrame, idCap: Long, threshold: Double): DataFrame = {
+    val sub = emb.filter(col("vec_id") < idCap)
+    val a = sub.select(col("vec_id").as("id_a"), col("embedding").as("ea"))
+    val b = sub.select(col("vec_id").as("id_b"), col("embedding").as("eb"))
+    a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .withColumn("cos6", round(cosineSim(col("ea"), col("eb")), 6))
+      .filter(col("cos6") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cos6"))
+  }
+
+  /** SQL literal for the planes, full shortest-roundtrip precision. */
+  def planesSqlLiteral(ps: Array[Array[Double]]): String =
+    ps.map(_.map(_.toString).mkString("[", ", ", "]")).mkString("[", ", ", "]")
+}

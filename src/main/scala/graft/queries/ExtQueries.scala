@@ -1,0 +1,270 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.ext.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.ext.TextAnalysis.{Sql => T}
+import graft.functions.VectorFunctions
+
+/** Training-data-pipeline extension queries: text analysis, language
+  * ID, fingerprinting, exact/near deduplication (MinHash-LSH, SimHash,
+  * n-gram Jaccard), similarity search (brute-force + LSH ANN),
+  * embedding near-dups, multimodal feature plumbing — each with a
+  * DuckDB oracle built from the same constants.
+  */
+object ExtQueries {
+
+  private def docs(s: SparkSession, d: String) = Tables.documents(s, d)
+  private def emb(s: SparkSession, d: String) = Tables.embeddings(s, d)
+
+  /** Shared CTE prologue: tokens and shingles per document. */
+  private val docCte =
+    s"""WITH t AS (SELECT doc_id, text, lang, string_split(text, ' ') AS ts FROM documents),
+       |  s AS (SELECT doc_id, ${T.shinglesOf("ts")} AS sh FROM t)""".stripMargin
+
+  // ---------------------------------------------------------------- q21
+  /** Per-document text statistics + deterministic quality score. */
+  def q21TextStats(s: SparkSession, d: String): DataFrame = {
+    import TextAnalysis._
+    val toks = tokens(col("text"))
+    docs(s, d)
+      .withColumn("n_tokens", size(toks).cast("long"))
+      .withColumn("bpe_tokens", bpeTokenCount(col("text")).cast("long"))
+      .withColumn("n_digit", digitTokenCount(toks).cast("long"))
+      .withColumn("n_stop", countIn(toks, Stopwords).cast("long"))
+      .withColumn("quality",
+        qualityScore(size(toks), digitTokenCount(toks), countIn(toks, Stopwords)))
+      .select("doc_id", "n_chars", "n_tokens", "bpe_tokens", "n_digit", "n_stop", "quality")
+  }
+
+  val q21Sql: String =
+    s"""SELECT doc_id, n_chars,
+       |  CAST(${T.nTokens} AS BIGINT) AS n_tokens,
+       |  CAST(${T.bpeCount} AS BIGINT) AS bpe_tokens,
+       |  CAST(${T.nDigit} AS BIGINT) AS n_digit,
+       |  CAST(${T.countIn(TextAnalysis.Stopwords)} AS BIGINT) AS n_stop,
+       |  ${T.quality} AS quality
+       |FROM documents""".stripMargin
+
+  // ---------------------------------------------------------------- q22
+  /** Language-ID heuristic vs the labelled lang: confusion counts. */
+  def q22LangId(s: SparkSession, d: String): DataFrame =
+    docs(s, d)
+      .withColumn("predicted", TextAnalysis.langId(TextAnalysis.tokens(col("text"))))
+      .groupBy(col("lang"), col("predicted"))
+      .agg(count(lit(1)).as("n"))
+
+  val q22Sql: String =
+    s"""SELECT lang, ${T.langId} AS predicted, count(*) AS n
+       |FROM documents GROUP BY lang, 2""".stripMargin
+
+  // ---------------------------------------------------------------- q23
+  /** Document fingerprints: exact md5 + winnowing-style min-shingle-hash. */
+  def q23Fingerprint(s: SparkSession, d: String): DataFrame =
+    docs(s, d).select(
+      col("doc_id"),
+      TextAnalysis.md5Fingerprint(col("text")).as("content_fp"),
+      TextAnalysis.winnowFingerprint(col("text")).as("winnow_fp"))
+
+  val q23Sql: String =
+    s"""$docCte
+       |SELECT t.doc_id, md5(t.text) AS content_fp, ${T.winnowOf("s.sh")} AS winnow_fp
+       |FROM t JOIN s ON t.doc_id = s.doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q24
+  /** Exact-dedup groups: digest -> copy count + canonical keep id. */
+  def q24DedupExact(s: SparkSession, d: String): DataFrame =
+    Dedup.exactGroups(docs(s, d))
+
+  val q24Sql: String =
+    """SELECT md5(text) AS content_hash, count(*) AS n_copies,
+      |  min(doc_id) AS keep_doc_id
+      |FROM documents GROUP BY md5(text)""".stripMargin
+
+  // ---------------------------------------------------------------- q25
+  /** MinHash signatures (k=12, word-3-gram shingles, md5 + salt). */
+  def q25MinhashSig(s: SparkSession, d: String): DataFrame =
+    Dedup.withMinhash(docs(s, d), 12)
+      .select(col("doc_id") +: (0 until 12).map(i => col(s"mh$i")): _*)
+
+  val q25Sql: String = {
+    val sigs = (0 until 12).map(i => s"  ${T.minhashOf("sh", i)} AS mh$i").mkString(",\n")
+    s"""$docCte
+       |SELECT doc_id,
+       |$sigs
+       |FROM s""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q26
+  /** Full MinHash-LSH near-dup pipeline: 4 bands x 3 rows, verify
+    * exact Jaccard >= 0.5 on candidates only (the 100 TB path — no
+    * all-pairs product anywhere).
+    */
+  def q26LshNearDup(s: SparkSession, d: String): DataFrame =
+    Dedup.minhashNearDups(docs(s, d), k = 12, bands = 4, threshold = 0.5)
+
+  val q26Sql: String = {
+    val sigs = (0 until 12).map(i => s"${T.minhashOf("sh", i)} AS mh$i").mkString(", ")
+    val bandSelects = (0 until 4).map { b =>
+      val parts = (0 until 3).map(r => s"mh${b * 3 + r}").mkString(" || ")
+      s"SELECT doc_id, $b AS band, md5($parts) AS bk FROM sig"
+    }.mkString(" UNION ALL ")
+    s"""$docCte,
+       |  sig AS (SELECT doc_id, $sigs FROM s),
+       |  bands AS ($bandSelects),
+       |  cand AS (SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+       |           FROM bands l JOIN bands r ON l.band = r.band AND l.bk = r.bk
+       |           WHERE l.doc_id < r.doc_id),
+       |  ver AS (SELECT id_a, id_b,
+       |            len(list_intersect(a.sh, b.sh)) AS inter,
+       |            len(a.sh) AS na, len(b.sh) AS nb
+       |          FROM cand JOIN s a ON a.doc_id = id_a JOIN s b ON b.doc_id = id_b)
+       |SELECT id_a, id_b, CAST(inter AS DOUBLE) / (na + nb - inter) AS jaccard
+       |FROM ver WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.5""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q27
+  /** Brute-force n-gram Jaccard on a bounded id range (exact baseline
+    * for q26's recall; not the scale path).
+    */
+  def q27NgramJaccard(s: SparkSession, d: String): DataFrame =
+    Dedup.bruteJaccardPairs(docs(s, d), idCap = 200, threshold = 0.5)
+
+  val q27Sql: String =
+    s"""$docCte
+       |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |  CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+       |    / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
+       |FROM s a JOIN s b ON a.doc_id < b.doc_id
+       |WHERE a.doc_id < 200 AND b.doc_id < 200
+       |  AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+       |    / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5""".stripMargin
+
+  // ---------------------------------------------------------------- q28
+  /** 16-bit SimHash signatures (md5-parity bits, token-majority). */
+  def q28SimhashSig(s: SparkSession, d: String): DataFrame =
+    Dedup.withSimhash(docs(s, d)).select(col("doc_id"), col("simhash"))
+
+  val q28Sql: String =
+    s"SELECT doc_id, ${T.simhash16} AS simhash FROM documents"
+
+  // ---------------------------------------------------------------- q29
+  /** SimHash near-pairs, hamming <= 3, via 4-bit nibble pigeonhole. */
+  def q29SimhashPairs(s: SparkSession, d: String): DataFrame =
+    Dedup.simhashNearPairs(Dedup.withSimhash(docs(s, d)), maxHamming = 3)
+      .withColumn("hamming", col("hamming").cast("long"))
+
+  val q29Sql: String = {
+    val nibbleSelects = (0 until 4).map { j =>
+      s"SELECT doc_id, simhash, $j AS nib, (simhash >> ${4 * j}) & 15 AS nv FROM sig"
+    }.mkString(" UNION ALL ")
+    s"""WITH sig AS (SELECT doc_id, ${T.simhash16} AS simhash FROM documents),
+       |  nib AS ($nibbleSelects),
+       |  cand AS (SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b,
+       |             l.simhash AS sh_a, r.simhash AS sh_b
+       |           FROM nib l JOIN nib r ON l.nib = r.nib AND l.nv = r.nv
+       |           WHERE l.doc_id < r.doc_id)
+       |SELECT id_a, id_b, CAST(bit_count(xor(sh_a, sh_b)) AS BIGINT) AS hamming
+       |FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= 3""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q30
+  /** Brute-force cosine top-5 for the first 20 query vectors —
+    * codegen'd CosineSimilarity expression, broadcast query side.
+    */
+  def q30KnnBrute(s: SparkSession, d: String): DataFrame =
+    Similarity.knnBrute(emb(s, d), nQueries = 20, k = 5)
+      .withColumn("rank", col("rank").cast("long"))
+
+  private val cosQC = VectorFunctions.cosineSqlDuck("qe", "ce")
+
+  val q30Sql: String =
+    s"""WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 20),
+       |  c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings),
+       |  sc AS (SELECT qid, cid, round($cosQC, 6) AS cos6 FROM q, c WHERE cid <> qid)
+       |SELECT qid, rank, cid, cos6 FROM
+       |  (SELECT qid, cid, cos6, row_number() OVER
+       |     (PARTITION BY qid ORDER BY cos6 DESC, cid) AS rank FROM sc)
+       |WHERE rank <= 5""".stripMargin
+
+  // ---------------------------------------------------------------- q31
+  /** ANN via sign-random-projection LSH (4 deterministic hyperplanes,
+    * 16 buckets): candidates share the query's bucket; approximate by
+    * design. The oracle embeds the same plane literals.
+    */
+  private lazy val Planes = Similarity.planes(nPlanes = 4, dim = 64)
+
+  def q31AnnLsh(s: SparkSession, d: String): DataFrame =
+    Similarity.annLsh(emb(s, d), nQueries = 20, k = 3, Planes)
+      .withColumn("rank", col("rank").cast("long"))
+
+  val q31Sql: String = {
+    val planesLit = Similarity.planesSqlLiteral(Planes)
+    def dot(e: String, p: Int) =
+      s"list_sum(list_transform(generate_series(1, len($e)), " +
+        s"i -> CAST($e[i] AS DOUBLE) * (($planesLit)[${p + 1}])[i]))"
+    def bucket(e: String) = (0 until 4).map { p =>
+      s"(CASE WHEN ${dot(e, p)} >= 0 THEN ${1 << p} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+    s"""WITH wb AS (SELECT vec_id, embedding, ${bucket("embedding")} AS bucket FROM embeddings),
+       |  q AS (SELECT vec_id AS qid, embedding AS qe, bucket FROM wb WHERE vec_id < 20),
+       |  c AS (SELECT vec_id AS cid, embedding AS ce, bucket FROM wb),
+       |  sc AS (SELECT qid, cid, round($cosQC, 6) AS cos6
+       |         FROM q JOIN c USING (bucket) WHERE cid <> qid)
+       |SELECT qid, rank, cid, cos6 FROM
+       |  (SELECT qid, cid, cos6, row_number() OVER
+       |     (PARTITION BY qid ORDER BY cos6 DESC, cid) AS rank FROM sc)
+       |WHERE rank <= 3""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q32
+  /** Embedding near-duplicate pairs: cosine >= 0.4 over vec_id < 500. */
+  def q32EmbeddingNearDup(s: SparkSession, d: String): DataFrame =
+    Similarity.embeddingNearDups(emb(s, d), idCap = 500, threshold = 0.4)
+
+  val q32Sql: String = {
+    val cosAB = VectorFunctions.cosineSqlDuck("ea", "eb")
+    s"""WITH a AS (SELECT vec_id AS id_a, embedding AS ea FROM embeddings WHERE vec_id < 500),
+       |  b AS (SELECT vec_id AS id_b, embedding AS eb FROM embeddings WHERE vec_id < 500)
+       |SELECT id_a, id_b, round($cosAB, 6) AS cos6
+       |FROM a, b WHERE id_a < id_b AND round($cosAB, 6) >= 0.4""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q33
+  /** Multimodal feature extraction (stubbed decode): binary payload +
+    * typed metadata; expression twin of the mapPartitions plumbing.
+    */
+  def q33MultimodalMeta(s: SparkSession, d: String): DataFrame =
+    Multimodal.featuresExpr(Multimodal.mediaFromDocuments(docs(s, d)))
+
+  val q33Sql: String =
+    """WITH m AS (SELECT doc_id,
+      |    CASE WHEN doc_id % 3 = 0 THEN 'image'
+      |         WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS modality,
+      |    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+      |  FROM documents)
+      |SELECT doc_id, modality, n_bytes,
+      |  CAST(CASE WHEN modality = 'audio' THEN 0 ELSE 16 + n_bytes % 640 END AS BIGINT) AS width,
+      |  CAST(CASE WHEN modality = 'audio' THEN 0 ELSE 16 + (n_bytes // 7) % 480 END AS BIGINT) AS height,
+      |  CAST(CASE WHEN modality = 'image' THEN 1 WHEN modality = 'audio' THEN 0
+      |       ELSE 1 + n_bytes % 16 END AS BIGINT) AS n_frames,
+      |  CAST(CASE WHEN modality = 'audio' THEN 8000 + (n_bytes % 5) * 8000 ELSE 0 END AS BIGINT) AS sample_rate
+      |FROM m""".stripMargin
+
+  val entries: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "q21_text_stats" -> (q21TextStats _, q21Sql),
+    "q22_lang_id" -> (q22LangId _, q22Sql),
+    "q23_fingerprint" -> (q23Fingerprint _, q23Sql),
+    "q24_dedup_exact" -> (q24DedupExact _, q24Sql),
+    "q25_minhash_sig" -> (q25MinhashSig _, q25Sql),
+    "q26_lsh_neardup" -> (q26LshNearDup _, q26Sql),
+    "q27_ngram_jaccard" -> (q27NgramJaccard _, q27Sql),
+    "q28_simhash_sig" -> (q28SimhashSig _, q28Sql),
+    "q29_simhash_pairs" -> (q29SimhashPairs _, q29Sql),
+    "q30_knn_brute" -> (q30KnnBrute _, q30Sql),
+    "q31_ann_lsh" -> (q31AnnLsh _, q31Sql),
+    "q32_embedding_neardup" -> (q32EmbeddingNearDup _, q32Sql),
+    "q33_multimodal_meta" -> (q33MultimodalMeta _, q33Sql),
+  )
+}

@@ -195,7 +195,7 @@ object Relational {
     val w = Window.partitionBy(col("o_custkey"))
       .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
     Tables.orders(s, d)
-      .withColumn("rk", row_number().over(w))
+      .withColumn("rk", row_number().over(w).cast("long"))
       .filter(col("rk") <= 3)
       .select(col("o_custkey"), col("rk"), col("o_orderkey"),
               round(dec3(col("o_totalprice")), 2).cast("double").as("totalprice"))
