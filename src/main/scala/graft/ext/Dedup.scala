@@ -28,10 +28,17 @@ object Dedup {
     docs.groupBy(md5(col("text").cast("binary")).as("content_hash"))
       .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("keep_doc_id"))
 
-  /** Exact dedup: keep the min-id row per identical text. */
+  /** Exact dedup: one surviving row per identical text — the min-id
+    * row (full-row min-struct tiebreak, so exact duplicate rows also
+    * collapse). Single hash aggregate with map-side combine: each
+    * executor reduces to one candidate per local digest before the
+    * shuffle — no join back, no window sort.
+    */
   def exactDedup(docs: DataFrame): DataFrame = {
-    val keep = exactGroups(docs).select(col("keep_doc_id"))
-    docs.join(keep, docs("doc_id") === keep("keep_doc_id"), "left_semi")
+    val payload = struct(col("doc_id") +: docs.columns.filterNot(_ == "doc_id").map(col).toSeq: _*)
+    docs.groupBy(md5(col("text").cast("binary")).as("__fp"))
+      .agg(min(payload).as("__keep"))
+      .select(docs.columns.map(c => col(s"__keep.$c")).toSeq: _*)
   }
 
   /** MinHash signature columns mh0..mh{k-1}: min over shingles of

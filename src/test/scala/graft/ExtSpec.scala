@@ -1,0 +1,126 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ext.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.functions.VectorFunctions
+
+/** Specs for the training-data extensions: dedup recall, similarity
+  * correctness vs local math, text determinism, multimodal plumbing.
+  */
+class ExtSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = spark.read.parquet(s"$sfDir/documents.parquet").cache()
+  private lazy val emb = spark.read.parquet(s"$sfDir/embeddings.parquet").cache()
+
+  // ----------------------------------------------------------- dedup
+  test("exactDedup keeps one row per duplicated text") {
+    val withDups = docs.limit(50).unionAll(docs.limit(20)) // 20 exact dups
+    assert(Dedup.exactDedup(withDups).count() == 50)
+    val groups = Dedup.exactGroups(withDups)
+    assert(groups.filter($"n_copies" === 2).count() == 20)
+  }
+
+  test("MinHash-LSH near-dups: full recall of brute-force Jaccard>=0.5 on sf0.001") {
+    val brute = Dedup.bruteJaccardPairs(docs, idCap = 500, threshold = 0.5)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    val lsh = Dedup.minhashNearDups(docs, k = 12, bands = 4, threshold = 0.5)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(brute.nonEmpty, "fixture should contain near-dups")
+    // LSH verifies with exact jaccard, so precision is 1 by construction;
+    // recall on this fixture should be total (bands are generous at tau=0.5)
+    assert(lsh == brute)
+  }
+
+  test("SimHash pairs: hamming computed correctly and bounded") {
+    val pairs = Dedup.simhashNearPairs(Dedup.withSimhash(docs.limit(100)), maxHamming = 3)
+    val sigs = Dedup.withSimhash(docs.limit(100))
+      .select($"doc_id", $"simhash").as[(Long, Long)].collect().toMap
+    pairs.select($"id_a", $"id_b", $"hamming").as[(Long, Long, Int)].collect().foreach {
+      case (a, b, h) =>
+        assert(h == java.lang.Long.bitCount(sigs(a) ^ sigs(b)) && h <= 3)
+    }
+  }
+
+  // ------------------------------------------------------ similarity
+  test("CosineSimilarity expression matches local double math") {
+    val local = emb.select($"vec_id", $"embedding").as[(Long, Array[Float])]
+      .collect().take(10)
+    def cosLocal(x: Array[Float], y: Array[Float]): Double = {
+      var dot = 0.0; var nx = 0.0; var ny = 0.0
+      for (i <- x.indices) {
+        dot += x(i).toDouble * y(i).toDouble
+        nx += x(i).toDouble * x(i).toDouble; ny += y(i).toDouble * y(i).toDouble
+      }
+      dot / (math.sqrt(nx) * math.sqrt(ny))
+    }
+    val a = emb.filter($"vec_id" < 10).select($"vec_id".as("ia"), $"embedding".as("ea"))
+    val b = emb.filter($"vec_id" < 10).select($"vec_id".as("ib"), $"embedding".as("eb"))
+    val got = a.crossJoin(b)
+      .select($"ia", $"ib", VectorFunctions.cosineSim($"ea", $"eb").as("c"))
+      .as[(Long, Long, Double)].collect()
+    val byId = local.toMap
+    got.foreach { case (ia, ib, c) =>
+      assert(math.abs(c - cosLocal(byId(ia), byId(ib))) < 1e-12)
+    }
+  }
+
+  test("knnBrute: self excluded, ranks deterministic, k respected") {
+    val knn = Similarity.knnBrute(emb, nQueries = 5, k = 3).collect()
+    assert(knn.length == 15)
+    assert(!knn.exists(r => r.getLong(0) == r.getLong(2)))
+    assert(knn.map(_.getInt(1)).toSet == Set(1, 2, 3))
+  }
+
+  test("annLsh: subset of corpus with sane recall vs brute force") {
+    val ps = Similarity.planes(4, 64)
+    val brute = Similarity.knnBrute(emb, 20, 1)
+      .select($"qid", $"cid").as[(Long, Long)].collect().toMap
+    val ann = Similarity.annLsh(emb, 20, 1, ps)
+      .select($"qid", $"cid").as[(Long, Long)].collect().toMap
+    // On UNCORRELATED random vectors (this fixture: max pairwise cosine
+    // 0.48), sign-LSH recall@1 is theoretically ~(1-theta/pi)^4 ~= 0.16
+    // — the approximation trade-off, not a bug. Assert above-zero
+    // recall plus structural validity; exactness is q30/q31's oracle.
+    val hits = ann.count { case (q, c) => brute.get(q).contains(c) }
+    assert(ann.nonEmpty && hits >= 1, s"recall@1 degenerate: $hits/${ann.size}")
+  }
+
+  // ------------------------------------------------------------ text
+  test("langId precedence is deterministic and covers zero-score docs") {
+    val out = Seq("xyzzy blorp", "the fast join", "el la de la")
+      .toDF("text")
+      .select(TextAnalysis.langId(TextAnalysis.tokens($"text")).as("p"))
+      .as[String].collect().toSeq
+    assert(out == Seq("und", "en", "es"))
+  }
+
+  test("shingles clamp on short texts") {
+    val sh = Seq("a b").toDF("text")
+      .select(TextAnalysis.shingles(TextAnalysis.tokens($"text"), 3).as("s"))
+      .as[Seq[String]].first()
+    assert(sh == Seq("a b"))
+  }
+
+  test("quality score stays in [0,1] on the corpus") {
+    import TextAnalysis._
+    val toks = tokens($"text")
+    val q = docs.select(
+      qualityScore(size(toks), digitTokenCount(toks), countIn(toks, Stopwords)).as("q"))
+      .agg(min($"q"), max($"q")).first()
+    assert(q.getDouble(0) >= 0.0 && q.getDouble(1) <= 1.0)
+  }
+
+  // ------------------------------------------------------ multimodal
+  test("mapPartitions feature extraction agrees with the expression twin") {
+    import Multimodal._
+    val media = mediaFromDocuments(docs)
+    val typed = media.as[MediaRecord]
+    val viaPartitions = extractFeatures(typed, batchSize = 32)(spark)
+      .collect().map(f => f.doc_id -> f).toMap
+    val viaExpr = featuresExpr(media)
+      .as[MediaFeatures].collect().map(f => f.doc_id -> f).toMap
+    assert(viaPartitions.size == viaExpr.size)
+    viaExpr.foreach { case (id, e) => assert(viaPartitions(id) == e) }
+  }
+}

@@ -1,0 +1,73 @@
+package graft
+
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import graft.streaming.CdcStream
+import graft.streaming.CdcStream.ChangeEvent
+import graft.ops.Cdc
+
+/** Property-based invariants (SURVEY.md §5.2): ratio bounds under the
+  * generator invariant, dedup idempotence, and order-insensitivity of
+  * the final LWW state under shuffled at-least-once streams.
+  *
+  * Uses scalacheck Gen with fixed seeds directly (scalatestplus isn't
+  * in the offline dependency set) — deterministic across runs.
+  */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val eventGen: Gen[ChangeEvent] = for {
+    op <- Gen.oneOf("insert", "update", "delete")
+    doc <- Gen.choose(0L, 50L)
+    user <- Gen.choose(0L, 10L)
+    ts <- Gen.choose(0L, 1000L)
+    dur <- Gen.choose(0, 3600)
+    w <- Gen.choose(0, dur.max(1)) // reference invariant: 0 <= w <= dur
+  } yield ChangeEvent(op, doc, user, ts, w.toDouble, dur)
+
+  private def sample(n: Int, seed: Long): List[ChangeEvent] =
+    Gen.listOfN(n, eventGen).pureApply(Gen.Parameters.default, Seed(seed))
+
+  test("watched_ratio in [0,1] under the 0<=watched<=duration invariant") {
+    (1 to 5).foreach { i =>
+      val evs = sample(50, i.toLong)
+      val ratios = spark.createDataset(evs)
+        .select(Cdc.watchedRatio($"watched", $"duration").as("r"))
+        .as[Double].collect()
+      assert(ratios.forall(r => r >= 0.0 && r <= 1.0), s"seed $i violated bounds")
+    }
+  }
+
+  private def stateOf(xs: Seq[ChangeEvent]): Set[(Long, Long, Long, String)] =
+    Cdc.latestByKey(spark.createDataset(xs).toDF(),
+        Seq("user_id"), Seq("ts_ms", "document_id"))
+      .select($"user_id", $"document_id", $"ts_ms", $"operation")
+      .as[(Long, Long, Long, String)].collect().toSet
+
+  test("latestByKey: idempotent, order-insensitive, duplicate-tolerant") {
+    (1 to 5).foreach { i =>
+      val evs = sample(40, 100L + i)
+      val base = stateOf(evs)
+      // redelivery + shuffle must not change the final state
+      val redelivered = new scala.util.Random(i).shuffle(evs ++ evs.take(evs.size / 2))
+      assert(stateOf(redelivered) == base, s"seed $i: not order/dup-insensitive")
+      // idempotence: dedup(dedup(x)) == dedup(x)
+      val once = Cdc.latestByKey(spark.createDataset(evs).toDF(),
+        Seq("user_id"), Seq("ts_ms", "document_id"))
+      val twice = Cdc.latestByKey(once, Seq("user_id"), Seq("ts_ms", "document_id"))
+        .select($"user_id", $"document_id", $"ts_ms", $"operation")
+        .as[(Long, Long, Long, String)].collect().toSet
+      assert(twice == base, s"seed $i: not idempotent")
+    }
+  }
+
+  test("stream LWW state equals batch LWW state for any event sequence") {
+    (1 to 3).foreach { i =>
+      val evs = sample(30, 200L + i)
+      val batch = stateOf(evs).map(t => t._1 -> t._2).toMap
+      val streamed = CdcStream.latestByKeyStream(spark.createDataset(evs))
+        .collect().map(s => s.user_id -> s.document_id).toMap
+      assert(streamed == batch, s"seed $i: stream/batch divergence")
+    }
+  }
+}

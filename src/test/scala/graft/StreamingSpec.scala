@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import graft.streaming.CdcStream
+import graft.streaming.CdcStream.{ChangeEvent, EntityState}
+import graft.ops.Cdc
+
+/** Streaming semantics: effectively-once under redelivery, order
+  * insensitivity, and batch/stream agreement of the LWW upsert view
+  * (SURVEY.md §5 items 2/5).
+  */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val events = Seq(
+    ChangeEvent("insert", 10L, 1L, 100L, 30.0, 60),
+    ChangeEvent("update", 11L, 1L, 300L, 45.0, 60),
+    ChangeEvent("update", 11L, 1L, 300L, 45.0, 60), // redelivery dup
+    ChangeEvent("insert", 20L, 2L, 100L, 10.0, 100),
+    ChangeEvent("delete", 21L, 2L, 400L, 0.0, 0),
+    ChangeEvent("update", 30L, 3L, 200L, 50.0, 0)   // duration 0 guard
+  )
+
+  private def expectedState: Map[Long, (Long, String)] =
+    Map(1L -> (11L, "update"), 2L -> (21L, "delete"), 3L -> (30L, "update"))
+
+  test("mapGroupsWithState LWW view converges across micro-batches with redelivery") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[ChangeEvent]
+    val q = CdcStream.latestByKeyStream(mem.toDS())
+      .writeStream.format("memory").queryName("lww_out")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      mem.addData(events.take(2): _*)
+      q.processAllAvailable()
+      mem.addData(events.drop(2): _*) // includes the duplicate of batch 1's row
+      q.processAllAvailable()
+      // last emitted state per key across the run
+      val finalState = spark.table("lww_out").as[EntityState].collect()
+        .groupBy(_.user_id).view.mapValues(_.maxBy(s => (s.ts_ms, s.document_id))).toMap
+      assert(finalState.view.mapValues(s => (s.document_id, s.operation)).toMap == expectedState)
+    } finally q.stop()
+  }
+
+  test("stream state matches batch latestByKey on the same data (any order)") {
+    val batch = Cdc.latestByKey(
+      spark.createDataset(scala.util.Random.shuffle(events)).toDF(),
+      Seq("user_id"), Seq("ts_ms", "document_id"))
+      .select($"user_id", $"document_id", $"operation").as[(Long, Long, String)]
+      .collect().toSet
+    assert(batch == Set((1L, 11L, "update"), (2L, 21L, "delete"), (3L, 30L, "update")))
+  }
+
+  test("foreachBatchMerge is effectively-once under full redelivery") {
+    var stored: Option[org.apache.spark.sql.DataFrame] = None
+    val store = new CdcStream.BatchStore {
+      def read() = stored
+      def write(df: org.apache.spark.sql.DataFrame): Unit = {
+        val materialized = df.collect()
+        stored = Some(spark.createDataFrame(
+          spark.sparkContext.parallelize(materialized.toSeq), df.schema))
+      }
+    }
+    val merge = CdcStream.foreachBatchMerge(Seq("user_id"), Seq("ts_ms", "document_id"))(store)
+    val b1 = spark.createDataset(events.take(4)).toDF()
+    val b2 = spark.createDataset(events).toDF() // redelivers everything
+    merge(b1, 0L)
+    merge(b2, 1L)
+    // one row per key, correct LWW winners despite total redelivery
+    assert(stored.get.count() == 3)
+    val winners = stored.get.select("user_id", "document_id").as[(Long, Long)].collect().toMap
+    assert(winners == Map(1L -> 11L, 2L -> 21L, 3L -> 30L))
+  }
+
+  test("windowed rates with watermark aggregate by operation") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[ChangeEvent]
+    val withTs = mem.toDF()
+      .withColumn("ts", org.apache.spark.sql.functions.timestamp_millis($"ts_ms"))
+    val q = CdcStream.windowedRates(withTs, "ts", "1 minute", "10 minutes")
+      .writeStream.format("memory").queryName("rates_out")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      mem.addData(events: _*)
+      q.processAllAvailable()
+      val n = spark.table("rates_out").selectExpr("sum(n)").first().getLong(0)
+      assert(n == events.size)
+    } finally q.stop()
+  }
+}
