@@ -1,23 +1,59 @@
 package graft
-import org.apache.spark.sql.SparkSession
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Benchmark main (driver contract): runs every SparkEntry query
+  * against SPARK_GRAFT_SF_DIR and prints ONE JSON line with per-query
+  * seconds.
+  *
+  * Methodology:
+  *  - execution via the "noop" sink: forces full computation of every
+  *    row without collect() driver-funneling or disk writes;
+  *  - one untimed warm-up pass at sf0.001 first, so timed numbers
+  *    measure the plan, not JIT/whole-stage-codegen compilation;
+  *  - local[cpus] with shuffle.partitions = cpus (not 200) and AQE on.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
+    // optional: Bench [queryName ...] limits to those queries (debugging)
+    val only: Set[String] = args.toSet
+    // 2 timed runs, report the min: cross-query GC/cache interference
+    // at local[32] adds multi-second noise to single measurements.
+    val repeats = sys.env.getOrElse("SPARK_GRAFT_REPEATS", "2").toInt
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      math.min(32, Runtime.getRuntime.availableProcessors()).toString)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+
+    def exec(df: DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.isEmpty || only.contains(n) }
+
+    val warmDir = "/root/testdata/sf0.001"
+    selected.foreach { case (_, fn) =>
+      try exec(fn(spark, warmDir)) catch { case _: Throwable => () }
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+
+    val results = selected.map { case (name, fn) =>
+      val times = (1 to repeats).map { _ =>
+        val t0 = System.nanoTime()
+        try exec(fn(spark, sfDir)) catch { case _: Throwable => () }
+        (System.nanoTime() - t0) / 1e9
+      }
+      name -> times.min
+    }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

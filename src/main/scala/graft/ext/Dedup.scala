@@ -41,36 +41,67 @@ object Dedup {
       .select(docs.columns.map(c => col(s"__keep.$c")).toSeq: _*)
   }
 
-  /** MinHash signature columns mh0..mh{k-1}: min over shingles of
-    * md5(shingle + "#i") — k independent permutations via salt.
+  /** MinHash permutation parameters (a_i odd, b_i) — spec-fixed
+    * java.util.Random LCG, so stable across runs and embeddable in
+    * oracle SQL.
     */
-  def withMinhash(docs: DataFrame, k: Int): DataFrame = {
-    val sh = shingles(tokens(col("text")), 3)
-    (0 until k).foldLeft(docs.withColumn("__sh", sh)) { (df, i) =>
-      df.withColumn(s"mh$i",
-        array_min(transform(col("__sh"), s => md5(concat(s, lit(s"#$i")).cast("binary")))))
-    }.drop("__sh")
+  val MinhashPrime = 1000000007L
+  def minhashPerms(k: Int, seed: Long = 2024L): Seq[(Long, Long)] = {
+    val r = new java.util.Random(seed)
+    Seq.fill(k)((math.abs(r.nextInt()).toLong * 2 + 1, math.abs(r.nextInt()).toLong))
   }
 
-  /** LSH band keys: (doc_id, band, band_key) with band_key =
-    * md5(concat of the band's signature rows).
+  /** 28-bit integer shingle hash from the md5 prefix (one md5 per
+    * shingle — hashing per (shingle x salt) was the q25 hotspot).
+    * 28 bits keeps a_i * h + b_i < 2^63.
+    */
+  def shingleHash(s: Column): Column =
+    conv(substring(md5(s.cast("binary")), 1, 7), 16, 10).cast("long")
+
+  /** MinHash signature columns mh0..mh{k-1}: hash every shingle once,
+    * then k affine permutations (a_i*h + b_i) mod p over the
+    * materialized hash array — k cheap integer transforms instead of
+    * k md5 passes.
+    */
+  def withMinhash(docs: DataFrame, k: Int): DataFrame =
+    withMinhashFrom(docs.withColumn("__shs", shingles(tokens(col("text")), 3)), k)
+      .drop("__shs")
+
+  /** As withMinhash, over a frame that already carries a __shs shingle
+    * column (lets callers persist/share the shingled frame).
+    */
+  def withMinhashFrom(shingled: DataFrame, k: Int): DataFrame = {
+    val hs = transform(col("__shs"), shingleHash(_))
+    minhashPerms(k).zipWithIndex.foldLeft(shingled.withColumn("__hs", hs)) {
+      case (df, ((a, b), i)) =>
+        df.withColumn(s"mh$i",
+          array_min(transform(col("__hs"), h => (h * lit(a) + lit(b)) % lit(MinhashPrime))))
+    }.drop("__hs")
+  }
+
+  /** LSH band keys: (doc_id, band, k0..k{r-1}) — the band's signature
+    * tuple IS the join key (no re-hashing needed).
     */
   def lshBands(sigs: DataFrame, bands: Int, rowsPerBand: Int): DataFrame = {
     val bandStructs = (0 until bands).map { b =>
-      val cols = (0 until rowsPerBand).map(r => col(s"mh${b * rowsPerBand + r}"))
-      struct(lit(b).as("band"), md5(concat(cols: _*).cast("binary")).as("band_key"))
+      val cols = (0 until rowsPerBand).zipWithIndex.map { case (r, i) =>
+        col(s"mh${b * rowsPerBand + r}").as(s"k$i")
+      }
+      struct(lit(b).as("band") +: cols: _*)
     }
+    val keyCols = (0 until rowsPerBand).map(i => col(s"bk.k$i").as(s"k$i"))
     sigs.select(col("doc_id"), explode(array(bandStructs: _*)).as("bk"))
-      .select(col("doc_id"), col("bk.band"), col("bk.band_key"))
+      .select(col("doc_id") +: col("bk.band").as("band") +: keyCols: _*)
   }
 
   /** Distinct candidate pairs (a < b) sharing any band bucket —
-    * equi-join on (band, band_key): shuffles only small key rows.
+    * equi-join on (band, k0..): shuffles only small key rows.
     */
   def lshCandidates(bandsDf: DataFrame): DataFrame = {
-    val l = bandsDf.select(col("doc_id").as("id_a"), col("band"), col("band_key"))
-    val r = bandsDf.select(col("doc_id").as("id_b"), col("band"), col("band_key"))
-    l.join(r, Seq("band", "band_key")).filter(col("id_a") < col("id_b"))
+    val keyCols = bandsDf.columns.filterNot(_ == "doc_id").toSeq
+    val l = bandsDf.withColumnRenamed("doc_id", "id_a")
+    val r = bandsDf.withColumnRenamed("doc_id", "id_b")
+    l.join(r, keyCols).filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b")).distinct()
   }
 
@@ -78,8 +109,12 @@ object Dedup {
     * emitted as a raw double (int/int division — bit-identical
     * cross-engine).
     */
-  def withJaccard(pairs: DataFrame, docs: DataFrame): DataFrame = {
-    val sh = docs.select(col("doc_id"), shingles(tokens(col("text")), 3).as("sh"))
+  def withJaccard(pairs: DataFrame, docs: DataFrame): DataFrame =
+    withJaccardFrom(pairs, docs.withColumn("__shs", shingles(tokens(col("text")), 3)))
+
+  /** As withJaccard, over a frame already carrying __shs. */
+  def withJaccardFrom(pairs: DataFrame, shingled: DataFrame): DataFrame = {
+    val sh = shingled.select(col("doc_id"), col("__shs").as("sh"))
     val a = sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
     val b = sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
     pairs.join(a, "id_a").join(b, "id_b")
@@ -95,8 +130,15 @@ object Dedup {
     */
   def minhashNearDups(docs: DataFrame, k: Int, bands: Int, threshold: Double): DataFrame = {
     require(k % bands == 0, s"k=$k not divisible by bands=$bands")
-    val cands = lshCandidates(lshBands(withMinhash(docs, k), bands, k / bands))
-    withJaccard(cands, docs).filter(col("jaccard") >= threshold)
+    // Shingle sets are read three times (signatures + both verify
+    // sides): persist the shingled frame once (prod: materialized
+    // signature/shingle table).
+    val shingled = docs
+      .withColumn("__shs", shingles(tokens(col("text")), 3))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sigs = withMinhashFrom(shingled, k)
+    val cands = lshCandidates(lshBands(sigs, bands, k / bands))
+    withJaccardFrom(cands, shingled).filter(col("jaccard") >= threshold)
   }
 
   /** Brute-force Jaccard pairs over a bounded id range (oracle /
@@ -110,21 +152,32 @@ object Dedup {
     withJaccard(ids, sub).filter(col("jaccard") >= threshold)
   }
 
-  /** Per-doc 16-bit SimHash signatures. */
+  /** Per-doc 48-bit SimHash signatures: token hashes materialized once,
+    * then one pass of the codegen'd SimHash48 expression.
+    */
   def withSimhash(docs: DataFrame): DataFrame =
-    docs.withColumn("simhash", TextAnalysis.simhash16(tokens(col("text"))))
+    docs.withColumn("__th", transform(tokens(col("text")), TextAnalysis.tokenHashHex(_)))
+      .withColumn("simhash", graft.functions.SimHashFunctions.simhash48(col("__th")))
+      .drop("__th")
 
   /** SimHash near-pairs with hamming distance <= maxHamming (< 4):
-    * pigeonhole on the four 4-bit nibbles — any pair within hamming 3
-    * shares at least one unchanged nibble, so an equi-join on
-    * (nibble_idx, nibble_value) finds all of them without a cross join.
+    * pigeonhole on four 12-bit blocks — any pair within hamming 3
+    * shares at least one unchanged block, so an equi-join on
+    * (block_idx, block_value) finds all of them without a cross join.
+    * 12-bit blocks keep random collisions at ~2.4e-4 per block, so the
+    * candidate set stays near-linear in true near-dups at scale.
     */
-  def simhashNearPairs(sigs: DataFrame, maxHamming: Int): DataFrame = {
-    require(maxHamming < 4, "4-nibble pigeonhole covers hamming <= 3")
+  def simhashNearPairs(sigsIn: DataFrame, maxHamming: Int): DataFrame = {
+    require(maxHamming < 4, "4-block pigeonhole covers hamming <= 3")
+    // Self-join reads the signature subtree twice; persist converts
+    // 2x hash compute into one materialization (prod: a signatures
+    // table). ContextCleaner unpersists when the plan is GC'd.
+    val sigs = sigsIn.select(col("doc_id"), col("simhash"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nibbles = sigs.select(col("doc_id"), col("simhash"),
         explode(array((0 until 4).map(j =>
           struct(lit(j).as("nib"),
-            shiftright(col("simhash"), 4 * j).bitwiseAND(lit(15L)).as("nv"))): _*)).as("n"))
+            shiftright(col("simhash"), 12 * j).bitwiseAND(lit(4095L)).as("nv"))): _*)).as("n"))
       .select(col("doc_id"), col("simhash"), col("n.nib"), col("n.nv"))
     val l = nibbles.select(col("doc_id").as("id_a"), col("simhash").as("sh_a"), col("nib"), col("nv"))
     val r = nibbles.select(col("doc_id").as("id_b"), col("simhash").as("sh_b"), col("nib"), col("nv"))

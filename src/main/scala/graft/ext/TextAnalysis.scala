@@ -86,14 +86,30 @@ object TextAnalysis {
   def winnowFingerprint(text: Column): Column =
     array_min(transform(shingles(tokens(text), 3), s => md5(s.cast("binary"))))
 
-  /** 16-bit SimHash from md5-derived per-token bits: bit j is the
-    * majority of (ascii of j-th md5 hex char) parity over tokens.
+  /** SimHash bit width. 48 bits (not 16): at 5k+ docs a 16-bit space
+    * collides constantly and the near-pair join explodes (measured:
+    * 3M+ candidate pairs, 40 s at sf0.1); 48 bits with 12-bit
+    * pigeonhole blocks keeps random block-collisions at ~2.4e-4.
     */
-  def simhash16(toks: Column): Column =
-    (0 until 16).map { j =>
-      val ones = size(filter(toks, t =>
-        ascii(substring(md5(t.cast("binary")), j + 1, 1)) % 2 === 1))
-      when(ones * 2 >= size(toks), lit(1L << j)).otherwise(lit(0L))
+  val SimhashBits = 48
+
+  /** 64 hex chars of hash material per token: md5(t#0) || md5(t#1).
+    * Computed ONCE per token and materialized; every SimHash bit then
+    * reads one char — hashing per (token x bit) was the q29 hotspot
+    * (48 md5/token, 24 s at sf0.1).
+    */
+  def tokenHashHex(t: Column): Column =
+    concat(md5(concat(t, lit("#0")).cast("binary")),
+           md5(concat(t, lit("#1")).cast("binary")))
+
+  /** SimHash over a materialized array of tokenHashHex strings: bit j
+    * is the majority over tokens of the parity of hex char j+1.
+    */
+  def simhashFromHashes(hashes: Column): Column =
+    (0 until SimhashBits).map { j =>
+      val ones = size(filter(hashes, h =>
+        ascii(substring(h, j + 1, 1)) % 2 === 1))
+      when(ones * 2 >= size(hashes), lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
 
   /** DuckDB twins of the expressions above (same constants/order). */
@@ -126,10 +142,21 @@ object TextAnalysis {
       }.mkString(" ")
       s"(CASE WHEN ($total) = 0 THEN 'und' $chain ELSE '${LangMarkers.last._1}' END)"
     }
-    val simhash16: String =
-      (0 until 16).map { j =>
-        s"(CASE WHEN len(list_filter($toks, t -> ascii(substr(md5(t), ${j + 1}, 1)) % 2 = 1)) * 2" +
-          s" >= $nTokens THEN CAST(${1L << j} AS BIGINT) ELSE 0 END)"
+    /** token-hash CTE body: bind as  th AS (SELECT doc_id, <tokenHashes> AS hs FROM documents) */
+    val tokenHashes: String =
+      s"list_transform($toks, t -> md5(t || '#0') || md5(t || '#1'))"
+    /** SimHash over a bound hash-array variable (same bits as
+      * simhashFromHashes).
+      */
+    def simhashOf(hs: String): String =
+      (0 until SimhashBits).map { j =>
+        s"(CASE WHEN len(list_filter($hs, h -> ascii(substr(h, ${j + 1}, 1)) % 2 = 1)) * 2" +
+          s" >= len($hs) THEN CAST(${1L << j} AS BIGINT) ELSE 0 END)"
       }.mkString("(", " + ", ")")
+    /** 28-bit integer shingle hash from the md5 prefix: portable via
+      * ('0x' || substr)::BIGINT.
+      */
+    def shingleHashOf(s: String): String =
+      s"CAST(('0x' || substr(md5($s), 1, 7)) AS BIGINT)"
   }
 }

@@ -88,13 +88,21 @@ object ExtQueries {
     Dedup.withMinhash(docs(s, d), 12)
       .select(col("doc_id") +: (0 until 12).map(i => col(s"mh$i")): _*)
 
-  val q25Sql: String = {
-    val sigs = (0 until 12).map(i => s"  ${T.minhashOf("sh", i)} AS mh$i").mkString(",\n")
-    s"""$docCte
+  /** Minhash signature select list over a bound hash-array variable. */
+  private def minhashSelects(hs: String): Seq[String] =
+    Dedup.minhashPerms(12).zipWithIndex.map { case ((a, b), i) =>
+      s"list_aggregate(list_transform($hs, h -> (h * $a + $b) % ${Dedup.MinhashPrime}), 'min') AS mh$i"
+    }
+
+  private val hashCte =
+    s"""$docCte,
+       |  hs AS (SELECT doc_id, list_transform(sh, x -> ${T.shingleHashOf("x")}) AS hs FROM s)""".stripMargin
+
+  val q25Sql: String =
+    s"""$hashCte
        |SELECT doc_id,
-       |$sigs
-       |FROM s""".stripMargin
-  }
+       |  ${minhashSelects("hs").mkString(",\n  ")}
+       |FROM hs""".stripMargin
 
   // ---------------------------------------------------------------- q26
   /** Full MinHash-LSH near-dup pipeline: 4 bands x 3 rows, verify
@@ -105,16 +113,16 @@ object ExtQueries {
     Dedup.minhashNearDups(docs(s, d), k = 12, bands = 4, threshold = 0.5)
 
   val q26Sql: String = {
-    val sigs = (0 until 12).map(i => s"${T.minhashOf("sh", i)} AS mh$i").mkString(", ")
     val bandSelects = (0 until 4).map { b =>
-      val parts = (0 until 3).map(r => s"mh${b * 3 + r}").mkString(" || ")
-      s"SELECT doc_id, $b AS band, md5($parts) AS bk FROM sig"
+      val parts = (0 until 3).map(r => s"mh${b * 3 + r} AS k$r").mkString(", ")
+      s"SELECT doc_id, $b AS band, $parts FROM sig"
     }.mkString(" UNION ALL ")
-    s"""$docCte,
-       |  sig AS (SELECT doc_id, $sigs FROM s),
+    s"""$hashCte,
+       |  sig AS (SELECT doc_id, ${minhashSelects("hs").mkString(", ")} FROM hs),
        |  bands AS ($bandSelects),
        |  cand AS (SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
-       |           FROM bands l JOIN bands r ON l.band = r.band AND l.bk = r.bk
+       |           FROM bands l JOIN bands r ON l.band = r.band
+       |             AND l.k0 = r.k0 AND l.k1 = r.k1 AND l.k2 = r.k2
        |           WHERE l.doc_id < r.doc_id),
        |  ver AS (SELECT id_a, id_b,
        |            len(list_intersect(a.sh, b.sh)) AS inter,
@@ -142,24 +150,29 @@ object ExtQueries {
        |    / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5""".stripMargin
 
   // ---------------------------------------------------------------- q28
-  /** 16-bit SimHash signatures (md5-parity bits, token-majority). */
+  /** 48-bit SimHash signatures (md5-parity bits, token-majority). */
   def q28SimhashSig(s: SparkSession, d: String): DataFrame =
     Dedup.withSimhash(docs(s, d)).select(col("doc_id"), col("simhash"))
 
+  private val simhashCte =
+    s"WITH th AS (SELECT doc_id, ${T.tokenHashes} AS hs FROM documents)"
+
   val q28Sql: String =
-    s"SELECT doc_id, ${T.simhash16} AS simhash FROM documents"
+    s"""$simhashCte
+       |SELECT doc_id, ${T.simhashOf("hs")} AS simhash FROM th""".stripMargin
 
   // ---------------------------------------------------------------- q29
-  /** SimHash near-pairs, hamming <= 3, via 4-bit nibble pigeonhole. */
+  /** SimHash near-pairs, hamming <= 3, via 12-bit block pigeonhole. */
   def q29SimhashPairs(s: SparkSession, d: String): DataFrame =
     Dedup.simhashNearPairs(Dedup.withSimhash(docs(s, d)), maxHamming = 3)
       .withColumn("hamming", col("hamming").cast("long"))
 
   val q29Sql: String = {
     val nibbleSelects = (0 until 4).map { j =>
-      s"SELECT doc_id, simhash, $j AS nib, (simhash >> ${4 * j}) & 15 AS nv FROM sig"
+      s"SELECT doc_id, simhash, $j AS nib, (simhash >> ${12 * j}) & 4095 AS nv FROM sig"
     }.mkString(" UNION ALL ")
-    s"""WITH sig AS (SELECT doc_id, ${T.simhash16} AS simhash FROM documents),
+    s"""$simhashCte,
+       |  sig AS (SELECT doc_id, ${T.simhashOf("hs")} AS simhash FROM th),
        |  nib AS ($nibbleSelects),
        |  cand AS (SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b,
        |             l.simhash AS sh_a, r.simhash AS sh_b
