@@ -1,0 +1,197 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.core.Tables
+import graft.functions.VectorFunctions
+import graft.ops.Cdc
+
+/** Second-wave operator coverage: P4 timestamp normalization, CUBE
+  * grouping sets, as-of join, IVF-flat ANN.
+  */
+object Extended {
+
+  // ---------------------------------------------------------------- q34
+  /** P4 timestamp normalize (load_data.py:35-37): event-time to the
+    * reference's 'yyyy-MM-dd HH:mm:ss' string plus a proper epoch
+    * column kept alongside (SURVEY.md §7 trap 5).
+    */
+  def q34TsNormalize(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d).select(
+      col("event_id"),
+      date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_str"),
+      (unix_millis(col("ts")) - pmod(unix_millis(col("ts")), lit(1000L))).as("ts_sec_ms"))
+
+  val q34Sql: String =
+    """SELECT event_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_str,
+      |  epoch_ms(ts) - epoch_ms(ts) % 1000 AS ts_sec_ms
+      |FROM events""".stripMargin
+
+  // ---------------------------------------------------------------- q35
+  /** CUBE over region x market segment (all four grouping sets). */
+  def q35Cube(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d).select("c_custkey", "c_nationkey", "c_mktsegment", "c_acctbal")
+    val n = Tables.nation(s, d).select("n_nationkey", "n_regionkey")
+    val r = Tables.region(s, d).select("r_regionkey", "r_name")
+    c.join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .cube(col("r_name"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_customers"),
+           round(sum(col("c_acctbal").cast(DecimalType(18, 2))), 2)
+             .cast("double").as("total_acctbal"))
+  }
+
+  val q35Sql: String =
+    """SELECT r_name, c_mktsegment, count(*) AS n_customers,
+      |  CAST(round(sum(CAST(c_acctbal AS DECIMAL(18,2))), 2) AS DOUBLE) AS total_acctbal
+      |FROM customer
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY CUBE (r_name, c_mktsegment)""".stripMargin
+
+  // ---------------------------------------------------------------- q36
+  /** As-of join: for each event, the customer's latest order with
+    * o_orderdate <= a per-event deadline. Implemented as equi-join on
+    * the key + version predicate, then the latestByKey arg-max — the
+    * scale shape for as-of (shuffle by key only, matches stay
+    * per-key; no range cross-product). Left join preserves events
+    * with no match.
+    */
+  def q36AsofJoin(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(s, d).select(
+      col("event_id"), col("user_id"),
+      date_add(lit("1995-01-01").cast("date"),
+        pmod(col("event_id"), lit(2400)).cast("int")).as("deadline"))
+    val o = Tables.orders(s, d)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"))
+    val matched = e.join(o,
+        col("user_id") === col("o_custkey") &&
+          col("o_orderdate") <= col("deadline").cast("timestamp"))
+    val best = Cdc.latestByKey(
+        matched.select(col("event_id").as("m_event_id"), col("o_orderkey"), col("o_orderdate")),
+        Seq("m_event_id"), Seq("o_orderdate", "o_orderkey"))
+      .select(col("m_event_id"), col("o_orderkey").as("asof_orderkey"))
+    e.join(best, col("event_id") === col("m_event_id"), "left")
+      .select(col("event_id"), col("user_id"), col("asof_orderkey"))
+  }
+
+  val q36Sql: String =
+    """WITH e AS (SELECT event_id, user_id,
+      |    DATE '1995-01-01' + INTERVAL 1 DAY * (event_id % 2400) AS deadline
+      |  FROM events),
+      |  best AS (SELECT event_id AS m_event_id, o_orderkey AS asof_orderkey FROM
+      |    (SELECT e.event_id, o.o_orderkey,
+      |       row_number() OVER (PARTITION BY e.event_id
+      |         ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+      |     FROM e JOIN orders o ON e.user_id = o.o_custkey
+      |       AND o.o_orderdate <= CAST(e.deadline AS TIMESTAMP))
+      |    WHERE rn = 1)
+      |SELECT event_id, user_id, asof_orderkey
+      |FROM e LEFT JOIN best ON event_id = m_event_id""".stripMargin
+
+  // ---------------------------------------------------------------- q37
+  /** IVF-flat ANN: coarse cells = 16 data-derived centroids (stride-25
+    * vec_ids — deterministic, self-contained in both engines); every
+    * vector is assigned to its argmax-cosine cell once (the inverted
+    * list build — one linear pass at any scale); each query probes its
+    * 4 nearest cells and ranks candidates there. Approximate by
+    * design, same ranking discipline as q30/q31.
+    */
+  def q37IvfAnn(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val cents = emb.filter(col("vec_id") % 25 === 0 && col("vec_id") < 400)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cent"))
+    def assign(df: DataFrame, idCol: String, embCol: String, keep: Int) = {
+      val w = Window.partitionBy(col(idCol))
+        .orderBy(col("cent_cos").desc, col("cent_id").asc)
+      df.crossJoin(broadcast(cents))
+        .withColumn("cent_cos", round(VectorFunctions.cosineSim(col(embCol), col("cent")), 6))
+        .withColumn("crank", row_number().over(w))
+        .filter(col("crank") <= keep)
+        .drop("cent", "cent_cos", "crank")
+    }
+    val cells = assign(emb.select(col("vec_id").as("cid"), col("embedding").as("ce")),
+      "cid", "ce", keep = 1)
+    val probes = assign(
+      emb.filter(col("vec_id") < 20).select(col("vec_id").as("qid"), col("embedding").as("qe")),
+      "qid", "qe", keep = 4)
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos6").desc, col("cid").asc)
+    probes.join(cells, Seq("cent_id")).filter(col("cid") =!= col("qid"))
+      .withColumn("cos6", round(VectorFunctions.cosineSim(col("qe"), col("ce")), 6))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 3)
+      .select(col("qid"), col("rank"), col("cid"), col("cos6"))
+  }
+
+  val q37Sql: String = {
+    val cosEC = VectorFunctions.cosineSqlDuck("e", "cent")
+    val cosQC = VectorFunctions.cosineSqlDuck("qe", "ce")
+    s"""WITH cents AS (SELECT vec_id AS cent_id, embedding AS cent FROM embeddings
+       |    WHERE vec_id % 25 = 0 AND vec_id < 400),
+       |  cells AS (SELECT cid, ce, cent_id FROM
+       |    (SELECT v.vec_id AS cid, v.embedding AS ce, c.cent_id,
+       |       row_number() OVER (PARTITION BY v.vec_id
+       |         ORDER BY round($cosEC, 6) DESC, c.cent_id) AS crank
+       |     FROM (SELECT vec_id, embedding, embedding AS e FROM embeddings) v, cents c)
+       |    WHERE crank = 1),
+       |  probes AS (SELECT qid, qe, cent_id FROM
+       |    (SELECT v.vec_id AS qid, v.embedding AS qe, c.cent_id,
+       |       row_number() OVER (PARTITION BY v.vec_id
+       |         ORDER BY round($cosEC, 6) DESC, c.cent_id) AS crank
+       |     FROM (SELECT vec_id, embedding, embedding AS e FROM embeddings
+       |           WHERE vec_id < 20) v, cents c)
+       |    WHERE crank <= 4),
+       |  sc AS (SELECT qid, cid, round($cosQC, 6) AS cos6
+       |         FROM probes JOIN cells USING (cent_id) WHERE cid <> qid)
+       |SELECT qid, rank, cid, cos6 FROM
+       |  (SELECT qid, cid, cos6, row_number() OVER
+       |     (PARTITION BY qid ORDER BY cos6 DESC, cid) AS rank FROM sc)
+       |WHERE rank <= 3""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q38
+  /** Full outer join: per-nation customer/supplier presence, nulls on
+    * either unmatched side.
+    */
+  def q38FullOuter(s: SparkSession, d: String): DataFrame = {
+    val cn = Tables.customer(s, d).groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n_cust"))
+    val sn = Tables.supplier(s, d).groupBy(col("s_nationkey"))
+      .agg(count(lit(1)).as("n_supp"))
+    cn.join(sn, col("c_nationkey") === col("s_nationkey"), "full_outer")
+      .select(coalesce(col("c_nationkey"), col("s_nationkey")).as("nationkey"),
+              coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+              coalesce(col("n_supp"), lit(0L)).as("n_supp"))
+  }
+
+  val q38Sql: String =
+    """SELECT coalesce(c.k, s.k) AS nationkey,
+      |  coalesce(c.n_cust, 0) AS n_cust, coalesce(s.n_supp, 0) AS n_supp
+      |FROM (SELECT c_nationkey AS k, count(*) AS n_cust FROM customer GROUP BY 1) c
+      |FULL OUTER JOIN
+      |     (SELECT s_nationkey AS k, count(*) AS n_supp FROM supplier GROUP BY 1) s
+      |ON c.k = s.k""".stripMargin
+
+  // ---------------------------------------------------------------- q39
+  /** Approximate distinct (HLL++): per event type, approx + exact user
+    * counts. No oracle — DuckDB's HLL differs by construction; the
+    * driver records the weaker rows-only check. The exact column rides
+    * along as the in-query error witness.
+    */
+  def q39ApproxDistinct(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(col("event_type"))
+      .agg(approx_count_distinct(col("user_id")).as("approx_users"),
+           countDistinct(col("user_id")).as("exact_users"))
+
+  val entries: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "q34_ts_normalize" -> (q34TsNormalize _, q34Sql),
+    "q35_cube" -> (q35Cube _, q35Sql),
+    "q36_asof_join" -> (q36AsofJoin _, q36Sql),
+    "q37_ivf_ann" -> (q37IvfAnn _, q37Sql),
+    "q38_full_outer" -> (q38FullOuter _, q38Sql),
+    "q39_approx_distinct" -> (q39ApproxDistinct _, ""),
+  )
+}
