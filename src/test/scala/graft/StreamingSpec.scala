@@ -73,6 +73,41 @@ class StreamingSpec extends SparkSpec {
     assert(winners == Map(1L -> 11L, 2L -> 21L, 3L -> 30L))
   }
 
+  test("file streaming source -> foreachBatch -> warehouse state (S1 path)") {
+    import graft.sources.Workload
+    import graft.sink.Warehouse
+    val inDir = java.nio.file.Files.createTempDirectory("graft_stream_in_").toString
+    val env = Workload.cdcEnvelopes(spark, n = 120, nDocs = 20, seed = 7L)
+    val rows = Warehouse.toWarehouseRows(env)
+    // two "arrivals" of CDC files
+    rows.filter($"ingestion_seq" < 60).write.mode("append").parquet(inDir)
+    rows.filter($"ingestion_seq" >= 60).write.mode("append").parquet(inDir)
+
+    var stored: Option[org.apache.spark.sql.DataFrame] = None
+    val store = new CdcStream.BatchStore {
+      def read() = stored
+      def write(df: org.apache.spark.sql.DataFrame): Unit = {
+        val m = df.collect()
+        stored = Some(spark.createDataFrame(spark.sparkContext.parallelize(m.toSeq), df.schema))
+      }
+    }
+    val stream = spark.readStream.schema(rows.schema).parquet(inDir)
+    val q = stream.writeStream
+      .foreachBatch(CdcStream.foreachBatchMerge(
+        Warehouse.DedupKeys, Warehouse.VersionCols)(store))
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft_ckpt_").toString)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+
+    val direct = graft.ops.Cdc.latestByKey(rows,
+        Warehouse.DedupKeys, Warehouse.VersionCols)
+      .select($"original_id", $"ingestion_seq").as[(String, Long)].collect().toSet
+    val streamed = stored.get.select($"original_id", $"ingestion_seq")
+      .as[(String, Long)].collect().toSet
+    assert(streamed == direct && streamed.nonEmpty)
+  }
+
   test("windowed rates with watermark aggregate by operation") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[ChangeEvent]
