@@ -33,12 +33,11 @@ object TextAnalysis {
   def tokens(text: Column): Column = split(text, " ")
 
   /** Distinct word n-gram shingles; whole-suffix shingle for texts
-    * shorter than n tokens (slice clamps, same as DuckDB's l[i:j]).
+    * shorter than n tokens (clamps, same as DuckDB's l[i:j]). Native
+    * single-pass expression — see functions.WordShingles.
     */
   def shingles(toks: Column, n: Int): Column =
-    array_distinct(transform(
-      sequence(lit(1), greatest(size(toks) - (n - 1), lit(1))),
-      i => concat_ws(" ", slice(toks, i, lit(n)))))
+    graft.functions.ShingleFunctions.wordShingles(toks, n)
 
   /** Count of tokens contained in `words` (with multiplicity). */
   def countIn(toks: Column, words: Seq[String]): Column =
