@@ -1,0 +1,47 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew mitigation: two-phase salted aggregation. A hot key that would
+  * pin one reducer is split across `salt` sub-keys; phase 1 aggregates
+  * (key, salt) partitions (parallel across the cluster), phase 2 merges
+  * the per-salt partials — both phases are hash aggregates with
+  * map-side combine, and every supported merge is associative, so the
+  * result is exactly the unsalted aggregate.
+  *
+  * (AQE's skew-join handling covers joins; this is the groupBy-side
+  * equivalent for pathological key distributions.)
+  */
+object Skew {
+
+  /** Supported: sum / count / min / max (associative merges). avg =
+    * post-divide sum by count at the call site.
+    */
+  def saltedAggregate(df: DataFrame, keys: Seq[String], salt: Int,
+                      aggs: Map[String, String]): DataFrame = {
+    require(salt > 0, "salt must be positive")
+    val bad = aggs.values.toSet -- Set("sum", "count", "min", "max")
+    require(bad.isEmpty, s"unsupported aggs: $bad")
+
+    // salt from the row id, not the key: identical keys must scatter.
+    val salted = df.withColumn("__salt", pmod(monotonically_increasing_id(), lit(salt)))
+    val partial: Seq[Column] = aggs.toSeq.map {
+      case (c, "sum")   => sum(col(c)).as(s"__p_$c")
+      case (c, "count") => count(col(c)).as(s"__p_$c")
+      case (c, "min")   => min(col(c)).as(s"__p_$c")
+      case (c, "max")   => max(col(c)).as(s"__p_$c")
+    }
+    val merged: Seq[Column] = aggs.toSeq.map {
+      case (c, "sum")   => sum(col(s"__p_$c")).as(s"sum_$c")
+      case (c, "count") => sum(col(s"__p_$c")).as(s"count_$c")
+      case (c, "min")   => min(col(s"__p_$c")).as(s"min_$c")
+      case (c, "max")   => max(col(s"__p_$c")).as(s"max_$c")
+    }
+    salted
+      .groupBy((keys :+ "__salt").map(col): _*)
+      .agg(partial.head, partial.tail: _*)
+      .groupBy(keys.map(col): _*)
+      .agg(merged.head, merged.tail: _*)
+  }
+}
