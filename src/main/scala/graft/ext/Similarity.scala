@@ -64,15 +64,21 @@ object Similarity {
     ranked(scored, k)
   }
 
-  /** ANN via LSH buckets: candidates share the query's bucket.
-    * Approximate by design (recall < 1 vs knnBrute — measured in
-    * tests); same ranking discipline.
+  /** ANN via multi-probe LSH: each query probes its own bucket plus
+    * every hamming-1 neighbor bucket (sign flips of one hyperplane —
+    * the buckets a true neighbor most likely landed in). The corpus is
+    * bucketed ONCE (linear pass); only the tiny query side explodes by
+    * (nPlanes+1) probes. Approximate by design (recall measured in
+    * tests); same ranking discipline as knnBrute.
     */
   def annLsh(emb: DataFrame, nQueries: Long, k: Int,
              ps: Array[Array[Double]]): DataFrame = {
     val withBucket = emb.withColumn("bucket", lshBucket(col("embedding"), ps))
+    val probeList = array(col("bucket") +:
+      ps.indices.map(p => col("bucket").bitwiseXOR(lit(1L << p))): _*)
     val q = withBucket.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("bucket"))
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+              explode(probeList).as("bucket"))
     val c = withBucket
       .select(col("vec_id").as("cid"), col("embedding").as("ce"), col("bucket"))
     val scored = c.join(broadcast(q), Seq("bucket")).filter(col("cid") =!= col("qid"))

@@ -202,9 +202,10 @@ object ExtQueries {
        |WHERE rank <= 5""".stripMargin
 
   // ---------------------------------------------------------------- q31
-  /** ANN via sign-random-projection LSH (4 deterministic hyperplanes,
-    * 16 buckets): candidates share the query's bucket; approximate by
-    * design. The oracle embeds the same plane literals.
+  /** ANN via multi-probe sign-random-projection LSH (4 deterministic
+    * hyperplanes, 16 buckets, 5 probes/query = own + hamming-1
+    * neighbors); approximate by design. The oracle embeds the same
+    * plane literals.
     */
   private lazy val Planes = Similarity.planes(nPlanes = 4, dim = 64)
 
@@ -221,7 +222,10 @@ object ExtQueries {
       s"(CASE WHEN ${dot(e, p)} >= 0 THEN ${1 << p} ELSE 0 END)"
     }.mkString("(", " + ", ")")
     s"""WITH wb AS (SELECT vec_id, embedding, ${bucket("embedding")} AS bucket FROM embeddings),
-       |  q AS (SELECT vec_id AS qid, embedding AS qe, bucket FROM wb WHERE vec_id < 20),
+       |  q AS (SELECT qid, qe, probe AS bucket FROM
+       |    (SELECT vec_id AS qid, embedding AS qe,
+       |       unnest([bucket, xor(bucket, 1), xor(bucket, 2), xor(bucket, 4), xor(bucket, 8)]) AS probe
+       |     FROM wb WHERE vec_id < 20)),
        |  c AS (SELECT vec_id AS cid, embedding AS ce, bucket FROM wb),
        |  sc AS (SELECT qid, cid, round($cosQC, 6) AS cos6
        |         FROM q JOIN c USING (bucket) WHERE cid <> qid)

@@ -79,11 +79,12 @@ class ExtSpec extends SparkSpec {
     val ann = Similarity.annLsh(emb, 20, 1, ps)
       .select($"qid", $"cid").as[(Long, Long)].collect().toMap
     // On UNCORRELATED random vectors (this fixture: max pairwise cosine
-    // 0.48), sign-LSH recall@1 is theoretically ~(1-theta/pi)^4 ~= 0.16
-    // — the approximation trade-off, not a bug. Assert above-zero
-    // recall plus structural validity; exactness is q30/q31's oracle.
+    // 0.48) single-bucket sign-LSH recall@1 is only ~0.16; multi-probe
+    // (own + 4 hamming-1 buckets) lifts it substantially. Exactness of
+    // the computation is q31's oracle; this asserts approximation
+    // quality stays sane.
     val hits = ann.count { case (q, c) => brute.get(q).contains(c) }
-    assert(ann.nonEmpty && hits >= 1, s"recall@1 degenerate: $hits/${ann.size}")
+    assert(ann.size == 20 && hits >= 8, s"recall@1 too low: $hits/${ann.size}")
   }
 
   // ------------------------------------------------------------ text
