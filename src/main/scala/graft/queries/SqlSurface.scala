@@ -1,0 +1,88 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.ext.TextAnalysis
+
+/** The SQL entry path (SURVEY.md §3 E4: parse -> analyze -> optimize ->
+  * execute inside the engine) plus generator/pivot operators:
+  * spark.sql over registered views with scalar + correlated subqueries
+  * (Catalyst decorrelates), explode (the UDTF surface §2.10), and pivot.
+  */
+object SqlSurface {
+
+  private def registerViews(s: SparkSession, d: String): Unit =
+    Seq("customer", "orders", "lineitem", "documents").foreach { t =>
+      Tables.load(s, d, t).createOrReplaceTempView(t)
+    }
+
+  // ---------------------------------------------------------------- q40
+  /** Scalar + correlated subqueries through spark.sql: customers whose
+    * average order price beats the global average (Catalyst rewrites
+    * the correlated aggregate into joins).
+    */
+  private val q40Text =
+    """SELECT c.c_custkey, c.c_name,
+      |  CAST(round(sum(CAST(o.o_totalprice AS DECIMAL(18,3))), 2) AS DOUBLE) AS total_spent,
+      |  count(*) AS n_orders
+      |FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+      |GROUP BY c.c_custkey, c.c_name
+      |HAVING CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,3))) AS DOUBLE) / count(*) >
+      |  (SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(18,3))) AS DOUBLE) / count(*)
+      |   FROM orders)
+      |  AND EXISTS (SELECT 1 FROM lineitem l
+      |              JOIN orders o2 ON l.l_orderkey = o2.o_orderkey
+      |              WHERE o2.o_custkey = c.c_custkey AND l.l_quantity >= 49)""".stripMargin
+
+  def q40Subqueries(s: SparkSession, d: String): DataFrame = {
+    registerViews(s, d)
+    s.sql(q40Text)
+  }
+
+  val q40Sql: String = q40Text
+
+  // ---------------------------------------------------------------- q41
+  /** Generator/UDTF surface: explode each document into its shingles,
+    * rank the 20 most common (deterministic tiebreak on the shingle).
+    */
+  def q41Explode(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(explode(TextAnalysis.shingles(TextAnalysis.tokens(col("text")), 3))
+        .as("shingle"))
+      .groupBy(col("shingle")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("shingle").asc)
+      .limit(20)
+
+  val q41Sql: String =
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+       |  s AS (SELECT doc_id, ${TextAnalysis.Sql.shinglesOf("ts")} AS sh FROM t)
+       |SELECT shingle, count(*) AS n
+       |FROM (SELECT unnest(sh) AS shingle FROM s)
+       |GROUP BY shingle ORDER BY n DESC, shingle LIMIT 20""".stripMargin
+
+  // ---------------------------------------------------------------- q42
+  /** Pivot: language x fixed source columns (explicit value list keeps
+    * the output schema deterministic; oracle mirrors with CASE sums).
+    */
+  private val PivotSources = Seq("src0", "src1", "src2", "src3")
+
+  def q42Pivot(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .groupBy(col("lang"))
+      .pivot("source", PivotSources)
+      .agg(count(lit(1)))
+      .na.fill(0L, PivotSources)
+
+  val q42Sql: String = {
+    val cols = PivotSources.map(src =>
+      s"CAST(sum(CASE WHEN source = '$src' THEN 1 ELSE 0 END) AS BIGINT) AS $src")
+    s"SELECT lang, ${cols.mkString(", ")} FROM documents GROUP BY lang"
+  }
+
+  val entries: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "q40_subqueries" -> (q40Subqueries _, q40Sql),
+    "q41_explode" -> (q41Explode _, q41Sql),
+    "q42_pivot" -> (q42Pivot _, q42Sql),
+  )
+}
