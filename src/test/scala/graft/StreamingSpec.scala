@@ -108,6 +108,32 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == direct && streamed.nonEmpty)
   }
 
+  test("session_window groups events separated by gaps per user") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[ChangeEvent]
+    val withTs = mem.toDF()
+      .withColumn("ts", org.apache.spark.sql.functions.timestamp_millis($"ts_ms"))
+    import org.apache.spark.sql.functions._
+    val sessions = withTs
+      .withWatermark("ts", "10 minutes")
+      .groupBy(session_window($"ts", "100 milliseconds"), $"user_id")
+      .agg(count(lit(1)).as("n"))
+    val q = sessions.writeStream.format("memory").queryName("sess_out")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      // user 9: ts 0,50,80 (one session), 1000 (second session)
+      mem.addData(
+        ChangeEvent("insert", 1L, 9L, 0L, 1.0, 10),
+        ChangeEvent("update", 2L, 9L, 50L, 1.0, 10),
+        ChangeEvent("update", 3L, 9L, 80L, 1.0, 10),
+        ChangeEvent("update", 4L, 9L, 1000L, 1.0, 10))
+      q.processAllAvailable()
+      val out = spark.table("sess_out").filter($"user_id" === 9L)
+        .select($"n").as[Long].collect().sorted.toSeq
+      assert(out == Seq(1L, 3L))
+    } finally q.stop()
+  }
+
   test("windowed rates with watermark aggregate by operation") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[ChangeEvent]
