@@ -118,11 +118,9 @@ object Dedup {
     val a = sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
     val b = sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
     pairs.join(a, "id_a").join(b, "id_b")
-      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
       .withColumn("jaccard",
-        col("inter").cast("double") /
-          (size(col("sh_a")) + size(col("sh_b")) - col("inter")))
-      .drop("sh_a", "sh_b", "inter")
+        graft.functions.JaccardFunctions.jaccardSim(col("sh_a"), col("sh_b")))
+      .drop("sh_a", "sh_b")
   }
 
   /** Full MinHash-LSH near-dup pipeline: signatures -> bands ->
