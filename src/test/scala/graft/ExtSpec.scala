@@ -87,6 +87,17 @@ class ExtSpec extends SparkSpec {
     assert(ann.size == 20 && hits >= 8, s"recall@1 too low: $hits/${ann.size}")
   }
 
+  test("IVF ANN (q37 shape): 4-probe recall@1 beats single-cell assignment") {
+    val brute = Similarity.knnBrute(emb, 20, 1)
+      .select($"qid", $"cid").as[(Long, Long)].collect().toMap
+    val ivf = graft.queries.Extended.q37IvfAnn(spark, sfDir)
+      .filter($"rank" === 1).select($"qid", $"cid").as[(Long, Long)].collect().toMap
+    val hits = ivf.count { case (q, c) => brute.get(q).contains(c) }
+    // probing 4 of 16 cells covers ~25% of the corpus chosen by
+    // centroid proximity; recall@1 should comfortably beat that prior
+    assert(ivf.size == 20 && hits >= 8, s"IVF recall@1 too low: $hits/${ivf.size}")
+  }
+
   // ------------------------------------------------------------ text
   test("langId precedence is deterministic and covers zero-score docs") {
     val out = Seq("xyzzy blorp", "the fast join", "el la de la")
