@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import graft.ops.Cdc
 
 /** Streaming twin of the reference pipeline (SURVEY.md §2.9): an
@@ -60,6 +60,46 @@ object CdcStream {
             .reduceLeft(newer)
           state.update(best)
           best
+      }
+  }
+
+  /** TTL'd LWW upsert view — the state-bounding policy SURVEY.md §7
+    * trap 7 calls for: with an unbounded key space (100 TB of entities)
+    * the NoTimeout variant grows state forever. Here each key's state
+    * carries an event-time timeout of `ttlMs` past its last version;
+    * when the watermark passes it, the key emits a final `"expired"`
+    * tombstone and its state is dropped. Keys that keep receiving
+    * versions keep sliding their deadline forward, so live entities
+    * never expire. State size = rows active within the TTL horizon,
+    * not all rows ever seen.
+    *
+    * `events` must be a streaming Dataset; the event-time column is
+    * derived from `ts_ms` and watermarked with `watermarkDelay`.
+    */
+  def latestByKeyStreamTTL(events: Dataset[ChangeEvent], watermarkDelay: String,
+                           ttlMs: Long): Dataset[EntityState] = {
+    import events.sparkSession.implicits._
+    val watermarked = events
+      .withColumn("event_ts", timestamp_millis(col("ts_ms")))
+      .withWatermark("event_ts", watermarkDelay)
+      .as[ChangeEvent]
+    watermarked.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update(), GroupStateTimeout.EventTimeTimeout()) {
+        (_: Long, it: Iterator[ChangeEvent], state: GroupState[EntityState]) =>
+          if (state.hasTimedOut) {
+            val last = state.get
+            state.remove()
+            Iterator(last.copy(operation = "expired"))
+          } else {
+            val best = (state.getOption.iterator ++ it.map(toState))
+              .reduceLeft(newer)
+            state.update(best)
+            // deadline must sit strictly past the current watermark or
+            // Spark rejects it (late-arriving updates to an old key)
+            state.setTimeoutTimestamp(
+              math.max(best.ts_ms + ttlMs, state.getCurrentWatermarkMs() + 1))
+            Iterator(best)
+          }
       }
   }
 

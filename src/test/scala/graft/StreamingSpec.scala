@@ -108,6 +108,36 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == direct && streamed.nonEmpty)
   }
 
+  test("TTL state policy expires idle keys past the watermark, keeps live ones") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[ChangeEvent]
+    // TTL 2 minutes, zero watermark delay: a key idle for >2min of
+    // event time emits an "expired" tombstone and drops its state.
+    val q = CdcStream.latestByKeyStreamTTL(mem.toDS(), "0 seconds", ttlMs = 120000L)
+      .writeStream.format("memory").queryName("ttl_out")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      // t=60s: users 1 and 2 both live
+      mem.addData(
+        ChangeEvent("insert", 10L, 1L, 60000L, 30.0, 60),
+        ChangeEvent("insert", 20L, 2L, 60000L, 10.0, 100))
+      q.processAllAvailable()
+      // t=400s: user 1 refreshes (deadline slides); user 2 idle since 60s
+      mem.addData(ChangeEvent("update", 11L, 1L, 400000L, 45.0, 60))
+      q.processAllAvailable()
+      // next batch runs with watermark=400s > user 2's deadline (180s)
+      mem.addData(ChangeEvent("insert", 30L, 3L, 410000L, 5.0, 10))
+      q.processAllAvailable()
+      val out = spark.table("ttl_out").as[EntityState].collect()
+      val expired = out.filter(_.operation == "expired").map(_.user_id).toSet
+      assert(expired == Set(2L))
+      // user 1 never expired (refresh slid its deadline to 520s)
+      val lastPerUser = out.groupBy(_.user_id).view
+        .mapValues(_.maxBy(_.ts_ms).operation).toMap
+      assert(lastPerUser(1L) == "update" && lastPerUser(3L) == "insert")
+    } finally q.stop()
+  }
+
   test("session_window groups events separated by gaps per user") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[ChangeEvent]
