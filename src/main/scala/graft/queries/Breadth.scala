@@ -139,11 +139,141 @@ object Breadth {
       |  ON value >= lo AND value < hi
       |GROUP BY lo, hi""".stripMargin
 
+  // ---------------------------------------------------------------- q48
+  /** GROUPING SETS (the general form behind rollup q11 / cube q35)
+    * with grouping() null-vs-aggregated markers. One shuffle: Spark
+    * expands rows per set map-side, aggregates once.
+    */
+  def q48GroupingSets(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+      .select(col("o_orderstatus").as("status"),
+              col("o_orderpriority").as("prio"),
+              col("o_totalprice").cast(DecimalType(18, 3)).as("price"))
+    o.groupingSets(
+        Seq(Seq(col("status"), col("prio")), Seq(col("status")), Seq()),
+        col("status"), col("prio"))
+      .agg(grouping(col("status")).cast("long").as("g_status"),
+           grouping(col("prio")).cast("long").as("g_prio"),
+           count(lit(1)).as("n"),
+           round(sum(col("price")), 2).cast("double").as("sum_price"))
+  }
+
+  val q48Sql: String =
+    """SELECT o_orderstatus AS status, o_orderpriority AS prio,
+      |  CAST(grouping(o_orderstatus) AS BIGINT) AS g_status,
+      |  CAST(grouping(o_orderpriority) AS BIGINT) AS g_prio,
+      |  count(*) AS n,
+      |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,3))), 2) AS DOUBLE) AS sum_price
+      |FROM orders
+      |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())""".stripMargin
+
+  // ---------------------------------------------------------------- q49
+  /** Array higher-order functions over per-order quantity lists.
+    * Quantities are exact 2-dec decimals -> cents (BIGINT) so every
+    * fold is integer-exact cross-engine. transform/aggregate/zip_with
+    * run inside codegen; the only shuffle is the collect_list groupBy.
+    */
+  def q49ArrayHof(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_linenumber"),
+              (col("l_quantity").cast(DecimalType(18, 2)) * 100).cast("long").as("qty_c"))
+      .groupBy(col("l_orderkey"))
+      .agg(expr("transform(sort_array(collect_list(struct(l_linenumber, qty_c))), x -> x.qty_c)").as("arr"))
+      .select(
+        col("l_orderkey"),
+        size(col("arr")).cast("long").as("n"),
+        expr("aggregate(arr, 0L, (a, x) -> a + x)").as("total_c"),
+        array_max(col("arr")).as("max_c"),
+        expr("array_position(arr, array_max(arr))").cast("long").as("pos_max"),
+        expr("element_at(zip_with(arr, reverse(arr), (a, b) -> a + b), 1)").as("firstlast_c"),
+        expr("aggregate(slice(arr, 1, 3), 0L, (a, x) -> a + x)").as("head3_c"),
+        expr("size(filter(arr, x -> x >= 2500))").cast("long").as("n_big"))
+
+  val q49Sql: String =
+    """WITH a AS (
+      |  SELECT l_orderkey,
+      |    list(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |         ORDER BY l_linenumber, l_quantity) AS arr
+      |  FROM lineitem GROUP BY l_orderkey)
+      |SELECT l_orderkey,
+      |  CAST(len(arr) AS BIGINT) AS n,
+      |  CAST(list_sum(arr) AS BIGINT) AS total_c,
+      |  list_max(arr) AS max_c,
+      |  CAST(list_position(arr, list_max(arr)) AS BIGINT) AS pos_max,
+      |  arr[1] + arr[-1] AS firstlast_c,
+      |  CAST(list_sum(arr[1:3]) AS BIGINT) AS head3_c,
+      |  CAST(len(list_filter(arr, x -> x >= 2500)) AS BIGINT) AS n_big
+      |FROM a""".stripMargin
+
+  // ---------------------------------------------------------------- q50
+  /** Selective / ordered-argument aggregates: count_if, bool_and/or,
+    * max_by/min_by (deterministic: argument column o_orderkey is
+    * unique), filtered sum, distinct count. All hash-aggregate with
+    * map-side partials.
+    */
+  def q50SelectiveAgg(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .withColumn("price_c", (col("o_totalprice").cast(DecimalType(18, 3)) * 1000).cast("long"))
+      .groupBy(col("o_orderpriority"))
+      .agg(expr("count_if(o_orderstatus = 'F')").as("n_f"),
+           expr("bool_and(o_totalprice > 0)").as("all_pos"),
+           expr("bool_or(o_totalprice > 400000)").as("any_high"),
+           expr("max_by(o_custkey, o_orderkey)").as("cust_of_last"),
+           expr("min_by(o_custkey, o_orderkey)").as("cust_of_first"),
+           countDistinct(col("o_custkey")).as("n_cust"),
+           sum(when(col("o_orderstatus") === "O", col("price_c"))).as("open_price_c"))
+
+  val q50Sql: String =
+    """SELECT o_orderpriority,
+      |  CAST(count_if(o_orderstatus = 'F') AS BIGINT) AS n_f,
+      |  bool_and(o_totalprice > 0) AS all_pos,
+      |  bool_or(o_totalprice > 400000) AS any_high,
+      |  max_by(o_custkey, o_orderkey) AS cust_of_last,
+      |  min_by(o_custkey, o_orderkey) AS cust_of_first,
+      |  count(DISTINCT o_custkey) AS n_cust,
+      |  CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,3)) * 1000 AS BIGINT))
+      |       FILTER (WHERE o_orderstatus = 'O') AS BIGINT) AS open_price_c
+      |FROM orders GROUP BY o_orderpriority""".stripMargin
+
+  // ---------------------------------------------------------------- q51
+  /** Bitwise scalar + aggregate surface: xor/shift/bit_count scalars,
+    * bit_and/bit_or/bit_xor aggregates, hex encoding.
+    */
+  def q51Bitwise(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .select(col("c_nationkey"),
+              col("c_custkey"),
+              col("c_custkey").bitwiseXOR(lit(255L)).as("xored"),
+              shiftleft(col("c_custkey"), 3).as("shifted"),
+              bit_count(col("c_custkey")).cast("long").as("bits"),
+              hex(col("c_custkey")).as("hexkey"))
+      .groupBy(col("c_nationkey"))
+      .agg(expr("bit_and(c_custkey)").as("band"),
+           expr("bit_or(c_custkey)").as("bor"),
+           expr("bit_xor(xored)").as("bxor"),
+           sum(col("shifted")).as("sum_shifted"),
+           sum(col("bits")).as("sum_bits"),
+           max(col("hexkey")).as("max_hex"))
+
+  val q51Sql: String =
+    """SELECT c_nationkey,
+      |  bit_and(c_custkey) AS band,
+      |  bit_or(c_custkey) AS bor,
+      |  bit_xor(xor(c_custkey, 255)) AS bxor,
+      |  CAST(sum(c_custkey * 8) AS BIGINT) AS sum_shifted,
+      |  CAST(sum(bit_count(c_custkey)) AS BIGINT) AS sum_bits,
+      |  max(to_hex(c_custkey)) AS max_hex
+      |FROM customer GROUP BY c_nationkey""".stripMargin
+
   val entries: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "q43_percentiles" -> (q43Percentiles _, q43Sql),
     "q44_datetime" -> (q44Datetime _, q44Sql),
     "q45_strings" -> (q45Strings _, q45Sql),
     "q46_window_tail" -> (q46WindowTail _, q46Sql),
     "q47_range_join" -> (q47RangeJoin _, q47Sql),
+    "q48_grouping_sets" -> (q48GroupingSets _, q48Sql),
+    "q49_array_hof" -> (q49ArrayHof _, q49Sql),
+    "q50_selective_agg" -> (q50SelectiveAgg _, q50Sql),
+    "q51_bitwise" -> (q51Bitwise _, q51Sql),
   )
 }
