@@ -1,0 +1,94 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.FormattedMode
+import org.apache.spark.sql.functions._
+
+/** Physical-plan audits: the properties the 100 TB story depends on,
+  * asserted on the real query plans so a refactor can't silently lose
+  * them. Each failure mode here is invisible at sf0.001 but fatal at
+  * cluster scale:
+  *  - a lost parquet filter/column pushdown rereads the full table;
+  *  - a broadcast join degrading to sort-merge adds a 100 TB shuffle;
+  *  - a lost map-side partial aggregate shuffles raw rows, not state;
+  *  - a lost partition filter turns pruned scans into full scans.
+  */
+class PlanSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sfDir)
+      .queryExecution.explainString(FormattedMode)
+
+  /** Runs the dataset's own QueryExecution (collect, not write — write
+    * wraps the plan in a fresh QueryExecution) so AQE finalizes and
+    * codegen spans appear, then re-prints the now-final plan.
+    */
+  private def executed(df: DataFrame): String = {
+    df.collect()
+    df.queryExecution.explainString(FormattedMode)
+  }
+
+  test("selective filter is pushed into the parquet scan, columns pruned") {
+    val p = plan("q02_selective_filter")
+    assert(p.contains("PushedFilters: ["), "no parquet filter pushdown")
+    assert(!p.matches("(?s).*PushedFilters: \\[\\].*"),
+      "pushdown list is empty")
+    // projection must prune the wide comment column out of the scan
+    assert(!p.contains("l_comment"), "scan reads unused l_comment")
+  }
+
+  test("dimension join broadcasts the small side (no full shuffle)") {
+    val p = plan("q04_broadcast_dim")
+    assert(p.contains("BroadcastHashJoin"), "dim join is not broadcast")
+  }
+
+  test("flagship aggregate keeps map-side partial aggregation") {
+    val p = executed(SparkEntry.queries("q01_pricing_summary")(spark, sfDir))
+    val hashAggs = "HashAggregate".r.findAllIn(p).size
+    assert(hashAggs >= 2, s"expected partial+final HashAggregate, saw $hashAggs")
+    // AQE-final formatted plans mark codegen spans as "[codegen id : n]"
+    assert(p.contains("[codegen id :"), "aggregate fell out of codegen")
+  }
+
+  test("ordered top-k plans as TakeOrderedAndProject, not global sort") {
+    val p = plan("q09_topk_orders")
+    assert(p.contains("TakeOrderedAndProject"), "top-k does a full sort")
+  }
+
+  test("partitioned warehouse reads prune partitions at plan time") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_prune_").toString
+    graft.core.Tables.orders(spark, sfDir)
+      .withColumn("o_year", year($"o_orderdate"))
+      .write.mode("overwrite").partitionBy("o_year").parquet(dir)
+    val q = spark.read.parquet(dir).filter($"o_year" === 1995)
+      .groupBy($"o_orderstatus").count()
+    val p = q.queryExecution.explainString(FormattedMode)
+    assert(p.contains("PartitionFilters: ["), "no partition filter")
+    assert(p.matches("(?s).*PartitionFilters: \\[[^\\]]*o_year[^\\]]*\\].*"),
+      "o_year filter not applied at partition level")
+    // equality on the partition column must not appear as a data filter
+    assert(!p.matches("(?s).*PushedFilters: \\[[^\\]]*o_year[^\\]]*\\].*"),
+      "partition-column filter leaked into the row-level scan")
+  }
+
+  test("AQE coalesces the post-shuffle partitions of a small aggregate") {
+    val aqeSpark = spark.newSession()
+    aqeSpark.conf.set("spark.sql.adaptive.enabled", "true")
+    aqeSpark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    val df = graft.core.Tables.orders(aqeSpark, sfDir)
+      .groupBy(col("o_orderstatus")).count()
+    val p = executed(df)
+    assert(p.contains("AQEShuffleRead coalesced") || p.contains("coalesced"),
+      "AQE did not coalesce tiny shuffle partitions")
+  }
+
+  test("LWW dedup partial-aggregates map-side despite the struct buffer") {
+    // max_by(struct) -> SortAggregate/ObjectHashAggregate, but Spark must
+    // still split it into partial + final so the shuffle carries one
+    // struct per key, not every raw row.
+    val p = plan("q17_cdc_latest_by_key")
+    val aggs = "(SortAggregate|ObjectHashAggregate|HashAggregate)".r.findAllIn(p).size
+    assert(aggs >= 2, s"dedup aggregate is single-phase: $p")
+  }
+}
