@@ -1,0 +1,62 @@
+package graft
+
+import graft.ext.GraftExtensions
+import graft.functions.{ShingleFunctions, SimHashFunctions}
+import org.apache.spark.sql.functions._
+
+/** The SparkSessionExtensions surface: the engine's native Catalyst
+  * expressions must be reachable from plain SQL text, and agree with
+  * the Column API (same Expression class underneath).
+  */
+class SqlFunctionsSpec extends SparkSpec {
+
+  private lazy val s = {
+    val ns = spark.newSession()
+    GraftExtensions.register(ns)
+    ns
+  }
+
+  test("cosine_sim / dot_product SQL functions evaluate the codegen expressions") {
+    import s.implicits._
+    Seq((Array(3f, 4f), Array(3f, 4f)), (Array(1f, 0f), Array(0f, 1f)))
+      .toDF("a", "b").createOrReplaceTempView("vecs")
+    val rows = s.sql("SELECT cosine_sim(a, b) AS c, dot_product(a, b) AS d FROM vecs")
+      .collect().map(r => (r.getDouble(0), r.getDouble(1))).toSet
+    assert(rows == Set((1.0, 25.0), (0.0, 0.0)))
+  }
+
+  test("word_shingles + jaccard_sim compose in SQL") {
+    val j = s.sql(
+      """SELECT jaccard_sim(word_shingles(split('a b c d', ' '), 2),
+        |                   word_shingles(split('a b c x', ' '), 2)) AS js""".stripMargin)
+      .first().getDouble(0)
+    assert(j == 0.5) // {ab,bc,cd} vs {ab,bc,cx}: 2 common / 4 total
+  }
+
+  test("simhash48 via SQL matches the Column API on the same input") {
+    import s.implicits._
+    val df = Seq("the quick brown fox jumps over the lazy dog").toDF("txt")
+    df.createOrReplaceTempView("docs")
+    val sqlHash = s.sql("SELECT simhash48(word_shingles(split(txt, ' '), 2)) AS h FROM docs")
+      .first().getLong(0)
+    val colHash = df.select(
+        SimHashFunctions.simhash48(
+          ShingleFunctions.wordShingles(split(col("txt"), " "), 2)).as("h"))
+      .first().getLong(0)
+    assert(sqlHash == colHash)
+  }
+
+  test("extension class applies cleanly to a SparkSessionExtensions instance") {
+    // the spark.sql.extensions=graft.ext.GraftExtensions path: same
+    // builder lambda Spark invokes at session construction
+    new GraftExtensions().apply(new org.apache.spark.sql.SparkSessionExtensions)
+  }
+
+  test("word_shingles rejects a non-literal n") {
+    import s.implicits._
+    Seq(("x y z", 2)).toDF("txt", "n").createOrReplaceTempView("bad")
+    intercept[Exception] {
+      s.sql("SELECT word_shingles(split(txt, ' '), n) FROM bad").collect()
+    }
+  }
+}
