@@ -265,6 +265,24 @@ object Breadth {
       |  max(to_hex(c_custkey)) AS max_hex
       |FROM customer GROUP BY c_nationkey""".stripMargin
 
+  // ---------------------------------------------------------------- q52
+  /** Approximate percentiles (Greenwald-Khanna sketch): the scale path
+    * for quantiles — mergeable fixed-size sketch per partition, one
+    * shuffle of sketches, never a global sort. q43 is its exact
+    * (sort-based) twin; ApproxSpec asserts the error bound against it.
+    * Rows-only gate: sketch internals are engine-specific by design.
+    */
+  def q52ApproxPercentile(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(col("event_type"))
+      .agg(expr("approx_percentile(value, array(0.5, 0.95), 1000)").as("pcts"),
+           expr("approx_count_distinct(user_id)").as("approx_users"),
+           count(lit(1)).as("n"))
+      .select(col("event_type"),
+              col("pcts")(0).as("p50_approx"),
+              col("pcts")(1).as("p95_approx"),
+              col("approx_users"), col("n"))
+
   val entries: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "q43_percentiles" -> (q43Percentiles _, q43Sql),
     "q44_datetime" -> (q44Datetime _, q44Sql),
@@ -275,5 +293,6 @@ object Breadth {
     "q49_array_hof" -> (q49ArrayHof _, q49Sql),
     "q50_selective_agg" -> (q50SelectiveAgg _, q50Sql),
     "q51_bitwise" -> (q51Bitwise _, q51Sql),
+    "q52_approx_percentile" -> (q52ApproxPercentile _, ""),
   )
 }

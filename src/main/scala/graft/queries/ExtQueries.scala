@@ -269,7 +269,25 @@ object ExtQueries {
       |  CAST(CASE WHEN modality = 'audio' THEN 8000 + (n_bytes % 5) * 8000 ELSE 0 END AS BIGINT) AS sample_rate
       |FROM m""".stripMargin
 
+  // ---------------------------------------------------------------- q53
+  /** Stratified corpus subsampling: per-language quota sampling via
+    * Bernoulli draws (`sampleBy`) — the standard rebalancing step before
+    * training-data mixing. One scan, no shuffle before the count;
+    * deterministic for a fixed seed + input layout. Rows-only gate
+    * (the sampler's RNG stream is engine-specific); SamplingSpec
+    * asserts quota adherence and determinism.
+    */
+  def q53StratifiedSample(s: SparkSession, d: String): DataFrame = {
+    val fractions = Map("en" -> 0.5, "zh" -> 0.6, "es" -> 0.8, "de" -> 0.8, "fr" -> 1.0)
+    docs(s, d)
+      .stat.sampleBy("lang", fractions, seed = 42L)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_sampled"),
+           sum(col("n_chars")).cast("long").as("chars_kept"))
+  }
+
   val entries: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "q53_stratified_sample" -> (q53StratifiedSample _, ""),
     "q21_text_stats" -> (q21TextStats _, q21Sql),
     "q22_lang_id" -> (q22LangId _, q22Sql),
     "q23_fingerprint" -> (q23Fingerprint _, q23Sql),
