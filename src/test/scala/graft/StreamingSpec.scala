@@ -164,6 +164,42 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("watermarked stream-stream join correlates events within the time bound") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    val inserts = MemoryStream[ChangeEvent]
+    val updates = MemoryStream[ChangeEvent]
+    val l = inserts.toDF()
+      .select($"user_id", timestamp_millis($"ts_ms").as("ins_ts"), $"document_id".as("ins_doc"))
+      .withWatermark("ins_ts", "10 seconds")
+    val r = updates.toDF()
+      .select($"user_id".as("upd_user"), timestamp_millis($"ts_ms").as("upd_ts"),
+              $"document_id".as("upd_doc"))
+      .withWatermark("upd_ts", "10 seconds")
+    // update joins its insert only if it lands within 5s after it
+    val joined = l.join(r,
+      $"user_id" === $"upd_user" &&
+        $"upd_ts" >= $"ins_ts" && $"upd_ts" <= $"ins_ts" + expr("interval 5 seconds"))
+    val q = joined.writeStream.format("memory").queryName("ssj_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      inserts.addData(
+        ChangeEvent("insert", 100L, 1L, 10000L, 1.0, 10),
+        ChangeEvent("insert", 200L, 2L, 10000L, 1.0, 10))
+      updates.addData(
+        ChangeEvent("update", 101L, 1L, 12000L, 2.0, 10),  // within 5s -> joins
+        ChangeEvent("update", 201L, 2L, 40000L, 2.0, 10))  // 30s later -> dropped
+      q.processAllAvailable()
+      // advance both watermarks so pending join state flushes
+      inserts.addData(ChangeEvent("insert", 900L, 9L, 100000L, 1.0, 10))
+      updates.addData(ChangeEvent("update", 901L, 9L, 200000L, 1.0, 10))
+      q.processAllAvailable()
+      val pairs = spark.table("ssj_out")
+        .select($"ins_doc", $"upd_doc").as[(Long, Long)].collect().toSet
+      assert(pairs == Set((100L, 101L)))
+    } finally q.stop()
+  }
+
   test("windowed rates with watermark aggregate by operation") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[ChangeEvent]
