@@ -14,6 +14,34 @@ class ExtSpec extends SparkSpec {
   private lazy val emb = spark.read.parquet(s"$sfDir/embeddings.parquet").cache()
 
   // ----------------------------------------------------------- dedup
+  test("WeightedMean Aggregator: typed API and SQL udaf agree with the expression form") {
+    import org.apache.spark.sql.functions.{col, expr, sum, udaf}
+    import graft.functions.WeightedMean
+    val rows = graft.ops.Cdc.enrichWatchedRatio(
+        graft.sources.Workload.cdcEnvelopes(spark, n = 500, nDocs = 50, seed = 9L)
+          .filter(col("data").isNotNull).select(col("document_id"), col("data.*")))
+      .select(col("document_id"), col("watched_ratio"),
+              col("video_duration_seconds").cast("double").as("w"))
+    spark.udf.register("weighted_mean", udaf(WeightedMean))
+    rows.createOrReplaceTempView("wm_in")
+    val viaSql = spark.sql(
+      """SELECT document_id, weighted_mean(watched_ratio, w) AS wm
+        |FROM wm_in GROUP BY document_id""".stripMargin)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val viaExpr = rows.groupBy(col("document_id"))
+      .agg((sum(expr("watched_ratio * w")) / sum(col("w"))).as("wm"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(viaSql.keySet == viaExpr.keySet)
+    viaSql.foreach { case (k, v) =>
+      assert(math.abs(v - viaExpr(k)) < 1e-12, s"$k: $v vs ${viaExpr(k)}") }
+    // zero-weight guard
+    import spark.implicits._
+    val z = Seq((0.5, 0.0), (0.9, 0.0)).toDF("watched_ratio", "w")
+    z.createOrReplaceTempView("wm_zero")
+    assert(spark.sql("SELECT weighted_mean(watched_ratio, w) FROM wm_zero")
+      .first().getDouble(0) == 0.0)
+  }
+
   test("exactDedup keeps one row per duplicated text") {
     val withDups = docs.limit(50).unionAll(docs.limit(20)) // 20 exact dups
     assert(Dedup.exactDedup(withDups).count() == 50)
