@@ -83,6 +83,43 @@ class PlanSpec extends SparkSpec {
       "AQE did not coalesce tiny shuffle partitions")
   }
 
+  test("nested schema pruning: selecting data.video_id reads only that leaf") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_nested_").toString
+    graft.sources.Workload.cdcEnvelopes(spark, n = 100, nDocs = 20, seed = 1L)
+      .select($"operation", $"document_id", $"timestamp", $"data")
+      .write.mode("overwrite").parquet(dir)
+    val q = spark.read.parquet(dir)
+      .select($"document_id", $"data.video_id")
+      .filter($"data.video_id".isNotNull)
+    val p = q.queryExecution.explainString(FormattedMode)
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("video_id"), s"missing leaf in $readSchema")
+    // the other six struct leaves must be pruned from the scan
+    assert(!readSchema.contains("watched_seconds") && !readSchema.contains("quality"),
+      s"nested pruning lost: $readSchema")
+  }
+
+  test("AQE splits a skewed join partition (hot-key survival at scale)") {
+    val s = spark.newSession()
+    s.conf.set("spark.sql.adaptive.enabled", "true")
+    s.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    // force tiny thresholds so the hot key trips skew handling on test data
+    s.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1.0")
+    s.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "20KB")
+    s.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "10KB")
+    s.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // keep it a shuffle join
+    import s.implicits._
+    val hot = s.range(0, 30000).select(
+      when($"id" % 10 === 0, lit(7L)).otherwise($"id").as("k"),
+      concat(lit("payload_payload_payload_"), $"id").as("v"))
+    val dim = s.range(0, 20000).select($"id".as("k"), ($"id" * 2).as("w"))
+    val df = hot.join(dim, "k")
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("skew=true"), s"no skew split in:\n${p.take(2000)}")
+  }
+
   test("LWW dedup partial-aggregates map-side despite the struct buffer") {
     // max_by(struct) -> SortAggregate/ObjectHashAggregate, but Spark must
     // still split it into partial + final so the shuffle carries one
