@@ -265,6 +265,31 @@ object Breadth {
       |  max(to_hex(c_custkey)) AS max_hex
       |FROM customer GROUP BY c_nationkey""".stripMargin
 
+  // ---------------------------------------------------------------- q55
+  /** Unpivot (melt) — the inverse of q42's pivot: three lineitem
+    * measures into (name, value) rows, then decimal-exact sums per
+    * (returnflag, measure). Unpivot is a zero-shuffle projection
+    * (each input row fans out map-side).
+    */
+  def q55Unpivot(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .select(col("l_returnflag"), col("l_quantity"),
+              col("l_extendedprice"), col("l_discount"))
+      .unpivot(Array(col("l_returnflag")),
+               Array(col("l_quantity"), col("l_extendedprice"), col("l_discount")),
+               "measure", "value")
+      .groupBy(col("l_returnflag"), col("measure"))
+      .agg(round(sum(col("value").cast(DecimalType(18, 2))), 2).cast("double").as("total"),
+           count(lit(1)).as("n"))
+
+  val q55Sql: String =
+    """SELECT l_returnflag, name AS measure,
+      |  CAST(round(sum(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS total,
+      |  count(*) AS n
+      |FROM (SELECT l_returnflag, l_quantity, l_extendedprice, l_discount FROM lineitem)
+      |  UNPIVOT (value FOR name IN (l_quantity, l_extendedprice, l_discount))
+      |GROUP BY l_returnflag, name""".stripMargin
+
   // ---------------------------------------------------------------- q52
   /** Approximate percentiles (Greenwald-Khanna sketch): the scale path
     * for quantiles — mergeable fixed-size sketch per partition, one
@@ -294,5 +319,6 @@ object Breadth {
     "q50_selective_agg" -> (q50SelectiveAgg _, q50Sql),
     "q51_bitwise" -> (q51Bitwise _, q51Sql),
     "q52_approx_percentile" -> (q52ApproxPercentile _, ""),
+    "q55_unpivot" -> (q55Unpivot _, q55Sql),
   )
 }

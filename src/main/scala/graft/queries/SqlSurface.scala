@@ -80,9 +80,52 @@ object SqlSurface {
     s"SELECT lang, ${cols.mkString(", ")} FROM documents GROUP BY lang"
   }
 
+  // ---------------------------------------------------------------- q54
+  /** Correlated LATERAL subquery: top-2 orders per nation's customers —
+    * the "per-row dependent subplan" shape. Catalyst decorrelates the
+    * lateral into a ranked window join; no per-row re-execution.
+    * Deterministic: (o_totalprice DESC, o_orderkey) total order.
+    */
+  private val q54Text =
+    """SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+      |FROM customer c,
+      |LATERAL (SELECT o_orderkey, o_totalprice
+      |         FROM orders o WHERE o.o_custkey = c.c_custkey
+      |         ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+      |WHERE c.c_custkey <= 200""".stripMargin
+
+  def q54Lateral(s: SparkSession, d: String): DataFrame = {
+    registerViews(s, d)
+    s.sql(q54Text)
+  }
+
+  // ---------------------------------------------------------------- q56
+  /** RANGE window frames (value- and interval-based, tie-inclusive —
+    * deterministic under ties, unlike ROWS): per-customer rolling sum
+    * of order value within 10k below current, and rolling 90-day order
+    * count by date.
+    */
+  private val q56Text =
+    """SELECT o_orderkey, o_custkey,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,3))) OVER (
+      |    PARTITION BY o_custkey ORDER BY o_totalprice
+      |    RANGE BETWEEN 10000 PRECEDING AND CURRENT ROW) AS DOUBLE) AS near_sum,
+      |  CAST(count(*) OVER (
+      |    PARTITION BY o_custkey ORDER BY o_orderdate
+      |    RANGE BETWEEN INTERVAL '90' DAY PRECEDING AND CURRENT ROW) AS BIGINT) AS n_90d
+      |FROM orders""".stripMargin
+
+  def q56RangeFrames(s: SparkSession, d: String): DataFrame = {
+    registerViews(s, d)
+    s.sql(q56Text)
+  }
+
   val entries: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "q40_subqueries" -> (q40Subqueries _, q40Sql),
     "q41_explode" -> (q41Explode _, q41Sql),
     "q42_pivot" -> (q42Pivot _, q42Sql),
+    "q54_lateral" -> (q54Lateral _, q54Text),
+    "q56_range_frames" -> (q56RangeFrames _,
+      q56Text.replace("INTERVAL '90' DAY", "INTERVAL 90 DAY")),
   )
 }
