@@ -290,6 +290,29 @@ object Breadth {
       |  UNPIVOT (value FOR name IN (l_quantity, l_extendedprice, l_discount))
       |GROUP BY l_returnflag, name""".stripMargin
 
+  // ---------------------------------------------------------------- q57
+  /** Map-type surface: per-customer order-status histogram built as a
+    * map (map_from_entries), read back via explode + map_keys count.
+    * Output is flat rows, so the oracle stays plain SQL while the
+    * Spark side round-trips through MapType.
+    */
+  def q57MapFuncs(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupBy(col("o_custkey"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("o_custkey"))
+      .agg(map_from_entries(sort_array(collect_list(struct(col("o_orderstatus"), col("n")))))
+        .as("hist"))
+      .select(col("o_custkey"),
+              size(map_keys(col("hist"))).cast("long").as("n_statuses"),
+              explode(col("hist")).as(Seq("status", "n_orders")))
+
+  val q57Sql: String =
+    """SELECT o_custkey,
+      |  CAST(count(*) OVER (PARTITION BY o_custkey) AS BIGINT) AS n_statuses,
+      |  o_orderstatus AS status, count(*) AS n_orders
+      |FROM orders GROUP BY o_custkey, o_orderstatus""".stripMargin
+
   // ---------------------------------------------------------------- q52
   /** Approximate percentiles (Greenwald-Khanna sketch): the scale path
     * for quantiles — mergeable fixed-size sketch per partition, one
@@ -320,5 +343,6 @@ object Breadth {
     "q51_bitwise" -> (q51Bitwise _, q51Sql),
     "q52_approx_percentile" -> (q52ApproxPercentile _, ""),
     "q55_unpivot" -> (q55Unpivot _, q55Sql),
+    "q57_map_funcs" -> (q57MapFuncs _, q57Sql),
   )
 }
