@@ -313,6 +313,31 @@ object Breadth {
       |  o_orderstatus AS status, count(*) AS n_orders
       |FROM orders GROUP BY o_custkey, o_orderstatus""".stripMargin
 
+  // ---------------------------------------------------------------- q58
+  /** ANSI-safety surface (Spark 4 runs ANSI mode by default): try_divide
+    * and try_cast yield NULL instead of failing the job — the posture a
+    * 100 TB batch needs for dirty rows. Plus least/greatest.
+    * Division is IEEE double (bit-identical cross-engine).
+    */
+  def q58TrySafety(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d).select(
+      col("o_orderkey"),
+      expr("try_divide(CAST(o_totalprice AS DOUBLE), CAST(o_custkey % 3 AS DOUBLE))")
+        .as("ratio_or_null"),
+      expr("CAST(try_cast(o_orderstatus AS INT) AS BIGINT)").as("status_num"),
+      expr("CAST(try_cast(substr(o_orderpriority, 1, 1) AS INT) AS BIGINT)").as("prio_num"),
+      least(col("o_totalprice"), lit(100000.0)).as("capped"),
+      greatest(col("o_totalprice"), lit(100000.0)).as("floored"))
+
+  val q58Sql: String =
+    """SELECT o_orderkey,
+      |  CAST(o_totalprice AS DOUBLE) / NULLIF(CAST(o_custkey % 3 AS DOUBLE), 0.0) AS ratio_or_null,
+      |  CAST(TRY_CAST(o_orderstatus AS INTEGER) AS BIGINT) AS status_num,
+      |  CAST(TRY_CAST(substr(o_orderpriority, 1, 1) AS INTEGER) AS BIGINT) AS prio_num,
+      |  least(o_totalprice, 100000.0) AS capped,
+      |  greatest(o_totalprice, 100000.0) AS floored
+      |FROM orders""".stripMargin
+
   // ---------------------------------------------------------------- q52
   /** Approximate percentiles (Greenwald-Khanna sketch): the scale path
     * for quantiles — mergeable fixed-size sketch per partition, one
@@ -344,5 +369,6 @@ object Breadth {
     "q52_approx_percentile" -> (q52ApproxPercentile _, ""),
     "q55_unpivot" -> (q55Unpivot _, q55Sql),
     "q57_map_funcs" -> (q57MapFuncs _, q57Sql),
+    "q58_try_safety" -> (q58TrySafety _, q58Sql),
   )
 }
