@@ -120,6 +120,27 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("skew=true"), s"no skew split in:\n${p.take(2000)}")
   }
 
+  test("runtime Bloom filter prunes the fact side of a selective dim join") {
+    val s = spark.newSession()
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force shuffle join
+    s.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    // test-sized thresholds (defaults assume 10GB scans)
+    s.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "1KB")
+    s.conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "10MB")
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_bloom_").toString
+    s.range(0, 50000).select($"id".as("fk"),
+        concat(lit("payload_"), $"id").as(("v"))).write.mode("overwrite").parquet(s"$dir/fact")
+    s.range(0, 5000).select($"id".as("k"), ($"id" % 7).as("grp"))
+      .write.mode("overwrite").parquet(s"$dir/dim")
+    val fact = s.read.parquet(s"$dir/fact")
+    val dim = s.read.parquet(s"$dir/dim").filter($"grp" === 3) // selective
+    val j = fact.join(dim, $"fk" === $"k")
+    val p = j.queryExecution.explainString(FormattedMode)
+    assert(p.contains("might_contain"),
+      s"no runtime bloom filter injected:\n${p.take(1500)}")
+  }
+
   test("LWW dedup partial-aggregates map-side despite the struct buffer") {
     // max_by(struct) -> SortAggregate/ObjectHashAggregate, but Spark must
     // still split it into partial + final so the shuffle carries one
