@@ -44,6 +44,37 @@ class PropertySpec extends SparkSpec {
       .select($"user_id", $"document_id", $"ts_ms", $"operation")
       .as[(Long, Long, Long, String)].collect().toSet
 
+  test("pivot inverts unpivot (reshape round-trip is lossless)") {
+    import org.apache.spark.sql.functions._
+    val base = graft.core.Tables.lineitem(spark, sfDir)
+      .groupBy($"l_returnflag")
+      .agg(sum($"l_quantity".cast("decimal(18,2)")).as("qty"),
+           sum($"l_extendedprice".cast("decimal(18,2)")).as("price"))
+    val melted = base.unpivot(Array(col("l_returnflag")),
+      Array(col("qty"), col("price")), "measure", "value")
+    val back = melted.groupBy($"l_returnflag")
+      .pivot("measure", Seq("qty", "price")).agg(first($"value"))
+    val a = base.select($"l_returnflag", $"qty", $"price")
+      .collect().map(_.toSeq).toSet
+    val b = back.select($"l_returnflag", $"qty", $"price")
+      .collect().map(_.toSeq).toSet
+    assert(a == b && a.nonEmpty)
+  }
+
+  test("grouping sets agree with their independently-computed groupings") {
+    import org.apache.spark.sql.functions._
+    val gs = SparkEntry.queries("q48_grouping_sets")(spark, sfDir)
+    // () level = one row equal to the full-table aggregate
+    val grand = gs.filter($"g_status" === 1 && $"g_prio" === 1)
+      .select($"n").as[Long].collect().toSeq
+    val direct = graft.core.Tables.orders(spark, sfDir).count()
+    assert(grand == Seq(direct))
+    // (status) level sums to the grand total
+    val perStatus = gs.filter($"g_status" === 0 && $"g_prio" === 1)
+      .agg(sum($"n")).first().getLong(0)
+    assert(perStatus == direct)
+  }
+
   test("latestByKey: idempotent, order-insensitive, duplicate-tolerant") {
     (1 to 5).foreach { i =>
       val evs = sample(40, 100L + i)
