@@ -338,6 +338,37 @@ object Breadth {
       |  greatest(o_totalprice, 100000.0) AS floored
       |FROM orders""".stripMargin
 
+  // ---------------------------------------------------------------- q59
+  /** Gap-filling: forward- and backward-fill of "missing" measurements
+    * (IGNORE NULLS window semantics) — the standard time-series repair
+    * pass. 'click' events are treated as carrying no measurement;
+    * their value is taken from the nearest real one per user. One
+    * shuffle on user_id serves both directions.
+    */
+  def q59GapFill(s: SparkSession, d: String): DataFrame = {
+    val measured = when(col("event_type") =!= "click", col("value"))
+    val wf = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wb = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    Tables.events(s, d).select(
+      col("event_id"), col("user_id"),
+      last(measured, ignoreNulls = true).over(wf).as("ffill"),
+      first(measured, ignoreNulls = true).over(wb).as("bfill"))
+  }
+
+  val q59Sql: String =
+    """SELECT event_id, user_id,
+      |  last_value(CASE WHEN event_type <> 'click' THEN value END IGNORE NULLS)
+      |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ffill,
+      |  first_value(CASE WHEN event_type <> 'click' THEN value END IGNORE NULLS)
+      |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS bfill
+      |FROM events""".stripMargin
+
   // ---------------------------------------------------------------- q52
   /** Approximate percentiles (Greenwald-Khanna sketch): the scale path
     * for quantiles — mergeable fixed-size sketch per partition, one
@@ -370,5 +401,6 @@ object Breadth {
     "q55_unpivot" -> (q55Unpivot _, q55Sql),
     "q57_map_funcs" -> (q57MapFuncs _, q57Sql),
     "q58_try_safety" -> (q58TrySafety _, q58Sql),
+    "q59_gap_fill" -> (q59GapFill _, q59Sql),
   )
 }
