@@ -1,0 +1,183 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, Expression, GenericInternalRow, JoinedRow, RowOrdering, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.graft.PlanBridge
+
+/** Whole-operator as-of join as a first-class Catalyst citizen — the
+  * tier-(c) rung of the custom-operator ladder (custom `LogicalPlan` +
+  * `Strategy` + `SparkPlan`), for the one relational shape the built-in
+  * operators can't express without materializing every candidate match:
+  * "for each left row, the latest right row with the same key and
+  * rightTime <= leftTime".
+  *
+  * The composed form (q36: equi-join on key + range predicate, then
+  * arg-max per left row — `queries/Extended.scala`) is correct but its
+  * join inflates each left row by ALL qualifying right versions before
+  * the arg-max collapses them. This operator never materializes that
+  * intermediate: after hash-clustering both sides by key and sorting
+  * partitions by (key, time), a single forward merge pass emits exactly
+  * one output row per left row. Shuffle volume = inputs, not matches —
+  * at 100 TB with long version histories that is the difference between
+  * |L| + |R| and |L| x avg-versions.
+  *
+  * Right-side tie order within equal (key, time) is broken by
+  * `rightTiebreaks` (ascending; last kept wins), making the pick
+  * deterministic — same convention as `Cdc.latestByKey`.
+  */
+case class AsOfJoinPlan(
+    left: LogicalPlan,
+    right: LogicalPlan,
+    leftKeys: Seq[Expression],
+    rightKeys: Seq[Expression],
+    leftTime: Expression,
+    rightTime: Expression,
+    rightTiebreaks: Seq[Expression]) extends BinaryNode {
+
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): AsOfJoinPlan =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Planner strategy: lower the logical node to the merge exec. */
+object AsOfJoinStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case AsOfJoinPlan(l, r, lk, rk, lt, rt, tb) =>
+      AsOfJoinExec(lk, rk, lt, rt, tb, planLater(l), planLater(r)) :: Nil
+    case _ => Nil
+  }
+}
+
+/** Physical as-of merge join.
+  *
+  * Distribution/ordering contract (EnsureRequirements inserts the
+  * exchanges and sorts): both children hash-clustered on their keys
+  * (co-partitioned), each partition sorted by (keys..., time[,
+  * tiebreaks]). One buffered forward pass per partition; the right
+  * cursor never rewinds, so the merge is O(|L| + |R|) with one live
+  * candidate row of state.
+  */
+case class AsOfJoinExec(
+    leftKeys: Seq[Expression],
+    rightKeys: Seq[Expression],
+    leftTime: Expression,
+    rightTime: Expression,
+    rightTiebreaks: Seq[Expression],
+    left: SparkPlan,
+    right: SparkPlan) extends BinaryExecNode {
+
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+
+  override def outputPartitioning: Partitioning = left.outputPartitioning
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(leftKeys) :: ClusteredDistribution(rightKeys) :: Nil
+
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
+    (leftKeys :+ leftTime).map(SortOrder(_, Ascending)),
+    (rightKeys ++ (rightTime +: rightTiebreaks)).map(SortOrder(_, Ascending)))
+
+  override def outputOrdering: Seq[SortOrder] =
+    (leftKeys :+ leftTime).map(SortOrder(_, Ascending))
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val lOutput = left.output
+    val rOutput = right.output
+    val lKeys = leftKeys
+    val rKeys = rightKeys
+    val lTime = leftTime
+    val rTime = rightTime
+    val keyTypes = lKeys.map(_.dataType)
+    val timeType = lTime.dataType
+    val allOutput = output
+    left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
+      // generated projections are created per-partition on the executor
+      val lKeyProj = UnsafeProjection.create(lKeys, lOutput)
+      val rKeyProj = UnsafeProjection.create(rKeys, rOutput)
+      val lTimeProj = UnsafeProjection.create(Seq(lTime), lOutput)
+      val rTimeProj = UnsafeProjection.create(Seq(rTime), rOutput)
+      val keyOrd = RowOrdering.createNaturalAscendingOrdering(keyTypes)
+      val timeOrd = RowOrdering.createNaturalAscendingOrdering(Seq(timeType))
+      val outProj = UnsafeProjection.create(allOutput, allOutput)
+      val nullRight = new GenericInternalRow(rOutput.size)
+      val joined = new JoinedRow
+      val rBuf = rIter.buffered
+
+      var cand: InternalRow = null
+      var candKey: InternalRow = null
+
+      lIter.map { lRow =>
+        val lKey = lKeyProj(lRow)
+        val lT = lTimeProj(lRow).copy()
+        // candidate from a previous left key is stale
+        if (cand != null && keyOrd.compare(candKey, lKey) != 0) {
+          cand = null; candKey = null
+        }
+        var advance = true
+        while (advance && rBuf.hasNext) {
+          val rKey = rKeyProj(rBuf.head)
+          val c = keyOrd.compare(rKey, lKey)
+          if (c < 0) { rBuf.next() } // keys before ours: skip
+          else if (c == 0 && timeOrd.compare(rTimeProj(rBuf.head), lT) <= 0) {
+            // qualifying version; sorted ascending, so the last one
+            // consumed is the as-of winner
+            cand = rBuf.head.copy()
+            candKey = rKey.copy()
+            rBuf.next()
+          } else advance = false
+        }
+        outProj(joined(lRow, if (cand != null) cand else nullRight))
+      }
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): AsOfJoinExec =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Column-name API: `AsOf.join(events, orders, Seq("user_id"),
+  * Seq("o_custkey"), "deadline", "o_orderdate", Seq("o_orderkey"))`.
+  * Registers the strategy on the session once (idempotent); also
+  * injectable globally via `graft.ext.GraftExtensions`.
+  */
+object AsOf {
+  def join(left: DataFrame, right: DataFrame,
+           leftKeys: Seq[String], rightKeys: Seq[String],
+           leftTime: String, rightTime: String,
+           rightTiebreaks: Seq[String] = Nil): DataFrame = {
+    val spark: SparkSession = left.sparkSession
+    if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy)) {
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ AsOfJoinStrategy
+    }
+    val lPlan = left.queryExecution.analyzed
+    val rPlan = right.queryExecution.analyzed
+    def attr(plan: LogicalPlan, name: String): Attribute =
+      plan.output.find(_.name == name).getOrElse(
+        throw new IllegalArgumentException(
+          s"column $name not in [${plan.output.map(_.name).mkString(", ")}]"))
+    val lt = attr(lPlan, leftTime)
+    val rtRaw = attr(rPlan, rightTime)
+    // the merge compares raw time values; align the right type to the
+    // left's (e.g. timestamp_ntz vs timestamp) so ordering is sound
+    val rt: Expression =
+      if (rtRaw.dataType == lt.dataType) rtRaw
+      else org.apache.spark.sql.catalyst.expressions.Cast(
+        rtRaw, lt.dataType, Some(spark.sessionState.conf.sessionLocalTimeZone))
+    PlanBridge.ofRows(spark, AsOfJoinPlan(
+      lPlan, rPlan,
+      leftKeys.map(attr(lPlan, _)), rightKeys.map(attr(rPlan, _)),
+      lt, rt,
+      rightTiebreaks.map(attr(rPlan, _))))
+  }
+}

@@ -91,6 +91,26 @@ object Extended {
       |SELECT event_id, user_id, asof_orderkey
       |FROM e LEFT JOIN best ON event_id = m_event_id""".stripMargin
 
+  // ---------------------------------------------------------------- q60
+  /** Same as-of semantics as q36, through the custom whole-operator
+    * path (graft.plans.AsOfJoin: custom LogicalPlan + Strategy +
+    * merge-join SparkPlan). One merge pass after co-partitioning —
+    * never materializes the per-event candidate set the composed q36
+    * form builds. Shares q36's oracle.
+    */
+  def q60AsofNative(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(s, d).select(
+      col("event_id"), col("user_id"),
+      date_add(lit("1995-01-01").cast("date"),
+        pmod(col("event_id"), lit(2400)).cast("int")).cast("timestamp").as("deadline"))
+    val o = Tables.orders(s, d)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"))
+    graft.plans.AsOf.join(e, o,
+        Seq("user_id"), Seq("o_custkey"), "deadline", "o_orderdate",
+        rightTiebreaks = Seq("o_orderkey"))
+      .select(col("event_id"), col("user_id"), col("o_orderkey").as("asof_orderkey"))
+  }
+
   // ---------------------------------------------------------------- q37
   /** IVF-flat ANN: coarse cells = 16 data-derived centroids (stride-25
     * vec_ids — deterministic, self-contained in both engines); every
@@ -190,6 +210,7 @@ object Extended {
     "q34_ts_normalize" -> (q34TsNormalize _, q34Sql),
     "q35_cube" -> (q35Cube _, q35Sql),
     "q36_asof_join" -> (q36AsofJoin _, q36Sql),
+    "q60_asof_native" -> (q60AsofNative _, q36Sql),
     "q37_ivf_ann" -> (q37IvfAnn _, q37Sql),
     "q38_full_outer" -> (q38FullOuter _, q38Sql),
     "q39_approx_distinct" -> (q39ApproxDistinct _, ""),

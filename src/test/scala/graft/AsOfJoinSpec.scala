@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.plans.{AsOf, AsOfJoinExec}
+
+/** The custom as-of join operator (plans/AsOfJoin.scala) must agree
+  * exactly with the composed join+argmax form (q36's shape) and plan
+  * as one merge pass after co-partitioning.
+  */
+class AsOfJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def eventsWithDeadline = graft.core.Tables.events(spark, sfDir).select(
+    $"event_id", $"user_id",
+    date_add(lit("1995-01-01").cast("date"),
+      pmod($"event_id", lit(2400)).cast("int")).cast("timestamp").as("deadline"))
+
+  private def orders = graft.core.Tables.orders(spark, sfDir)
+    .select($"o_custkey", $"o_orderkey", $"o_orderdate")
+
+  test("custom as-of exec matches the composed join+argmax on real data") {
+    val viaExec = AsOf.join(eventsWithDeadline, orders,
+        Seq("user_id"), Seq("o_custkey"), "deadline", "o_orderdate",
+        rightTiebreaks = Seq("o_orderkey"))
+      .select($"event_id", $"o_orderkey")
+      .as[(Long, Option[Long])].collect().toMap
+
+    // composed form: all candidates then latest-by-key (q36's shape)
+    val e = eventsWithDeadline
+    val matched = e.join(orders,
+      $"user_id" === $"o_custkey" && $"o_orderdate" <= $"deadline")
+    val best = graft.ops.Cdc.latestByKey(
+        matched.select($"event_id".as("m_id"), $"o_orderkey", $"o_orderdate"),
+        Seq("m_id"), Seq("o_orderdate", "o_orderkey"))
+      .select($"m_id", $"o_orderkey")
+    val viaCompose = e.join(best, $"event_id" === $"m_id", "left")
+      .select($"event_id", $"o_orderkey")
+      .as[(Long, Option[Long])].collect().toMap
+
+    assert(viaExec.size == viaCompose.size && viaExec.nonEmpty)
+    assert(viaExec == viaCompose)
+    // both populated and null matches must occur for this to test anything
+    assert(viaExec.values.exists(_.isDefined) && viaExec.values.exists(_.isEmpty))
+  }
+
+  test("as-of plans as one AsOfJoinExec with co-partitioned sorted children") {
+    val df = AsOf.join(eventsWithDeadline, orders,
+      Seq("user_id"), Seq("o_custkey"), "deadline", "o_orderdate",
+      rightTiebreaks = Seq("o_orderkey"))
+    df.collect() // finalize AQE
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("AsOfJoin"), s"custom exec missing:\n${p.take(800)}")
+    assert("Sort ".r.findAllIn(p).size >= 2, "children not sorted for the merge")
+    assert(p.contains("Exchange") || p.contains("ShuffleQueryStage"),
+      "children not hash-clustered")
+  }
+
+  test("handles empty right side and duplicate left timestamps") {
+    val l = Seq((1L, 10L, 100L), (2L, 10L, 100L), (3L, 11L, 50L))
+      .toDF("id", "k", "t")
+    val r = Seq((10L, 90L, 7L), (10L, 100L, 8L), (10L, 100L, 9L), (12L, 10L, 1L))
+      .toDF("rk", "rt", "payload")
+    val out = AsOf.join(l, r, Seq("k"), Seq("rk"), "t", "rt", Seq("payload"))
+      .select($"id", $"payload").as[(Long, Option[Long])].collect().toMap
+    // rt=100 ties: payload 9 wins (max tiebreak); k=11 has no match
+    assert(out == Map(1L -> Some(9L), 2L -> Some(9L), 3L -> None))
+  }
+}
