@@ -369,6 +369,27 @@ object Breadth {
       |          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS bfill
       |FROM events""".stripMargin
 
+  // ---------------------------------------------------------------- q61
+  /** Regexp array extraction + generated sequences: all digit runs per
+    * customer name, plus a sequence fold keyed off the row. Both
+    * engines evaluate these per-row in one codegen'd projection.
+    */
+  def q61RegexpSeq(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d).select(
+      col("c_custkey"),
+      expr("CAST(size(regexp_extract_all(c_name, '([0-9]+)', 1)) AS BIGINT)").as("n_runs"),
+      expr("try_cast(element_at(regexp_extract_all(c_name, '([0-9]+)', 1), 1) AS BIGINT)")
+        .as("first_num"),
+      expr("aggregate(sequence(1L, pmod(c_custkey, 5) + 1), 0L, (a, x) -> a + x)")
+        .as("seq_sum"))
+
+  val q61Sql: String =
+    """SELECT c_custkey,
+      |  CAST(len(regexp_extract_all(c_name, '[0-9]+')) AS BIGINT) AS n_runs,
+      |  TRY_CAST(regexp_extract_all(c_name, '[0-9]+')[1] AS BIGINT) AS first_num,
+      |  CAST(list_sum(generate_series(1, c_custkey % 5 + 1)) AS BIGINT) AS seq_sum
+      |FROM customer""".stripMargin
+
   // ---------------------------------------------------------------- q52
   /** Approximate percentiles (Greenwald-Khanna sketch): the scale path
     * for quantiles — mergeable fixed-size sketch per partition, one
@@ -402,5 +423,6 @@ object Breadth {
     "q57_map_funcs" -> (q57MapFuncs _, q57Sql),
     "q58_try_safety" -> (q58TrySafety _, q58Sql),
     "q59_gap_fill" -> (q59GapFill _, q59Sql),
+    "q61_regexp_seq" -> (q61RegexpSeq _, q61Sql),
   )
 }
