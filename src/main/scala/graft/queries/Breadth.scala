@@ -390,6 +390,56 @@ object Breadth {
       |  CAST(list_sum(generate_series(1, c_custkey % 5 + 1)) AS BIGINT) AS seq_sum
       |FROM customer""".stripMargin
 
+  // ---------------------------------------------------------------- q62
+  /** Multiset set-ops (ALL variants — q10 covers the distinct forms):
+    * per-nation customer vs supplier cardinality overlap via
+    * intersectAll/exceptAll, re-aggregated to counts.
+    */
+  def q62SetOpsAll(s: SparkSession, d: String): DataFrame = {
+    val cn = Tables.customer(s, d).select(col("c_nationkey").as("nationkey"))
+    val sn = Tables.supplier(s, d).select(col("s_nationkey").as("nationkey"))
+    val common = cn.intersectAll(sn).groupBy(col("nationkey"))
+      .agg(count(lit(1)).as("n")).withColumn("tag", lit("common"))
+    val extra = cn.exceptAll(sn).groupBy(col("nationkey"))
+      .agg(count(lit(1)).as("n")).withColumn("tag", lit("cust_extra"))
+    common.unionByName(extra)
+  }
+
+  val q62Sql: String =
+    """SELECT nationkey, count(*) AS n, 'common' AS tag FROM
+      |  (SELECT c_nationkey AS nationkey FROM customer
+      |   INTERSECT ALL SELECT s_nationkey FROM supplier)
+      |GROUP BY nationkey
+      |UNION ALL
+      |SELECT nationkey, count(*) AS n, 'cust_extra' AS tag FROM
+      |  (SELECT c_nationkey AS nationkey FROM customer
+      |   EXCEPT ALL SELECT s_nationkey FROM supplier)
+      |GROUP BY nationkey""".stripMargin
+
+  // ---------------------------------------------------------------- q63
+  /** Month-granularity date arithmetic: add_months, last_day,
+    * make_date, and an integer month index (months_between has
+    * engine-specific fractional semantics — the integer form is
+    * portable and what partitioning schemes actually use).
+    */
+  def q63MonthArith(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d).select(
+      col("o_orderkey"),
+      ((year(col("o_orderdate")) * 12 + month(col("o_orderdate"))) -
+        lit(1995 * 12 + 1)).cast("long").as("month_idx"),
+      date_format(add_months(col("o_orderdate"), 3), "yyyy-MM-dd").as("plus3m"),
+      date_format(last_day(col("o_orderdate")), "yyyy-MM-dd").as("eom"),
+      date_format(make_date(lit(1995), month(col("o_orderdate")), lit(1)), "yyyy-MM-dd")
+        .as("anchor"))
+
+  val q63Sql: String =
+    """SELECT o_orderkey,
+      |  CAST(year(o_orderdate) * 12 + month(o_orderdate) - 23941 AS BIGINT) AS month_idx,
+      |  strftime(o_orderdate + to_months(3), '%Y-%m-%d') AS plus3m,
+      |  strftime(last_day(o_orderdate), '%Y-%m-%d') AS eom,
+      |  strftime(make_date(1995, month(o_orderdate), 1), '%Y-%m-%d') AS anchor
+      |FROM orders""".stripMargin
+
   // ---------------------------------------------------------------- q52
   /** Approximate percentiles (Greenwald-Khanna sketch): the scale path
     * for quantiles — mergeable fixed-size sketch per partition, one
@@ -424,5 +474,7 @@ object Breadth {
     "q58_try_safety" -> (q58TrySafety _, q58Sql),
     "q59_gap_fill" -> (q59GapFill _, q59Sql),
     "q61_regexp_seq" -> (q61RegexpSeq _, q61Sql),
+    "q62_setops_all" -> (q62SetOpsAll _, q62Sql),
+    "q63_month_arith" -> (q63MonthArith _, q63Sql),
   )
 }
