@@ -7,6 +7,7 @@ import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, Expressi
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.execution.metric.{SQLMetric, SQLMetrics}
 import org.apache.spark.sql.graft.PlanBridge
 
 /** Whole-operator as-of join as a first-class Catalyst citizen — the
@@ -77,6 +78,10 @@ case class AsOfJoinExec(
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
 
+  override lazy val metrics: Map[String, SQLMetric] = Map(
+    "numOutputRows" -> SQLMetrics.createMetric(sparkContext, "number of output rows"),
+    "numMatched" -> SQLMetrics.createMetric(sparkContext, "rows with an as-of match"))
+
   override def outputPartitioning: Partitioning = left.outputPartitioning
 
   override def requiredChildDistribution: Seq[Distribution] =
@@ -99,6 +104,8 @@ case class AsOfJoinExec(
     val keyTypes = lKeys.map(_.dataType)
     val timeType = lTime.dataType
     val allOutput = output
+    val numOutputRows = longMetric("numOutputRows")
+    val numMatched = longMetric("numMatched")
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       // generated projections are created per-partition on the executor
       val lKeyProj = UnsafeProjection.create(lKeys, lOutput)
@@ -135,6 +142,8 @@ case class AsOfJoinExec(
             rBuf.next()
           } else advance = false
         }
+        numOutputRows += 1
+        if (cand != null) numMatched += 1
         outProj(joined(lRow, if (cand != null) cand else nullRight))
       }
     }
