@@ -440,6 +440,32 @@ object Breadth {
       |  strftime(make_date(1995, month(o_orderdate), 1), '%Y-%m-%d') AS anchor
       |FROM orders""".stripMargin
 
+  // ---------------------------------------------------------------- q64
+  /** Skew-salted two-phase aggregation surfaced at the driver gate:
+    * result is provably identical to the plain aggregate (associative
+    * merges over exact types), so the oracle is the plain SQL — while
+    * the Spark plan scatters each hot key over 8 salts before merging.
+    */
+  def q64SaltedAgg(s: SparkSession, d: String): DataFrame =
+    graft.ops.Skew.saltedAggregate(
+        Tables.events(s, d).select(
+          col("event_type"),
+          col("value").cast(DecimalType(18, 2)).as("value_c"),
+          col("event_id"), col("user_id")),
+        keys = Seq("event_type"), salt = 8,
+        aggs = Map("value_c" -> "sum", "event_id" -> "count", "user_id" -> "max"))
+      .select(col("event_type"),
+              round(col("sum_value_c"), 2).cast("double").as("sum_v"),
+              col("count_event_id").as("n"),
+              col("max_user_id").as("max_u"))
+
+  val q64Sql: String =
+    """SELECT event_type,
+      |  CAST(round(sum(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_v,
+      |  count(event_id) AS n,
+      |  max(user_id) AS max_u
+      |FROM events GROUP BY event_type""".stripMargin
+
   // ---------------------------------------------------------------- q52
   /** Approximate percentiles (Greenwald-Khanna sketch): the scale path
     * for quantiles — mergeable fixed-size sketch per partition, one
@@ -476,5 +502,6 @@ object Breadth {
     "q61_regexp_seq" -> (q61RegexpSeq _, q61Sql),
     "q62_setops_all" -> (q62SetOpsAll _, q62Sql),
     "q63_month_arith" -> (q63MonthArith _, q63Sql),
+    "q64_salted_agg" -> (q64SaltedAgg _, q64Sql),
   )
 }
