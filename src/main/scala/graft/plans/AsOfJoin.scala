@@ -38,7 +38,8 @@ case class AsOfJoinPlan(
     rightKeys: Seq[Expression],
     leftTime: Expression,
     rightTime: Expression,
-    rightTiebreaks: Seq[Expression]) extends BinaryNode {
+    rightTiebreaks: Seq[Expression],
+    forward: Boolean = false) extends BinaryNode {
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -51,8 +52,8 @@ case class AsOfJoinPlan(
 /** Planner strategy: lower the logical node to the merge exec. */
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinPlan(l, r, lk, rk, lt, rt, tb) =>
-      AsOfJoinExec(lk, rk, lt, rt, tb, planLater(l), planLater(r)) :: Nil
+    case AsOfJoinPlan(l, r, lk, rk, lt, rt, tb, fwd) =>
+      AsOfJoinExec(lk, rk, lt, rt, tb, fwd, planLater(l), planLater(r)) :: Nil
     case _ => Nil
   }
 }
@@ -72,6 +73,7 @@ case class AsOfJoinExec(
     leftTime: Expression,
     rightTime: Expression,
     rightTiebreaks: Seq[Expression],
+    forward: Boolean,
     left: SparkPlan,
     right: SparkPlan) extends BinaryExecNode {
 
@@ -121,26 +123,45 @@ case class AsOfJoinExec(
 
       var cand: InternalRow = null
       var candKey: InternalRow = null
+      val fwd = forward
 
       lIter.map { lRow =>
         val lKey = lKeyProj(lRow)
         val lT = lTimeProj(lRow).copy()
-        // candidate from a previous left key is stale
-        if (cand != null && keyOrd.compare(candKey, lKey) != 0) {
+        if (!fwd) {
+          // candidate from a previous left key is stale
+          if (cand != null && keyOrd.compare(candKey, lKey) != 0) {
+            cand = null; candKey = null
+          }
+          // backward: latest right with rTime <= lTime — consume
+          // qualifying versions, the last one kept wins
+          var advance = true
+          while (advance && rBuf.hasNext) {
+            val rKey = rKeyProj(rBuf.head)
+            val c = keyOrd.compare(rKey, lKey)
+            if (c < 0) { rBuf.next() } // keys before ours: skip
+            else if (c == 0 && timeOrd.compare(rTimeProj(rBuf.head), lT) <= 0) {
+              cand = rBuf.head.copy()
+              candKey = rKey.copy()
+              rBuf.next()
+            } else advance = false
+          }
+        } else {
+          // forward: first right with rTime >= lTime — skip earlier
+          // versions (later left rows only move forward), peek the head
           cand = null; candKey = null
-        }
-        var advance = true
-        while (advance && rBuf.hasNext) {
-          val rKey = rKeyProj(rBuf.head)
-          val c = keyOrd.compare(rKey, lKey)
-          if (c < 0) { rBuf.next() } // keys before ours: skip
-          else if (c == 0 && timeOrd.compare(rTimeProj(rBuf.head), lT) <= 0) {
-            // qualifying version; sorted ascending, so the last one
-            // consumed is the as-of winner
-            cand = rBuf.head.copy()
-            candKey = rKey.copy()
-            rBuf.next()
-          } else advance = false
+          var advance = true
+          while (advance && rBuf.hasNext) {
+            val rKey = rKeyProj(rBuf.head)
+            val c = keyOrd.compare(rKey, lKey)
+            if (c < 0 ||
+                (c == 0 && timeOrd.compare(rTimeProj(rBuf.head), lT) < 0)) {
+              rBuf.next()
+            } else {
+              if (c == 0) { cand = rBuf.head; candKey = null }
+              advance = false
+            }
+          }
         }
         numOutputRows += 1
         if (cand != null) numMatched += 1
@@ -163,7 +184,10 @@ object AsOf {
   def join(left: DataFrame, right: DataFrame,
            leftKeys: Seq[String], rightKeys: Seq[String],
            leftTime: String, rightTime: String,
-           rightTiebreaks: Seq[String] = Nil): DataFrame = {
+           rightTiebreaks: Seq[String] = Nil,
+           direction: String = "backward"): DataFrame = {
+    require(direction == "backward" || direction == "forward",
+      s"direction must be backward|forward, got $direction")
     val spark: SparkSession = left.sparkSession
     if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy)) {
       spark.experimental.extraStrategies =
@@ -187,6 +211,7 @@ object AsOf {
       lPlan, rPlan,
       leftKeys.map(attr(lPlan, _)), rightKeys.map(attr(rPlan, _)),
       lt, rt,
-      rightTiebreaks.map(attr(rPlan, _))))
+      rightTiebreaks.map(attr(rPlan, _)),
+      forward = direction == "forward"))
   }
 }

@@ -55,6 +55,36 @@ class AsOfJoinSpec extends SparkSpec {
       "children not hash-clustered")
   }
 
+  test("forward direction takes the first right row at-or-after the left time") {
+    val l = Seq((1L, 10L, 100L), (2L, 10L, 95L), (3L, 11L, 50L)).toDF("id", "k", "t")
+    val r = Seq((10L, 90L, 7L), (10L, 100L, 8L), (10L, 100L, 9L), (10L, 120L, 5L))
+      .toDF("rk", "rt", "payload")
+    val out = AsOf.join(l, r, Seq("k"), Seq("rk"), "t", "rt", Seq("payload"),
+        direction = "forward")
+      .select($"id", $"payload").as[(Long, Option[Long])].collect().toMap
+    // t=100 -> first rt>=100 in (rt, payload) order = (100, 8);
+    // t=95 -> same; k=11 has no rows at all
+    assert(out == Map(1L -> Some(8L), 2L -> Some(8L), 3L -> None))
+  }
+
+  test("forward matches the composed min-struct form on real data") {
+    val viaExec = AsOf.join(eventsWithDeadline, orders,
+        Seq("user_id"), Seq("o_custkey"), "deadline", "o_orderdate",
+        rightTiebreaks = Seq("o_orderkey"), direction = "forward")
+      .select($"event_id", $"o_orderkey")
+      .as[(Long, Option[Long])].collect().toMap
+    val e = eventsWithDeadline
+    val matched = e.join(orders,
+      $"user_id" === $"o_custkey" && $"o_orderdate" >= $"deadline")
+    val best = matched.groupBy($"event_id".as("m_id"))
+      .agg(min(struct($"o_orderdate", $"o_orderkey")).as("s"))
+      .select($"m_id", $"s.o_orderkey".as("o_orderkey"))
+    val viaCompose = e.join(best, $"event_id" === $"m_id", "left")
+      .select($"event_id", $"o_orderkey")
+      .as[(Long, Option[Long])].collect().toMap
+    assert(viaExec == viaCompose && viaExec.values.exists(_.isDefined))
+  }
+
   test("handles empty right side and duplicate left timestamps") {
     val l = Seq((1L, 10L, 100L), (2L, 10L, 100L), (3L, 11L, 50L))
       .toDF("id", "k", "t")
