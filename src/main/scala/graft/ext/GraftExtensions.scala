@@ -60,6 +60,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 object GraftExtensions {
   /** Same registrations for an already-running session (tests, REPL). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    if (!spark.experimental.extraStrategies.contains(graft.plans.AsOfJoinStrategy)) {
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ graft.plans.AsOfJoinStrategy
+    }
     val reg: FunctionRegistry = spark.sessionState.functionRegistry
     def add(name: String, builder: Seq[Expression] => Expression): Unit =
       reg.registerFunction(

@@ -141,6 +141,17 @@ class PlanSpec extends SparkSpec {
       s"no runtime bloom filter injected:\n${p.take(1500)}")
   }
 
+  test("join strategy hints are honored (merge / shuffle_hash / broadcast)") {
+    val o = graft.core.Tables.orders(spark, sfDir).select($"o_orderkey", $"o_custkey")
+    val c = graft.core.Tables.customer(spark, sfDir).select($"c_custkey")
+    def planOf(hint: String): String =
+      o.join(c.hint(hint), $"o_custkey" === $"c_custkey")
+        .queryExecution.explainString(FormattedMode)
+    assert(planOf("merge").contains("SortMergeJoin"), "merge hint ignored")
+    assert(planOf("shuffle_hash").contains("ShuffledHashJoin"), "shuffle_hash hint ignored")
+    assert(planOf("broadcast").contains("BroadcastHashJoin"), "broadcast hint ignored")
+  }
+
   test("LWW dedup partial-aggregates map-side despite the struct buffer") {
     // max_by(struct) -> SortAggregate/ObjectHashAggregate, but Spark must
     // still split it into partial + final so the shuffle carries one
