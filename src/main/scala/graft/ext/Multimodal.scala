@@ -65,6 +65,51 @@ object Multimodal {
     }
   }
 
+  case class PayloadStats(doc_id: Long, modality: String, n_bytes: Long,
+                          n_distinct: Long, entropy_mbits: Long, max_run: Long)
+
+  /** REAL (non-stub) byte-level content analysis — the features a lake
+    * computes before any codec is involved: Shannon entropy (in
+    * milli-bits/byte, integer for exact cross-run compares), distinct
+    * byte count, longest byte run. Used for corruption screens
+    * (entropy ~8000 = compressed/encrypted, ~0 = padding) and cheap
+    * dedup pre-filters. Same batched mapPartitions shape as
+    * extractFeatures.
+    */
+  def payloadStats(media: Dataset[MediaRecord])
+                  (implicit spark: SparkSession): Dataset[PayloadStats] = {
+    import spark.implicits._
+    media.mapPartitions { it =>
+      val hist = new Array[Long](256)
+      it.map { m =>
+        java.util.Arrays.fill(hist, 0L)
+        val bytes = m.payload
+        var i = 0
+        var maxRun = 0L; var run = 0L; var prev = -1
+        while (i < bytes.length) {
+          val b = bytes(i) & 0xff
+          hist(b) += 1
+          if (b == prev) run += 1 else { prev = b; run = 1 }
+          if (run > maxRun) maxRun = run
+          i += 1
+        }
+        val n = bytes.length.toDouble
+        var distinct = 0L; var h = 0.0
+        var j = 0
+        while (j < 256) {
+          if (hist(j) > 0) {
+            distinct += 1
+            val p = hist(j) / n
+            h -= p * (math.log(p) / math.log(2.0))
+          }
+          j += 1
+        }
+        PayloadStats(m.doc_id, m.modality, bytes.length.toLong, distinct,
+          if (bytes.length == 0) 0L else math.round(h * 1000), maxRun)
+      }
+    }
+  }
+
   /** Column-expression twin of the stub decode (portable to the DuckDB
     * oracle): same arithmetic over octet_length.
     */

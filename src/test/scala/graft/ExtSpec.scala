@@ -42,6 +42,31 @@ class ExtSpec extends SparkSpec {
       .first().getDouble(0) == 0.0)
   }
 
+  test("payloadStats: exact entropy/distinct/run values on known payloads") {
+    import graft.ext.Multimodal
+    import graft.ext.Multimodal.{MediaRecord, PayloadStats}
+    implicit val s = spark
+    import s.implicits._
+    val media = Seq(
+      MediaRecord(1L, "image", Array.fill[Byte](64)(7)),            // constant
+      MediaRecord(2L, "audio", Array[Byte](0, 1, 0, 1)),            // two symbols
+      MediaRecord(3L, "video", (0 until 256).map(_.toByte).toArray) // uniform
+    ).toDS()
+    val out = Multimodal.payloadStats(media).collect()
+      .map(p => p.doc_id -> p).toMap
+    assert(out(1L) == PayloadStats(1L, "image", 64, 1, 0, 64))
+    assert(out(2L) == PayloadStats(2L, "audio", 4, 2, 1000, 1))   // H = 1 bit
+    assert(out(3L) == PayloadStats(3L, "video", 256, 256, 8000, 1)) // H = 8 bits
+    // invariants over the synthesized corpus
+    val corpus = Multimodal.mediaFromDocuments(
+        graft.core.Tables.documents(spark, sfDir))
+      .as[MediaRecord]
+    val stats = Multimodal.payloadStats(corpus).collect()
+    assert(stats.nonEmpty && stats.forall(p =>
+      p.entropy_mbits >= 0 && p.entropy_mbits <= 8000 &&
+      p.n_distinct <= math.min(256L, p.n_bytes) && p.max_run >= 1))
+  }
+
   test("exactDedup keeps one row per duplicated text") {
     val withDups = docs.limit(50).unionAll(docs.limit(20)) // 20 exact dups
     assert(Dedup.exactDedup(withDups).count() == 50)
