@@ -130,9 +130,10 @@ object Dedup {
     require(k % bands == 0, s"k=$k not divisible by bands=$bands")
     // Shingle sets are read three times (signatures + both verify
     // sides): persist the shingled frame once (prod: materialized
-    // signature/shingle table).
+    // signature/shingle table). Only (doc_id, __shs) is reused — the
+    // raw text never enters the cache or the verify joins.
     val shingled = docs
-      .withColumn("__shs", shingles(tokens(col("text")), 3))
+      .select(col("doc_id"), shingles(tokens(col("text")), 3).as("__shs"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sigs = withMinhashFrom(shingled, k)
     val cands = lshCandidates(lshBands(sigs, bands, k / bands))
