@@ -318,13 +318,18 @@ object Breadth {
     * and try_cast yield NULL instead of failing the job — the posture a
     * 100 TB batch needs for dirty rows. Plus least/greatest.
     * Division is IEEE double (bit-identical cross-engine).
+    *
+    * try_cast failures throw-and-catch a JVM exception per failing row
+    * — fine for dirty-minority data, pathological when every row fails
+    * — so the demo input fails on ~1% of rows (the realistic shape).
     */
   def q58TrySafety(s: SparkSession, d: String): DataFrame =
     Tables.orders(s, d).select(
       col("o_orderkey"),
       expr("try_divide(CAST(o_totalprice AS DOUBLE), CAST(o_custkey % 3 AS DOUBLE))")
         .as("ratio_or_null"),
-      expr("CAST(try_cast(o_orderstatus AS INT) AS BIGINT)").as("status_num"),
+      expr("""CAST(try_cast(CASE WHEN o_custkey % 100 = 0 THEN o_orderstatus
+              ELSE CAST(o_custkey AS STRING) END AS INT) AS BIGINT)""").as("status_num"),
       expr("CAST(try_cast(substr(o_orderpriority, 1, 1) AS INT) AS BIGINT)").as("prio_num"),
       least(col("o_totalprice"), lit(100000.0)).as("capped"),
       greatest(col("o_totalprice"), lit(100000.0)).as("floored"))
@@ -332,7 +337,8 @@ object Breadth {
   val q58Sql: String =
     """SELECT o_orderkey,
       |  CAST(o_totalprice AS DOUBLE) / NULLIF(CAST(o_custkey % 3 AS DOUBLE), 0.0) AS ratio_or_null,
-      |  CAST(TRY_CAST(o_orderstatus AS INTEGER) AS BIGINT) AS status_num,
+      |  CAST(TRY_CAST(CASE WHEN o_custkey % 100 = 0 THEN o_orderstatus
+      |       ELSE CAST(o_custkey AS VARCHAR) END AS INTEGER) AS BIGINT) AS status_num,
       |  CAST(TRY_CAST(substr(o_orderpriority, 1, 1) AS INTEGER) AS BIGINT) AS prio_num,
       |  least(o_totalprice, 100000.0) AS capped,
       |  greatest(o_totalprice, 100000.0) AS floored
