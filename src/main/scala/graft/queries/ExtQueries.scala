@@ -286,7 +286,29 @@ object ExtQueries {
            sum(col("n_chars")).cast("long").as("chars_kept"))
   }
 
+  // ---------------------------------------------------------------- q65
+  /** Byte-level payload analysis over the multimodal table: Shannon
+    * entropy (milli-bits), distinct bytes, longest run — the
+    * pre-codec corruption/dedup screen. Rows-only gate (byte-level
+    * blob iteration isn't expressible in the oracle's SQL); ExtSpec
+    * pins exact values on known payloads.
+    */
+  def q65PayloadStats(s: SparkSession, d: String): DataFrame = {
+    import graft.ext.Multimodal
+    implicit val spark: SparkSession = s
+    import s.implicits._
+    Multimodal.payloadStats(
+        Multimodal.mediaFromDocuments(docs(s, d)).as[Multimodal.MediaRecord])
+      .toDF()
+      .groupBy(col("modality"))
+      .agg(count(lit(1)).as("n"),
+           sum(col("entropy_mbits")).as("sum_entropy_mbits"),
+           max(col("max_run")).as("max_run"),
+           sum(col("n_distinct")).as("sum_distinct"))
+  }
+
   val entries: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "q65_payload_stats" -> (q65PayloadStats _, ""),
     "q53_stratified_sample" -> (q53StratifiedSample _, ""),
     "q21_text_stats" -> (q21TextStats _, q21Sql),
     "q22_lang_id" -> (q22LangId _, q22Sql),
