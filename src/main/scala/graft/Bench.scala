@@ -43,18 +43,26 @@ object Bench {
       try exec(fn(spark, warmDir)) catch { case _: Throwable => () }
     }
 
+    // A failed query must be VISIBLE: its time is the -1 sentinel (never
+    // a bogus time-to-crash) and its message lands in the errors map.
     val results = selected.map { case (name, fn) =>
-      val times = (1 to repeats).map { _ =>
+      val runs = (1 to repeats).map { _ =>
         val t0 = System.nanoTime()
-        try exec(fn(spark, sfDir)) catch { case _: Throwable => () }
-        (System.nanoTime() - t0) / 1e9
+        try { exec(fn(spark, sfDir)); Right((System.nanoTime() - t0) / 1e9) }
+        catch { case t: Throwable => Left(t.toString) }
       }
-      name -> times.min
+      val times = runs.collect { case Right(s) => s }
+      val errs = runs.collect { case Left(e) => e }
+      (name, if (errs.nonEmpty) -1.0 else times.min, errs.headOption)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    def jstr(s: String) = "\"" + s.replaceAll("[\"\\\\\n\r\t]", " ").take(200) + "\""
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val errors = results.collect { case (k, _, Some(e)) => "\"" + k + "\":" + jstr(e) }
+      .mkString("{", ",", "}")
+    val total = results.collect { case (_, v, None) => v }.sum
+    val nFailed = results.count(_._3.nonEmpty)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$nFailed,"errors":$errors,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

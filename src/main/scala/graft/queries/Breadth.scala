@@ -476,19 +476,32 @@ object Breadth {
   /** Approximate percentiles (Greenwald-Khanna sketch): the scale path
     * for quantiles — mergeable fixed-size sketch per partition, one
     * shuffle of sketches, never a global sort. q43 is its exact
-    * (sort-based) twin; ApproxSpec asserts the error bound against it.
-    * Rows-only gate: sketch internals are engine-specific by design.
+    * (sort-based) twin. The sketch values are engine-specific, so the
+    * HASH-CHECKED output carries the exact percentiles plus rank-bound
+    * witnesses: with accuracy 1000 the GK rank error is 1e-3, so the
+    * approx p50 must land inside the exact [p45, p55] value band (p95
+    * inside [p93, p97]) — enormous slack, deterministic both sides.
     */
   def q52ApproxPercentile(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d)
       .groupBy(col("event_type"))
-      .agg(expr("approx_percentile(value, array(0.5, 0.95), 1000)").as("pcts"),
-           expr("approx_count_distinct(user_id)").as("approx_users"),
+      .agg(expr("percentile(value, array(0.45, 0.5, 0.55, 0.93, 0.95, 0.97))").as("ex"),
+           expr("approx_percentile(value, array(0.5, 0.95), 1000)").as("ap"),
            count(lit(1)).as("n"))
       .select(col("event_type"),
-              col("pcts")(0).as("p50_approx"),
-              col("pcts")(1).as("p95_approx"),
-              col("approx_users"), col("n"))
+              col("ex")(1).as("p50_exact"),
+              col("ex")(4).as("p95_exact"),
+              (col("ap")(0) >= col("ex")(0) && col("ap")(0) <= col("ex")(2)).as("p50_ok"),
+              (col("ap")(1) >= col("ex")(3) && col("ap")(1) <= col("ex")(5)).as("p95_ok"),
+              col("n"))
+
+  val q52Sql: String =
+    """SELECT event_type,
+      |  quantile_cont(value, 0.5) AS p50_exact,
+      |  quantile_cont(value, 0.95) AS p95_exact,
+      |  TRUE AS p50_ok, TRUE AS p95_ok,
+      |  count(*) AS n
+      |FROM events GROUP BY event_type""".stripMargin
 
   val entries: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "q43_percentiles" -> (q43Percentiles _, q43Sql),
@@ -500,7 +513,7 @@ object Breadth {
     "q49_array_hof" -> (q49ArrayHof _, q49Sql),
     "q50_selective_agg" -> (q50SelectiveAgg _, q50Sql),
     "q51_bitwise" -> (q51Bitwise _, q51Sql),
-    "q52_approx_percentile" -> (q52ApproxPercentile _, ""),
+    "q52_approx_percentile" -> (q52ApproxPercentile _, q52Sql),
     "q55_unpivot" -> (q55Unpivot _, q55Sql),
     "q57_map_funcs" -> (q57MapFuncs _, q57Sql),
     "q58_try_safety" -> (q58TrySafety _, q58Sql),

@@ -279,19 +279,35 @@ object ExtQueries {
     */
   def q53StratifiedSample(s: SparkSession, d: String): DataFrame = {
     val fractions = Map("en" -> 0.5, "zh" -> 0.6, "es" -> 0.8, "de" -> 0.8, "fr" -> 1.0)
-    docs(s, d)
+    val sampled = docs(s, d)
       .stat.sampleBy("lang", fractions, seed = 42L)
       .groupBy(col("lang"))
-      .agg(count(lit(1)).as("n_sampled"),
-           sum(col("n_chars")).cast("long").as("chars_kept"))
+      .agg(count(lit(1)).as("n_sampled"))
+    val totals = docs(s, d).groupBy(col("lang")).agg(count(lit(1)).as("n_total"))
+    // HASH-CHECKED witness: per-stratum totals (deterministic) plus a
+    // boolean asserting the Bernoulli sample landed within 4 sigma + 3
+    // of its quota — the sampler's RNG stream is engine-specific, its
+    // quota adherence is not. DuckDB emits TRUE; a broken sampler
+    // (wrong fraction, lost stratum) flips the boolean.
+    totals.join(sampled, Seq("lang"), "left")
+      .withColumn("f", element_at(typedlit(fractions), col("lang")))
+      .select(col("lang"), col("n_total"),
+        (abs(coalesce(col("n_sampled"), lit(0L)).cast("double") - col("f") * col("n_total"))
+           <= lit(4.0) * sqrt(col("n_total") * col("f") * (lit(1.0) - col("f"))) + lit(3.0))
+          .as("quota_ok"))
   }
+
+  val q53Sql: String =
+    "SELECT lang, count(*) AS n_total, TRUE AS quota_ok FROM documents GROUP BY lang"
 
   // ---------------------------------------------------------------- q65
   /** Byte-level payload analysis over the multimodal table: Shannon
     * entropy (milli-bits), distinct bytes, longest run — the
-    * pre-codec corruption/dedup screen. Rows-only gate (byte-level
-    * blob iteration isn't expressible in the oracle's SQL); ExtSpec
-    * pins exact values on known payloads.
+    * pre-codec corruption/dedup screen. HASH-CHECKED: the payloads are
+    * `encode(text)` over pure-ASCII fixtures, so the oracle recomputes
+    * the same statistics character-wise in SQL (histogram entropy, a
+    * gaps-and-islands longest run); ExtSpec additionally pins exact
+    * values on known non-ASCII payloads the oracle can't cover.
     */
   def q65PayloadStats(s: SparkSession, d: String): DataFrame = {
     import graft.ext.Multimodal
@@ -307,9 +323,38 @@ object ExtQueries {
            sum(col("n_distinct")).as("sum_distinct"))
   }
 
+  val q65Sql: String =
+    """WITH m AS (SELECT doc_id,
+      |    CASE WHEN doc_id % 3 = 0 THEN 'image'
+      |         WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS modality,
+      |    text FROM documents),
+      |  chars AS (SELECT doc_id, i, substring(text, CAST(i AS INT), 1) AS ch
+      |            FROM (SELECT doc_id, text,
+      |                    unnest(range(1, length(text) + 1)) AS i FROM m)),
+      |  hist AS (SELECT doc_id, ch, count(*) AS c FROM chars GROUP BY 1, 2),
+      |  ent AS (SELECT doc_id,
+      |      CAST(round(1000 * (-sum((c / n) * log2(c / n)))) AS BIGINT) AS entropy_mbits,
+      |      CAST(count(*) AS BIGINT) AS n_distinct
+      |    FROM (SELECT doc_id, ch, CAST(c AS DOUBLE) AS c,
+      |            CAST(sum(c) OVER (PARTITION BY doc_id) AS DOUBLE) AS n FROM hist)
+      |    GROUP BY doc_id),
+      |  runs AS (SELECT doc_id, max(rl) AS max_run FROM
+      |      (SELECT doc_id, CAST(count(*) AS BIGINT) AS rl FROM
+      |         (SELECT doc_id, ch,
+      |            i - row_number() OVER (PARTITION BY doc_id, ch ORDER BY i) AS grp
+      |          FROM chars)
+      |       GROUP BY doc_id, ch, grp)
+      |    GROUP BY doc_id)
+      |SELECT modality, count(*) AS n,
+      |  CAST(sum(entropy_mbits) AS BIGINT) AS sum_entropy_mbits,
+      |  max(max_run) AS max_run,
+      |  CAST(sum(n_distinct) AS BIGINT) AS sum_distinct
+      |FROM m JOIN ent USING (doc_id) JOIN runs USING (doc_id)
+      |GROUP BY modality""".stripMargin
+
   val entries: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
-    "q65_payload_stats" -> (q65PayloadStats _, ""),
-    "q53_stratified_sample" -> (q53StratifiedSample _, ""),
+    "q65_payload_stats" -> (q65PayloadStats _, q65Sql),
+    "q53_stratified_sample" -> (q53StratifiedSample _, q53Sql),
     "q21_text_stats" -> (q21TextStats _, q21Sql),
     "q22_lang_id" -> (q22LangId _, q22Sql),
     "q23_fingerprint" -> (q23Fingerprint _, q23Sql),

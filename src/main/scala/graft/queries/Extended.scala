@@ -119,10 +119,42 @@ object Extended {
     * 4 nearest cells and ranks candidates there. Approximate by
     * design, same ranking discipline as q30/q31.
     */
+  /** Inverted-list build: every corpus vector to its argmax-cosine cell
+    * via an AGGREGATE (partial-aggregates map-side, shuffles ~N rows) —
+    * NOT a `row_number` window, which would shuffle + sort all
+    * N x nCents scored rows; at 100 TB that is a 16x shuffle-volume
+    * difference for nCents = 16. `max_by(struct)` would also work but
+    * its struct buffer falls back to SortAggregate (per-partition sort
+    * of the scored rows); packing (cos6, centIdx) into ONE long keeps
+    * the whole argmax a primitive `max()` inside HashAggregate — no
+    * sort anywhere. Tie-break: higher (nCents-1-idx) = lower cent_id,
+    * matching the oracle's (cos DESC, cent_id ASC). `cents` must carry
+    * (cent_idx in [0, nCents), cent_id, cent); the idx -> id decode is
+    * a broadcast join against the (tiny) centroid table.
+    */
+  def ivfAssignCells(emb: DataFrame, cents: DataFrame, nCents: Int): DataFrame = {
+    val m = lit(nCents.toLong)
+    // double-round: round(,6) matches the oracle's ranking scale exactly,
+    // round(,0) snaps the *1e6 rescale onto the integer it is within 1
+    // ulp of
+    val cos6i = round(round(VectorFunctions.cosineSim(col("ce"), col("cent")), 6) * 1e6, 0)
+      .cast("long")
+    val assigned = emb.crossJoin(broadcast(cents))
+      .withColumn("packed", cos6i * m + (m - lit(1L) - col("cent_idx")))
+      .groupBy(col("cid"), col("ce")) // ce is functionally dependent on cid
+      .agg(max(col("packed")).as("p"))
+      .withColumn("cent_idx", m - lit(1L) - pmod(col("p"), m))
+    assigned.join(broadcast(cents.select(col("cent_idx"), col("cent_id"))), Seq("cent_idx"))
+      .select(col("cid"), col("ce"), col("cent_id"))
+  }
+
   def q37IvfAnn(s: SparkSession, d: String): DataFrame = {
     val emb = Tables.embeddings(s, d)
     val cents = emb.filter(col("vec_id") % 25 === 0 && col("vec_id") < 400)
-      .select(col("vec_id").as("cent_id"), col("embedding").as("cent"))
+      .select(expr("vec_id div 25").as("cent_idx"),
+              col("vec_id").as("cent_id"), col("embedding").as("cent"))
+    // probe-side keep=4 stays a window: it runs over |queries| x nCents
+    // rows (bounded by the query set, not the corpus)
     def assign(df: DataFrame, idCol: String, embCol: String, keep: Int) = {
       val w = Window.partitionBy(col(idCol))
         .orderBy(col("cent_cos").desc, col("cent_id").asc)
@@ -130,10 +162,10 @@ object Extended {
         .withColumn("cent_cos", round(VectorFunctions.cosineSim(col(embCol), col("cent")), 6))
         .withColumn("crank", row_number().over(w))
         .filter(col("crank") <= keep)
-        .drop("cent", "cent_cos", "crank")
+        .drop("cent", "cent_cos", "crank", "cent_idx")
     }
-    val cells = assign(emb.select(col("vec_id").as("cid"), col("embedding").as("ce")),
-      "cid", "ce", keep = 1)
+    val cells = ivfAssignCells(
+      emb.select(col("vec_id").as("cid"), col("embedding").as("ce")), cents, nCents = 16)
     val probes = assign(
       emb.filter(col("vec_id") < 20).select(col("vec_id").as("qid"), col("embedding").as("qe")),
       "qid", "qe", keep = 4)
@@ -195,16 +227,26 @@ object Extended {
       |ON c.k = s.k""".stripMargin
 
   // ---------------------------------------------------------------- q39
-  /** Approximate distinct (HLL++): per event type, approx + exact user
-    * counts. No oracle — DuckDB's HLL differs by construction; the
-    * driver records the weaker rows-only check. The exact column rides
-    * along as the in-query error witness.
+  /** Approximate distinct (HLL++): per event type. The sketch estimate
+    * itself is engine-specific, so the HASH-CHECKED output is the
+    * deterministic witness pair: the exact count plus a boolean
+    * asserting the HLL estimate landed within 5% of it (rsd = 0.02, so
+    * the bound has 2.5 sigma of slack). DuckDB emits TRUE for the
+    * witness; a drifting sketch flips the boolean and fails the gate.
     */
   def q39ApproxDistinct(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d)
       .groupBy(col("event_type"))
-      .agg(approx_count_distinct(col("user_id")).as("approx_users"),
+      .agg(approx_count_distinct(col("user_id"), rsd = 0.02).as("approx_users"),
            countDistinct(col("user_id")).as("exact_users"))
+      .select(col("event_type"), col("exact_users"),
+        (abs(col("approx_users") - col("exact_users"))
+           <= col("exact_users").cast("double") * 0.05).as("approx_ok"))
+
+  val q39Sql: String =
+    """SELECT event_type, count(DISTINCT user_id) AS exact_users,
+      |  TRUE AS approx_ok
+      |FROM events GROUP BY event_type""".stripMargin
 
   val entries: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "q34_ts_normalize" -> (q34TsNormalize _, q34Sql),
@@ -213,6 +255,6 @@ object Extended {
     "q60_asof_native" -> (q60AsofNative _, q36Sql),
     "q37_ivf_ann" -> (q37IvfAnn _, q37Sql),
     "q38_full_outer" -> (q38FullOuter _, q38Sql),
-    "q39_approx_distinct" -> (q39ApproxDistinct _, ""),
+    "q39_approx_distinct" -> (q39ApproxDistinct _, q39Sql),
   )
 }

@@ -152,6 +152,23 @@ class PlanSpec extends SparkSpec {
     assert(planOf("broadcast").contains("BroadcastHashJoin"), "broadcast hint ignored")
   }
 
+  test("IVF cell assignment is an aggregate argmax, not a window sort") {
+    // the inverted-list build runs over the FULL corpus: a row_number
+    // window would shuffle+sort N x nCents scored rows; the max_by
+    // aggregate shuffles ~N partial maxima. Assert the shape directly.
+    val emb = graft.core.Tables.embeddings(spark, sfDir)
+    val cents = emb.filter($"vec_id" % 25 === 0 && $"vec_id" < 400)
+      .select(expr("vec_id div 25").as("cent_idx"),
+              $"vec_id".as("cent_id"), $"embedding".as("cent"))
+    val cells = graft.queries.Extended.ivfAssignCells(
+      emb.select($"vec_id".as("cid"), $"embedding".as("ce")), cents, nCents = 16)
+    val p = cells.queryExecution.explainString(FormattedMode)
+    assert(!p.contains("Window"), s"assign stage still uses a window:\n${p.take(1500)}")
+    assert(!p.contains("Sort"), s"assign stage sorts:\n${p.take(1500)}")
+    val hashAggs = "HashAggregate".r.findAllIn(p).size
+    assert(hashAggs >= 2, s"assign argmax is not a 2-phase hash aggregate:\n${p.take(1500)}")
+  }
+
   test("LWW dedup partial-aggregates map-side despite the struct buffer") {
     // max_by(struct) -> SortAggregate/ObjectHashAggregate, but Spark must
     // still split it into partial + final so the shuffle carries one
