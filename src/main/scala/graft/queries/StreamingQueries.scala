@@ -1,0 +1,106 @@
+package graft.queries
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types._
+
+import graft.ops.Cdc
+import graft.sink.MergeSink
+
+/** The streaming pipeline surfaced at the driver gate: unlike
+  * q16–q20 (which verify the same TRANSFORMS in batch), q66 executes a
+  * real StreamingQuery — the reference's actual shape (producer
+  * change-stream -> queue -> consumer upsert, consumer/consumer.py:
+  * 12-19) — and gates its END STATE against a plain-SQL oracle.
+  *
+  * Wire + engine path: CDC envelopes as JSON-lines file drops (the
+  * reference's json_util.dumps wire format, producer/producer.py:68)
+  * -> `readStream` with the explicit envelope schema -> null-safe
+  * flatten + ratio enrich (the q16 transforms) -> `foreachBatch` into
+  * a `MergeSink` (durable hash-bucketed LWW upsert, rewriting only
+  * touched partitions) -> final state read back from parquet.
+  *
+  * Micro-batching is forced (maxFilesPerTrigger=1 over several input
+  * files) so the merge genuinely runs incrementally; the LWW merge is
+  * commutative + associative + idempotent, so the oracle — latest
+  * record per key over the WHOLE history, q17's semantics — is
+  * batch-boundary-invariant. Timestamps ride as exact epoch micros
+  * (`ts_us`): a JSON round-trip of a formatted timestamp would
+  * truncate to millis and (in principle) flip LWW winners.
+  */
+object StreamingQueries {
+
+  private val dataSchema = StructType(Seq(
+    StructField("watched", DoubleType),
+    StructField("duration", IntegerType),
+    StructField("etype", StringType)))
+
+  private val wireSchema = StructType(Seq(
+    StructField("operation", StringType),
+    StructField("document_id", LongType),
+    StructField("user_id", LongType),
+    StructField("ts_us", LongType),
+    StructField("data", dataSchema)))
+
+  def q66StreamingCdc(s: SparkSession, d: String): DataFrame = {
+    val base = Files.createTempDirectory("graft_q66_").toString
+    val inDir = s"$base/in"; val ckpt = s"$base/ckpt"; val stateDir = s"$base/state"
+
+    // 1. wire format: envelope JSON-lines in 4 files -> 4 micro-batches
+    CdcQueries.envelope(s, d)
+      .withColumn("ts_us", unix_micros(col("ts"))).drop("ts")
+      .repartition(4)
+      .write.json(inDir)
+
+    // 2. the real streaming pipeline (same transforms as q16/q17)
+    val stream = s.readStream.schema(wireSchema)
+      .option("maxFilesPerTrigger", "1").json(inDir)
+    val flat = Cdc.enrichWatchedRatio(
+      Cdc.flattenEnvelope(stream), "watched", "duration", rounded = false)
+    val sink = new MergeSink(s, stateDir,
+      keys = Seq("user_id"), orderCols = Seq("ts_us", "document_id"), nBuckets = 16)
+    val q = flat.writeStream
+      .foreachBatch(sink.forEachBatch)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+
+    // 3. final durable state, q17-shaped
+    sink.read().select(
+      col("user_id"),
+      col("document_id").as("last_document_id"),
+      col("operation").as("last_operation"),
+      expr("ts_us div 1000").as("last_ms"),
+      col("watched_ratio").as("last_ratio"))
+  }
+
+  /** q17's semantics over the whole history — micro-batch boundaries
+    * cannot show through an LWW merge.
+    */
+  val q66Sql: String =
+    """SELECT user_id, document_id AS last_document_id,
+      |  operation AS last_operation, epoch_ms(ts) AS last_ms,
+      |  (CASE WHEN coalesce(duration, 1) > 0
+      |        THEN coalesce(watched, 0.0) / coalesce(duration, 1)
+      |        ELSE 0.0 END) AS last_ratio
+      |FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+      |        ORDER BY ts DESC, document_id DESC) AS rn
+      |      FROM (SELECT
+      |        CASE WHEN event_type = 'signup' THEN 'insert'
+      |             WHEN event_type = 'error' THEN 'delete'
+      |             ELSE 'update' END AS operation,
+      |        event_id AS document_id, user_id, ts,
+      |        CASE WHEN event_type = 'error' THEN NULL ELSE value END AS watched,
+      |        CASE WHEN event_type = 'error' THEN NULL
+      |             ELSE CAST(json_extract_string(props, '$.k') AS INT) END AS duration
+      |      FROM events))
+      |WHERE rn = 1""".stripMargin
+
+  val entries: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "q66_streaming_cdc" -> (q66StreamingCdc _, q66Sql),
+  )
+}

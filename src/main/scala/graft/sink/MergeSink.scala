@@ -1,0 +1,100 @@
+package graft.sink
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ops.Cdc
+
+/** Durable keyed MERGE upsert sink — the production replacement for
+  * `CdcStream.foreachBatchMerge`'s full-state rewrite, and the Spark
+  * twin of the reference's warehouse upsert (consumer/DoFns/
+  * load_data.py:52-60 `insert_rows` into the ClickHouse
+  * ReplacingMergeTree of clickhouse/init.sql:22-24).
+  *
+  * The state table is parquet hash-partitioned on
+  * `__bucket = pmod(hash(keys), nBuckets)`. Each `merge(batch)`:
+  *
+  *   1. computes the batch's touched buckets (a `distinct` over the
+  *      bucket expression — at most `nBuckets` small ints reach the
+  *      driver; this IS the partition-pruning decision, metadata not
+  *      data);
+  *   2. reads ONLY those bucket partitions of the state table (the
+  *      `isin` filter prunes at the parquet partition level — verified
+  *      by PlanSpec's PartitionFilters audit);
+  *   3. LWW-merges state + batch with `Cdc.latestByKey` (commutative,
+  *      associative, idempotent — replaying a batch is a no-op on
+  *      content);
+  *   4. rewrites ONLY the touched partitions via dynamic partition
+  *      overwrite (untouched bucket directories keep their files
+  *      byte-for-byte — asserted in PipelineSpec).
+  *
+  * Cost per micro-batch is O(|touched state| + |batch|), not
+  * O(|state|): with uniform key hashing a batch touching k distinct
+  * keys reads at most min(k, nBuckets)/nBuckets of the table. At
+  * 100 TB, size `nBuckets` so one bucket ≈ a few GB (e.g. 16k buckets
+  * for 100 TB); hot-key skew spreads by hash, and the merge itself is
+  * the same map-side-combine hash aggregate as the batch path.
+  *
+  * Write atomicity is parquet-committer-grade (per-partition directory
+  * swap), the same guarantee `Warehouse.append` relies on; a
+  * transactional table format (Delta/Iceberg MERGE) slots in here
+  * without changing callers. Exactly-once with Structured Streaming:
+  * the LWW merge is idempotent, so at-least-once redelivery of a
+  * micro-batch after a crash converges to the same state
+  * (StreamingSpec's checkpoint-restart case proves it).
+  */
+final class MergeSink(
+    spark: SparkSession,
+    val path: String,
+    keys: Seq[String],
+    orderCols: Seq[String],
+    nBuckets: Int = 64) {
+
+  import MergeSink.BucketCol
+
+  private def bucketOf: Column = pmod(hash(keys.map(col): _*), lit(nBuckets))
+
+  private def tableExists: Boolean = {
+    val p = new Path(path)
+    p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)
+  }
+
+  /** Current state (bucket column dropped — callers see the logical
+    * schema they wrote).
+    */
+  def read(): DataFrame = spark.read.parquet(path).drop(BucketCol)
+
+  /** Latest-per-key state restricted to the given buckets; partition
+    * pruning keeps the scan to |buckets|/nBuckets of the table.
+    */
+  private def readBuckets(buckets: Seq[Int]): DataFrame =
+    spark.read.parquet(path)
+      .filter(col(BucketCol).isin(buckets: _*))
+      .drop(BucketCol)
+
+  /** Upsert one batch. Empty batches are a no-op (no read, no write). */
+  def merge(batch: DataFrame): Unit = {
+    val touched = batch.select(bucketOf.as(BucketCol)).distinct()
+      .collect().map(_.getInt(0)).toSeq
+    if (touched.isEmpty) return
+    val base =
+      if (tableExists) readBuckets(touched).unionByName(batch)
+      else batch
+    val merged = Cdc.latestByKey(base, keys, orderCols)
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    merged
+      .withColumn(BucketCol, bucketOf)
+      .write
+      .mode("overwrite")
+      .partitionBy(BucketCol)
+      .parquet(path)
+  }
+
+  /** foreachBatch adapter: `stream.writeStream.foreachBatch(sink.forEachBatch)`. */
+  def forEachBatch: (DataFrame, Long) => Unit = (batch, _) => merge(batch)
+}
+
+object MergeSink {
+  /** Partition column of the state table layout. */
+  val BucketCol = "__bucket"
+}

@@ -103,11 +103,13 @@ object CdcStream {
       }
   }
 
-  /** foreachBatch merge: fold each micro-batch into a stored LWW state
-    * table — the scale path (state lives in the table, merge is the
-    * same deterministic latestByKey aggregate). `store` abstracts the
-    * table (tests use an in-memory var; production: Delta/Iceberg
-    * MERGE or partition overwrite).
+  /** foreachBatch merge against an abstract whole-table store — the
+    * SEMANTIC baseline (read all + merge + write all, O(|state|) per
+    * batch). Tests use it as the oracle for the real sink; production
+    * uses `graft.sink.MergeSink.forEachBatch`, which keeps the same
+    * LWW semantics but hash-partitions the state table and rewrites
+    * only the bucket partitions a batch touches (O(|touched| +
+    * |batch|) per micro-batch).
     */
   def foreachBatchMerge(keys: Seq[String], orderCols: Seq[String])
                        (store: BatchStore): (DataFrame, Long) => Unit = {

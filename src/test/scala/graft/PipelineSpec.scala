@@ -86,6 +86,72 @@ class PipelineSpec extends SparkSpec {
     assert(reasons == Map("unknown_operation" -> 3L, "missing_data" -> 2L))
   }
 
+  test("MergeSink: micro-batched upsert equals whole-history LWW; only touched buckets rewritten") {
+    import graft.sink.MergeSink
+    val dir = freshDir() + "/state"
+    val rows = Warehouse.toWarehouseRows(env).cache()
+    val nBuckets = 8
+    val sink = new MergeSink(spark, dir, Warehouse.DedupKeys, Warehouse.VersionCols, nBuckets)
+
+    // three out-of-order batches with overlap (at-least-once duplicates):
+    // batch boundaries must not matter because LWW is commutative +
+    // associative + idempotent
+    val b1 = rows.filter(pmod($"ingestion_seq", lit(3)) === 1)
+    val b2 = rows.filter(pmod($"ingestion_seq", lit(3)) === 2)
+      .unionByName(b1.limit(20)) // redelivered rows
+    val b0 = rows.filter(pmod($"ingestion_seq", lit(3)) === 0)
+    Seq(b1, b2, b0).foreach(sink.merge)
+
+    val expected = Cdc.latestByKey(rows, Warehouse.DedupKeys, Warehouse.VersionCols)
+      .select($"original_id", $"ingestion_seq").as[(String, Long)].collect().toSet
+    def state() = sink.read().select($"original_id", $"ingestion_seq")
+      .as[(String, Long)].collect().toSet
+    assert(state() == expected && expected.nonEmpty)
+
+    // snapshot every bucket directory's files (name, size, mtime)
+    def snapshot(): Map[Int, Set[(String, Long, Long)]] =
+      (0 until nBuckets).map { b =>
+        val d = new java.io.File(s"$dir/${MergeSink.BucketCol}=$b")
+        b -> Option(d.listFiles()).toSeq.flatten
+          .filter(_.getName.endsWith(".parquet"))
+          .map(f => (f.getName, f.length(), f.lastModified())).toSet
+      }.toMap
+    val before = snapshot()
+    assert(before.values.forall(_.nonEmpty), "40 keys must populate all 8 buckets")
+
+    // a batch confined to ONE bucket: newer versions of that bucket's keys
+    val target = 3
+    val oneBucket = rows
+      .filter(pmod(hash($"original_id"), lit(nBuckets)) === target)
+      .withColumn("ingestion_seq", $"ingestion_seq" + 10000L)
+    assert(oneBucket.count() > 0)
+    sink.merge(oneBucket)
+    val after = snapshot()
+    (0 until nBuckets).filterNot(_ == target).foreach { b =>
+      assert(after(b) == before(b), s"untouched bucket $b was rewritten")
+    }
+    assert(after(target) != before(target), "touched bucket must be rewritten")
+
+    // replaying the same single-bucket batch is content-idempotent
+    val s1 = state()
+    sink.merge(oneBucket)
+    assert(state() == s1)
+
+    // empty batch: complete no-op, no files change anywhere
+    val preEmpty = snapshot()
+    sink.merge(rows.limit(0))
+    assert(snapshot() == preEmpty)
+
+    // the merge read prunes at the partition level, not post-scan
+    import org.apache.spark.sql.execution.ExplainMode
+    val p = spark.read.parquet(dir)
+      .filter(col(MergeSink.BucketCol).isin(target, target + 1))
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(p.contains("PartitionFilters") &&
+      "PartitionFilters: \\[[^\\]]*__bucket".r.findFirstIn(p).isDefined,
+      s"bucket filter did not reach PartitionFilters:\n${p.take(1200)}")
+  }
+
   test("tombstone wins when it is the latest record for a key") {
     val dir = freshDir()
     Warehouse.append(Warehouse.toWarehouseRows(env), dir)

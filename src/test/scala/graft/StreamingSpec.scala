@@ -108,6 +108,54 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == direct && streamed.nonEmpty)
   }
 
+  test("checkpoint restart: resumed stream re-reads nothing, loses nothing") {
+    // The reference wish-lists change-stream resume tokens
+    // (README.md:168); Structured Streaming's checkpoint + an
+    // idempotent sink IS that capability. Phase 1 processes the first
+    // file drop and stops; more files arrive while the query is DOWN;
+    // phase 2 restarts from the same checkpoint and must deliver ONLY
+    // the new files (no replay), converging to the whole-history LWW.
+    import java.util.concurrent.atomic.AtomicLong
+    import graft.sources.Workload
+    import graft.sink.{MergeSink, Warehouse}
+    val inDir = java.nio.file.Files.createTempDirectory("graft_ckpt_in_").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt_loc_").toString
+    val stateDir = java.nio.file.Files.createTempDirectory("graft_ckpt_state_").toString + "/t"
+    val rows = Warehouse.toWarehouseRows(
+      Workload.cdcEnvelopes(spark, n = 200, nDocs = 30, seed = 11L)).cache()
+    val sink = new MergeSink(spark, stateDir, Warehouse.DedupKeys, Warehouse.VersionCols, 8)
+
+    def run(seen: AtomicLong) = {
+      val q = spark.readStream.schema(rows.schema).parquet(inDir)
+        .writeStream
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          seen.addAndGet(b.count()); sink.merge(b)
+        }
+        .option("checkpointLocation", ckpt)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+
+    rows.filter($"ingestion_seq" < 100).write.mode("append").parquet(inDir)
+    val phase1 = new AtomicLong
+    run(phase1)
+    assert(phase1.get == 100)
+
+    // files land while the query is down
+    rows.filter($"ingestion_seq" >= 100).write.mode("append").parquet(inDir)
+    val phase2 = new AtomicLong
+    run(phase2)
+    assert(phase2.get == 100,
+      s"restart must resume from the checkpoint, not replay: saw ${phase2.get}")
+
+    val direct = graft.ops.Cdc.latestByKey(rows,
+        Warehouse.DedupKeys, Warehouse.VersionCols)
+      .select($"original_id", $"ingestion_seq").as[(String, Long)].collect().toSet
+    val fromSink = sink.read().select($"original_id", $"ingestion_seq")
+      .as[(String, Long)].collect().toSet
+    assert(fromSink == direct && fromSink.nonEmpty)
+  }
+
   test("TTL state policy expires idle keys past the watermark, keeps live ones") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[ChangeEvent]
