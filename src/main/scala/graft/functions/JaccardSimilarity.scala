@@ -12,11 +12,13 @@ import org.apache.spark.unsafe.types.UTF8String
 /** Jaccard similarity of two string arrays treated as sets:
   * |A ∩ B| / |A ∪ B|, computed in one hash-set pass.
   *
-  * Value-identical to
-  *   size(array_intersect(a,b)) / (size(a)+size(b)-size(array_intersect))
-  * over distinct inputs (WordShingles already emits distinct shingles),
-  * but avoids materializing the intersect array and double-scanning —
-  * the near-dup verify stage runs this once per candidate pair.
+  * Inputs are DEDUPLICATED here (set sizes, not array lengths), so the
+  * registered SQL function `jaccard_sim` is correct for arbitrary
+  * arrays, not just pre-distinct ones — equivalent to
+  *   size(array_intersect(a,b)) /
+  *     (size(array_distinct(a)) + size(array_distinct(b)) - size(array_intersect(a,b)))
+  * without materializing any intermediate array. (WordShingles already
+  * emits distinct shingles, so the near-dup pipeline pays nothing.)
   */
 case class JaccardSimilarity(left: Expression, right: Expression)
     extends BinaryExpression with CodegenFallback {
@@ -36,16 +38,19 @@ case class JaccardSimilarity(left: Expression, right: Expression)
     val ys = b.asInstanceOf[ArrayData]
     val na = xs.numElements()
     val nb = ys.numElements()
-    val set = new java.util.HashSet[UTF8String](na * 2)
+    val sa = new java.util.HashSet[UTF8String](na * 2)
     var i = 0
-    while (i < na) { set.add(xs.getUTF8String(i)); i += 1 }
+    while (i < na) { sa.add(xs.getUTF8String(i)); i += 1 }
+    val sb = new java.util.HashSet[UTF8String](nb * 2)
     var inter = 0
-    // distinct inputs assumed (WordShingles emits distinct); count
-    // distinct matches defensively anyway via removal.
     var j = 0
-    while (j < nb) { if (set.remove(ys.getUTF8String(j))) inter += 1; j += 1 }
-    // same division as size(intersect)/(na+nb-inter), incl. 0/0 -> NaN
-    inter.toDouble / (na + nb - inter)
+    while (j < nb) {
+      val v = ys.getUTF8String(j)
+      if (sb.add(v) && sa.contains(v)) inter += 1
+      j += 1
+    }
+    // |A∩B| / (|A|+|B|-|A∩B|) over the DISTINCT sets; 0/0 -> NaN
+    inter.toDouble / (sa.size + sb.size - inter)
   }
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =

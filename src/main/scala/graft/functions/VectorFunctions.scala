@@ -108,13 +108,18 @@ object VectorFunctions {
 
   /** DuckDB-side cosine over float lists, double accumulation in element
     * order — the SQL twin of CosineSimilarity for oracle checks.
+    * Dot AND norms all range over the shared prefix, exactly like the
+    * Spark expression (norms over the full arrays would diverge for
+    * unequal lengths); `list_sum` of the empty prefix is NULL in
+    * DuckDB, so it is coalesced to 0 -> the 0.0 guard, matching Spark.
     */
-  def cosineSqlDuck(a: String, b: String): String =
-    s"""(CASE WHEN list_sum(list_transform($a, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))) = 0
-       |   OR list_sum(list_transform($b, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))) = 0 THEN 0.0
-       | ELSE list_sum(list_transform(generate_series(1, least(len($a), len($b))),
-       |        i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))
-       |   / (sqrt(list_sum(list_transform($a, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))
-       |      * sqrt(list_sum(list_transform($b, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))))
+  def cosineSqlDuck(a: String, b: String): String = {
+    val series = s"generate_series(1, least(len($a), len($b)))"
+    val nx = s"coalesce(list_sum(list_transform($series, i -> CAST($a[i] AS DOUBLE) * CAST($a[i] AS DOUBLE))), 0)"
+    val ny = s"coalesce(list_sum(list_transform($series, i -> CAST($b[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))), 0)"
+    val dot = s"list_sum(list_transform($series, i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
+    s"""(CASE WHEN $nx = 0 OR $ny = 0 THEN 0.0
+       | ELSE $dot / (sqrt($nx) * sqrt($ny))
        | END)""".stripMargin.replaceAll("\n", " ")
+  }
 }

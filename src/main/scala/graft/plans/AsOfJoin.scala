@@ -30,6 +30,13 @@ import org.apache.spark.sql.graft.PlanBridge
   * Right-side tie order within equal (key, time) is broken by
   * `rightTiebreaks` (ascending; last kept wins), making the pick
   * deterministic — same convention as `Cdc.latestByKey`.
+  *
+  * NULL semantics match the composed `===`/`<=` form: a NULL join key
+  * or NULL time on either side never matches (SQL predicates are
+  * never true on NULL) — null-keyed left rows emit unmatched under
+  * `keepUnmatched` and are dropped under inner. `tolerance` bounds the
+  * match distance in the time column's internal units (micros for
+  * timestamps, days for dates) — pandas merge_asof parity.
   */
 case class AsOfJoinPlan(
     left: LogicalPlan,
@@ -39,7 +46,9 @@ case class AsOfJoinPlan(
     leftTime: Expression,
     rightTime: Expression,
     rightTiebreaks: Seq[Expression],
-    forward: Boolean = false) extends BinaryNode {
+    forward: Boolean = false,
+    tolerance: Option[Long] = None,
+    keepUnmatched: Boolean = true) extends BinaryNode {
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -52,8 +61,9 @@ case class AsOfJoinPlan(
 /** Planner strategy: lower the logical node to the merge exec. */
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinPlan(l, r, lk, rk, lt, rt, tb, fwd) =>
-      AsOfJoinExec(lk, rk, lt, rt, tb, fwd, planLater(l), planLater(r)) :: Nil
+    case AsOfJoinPlan(l, r, lk, rk, lt, rt, tb, fwd, tol, keep) =>
+      AsOfJoinExec(lk, rk, lt, rt, tb, fwd, tol, keep,
+        planLater(l), planLater(r)) :: Nil
     case _ => Nil
   }
 }
@@ -74,11 +84,26 @@ case class AsOfJoinExec(
     rightTime: Expression,
     rightTiebreaks: Seq[Expression],
     forward: Boolean,
+    tolerance: Option[Long],
+    keepUnmatched: Boolean,
     left: SparkPlan,
     right: SparkPlan) extends BinaryExecNode {
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
+
+  /** Raw time value as a comparable long (only used under tolerance). */
+  private def timeAsLong(timeType: org.apache.spark.sql.types.DataType,
+                         row: InternalRow): Long = {
+    import org.apache.spark.sql.types._
+    timeType match {
+      case DateType | IntegerType         => row.getInt(0).toLong
+      case TimestampType | TimestampNTZType | LongType => row.getLong(0)
+      case ShortType                      => row.getShort(0).toLong
+      case other => throw new IllegalArgumentException(
+        s"tolerance not supported for time type $other")
+    }
+  }
 
   override lazy val metrics: Map[String, SQLMetric] = Map(
     "numOutputRows" -> SQLMetrics.createMetric(sparkContext, "number of output rows"),
@@ -124,11 +149,24 @@ case class AsOfJoinExec(
       var cand: InternalRow = null
       var candKey: InternalRow = null
       val fwd = forward
+      val tol = tolerance
+      val keep = keepUnmatched
 
-      lIter.map { lRow =>
+      // NULL key/time never matches (`===`/`<=` are never true on
+      // NULL); nulls sort FIRST under natural ascending order, so a
+      // null-key/null-time right head can always be consumed outright.
+      def headIsNull: Boolean = {
+        val h = rBuf.head
+        rKeyProj(h).anyNull || rTimeProj(h).isNullAt(0)
+      }
+
+      lIter.flatMap { lRow =>
         val lKey = lKeyProj(lRow)
-        val lT = lTimeProj(lRow).copy()
-        if (!fwd) {
+        val lTimeRow = lTimeProj(lRow)
+        val lNull = lKey.anyNull || lTimeRow.isNullAt(0)
+        val lT = lTimeRow.copy()
+        var matched: InternalRow = null
+        if (!lNull && !fwd) {
           // candidate from a previous left key is stale
           if (cand != null && keyOrd.compare(candKey, lKey) != 0) {
             cand = null; candKey = null
@@ -137,35 +175,57 @@ case class AsOfJoinExec(
           // qualifying versions, the last one kept wins
           var advance = true
           while (advance && rBuf.hasNext) {
-            val rKey = rKeyProj(rBuf.head)
-            val c = keyOrd.compare(rKey, lKey)
-            if (c < 0) { rBuf.next() } // keys before ours: skip
-            else if (c == 0 && timeOrd.compare(rTimeProj(rBuf.head), lT) <= 0) {
-              cand = rBuf.head.copy()
-              candKey = rKey.copy()
-              rBuf.next()
-            } else advance = false
+            if (headIsNull) { rBuf.next() }
+            else {
+              val rKey = rKeyProj(rBuf.head)
+              val c = keyOrd.compare(rKey, lKey)
+              if (c < 0) { rBuf.next() } // keys before ours: skip
+              else if (c == 0 && timeOrd.compare(rTimeProj(rBuf.head), lT) <= 0) {
+                cand = rBuf.head.copy()
+                candKey = rKey.copy()
+                rBuf.next()
+              } else advance = false
+            }
           }
-        } else {
+          matched = cand
+          // tolerance: the kept candidate is the CLOSEST at-or-before
+          // match, so out-of-band here means no in-band match exists
+          if (matched != null && tol.isDefined &&
+              timeAsLong(timeType, lT) - timeAsLong(timeType, rTimeProj(matched)) > tol.get) {
+            matched = null
+          }
+        } else if (!lNull) {
           // forward: first right with rTime >= lTime — skip earlier
           // versions (later left rows only move forward), peek the head
           cand = null; candKey = null
           var advance = true
           while (advance && rBuf.hasNext) {
-            val rKey = rKeyProj(rBuf.head)
-            val c = keyOrd.compare(rKey, lKey)
-            if (c < 0 ||
-                (c == 0 && timeOrd.compare(rTimeProj(rBuf.head), lT) < 0)) {
-              rBuf.next()
-            } else {
-              if (c == 0) { cand = rBuf.head; candKey = null }
-              advance = false
+            if (headIsNull) { rBuf.next() }
+            else {
+              val rKey = rKeyProj(rBuf.head)
+              val c = keyOrd.compare(rKey, lKey)
+              if (c < 0 ||
+                  (c == 0 && timeOrd.compare(rTimeProj(rBuf.head), lT) < 0)) {
+                rBuf.next()
+              } else {
+                if (c == 0) cand = rBuf.head
+                advance = false
+              }
             }
           }
+          matched = cand
+          if (matched != null && tol.isDefined &&
+              timeAsLong(timeType, rTimeProj(matched)) - timeAsLong(timeType, lT) > tol.get) {
+            matched = null
+          }
         }
-        numOutputRows += 1
-        if (cand != null) numMatched += 1
-        outProj(joined(lRow, if (cand != null) cand else nullRight))
+        if (matched != null) {
+          numOutputRows += 1; numMatched += 1
+          Some(outProj(joined(lRow, matched)))
+        } else if (keep) {
+          numOutputRows += 1
+          Some(outProj(joined(lRow, nullRight)))
+        } else None
       }
     }
   }
@@ -181,20 +241,41 @@ case class AsOfJoinExec(
   * injectable globally via `graft.ext.GraftExtensions`.
   */
 object AsOf {
+  /** @param tolerance max |leftTime - rightTime| for a match, in the
+    *                  time column's internal units (micros for
+    *                  timestamps, days for dates, raw for integers) —
+    *                  pandas merge_asof `tolerance` parity
+    * @param joinType  "left" (unmatched left rows kept with nulls,
+    *                  the default and pandas behavior) or "inner"
+    */
   def join(left: DataFrame, right: DataFrame,
            leftKeys: Seq[String], rightKeys: Seq[String],
            leftTime: String, rightTime: String,
            rightTiebreaks: Seq[String] = Nil,
-           direction: String = "backward"): DataFrame = {
+           direction: String = "backward",
+           tolerance: Option[Long] = None,
+           joinType: String = "left"): DataFrame = {
     require(direction == "backward" || direction == "forward",
       s"direction must be backward|forward, got $direction")
+    require(joinType == "left" || joinType == "inner",
+      s"joinType must be left|inner, got $joinType")
+    require(tolerance.forall(_ >= 0), "tolerance must be >= 0")
     val spark: SparkSession = left.sparkSession
     if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy)) {
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ AsOfJoinStrategy
     }
     val lPlan = left.queryExecution.analyzed
-    val rPlan = right.queryExecution.analyzed
+    val rPlanRaw = right.queryExecution.analyzed
+    // Self-as-of-join: the analyzer's dedupRight only covers built-in
+    // Join nodes, so overlapping ExprIds in a custom BinaryNode would
+    // bind ambiguously. Re-alias the right side with fresh ExprIds.
+    val rPlan: LogicalPlan =
+      if (lPlan.outputSet.intersect(rPlanRaw.outputSet).isEmpty) rPlanRaw
+      else org.apache.spark.sql.catalyst.plans.logical.Project(
+        rPlanRaw.output.map(a =>
+          org.apache.spark.sql.catalyst.expressions.Alias(a, a.name)()),
+        rPlanRaw)
     def attr(plan: LogicalPlan, name: String): Attribute =
       plan.output.find(_.name == name).getOrElse(
         throw new IllegalArgumentException(
@@ -212,6 +293,8 @@ object AsOf {
       leftKeys.map(attr(lPlan, _)), rightKeys.map(attr(rPlan, _)),
       lt, rt,
       rightTiebreaks.map(attr(rPlan, _)),
-      forward = direction == "forward"))
+      forward = direction == "forward",
+      tolerance = tolerance,
+      keepUnmatched = joinType == "left"))
   }
 }

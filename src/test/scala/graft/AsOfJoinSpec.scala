@@ -85,6 +85,71 @@ class AsOfJoinSpec extends SparkSpec {
     assert(viaExec == viaCompose && viaExec.values.exists(_.isDefined))
   }
 
+  test("NULL keys and times never match, mirroring the composed ===/<= form") {
+    // left: id 4 has a null key, id 5 a null time; right: one null-key
+    // row and one null-time row that must both be invisible to matching
+    val l = Seq((1L, Some(10L), Some(100L)), (2L, Some(10L), Some(95L)),
+                (4L, None, Some(100L)), (5L, Some(10L), None))
+      .toDF("id", "k", "t")
+    val r = Seq((Some(10L), Some(90L), 7L), (None, Some(85L), 6L),
+                (Some(10L), None, 99L), (Some(10L), Some(94L), 8L))
+      .toDF("rk", "rt", "payload")
+    val out = AsOf.join(l, r, Seq("k"), Seq("rk"), "t", "rt", Seq("payload"))
+      .select($"id", $"payload").as[(Long, Option[Long])].collect().toMap
+    // ids 1/2 match the latest non-null row at/before t; null-key and
+    // null-time left rows emit unmatched (left join), never payload
+    // 6 (null rk) or 99 (null rt)
+    assert(out == Map(1L -> Some(8L), 2L -> Some(8L), 4L -> None, 5L -> None))
+    // forward direction: same null discipline
+    val fwd = AsOf.join(l, r, Seq("k"), Seq("rk"), "t", "rt", Seq("payload"),
+        direction = "forward")
+      .select($"id", $"payload").as[(Long, Option[Long])].collect().toMap
+    assert(fwd == Map(1L -> None, 2L -> None, 4L -> None, 5L -> None))
+  }
+
+  test("self-as-of-join re-aliases the right side (no ambiguous ExprIds)") {
+    // previous version of each event per user: left and right derive
+    // from the SAME analyzed plan, so every right attribute shares its
+    // ExprId with the left twin unless the API re-aliases
+    val ev = Seq((1L, 9L, 100L), (2L, 9L, 200L), (3L, 9L, 300L), (4L, 8L, 50L))
+      .toDF("eid", "uid", "ts")
+    val prior = ev.withColumn("pts", $"ts" - 1)
+    val out = AsOf.join(prior, ev.withColumnRenamed("eid", "peid")
+        .withColumnRenamed("uid", "puid").withColumnRenamed("ts", "prev_ts"),
+        Seq("uid"), Seq("puid"), "pts", "prev_ts", Seq("peid"))
+      .select($"eid", $"peid").as[(Long, Option[Long])].collect().toMap
+    assert(out == Map(1L -> None, 2L -> Some(1L), 3L -> Some(2L), 4L -> None))
+    // the raw self-join (zero renames, exact same lineage both sides)
+    // must at minimum bind unambiguously and produce one row per left
+    val raw = AsOf.join(ev, ev, Seq("uid"), Seq("uid"), "ts", "ts", Seq("eid"))
+    assert(raw.count() == 4)
+    // every left row matches ITSELF (rt <= lt includes equality)
+    val matchedPairs = raw.collect()
+    assert(matchedPairs.forall(row => row.getLong(0) == row.getLong(3)))
+  }
+
+  test("tolerance bounds the match distance; inner drops the unmatched") {
+    val l = Seq((1L, 10L, 100L), (2L, 10L, 200L), (3L, 11L, 50L)).toDF("id", "k", "t")
+    val r = Seq((10L, 95L, 7L), (10L, 120L, 8L)).toDF("rk", "rt", "payload")
+    // backward, tolerance 10: id1 matches rt=95 (gap 5); id2's nearest
+    // at-or-before is rt=120... no, 120 <= 200 so gap 80 > 10 -> null
+    val tol = AsOf.join(l, r, Seq("k"), Seq("rk"), "t", "rt", Seq("payload"),
+        tolerance = Some(10L))
+      .select($"id", $"payload").as[(Long, Option[Long])].collect().toMap
+    assert(tol == Map(1L -> Some(7L), 2L -> None, 3L -> None))
+    // inner: unmatched left rows disappear entirely
+    val inner = AsOf.join(l, r, Seq("k"), Seq("rk"), "t", "rt", Seq("payload"),
+        tolerance = Some(10L), joinType = "inner")
+      .select($"id", $"payload").as[(Long, Long)].collect().toMap
+    assert(inner == Map(1L -> 7L))
+    // tolerance parity with pandas merge_asof on the forward direction
+    val fwdTol = AsOf.join(l, r, Seq("k"), Seq("rk"), "t", "rt", Seq("payload"),
+        direction = "forward", tolerance = Some(25L))
+      .select($"id", $"payload").as[(Long, Option[Long])].collect().toMap
+    // id1: first rt>=100 is 120, gap 20 <= 25 -> match; id2: none after
+    assert(fwdTol == Map(1L -> Some(8L), 2L -> None, 3L -> None))
+  }
+
   test("handles empty right side and duplicate left timestamps") {
     val l = Seq((1L, 10L, 100L), (2L, 10L, 100L), (3L, 11L, 50L))
       .toDF("id", "k", "t")

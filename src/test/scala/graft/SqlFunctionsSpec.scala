@@ -33,6 +33,20 @@ class SqlFunctionsSpec extends SparkSpec {
     assert(j == 0.5) // {ab,bc,cd} vs {ab,bc,cx}: 2 common / 4 total
   }
 
+  test("jaccard_sim deduplicates arbitrary (non-distinct) inputs") {
+    // duplicates must not inflate the union: {a,b} vs {a,c} = 1/3
+    // regardless of how many copies each array carries
+    val j = s.sql(
+      """SELECT jaccard_sim(array('a','a','a','b'), array('a','c','c')) AS js""")
+      .first().getDouble(0)
+    assert(j == 1.0 / 3.0)
+    // identical multisets with different duplication: still exactly 1
+    val j2 = s.sql(
+      """SELECT jaccard_sim(array('x','x','y'), array('y','x','y','y')) AS js""")
+      .first().getDouble(0)
+    assert(j2 == 1.0)
+  }
+
   test("simhash48 via SQL matches the Column API on the same input") {
     import s.implicits._
     val df = Seq("the quick brown fox jumps over the lazy dog").toDF("txt")
