@@ -503,6 +503,105 @@ object Breadth {
       |  count(*) AS n
       |FROM events GROUP BY event_type""".stripMargin
 
+  // ---------------------------------------------------------------- q67
+  /** stack() — the generator twin of unpivot (q55): n column groups ->
+    * rows in one projection pass, no join, no shuffle.
+    */
+  def q67Stack(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d).selectExpr("o_orderkey",
+      """stack(3,
+        |  'totalprice', o_totalprice,
+        |  'custkey', CAST(o_custkey AS DOUBLE),
+        |  'orderkey2x', CAST(o_orderkey * 2 AS DOUBLE)) AS (metric, v)""".stripMargin)
+
+  val q67Sql: String =
+    """SELECT o_orderkey, 'totalprice' AS metric, o_totalprice AS v FROM orders
+      |UNION ALL
+      |SELECT o_orderkey, 'custkey', CAST(o_custkey AS DOUBLE) FROM orders
+      |UNION ALL
+      |SELECT o_orderkey, 'orderkey2x', CAST(o_orderkey * 2 AS DOUBLE) FROM orders""".stripMargin
+
+  // ---------------------------------------------------------------- q68
+  /** Date-spine gap fill — the companion to q59's window fill: a
+    * generated `sequence` of days left-joined to daily aggregates so
+    * empty days surface as explicit zeros. The spine is generated, not
+    * scanned (a few hundred rows broadcast against the fact table's
+    * pre-aggregated dailies — at 100 TB the heavy side is reduced
+    * BEFORE the join touches it).
+    */
+  def q68DateSpine(s: SparkSession, d: String): DataFrame = {
+    val spine = s.sql(
+      "SELECT explode(sequence(DATE'1995-03-01', DATE'1995-06-30', interval 1 day)) AS day")
+    val daily = Tables.orders(s, d)
+      .select(to_date(col("o_orderdate")).as("day"))
+      .filter(col("day").between("1995-03-01", "1995-06-30"))
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("n"))
+    spine.join(daily, Seq("day"), "left")
+      .select(
+        datediff(col("day"), lit("1970-01-01").cast("date")).cast("long").as("epoch_day"),
+        coalesce(col("n"), lit(0L)).as("n_orders"))
+  }
+
+  val q68Sql: String =
+    """WITH spine AS (
+      |    SELECT CAST(unnest(generate_series(DATE '1995-03-01', DATE '1995-06-30',
+      |                                       INTERVAL 1 DAY)) AS DATE) AS day),
+      |  daily AS (
+      |    SELECT CAST(o_orderdate AS DATE) AS day, count(*) AS n
+      |    FROM orders
+      |    WHERE CAST(o_orderdate AS DATE) BETWEEN DATE '1995-03-01' AND DATE '1995-06-30'
+      |    GROUP BY 1)
+      |SELECT CAST(datediff('day', DATE '1970-01-01', spine.day) AS BIGINT) AS epoch_day,
+      |  CAST(coalesce(daily.n, 0) AS BIGINT) AS n_orders
+      |FROM spine LEFT JOIN daily ON spine.day = daily.day""".stripMargin
+
+  // ---------------------------------------------------------------- q69
+  /** Regexp split to array: Spark `split` keeps leading/trailing empty
+    * strings (Java split with limit -1), and so does DuckDB's
+    * regexp_split_to_array — asserted by splitting JSON text on
+    * non-digit runs, which produces both.
+    */
+  def q69RegexpSplit(s: SparkSession, d: String): DataFrame = {
+    val parts = split(col("props"), "[^0-9]+")
+    Tables.events(s, d).select(
+      col("event_id"),
+      parts.as("parts"),
+      size(parts).cast("long").as("n_parts"),
+      element_at(parts, 2).as("k_str"))
+  }
+
+  val q69Sql: String =
+    """SELECT event_id,
+      |  regexp_split_to_array(props, '[^0-9]+') AS parts,
+      |  CAST(len(regexp_split_to_array(props, '[^0-9]+')) AS BIGINT) AS n_parts,
+      |  regexp_split_to_array(props, '[^0-9]+')[2] AS k_str
+      |FROM events""".stripMargin
+
+  // ---------------------------------------------------------------- q70
+  /** width_bucket histogram: equi-width bucketing of event values into
+    * a 20-bucket histogram — one narrow shuffle of (bucket, partial
+    * counts). DuckDB has no width_bucket; the oracle replicates
+    * Spark's exact float arithmetic (n * (v - min) / (max - min),
+    * multiply FIRST — the other association diverges at bucket
+    * boundaries) plus the standard under/overflow buckets 0 and n+1.
+    */
+  def q70WidthBucket(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(expr("width_bucket(value, 0.0D, 500.0D, 20)").as("bucket"), col("value"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"), min(col("value")).as("vmin"), max(col("value")).as("vmax"))
+
+  val q70Sql: String =
+    """SELECT bucket, count(*) AS n, min(value) AS vmin, max(value) AS vmax
+      |FROM (SELECT
+      |    CASE WHEN value < 0.0 THEN 0
+      |         WHEN value >= 500.0 THEN 21
+      |         ELSE CAST(floor(20.0 * (value - 0.0) / (500.0 - 0.0)) AS BIGINT) + 1
+      |    END AS bucket, value
+      |  FROM events)
+      |GROUP BY bucket""".stripMargin
+
   val entries: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "q43_percentiles" -> (q43Percentiles _, q43Sql),
     "q44_datetime" -> (q44Datetime _, q44Sql),
@@ -515,6 +614,10 @@ object Breadth {
     "q51_bitwise" -> (q51Bitwise _, q51Sql),
     "q52_approx_percentile" -> (q52ApproxPercentile _, q52Sql),
     "q55_unpivot" -> (q55Unpivot _, q55Sql),
+    "q67_stack" -> (q67Stack _, q67Sql),
+    "q68_date_spine" -> (q68DateSpine _, q68Sql),
+    "q69_regexp_split" -> (q69RegexpSplit _, q69Sql),
+    "q70_width_bucket" -> (q70WidthBucket _, q70Sql),
     "q57_map_funcs" -> (q57MapFuncs _, q57Sql),
     "q58_try_safety" -> (q58TrySafety _, q58Sql),
     "q59_gap_fill" -> (q59GapFill _, q59Sql),
