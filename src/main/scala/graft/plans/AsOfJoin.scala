@@ -76,6 +76,21 @@ object AsOfJoinStrategy extends SparkStrategy {
   * tiebreaks]). One buffered forward pass per partition; the right
   * cursor never rewinds, so the merge is O(|L| + |R|) with one live
   * candidate row of state.
+  *
+  * Whole-stage codegen: deliberately NOT implemented (no
+  * CodegenSupport). The produce/consume contract drives generated code
+  * from one child's loop; a two-cursor merge with a buffered right
+  * side and cross-row candidate state requires the SortMergeJoin-style
+  * generated scanner machinery — large complexity for little gain
+  * here, because the per-row work is already a handful of primitive
+  * comparisons through code-generated `UnsafeProjection`s (the
+  * projections ARE codegen'd; only the loop shell is interpreted, and
+  * it JITs). The cost is one codegen-stage boundary on each side —
+  * the same boundary SortMergeJoin pays at its sorts. Benchmarked
+  * 2.6x FASTER than the fully-codegen'd composed join+argmax plan
+  * (BENCH q60 vs q36), because algorithm beats codegen at this shape:
+  * the composed form materializes every candidate match, the merge
+  * never does.
   */
 case class AsOfJoinExec(
     leftKeys: Seq[Expression],

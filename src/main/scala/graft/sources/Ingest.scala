@@ -28,20 +28,52 @@ object Ingest {
   private def withCorrupt(schema: StructType): StructType =
     StructType(schema.fields :+ StructField(CorruptCol, StringType, nullable = true))
 
-  /** Batch JSON-lines CDC envelopes: (good rows, quarantined lines). */
+  /** Batch JSON-lines CDC envelopes: (good rows, quarantined lines).
+    *
+    * Caches the parsed input to split it in ONE scan (Spark requires a
+    * materialization boundary before filtering on the corrupt column).
+    * Right default when the batch fits cluster cache — a micro-batch
+    * or an hourly drop does; for a 100 TB backfill use
+    * `cdcJsonTwoPass`, which trades a second file scan for zero
+    * memory pressure.
+    */
   def cdcJson(spark: SparkSession, path: String): (DataFrame, DataFrame) = {
     val raw = spark.read
       .schema(withCorrupt(Schemas.envelopeSchema))
       .option("mode", "PERMISSIVE")
       .option("columnNameOfCorruptRecord", CorruptCol)
       .json(path)
-      // Spark requires referencing the corrupt column via a cached
-      // plan only after a select touching all columns; keep it simple
-      // and split eagerly on nullity of the corrupt column.
       .cache()
     val good = raw.filter(col(CorruptCol).isNull).drop(CorruptCol)
     val bad = raw.filter(col(CorruptCol).isNotNull)
       .select(col(CorruptCol).as("raw_line"))
+    (good, bad)
+  }
+
+  /** Cache-free split for inputs larger than cluster cache capacity:
+    * lines are read as text; syntactic validity is decided by
+    * `get_json_object(value, '$')` (NULL for an unparseable line —
+    * `from_json`'s PERMISSIVE mode can't be the detector because it
+    * returns an all-null ROW for malformed input, indistinguishable
+    * from a valid `{}`). Each side is an independent scan + filter,
+    * nothing is materialized, and the JSON reader's
+    * "corrupt-column-only queries need a cache" restriction never
+    * applies. Costs a second pass over the files — the right trade at
+    * backfill scale, where caching 100 TB is not an option and the
+    * quarantine side is read rarely.
+    *
+    * Semantic note vs `cdcJson`: quarantine means UNPARSEABLE line
+    * here; a parseable line with a type-mismatched field degrades that
+    * field to NULL (PERMISSIVE) instead of quarantining the line —
+    * downstream `Quarantine.split` validity rules catch those.
+    */
+  def cdcJsonTwoPass(spark: SparkSession, path: String): (DataFrame, DataFrame) = {
+    val parseable = get_json_object(col("value"), "$").isNotNull
+    def lines = spark.read.textFile(path).toDF("value") // fresh plan per side
+    val good = lines.filter(parseable)
+      .select(from_json(col("value"), Schemas.envelopeSchema).as("r"))
+      .select(col("r.*"))
+    val bad = lines.filter(!parseable).select(col("value").as("raw_line"))
     (good, bad)
   }
 

@@ -41,10 +41,19 @@ class IngestSpec extends SparkSpec {
       "{\"operation\": \"insert\", \"document_id\"\nnot json at all\n".getBytes,
       StandardOpenOption.CREATE)
 
+    // the cache-free backfill-scale variant first (before cdcJson's
+    // cache exists — the cache manager would otherwise substitute the
+    // cached fragment into any identical fresh plan)
+    val (good2, bad2) = Ingest.cdcJsonTwoPass(spark, dir)
+    assert(good2.count() == 50 && bad2.count() == 2)
+    assert(!good2.queryExecution.optimizedPlan.toString.contains("InMemoryRelation"),
+      "two-pass variant must not materialize a cache")
+
     val (good, bad) = Ingest.cdcJson(spark, dir)
     assert(good.count() == 50)
     assert(bad.count() == 2)
     assert(bad.filter($"raw_line".contains("not json")).count() == 1)
+    assert(good2.schema == good.schema && bad2.schema == bad.schema)
   }
 
   test("CSV flat reads honor the explicit schema (no inference)") {

@@ -108,6 +108,49 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == direct && streamed.nonEmpty)
   }
 
+  test("rate-shaped queue source: gapless offsets, stream matches batch twin") {
+    import graft.sources.Workload
+    import graft.sink.{MergeSink, Warehouse}
+    val stateDir = java.nio.file.Files.createTempDirectory("graft_rate_state_").toString + "/t"
+    val sink = new MergeSink(spark, stateDir, Warehouse.DedupKeys, Warehouse.VersionCols, 8)
+    import scala.jdk.CollectionConverters._
+    val delivered = java.util.concurrent.ConcurrentHashMap.newKeySet[Long]()
+    @volatile var done = false
+    val rows = Warehouse.toWarehouseRows(Workload.cdcEnvelopeStream(spark, rowsPerBatch = 50))
+    val q = rows.writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        // merge-then-record, and a hard gate once the quota is reached:
+        // each batch is either fully merged + recorded or untouched, so
+        // stopping the query can never leave a half-counted batch
+        if (!done) {
+          sink.merge(b)
+          b.select($"ingestion_seq").as[Long].collect().foreach(s => delivered.add(s))
+          if (delivered.size >= 150) done = true
+        }
+      }
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft_rate_ckpt_").toString)
+      .start()
+    try {
+      val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+      while (!done && System.nanoTime() < deadline) Thread.sleep(50)
+    } finally q.stop()
+    // the queue contract: a gapless consumed prefix 0..max (offsets are
+    // the ack cursor; nothing skipped, nothing duplicated)
+    val seen = delivered.asScala.toSeq
+    assert(seen.size >= 150, s"rate source delivered only ${seen.size} rows")
+    assert(seen.toSet == (0L until seen.size.toLong).toSet, "offset gaps or duplicates")
+    // stream state == batch twin over exactly the delivered prefix
+    val expected = graft.ops.Cdc.latestByKey(
+        Warehouse.toWarehouseRows(Workload.envelopesFromSeq(
+          spark.range(0, seen.size.toLong).toDF("seq"), nDocs = 40)),
+        Warehouse.DedupKeys, Warehouse.VersionCols)
+      .select($"original_id", $"ingestion_seq").as[(String, Long)].collect().toSet
+    val got = sink.read().select($"original_id", $"ingestion_seq")
+      .as[(String, Long)].collect().toSet
+    assert(got == expected && got.nonEmpty)
+  }
+
   test("checkpoint restart: resumed stream re-reads nothing, loses nothing") {
     // The reference wish-lists change-stream resume tokens
     // (README.md:168); Structured Streaming's checkpoint + an
