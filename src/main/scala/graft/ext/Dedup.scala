@@ -140,6 +140,51 @@ object Dedup {
     withJaccardFrom(cands, shingled).filter(col("jaccard") >= threshold)
   }
 
+  /** Connected components over near-dup pairs: pair lists become
+    * DEDUP CLUSTERS (the step a 100 TB pipeline actually acts on —
+    * keep one canonical doc per component, drop the rest).
+    *
+    * Iterative min-label propagation: every node starts labelled with
+    * its own id; each round pulls the minimum label across neighbors
+    * (one equi-join + one min-aggregate per round, both map-side
+    * combinable). Converges in O(component diameter) rounds — near-dup
+    * clusters are shallow (dozens of docs, diameter a few hops), so
+    * 3-4 rounds typically settle it; `maxIter` bounds adversarial
+    * chains (the alternating large-star/small-star variant reduces
+    * pathological diameters logarithmically and slots in here if a
+    * workload ever needs it). Per-round cost is O(|E| + |V|) shuffle
+    * of (long, long) rows — no component materializes as a single
+    * partition anywhere.
+    *
+    * Returns (id, cluster_id = min reachable id). Nodes not in any
+    * edge are absent (singletons need no dedup action).
+    */
+  def connectedComponents(edges: DataFrame, idA: String = "id_a",
+                          idB: String = "id_b", maxIter: Int = 20): DataFrame = {
+    val sym = edges.select(col(idA).as("src"), col(idB).as("dst"))
+      .unionByName(edges.select(col(idB).as("src"), col(idA).as("dst")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = sym.select(col("src").as("id")).distinct()
+      .withColumn("cluster_id", col("id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIter) {
+      val viaNeighbor = sym.join(labels, sym("dst") === labels("id"))
+        .select(col("src").as("id"), col("cluster_id"))
+      val next = labels.unionByName(viaNeighbor)
+        .groupBy(col("id")).agg(min(col("cluster_id")).as("cluster_id"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      changed = next.join(labels.withColumnRenamed("cluster_id", "old"), "id")
+        .filter(col("cluster_id") =!= col("old")).count()
+      labels.unpersist()
+      labels = next
+      iter += 1
+    }
+    sym.unpersist()
+    labels
+  }
+
   /** Brute-force Jaccard pairs over a bounded id range (oracle /
     * recall baseline — NOT the scale path).
     */

@@ -132,6 +132,82 @@ object ExtQueries {
        |FROM ver WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.5""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q71
+  /** Dedup CLUSTERS: q26's near-dup pairs folded into connected
+    * components (iterative min-label propagation — the action step of
+    * dedup at scale: keep `cluster_id`, drop the rest). The oracle
+    * computes the same components with a recursive CTE over the same
+    * pair SQL — tiny closed components keep the closure bounded.
+    */
+  def q71DedupClusters(s: SparkSession, d: String): DataFrame = {
+    val pairs = Dedup.minhashNearDups(docs(s, d), k = 12, bands = 4, threshold = 0.5)
+    Dedup.connectedComponents(pairs)
+      .groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("n_docs"), max(col("id")).as("max_doc_id"))
+  }
+
+  val q71Sql: String =
+    s"""WITH RECURSIVE p AS ($q26Sql),
+       |  edges AS (SELECT id_a AS src, id_b AS dst FROM p
+       |            UNION ALL SELECT id_b, id_a FROM p),
+       |  nodes AS (SELECT DISTINCT src AS id FROM edges),
+       |  reach(id, lbl) AS (
+       |    SELECT id, id FROM nodes
+       |    UNION
+       |    SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id),
+       |  comp AS (SELECT id, min(lbl) AS cluster_id FROM reach GROUP BY id)
+       |SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_docs,
+       |  max(id) AS max_doc_id
+       |FROM comp GROUP BY cluster_id""".stripMargin
+
+  // ---------------------------------------------------------------- q72
+  /** TF-IDF keyword extraction: corpus document frequencies joined
+    * back to per-doc term frequencies, top-3 terms per document.
+    * Scale shape: terms aggregate BEFORE any join (both tf and df are
+    * map-side-combinable counts); the document-frequency table is
+    * vocabulary-sized and the corpus-size scalar broadcasts.
+    *
+    * The rarity weight is the LOG-FREE surrogate (N+1)/(df+1): `ln`
+    * is not IEEE-correctly-rounded, so cross-engine bit-equality is
+    * not guaranteed for log-based scores; the surrogate is pure
+    * division (exact) and strictly decreasing in df, so per-term
+    * ordering for a fixed (tf, dlen) is the classic idf ordering.
+    */
+  def q72Tfidf(s: SparkSession, d: String): DataFrame = {
+    val toks = docs(s, d).select(col("doc_id"),
+      explode(TextAnalysis.tokens(col("text"))).as("term"))
+    val tf = toks.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dlen = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dlen"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = docs(s, d).agg(count(lit(1)).as("n_corpus"))
+    val scored = tf.join(dlen, "doc_id").join(broadcast(dfreq), "term")
+      .crossJoin(broadcast(n))
+      .withColumn("score",
+        col("tf").cast("double") / col("dlen")
+          * ((col("n_corpus") + 1).cast("double") / (col("df") + 1)))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("score").desc, col("term").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 3)
+      .select(col("doc_id"), col("rank"), col("term"), col("tf"), col("df"), col("score"))
+  }
+
+  val q72Sql: String =
+    """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+      |  tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM toks GROUP BY 1, 2),
+      |  dlen AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dlen FROM toks GROUP BY 1),
+      |  dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+      |  scored AS (SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+      |      (CAST(tf.tf AS DOUBLE) / dlen.dlen)
+      |        * (CAST((SELECT count(*) FROM documents) + 1 AS DOUBLE) / (dfreq.df + 1)) AS score
+      |    FROM tf JOIN dlen ON tf.doc_id = dlen.doc_id
+      |            JOIN dfreq ON tf.term = dfreq.term)
+      |SELECT doc_id, rank, term, tf, df, score
+      |FROM (SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
+      |        ORDER BY score DESC, term ASC) AS BIGINT) AS rank
+      |      FROM scored)
+      |WHERE rank <= 3""".stripMargin
+
   // ---------------------------------------------------------------- q27
   /** Brute-force n-gram Jaccard on a bounded id range (exact baseline
     * for q26's recall; not the scale path).
@@ -361,6 +437,8 @@ object ExtQueries {
     "q24_dedup_exact" -> (q24DedupExact _, q24Sql),
     "q25_minhash_sig" -> (q25MinhashSig _, q25Sql),
     "q26_lsh_neardup" -> (q26LshNearDup _, q26Sql),
+    "q71_dedup_clusters" -> (q71DedupClusters _, q71Sql),
+    "q72_tfidf" -> (q72Tfidf _, q72Sql),
     "q27_ngram_jaccard" -> (q27NgramJaccard _, q27Sql),
     "q28_simhash_sig" -> (q28SimhashSig _, q28Sql),
     "q29_simhash_pairs" -> (q29SimhashPairs _, q29Sql),

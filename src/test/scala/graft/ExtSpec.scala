@@ -152,6 +152,20 @@ class ExtSpec extends SparkSpec {
   }
 
   // ------------------------------------------------------------ text
+  test("connectedComponents: chains, stars, and disjoint clusters converge to min labels") {
+    import graft.ext.Dedup
+    // component A: chain 1-2-3-4 (diameter 3); component B: star around
+    // 10; component C: pair (20, 21); plus a redundant duplicate edge
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (10L, 12L),
+                    (10L, 13L), (20L, 21L), (2L, 3L))
+      .toDF("id_a", "id_b")
+    val comp = Dedup.connectedComponents(edges)
+      .as[(Long, Long)].collect().toMap
+    assert(comp == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+                       10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 10L,
+                       20L -> 20L, 21L -> 20L))
+  }
+
   test("langId precedence is deterministic and covers zero-score docs") {
     val out = Seq("xyzzy blorp", "the fast join", "el la de la")
       .toDF("text")
