@@ -602,6 +602,116 @@ object Breadth {
       |  FROM events)
       |GROUP BY bucket""".stripMargin
 
+  // ---------------------------------------------------------------- q73
+  /** Statistical aggregates the ORDER-INDEPENDENT way: float sums
+    * depend on partition/merge order, so corr/var/stddev built-ins are
+    * not bit-reproducible across runs, let alone engines. The scale
+    * discipline: accumulate EXACT integer moments (values are exact
+    * 2-dec -> integer cents; BIGINT sums are associative/commutative,
+    * so any partitioning and any merge order gives THE SAME moments),
+    * then derive the float statistics from those exact aggregates —
+    * identical IEEE arithmetic on identical inputs on every engine and
+    * every rerun. Built-in var_samp/stddev_samp/corr ride along as
+    * tolerance-witness booleans (they are approximately right; the
+    * moment-derived values are exactly reproducible).
+    */
+  def q73StatsMoments(s: SparkSession, d: String): DataFrame = {
+    val xc = round(col("value") * 100).cast("long")           // exact cents
+    val y = get_json_object(col("props"), "$.k").cast("long") // exact int
+    val agg = Tables.events(s, d)
+      .select(col("event_type"), xc.as("xc"), y.as("y"), col("value"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+           sum(col("xc")).as("sx"), sum(col("xc") * col("xc")).as("sxx"),
+           sum(col("y")).as("sy"), sum(col("y") * col("y")).as("syy"),
+           sum(col("xc") * col("y")).as("sxy"),
+           var_samp(col("value")).as("v_b"),
+           stddev_samp(col("value")).as("s_b"),
+           corr(col("value"), col("y").cast("double")).as("c_b"))
+    val n = col("n").cast("double")
+    def d_(c: String) = col(c).cast("double")
+    val varCents = (n * d_("sxx") - d_("sx") * d_("sx")) / (n * (n - 1))
+    val variance = varCents / 1e4
+    val stddev = sqrt(varCents) / 1e2
+    val corrExact = (n * d_("sxy") - d_("sx") * d_("sy")) /
+      (sqrt(n * d_("sxx") - d_("sx") * d_("sx")) * sqrt(n * d_("syy") - d_("sy") * d_("sy")))
+    agg.select(
+      col("event_type"), col("n"),
+      (d_("sx") / n / 1e2).as("mean"),
+      variance.as("var_exact"),
+      stddev.as("stddev_exact"),
+      corrExact.as("corr_exact"),
+      (abs(col("v_b") - variance) <= variance * 1e-9 + 1e-9).as("var_ok"),
+      (abs(col("s_b") - stddev) <= stddev * 1e-9 + 1e-9).as("stddev_ok"),
+      (abs(col("c_b") - corrExact) <= lit(1e-6)).as("corr_ok"))
+  }
+
+  val q73Sql: String =
+    """WITH m AS (
+      |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+      |    sum(xc) AS sx, sum(xc * xc) AS sxx,
+      |    sum(y) AS sy, sum(y * y) AS syy, sum(xc * y) AS sxy
+      |  FROM (SELECT event_type,
+      |          CAST(round(value * 100) AS BIGINT) AS xc,
+      |          CAST(json_extract_string(props, '$.k') AS BIGINT) AS y
+      |        FROM events)
+      |  GROUP BY event_type)
+      |SELECT event_type, n,
+      |  CAST(sx AS DOUBLE) / n / 1e2 AS mean,
+      |  (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx) / (n * (n - 1.0)) / 1e4 AS var_exact,
+      |  sqrt((n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx) / (n * (n - 1.0))) / 1e2 AS stddev_exact,
+      |  (n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy)
+      |    / (sqrt(n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx)
+      |       * sqrt(n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy)) AS corr_exact,
+      |  TRUE AS var_ok, TRUE AS stddev_ok, TRUE AS corr_ok
+      |FROM m""".stripMargin
+
+  // ---------------------------------------------------------------- q74
+  /** Deterministic mode + discrete percentile: built-in mode() breaks
+    * frequency ties arbitrarily, so the dedup-grade form is
+    * max(struct(freq, value)) — larger value wins exact ties, same
+    * map-side-combinable aggregate shape as LWW. percentile_disc(0.5)
+    * is the value at rank ceil(n/2) in value order — a window rank +
+    * filter, no interpolation (stays exact for any value type).
+    */
+  def q74ModeDisc(s: SparkSession, d: String): DataFrame = {
+    val freq = Tables.events(s, d)
+      .groupBy(col("event_type"), col("value")).agg(count(lit(1)).as("f"))
+    val mode = freq.groupBy(col("event_type"))
+      .agg(max(struct(col("f"), col("value"))).as("m"),
+           sum(col("f")).as("n"))
+      .select(col("event_type"), col("m.value").as("mode_value"),
+              col("m.f").as("mode_freq"), col("n"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("value").asc)
+    val disc = Tables.events(s, d)
+      .select(col("event_type"), col("value"),
+              row_number().over(w).as("rn"),
+              count(lit(1)).over(Window.partitionBy(col("event_type"))).as("cnt"))
+      .filter(col("rn") === ceil(col("cnt") * 0.5).cast("int"))
+      .select(col("event_type"), col("value").as("p50_disc"))
+    mode.join(disc, "event_type")
+  }
+
+  val q74Sql: String =
+    """WITH freq AS (SELECT event_type, value, CAST(count(*) AS BIGINT) AS f
+      |              FROM events GROUP BY 1, 2),
+      |  md AS (SELECT event_type, value AS mode_value, f AS mode_freq,
+      |           CAST(tot AS BIGINT) AS n FROM
+      |      (SELECT event_type, value, f,
+      |         sum(f) OVER (PARTITION BY event_type) AS tot,
+      |         row_number() OVER (PARTITION BY event_type
+      |           ORDER BY f DESC, value DESC) AS rn
+      |       FROM freq)
+      |    WHERE rn = 1),
+      |  disc AS (SELECT event_type, value AS p50_disc FROM
+      |      (SELECT event_type, value,
+      |         row_number() OVER (PARTITION BY event_type ORDER BY value ASC) AS rn,
+      |         count(*) OVER (PARTITION BY event_type) AS cnt
+      |       FROM events)
+      |    WHERE rn = CAST(ceil(cnt * 0.5) AS BIGINT))
+      |SELECT event_type, mode_value, mode_freq, n, p50_disc
+      |FROM md JOIN disc USING (event_type)""".stripMargin
+
   val entries: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "q43_percentiles" -> (q43Percentiles _, q43Sql),
     "q44_datetime" -> (q44Datetime _, q44Sql),
@@ -618,6 +728,8 @@ object Breadth {
     "q68_date_spine" -> (q68DateSpine _, q68Sql),
     "q69_regexp_split" -> (q69RegexpSplit _, q69Sql),
     "q70_width_bucket" -> (q70WidthBucket _, q70Sql),
+    "q73_stats_moments" -> (q73StatsMoments _, q73Sql),
+    "q74_mode_disc" -> (q74ModeDisc _, q74Sql),
     "q57_map_funcs" -> (q57MapFuncs _, q57Sql),
     "q58_try_safety" -> (q58TrySafety _, q58Sql),
     "q59_gap_fill" -> (q59GapFill _, q59Sql),
