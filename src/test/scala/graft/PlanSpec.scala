@@ -169,6 +169,23 @@ class PlanSpec extends SparkSpec {
     assert(hashAggs >= 2, s"assign argmax is not a 2-phase hash aggregate:\n${p.take(1500)}")
   }
 
+  test("TF-IDF joins broadcast the vocabulary-sized sides, never shuffle the fact twice") {
+    val p = plan("q72_tfidf")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      s"df table / corpus scalar not broadcast:\n${p.take(1500)}")
+  }
+
+  test("exact-moment statistics plan as one 2-phase hash aggregate") {
+    val p = plan("q73_stats_moments")
+    // all six moments + three builtin witnesses ride ONE aggregate:
+    // partial (map-side) + final — a single shuffle of 5 rows. Count
+    // the detailed node headers (formatted explain also repeats each
+    // node in the tree summary).
+    assert("""\(\d+\) HashAggregate""".r.findAllIn(p).size == 2,
+      s"moments are not a single 2-phase hash aggregate:\n${p.take(1500)}")
+    assert(!p.contains("Window"), "no window should appear in the moments plan")
+  }
+
   test("LWW dedup partial-aggregates map-side despite the struct buffer") {
     // max_by(struct) -> SortAggregate/ObjectHashAggregate, but Spark must
     // still split it into partial + final so the shuffle carries one
