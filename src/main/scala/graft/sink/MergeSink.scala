@@ -92,6 +92,36 @@ final class MergeSink(
 
   /** foreachBatch adapter: `stream.writeStream.foreachBatch(sink.forEachBatch)`. */
   def forEachBatch: (DataFrame, Long) => Unit = (batch, _) => merge(batch)
+
+  /** Compact buckets that have accumulated more than
+    * `maxFilesPerBucket` parquet files — the classic streaming-sink
+    * pathology: every micro-batch writes at least one file per bucket
+    * it touches, and scan cost eventually drowns in file-open overhead.
+    * Rewrites ONLY oversized buckets (hot buckets compact often, cold
+    * ones never), one file per bucket after the rewrite
+    * (`repartition` on the bucket column -> one task per bucket).
+    * Content is untouched — pure layout maintenance, safe to run
+    * between merges on any schedule.
+    */
+  def compact(maxFilesPerBucket: Int = 4): Unit = {
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(root)) return
+    val oversized = fs.listStatus(root).toSeq
+      .filter(d => d.isDirectory && d.getPath.getName.startsWith(s"$BucketCol="))
+      .filter(d => fs.listStatus(d.getPath)
+        .count(_.getPath.getName.endsWith(".parquet")) > maxFilesPerBucket)
+      .map(_.getPath.getName.stripPrefix(s"$BucketCol=").toInt)
+    if (oversized.isEmpty) return
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    spark.read.parquet(path)
+      .filter(col(BucketCol).isin(oversized: _*))
+      .repartition(oversized.length, col(BucketCol))
+      .write
+      .mode("overwrite")
+      .partitionBy(BucketCol)
+      .parquet(path)
+  }
 }
 
 object MergeSink {

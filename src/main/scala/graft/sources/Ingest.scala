@@ -87,6 +87,16 @@ object Ingest {
       .option("mode", "PERMISSIVE")
       .json(dir)
 
+  /** Schema-evolution parquet read: a long-lived lake accretes columns
+    * over time, and `mergeSchema` unions the per-file footers so old
+    * files surface the new columns as NULL. Off by default in Spark
+    * because footer-merging costs a pass over file metadata — at
+    * 100 TB pin the evolved schema explicitly (`.schema(...)`) once
+    * known and fall back to this only at discovery time.
+    */
+  def parquetEvolving(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(path)
+
   /** CSV for flat (non-nested) tables with an explicit schema; header
     * tolerated but never used for typing.
     */

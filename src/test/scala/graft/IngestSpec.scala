@@ -69,6 +69,20 @@ class IngestSpec extends SparkSpec {
     assert(sumA == sumB)
   }
 
+  test("schema evolution: mergeSchema surfaces late columns as NULL on old files") {
+    val dir = Files.createTempDirectory("graft_evolve_").toString
+    // v1 files: two columns; v2 files add a quality score
+    Seq((1L, "a"), (2L, "b")).toDF("doc_id", "text")
+      .write.mode("append").parquet(dir)
+    Seq((3L, "c", 0.9), (4L, "d", 0.7)).toDF("doc_id", "text", "quality")
+      .write.mode("append").parquet(dir)
+    val evolved = Ingest.parquetEvolving(spark, dir)
+    assert(evolved.columns.toSet == Set("doc_id", "text", "quality"))
+    val rows = evolved.select($"doc_id", $"quality")
+      .as[(Long, Option[Double])].collect().toMap
+    assert(rows == Map(1L -> None, 2L -> None, 3L -> Some(0.9), 4L -> Some(0.7)))
+  }
+
   test("streaming JSON source uses the same schema as batch") {
     val dir = Files.createTempDirectory("graft_jsonstream_").toString
     Workload.cdcEnvelopes(spark, n = 40, nDocs = 10, seed = 5L)

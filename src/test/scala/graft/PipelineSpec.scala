@@ -152,6 +152,42 @@ class PipelineSpec extends SparkSpec {
       s"bucket filter did not reach PartitionFilters:\n${p.take(1200)}")
   }
 
+  test("MergeSink compaction rewrites only oversized buckets, content intact") {
+    import graft.sink.MergeSink
+    val dir = freshDir() + "/state"
+    val rows = Warehouse.toWarehouseRows(env).cache()
+    val nBuckets = 2 // ~20 keys per bucket -> merges genuinely multi-task
+    val sink = new MergeSink(spark, dir, Warehouse.DedupKeys, Warehouse.VersionCols, nBuckets)
+    def files(b: Int): Set[(String, Long, Long)] = {
+      val d = new java.io.File(s"$dir/${MergeSink.BucketCol}=$b")
+      Option(d.listFiles()).toSeq.flatten.filter(_.getName.endsWith(".parquet"))
+        .map(f => (f.getName, f.length(), f.lastModified())).toSet
+    }
+    def state() = sink.read().select($"original_id", $"ingestion_seq")
+      .as[(String, Long)].collect().toSet
+
+    // AQE would coalesce these tiny merges to one task (one file);
+    // disable coalescing so writes scatter like production-sized ones
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try {
+      sink.merge(rows)
+      sink.compact(maxFilesPerBucket = 1) // baseline: one file everywhere
+      assert((0 until nBuckets).forall(files(_).size == 1))
+      // dirty ONLY bucket 0 with newer versions of its keys
+      sink.merge(rows
+        .filter(pmod(hash($"original_id"), lit(nBuckets)) === 0)
+        .withColumn("ingestion_seq", $"ingestion_seq" + 10000L))
+    } finally spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    assert(files(0).size > 1, "multi-task merge should scatter files over bucket 0")
+    assert(files(1).size == 1)
+    val cold = files(1)
+    val preCompact = state()
+    sink.compact(maxFilesPerBucket = 1)
+    assert(files(0).size == 1, s"compaction left ${files(0).size} files")
+    assert(files(1) == cold, "compaction must not touch buckets under the threshold")
+    assert(state() == preCompact, "compaction changed content")
+  }
+
   test("tombstone wins when it is the latest record for a key") {
     val dir = freshDir()
     Warehouse.append(Warehouse.toWarehouseRows(env), dir)
