@@ -102,4 +102,66 @@ object Similarity {
   /** SQL literal for the planes, full shortest-roundtrip precision. */
   def planesSqlLiteral(ps: Array[Array[Double]]): String =
     ps.map(_.map(_.toString).mkString("[", ", ", "]")).mkString("[", ", ", "]")
+
+  /** Argmax-cosine cell assignment — the aggregate (never a window)
+    * shape shared with `Extended.ivfAssignCells`: (cos6, cent_idx)
+    * packed into one long keeps the argmax a primitive max() in a
+    * 2-phase HashAggregate. Ties break toward the lower cent_idx.
+    */
+  private def assignIdx(emb: DataFrame, cents: DataFrame, k: Int): DataFrame = {
+    val m = lit(k.toLong)
+    val cos6i = round(round(cosineSim(col("__v"), col("cent")), 6) * 1e6, 0).cast("long")
+    emb.crossJoin(broadcast(cents))
+      .withColumn("packed", cos6i * m + (m - lit(1L) - col("cent_idx")))
+      .groupBy(col("__id"), col("__v"))
+      .agg(max(col("packed")).as("p"))
+      .withColumn("cent_idx", (m - lit(1L) - pmod(col("p"), m)).cast("int"))
+      .select(col("__id"), col("__v"), col("cent_idx"))
+  }
+
+  /** Deterministic distributed k-means (Lloyd's) for IVF centroid
+    * training. Two determinism guarantees float k-means cannot give:
+    *
+    *  - FIXED-POINT MEANS: components are scaled to integer
+    *    micro-units before averaging, so per-cell sums are exact
+    *    BIGINTs — associative and commutative, hence identical on any
+    *    partitioning, any task order, any cluster size (a double sum
+    *    is none of those);
+    *  - DETERMINISTIC INIT + TIES: seeds are the k lowest-id vectors;
+    *    assignment ties break toward the lower cell.
+    *
+    * Empty cells keep their previous centroid. Centroids collapse to
+    * the driver between rounds (k x dim floats — metadata-scale); the
+    * per-round work is one broadcast crossJoin + two hash aggregates
+    * over the corpus, all map-side combinable.
+    *
+    * Returns (cent_idx: int, cent: array<float>).
+    */
+  def kmeansCentroids(emb: DataFrame, idCol: String, vecCol: String,
+                      k: Int, iters: Int): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val vecs = emb.select(col(idCol).as("__id"), col(vecCol).as("__v"))
+    def toDf(cs: Seq[(Int, Seq[Float])]): DataFrame =
+      cs.toDF("cent_idx", "cent").select(
+        col("cent_idx"), col("cent").cast("array<float>"))
+    var cents: Seq[(Int, Seq[Float])] = vecs.orderBy(col("__id").asc).limit(k)
+      .select(col("__v")).as[Seq[Float]].collect()
+      .zipWithIndex.map { case (v, i) => (i, v) }.toSeq
+    (1 to iters).foreach { _ =>
+      val assigned = assignIdx(vecs, toDf(cents), k)
+      val means = assigned
+        .select(col("cent_idx"), posexplode(col("__v")).as(Seq("pos", "x")))
+        .withColumn("xm", round(col("x") * 1e6).cast("long")) // exact micro-units
+        .groupBy(col("cent_idx"), col("pos"))
+        .agg(sum(col("xm")).as("s"), count(lit(1)).as("c"))
+        .withColumn("m", (col("s").cast("double") / col("c") / 1e6).cast("float"))
+        .groupBy(col("cent_idx"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+        .select(col("cent_idx"), expr("transform(pm, e -> e.m)").as("cent"))
+        .as[(Int, Seq[Float])].collect().toMap
+      cents = cents.map { case (i, old) => (i, means.getOrElse(i, old)) }
+    }
+    toDf(cents)
+  }
 }

@@ -152,6 +152,35 @@ class ExtSpec extends SparkSpec {
   }
 
   // ------------------------------------------------------------ text
+  test("kmeansCentroids: bit-deterministic, assignment cost improves over init") {
+    import graft.ext.Similarity
+    import graft.functions.VectorFunctions.cosineSim
+    val emb = graft.core.Tables.embeddings(spark, sfDir).filter($"vec_id" < 400)
+    def train() = Similarity.kmeansCentroids(emb, "vec_id", "embedding", k = 8, iters = 3)
+      .orderBy($"cent_idx").as[(Int, Seq[Float])].collect().toSeq
+    val a = train()
+    // exact equality across reruns: integer-moment means are
+    // order-independent, so training is bit-reproducible
+    assert(a == train(), "k-means training must be bit-deterministic")
+    assert(a.size == 8 && a.map(_._1) == (0 until 8))
+
+    // mean best-cosine under trained centroids must beat the k-seed
+    // init (Lloyd's monotonicity, modulo the micro-unit quantization)
+    def cost(cents: Seq[(Int, Seq[Float])]): Double = {
+      val cdf = cents.toDF("cent_idx", "cent")
+        .select($"cent_idx", $"cent".cast("array<float>").as("cent"))
+      emb.crossJoin(broadcast(cdf))
+        .groupBy($"vec_id")
+        .agg(max(cosineSim($"embedding", $"cent")).as("best"))
+        .agg(avg($"best")).first().getDouble(0)
+    }
+    val init = emb.orderBy($"vec_id".asc).limit(8)
+      .select($"embedding").as[Seq[Float]].collect()
+      .zipWithIndex.map { case (v, i) => (i, v) }.toSeq
+    assert(cost(a) >= cost(init) - 1e-9,
+      s"trained cost ${cost(a)} worse than init ${cost(init)}")
+  }
+
   test("connectedComponents: chains, stars, and disjoint clusters converge to min labels") {
     import graft.ext.Dedup
     // component A: chain 1-2-3-4 (diameter 3); component B: star around

@@ -92,6 +92,33 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("MergeSink converges to the same state under ANY batch partitioning") {
+    import graft.sink.MergeSink
+    import org.apache.spark.sql.functions.col
+    // property: for a random event stream and random micro-batch cut
+    // points (with a redelivered overlap), the durable sink's final
+    // state equals the whole-history LWW — the associativity/
+    // commutativity/idempotence triple that makes at-least-once safe
+    (1 to 3).foreach { i =>
+      val evs = sample(60, 300L + i)
+      val expected = stateOf(evs)
+      val cutGen = Gen.listOfN(2, Gen.choose(1, evs.size - 1))
+      val cuts = cutGen.pureApply(Gen.Parameters.default, Seed(400L + i))
+        .distinct.sorted
+      val slices = (0 +: cuts :+ evs.size).sliding(2)
+        .map { case Seq(a, b) => evs.slice(a, b) }.filter(_.nonEmpty).toSeq
+      val redelivered = slices :+ slices.head // replay the first batch last
+      val dir = java.nio.file.Files.createTempDirectory("graft_prop_sink_").toString + "/t"
+      val sink = new MergeSink(spark, dir, Seq("user_id"),
+        Seq("ts_ms", "document_id"), nBuckets = 4)
+      redelivered.foreach(b => sink.merge(spark.createDataset(b).toDF()))
+      val got = sink.read()
+        .select(col("user_id"), col("document_id"), col("ts_ms"), col("operation"))
+        .as[(Long, Long, Long, String)].collect().toSet
+      assert(got == expected, s"seed $i: sink state diverged from batch LWW")
+    }
+  }
+
   test("stream LWW state equals batch LWW state for any event sequence") {
     (1 to 3).foreach { i =>
       val evs = sample(30, 200L + i)
