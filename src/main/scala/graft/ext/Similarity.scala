@@ -108,6 +108,8 @@ object Similarity {
     * packed into one long keeps the argmax a primitive max() in a
     * 2-phase HashAggregate. Ties break toward the lower cent_idx.
     */
+  def assignCells(emb: DataFrame, cents: DataFrame, k: Int): DataFrame = assignIdx(emb, cents, k)
+
   private def assignIdx(emb: DataFrame, cents: DataFrame, k: Int): DataFrame = {
     val m = lit(k.toLong)
     val cos6i = round(round(cosineSim(col("__v"), col("cent")), 6) * 1e6, 0).cast("long")

@@ -226,6 +226,102 @@ object Extended {
       |     (SELECT s_nationkey AS k, count(*) AS n_supp FROM supplier GROUP BY 1) s
       |ON c.k = s.k""".stripMargin
 
+  // ---------------------------------------------------------------- q75
+  /** IVF ANN with TRAINED centroids: the full production shape —
+    * k-means (Lloyd's, 2 rounds, fixed-point integer-moment means)
+    * trains 8 centroids on a 400-vector sample, the corpus is
+    * inverted-listed under the trained cells (aggregate argmax, no
+    * window), queries probe their best 2 cells. HASH-CHECKED end to
+    * end: the fixed-point means are exact BIGINT sums, so the oracle
+    * replays the entire training loop in SQL and lands on
+    * bit-identical centroids — a float k-means could never be
+    * oracle-gated this way.
+    */
+  def q75IvfTrained(s: SparkSession, d: String): DataFrame = {
+    import graft.ext.Similarity
+    val emb = Tables.embeddings(s, d)
+    val cents = Similarity.kmeansCentroids(
+      emb.filter(col("vec_id") < 400), "vec_id", "embedding", k = 8, iters = 2)
+    val cells = Similarity.assignCells(
+        emb.select(col("vec_id").as("__id"), col("embedding").as("__v")), cents, 8)
+      .select(col("__id").as("cid"), col("__v").as("ce"), col("cent_idx"))
+    val wProbe = Window.partitionBy(col("qid"))
+      .orderBy(col("cent_cos").desc, col("cent_idx").asc)
+    val probes = emb.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      .crossJoin(broadcast(cents))
+      .withColumn("cent_cos", round(VectorFunctions.cosineSim(col("qe"), col("cent")), 6))
+      .withColumn("crank", row_number().over(wProbe))
+      .filter(col("crank") <= 2)
+      .select(col("qid"), col("qe"), col("cent_idx"))
+    val wRank = Window.partitionBy(col("qid"))
+      .orderBy(col("cos6").desc, col("cid").asc)
+    cells.join(probes, "cent_idx")
+      .filter(col("cid") =!= col("qid"))
+      .withColumn("cos6", round(VectorFunctions.cosineSim(col("qe"), col("ce")), 6))
+      .withColumn("rank", row_number().over(wRank).cast("long"))
+      .filter(col("rank") <= 5)
+      .select(col("qid"), col("rank"), col("cid"), col("cos6"))
+  }
+
+  /** The whole pipeline — training included — replayed in DuckDB SQL.
+    * Generated: one assign+means+rebuild CTE triple per Lloyd round.
+    * The packed-argmax decode uses ((x % k) + k) % k because DuckDB's
+    * % keeps the dividend's sign while Spark's pmod is non-negative.
+    */
+  val q75Sql: String = {
+    val k = 8
+    def cos(a: String, b: String) = VectorFunctions.cosineSqlDuck(a, b)
+    def packedAssign(from: String, cents: String, out: String): String =
+      s"""$out AS (
+         |  SELECT t.vec_id, t.embedding,
+         |    CAST($k - 1 - ((max(CAST(round(round(${cos("t.embedding", "c.cent")}, 6) * 1e6) AS BIGINT) * $k
+         |      + ($k - 1 - c.cent_idx))) % $k + $k) % $k AS INT) AS cent_idx
+         |  FROM $from t CROSS JOIN $cents c
+         |  GROUP BY t.vec_id, t.embedding)""".stripMargin
+    def lloydRound(i: Int): String = {
+      val prev = s"c${i - 1}"
+      s"""${packedAssign("train", prev, s"a$i")},
+         |  m$i AS (
+         |    SELECT cent_idx, pos,
+         |      CAST(sum(xm) AS DOUBLE) / count(*) / 1e6 AS mval
+         |    FROM (SELECT cent_idx, i AS pos,
+         |            CAST(round(embedding[CAST(i AS INT)] * 1e6) AS BIGINT) AS xm
+         |          FROM (SELECT cent_idx, embedding,
+         |                  unnest(range(1, len(embedding) + 1)) AS i FROM a$i))
+         |    GROUP BY cent_idx, pos),
+         |  c$i AS (
+         |    SELECT p.cent_idx, coalesce(n.cent, p.cent) AS cent
+         |    FROM $prev p LEFT JOIN
+         |      (SELECT cent_idx, list(CAST(mval AS FLOAT) ORDER BY pos) AS cent
+         |       FROM m$i GROUP BY cent_idx) n
+         |    ON p.cent_idx = n.cent_idx)""".stripMargin
+    }
+    s"""WITH train AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 400),
+       |  c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cent_idx,
+       |           embedding AS cent
+       |         FROM (SELECT * FROM train ORDER BY vec_id LIMIT $k)),
+       |  ${lloydRound(1)},
+       |  ${lloydRound(2)},
+       |  ${packedAssign("embeddings", "c2", "cells")},
+       |  probes AS (
+       |    SELECT qid, qe, cent_idx FROM (
+       |      SELECT q.vec_id AS qid, q.embedding AS qe, c.cent_idx,
+       |        row_number() OVER (PARTITION BY q.vec_id
+       |          ORDER BY round(${cos("q.embedding", "c.cent")}, 6) DESC, c.cent_idx ASC) AS crank
+       |      FROM embeddings q CROSS JOIN c2 c WHERE q.vec_id < 20)
+       |    WHERE crank <= 2)
+       |SELECT qid, rank, cid, cos6 FROM (
+       |  SELECT p.qid,
+       |    row_number() OVER (PARTITION BY p.qid ORDER BY
+       |      round(${cos("p.qe", "s.embedding")}, 6) DESC, s.vec_id ASC) AS rank,
+       |    s.vec_id AS cid,
+       |    round(${cos("p.qe", "s.embedding")}, 6) AS cos6
+       |  FROM cells s JOIN probes p ON s.cent_idx = p.cent_idx
+       |  WHERE s.vec_id <> p.qid)
+       |WHERE rank <= 5""".stripMargin
+  }
+
   // ---------------------------------------------------------------- q39
   /** Approximate distinct (HLL++): per event type. The sketch estimate
     * itself is engine-specific, so the HASH-CHECKED output is the
@@ -256,5 +352,6 @@ object Extended {
     "q37_ivf_ann" -> (q37IvfAnn _, q37Sql),
     "q38_full_outer" -> (q38FullOuter _, q38Sql),
     "q39_approx_distinct" -> (q39ApproxDistinct _, q39Sql),
+    "q75_ivf_trained" -> (q75IvfTrained _, q75Sql),
   )
 }
