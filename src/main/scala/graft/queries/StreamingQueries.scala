@@ -45,15 +45,19 @@ object StreamingQueries {
     StructField("ts_us", LongType),
     StructField("data", dataSchema)))
 
+  /** Envelope JSON-lines in 4 files -> 4 forced micro-batches. */
+  private def writeEnvelopeJson(s: SparkSession, d: String, inDir: String): Unit =
+    CdcQueries.envelope(s, d)
+      .withColumn("ts_us", unix_micros(col("ts"))).drop("ts")
+      .repartition(4)
+      .write.json(inDir)
+
   def q66StreamingCdc(s: SparkSession, d: String): DataFrame = {
     val base = Files.createTempDirectory("graft_q66_").toString
     val inDir = s"$base/in"; val ckpt = s"$base/ckpt"; val stateDir = s"$base/state"
 
     // 1. wire format: envelope JSON-lines in 4 files -> 4 micro-batches
-    CdcQueries.envelope(s, d)
-      .withColumn("ts_us", unix_micros(col("ts"))).drop("ts")
-      .repartition(4)
-      .write.json(inDir)
+    writeEnvelopeJson(s, d, inDir)
 
     // 2. the real streaming pipeline (same transforms as q16/q17)
     val stream = s.readStream.schema(wireSchema)
@@ -100,7 +104,51 @@ object StreamingQueries {
       |      FROM events))
       |WHERE rn = 1""".stripMargin
 
+  // ---------------------------------------------------------------- q76
+  /** Incremental aggregate maintenance as a real StreamingQuery: the
+    * per-etype analytics table is FOLDED forward one micro-batch at a
+    * time through `AggSink` (monoid partials into a hash-bucketed
+    * table, touched partitions only) — never recomputed from history.
+    * Exactness discipline: the summed measure rides as integer cents
+    * (BIGINT — associative), so any batch slicing lands on the oracle's
+    * one-pass aggregate bit-for-bit; the avg is derived from exact
+    * sums at read time.
+    */
+  def q76StreamingAgg(s: SparkSession, d: String): DataFrame = {
+    import graft.sink.AggSink
+    val base = Files.createTempDirectory("graft_q76_").toString
+    val inDir = s"$base/in"; val ckpt = s"$base/ckpt"; val stateDir = s"$base/state"
+    writeEnvelopeJson(s, d, inDir)
+
+    val stream = s.readStream.schema(wireSchema)
+      .option("maxFilesPerTrigger", "1").json(inDir)
+    val upserts = Cdc.routeUpserts(Cdc.flattenEnvelope(stream))
+      .select(col("etype"),
+              round(col("watched") * 100).cast("long").as("w_cents"))
+    val sink = new AggSink(s, stateDir, keys = Seq("etype"),
+      sumCols = Seq("w_cents"), nBuckets = 8)
+    val q = upserts.writeStream
+      .foreachBatch(sink.forEachBatch)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+
+    sink.read().select(
+      col("etype"), col("n_rows"), col("w_cents"),
+      (col("w_cents").cast("double") / 100.0 / col("n_rows")).as("avg_watched"))
+  }
+
+  val q76Sql: String =
+    """SELECT etype, CAST(count(*) AS BIGINT) AS n_rows,
+      |  CAST(sum(CAST(round(watched * 100) AS BIGINT)) AS BIGINT) AS w_cents,
+      |  CAST(sum(CAST(round(watched * 100) AS BIGINT)) AS DOUBLE) / 100.0 / count(*) AS avg_watched
+      |FROM (SELECT event_type AS etype, value AS watched
+      |      FROM events WHERE event_type <> 'error')
+      |GROUP BY etype""".stripMargin
+
   val entries: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "q66_streaming_cdc" -> (q66StreamingCdc _, q66Sql),
+    "q76_streaming_agg" -> (q76StreamingAgg _, q76Sql),
   )
 }

@@ -152,6 +152,34 @@ class PipelineSpec extends SparkSpec {
       s"bucket filter did not reach PartitionFilters:\n${p.take(1200)}")
   }
 
+  test("AggSink folds batch partials to the whole-history aggregate; batch-id fence blocks replay") {
+    import graft.sink.AggSink
+    val dir = freshDir() + "/agg"
+    val rows = Warehouse.toWarehouseRows(env)
+      .filter(!$"is_deleted") // tombstones carry NULL measures
+      .select($"device_type", $"watched_seconds".cast("long").as("w"))
+      .cache()
+    val sink = new AggSink(spark, dir, Seq("device_type"), Seq("w"), nBuckets = 4)
+    val b = (0 until 3).map(i => rows.filter(pmod($"w", lit(3)) === i))
+    b.foreach(sink.merge)
+    val expected = rows.groupBy($"device_type")
+      .agg(sum($"w").as("w"), count(lit(1)).as("n_rows"))
+      .as[(String, Long, Long)].collect().toSet
+    def state() = sink.read().select($"device_type", $"w", $"n_rows")
+      .as[(String, Long, Long)].collect().toSet
+    assert(state() == expected && expected.nonEmpty)
+
+    // addition is not idempotent; the batch-id fence must make the
+    // foreachBatch adapter effectively-once under replayed batch ids
+    val feb = sink.forEachBatch
+    feb(b(0).toDF(), 10L)
+    val afterTen = state()
+    assert(afterTen != expected, "batch 10 should have changed the aggregate")
+    feb(b(0).toDF(), 10L) // replayed id: must be skipped
+    assert(state() == afterTen, "replayed batch id was double-counted")
+    assert(sink.lastBatchId == 10L)
+  }
+
   test("MergeSink compaction rewrites only oversized buckets, content intact") {
     import graft.sink.MergeSink
     val dir = freshDir() + "/state"
