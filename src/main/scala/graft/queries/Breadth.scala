@@ -712,6 +712,36 @@ object Breadth {
       |SELECT event_type, mode_value, mode_freq, n, p50_disc
       |FROM md JOIN disc USING (event_type)""".stripMargin
 
+  // ---------------------------------------------------------------- q77
+  /** Heavy hitters: `df.stat.freqItems` (the Karp-Papadimitriou-
+    * Shenker one-pass streaming summary — mergeable, sketch-sized
+    * state, the 100 TB path for "what dominates this column").
+    * The sketch's raw item list is engine-specific (it may include
+    * false positives by design), so the HASH-CHECKED output is the
+    * exact heavy-hitter table plus the sketch's guarantee as a
+    * witness: every TRUE heavy hitter (freq > support) MUST appear in
+    * the sketch's candidate set. The oracle emits TRUE.
+    */
+  def q77FreqItems(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val support = 0.1
+    val sketch = ev.stat.freqItems(Seq("event_type"), support)
+      .select(col("event_type_freqItems").as("cand"))
+    val total = ev.agg(count(lit(1)).as("tot"))
+    ev.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .crossJoin(broadcast(total))
+      .filter(col("n") > col("tot") * support)
+      .crossJoin(broadcast(sketch))
+      .select(col("event_type"), col("n"),
+              array_contains(col("cand"), col("event_type")).as("in_sketch"))
+  }
+
+  val q77Sql: String =
+    """SELECT event_type, CAST(count(*) AS BIGINT) AS n, TRUE AS in_sketch
+      |FROM events GROUP BY event_type
+      |HAVING count(*) > (SELECT count(*) FROM events) * 0.1""".stripMargin
+
   val entries: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "q43_percentiles" -> (q43Percentiles _, q43Sql),
     "q44_datetime" -> (q44Datetime _, q44Sql),
@@ -729,6 +759,7 @@ object Breadth {
     "q69_regexp_split" -> (q69RegexpSplit _, q69Sql),
     "q70_width_bucket" -> (q70WidthBucket _, q70Sql),
     "q73_stats_moments" -> (q73StatsMoments _, q73Sql),
+    "q77_freq_items" -> (q77FreqItems _, q77Sql),
     "q74_mode_disc" -> (q74ModeDisc _, q74Sql),
     "q57_map_funcs" -> (q57MapFuncs _, q57Sql),
     "q58_try_safety" -> (q58TrySafety _, q58Sql),
