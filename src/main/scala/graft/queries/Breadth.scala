@@ -742,6 +742,42 @@ object Breadth {
       |FROM events GROUP BY event_type
       |HAVING count(*) > (SELECT count(*) FROM events) * 0.1""".stripMargin
 
+  // ---------------------------------------------------------------- q78
+  /** Built-in `session_window` BATCH aggregation, proven against the
+    * classic gaps-and-islands SQL formulation — the two must agree
+    * exactly, including the boundary rule: Spark sessions span
+    * [start, last + gap) with an EXCLUSIVE end, so an event arriving
+    * exactly `gap` after the previous one starts a NEW session
+    * (island break is `diff >= gap`, not `>`).
+    */
+  def q78SessionWindow(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+              unix_millis(col("session_window.start")).as("start_ms"),
+              unix_millis(col("session_window.end")).as("end_ms"),
+              col("n_events"))
+
+  val q78Sql: String =
+    """WITH marked AS (
+      |  SELECT user_id, ts,
+      |    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+      |              >= INTERVAL 30 MINUTE
+      |         OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+      |      THEN 1 ELSE 0 END AS brk
+      |  FROM events),
+      |  islands AS (
+      |    SELECT user_id, ts,
+      |      sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+      |        ROWS UNBOUNDED PRECEDING) AS sid
+      |    FROM marked)
+      |SELECT user_id,
+      |  epoch_ms(min(ts)) AS start_ms,
+      |  epoch_ms(max(ts)) + 30 * 60 * 1000 AS end_ms,
+      |  CAST(count(*) AS BIGINT) AS n_events
+      |FROM islands GROUP BY user_id, sid""".stripMargin
+
   val entries: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "q43_percentiles" -> (q43Percentiles _, q43Sql),
     "q44_datetime" -> (q44Datetime _, q44Sql),
@@ -760,6 +796,7 @@ object Breadth {
     "q70_width_bucket" -> (q70WidthBucket _, q70Sql),
     "q73_stats_moments" -> (q73StatsMoments _, q73Sql),
     "q77_freq_items" -> (q77FreqItems _, q77Sql),
+    "q78_session_window" -> (q78SessionWindow _, q78Sql),
     "q74_mode_disc" -> (q74ModeDisc _, q74Sql),
     "q57_map_funcs" -> (q57MapFuncs _, q57Sql),
     "q58_try_safety" -> (q58TrySafety _, q58Sql),

@@ -84,6 +84,9 @@ final class MergeSink(
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     merged
       .withColumn(BucketCol, bucketOf)
+      // key-sorted within each write task: parquet row-group min/max
+      // stats then let point lookups and merge reads skip row groups
+      .sortWithinPartitions(keys.map(col): _*)
       .write
       .mode("overwrite")
       .partitionBy(BucketCol)
