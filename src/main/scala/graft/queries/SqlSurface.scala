@@ -120,7 +120,41 @@ object SqlSurface {
     s.sql(q56Text)
   }
 
+  // ---------------------------------------------------------------- q79
+  /** Recursive CTE (new SQL surface in Spark 4): ancestor walk up the
+    * implicit binary tree parent(u) = u div 2 over the distinct event
+    * users — per user, the depth to root and ancestor count. Both
+    * engines run the same UNION ALL recursion; only the integer-div
+    * operator differs (Spark `div`, DuckDB `//`).
+    */
+  def q79RecursiveCte(s: SparkSession, d: String): DataFrame = {
+    graft.core.Tables.events(s, d).select(col("user_id")).distinct()
+      .createOrReplaceTempView("rc_users")
+    s.sql(
+      """WITH RECURSIVE anc AS (
+        |  SELECT user_id, user_id AS anc_id, CAST(0 AS BIGINT) AS depth
+        |  FROM rc_users
+        |  UNION ALL
+        |  SELECT user_id, anc_id div 2 AS anc_id, depth + 1 AS depth
+        |  FROM anc WHERE anc_id > 0)
+        |SELECT user_id, max(depth) AS depth_to_root,
+        |  CAST(count(*) AS BIGINT) AS n_nodes
+        |FROM anc GROUP BY user_id""".stripMargin)
+  }
+
+  val q79Sql: String =
+    """WITH RECURSIVE u AS (SELECT DISTINCT user_id FROM events),
+      |  anc AS (
+      |    SELECT user_id, user_id AS anc_id, CAST(0 AS BIGINT) AS depth FROM u
+      |    UNION ALL
+      |    SELECT user_id, anc_id // 2 AS anc_id, depth + 1 AS depth
+      |    FROM anc WHERE anc_id > 0)
+      |SELECT user_id, max(depth) AS depth_to_root,
+      |  CAST(count(*) AS BIGINT) AS n_nodes
+      |FROM anc GROUP BY user_id""".stripMargin
+
   val entries: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "q79_recursive_cte" -> (q79RecursiveCte _, q79Sql),
     "q40_subqueries" -> (q40Subqueries _, q40Sql),
     "q41_explode" -> (q41Explode _, q41Sql),
     "q42_pivot" -> (q42Pivot _, q42Sql),
