@@ -153,8 +153,30 @@ object SqlSurface {
       |  CAST(count(*) AS BIGINT) AS n_nodes
       |FROM anc GROUP BY user_id""".stripMargin
 
+  // ---------------------------------------------------------------- q80
+  /** VARIANT (Spark 4's semi-structured type): parse once, then typed
+    * `variant_get` extraction — the engine keeps a binary-encoded
+    * value instead of re-parsing JSON text per access, the
+    * semi-structured answer at scale. `try_variant_get` on a missing
+    * path degrades to NULL (matched by the oracle's literal).
+    */
+  def q80Variant(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d).select(
+      col("event_id"),
+      expr("variant_get(parse_json(props), '$.k', 'int')").as("k_int"),
+      expr("try_variant_get(parse_json(props), '$.missing', 'int')").as("missing_int"),
+      expr("variant_get(parse_json(props), '$.k', 'double')").as("k_dbl"))
+
+  val q80Sql: String =
+    """SELECT event_id,
+      |  CAST(json_extract_string(props, '$.k') AS INT) AS k_int,
+      |  CAST(NULL AS INT) AS missing_int,
+      |  CAST(json_extract_string(props, '$.k') AS DOUBLE) AS k_dbl
+      |FROM events""".stripMargin
+
   val entries: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "q79_recursive_cte" -> (q79RecursiveCte _, q79Sql),
+    "q80_variant" -> (q80Variant _, q80Sql),
     "q40_subqueries" -> (q40Subqueries _, q40Sql),
     "q41_explode" -> (q41Explode _, q41Sql),
     "q42_pivot" -> (q42Pivot _, q42Sql),
