@@ -167,16 +167,23 @@ object Dedup {
     var labels = sym.select(col("src").as("id")).distinct()
       .withColumn("cluster_id", col("id"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var changed = 1L
+    // convergence witness: every label is non-increasing per round, so
+    // the label SUM strictly decreases iff anything changed — one
+    // aggregate on the new frame instead of a join+count per round
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("cluster_id").cast("decimal(38,0)"))).first().getDecimal(0)
+    var prevSum = labelSum(labels)
+    var converged = false
     var iter = 0
-    while (changed > 0 && iter < maxIter) {
+    while (!converged && iter < maxIter) {
       val viaNeighbor = sym.join(labels, sym("dst") === labels("id"))
         .select(col("src").as("id"), col("cluster_id"))
       val next = labels.unionByName(viaNeighbor)
         .groupBy(col("id")).agg(min(col("cluster_id")).as("cluster_id"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      changed = next.join(labels.withColumnRenamed("cluster_id", "old"), "id")
-        .filter(col("cluster_id") =!= col("old")).count()
+      val s = labelSum(next)
+      converged = s.compareTo(prevSum) == 0
+      prevSum = s
       labels.unpersist()
       labels = next
       iter += 1
