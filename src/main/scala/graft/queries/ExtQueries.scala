@@ -208,6 +208,74 @@ object ExtQueries {
       |      FROM scored)
       |WHERE rank <= 3""".stripMargin
 
+  // ---------------------------------------------------------------- q81
+  /** BM25 relevance scoring for a fixed query term set — TF-IDF's
+    * (q72) production successor: the k1 saturation curve caps repeat
+    * terms and the b length-normalization discounts long documents.
+    * Same scale shape as q72 (tf/df pre-aggregate, vocabulary-sized
+    * broadcast). The idf factor is the RATIONAL BM25 core
+    * (N - df + 0.5)/(df + 0.5) without the outer ln: ln is not
+    * correctly-rounded cross-engine, the rational form is pure
+    * IEEE division (and a strictly monotone transform of classic
+    * BM25 idf, so per-term orderings agree).
+    */
+  def q81Bm25(s: SparkSession, d: String): DataFrame = {
+    val (k1, b) = (1.2, 0.75)
+    val queryTerms = Seq("data", "hash", "join")
+    val toks = docs(s, d).select(col("doc_id"),
+      explode(TextAnalysis.tokens(col("text"))).as("term"))
+    val tf = toks.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      .filter(col("term").isin(queryTerms: _*))
+    val dlen = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dlen"))
+    val stats = docs(s, d).agg(count(lit(1)).as("n_corpus"))
+      .crossJoin(dlen.agg(sum(col("dlen")).as("len_sum")))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val scored = tf.join(dlen, "doc_id")
+      .join(broadcast(dfreq), "term").crossJoin(broadcast(stats))
+      .withColumn("idf_r",
+        (col("n_corpus") - col("df") + 0.5) / (col("df") + 0.5))
+      .withColumn("sat",
+        col("tf") * (k1 + 1) /
+          (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dlen")
+            / (col("len_sum").cast("double") / col("n_corpus")))))
+      .withColumn("bm25", col("idf_r") * col("sat"))
+    // fixed-order sum: a floating `sum()` over the per-term scores
+    // would depend on partition order; pivoting to one column per
+    // query term and adding left-to-right is order-independent
+    scored.groupBy(col("doc_id"))
+      .agg(max(when(col("term") === "data", col("bm25"))).as("s0"),
+           max(when(col("term") === "hash", col("bm25"))).as("s1"),
+           max(when(col("term") === "join", col("bm25"))).as("s2"),
+           count(lit(1)).as("n_terms"))
+      .filter(col("n_terms") === queryTerms.size) // docs matching ALL terms
+      .select(col("doc_id"),
+              (col("s0") + col("s1") + col("s2")).as("score"), col("n_terms"))
+  }
+
+  val q81Sql: String =
+    """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+      |  tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM toks
+      |         WHERE term IN ('data', 'hash', 'join') GROUP BY 1, 2),
+      |  dlen AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dlen FROM toks GROUP BY 1),
+      |  stats AS (SELECT (SELECT count(*) FROM documents) AS n_corpus,
+      |                   (SELECT sum(dlen) FROM dlen) AS len_sum),
+      |  dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+      |  scored AS (SELECT tf.doc_id, tf.term,
+      |      ((stats.n_corpus - dfreq.df + 0.5) / (dfreq.df + 0.5))
+      |        * (tf.tf * (1.2 + 1) /
+      |           (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dlen.dlen
+      |             / (CAST(stats.len_sum AS DOUBLE) / stats.n_corpus)))) AS bm25
+      |    FROM tf JOIN dlen ON tf.doc_id = dlen.doc_id
+      |            JOIN dfreq ON tf.term = dfreq.term
+      |            CROSS JOIN stats)
+      |SELECT doc_id,
+      |  (max(CASE WHEN term = 'data' THEN bm25 END)
+      |    + max(CASE WHEN term = 'hash' THEN bm25 END)
+      |    + max(CASE WHEN term = 'join' THEN bm25 END)) AS score,
+      |  CAST(count(*) AS BIGINT) AS n_terms
+      |FROM scored GROUP BY doc_id
+      |HAVING count(*) = 3""".stripMargin
+
   // ---------------------------------------------------------------- q27
   /** Brute-force n-gram Jaccard on a bounded id range (exact baseline
     * for q26's recall; not the scale path).
@@ -439,6 +507,7 @@ object ExtQueries {
     "q26_lsh_neardup" -> (q26LshNearDup _, q26Sql),
     "q71_dedup_clusters" -> (q71DedupClusters _, q71Sql),
     "q72_tfidf" -> (q72Tfidf _, q72Sql),
+    "q81_bm25" -> (q81Bm25 _, q81Sql),
     "q27_ngram_jaccard" -> (q27NgramJaccard _, q27Sql),
     "q28_simhash_sig" -> (q28SimhashSig _, q28Sql),
     "q29_simhash_pairs" -> (q29SimhashPairs _, q29Sql),

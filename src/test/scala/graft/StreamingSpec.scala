@@ -291,6 +291,30 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dropDuplicatesWithinWatermark collapses redeliveries inside the horizon") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.timestamp_millis
+    val mem = MemoryStream[ChangeEvent]
+    val withTs = mem.toDF().withColumn("ts", timestamp_millis($"ts_ms"))
+    val q = CdcStream.dedupRedeliveries(withTs, "ts", "10 minutes")
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // three redeliveries of doc 10 inside the watermark horizon, one
+      // distinct doc 20; doc 10 must emit exactly once
+      mem.addData(
+        ChangeEvent("insert", 10L, 1L, 100000L, 1.0, 10),
+        ChangeEvent("insert", 10L, 1L, 100000L, 1.0, 10),
+        ChangeEvent("insert", 20L, 2L, 101000L, 1.0, 10))
+      q.processAllAvailable()
+      mem.addData(ChangeEvent("insert", 10L, 1L, 102000L, 1.0, 10)) // redelivered later
+      q.processAllAvailable()
+      val docs = spark.table("dedup_out").select($"document_id")
+        .as[Long].collect().toSeq.sorted
+      assert(docs == Seq(10L, 20L), s"got $docs")
+    } finally q.stop()
+  }
+
   test("windowed rates with watermark aggregate by operation") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[ChangeEvent]
