@@ -41,15 +41,21 @@ object Bench {
     val warmDir = "/root/testdata/sf0.001"
     selected.foreach { case (_, fn) =>
       try exec(fn(spark, warmDir)) catch { case _: Throwable => () }
+      spark.catalog.clearCache()
     }
 
     // A failed query must be VISIBLE: its time is the -1 sentinel (never
     // a bogus time-to-crash) and its message lands in the errors map.
+    // Cache is cleared AFTER every run: queries that persist
+    // intermediates (minhash shingles, CC frontiers, simhash sigs)
+    // must not bleed cached blocks into each other's measurements —
+    // each timed number is a cold-cache plan execution.
     val results = selected.map { case (name, fn) =>
       val runs = (1 to repeats).map { _ =>
         val t0 = System.nanoTime()
         try { exec(fn(spark, sfDir)); Right((System.nanoTime() - t0) / 1e9) }
         catch { case t: Throwable => Left(t.toString) }
+        finally spark.catalog.clearCache()
       }
       val times = runs.collect { case Right(s) => s }
       val errs = runs.collect { case Left(e) => e }

@@ -125,6 +125,12 @@ object Dedup {
 
   /** Full MinHash-LSH near-dup pipeline: signatures -> bands ->
     * candidates -> exact-Jaccard verify >= threshold.
+    *
+    * Cache contract: the returned plan reads a persisted shingle frame
+    * (shared by the signature pass and both verify sides); the CALLER
+    * owns releasing it — `spark.catalog.clearCache()` once the result
+    * is consumed, as Bench/Verify do per query. At 100 TB the shingle
+    * frame is a materialized signatures TABLE, not an in-session cache.
     */
   def minhashNearDups(docs: DataFrame, k: Int, bands: Int, threshold: Double): DataFrame = {
     require(k % bands == 0, s"k=$k not divisible by bands=$bands")
@@ -135,6 +141,10 @@ object Dedup {
     val shingled = docs
       .select(col("doc_id"), shingles(tokens(col("text")), 3).as("__shs"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // eager fill: downstream branches (signatures + two verify sides)
+    // would otherwise race to compute the same cached partitions
+    // ("Block already exists" double-compute)
+    shingled.count()
     val sigs = withMinhashFrom(shingled, k)
     val cands = lshCandidates(lshBands(sigs, bands, k / bands))
     withJaccardFrom(cands, shingled).filter(col("jaccard") >= threshold)
@@ -144,29 +154,44 @@ object Dedup {
     * DEDUP CLUSTERS (the step a 100 TB pipeline actually acts on —
     * keep one canonical doc per component, drop the rest).
     *
-    * Iterative min-label propagation: every node starts labelled with
-    * its own id; each round pulls the minimum label across neighbors
-    * (one equi-join + one min-aggregate per round, both map-side
-    * combinable). Converges in O(component diameter) rounds — near-dup
-    * clusters are shallow (dozens of docs, diameter a few hops), so
-    * 3-4 rounds typically settle it; `maxIter` bounds adversarial
-    * chains (the alternating large-star/small-star variant reduces
-    * pathological diameters logarithmically and slots in here if a
-    * workload ever needs it). Per-round cost is O(|E| + |V|) shuffle
-    * of (long, long) rows — no component materializes as a single
-    * partition anywhere.
+    * Two-tier strategy:
+    *
+    *  1. Iterative min-label propagation (one equi-join + one
+    *     min-aggregate per round, both map-side combinable) — O(|E|+|V|)
+    *     shuffle per round, O(component diameter) rounds. Near-dup
+    *     clusters are shallow (diameter a few hops), so 3-4 rounds
+    *     typically settle it.
+    *  2. If min-label has NOT converged after `maxIter` rounds (an
+    *     adversarial long-chain graph), ESCALATE to the alternating
+    *     large-star/small-star algorithm ([[starComponents]]) —
+    *     O(log diameter) rounds — instead of silently returning
+    *     partially-propagated labels. That variant throws if its own
+    *     (log-scale) bound is hit, so this method either returns fully
+    *     converged labels or fails loudly; truncated output is never
+    *     returned.
     *
     * Returns (id, cluster_id = min reachable id). Nodes not in any
     * edge are absent (singletons need no dedup action).
+    *
+    * Cache contract: the returned frame is an eager localCheckpoint
+    * (already materialized by the convergence check); its blocks are
+    * released by the ContextCleaner once the frame is unreferenced —
+    * no session-level cache entries are left behind.
     */
   def connectedComponents(edges: DataFrame, idA: String = "id_a",
                           idB: String = "id_b", maxIter: Int = 20): DataFrame = {
     val sym = edges.select(col(idA).as("src"), col(idB).as("dst"))
       .unionByName(edges.select(col(idB).as("src"), col(idA).as("dst")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Per-round lineage truncation: labels_{n+1} references labels_n
+    // TWICE (union + join), so the Catalyst tree doubles per round —
+    // an eager localCheckpoint keeps the plan O(1) per round AND
+    // materializes the frame the convergence check needs anyway.
+    // Checkpoint blocks of finished rounds are released by the
+    // ContextCleaner once unreferenced.
     var labels = sym.select(col("src").as("id")).distinct()
       .withColumn("cluster_id", col("id"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     // convergence witness: every label is non-increasing per round, so
     // the label SUM strictly decreases iff anything changed — one
     // aggregate on the new frame instead of a join+count per round
@@ -180,16 +205,98 @@ object Dedup {
         .select(col("src").as("id"), col("cluster_id"))
       val next = labels.unionByName(viaNeighbor)
         .groupBy(col("id")).agg(min(col("cluster_id")).as("cluster_id"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(true)
       val s = labelSum(next)
       converged = s.compareTo(prevSum) == 0
       prevSum = s
-      labels.unpersist()
       labels = next
       iter += 1
     }
-    sym.unpersist()
-    labels
+    if (!converged) {
+      // Diameter exceeded the linear-round budget: hand the edge set to
+      // the log-round variant rather than returning truncated labels.
+      val out = starComponents(sym)
+      sym.unpersist()
+      out
+    } else {
+      sym.unpersist()
+      labels
+    }
+  }
+
+  /** Alternating large-star/small-star connected components — the
+    * log-diameter escalation for adversarially deep graphs (algorithm
+    * from the public "Connected Components in MapReduce and Beyond"
+    * literature). Each round is two rewrites of the edge multiset, both
+    * expressed as groupBy-min + equi-join (map-side combinable, no
+    * neighbor lists are ever collected, so a hub node never
+    * materializes its adjacency in one place):
+    *
+    *  - large-star: every node attaches its strictly-larger neighbors
+    *    to the minimum of its neighborhood (incl. itself);
+    *  - small-star: every node attaches its smaller-or-equal neighbors
+    *    (and itself) to that minimum.
+    *
+    * The edge set monotonically contracts toward a star per component
+    * (every node pointing at the component min); rounds needed are
+    * O(log diameter), so `maxRounds = 30` covers any graph that could
+    * physically exist (diameter 2^30). If the fixed point is not
+    * reached, this THROWS — partial labels are never returned.
+    *
+    * Returns (id, cluster_id), same contract as
+    * [[connectedComponents]]. Per-round frames are eagerly
+    * localCheckpoint'ed: the Catalyst tree would otherwise grow
+    * exponentially across rounds (each round references the previous
+    * edge set three times); finished rounds' blocks are released by the
+    * ContextCleaner once unreferenced.
+    */
+  def starComponents(symEdges: DataFrame, maxRounds: Int = 30): DataFrame = {
+    // canonical down-pointing parent edges (src > dst), self-loops out
+    var e = symEdges.select(
+        greatest(col("src"), col("dst")).as("src"),
+        least(col("src"), col("dst")).as("dst"))
+      .filter(col("src") =!= col("dst")).distinct().localCheckpoint(true)
+    var n = e.count()
+    var converged = false
+    var round = 0
+    while (!converged && round < maxRounds) {
+      // large-star over the symmetric view: m(u) = min(N(u) ∪ {u});
+      // emit (v, m(u)) for every neighbor v > u — always down-pointing
+      // because m(u) <= u < v.
+      val sym = e.unionByName(e.select(col("dst").as("src"), col("src").as("dst")))
+      val minsL = sym.groupBy(col("src"))
+        .agg(least(min(col("dst")), col("src")).as("m"))
+      val large = sym.join(minsL, "src").filter(col("dst") > col("src"))
+        .select(col("dst").as("src"), col("m").as("dst"))
+        .distinct().localCheckpoint(true)
+      // small-star over the down-pointing large-star output:
+      // m(u) = min(Γ⁻(u)); emit (u, m(u)) and (v, m(u)) for the other
+      // small neighbors v ≠ m.
+      val minsS = large.groupBy(col("src")).agg(min(col("dst")).as("m"))
+      val joined = large.join(minsS, "src")
+      val next = joined.select(col("src"), col("m").as("dst"))
+        .unionByName(joined.filter(col("dst") =!= col("m"))
+          .select(col("dst").as("src"), col("m").as("dst")))
+        .filter(col("src") =!= col("dst"))
+        .distinct().localCheckpoint(true)
+      // exact fixed-point check: next ⊆ e with equal distinct counts ⇒
+      // set equality; a fixed point of large∘small is a star forest.
+      val nNext = next.count()
+      converged = nNext == n && next.except(e).isEmpty
+      e = next
+      n = nNext
+      round += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"starComponents did not reach a fixed point in $maxRounds rounds — refusing to return partial labels")
+    // fixed point is a star forest: edges are (node, root); roots
+    // appear only on the dst side and label themselves
+    val roots = e.select(col("dst").as("id")).distinct()
+      .join(e.select(col("src").as("id")), Seq("id"), "left_anti")
+      .withColumn("cluster_id", col("id"))
+    e.select(col("src").as("id"), col("dst").as("cluster_id"))
+      .unionByName(roots)
   }
 
   /** Brute-force Jaccard pairs over a bounded id range (oracle /
@@ -217,6 +324,11 @@ object Dedup {
     * (block_idx, block_value) finds all of them without a cross join.
     * 12-bit blocks keep random collisions at ~2.4e-4 per block, so the
     * candidate set stays near-linear in true near-dups at scale.
+    *
+    * Cache contract: the returned plan reads a persisted signature
+    * frame (the self-join's two sides); the CALLER owns releasing it
+    * (`spark.catalog.clearCache()` after consuming), as Bench/Verify
+    * do per query.
     */
   def simhashNearPairs(sigsIn: DataFrame, maxHamming: Int): DataFrame = {
     require(maxHamming < 4, "4-block pigeonhole covers hamming <= 3")
@@ -225,6 +337,7 @@ object Dedup {
     // table). ContextCleaner unpersists when the plan is GC'd.
     val sigs = sigsIn.select(col("doc_id"), col("simhash"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    sigs.count() // eager fill, no double-compute race (see minhashNearDups)
     val nibbles = sigs.select(col("doc_id"), col("simhash"),
         explode(array((0 until 4).map(j =>
           struct(lit(j).as("nib"),

@@ -560,20 +560,25 @@ object Breadth {
   /** Regexp split to array: Spark `split` keeps leading/trailing empty
     * strings (Java split with limit -1), and so does DuckDB's
     * regexp_split_to_array — asserted by splitting JSON text on
-    * non-digit runs, which produces both.
+    * non-digit runs, which produces both. The array is emitted
+    * re-joined with '|' (not as a raw array column): split semantics
+    * stay fully under test — every element and boundary empty string
+    * survives into the joined string — while the output stays hashable
+    * for the oracle compare (raw parquet arrays arrive driver-side as
+    * unhashable ndarrays).
     */
   def q69RegexpSplit(s: SparkSession, d: String): DataFrame = {
     val parts = split(col("props"), "[^0-9]+")
     Tables.events(s, d).select(
       col("event_id"),
-      parts.as("parts"),
+      array_join(parts, "|").as("parts"),
       size(parts).cast("long").as("n_parts"),
       element_at(parts, 2).as("k_str"))
   }
 
   val q69Sql: String =
     """SELECT event_id,
-      |  regexp_split_to_array(props, '[^0-9]+') AS parts,
+      |  array_to_string(regexp_split_to_array(props, '[^0-9]+'), '|') AS parts,
       |  CAST(len(regexp_split_to_array(props, '[^0-9]+')) AS BIGINT) AS n_parts,
       |  regexp_split_to_array(props, '[^0-9]+')[2] AS k_str
       |FROM events""".stripMargin

@@ -421,8 +421,15 @@ object ExtQueries {
     * (the sampler's RNG stream is engine-specific); SamplingSpec
     * asserts quota adherence and determinism.
     */
+  /** Per-language sampling quotas — shared with SamplingSpec so query
+    * and spec can never drift. A lang absent from this map samples at
+    * 0.0 (sampleBy drops unmapped strata entirely).
+    */
+  val q53Fractions: Map[String, Double] =
+    Map("en" -> 0.5, "zh" -> 0.6, "es" -> 0.8, "de" -> 0.8, "fr" -> 1.0)
+
   def q53StratifiedSample(s: SparkSession, d: String): DataFrame = {
-    val fractions = Map("en" -> 0.5, "zh" -> 0.6, "es" -> 0.8, "de" -> 0.8, "fr" -> 1.0)
+    val fractions = q53Fractions
     val sampled = docs(s, d)
       .stat.sampleBy("lang", fractions, seed = 42L)
       .groupBy(col("lang"))
@@ -433,8 +440,12 @@ object ExtQueries {
     // of its quota — the sampler's RNG stream is engine-specific, its
     // quota adherence is not. DuckDB emits TRUE; a broken sampler
     // (wrong fraction, lost stratum) flips the boolean.
+    // coalesce to 0.0: a lang outside the quota map means "sample
+    // nothing" — the witness then only holds if the sampler really
+    // dropped every row of that stratum (a NULL here would surface as
+    // a confusing oracle hash mismatch instead of a clean FALSE).
     totals.join(sampled, Seq("lang"), "left")
-      .withColumn("f", element_at(typedlit(fractions), col("lang")))
+      .withColumn("f", coalesce(element_at(typedlit(fractions), col("lang")), lit(0.0)))
       .select(col("lang"), col("n_total"),
         (abs(coalesce(col("n_sampled"), lit(0L)).cast("double") - col("f") * col("n_total"))
            <= lit(4.0) * sqrt(col("n_total") * col("f") * (lit(1.0) - col("f"))) + lit(3.0))

@@ -195,6 +195,35 @@ class ExtSpec extends SparkSpec {
                        20L -> 20L, 21L -> 20L))
   }
 
+  test("connectedComponents: a path deeper than maxIter escalates to star rounds and still converges") {
+    import graft.ext.Dedup
+    // path graph 0-1-2-...-40: diameter 40 > maxIter=5 linear rounds —
+    // min-label alone would return truncated labels; the escalation
+    // must converge (log-diameter) and label everything 0. A second
+    // component checks the escalated path keeps components separate.
+    val edges = ((0L until 40L).map(i => (i, i + 1)) ++
+                 Seq((100L, 101L), (101L, 102L)))
+      .toDF("id_a", "id_b")
+    val comp = Dedup.connectedComponents(edges, maxIter = 5)
+      .as[(Long, Long)].collect().toMap
+    assert(comp.size == 44)
+    assert((0L to 40L).forall(comp(_) == 0L))
+    assert((100L to 102L).forall(comp(_) == 100L))
+    spark.catalog.clearCache()
+  }
+
+  test("starComponents alone matches min-label on a mixed graph") {
+    import graft.ext.Dedup
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (10L, 12L),
+                    (10L, 13L), (20L, 21L), (2L, 3L)).toDF("id_a", "id_b")
+    val sym = edges.select($"id_a".as("src"), $"id_b".as("dst"))
+      .unionByName(edges.select($"id_b".as("src"), $"id_a".as("dst")))
+    val star = Dedup.starComponents(sym).as[(Long, Long)].collect().toMap
+    val minLabel = Dedup.connectedComponents(edges).as[(Long, Long)].collect().toMap
+    assert(star == minLabel)
+    spark.catalog.clearCache()
+  }
+
   test("langId precedence is deterministic and covers zero-score docs") {
     val out = Seq("xyzzy blorp", "the fast join", "el la de la")
       .toDF("text")

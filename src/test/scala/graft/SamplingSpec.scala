@@ -29,7 +29,7 @@ class SamplingSpec extends SparkSpec {
   }
 
   test("q53 stratified sample honors per-language quotas, deterministically") {
-    val fractions = Map("en" -> 0.5, "zh" -> 0.6, "es" -> 0.8, "de" -> 0.8, "fr" -> 1.0)
+    val fractions = graft.queries.ExtQueries.q53Fractions
     def run() = SparkEntry.queries("q53_stratified_sample")(spark, sfDir)
       .select($"lang", $"n_total", $"quota_ok")
       .as[(String, Long, Boolean)].collect().sortBy(_._1).toSeq
