@@ -24,11 +24,19 @@ import org.apache.spark.sql.functions._
   * depend on addition order across batches, exact types do not (the
   * same discipline as q73's integer moments). avg = sum/count at read.
   *
-  * Replay caution: unlike the LWW merge, addition is NOT idempotent —
-  * re-delivering a batch double-counts. Structured Streaming's
-  * checkpoint provides the exactly-once batch-id fence (foreachBatch
-  * re-runs a failed batch only from its recorded offset range, and
-  * `lastBatchId` lets the caller skip an already-applied batch id).
+  * REPLAY SAFETY (addition is NOT idempotent): the applied-batch-id
+  * fence is stored INSIDE the state table — every bucket rewrite
+  * carries the writing batch's id in the `__applied_batch` column, so
+  * fence and data commit in the SAME per-partition directory swap;
+  * there is no separate fence write and therefore no crash window
+  * between data commit and fence commit. On re-delivery of batch B
+  * (restart replay), each touched bucket is folded only if its stored
+  * fence is < B: a crash mid-overwrite leaves every bucket either
+  * old (fence < B, refolded on replay) or new (fence = B, skipped) —
+  * per-bucket exactly-once. Structured Streaming's monotone batch ids
+  * + single-writer discipline (enforced by the same writer lock as
+  * MergeSink) make the fence comparison sound: batch B is only ever
+  * re-delivered while no batch > B has committed its offsets.
   */
 final class AggSink(
     spark: SparkSession,
@@ -37,8 +45,9 @@ final class AggSink(
     sumCols: Seq[String],
     nBuckets: Int = 64) {
 
-  import MergeSink.BucketCol
+  import MergeSink.{BucketCol, withWriterLock}
   private val CountCol = "n_rows"
+  private val FenceCol = "__applied_batch"
 
   private def bucketOf: Column = pmod(hash(keys.map(col): _*), lit(nBuckets))
 
@@ -48,7 +57,7 @@ final class AggSink(
   }
 
   /** Current aggregate state: keys ++ sumCols ++ n_rows. */
-  def read(): DataFrame = spark.read.parquet(path).drop(BucketCol)
+  def read(): DataFrame = spark.read.parquet(path).drop(BucketCol, FenceCol)
 
   private def aggregate(df: DataFrame): DataFrame =
     df.groupBy(keys.map(col): _*)
@@ -56,52 +65,62 @@ final class AggSink(
            (sumCols.tail.map(c => sum(col(c)).as(c)) :+
              sum(col(CountCol)).as(CountCol)): _*)
 
-  /** Fold one micro-batch of RAW rows into the aggregate table. */
-  def merge(batch: DataFrame): Unit = {
+  /** Fold one micro-batch of RAW rows into the aggregate table.
+    * `batchId` >= 0 arms the per-bucket fence (buckets that already
+    * folded this id are left untouched — their files are not even
+    * rewritten); -1 folds unconditionally (non-streaming use) while
+    * carrying existing fences forward.
+    */
+  def merge(batch: DataFrame, batchId: Long = -1L): Unit = withWriterLock(spark, path, "merge") {
     val partial = batch.groupBy(keys.map(col): _*)
       .agg(sum(col(sumCols.head)).as(sumCols.head),
            (sumCols.tail.map(c => sum(col(c)).as(c)) :+
              count(lit(1)).cast("long").as(CountCol)): _*)
-    val touched = partial.select(bucketOf.as(BucketCol)).distinct()
-      .collect().map(_.getInt(0)).toSeq
-    if (touched.isEmpty) return
-    val base =
-      if (tableExists)
-        spark.read.parquet(path)
-          .filter(col(BucketCol).isin(touched: _*)).drop(BucketCol)
-          .unionByName(partial)
-      else partial
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    aggregate(base)
       .withColumn(BucketCol, bucketOf)
-      .write.mode("overwrite").partitionBy(BucketCol).parquet(path)
-  }
-
-  /** foreachBatch adapter with an applied-batch-id fence: re-delivered
-    * batch ids (restart replay of a batch whose write completed) are
-    * skipped, keeping the non-idempotent addition effectively-once.
-    */
-  def forEachBatch: (DataFrame, Long) => Unit = {
-    (batch, id) =>
-      if (id > lastBatchId) { merge(batch); writeLastBatchId(id) }
-  }
-
-  private def fenceFile = new Path(path + "_applied_batch")
-
-  /** Highest batch id applied through `forEachBatch` (-1 if none). */
-  def lastBatchId: Long = {
-    val fs = fenceFile.getFileSystem(spark.sessionState.newHadoopConf())
-    if (!fs.exists(fenceFile)) -1L
-    else {
-      val in = fs.open(fenceFile)
-      try scala.io.Source.fromInputStream(in).mkString.trim.toLong
-      finally in.close()
+    val touched = partial.select(col(BucketCol)).distinct()
+      .collect().map(_.getInt(0)).toSeq
+    // per-bucket applied fences — at most |touched| (id, fence) ints
+    // reach the driver; metadata, not data
+    val fences: Map[Int, Long] =
+      if (touched.nonEmpty && tableExists)
+        spark.read.parquet(path)
+          .filter(col(BucketCol).isin(touched: _*))
+          .groupBy(col(BucketCol)).agg(max(col(FenceCol)).as("f"))
+          .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      else Map.empty
+    val fold = touched.filter(b => batchId < 0 || fences.getOrElse(b, -1L) < batchId)
+    if (fold.nonEmpty) {
+      val partialIn = partial.filter(col(BucketCol).isin(fold: _*)).drop(BucketCol)
+      val base =
+        if (tableExists)
+          spark.read.parquet(path)
+            .filter(col(BucketCol).isin(fold: _*)).drop(BucketCol, FenceCol)
+            .unionByName(partialIn)
+        else partialIn
+      // fence travels WITH the data: same file, same partition swap —
+      // never ahead of or behind the aggregate it certifies. Unfenced
+      // merges (batchId = -1) carry each bucket's previous fence forward.
+      val fenceOf: Column = greatest(lit(batchId),
+        coalesce(element_at(typedlit(fences), col(BucketCol)), lit(-1L)))
+      aggregate(base)
+        .withColumn(BucketCol, bucketOf)
+        .withColumn(FenceCol, fenceOf)
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(BucketCol).parquet(path)
     }
   }
 
-  private def writeLastBatchId(id: Long): Unit = {
-    val fs = fenceFile.getFileSystem(spark.sessionState.newHadoopConf())
-    val out = fs.create(fenceFile, true)
-    try out.write(id.toString.getBytes("UTF-8")) finally out.close()
-  }
+  /** foreachBatch adapter: the fence rides inside the state write, so
+    * a crash at ANY point replays into a correct fold (see class doc).
+    */
+  def forEachBatch: (DataFrame, Long) => Unit =
+    (batch, id) => merge(batch, id)
+
+  /** Highest batch id folded into any bucket (-1 if none) — metadata
+    * read over the fence column only.
+    */
+  def lastBatchId: Long =
+    if (!tableExists) -1L
+    else spark.read.parquet(path).agg(max(col(FenceCol))).first().getLong(0)
 }

@@ -72,25 +72,30 @@ final class MergeSink(
       .filter(col(BucketCol).isin(buckets: _*))
       .drop(BucketCol)
 
-  /** Upsert one batch. Empty batches are a no-op (no read, no write). */
-  def merge(batch: DataFrame): Unit = {
+  /** Upsert one batch. Empty batches are a no-op (no read, no write).
+    * Holds the writer lock: a concurrent merge or compact on the same
+    * table fails fast instead of interleaving partition overwrites
+    * (see [[MergeSink.withWriterLock]]).
+    */
+  def merge(batch: DataFrame): Unit = MergeSink.withWriterLock(spark, path, "merge") {
     val touched = batch.select(bucketOf.as(BucketCol)).distinct()
       .collect().map(_.getInt(0)).toSeq
-    if (touched.isEmpty) return
-    val base =
-      if (tableExists) readBuckets(touched).unionByName(batch)
-      else batch
-    val merged = Cdc.latestByKey(base, keys, orderCols)
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    merged
-      .withColumn(BucketCol, bucketOf)
-      // key-sorted within each write task: parquet row-group min/max
-      // stats then let point lookups and merge reads skip row groups
-      .sortWithinPartitions(keys.map(col): _*)
-      .write
-      .mode("overwrite")
-      .partitionBy(BucketCol)
-      .parquet(path)
+    if (touched.nonEmpty) {
+      val base =
+        if (tableExists) readBuckets(touched).unionByName(batch)
+        else batch
+      val merged = Cdc.latestByKey(base, keys, orderCols)
+      merged
+        .withColumn(BucketCol, bucketOf)
+        // key-sorted within each write task: parquet row-group min/max
+        // stats then let point lookups and merge reads skip row groups
+        .sortWithinPartitions(keys.map(col): _*)
+        .write
+        .mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(BucketCol)
+        .parquet(path)
+    }
   }
 
   /** foreachBatch adapter: `stream.writeStream.foreachBatch(sink.forEachBatch)`. */
@@ -106,28 +111,80 @@ final class MergeSink(
     * Content is untouched — pure layout maintenance, safe to run
     * between merges on any schedule.
     */
-  def compact(maxFilesPerBucket: Int = 4): Unit = {
+  def compact(maxFilesPerBucket: Int = 4): Unit = MergeSink.withWriterLock(spark, path, "compact") {
     val root = new Path(path)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
-    if (!fs.exists(root)) return
-    val oversized = fs.listStatus(root).toSeq
-      .filter(d => d.isDirectory && d.getPath.getName.startsWith(s"$BucketCol="))
-      .filter(d => fs.listStatus(d.getPath)
-        .count(_.getPath.getName.endsWith(".parquet")) > maxFilesPerBucket)
-      .map(_.getPath.getName.stripPrefix(s"$BucketCol=").toInt)
-    if (oversized.isEmpty) return
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    spark.read.parquet(path)
-      .filter(col(BucketCol).isin(oversized: _*))
-      .repartition(oversized.length, col(BucketCol))
-      .write
-      .mode("overwrite")
-      .partitionBy(BucketCol)
-      .parquet(path)
+    if (fs.exists(root)) {
+      val oversized = fs.listStatus(root).toSeq
+        .filter(d => d.isDirectory && d.getPath.getName.startsWith(s"$BucketCol="))
+        .filter(d => fs.listStatus(d.getPath)
+          .count(_.getPath.getName.endsWith(".parquet")) > maxFilesPerBucket)
+        .map(_.getPath.getName.stripPrefix(s"$BucketCol=").toInt)
+      if (oversized.nonEmpty) {
+        spark.read.parquet(path)
+          .filter(col(BucketCol).isin(oversized: _*))
+          .repartition(oversized.length, col(BucketCol))
+          .write
+          .mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy(BucketCol)
+          .parquet(path)
+      }
+    }
   }
 }
 
 object MergeSink {
   /** Partition column of the state table layout. */
   val BucketCol = "__bucket"
+
+  /** Thrown when a second writer attempts to mutate a sink table while
+    * another merge/compact holds the lock.
+    */
+  final class ConcurrentWriterException(msg: String)
+    extends IllegalStateException(msg)
+
+  /** SINGLE-WRITER contract, enforced: dynamic partition overwrite is
+    * per-partition-atomic but has no cross-writer commit protocol —
+    * two interleaved merges (or a merge racing a compact) could each
+    * rewrite a bucket from a stale read and lose the other's rows. A
+    * create-exclusive lock file (`<table>_lock`, atomic on HDFS and
+    * local filesystems) makes the second writer FAIL FAST with the
+    * holder's identity instead of corrupting state. The reference
+    * delegates this to ClickHouse's merge machinery; a transactional
+    * table format (Delta/Iceberg) replaces this with optimistic commit
+    * protocols without changing callers.
+    *
+    * A crashed writer leaves its lock behind (it names owner + epoch
+    * for diagnosis); `breakLock` is the documented operator override.
+    */
+  def withWriterLock[T](spark: SparkSession, table: String, op: String)(body: => T): T = {
+    val lock = new Path(table + "_lock")
+    val fs = lock.getFileSystem(spark.sessionState.newHadoopConf())
+    val owner = s"$op pid=${ProcessHandle.current().pid()} epochMs=${System.currentTimeMillis()}"
+    val out =
+      try fs.create(lock, false) // overwrite=false: atomic create-exclusive
+      catch {
+        case _: java.io.IOException =>
+          val holder =
+            try {
+              val in = fs.open(lock)
+              try scala.io.Source.fromInputStream(in).mkString.trim finally in.close()
+            } catch { case _: java.io.IOException => "<unreadable>" }
+          throw new ConcurrentWriterException(
+            s"$table is locked by [$holder]; refusing concurrent $op " +
+              "(single-writer contract; breakLock() overrides a crashed holder)")
+      }
+    try {
+      out.write(owner.getBytes("UTF-8")); out.close()
+      body
+    } finally fs.delete(lock, false)
+  }
+
+  /** Operator override: remove a lock left by a crashed writer. */
+  def breakLock(spark: SparkSession, table: String): Unit = {
+    val lock = new Path(table + "_lock")
+    val fs = lock.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(lock, false)
+  }
 }

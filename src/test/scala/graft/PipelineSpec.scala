@@ -161,7 +161,7 @@ class PipelineSpec extends SparkSpec {
       .cache()
     val sink = new AggSink(spark, dir, Seq("device_type"), Seq("w"), nBuckets = 4)
     val b = (0 until 3).map(i => rows.filter(pmod($"w", lit(3)) === i))
-    b.foreach(sink.merge)
+    b.foreach(df => sink.merge(df))
     val expected = rows.groupBy($"device_type")
       .agg(sum($"w").as("w"), count(lit(1)).as("n_rows"))
       .as[(String, Long, Long)].collect().toSet
@@ -214,6 +214,85 @@ class PipelineSpec extends SparkSpec {
     assert(files(0).size == 1, s"compaction left ${files(0).size} files")
     assert(files(1) == cold, "compaction must not touch buckets under the threshold")
     assert(state() == preCompact, "compaction changed content")
+  }
+
+  test("AggSink fence is atomic with the data: a partial commit replays per-bucket exactly-once") {
+    import graft.sink.{AggSink, MergeSink}
+    val dir = freshDir() + "/agg_crash"
+    val nBuckets = 4
+    val rows = Warehouse.toWarehouseRows(env)
+      .filter(!$"is_deleted")
+      .select($"device_type", $"watched_seconds".cast("long").as("w"))
+      .cache()
+    val sink = new AggSink(spark, dir, Seq("device_type"), Seq("w"), nBuckets)
+    sink.merge(rows, batchId = 1L) // baseline state, fence 1 everywhere touched
+    val baseline = sink.read().as[(String, Long, Long)].collect().toSet
+
+    // batch 2 touches at least two buckets; CRASH INJECTION: only the
+    // rows of ONE of those buckets commit (the dynamic partition
+    // overwrite died after swapping one bucket directory) — exactly
+    // the window the old external fence file could not survive
+    val batch2 = rows.limit(200)
+    val withBucket = batch2.withColumn("__b", pmod(hash($"device_type"), lit(nBuckets)))
+    val buckets = withBucket.select($"__b").distinct().as[Int].collect().sorted
+    assert(buckets.length >= 2, s"need >=2 touched buckets, got ${buckets.toSeq}")
+    val committed = buckets.head
+    sink.merge(withBucket.filter($"__b" === committed).drop("__b"), batchId = 2L)
+
+    // restart replay of the FULL batch 2: the committed bucket must be
+    // skipped (fence = 2), the others folded — no double count anywhere
+    sink.merge(batch2, batchId = 2L)
+    val expected = {
+      val partial = batch2.groupBy($"device_type")
+        .agg(sum($"w").as("w"), count(lit(1)).as("n_rows"))
+        .as[(String, Long, Long)].collect().toSet
+      val byKey = partial.map(t => t._1 -> t).toMap
+      baseline.map { case (k, w, n) =>
+        byKey.get(k).map { case (_, dw, dn) => (k, w + dw, n + dn) }.getOrElse((k, w, n))
+      } ++ partial.filter(t => !baseline.exists(_._1 == t._1))
+    }
+    assert(sink.read().as[(String, Long, Long)].collect().toSet == expected,
+      "partial-commit replay double-counted or lost a bucket")
+
+    // and a clean full replay of an already-applied id is a no-op
+    val s2 = sink.read().as[(String, Long, Long)].collect().toSet
+    sink.merge(batch2, batchId = 2L)
+    assert(sink.read().as[(String, Long, Long)].collect().toSet == s2)
+    assert(sink.lastBatchId == 2L)
+  }
+
+  test("writer lock: concurrent merge/compact fails fast, breakLock overrides") {
+    import graft.sink.MergeSink
+    val dir = freshDir() + "/locked"
+    val rows = Warehouse.toWarehouseRows(env)
+    val sink = new MergeSink(spark, dir, Warehouse.DedupKeys, Warehouse.VersionCols, 4)
+    sink.merge(rows)
+    assert(!new java.io.File(dir + "_lock").exists(), "lock must release after merge")
+
+    // another writer holds the lock (atomic create-exclusive)
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(dir + "_lock"),
+      "merge pid=9999 epochMs=0")
+    val before = sink.read().count()
+    val eM = intercept[MergeSink.ConcurrentWriterException](sink.merge(rows))
+    assert(eM.getMessage.contains("pid=9999"), "error must name the holder")
+    val eC = intercept[MergeSink.ConcurrentWriterException](sink.compact())
+    assert(eC.getMessage.contains("locked"))
+    assert(sink.read().count() == before, "locked-out writer must not mutate state")
+
+    // operator override for a crashed holder
+    MergeSink.breakLock(spark, dir)
+    sink.merge(rows)
+    assert(!new java.io.File(dir + "_lock").exists())
+
+    // AggSink honors the same contract
+    import graft.sink.AggSink
+    val adir = freshDir() + "/agg_locked"
+    val asink = new AggSink(spark, adir,
+      Seq("device_type"), Seq("ws"), 4)
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(adir + "_lock"), "compact pid=1 epochMs=0")
+    intercept[MergeSink.ConcurrentWriterException](
+      asink.merge(rows.select($"device_type", $"watched_seconds".cast("long").as("ws"))))
+    MergeSink.breakLock(spark, adir)
   }
 
   test("tombstone wins when it is the latest record for a key") {
