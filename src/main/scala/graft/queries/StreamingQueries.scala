@@ -147,8 +147,75 @@ object StreamingQueries {
       |      FROM events WHERE event_type <> 'error')
       |GROUP BY etype""".stripMargin
 
+  // ---------------------------------------------------------------- q82
+  /** Sink MAINTENANCE at the gate: 4 incremental merges -> compact()
+    * -> read state. Compaction is pure layout work (one file per
+    * oversized bucket, cold buckets untouched), so the oracle is
+    * content invariance — q66's latest-per-key SQL applies verbatim to
+    * the post-compaction state. The query additionally REQUIREs the
+    * post-compaction layout (≤1 parquet file per bucket): a compaction
+    * that silently did nothing, or corrupted a bucket, fails the gate
+    * either by layout or by hash.
+    */
+  def q82MergeCompact(s: SparkSession, d: String): DataFrame = {
+    val base = Files.createTempDirectory("graft_q82_").toString
+    val stateDir = s"$base/state"
+    val env = CdcQueries.envelope(s, d)
+      .withColumn("ts_us", unix_micros(col("ts"))).drop("ts")
+    val flat = Cdc.enrichWatchedRatio(
+      Cdc.flattenEnvelope(env), "watched", "duration", rounded = false)
+    val sink = new MergeSink(s, stateDir,
+      keys = Seq("user_id"), orderCols = Seq("ts_us", "document_id"), nBuckets = 16)
+    // LWW is commutative/associative: any batch slicing converges
+    (0 until 4).foreach(i =>
+      sink.merge(flat.filter(pmod(col("document_id"), lit(4)) === lit(i))))
+    sink.compact(maxFilesPerBucket = 1)
+    val root = new org.apache.hadoop.fs.Path(stateDir)
+    val fs = root.getFileSystem(s.sessionState.newHadoopConf())
+    val perBucket = fs.listStatus(root).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith(s"${MergeSink.BucketCol}="))
+      .map(st => fs.listStatus(st.getPath).count(_.getPath.getName.endsWith(".parquet")))
+    require(perBucket.nonEmpty && perBucket.forall(_ <= 1),
+      s"compaction left oversized buckets: $perBucket")
+    sink.read().select(
+      col("user_id"),
+      col("document_id").as("last_document_id"),
+      col("operation").as("last_operation"),
+      expr("ts_us div 1000").as("last_ms"),
+      col("watched_ratio").as("last_ratio"))
+  }
+
+  // ---------------------------------------------------------------- q83
+  /** Schema-evolution read at the gate: a table whose early files lack
+    * a later column (the classic additive-column migration) is read
+    * with schema merging; rows from pre-migration files surface the
+    * new column as NULL. The oracle reconstructs the same view from
+    * the base table. Scale note: `mergeSchema` unions FOOTER schemas
+    * (one metadata read per file, no data scan), so the cost is file
+    * count, not bytes.
+    */
+  def q83SchemaEvolution(s: SparkSession, d: String): DataFrame = {
+    val base = Files.createTempDirectory("graft_q83_").toString + "/table"
+    val ev = graft.core.Tables.events(s, d)
+    ev.filter(col("event_id") % 2 === 0)
+      .select(col("event_id"), col("value"))
+      .write.parquet(base)
+    ev.filter(col("event_id") % 2 === 1)
+      .select(col("event_id"), col("value"), col("event_type").as("etype"))
+      .write.mode("append").parquet(base)
+    graft.sources.Ingest.parquetEvolving(s, base)
+      .select(col("event_id"), col("value"), col("etype"))
+  }
+
+  val q83Sql: String =
+    """SELECT event_id, value,
+      |  CASE WHEN event_id % 2 = 1 THEN event_type END AS etype
+      |FROM events""".stripMargin
+
   val entries: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "q66_streaming_cdc" -> (q66StreamingCdc _, q66Sql),
     "q76_streaming_agg" -> (q76StreamingAgg _, q76Sql),
+    "q82_merge_compact" -> (q82MergeCompact _, q66Sql),
+    "q83_schema_evolution" -> (q83SchemaEvolution _, q83Sql),
   )
 }
