@@ -212,10 +212,88 @@ object StreamingQueries {
       |  CASE WHEN event_id % 2 = 1 THEN event_type END AS etype
       |FROM events""".stripMargin
 
+  // ---------------------------------------------------------------- q84
+  /** WATERMARKED streaming session windows — q78's semantics as a real
+    * StreamingQuery in APPEND mode: sessions are emitted only once the
+    * event-time watermark passes their end, i.e. the stateful path the
+    * batch twin cannot exercise.
+    *
+    * Determinism discipline:
+    *  - the event history is sliced into TIME-ORDERED files (slice i+1
+    *    starts at or after slice i's end), so with one file per
+    *    micro-batch nothing is ever late relative to the
+    *    previous-batch watermark — zero dropped rows;
+    *  - file order is pinned by both name and mtime (FileStreamSource
+    *    orders by timestamp, then path);
+    *  - two far-future sentinel rows ride in trailing files: the first
+    *    advances the watermark past every real session's end, the
+    *    second forces a further batch so the advanced watermark is
+    *    APPLIED and flushes all remaining state. Sentinels use
+    *    negative user ids and are filtered from the output.
+    *
+    * The closed-session output then hash-matches the batch
+    * gaps-and-islands oracle over the whole history (q78's SQL).
+    */
+  def q84StreamingSessions(s: SparkSession, d: String): DataFrame = {
+    val base = Files.createTempDirectory("graft_q84_").toString
+    val inDir = new java.io.File(base, "in"); inDir.mkdirs()
+    val ckpt = s"$base/ckpt"
+
+    val ev = graft.core.Tables.events(s, d)
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"))
+    val mm = ev.agg(min(col("ts_us")), max(col("ts_us"))).first()
+    val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+    val step = (hi - lo) / 4 + 1
+
+    def writeSlice(df: DataFrame, i: Int): Unit = {
+      val tmp = s"$base/slice$i"
+      df.coalesce(1).write.json(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".json")).get
+      val dest = new java.io.File(inDir, f"$i%02d.json")
+      Files.move(part.toPath, dest.toPath)
+      dest.setLastModified(60000L * (i + 1))
+    }
+    (0 until 4).foreach { i =>
+      writeSlice(ev.filter(col("ts_us") >= lo + i * step &&
+                           col("ts_us") <  lo + (i + 1) * step), i)
+    }
+    val day_us = 86400000000L
+    writeSlice(s.range(1).select(lit(-1L).as("user_id"),
+      lit(hi + 10 * day_us).as("ts_us")), 4)
+    writeSlice(s.range(1).select(lit(-2L).as("user_id"),
+      lit(hi + 20 * day_us).as("ts_us")), 5)
+
+    val wire = StructType(Seq(
+      StructField("user_id", LongType), StructField("ts_us", LongType)))
+    val sessions = s.readStream.schema(wire)
+      .option("maxFilesPerTrigger", "1").json(inDir.toString)
+      .select(col("user_id"), timestamp_micros(col("ts_us")).as("ts"))
+      .withWatermark("ts", "1 second")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"))
+    val memName = "q84_sessions_" + java.lang.Long.toHexString(System.nanoTime())
+    val q = sessions.writeStream
+      .format("memory").queryName(memName)
+      .outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+
+    s.table(memName)
+      .filter(col("user_id") >= 0)
+      .select(col("user_id"),
+              unix_millis(col("session_window.start")).as("start_ms"),
+              unix_millis(col("session_window.end")).as("end_ms"),
+              col("n_events"))
+  }
+
   val entries: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "q66_streaming_cdc" -> (q66StreamingCdc _, q66Sql),
     "q76_streaming_agg" -> (q76StreamingAgg _, q76Sql),
     "q82_merge_compact" -> (q82MergeCompact _, q66Sql),
     "q83_schema_evolution" -> (q83SchemaEvolution _, q83Sql),
+    "q84_streaming_sessions" -> (q84StreamingSessions _, Breadth.q78Sql),
   )
 }
