@@ -7,12 +7,14 @@ import org.apache.spark.sql.functions._
   * `binary` columns next to typed metadata, exactly like a training-data
   * lake would store them (payload + schema'd features).
   *
-  * The Spark-side plumbing — schema, batched per-partition processing,
-  * deterministic partitioning — is real and tested; the actual codec
-  * call is STUBBED (no image/audio libraries in this container) behind
-  * `decodePayloadStub`, which derives deterministic fake features from
-  * the bytes so tests have stable expectations. Swap `decodePayloadStub`
-  * for a real codec (JNI/javacv) without touching the plumbing.
+  * Decode is REAL for the dependency-free container formats — BMP
+  * (24-bit uncompressed, both row orders), PPM (binary P6) and WAV
+  * (PCM RIFF) are parsed header+payload in pure JVM code below, and
+  * [[decodePayload]] sniffs magic bytes and routes to them. Formats
+  * that genuinely need codec libraries (JPEG/MP3/H.264...) fall back
+  * to `decodePayloadStub`, which derives deterministic fake features
+  * from the bytes so tests have stable expectations; swap the fallback
+  * for a JNI/javacv codec without touching the plumbing.
   */
 object Multimodal {
 
@@ -46,10 +48,169 @@ object Multimodal {
     }
   }
 
+  // ------------------------------------------------------------------
+  // Real pure-JVM codecs (no external libraries): BMP 24bpp, PPM P6,
+  // WAV PCM. Decoders are total — any malformed input returns None and
+  // the caller falls back to the stub; a text payload that happens to
+  // start with a magic prefix fails the structural checks and falls
+  // through safely.
+  // ------------------------------------------------------------------
+
+  import java.nio.{ByteBuffer, ByteOrder}
+
+  /** 24-bit uncompressed BMP. Returns (width, height, pixels) with
+    * pixels as top-down row-major BGR triplets (bottom-up source rows
+    * are flipped; negative biHeight = top-down handled); 4-byte row
+    * padding stripped.
+    */
+  def decodeBmp(b: Array[Byte]): Option[(Int, Int, Array[Byte])] =
+    try {
+      if (b.length < 54 || b(0) != 'B' || b(1) != 'M') None
+      else {
+        val buf = ByteBuffer.wrap(b).order(ByteOrder.LITTLE_ENDIAN)
+        val dataOff = buf.getInt(10)
+        val hdrSize = buf.getInt(14)
+        val w = buf.getInt(18); val hRaw = buf.getInt(22)
+        val planes = buf.getShort(26); val bpp = buf.getShort(28)
+        val comp = buf.getInt(30)
+        if (hdrSize < 40 || w <= 0 || hRaw == 0 || planes != 1 ||
+            bpp != 24 || comp != 0) None
+        else {
+          val h = math.abs(hRaw); val topDown = hRaw < 0
+          val rowSize = (w * 3 + 3) / 4 * 4
+          if (dataOff < 54 || dataOff.toLong + rowSize.toLong * h > b.length) None
+          else {
+            val out = new Array[Byte](w * h * 3)
+            var row = 0
+            while (row < h) {
+              val srcRow = if (topDown) row else h - 1 - row
+              System.arraycopy(b, dataOff + srcRow * rowSize, out, row * w * 3, w * 3)
+              row += 1
+            }
+            Some((w, h, out))
+          }
+        }
+      }
+    } catch { case _: RuntimeException => None }
+
+  /** Binary PPM (P6, maxval 255): whitespace/comment-tolerant header
+    * parse, then raw RGB triplets. Returns (width, height, pixels).
+    */
+  def decodePpm(b: Array[Byte]): Option[(Int, Int, Array[Byte])] =
+    try {
+      if (b.length < 9 || b(0) != 'P' || b(1) != '6') None
+      else {
+        var i = 2
+        def token(): Option[Long] = {
+          while (i < b.length &&
+                 (Character.isWhitespace(b(i)) || b(i) == '#')) {
+            if (b(i) == '#') while (i < b.length && b(i) != '\n') i += 1
+            else i += 1
+          }
+          val start = i
+          while (i < b.length && Character.isDigit(b(i))) i += 1
+          if (i == start) None
+          else Some(new String(b, start, i - start, "US-ASCII").toLong)
+        }
+        (token(), token(), token()) match {
+          case (Some(w), Some(h), Some(maxv))
+              if w > 0 && h > 0 && maxv == 255 && i < b.length &&
+                 Character.isWhitespace(b(i)) =>
+            i += 1 // exactly one whitespace byte separates header and pixels
+            val n = (w * h * 3).toInt
+            if (i + n > b.length) None
+            else Some((w.toInt, h.toInt, java.util.Arrays.copyOfRange(b, i, i + n)))
+          case _ => None
+        }
+      }
+    } catch { case _: RuntimeException => None }
+
+  /** RIFF/WAVE PCM: walks chunks to 'fmt ' and 'data'. Returns
+    * (sampleRate, channels, bitsPerSample, nFrames).
+    */
+  def decodeWav(b: Array[Byte]): Option[(Int, Int, Int, Long)] =
+    try {
+      def ascii(off: Int, s: String): Boolean =
+        s.indices.forall(k => b(off + k) == s(k).toByte)
+      if (b.length < 44 || !ascii(0, "RIFF") || !ascii(8, "WAVE")) None
+      else {
+        val buf = ByteBuffer.wrap(b).order(ByteOrder.LITTLE_ENDIAN)
+        var off = 12
+        var fmt: Option[(Int, Int, Int)] = None
+        var dataBytes = -1L
+        while (off + 8 <= b.length) {
+          val size = buf.getInt(off + 4)
+          if (size < 0) { off = b.length } // corrupt chunk: stop
+          else {
+            if (ascii(off, "fmt ") && off + 24 <= b.length) {
+              val audioFormat = buf.getShort(off + 8)
+              val channels = buf.getShort(off + 10).toInt
+              val rate = buf.getInt(off + 12)
+              val bits = buf.getShort(off + 22).toInt
+              if (audioFormat == 1 && channels > 0 && rate > 0 && bits > 0)
+                fmt = Some((rate, channels, bits))
+            } else if (ascii(off, "data")) dataBytes = size.toLong
+            off += 8 + size + (size & 1) // chunks are word-aligned
+          }
+        }
+        fmt.collect { case (rate, ch, bits) if dataBytes >= 0 =>
+          (rate, ch, bits, dataBytes / (ch.toLong * (bits / 8)))
+        }
+      }
+    } catch { case _: RuntimeException => None }
+
+  /** Fixture/production encoders for the same three formats (used by
+    * tests and the q85 gate; also how a lake would materialize derived
+    * thumbnails/clips without external libs).
+    */
+  def encodeBmp(w: Int, h: Int, bgrValue: Int): Array[Byte] = {
+    val rowSize = (w * 3 + 3) / 4 * 4
+    val dataSize = rowSize * h
+    val buf = ByteBuffer.allocate(54 + dataSize).order(ByteOrder.LITTLE_ENDIAN)
+    buf.put('B'.toByte).put('M'.toByte).putInt(54 + dataSize)
+      .putInt(0).putInt(54)
+      .putInt(40).putInt(w).putInt(h).putShort(1).putShort(24)
+      .putInt(0).putInt(dataSize).putInt(2835).putInt(2835).putInt(0).putInt(0)
+    val row = new Array[Byte](rowSize)
+    java.util.Arrays.fill(row, 0, w * 3, bgrValue.toByte)
+    (0 until h).foreach(_ => buf.put(row))
+    buf.array()
+  }
+
+  def encodePpm(w: Int, h: Int, grayValue: Int): Array[Byte] = {
+    val header = s"P6\n$w $h\n255\n".getBytes("US-ASCII")
+    val px = new Array[Byte](w * h * 3)
+    java.util.Arrays.fill(px, grayValue.toByte)
+    header ++ px
+  }
+
+  def encodeWav(sampleRate: Int, nFrames: Int): Array[Byte] = {
+    val dataSize = nFrames * 2 // PCM16 mono silence
+    val buf = ByteBuffer.allocate(44 + dataSize).order(ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataSize)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1).putInt(sampleRate).putInt(sampleRate * 2)
+      .putShort(2).putShort(16)
+      .put("data".getBytes("US-ASCII")).putInt(dataSize)
+    buf.array()
+  }
+
+  /** Sniff-and-decode: real parse for BMP/PPM/WAV, stub fallback for
+    * everything else (and for any malformed payload).
+    */
+  def decodePayload(modality: String, payload: Array[Byte]): (Long, Long, Long, Long) =
+    decodeBmp(payload).map { case (w, h, _) => (w.toLong, h.toLong, 1L, 0L) }
+      .orElse(decodePpm(payload).map { case (w, h, _) => (w.toLong, h.toLong, 1L, 0L) })
+      .orElse(decodeWav(payload).map { case (sr, _, _, _) => (0L, 0L, 0L, sr.toLong) })
+      .getOrElse(decodePayloadStub(modality, payload))
+
   /** Batched per-partition feature extraction — the Scala analog of a
     * pandas-UDF `mapInPandas`: payloads are processed in batches of
     * `batchSize` inside each partition (a real codec would amortize
-    * per-batch setup), never collected to the driver.
+    * per-batch setup), never collected to the driver. Routes through
+    * [[decodePayload]]: real parse where the format allows, stub
+    * fallback elsewhere.
     */
   def extractFeatures(media: Dataset[MediaRecord], batchSize: Int = 64)
                      (implicit spark: SparkSession): Dataset[MediaFeatures] = {
@@ -58,8 +219,47 @@ object Multimodal {
       it.grouped(batchSize).flatMap { batch =>
         // per-batch setup for a real codec would go here
         batch.iterator.map { m =>
-          val (w, h, fr, sr) = decodePayloadStub(m.modality, m.payload)
+          val (w, h, fr, sr) = decodePayload(m.modality, m.payload)
           MediaFeatures(m.doc_id, m.modality, m.payload.length.toLong, w, h, fr, sr)
+        }
+      }
+    }
+  }
+
+  case class CodecFeatures(doc_id: Long, modality: String, width: Long,
+                           height: Long, n_frames: Long, sample_rate: Long,
+                           mean_px: Long)
+
+  /** Real-decode feature extraction incl. pixel statistics: mean
+    * unsigned pixel byte for images (proves the pixel payload was
+    * actually parsed, not just the header), 0 for audio, -1 for
+    * undecodable payloads (stub dims are still reported).
+    */
+  def codecFeatures(media: Dataset[MediaRecord])
+                   (implicit spark: SparkSession): Dataset[CodecFeatures] = {
+    import spark.implicits._
+    def meanOf(px: Array[Byte]): Long =
+      if (px.isEmpty) 0L else {
+        var s = 0L; var i = 0
+        while (i < px.length) { s += px(i) & 0xff; i += 1 }
+        s / px.length
+      }
+    media.mapPartitions { it =>
+      it.map { m =>
+        decodeBmp(m.payload) match {
+          case Some((w, h, px)) =>
+            CodecFeatures(m.doc_id, m.modality, w, h, 1L, 0L, meanOf(px))
+          case None => decodePpm(m.payload) match {
+            case Some((w, h, px)) =>
+              CodecFeatures(m.doc_id, m.modality, w, h, 1L, 0L, meanOf(px))
+            case None => decodeWav(m.payload) match {
+              case Some((sr, _, _, _)) =>
+                CodecFeatures(m.doc_id, m.modality, 0L, 0L, 0L, sr.toLong, 0L)
+              case None =>
+                val (w, h, fr, sr) = decodePayloadStub(m.modality, m.payload)
+                CodecFeatures(m.doc_id, m.modality, w, h, fr, sr, -1L)
+            }
+          }
         }
       }
     }

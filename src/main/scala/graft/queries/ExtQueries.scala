@@ -413,6 +413,52 @@ object ExtQueries {
       |  CAST(CASE WHEN modality = 'audio' THEN 8000 + (n_bytes % 5) * 8000 ELSE 0 END AS BIGINT) AS sample_rate
       |FROM m""".stripMargin
 
+  // ---------------------------------------------------------------- q85
+  /** REAL codec decode at the gate: deterministic BMP/WAV/PPM payloads
+    * are synthesized ON THE EXECUTORS (width/height/color/sample-rate
+    * are pure formulas of doc_id), decoded by the pure-JVM parsers in
+    * [[graft.ext.Multimodal]], and the parsed dimensions, sample rate
+    * and MEAN PIXEL VALUE (proof the pixel payload was read, not just
+    * the header) must match the oracle's closed-form recomputation.
+    * End-to-end distributed: generate -> decode -> features, no
+    * driver-side payload handling; the id cap only bounds fixture
+    * count, decode cost is O(payload) per row either way.
+    */
+  def q85CodecDecode(s: SparkSession, d: String): DataFrame = {
+    import graft.ext.Multimodal
+    import Multimodal.MediaRecord
+    implicit val spark: SparkSession = s
+    import s.implicits._
+    val media = docs(s, d).select(col("doc_id")).filter(col("doc_id") < 200)
+      .as[Long].map { id =>
+        (id % 3) match {
+          case 0 => MediaRecord(id, "image",
+            Multimodal.encodeBmp(2 + (id % 14).toInt, 2 + (id % 9).toInt,
+              ((id * 37) % 256).toInt))
+          case 1 => MediaRecord(id, "audio",
+            Multimodal.encodeWav(8000 * (1 + (id % 6).toInt), 100))
+          case _ => MediaRecord(id, "video",
+            Multimodal.encodePpm(1 + (id % 17).toInt, 1 + (id % 11).toInt,
+              ((id * 53) % 256).toInt))
+        }
+      }
+    Multimodal.codecFeatures(media).toDF()
+  }
+
+  val q85Sql: String =
+    """SELECT doc_id,
+      |  CASE WHEN doc_id % 3 = 0 THEN 'image'
+      |       WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS modality,
+      |  CAST(CASE WHEN doc_id % 3 = 0 THEN 2 + doc_id % 14
+      |            WHEN doc_id % 3 = 1 THEN 0 ELSE 1 + doc_id % 17 END AS BIGINT) AS width,
+      |  CAST(CASE WHEN doc_id % 3 = 0 THEN 2 + doc_id % 9
+      |            WHEN doc_id % 3 = 1 THEN 0 ELSE 1 + doc_id % 11 END AS BIGINT) AS height,
+      |  CAST(CASE WHEN doc_id % 3 = 1 THEN 0 ELSE 1 END AS BIGINT) AS n_frames,
+      |  CAST(CASE WHEN doc_id % 3 = 1 THEN 8000 * (1 + doc_id % 6) ELSE 0 END AS BIGINT) AS sample_rate,
+      |  CAST(CASE WHEN doc_id % 3 = 0 THEN (doc_id * 37) % 256
+      |            WHEN doc_id % 3 = 1 THEN 0 ELSE (doc_id * 53) % 256 END AS BIGINT) AS mean_px
+      |FROM documents WHERE doc_id < 200""".stripMargin
+
   // ---------------------------------------------------------------- q53
   /** Stratified corpus subsampling: per-language quota sampling via
     * Bernoulli draws (`sampleBy`) — the standard rebalancing step before
@@ -526,5 +572,6 @@ object ExtQueries {
     "q31_ann_lsh" -> (q31AnnLsh _, q31Sql),
     "q32_embedding_neardup" -> (q32EmbeddingNearDup _, q32Sql),
     "q33_multimodal_meta" -> (q33MultimodalMeta _, q33Sql),
+    "q85_codec_decode" -> (q85CodecDecode _, q85Sql),
   )
 }

@@ -224,6 +224,58 @@ class ExtSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("codecs: BMP/PPM/WAV round-trip dimensions and pixels exactly") {
+    import graft.ext.Multimodal._
+    // BMP with a width whose 3-byte rows need padding (w=3 -> rowSize 12)
+    val bmp = encodeBmp(3, 2, 129)
+    val Some((bw, bh, bpx)) = decodeBmp(bmp)
+    assert((bw, bh) == (3, 2) && bpx.length == 18)
+    assert(bpx.forall(b => (b & 0xff) == 129), "pixel payload corrupted")
+    // top-down BMP (negative height) decodes identically for solid fill
+    val td = bmp.clone()
+    java.nio.ByteBuffer.wrap(td).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(22, -2)
+    assert(decodeBmp(td).map { case (w, h, px) => (w, h, px.toSeq) } ==
+           Some((3, 2, bpx.toSeq)))
+    // PPM with comments and multi-whitespace header
+    val ppmBody = new Array[Byte](2 * 2 * 3); java.util.Arrays.fill(ppmBody, 77.toByte)
+    val ppm = "P6\n# fixture\n2  2\n255\n".getBytes("US-ASCII") ++ ppmBody
+    val Some((pw, ph, ppx)) = decodePpm(ppm)
+    assert((pw, ph) == (2, 2) && ppx.forall(b => (b & 0xff) == 77))
+    assert(decodePpm(encodePpm(5, 4, 200)).exists {
+      case (w, h, px) => w == 5 && h == 4 && px.length == 60 &&
+        px.forall(b => (b & 0xff) == 200)
+    })
+    // WAV header fields
+    assert(decodeWav(encodeWav(44100, 100)) == Some((44100, 1, 16, 100L)))
+    // corrupt/unknown payloads fall back to the stub, never throw
+    val junk = "BM but not a bitmap".getBytes("US-ASCII")
+    assert(decodeBmp(junk).isEmpty && decodePpm(junk).isEmpty && decodeWav(junk).isEmpty)
+    assert(decodePayload("image", junk) ==
+           decodePayloadStub("image", junk), "fallback must be the stub")
+    val truncated = encodeBmp(10, 10, 5).take(60) // header ok, pixels missing
+    assert(decodeBmp(truncated).isEmpty)
+    val p6junk = "P6\n4 4\n255\n..".getBytes("US-ASCII") // short pixel payload
+    assert(decodePpm(p6junk).isEmpty)
+  }
+
+  test("extractFeatures real-decodes container formats and stubs the rest, distributed") {
+    import graft.ext.Multimodal
+    import Multimodal._
+    implicit val s = spark
+    val media = spark.createDataset(Seq(
+      MediaRecord(1L, "image", encodeBmp(7, 5, 10)),
+      MediaRecord(2L, "audio", encodeWav(16000, 50)),
+      MediaRecord(3L, "video", encodePpm(9, 3, 20)),
+      MediaRecord(4L, "image", "not an image at all".getBytes("US-ASCII"))))
+    val out = extractFeatures(media).collect().map(f => f.doc_id -> f).toMap
+    assert((out(1L).width, out(1L).height, out(1L).n_frames) == (7L, 5L, 1L))
+    assert(out(2L).sample_rate == 16000L)
+    assert((out(3L).width, out(3L).height) == (9L, 3L))
+    val stub = decodePayloadStub("image", "not an image at all".getBytes("US-ASCII"))
+    assert((out(4L).width, out(4L).height) == (stub._1, stub._2), "unknown format -> stub")
+  }
+
   test("langId precedence is deterministic and covers zero-score docs") {
     val out = Seq("xyzzy blorp", "the fast join", "el la de la")
       .toDF("text")
