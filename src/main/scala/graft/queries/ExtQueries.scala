@@ -459,6 +459,50 @@ object ExtQueries {
       |            WHEN doc_id % 3 = 1 THEN 0 ELSE (doc_id * 53) % 256 END AS BIGINT) AS mean_px
       |FROM documents WHERE doc_id < 200""".stripMargin
 
+  // ---------------------------------------------------------------- q86
+  /** Benchmark-contamination screen — the release gate every training
+    * corpus needs: find training docs sharing >= minShared distinct
+    * word-3-grams with any eval-set doc. Scale shape: explode to
+    * DISTINCT (doc, shingle) pairs, drop STOP-SHINGLES (document
+    * frequency > dfCap — boilerplate n-grams that would otherwise
+    * join-explode; the classic hot-key guard), then a plain equi-join
+    * on the shingle key + count aggregate. Never an all-pairs compare:
+    * cost is sum over kept shingles of (train_df x eval_df), bounded
+    * by dfCap, and PlanSpec asserts the join stays hash/sort-merge
+    * (no cartesian fallback).
+    */
+  def q86Contamination(s: SparkSession, d: String): DataFrame = {
+    import TextAnalysis._
+    val evalCap = 100L   // doc_id < evalCap plays the benchmark set
+    val dfCap = 50L
+    val minShared = 5L
+    val sh = docs(s, d)
+      .select(col("doc_id"), explode(shingles(tokens(col("text")), 3)).as("g"))
+      .distinct()
+    val keep = sh.groupBy(col("g"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") <= dfCap)
+      .select(col("g"))
+    val kept = sh.join(keep, "g")
+    val tr = kept.filter(col("doc_id") >= evalCap).withColumnRenamed("doc_id", "train_id")
+    val ev = kept.filter(col("doc_id") < evalCap).withColumnRenamed("doc_id", "eval_id")
+    tr.join(ev, "g")
+      .groupBy(col("train_id"), col("eval_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
+  val q86Sql: String =
+    s"""$docCte,
+       |  ed AS (SELECT DISTINCT doc_id, unnest(sh) AS g FROM s),
+       |  keep AS (SELECT g FROM ed GROUP BY g HAVING count(*) <= 50),
+       |  k AS (SELECT ed.doc_id, ed.g FROM ed JOIN keep USING (g))
+       |SELECT tr.doc_id AS train_id, ev.doc_id AS eval_id,
+       |  CAST(count(*) AS BIGINT) AS n_shared
+       |FROM k tr JOIN k ev ON tr.g = ev.g
+       |WHERE tr.doc_id >= 100 AND ev.doc_id < 100
+       |GROUP BY 1, 2 HAVING count(*) >= 5""".stripMargin
+
   // ---------------------------------------------------------------- q53
   /** Stratified corpus subsampling: per-language quota sampling via
     * Bernoulli draws (`sampleBy`) — the standard rebalancing step before
@@ -573,5 +617,6 @@ object ExtQueries {
     "q32_embedding_neardup" -> (q32EmbeddingNearDup _, q32Sql),
     "q33_multimodal_meta" -> (q33MultimodalMeta _, q33Sql),
     "q85_codec_decode" -> (q85CodecDecode _, q85Sql),
+    "q86_contamination" -> (q86Contamination _, q86Sql),
   )
 }

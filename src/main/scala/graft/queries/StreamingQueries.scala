@@ -289,11 +289,77 @@ object StreamingQueries {
               col("n_events"))
   }
 
+  // ---------------------------------------------------------------- q87
+  /** Streaming DEDUP under redelivery — `dropDuplicatesWithinWatermark`
+    * as a real StreamingQuery: every event is delivered TWICE, in
+    * consecutive micro-batches (file i carries slice i plus a replay
+    * of slice i-1), so the dedup state must survive across batches to
+    * suppress the second copy. The watermark delay spans the whole
+    * history (state is never evicted mid-run), so the streamed output
+    * must equal exact DISTINCT over the history — which is the oracle.
+    * At scale the delay bounds state to the redelivery horizon (a
+    * queue redelivers within minutes, not days) — state is O(keys in
+    * horizon), not O(history); this run pins the correctness side.
+    */
+  def q87StreamingDedup(s: SparkSession, d: String): DataFrame = {
+    val base = Files.createTempDirectory("graft_q87_").toString
+    val inDir = new java.io.File(base, "in"); inDir.mkdirs()
+    val ckpt = s"$base/ckpt"
+
+    val ev = graft.core.Tables.events(s, d)
+      .select(col("event_id"), col("user_id"),
+              unix_micros(col("ts")).as("ts_us"), col("value"))
+    val mm = ev.agg(min(col("ts_us")), max(col("ts_us"))).first()
+    val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+    val step = (hi - lo) / 4 + 1
+    def slice(i: Int) =
+      if (i < 0 || i > 3) ev.limit(0)
+      else ev.filter(col("ts_us") >= lo + i * step && col("ts_us") < lo + (i + 1) * step)
+    def writeFile(df: DataFrame, i: Int): Unit = {
+      val tmp = s"$base/slice$i"
+      df.coalesce(1).write.json(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".json")).get
+      val dest = new java.io.File(inDir, f"$i%02d.json")
+      Files.move(part.toPath, dest.toPath)
+      dest.setLastModified(60000L * (i + 1))
+    }
+    // file i = fresh slice i + redelivered slice i-1: each event arrives
+    // exactly twice, across a batch boundary
+    (0 to 4).foreach(i => writeFile(slice(i).unionByName(slice(i - 1)), i))
+
+    val wire = StructType(Seq(
+      StructField("event_id", LongType), StructField("user_id", LongType),
+      StructField("ts_us", LongType), StructField("value", DoubleType)))
+    val deduped = s.readStream.schema(wire)
+      .option("maxFilesPerTrigger", "1").json(inDir.toString)
+      .select(col("event_id"), col("user_id"),
+              timestamp_micros(col("ts_us")).as("ts"), col("value"))
+      .withWatermark("ts", "3650 days")
+      .dropDuplicatesWithinWatermark("event_id")
+    val memName = "q87_dedup_" + java.lang.Long.toHexString(System.nanoTime())
+    val q = deduped.writeStream
+      .format("memory").queryName(memName)
+      .outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+
+    s.table(memName).select(
+      col("event_id"), col("user_id"),
+      unix_millis(col("ts")).as("ts_ms"), col("value"))
+  }
+
+  val q87Sql: String =
+    """SELECT event_id, user_id, epoch_ms(ts) AS ts_ms, value FROM events""".stripMargin
+
   val entries: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "q66_streaming_cdc" -> (q66StreamingCdc _, q66Sql),
     "q76_streaming_agg" -> (q76StreamingAgg _, q76Sql),
     "q82_merge_compact" -> (q82MergeCompact _, q66Sql),
     "q83_schema_evolution" -> (q83SchemaEvolution _, q83Sql),
     "q84_streaming_sessions" -> (q84StreamingSessions _, Breadth.q78Sql),
+    "q87_streaming_dedup" -> (q87StreamingDedup _, q87Sql),
   )
 }

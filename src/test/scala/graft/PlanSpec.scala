@@ -194,4 +194,30 @@ class PlanSpec extends SparkSpec {
     val aggs = "(SortAggregate|ObjectHashAggregate|HashAggregate)".r.findAllIn(p).size
     assert(aggs >= 2, s"dedup aggregate is single-phase: $p")
   }
+
+  test("contamination screen joins on the shingle key — never a cartesian fallback") {
+    // the train x eval compare must stay an equi-join on the exploded
+    // shingle; a refactor that loses the key (or inlines a non-equi
+    // condition) would silently fall back to an all-pairs nested loop
+    // that cannot survive 100 TB
+    val p = plan("q86_contamination")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"contamination join degraded to all-pairs:\n${p.take(1500)}")
+    assert("(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)".r.findFirstIn(p).isDefined,
+      "expected a hash/merge equi-join on the shingle key")
+  }
+
+  test("AggSink merge reads prune state partitions, same as MergeSink") {
+    import graft.sink.{AggSink, MergeSink}
+    val dir = java.nio.file.Files.createTempDirectory("graft_aggplan_").toString + "/agg"
+    val rows = graft.core.Tables.documents(spark, sfDir)
+      .select($"lang".as("k"), $"n_chars".cast("long").as("v"))
+    val sink = new AggSink(spark, dir, Seq("k"), Seq("v"), nBuckets = 8)
+    sink.merge(rows, batchId = 1L)
+    val p = spark.read.parquet(dir)
+      .filter(col(MergeSink.BucketCol).isin(1, 2))
+      .queryExecution.explainString(FormattedMode)
+    assert("PartitionFilters: \\[[^\\]]*__bucket".r.findFirstIn(p).isDefined,
+      s"bucket filter did not reach PartitionFilters:\n${p.take(1200)}")
+  }
 }
