@@ -344,7 +344,87 @@ object Extended {
       |  TRUE AS approx_ok
       |FROM events GROUP BY event_type""".stripMargin
 
+  // ---------------------------------------------------------------- q88
+  /** PageRank authority scores (fixed-point longs) over the
+    * supplier -> customer fulfillment graph (edges from lineitem x
+    * orders; customer ids offset so the two key spaces don't collide).
+    * 4 power-iteration rounds; see [[graft.ext.Graph.pageRank]] for the
+    * integer-arithmetic discipline. The oracle replays every round as
+    * a chained CTE — bit-identical because all updates are integer
+    * multiply/div/sum.
+    */
+  def q88PageRank(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
+    val ord = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+    val edges = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .select(col("l_suppkey").cast("long").as("src"),
+              (col("o_custkey").cast("long") + 100000L).as("dst"))
+    graft.ext.Graph.pageRank(edges, iters = 4)
+  }
+
+  val q88Sql: String = {
+    def round(k: Int): String =
+      s"""r$k AS (SELECT n.node, CAST(150000 + (85 * coalesce(s.s, 0)) // 100 AS BIGINT) AS r
+         |  FROM nodes n LEFT JOIN (
+         |    SELECT e.dst AS node, sum(p.r // o.outdeg) AS s
+         |    FROM e JOIN outd o ON e.src = o.src JOIN r${k - 1} p ON p.node = e.src
+         |    GROUP BY e.dst) s ON n.node = s.node)""".stripMargin
+    s"""WITH e AS (SELECT CAST(l_suppkey AS BIGINT) AS src,
+       |    CAST(o_custkey AS BIGINT) + 100000 AS dst
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+       |  outd AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+       |  nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+       |  r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM nodes),
+       |  ${(1 to 4).map(round).mkString(",\n")}
+       |SELECT node, r FROM r4""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q89
+  /** Symmetric int8 embedding quantization — the compression step
+    * before shipping an ANN corpus (q = floor(x * 127 / max|x|), range
+    * [-127, 127]). floor, not round: floor of identical IEEE doubles
+    * is engine-identical, round's half-tie behavior is not. Per-vector
+    * witness: quantized checksum + extrema + the reconstruction-error
+    * bound (|x - q*m/127| <= m/127 must hold for every dim — emitted
+    * as a boolean the oracle answers TRUE).
+    */
+  def q89QuantizeInt8(s: SparkSession, d: String): DataFrame = {
+    val m = array_max(transform(col("embedding"), x => abs(x.cast("double"))))
+    Tables.embeddings(s, d)
+      .withColumn("m", m)
+      .withColumn("q", when(col("m") > 0,
+          transform(col("embedding"),
+            x => floor(x.cast("double") * lit(127.0) / col("m")).cast("long")))
+        .otherwise(transform(col("embedding"), _ => lit(0L))))
+      .select(
+        col("vec_id"),
+        size(col("embedding")).cast("long").as("n_dims"),
+        aggregate(col("q"), lit(0L), _ + _).as("q_sum"),
+        array_min(col("q")).as("q_min"),
+        array_max(col("q")).as("q_max"),
+        (array_max(zip_with(col("embedding"), col("q"),
+            (x, qv) => abs(x.cast("double") - qv * col("m") / lit(127.0))))
+          <= col("m") / lit(127.0) + lit(1e-12)).as("recon_ok"))
+  }
+
+  val q89Sql: String =
+    """WITH b AS (SELECT vec_id, embedding,
+      |    (SELECT max(abs(CAST(u AS DOUBLE))) FROM unnest(embedding) AS t(u)) AS m
+      |  FROM embeddings),
+      |  q AS (SELECT vec_id, m, len(embedding) AS n_dims,
+      |    CASE WHEN m > 0
+      |      THEN list_transform(embedding, u -> CAST(floor(CAST(u AS DOUBLE) * 127.0 / m) AS BIGINT))
+      |      ELSE list_transform(embedding, u -> CAST(0 AS BIGINT)) END AS qs
+      |  FROM b)
+      |SELECT vec_id, CAST(n_dims AS BIGINT) AS n_dims,
+      |  CAST(list_sum(qs) AS BIGINT) AS q_sum,
+      |  list_min(qs) AS q_min, list_max(qs) AS q_max,
+      |  TRUE AS recon_ok
+      |FROM q""".stripMargin
+
   val entries: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "q88_pagerank" -> (q88PageRank _, q88Sql),
+    "q89_quantize_int8" -> (q89QuantizeInt8 _, q89Sql),
     "q34_ts_normalize" -> (q34TsNormalize _, q34Sql),
     "q35_cube" -> (q35Cube _, q35Sql),
     "q36_asof_join" -> (q36AsofJoin _, q36Sql),

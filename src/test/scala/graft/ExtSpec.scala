@@ -276,6 +276,21 @@ class ExtSpec extends SparkSpec {
     assert((out(4L).width, out(4L).height) == (stub._1, stub._2), "unknown format -> stub")
   }
 
+  test("pageRank fixed-point rounds match a hand-computed graph") {
+    import graft.ext.Graph
+    // 1 -> 3, 2 -> 3, 3 -> 1 : node 3 is the authority
+    val edges = Seq((1L, 3L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
+    val r1 = Graph.pageRank(edges, 1).as[(Long, Long)].collect().toMap
+    // round 1: contributions are rank/outdeg = 1_000_000 each
+    // r(3) = 150000 + 85*(1000000+1000000)/100 = 1_850_000
+    // r(1) = 150000 + 85*1000000/100 = 1_000_000 ; r(2) = 150000 (no in-edges)
+    assert(r1 == Map(1L -> 1000000L, 2L -> 150000L, 3L -> 1850000L))
+    val r2 = Graph.pageRank(edges, 2).as[(Long, Long)].collect().toMap
+    // round 2: r(3) = 150000 + 85*(1000000+150000)/100 = 1_127_500
+    //          r(1) = 150000 + 85*1850000/100 = 1_722_500 ; r(2) = 150000
+    assert(r2 == Map(1L -> 1722500L, 2L -> 150000L, 3L -> 1127500L))
+  }
+
   test("langId precedence is deterministic and covers zero-score docs") {
     val out = Seq("xyzzy blorp", "the fast join", "el la de la")
       .toDF("text")
