@@ -503,6 +503,94 @@ object ExtQueries {
        |WHERE tr.doc_id >= 100 AND ev.doc_id < 100
        |GROUP BY 1, 2 HAVING count(*) >= 5""".stripMargin
 
+  // ---------------------------------------------------------------- q90
+  /** Deterministic mixture sampling — corpus mixing WITHOUT an RNG:
+    * keep a doc iff md5-bucket(doc_id) < weight(source) * 10000. Fully
+    * reproducible (resumable/backfillable at 100 TB — no sampler state
+    * to replay) and therefore EXACT at the gate: the oracle recomputes
+    * the identical hash decision, no statistical witness needed —
+    * strictly stronger than q53's RNG-based quota check. Weights
+    * derive from the source id (src0..: 0.25/0.5/0.75/1.0 by s % 4).
+    */
+  def q90MixtureSample(s: SparkSession, d: String): DataFrame = {
+    val w = expr("(CAST(substring(source, 4) AS INT) % 4) / 4.0 + 0.25")
+    val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 7), 16, 10)
+      .cast("long") % 10000
+    docs(s, d)
+      .withColumn("w", w).withColumn("b", bucket)
+      .filter(col("b") < col("w") * 10000)
+      .groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n_kept"), sum(col("doc_id")).as("id_sum"))
+  }
+
+  val q90Sql: String =
+    """SELECT source, lang, CAST(count(*) AS BIGINT) AS n_kept,
+      |  CAST(sum(doc_id) AS BIGINT) AS id_sum
+      |FROM (SELECT *,
+      |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT % 10000 AS b,
+      |    (CAST(substr(source, 4) AS INT) % 4) / 4.0 + 0.25 AS w
+      |  FROM documents)
+      |WHERE b < w * 10000
+      |GROUP BY source, lang""".stripMargin
+
+  // ---------------------------------------------------------------- q91
+  /** The CURATION FUNNEL — the composed end-to-end corpus filter every
+    * training pipeline runs, reported as per-stage survivor counts +
+    * id checksums: langID-agreement -> quality threshold -> length
+    * bounds -> exact dedup. Each stage reuses a gated primitive
+    * (q22's langId, q21's quality score, q24's digest dedup); the
+    * funnel pins their COMPOSITION, where stage-ordering bugs hide.
+    * Threshold compares are safe cross-engine because both quality
+    * and langId are already hash-green bit-identical (q21/q22).
+    */
+  def q91CurationFunnel(s: SparkSession, d: String): DataFrame = {
+    import TextAnalysis._
+    val toks = tokens(col("text"))
+    // inject deterministic exact duplicates (every 10th doc, re-id'd)
+    // so the dedup stage demonstrably collapses copies back to the
+    // canonical min-id row — the synthetic corpus itself is dup-free
+    val raw = docs(s, d)
+    val input = raw.unionByName(
+      raw.filter(pmod(col("doc_id"), lit(10)) === 0)
+        .withColumn("doc_id", col("doc_id") + 1000000L))
+    val base = input
+      .withColumn("q", qualityScore(size(toks), digitTokenCount(toks), countIn(toks, Stopwords)))
+      .withColumn("predicted", langId(toks))
+    val s1 = base.filter(col("predicted") === col("lang"))
+    val s2 = s1.filter(col("q") >= 0.7)
+    val s3 = s2.filter(col("n_chars").between(50, 5000))
+    val s4 = Dedup.exactDedup(s3)
+    def stage(df: DataFrame, name: String, ord: Int): DataFrame =
+      df.agg(count(lit(1)).cast("long").as("n"),
+             coalesce(sum(col("doc_id")), lit(0L)).as("id_sum"))
+        .select(lit(ord.toLong).as("stage_ord"), lit(name).as("stage"),
+                col("n"), col("id_sum"))
+    stage(base, "all", 0)
+      .unionByName(stage(s1, "lang", 1))
+      .unionByName(stage(s2, "quality", 2))
+      .unionByName(stage(s3, "length", 3))
+      .unionByName(stage(s4, "exact_dedup", 4))
+  }
+
+  val q91Sql: String =
+    s"""WITH input AS (
+       |    SELECT doc_id, text, lang, n_chars FROM documents
+       |    UNION ALL
+       |    SELECT doc_id + 1000000 AS doc_id, text, lang, n_chars
+       |    FROM documents WHERE doc_id % 10 = 0),
+       |  t0 AS (SELECT doc_id, text, lang, n_chars,
+       |    ${T.quality} AS q, ${T.langId} AS predicted FROM input),
+       |  s1 AS (SELECT * FROM t0 WHERE predicted = lang),
+       |  s2 AS (SELECT * FROM s1 WHERE q >= 0.7),
+       |  s3 AS (SELECT * FROM s2 WHERE n_chars BETWEEN 50 AND 5000),
+       |  s4 AS (SELECT min(doc_id) AS doc_id FROM s3 GROUP BY md5(text))
+       |SELECT CAST(0 AS BIGINT) AS stage_ord, 'all' AS stage,
+       |  CAST(count(*) AS BIGINT) AS n, CAST(coalesce(sum(doc_id), 0) AS BIGINT) AS id_sum FROM t0
+       |UNION ALL SELECT 1, 'lang', CAST(count(*) AS BIGINT), CAST(coalesce(sum(doc_id), 0) AS BIGINT) FROM s1
+       |UNION ALL SELECT 2, 'quality', CAST(count(*) AS BIGINT), CAST(coalesce(sum(doc_id), 0) AS BIGINT) FROM s2
+       |UNION ALL SELECT 3, 'length', CAST(count(*) AS BIGINT), CAST(coalesce(sum(doc_id), 0) AS BIGINT) FROM s3
+       |UNION ALL SELECT 4, 'exact_dedup', CAST(count(*) AS BIGINT), CAST(coalesce(sum(doc_id), 0) AS BIGINT) FROM s4""".stripMargin
+
   // ---------------------------------------------------------------- q53
   /** Stratified corpus subsampling: per-language quota sampling via
     * Bernoulli draws (`sampleBy`) — the standard rebalancing step before
@@ -618,5 +706,7 @@ object ExtQueries {
     "q33_multimodal_meta" -> (q33MultimodalMeta _, q33Sql),
     "q85_codec_decode" -> (q85CodecDecode _, q85Sql),
     "q86_contamination" -> (q86Contamination _, q86Sql),
+    "q90_mixture_sample" -> (q90MixtureSample _, q90Sql),
+    "q91_curation_funnel" -> (q91CurationFunnel _, q91Sql),
   )
 }

@@ -128,4 +128,23 @@ class PropertySpec extends SparkSpec {
       assert(streamed == batch, s"seed $i: stream/batch divergence")
     }
   }
+
+  test("large-star/small-star CC agrees with min-label on random graphs") {
+    import graft.ext.Dedup
+    import org.apache.spark.sql.functions.col
+    (1 to 3).foreach { i =>
+      val edgeGen = Gen.listOfN(40,
+        Gen.zip(Gen.choose(0L, 25L), Gen.choose(0L, 25L)))
+      val edges = edgeGen.pureApply(Gen.Parameters.default, Seed(500L + i))
+        .filter { case (a, b) => a != b }
+      val df = edges.toDF("id_a", "id_b")
+      val minLabel = Dedup.connectedComponents(df, maxIter = 30)
+        .as[(Long, Long)].collect().toMap
+      val sym = df.select(col("id_a").as("src"), col("id_b").as("dst"))
+        .unionByName(df.select(col("id_b").as("src"), col("id_a").as("dst")))
+      val star = Dedup.starComponents(sym).as[(Long, Long)].collect().toMap
+      assert(star == minLabel, s"seed $i: star/min-label divergence")
+      spark.catalog.clearCache()
+    }
+  }
 }
