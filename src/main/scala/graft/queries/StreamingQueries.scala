@@ -354,6 +354,55 @@ object StreamingQueries {
   val q87Sql: String =
     """SELECT event_id, user_id, epoch_ms(ts) AS ts_ms, value FROM events""".stripMargin
 
+  // ---------------------------------------------------------------- q92
+  /** Incremental VOCABULARY maintenance — document frequencies folded
+    * forward one micro-batch at a time through `AggSink` (term-keyed
+    * monoid counts, touched buckets only): the build-the-vocab step of
+    * a TF-IDF/BM25 pipeline kept fresh WITHOUT rescanning the corpus.
+    * Each doc rides in exactly one micro-batch and the per-batch
+    * (doc, term) explode is DISTINCT'd inside the batch, so df adds
+    * cleanly across batches; the batch-id fence makes replay safe.
+    * Oracle: one-shot distinct-pair df over the whole corpus.
+    */
+  def q92StreamingVocab(s: SparkSession, d: String): DataFrame = {
+    import graft.sink.AggSink
+    import graft.ext.TextAnalysis
+    val base = Files.createTempDirectory("graft_q92_").toString
+    val inDir = s"$base/in"; val ckpt = s"$base/ckpt"; val stateDir = s"$base/state"
+    graft.core.Tables.documents(s, d).select(col("doc_id"), col("text"))
+      .repartition(4, pmod(col("doc_id"), lit(4)))
+      .write.json(inDir)
+
+    val wire = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val stream = s.readStream.schema(wire)
+      .option("maxFilesPerTrigger", "1").json(inDir)
+    val sink = new AggSink(s, stateDir, keys = Seq("term"),
+      sumCols = Seq("n"), nBuckets = 16)
+    val q = stream.writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val pairs = batch
+          .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("term"))
+          .distinct()
+          .select(col("term"), lit(1L).as("n"))
+        sink.merge(pairs, id)
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+
+    sink.read()
+      .filter(col("n") >= 5)
+      .select(col("term"), col("n").as("df"))
+  }
+
+  val q92Sql: String =
+    """SELECT term, CAST(count(*) AS BIGINT) AS df
+      |FROM (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS term
+      |      FROM documents)
+      |GROUP BY term HAVING count(*) >= 5""".stripMargin
+
   val entries: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "q66_streaming_cdc" -> (q66StreamingCdc _, q66Sql),
     "q76_streaming_agg" -> (q76StreamingAgg _, q76Sql),
@@ -361,5 +410,6 @@ object StreamingQueries {
     "q83_schema_evolution" -> (q83SchemaEvolution _, q83Sql),
     "q84_streaming_sessions" -> (q84StreamingSessions _, Breadth.q78Sql),
     "q87_streaming_dedup" -> (q87StreamingDedup _, q87Sql),
+    "q92_streaming_vocab" -> (q92StreamingVocab _, q92Sql),
   )
 }
