@@ -207,6 +207,17 @@ class PlanSpec extends SparkSpec {
       "expected a hash/merge equi-join on the shingle key")
   }
 
+  test("PageRank rounds are join + partial-aggregated sum — no windows, no cartesian") {
+    val p = plan("q88_pagerank")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "contribution join degraded to all-pairs")
+    assert(!p.contains("Window"), "no window should appear in a PageRank round")
+    // every round's inbound-contribution sum must split partial/final
+    // so the shuffle carries one partial per (node), not one row per edge
+    val partials = "partial_sum".r.findAllIn(p).size
+    assert(partials >= 4, s"expected >=4 partial sums (one per round), got $partials")
+  }
+
   test("AggSink merge reads prune state partitions, same as MergeSink") {
     import graft.sink.{AggSink, MergeSink}
     val dir = java.nio.file.Files.createTempDirectory("graft_aggplan_").toString + "/agg"
