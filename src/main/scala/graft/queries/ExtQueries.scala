@@ -553,23 +553,40 @@ object ExtQueries {
     val input = raw.unionByName(
       raw.filter(pmod(col("doc_id"), lit(10)) === 0)
         .withColumn("doc_id", col("doc_id") + 1000000L))
-    val base = input
-      .withColumn("q", qualityScore(size(toks), digitTokenCount(toks), countIn(toks, Stopwords)))
-      .withColumn("predicted", langId(toks))
-    val s1 = base.filter(col("predicted") === col("lang"))
-    val s2 = s1.filter(col("q") >= 0.7)
-    val s3 = s2.filter(col("n_chars").between(50, 5000))
-    val s4 = Dedup.exactDedup(s3)
-    def stage(df: DataFrame, name: String, ord: Int): DataFrame =
-      df.agg(count(lit(1)).cast("long").as("n"),
-             coalesce(sum(col("doc_id")), lit(0L)).as("id_sum"))
-        .select(lit(ord.toLong).as("stage_ord"), lit(name).as("stage"),
-                col("n"), col("id_sum"))
-    stage(base, "all", 0)
-      .unionByName(stage(s1, "lang", 1))
-      .unionByName(stage(s2, "quality", 2))
-      .unionByName(stage(s3, "length", 3))
-      .unionByName(stage(s4, "exact_dedup", 4))
+    // SINGLE-PASS funnel: per-doc boolean flags for every filter stage
+    // in one projection (a naive per-stage .agg chain would rescan the
+    // corpus once per stage — 5 scans at 100 TB); the dedup stage adds
+    // one digest-keyed min-aggregate over stage-3 survivors only.
+    val flagged = input
+      .withColumn("f1", langId(toks) === col("lang"))
+      .withColumn("f2", col("f1") &&
+        qualityScore(size(toks), digitTokenCount(toks), countIn(toks, Stopwords)) >= 0.7)
+      .withColumn("f3", col("f2") && col("n_chars").between(50, 5000))
+      .select(col("doc_id"), col("text"), col("f1"), col("f2"), col("f3"))
+    // stage-4 winners: min doc_id per digest among stage-3 survivors
+    // (map-side combinable; shuffles one candidate per distinct text)
+    val s4 = flagged.filter(col("f3"))
+      .groupBy(md5(col("text").cast("binary")).as("__fp"))
+      .agg(min(col("doc_id")).as("doc_id"))
+    def n(flag: org.apache.spark.sql.Column) = sum(when(flag, 1L).otherwise(0L))
+    def i(flag: org.apache.spark.sql.Column) = sum(when(flag, col("doc_id")).otherwise(0L))
+    val one = flagged.agg(
+      count(lit(1)).cast("long").as("n0"), sum(col("doc_id")).as("i0"),
+      n(col("f1")).as("n1"), i(col("f1")).as("i1"),
+      n(col("f2")).as("n2"), i(col("f2")).as("i2"),
+      n(col("f3")).as("n3"), i(col("f3")).as("i3"))
+    val s4agg = s4.agg(count(lit(1)).cast("long").as("n4"),
+      coalesce(sum(col("doc_id")), lit(0L)).as("i4"))
+    // one row x one row -> stack pivots it into the 5 funnel rows
+    // WITHOUT re-executing the aggregates per stage
+    one.crossJoin(s4agg).select(expr(
+      """stack(5,
+        |  0L, 'all',         n0, coalesce(i0, 0L),
+        |  1L, 'lang',        n1, i1,
+        |  2L, 'quality',     n2, i2,
+        |  3L, 'length',      n3, i3,
+        |  4L, 'exact_dedup', n4, i4
+        |) AS (stage_ord, stage, n, id_sum)""".stripMargin))
   }
 
   val q91Sql: String =

@@ -174,7 +174,38 @@ object SqlSurface {
       |  CAST(json_extract_string(props, '$.k') AS DOUBLE) AS k_dbl
       |FROM events""".stripMargin
 
+  // ---------------------------------------------------------------- q94
+  /** NOT IN with three-valued-logic semantics — the null-aware anti
+    * join, a DIFFERENT operator from q06's null-naive `left_anti`:
+    * a single NULL in the subquery annihilates every NOT IN match.
+    * Both behaviors gated in one query: the null-free branch returns
+    * real survivors (count + id checksum), the branch whose subquery
+    * injects one NULL (the max-price order's key, so >= 1 NULL at any
+    * scale) must return zero. Spark plans the broadcast null-aware
+    * anti join for the single-column case.
+    */
+  private val q94Text =
+    """SELECT 'no_nulls' AS variant, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(coalesce(sum(c_custkey), 0) AS BIGINT) AS id_sum
+      |FROM customer
+      |WHERE c_custkey NOT IN
+      |  (SELECT o_custkey FROM orders WHERE o_totalprice > 300000)
+      |UNION ALL
+      |SELECT 'with_null', CAST(count(*) AS BIGINT),
+      |  CAST(coalesce(sum(c_custkey), 0) AS BIGINT)
+      |FROM customer
+      |WHERE c_custkey NOT IN
+      |  (SELECT CASE WHEN o_totalprice = (SELECT max(o_totalprice) FROM orders)
+      |               THEN NULL ELSE o_custkey END
+      |   FROM orders WHERE o_totalprice > 300000)""".stripMargin
+
+  def q94NotInNullAware(s: SparkSession, d: String): DataFrame = {
+    registerViews(s, d)
+    s.sql(q94Text)
+  }
+
   val entries: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "q94_not_in_null_aware" -> (q94NotInNullAware _, q94Text),
     "q79_recursive_cte" -> (q79RecursiveCte _, q79Sql),
     "q80_variant" -> (q80Variant _, q80Sql),
     "q40_subqueries" -> (q40Subqueries _, q40Sql),

@@ -403,6 +403,65 @@ object StreamingQueries {
       |      FROM documents)
       |GROUP BY term HAVING count(*) >= 5""".stripMargin
 
+  // ---------------------------------------------------------------- q93
+  /** STREAM-STREAM interval join — the remaining flagship Structured
+    * Streaming operator: views joined to clicks of the same user
+    * within ±1 hour, both sides unbounded streams. State discipline:
+    * each side buffers rows only within the watermark-implied horizon;
+    * here the delay spans the history so nothing is evicted mid-run
+    * and the inner join must emit exactly the batch join's matches
+    * (inner matches emit when the later side arrives — no
+    * watermark-gated flush needed, so no sentinels either). At scale
+    * the delay bounds per-side state to the join window's horizon —
+    * state is O(rate x window), not O(history).
+    */
+  def q93StreamStreamJoin(s: SparkSession, d: String): DataFrame = {
+    val base = Files.createTempDirectory("graft_q93_").toString
+    val inDir = s"$base/in"; val ckpt = s"$base/ckpt"
+    graft.core.Tables.events(s, d)
+      .select(col("event_id"), col("user_id"),
+              unix_micros(col("ts")).as("ts_us"), col("event_type"))
+      .filter(col("event_type").isin("view", "click"))
+      .repartition(4, pmod(col("event_id"), lit(4)))
+      .write.json(inDir)
+
+    val wire = StructType(Seq(
+      StructField("event_id", LongType), StructField("user_id", LongType),
+      StructField("ts_us", LongType), StructField("event_type", StringType)))
+    def src() = s.readStream.schema(wire)
+      .option("maxFilesPerTrigger", "1").json(inDir)
+    val views = src().filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id").as("vu"),
+              timestamp_micros(col("ts_us")).as("ts_v"))
+      .withWatermark("ts_v", "3650 days")
+    val clicks = src().filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("cu"),
+              timestamp_micros(col("ts_us")).as("ts_c"))
+      .withWatermark("ts_c", "3650 days")
+    val joined = views.join(clicks, expr(
+      "vu = cu AND ts_c BETWEEN ts_v - INTERVAL 1 HOUR AND ts_v + INTERVAL 1 HOUR"))
+    val memName = "q93_ssj_" + java.lang.Long.toHexString(System.nanoTime())
+    val q = joined.writeStream
+      .format("memory").queryName(memName)
+      .outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+
+    s.table(memName).select(
+      col("view_id"), col("click_id"), col("vu").as("user_id"),
+      (unix_millis(col("ts_c")) - unix_millis(col("ts_v"))).as("gap_ms"))
+  }
+
+  val q93Sql: String =
+    """SELECT a.event_id AS view_id, b.event_id AS click_id, a.user_id,
+      |  CAST(epoch_ms(b.ts) - epoch_ms(a.ts) AS BIGINT) AS gap_ms
+      |FROM events a JOIN events b
+      |  ON a.user_id = b.user_id
+      | AND a.event_type = 'view' AND b.event_type = 'click'
+      | AND b.ts BETWEEN a.ts - INTERVAL 1 HOUR AND a.ts + INTERVAL 1 HOUR""".stripMargin
+
   val entries: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "q66_streaming_cdc" -> (q66StreamingCdc _, q66Sql),
     "q76_streaming_agg" -> (q76StreamingAgg _, q76Sql),
@@ -411,5 +470,6 @@ object StreamingQueries {
     "q84_streaming_sessions" -> (q84StreamingSessions _, Breadth.q78Sql),
     "q87_streaming_dedup" -> (q87StreamingDedup _, q87Sql),
     "q92_streaming_vocab" -> (q92StreamingVocab _, q92Sql),
+    "q93_stream_stream_join" -> (q93StreamStreamJoin _, q93Sql),
   )
 }
