@@ -608,6 +608,44 @@ object ExtQueries {
        |UNION ALL SELECT 3, 'length', CAST(count(*) AS BIGINT), CAST(coalesce(sum(doc_id), 0) AS BIGINT) FROM s3
        |UNION ALL SELECT 4, 'exact_dedup', CAST(count(*) AS BIGINT), CAST(coalesce(sum(doc_id), 0) AS BIGINT) FROM s4""".stripMargin
 
+  // ---------------------------------------------------------------- q95
+  /** MERGEABLE distinct-count sketches (DataSketches HLL via
+    * hll_sketch_agg / hll_union_agg) — the capability q39's direct
+    * approx_count_distinct cannot give at 100 TB: per-partition/
+    * per-group sketches are STORED (binary column) and UNIONED later,
+    * so incremental pipelines add a day's sketch without rescanning
+    * history. Gate: per-type exact distinct (oracle-matched) + a
+    * witness that the sketch estimate lands within 5% + 5; the 'ALL'
+    * row estimates from the UNION OF THE PER-TYPE SKETCHES — proving
+    * mergeability, not just the estimator.
+    */
+  def q95HllSketch(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    def ok(est: org.apache.spark.sql.Column, exact: org.apache.spark.sql.Column) =
+      (abs(est.cast("double") - exact) <= exact * 0.05 + 5.0).as("est_ok")
+    // both output branches (per-type rows + the union row) read this
+    // 5-row frame: materialize it once so the 100 TB scan under it
+    // runs once, not once per branch
+    val perType = ev.groupBy(col("event_type"))
+      .agg(count_distinct(col("user_id")).cast("long").as("n_exact"),
+           hll_sketch_agg(col("user_id")).as("sk"))
+      .localCheckpoint(true)
+    val typed = perType.select(col("event_type").as("scope"), col("n_exact"),
+      ok(hll_sketch_estimate(col("sk")), col("n_exact")))
+    val g = perType.agg(hll_union_agg(col("sk")).as("sku"))
+      .crossJoin(ev.agg(count_distinct(col("user_id")).cast("long").as("n_exact")))
+      .select(lit("ALL").as("scope"), col("n_exact"),
+        ok(hll_sketch_estimate(col("sku")), col("n_exact")))
+    typed.unionByName(g)
+  }
+
+  val q95Sql: String =
+    """SELECT event_type AS scope,
+      |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact, TRUE AS est_ok
+      |FROM events GROUP BY event_type
+      |UNION ALL
+      |SELECT 'ALL', CAST(count(DISTINCT user_id) AS BIGINT), TRUE FROM events""".stripMargin
+
   // ---------------------------------------------------------------- q53
   /** Stratified corpus subsampling: per-language quota sampling via
     * Bernoulli draws (`sampleBy`) — the standard rebalancing step before
@@ -724,6 +762,7 @@ object ExtQueries {
     "q85_codec_decode" -> (q85CodecDecode _, q85Sql),
     "q86_contamination" -> (q86Contamination _, q86Sql),
     "q90_mixture_sample" -> (q90MixtureSample _, q90Sql),
+    "q95_hll_sketch" -> (q95HllSketch _, q95Sql),
     "q91_curation_funnel" -> (q91CurationFunnel _, q91Sql),
   )
 }

@@ -418,11 +418,15 @@ object StreamingQueries {
   def q93StreamStreamJoin(s: SparkSession, d: String): DataFrame = {
     val base = Files.createTempDirectory("graft_q93_").toString
     val inDir = s"$base/in"; val ckpt = s"$base/ckpt"
+    // two files -> two micro-batches per side: enough to force
+    // CROSS-BATCH matching through the join state (file-2 views match
+    // file-1 clicks held in state) without paying for a long tail of
+    // stateful micro-batches at bench time
     graft.core.Tables.events(s, d)
       .select(col("event_id"), col("user_id"),
               unix_micros(col("ts")).as("ts_us"), col("event_type"))
       .filter(col("event_type").isin("view", "click"))
-      .repartition(4, pmod(col("event_id"), lit(4)))
+      .repartition(2, pmod(col("event_id"), lit(2)))
       .write.json(inDir)
 
     val wire = StructType(Seq(
