@@ -243,7 +243,10 @@ object StreamingQueries {
       .select(col("user_id"), unix_micros(col("ts")).as("ts_us"))
     val mm = ev.agg(min(col("ts_us")), max(col("ts_us"))).first()
     val (lo, hi) = (mm.getLong(0), mm.getLong(1))
-    val step = (hi - lo) / 4 + 1
+    // two time-ordered halves: sessions spanning the boundary still
+    // merge through state (the mechanism under test) at half the
+    // stateful-micro-batch cost of finer slicing
+    val step = (hi - lo) / 2 + 1
 
     def writeSlice(df: DataFrame, i: Int): Unit = {
       val tmp = s"$base/slice$i"
@@ -254,15 +257,15 @@ object StreamingQueries {
       Files.move(part.toPath, dest.toPath)
       dest.setLastModified(60000L * (i + 1))
     }
-    (0 until 4).foreach { i =>
+    (0 until 2).foreach { i =>
       writeSlice(ev.filter(col("ts_us") >= lo + i * step &&
                            col("ts_us") <  lo + (i + 1) * step), i)
     }
     val day_us = 86400000000L
     writeSlice(s.range(1).select(lit(-1L).as("user_id"),
-      lit(hi + 10 * day_us).as("ts_us")), 4)
+      lit(hi + 10 * day_us).as("ts_us")), 2)
     writeSlice(s.range(1).select(lit(-2L).as("user_id"),
-      lit(hi + 20 * day_us).as("ts_us")), 5)
+      lit(hi + 20 * day_us).as("ts_us")), 3)
 
     val wire = StructType(Seq(
       StructField("user_id", LongType), StructField("ts_us", LongType)))
@@ -311,10 +314,9 @@ object StreamingQueries {
               unix_micros(col("ts")).as("ts_us"), col("value"))
     val mm = ev.agg(min(col("ts_us")), max(col("ts_us"))).first()
     val (lo, hi) = (mm.getLong(0), mm.getLong(1))
-    val step = (hi - lo) / 4 + 1
+    val step = (hi - lo) / 2 + 1
     def slice(i: Int) =
-      if (i < 0 || i > 3) ev.limit(0)
-      else ev.filter(col("ts_us") >= lo + i * step && col("ts_us") < lo + (i + 1) * step)
+      ev.filter(col("ts_us") >= lo + i * step && col("ts_us") < lo + (i + 1) * step)
     def writeFile(df: DataFrame, i: Int): Unit = {
       val tmp = s"$base/slice$i"
       df.coalesce(1).write.json(tmp)
@@ -324,9 +326,11 @@ object StreamingQueries {
       Files.move(part.toPath, dest.toPath)
       dest.setLastModified(60000L * (i + 1))
     }
-    // file i = fresh slice i + redelivered slice i-1: each event arrives
-    // exactly twice, across a batch boundary
-    (0 to 4).foreach(i => writeFile(slice(i).unionByName(slice(i - 1)), i))
+    // every event arrives exactly twice, and the replay always crosses
+    // a batch boundary: slice0 | slice0+slice1 | slice1
+    writeFile(slice(0), 0)
+    writeFile(slice(0).unionByName(slice(1)), 1)
+    writeFile(slice(1), 2)
 
     val wire = StructType(Seq(
       StructField("event_id", LongType), StructField("user_id", LongType),
