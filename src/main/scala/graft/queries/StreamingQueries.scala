@@ -276,12 +276,18 @@ object StreamingQueries {
       .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
       .agg(count(lit(1)).as("n_events"))
     val memName = "q84_sessions_" + java.lang.Long.toHexString(System.nanoTime())
-    val q = sessions.writeStream
-      .format("memory").queryName(memName)
-      .outputMode("append")
-      .option("checkpointLocation", ckpt)
-      .trigger(Trigger.AvailableNow())
-      .start()
+    // state partitions sized to the stream, not the batch default —
+    // fixed at first batch; conf restored immediately (see q93)
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    val q =
+      try sessions.writeStream
+        .format("memory").queryName(memName)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      finally s.conf.set("spark.sql.shuffle.partitions", prev)
     q.awaitTermination()
 
     s.table(memName)
@@ -342,12 +348,17 @@ object StreamingQueries {
       .withWatermark("ts", "3650 days")
       .dropDuplicatesWithinWatermark("event_id")
     val memName = "q87_dedup_" + java.lang.Long.toHexString(System.nanoTime())
-    val q = deduped.writeStream
-      .format("memory").queryName(memName)
-      .outputMode("append")
-      .option("checkpointLocation", ckpt)
-      .trigger(Trigger.AvailableNow())
-      .start()
+    // state partitions sized to the stream (see q93); conf restored
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    val q =
+      try deduped.writeStream
+        .format("memory").queryName(memName)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      finally s.conf.set("spark.sql.shuffle.partitions", prev)
     q.awaitTermination()
 
     s.table(memName).select(
@@ -449,12 +460,22 @@ object StreamingQueries {
     val joined = views.join(clicks, expr(
       "vu = cu AND ts_c BETWEEN ts_v - INTERVAL 1 HOUR AND ts_v + INTERVAL 1 HOUR"))
     val memName = "q93_ssj_" + java.lang.Long.toHexString(System.nanoTime())
-    val q = joined.writeStream
-      .format("memory").queryName(memName)
-      .outputMode("append")
-      .option("checkpointLocation", ckpt)
-      .trigger(Trigger.AvailableNow())
-      .start()
+    // Stream-stream joins run FOUR state stores per shuffle partition;
+    // state partition count is fixed at the query's first batch, so
+    // size it to the stream, not to the session's batch default
+    // (32 partitions x 4 stores x N batches of commit overhead would
+    // dominate this gate). Conf is restored right after start —
+    // partitioning is already baked into the running query.
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    val q =
+      try joined.writeStream
+        .format("memory").queryName(memName)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      finally s.conf.set("spark.sql.shuffle.partitions", prev)
     q.awaitTermination()
 
     s.table(memName).select(
