@@ -1,0 +1,70 @@
+package graft.queries
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.core.Tables
+
+/** Source/sink format coverage beyond parquet: ORC and CSV round-trips
+  * gated against the base-table oracle. The round trip itself is what's
+  * under test — the formats must preserve values exactly, so the
+  * post-roundtrip aggregate must hash-match the oracle computed on the
+  * original table. Float discipline: doubles survive ORC natively and
+  * CSV via Spark's shortest-round-trip rendering, but SUMS of doubles
+  * are order-dependent — aggregates use count/min/max and an exact
+  * integer checksum (floor(value*1000) as BIGINT) instead.
+  */
+object SourceQueries {
+
+  // ---------------------------------------------------------------- q96
+  def q96OrcRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val dir = Files.createTempDirectory("graft_q96_").toString + "/orc"
+    Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), col("value"), col("event_type"))
+      .write.orc(dir)
+    s.read.orc(dir)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+           min(col("value")).as("vmin"),
+           max(col("value")).as("vmax"),
+           sum(floor(col("value") * 1000).cast("long")).as("vchk"))
+  }
+
+  val q96Sql: String =
+    """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+      |  min(value) AS vmin, max(value) AS vmax,
+      |  CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT) AS vchk
+      |FROM events GROUP BY event_type""".stripMargin
+
+  // ---------------------------------------------------------------- q97
+  /** CSV with an explicit schema (header tolerated, never used for
+    * typing — the `Ingest.flatCsv` contract).
+    */
+  def q97CsvRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val dir = Files.createTempDirectory("graft_q97_").toString + "/csv"
+    Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), col("event_type"))
+      .write.option("header", "true").csv(dir)
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("user_id", LongType),
+      StructField("event_type", StringType)))
+    graft.sources.Ingest.flatCsv(s, dir, schema)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("user_id")).as("uid_sum"),
+           min(col("event_id")).as("id_min"), max(col("event_id")).as("id_max"))
+  }
+
+  val q97Sql: String =
+    """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(user_id) AS BIGINT) AS uid_sum,
+      |  min(event_id) AS id_min, max(event_id) AS id_max
+      |FROM events GROUP BY event_type""".stripMargin
+
+  val entries: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "q96_orc_roundtrip" -> (q96OrcRoundtrip _, q96Sql),
+    "q97_csv_roundtrip" -> (q97CsvRoundtrip _, q97Sql),
+  )
+}
