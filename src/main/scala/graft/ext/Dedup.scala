@@ -295,8 +295,15 @@ object Dedup {
     val roots = e.select(col("dst").as("id")).distinct()
       .join(e.select(col("src").as("id")), Seq("id"), "left_anti")
       .withColumn("cluster_id", col("id"))
-    e.select(col("src").as("id"), col("dst").as("cluster_id"))
+    val labelled = e.select(col("src").as("id"), col("dst").as("cluster_id"))
       .unionByName(roots)
+    // node-set parity with the min-label tier: nodes whose only edges
+    // were self-loops vanished at canonicalization — they are their
+    // own singleton components and must still be labelled
+    val selfOnly = symEdges.select(col("src").as("id")).distinct()
+      .join(labelled.select(col("id")), Seq("id"), "left_anti")
+      .withColumn("cluster_id", col("id"))
+    labelled.unionByName(selfOnly)
   }
 
   /** Brute-force Jaccard pairs over a bounded id range (oracle /

@@ -73,7 +73,11 @@ object Multimodal {
         val w = buf.getInt(18); val hRaw = buf.getInt(22)
         val planes = buf.getShort(26); val bpp = buf.getShort(28)
         val comp = buf.getInt(30)
-        if (hdrSize < 40 || w <= 0 || hRaw == 0 || planes != 1 ||
+        // dimension cap: beyond any real payload AND keeps every
+        // w*h*3 / rowSize computation far from Int overflow (a crafted
+        // huge width must fail, not wrap around into a bogus success)
+        if (hdrSize < 40 || w <= 0 || w > (1 << 20) || hRaw == 0 ||
+            math.abs(hRaw) > (1 << 20) || planes != 1 ||
             bpp != 24 || comp != 0) None
         else {
           val h = math.abs(hRaw); val topDown = hRaw < 0
@@ -113,13 +117,17 @@ object Multimodal {
           else Some(new String(b, start, i - start, "US-ASCII").toLong)
         }
         (token(), token(), token()) match {
+          // dimension cap (1M per axis): overflow-proof — w*h*3 stays
+          // in Long range and a crafted huge header fails instead of
+          // wrapping into a small bogus pixel count
           case (Some(w), Some(h), Some(maxv))
-              if w > 0 && h > 0 && maxv == 255 && i < b.length &&
+              if w > 0 && h > 0 && w <= (1 << 20) && h <= (1 << 20) &&
+                 maxv == 255 && i < b.length &&
                  Character.isWhitespace(b(i)) =>
             i += 1 // exactly one whitespace byte separates header and pixels
-            val n = (w * h * 3).toInt
+            val n = w * h * 3L
             if (i + n > b.length) None
-            else Some((w.toInt, h.toInt, java.util.Arrays.copyOfRange(b, i, i + n)))
+            else Some((w.toInt, h.toInt, java.util.Arrays.copyOfRange(b, i, i + n.toInt)))
           case _ => None
         }
       }

@@ -476,9 +476,15 @@ object ExtQueries {
     val evalCap = 100L   // doc_id < evalCap plays the benchmark set
     val dfCap = 50L
     val minShared = 5L
+    // the exploded (doc, shingle) frame feeds the df aggregate AND
+    // both join sides: persist once, eagerly (same pattern/cache
+    // contract as minhashNearDups — Bench/Verify clear per query;
+    // prod materializes a shingle table)
     val sh = docs(s, d)
       .select(col("doc_id"), explode(shingles(tokens(col("text")), 3)).as("g"))
       .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    sh.count()
     val keep = sh.groupBy(col("g"))
       .agg(count(lit(1)).as("df"))
       .filter(col("df") <= dfCap)
@@ -555,18 +561,24 @@ object ExtQueries {
         .withColumn("doc_id", col("doc_id") + 1000000L))
     // SINGLE-PASS funnel: per-doc boolean flags for every filter stage
     // in one projection (a naive per-stage .agg chain would rescan the
-    // corpus once per stage — 5 scans at 100 TB); the dedup stage adds
-    // one digest-keyed min-aggregate over stage-3 survivors only.
+    // corpus once per stage — 5 scans at 100 TB); the raw text is
+    // reduced to its digest in the same pass, so the flags frame is
+    // narrow (id + fp + 3 booleans), eagerly persisted, and BOTH
+    // consumers (the flag totals and the dedup aggregate) read the
+    // materialized flags instead of re-running tokenize/langID/quality.
     val flagged = input
       .withColumn("f1", langId(toks) === col("lang"))
       .withColumn("f2", col("f1") &&
         qualityScore(size(toks), digitTokenCount(toks), countIn(toks, Stopwords)) >= 0.7)
       .withColumn("f3", col("f2") && col("n_chars").between(50, 5000))
-      .select(col("doc_id"), col("text"), col("f1"), col("f2"), col("f3"))
+      .select(col("doc_id"), md5(col("text").cast("binary")).as("__fp"),
+              col("f1"), col("f2"), col("f3"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    flagged.count()
     // stage-4 winners: min doc_id per digest among stage-3 survivors
     // (map-side combinable; shuffles one candidate per distinct text)
     val s4 = flagged.filter(col("f3"))
-      .groupBy(md5(col("text").cast("binary")).as("__fp"))
+      .groupBy(col("__fp"))
       .agg(min(col("doc_id")).as("doc_id"))
     def n(flag: org.apache.spark.sql.Column) = sum(when(flag, 1L).otherwise(0L))
     def i(flag: org.apache.spark.sql.Column) = sum(when(flag, col("doc_id")).otherwise(0L))

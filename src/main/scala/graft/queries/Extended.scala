@@ -381,9 +381,12 @@ object Extended {
 
   // ---------------------------------------------------------------- q89
   /** Symmetric int8 embedding quantization — the compression step
-    * before shipping an ANN corpus (q = floor(x * 127 / max|x|), range
-    * [-127, 127]). floor, not round: floor of identical IEEE doubles
-    * is engine-identical, round's half-tie behavior is not. Per-vector
+    * before shipping an ANN corpus (q = floor(x * 127 / max|x|)
+    * clamped to [-127, 127] — the two-rounding chain can land one ulp
+    * past an endpoint, e.g. floor(-127.0000…1) = -128, so the clamp is
+    * part of the contract, identically on both engines). floor, not
+    * round: floor of identical IEEE doubles is engine-identical,
+    * round's half-tie behavior is not. Per-vector
     * witness: quantized checksum + extrema + the reconstruction-error
     * bound (|x - q*m/127| <= m/127 must hold for every dim — emitted
     * as a boolean the oracle answers TRUE).
@@ -394,7 +397,8 @@ object Extended {
       .withColumn("m", m)
       .withColumn("q", when(col("m") > 0,
           transform(col("embedding"),
-            x => floor(x.cast("double") * lit(127.0) / col("m")).cast("long")))
+            x => greatest(lit(-127L), least(lit(127L),
+              floor(x.cast("double") * lit(127.0) / col("m")).cast("long")))))
         .otherwise(transform(col("embedding"), _ => lit(0L))))
       .select(
         col("vec_id"),
@@ -413,7 +417,7 @@ object Extended {
       |  FROM embeddings),
       |  q AS (SELECT vec_id, m, len(embedding) AS n_dims,
       |    CASE WHEN m > 0
-      |      THEN list_transform(embedding, u -> CAST(floor(CAST(u AS DOUBLE) * 127.0 / m) AS BIGINT))
+      |      THEN list_transform(embedding, u -> greatest(CAST(-127 AS BIGINT), least(CAST(127 AS BIGINT), CAST(floor(CAST(u AS DOUBLE) * 127.0 / m) AS BIGINT))))
       |      ELSE list_transform(embedding, u -> CAST(0 AS BIGINT)) END AS qs
       |  FROM b)
       |SELECT vec_id, CAST(n_dims AS BIGINT) AS n_dims,

@@ -179,10 +179,11 @@ object SqlSurface {
     * join, a DIFFERENT operator from q06's null-naive `left_anti`:
     * a single NULL in the subquery annihilates every NOT IN match.
     * Both behaviors gated in one query: the null-free branch returns
-    * real survivors (count + id checksum), the branch whose subquery
-    * injects one NULL (the max-price order's key, so >= 1 NULL at any
-    * scale) must return zero. Spark plans the broadcast null-aware
-    * anti join for the single-column case.
+    * real survivors (count + id checksum); the with-null branch's
+    * subquery runs over ALL orders, NULLing exactly the max-price
+    * key — the max always exists, so the subquery carries >= 1 NULL
+    * at ANY scale factor and the branch must return zero. Spark plans
+    * the broadcast null-aware anti join for the single-column case.
     */
   private val q94Text =
     """SELECT 'no_nulls' AS variant, CAST(count(*) AS BIGINT) AS n,
@@ -197,7 +198,7 @@ object SqlSurface {
       |WHERE c_custkey NOT IN
       |  (SELECT CASE WHEN o_totalprice = (SELECT max(o_totalprice) FROM orders)
       |               THEN NULL ELSE o_custkey END
-      |   FROM orders WHERE o_totalprice > 300000)""".stripMargin
+      |   FROM orders)""".stripMargin
 
   def q94NotInNullAware(s: SparkSession, d: String): DataFrame = {
     registerViews(s, d)

@@ -31,12 +31,23 @@ import org.apache.spark.sql.functions._
   * there is no separate fence write and therefore no crash window
   * between data commit and fence commit. On re-delivery of batch B
   * (restart replay), each touched bucket is folded only if its stored
-  * fence is < B: a crash mid-overwrite leaves every bucket either
-  * old (fence < B, refolded on replay) or new (fence = B, skipped) —
-  * per-bucket exactly-once. Structured Streaming's monotone batch ids
-  * + single-writer discipline (enforced by the same writer lock as
-  * MergeSink) make the fence comparison sound: batch B is only ever
-  * re-delivered while no batch > B has committed its offsets.
+  * fence is < B: under per-partition-atomic replace, a crash
+  * mid-overwrite leaves every bucket either old (fence < B, refolded
+  * on replay) or new (fence = B, skipped) — per-bucket exactly-once.
+  * Structured Streaming's monotone batch ids + single-writer
+  * discipline (enforced by the same writer lock as MergeSink) make
+  * the fence comparison sound: batch B is only ever re-delivered
+  * while no batch > B has committed its offsets.
+  *
+  * RESIDUAL WINDOW, documented honestly: "per-partition-atomic
+  * replace" is itself an approximation on plain filesystems — the
+  * Hadoop commit protocol deletes the old partition directory before
+  * renaming the staged one in, so a crash inside that narrow window
+  * can lose a bucket's directory entirely (the same exposure every
+  * non-transactional parquet table has, MergeSink included; for LWW
+  * the replay restores only the batch's own keys). Closing it needs a
+  * transactional table format (Delta/Iceberg snapshot commits), which
+  * slots in here without changing callers.
   */
 final class AggSink(
     spark: SparkSession,

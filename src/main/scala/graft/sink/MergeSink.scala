@@ -148,9 +148,14 @@ object MergeSink {
     * per-partition-atomic but has no cross-writer commit protocol —
     * two interleaved merges (or a merge racing a compact) could each
     * rewrite a bucket from a stale read and lose the other's rows. A
-    * create-exclusive lock file (`<table>_lock`, atomic on HDFS and
-    * local filesystems) makes the second writer FAIL FAST with the
-    * holder's identity instead of corrupting state. The reference
+    * create-exclusive lock file (`<table>_lock`) makes the second
+    * writer FAIL FAST with the holder's identity instead of corrupting
+    * state. Exclusive-create atomicity is filesystem-specific, so the
+    * acquisition path picks the primitive that IS atomic on each:
+    * local paths use NIO `Files.createFile` (O_CREAT|O_EXCL);
+    * HDFS-like filesystems use `fs.create(overwrite = false)` (an
+    * atomic namespace operation there). Genuine I/O errors are
+    * rethrown, never misreported as contention. The reference
     * delegates this to ClickHouse's merge machinery; a transactional
     * table format (Delta/Iceberg) replaces this with optimistic commit
     * protocols without changing callers.
@@ -162,23 +167,34 @@ object MergeSink {
     val lock = new Path(table + "_lock")
     val fs = lock.getFileSystem(spark.sessionState.newHadoopConf())
     val owner = s"$op pid=${ProcessHandle.current().pid()} epochMs=${System.currentTimeMillis()}"
-    val out =
-      try fs.create(lock, false) // overwrite=false: atomic create-exclusive
-      catch {
-        case _: java.io.IOException =>
-          val holder =
-            try {
-              val in = fs.open(lock)
-              try scala.io.Source.fromInputStream(in).mkString.trim finally in.close()
-            } catch { case _: java.io.IOException => "<unreadable>" }
-          throw new ConcurrentWriterException(
-            s"$table is locked by [$holder]; refusing concurrent $op " +
-              "(single-writer contract; breakLock() overrides a crashed holder)")
-      }
-    try {
+    def contention(): Nothing = {
+      val holder =
+        try {
+          val in = fs.open(lock)
+          try scala.io.Source.fromInputStream(in).mkString.trim finally in.close()
+        } catch { case _: java.io.IOException => "<unreadable>" }
+      throw new ConcurrentWriterException(
+        s"$table is locked by [$holder]; refusing concurrent $op " +
+          "(single-writer contract; breakLock() overrides a crashed holder)")
+    }
+    val isLocal = lock.toUri.getScheme == null || lock.toUri.getScheme == "file"
+    if (isLocal) {
+      val p = java.nio.file.Paths.get(lock.toUri.getPath)
+      if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)
+      try java.nio.file.Files.write(p, owner.getBytes("UTF-8"),
+        java.nio.file.StandardOpenOption.CREATE_NEW,
+        java.nio.file.StandardOpenOption.WRITE)
+      catch { case _: java.nio.file.FileAlreadyExistsException => contention() }
+    } else {
+      val out =
+        try fs.create(lock, false)
+        catch {
+          case _: org.apache.hadoop.fs.FileAlreadyExistsException => contention()
+          case _: java.io.IOException if fs.exists(lock) => contention()
+        }
       out.write(owner.getBytes("UTF-8")); out.close()
-      body
-    } finally fs.delete(lock, false)
+    }
+    try body finally fs.delete(lock, false)
   }
 
   /** Operator override: remove a lock left by a crashed writer. */

@@ -214,8 +214,11 @@ class ExtSpec extends SparkSpec {
 
   test("starComponents alone matches min-label on a mixed graph") {
     import graft.ext.Dedup
+    // (30,30): a self-loop-only node — both tiers must keep it as its
+    // own singleton component (the star tier canonicalizes self-loops
+    // away and must add such nodes back)
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (10L, 12L),
-                    (10L, 13L), (20L, 21L), (2L, 3L)).toDF("id_a", "id_b")
+                    (10L, 13L), (20L, 21L), (2L, 3L), (30L, 30L)).toDF("id_a", "id_b")
     val sym = edges.select($"id_a".as("src"), $"id_b".as("dst"))
       .unionByName(edges.select($"id_b".as("src"), $"id_a".as("dst")))
     val star = Dedup.starComponents(sym).as[(Long, Long)].collect().toMap
@@ -257,6 +260,14 @@ class ExtSpec extends SparkSpec {
     assert(decodeBmp(truncated).isEmpty)
     val p6junk = "P6\n4 4\n255\n..".getBytes("US-ASCII") // short pixel payload
     assert(decodePpm(p6junk).isEmpty)
+    // crafted huge dimensions must FAIL, not integer-wrap into a bogus
+    // small pixel count that "successfully" decodes
+    val p6huge = "P6\n1431655766 1\n255\n..".getBytes("US-ASCII")
+    assert(decodePpm(p6huge).isEmpty, "overflowing w*h*3 must not decode")
+    val bmpHuge = encodeBmp(3, 2, 1)
+    java.nio.ByteBuffer.wrap(bmpHuge).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(18, 1431655766) // width -> w*3 wraps negative
+    assert(decodeBmp(bmpHuge).isEmpty, "overflowing BMP width must not decode")
   }
 
   test("extractFeatures real-decodes container formats and stubs the rest, distributed") {
