@@ -129,6 +129,54 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("AggSink: any random batch slicing folds to the one-shot aggregate") {
+    import graft.sink.AggSink
+    import org.apache.spark.sql.functions._
+    (1 to 2).foreach { i =>
+      val evs = sample(80, 600L + i)
+      def proj(xs: Seq[ChangeEvent]) = spark.createDataset(xs)
+        .select($"user_id".as("k"), $"duration".cast("long").as("v"))
+      val expected = proj(evs).groupBy($"k")
+        .agg(sum($"v").as("v"), count(lit(1)).as("n_rows"))
+        .as[(Long, Long, Long)].collect().toSet
+      // random slicing: cut points drawn from the seeded generator
+      val cuts = Gen.listOfN(3, Gen.choose(1, evs.size - 1))
+        .pureApply(Gen.Parameters.default, Seed(700L + i)).distinct.sorted
+      val dir = java.nio.file.Files.createTempDirectory("graft_prop_agg_").toString + "/t"
+      val sink = new AggSink(spark, dir, Seq("k"), Seq("v"), nBuckets = 4)
+      (0 +: cuts :+ evs.size).sliding(2).foreach { case Seq(a, b) =>
+        if (b > a) sink.merge(proj(evs.slice(a, b)))
+      }
+      val got = sink.read().as[(Long, Long, Long)].collect().toSet
+      assert(got == expected, s"seed $i: sliced folds diverged from one-shot aggregate")
+    }
+  }
+
+  test("MergeSink: compaction at random points never changes content") {
+    import graft.sink.MergeSink
+    import org.apache.spark.sql.functions._
+    val evs = sample(60, 800L)
+    val dir = java.nio.file.Files.createTempDirectory("graft_prop_cmp_").toString + "/t"
+    val sink = new MergeSink(spark, dir, Seq("user_id"),
+      Seq("ts_ms", "document_id"), nBuckets = 4)
+    Seq(0, 20, 40, 60).sliding(2).zipWithIndex.foreach { case (Seq(a, b), idx) =>
+      sink.merge(spark.createDataset(evs.slice(a, b)).toDF())
+      if (idx % 2 == 0) {
+        val before = sink.read().collect().map(_.toString).sorted.toSeq
+        sink.compact(maxFilesPerBucket = 1)
+        val after = sink.read().collect().map(_.toString).sorted.toSeq
+        assert(after == before, s"compaction after slice $idx changed content")
+      }
+    }
+    val expected = graft.ops.Cdc.latestByKey(
+        spark.createDataset(evs).toDF(),
+        Seq("user_id"), Seq("ts_ms", "document_id"))
+      .select($"user_id", $"document_id").as[(Long, Long)].collect().toSet
+    val got = sink.read().select($"user_id", $"document_id")
+      .as[(Long, Long)].collect().toSet
+    assert(got == expected, "interleaved merge/compact diverged from batch LWW")
+  }
+
   test("large-star/small-star CC agrees with min-label on random graphs") {
     import graft.ext.Dedup
     import org.apache.spark.sql.functions.col
