@@ -491,6 +491,95 @@ object StreamingQueries {
       | AND a.event_type = 'view' AND b.event_type = 'click'
       | AND b.ts BETWEEN a.ts - INTERVAL 1 HOUR AND a.ts + INTERVAL 1 HOUR""".stripMargin
 
+  // ---------------------------------------------------------------- q98
+  /** Stream-stream LEFT OUTER join — semantically distinct machinery
+    * from q93's inner join: an unmatched view can only emit (with NULL
+    * click columns) once the watermark proves no matching click can
+    * still arrive, i.e. passes view_ts + window + delay. Discipline:
+    * time-ordered slices with a SHORT delay (1 s) so the per-batch
+    * watermark genuinely advances, then two far-future sentinel files
+    * (each carrying one view AND one click so BOTH sides' watermarks
+    * jump) — the first flushes every real row's outcome, the second
+    * forces a batch that applies it. Sentinel users are negative and
+    * filtered. Output must equal the batch LEFT JOIN exactly — matched
+    * rows with gaps, unmatched rows with NULLs.
+    */
+  def q98StreamStreamLeftOuter(s: SparkSession, d: String): DataFrame = {
+    val base = Files.createTempDirectory("graft_q98_").toString
+    val inDir = new java.io.File(base, "in"); inDir.mkdirs()
+    val ckpt = s"$base/ckpt"
+
+    val ev = graft.core.Tables.events(s, d)
+      .select(col("event_id"), col("user_id"),
+              unix_micros(col("ts")).as("ts_us"), col("event_type"))
+      .filter(col("event_type").isin("view", "click"))
+    val hi = ev.agg(max(col("ts_us"))).first().getLong(0)
+    def writeSlice(df: DataFrame, i: Int): Unit = {
+      val tmp = s"$base/slice$i"
+      df.coalesce(1).write.json(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".json")).get
+      val dest = new java.io.File(inDir, f"$i%02d.json")
+      Files.move(part.toPath, dest.toPath)
+      dest.setLastModified(60000L * (i + 1))
+    }
+    // one real batch (cross-batch MATCHING is q93's gate; this gate is
+    // about watermark-gated outer emission) + the two sentinel batches
+    // that advance and then apply the watermark
+    writeSlice(ev, 0)
+    val day_us = 86400000000L
+    def sentinels(uBase: Long, at: Long) =
+      s.range(1).select(lit(-uBase).as("event_id"), lit(-uBase).as("user_id"),
+          lit(at).as("ts_us"), lit("view").as("event_type"))
+        .unionByName(s.range(1).select(lit(-uBase - 1).as("event_id"),
+          lit(-uBase - 1).as("user_id"), lit(at).as("ts_us"),
+          lit("click").as("event_type")))
+    writeSlice(sentinels(1L, hi + 10 * day_us), 1)
+    writeSlice(sentinels(3L, hi + 20 * day_us), 2)
+
+    val wire = StructType(Seq(
+      StructField("event_id", LongType), StructField("user_id", LongType),
+      StructField("ts_us", LongType), StructField("event_type", StringType)))
+    def src() = s.readStream.schema(wire)
+      .option("maxFilesPerTrigger", "1").json(inDir.toString)
+    val views = src().filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id").as("vu"),
+              timestamp_micros(col("ts_us")).as("ts_v"))
+      .withWatermark("ts_v", "1 second")
+    val clicks = src().filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("cu"),
+              timestamp_micros(col("ts_us")).as("ts_c"))
+      .withWatermark("ts_c", "1 second")
+    val joined = views.join(clicks, expr(
+      "vu = cu AND ts_c BETWEEN ts_v - INTERVAL 1 HOUR AND ts_v + INTERVAL 1 HOUR"),
+      "leftOuter")
+    val memName = "q98_sslo_" + java.lang.Long.toHexString(System.nanoTime())
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    val q =
+      try joined.writeStream
+        .format("memory").queryName(memName)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      finally s.conf.set("spark.sql.shuffle.partitions", prev)
+    q.awaitTermination()
+
+    s.table(memName)
+      .filter(col("vu") >= 0)
+      .select(col("view_id"), col("click_id"), col("vu").as("user_id"),
+              (unix_millis(col("ts_c")) - unix_millis(col("ts_v"))).as("gap_ms"))
+  }
+
+  val q98Sql: String =
+    """SELECT a.event_id AS view_id, b.event_id AS click_id, a.user_id,
+      |  CAST(epoch_ms(b.ts) - epoch_ms(a.ts) AS BIGINT) AS gap_ms
+      |FROM (SELECT * FROM events WHERE event_type = 'view') a
+      |LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') b
+      |  ON a.user_id = b.user_id
+      | AND b.ts BETWEEN a.ts - INTERVAL 1 HOUR AND a.ts + INTERVAL 1 HOUR""".stripMargin
+
   val entries: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "q66_streaming_cdc" -> (q66StreamingCdc _, q66Sql),
     "q76_streaming_agg" -> (q76StreamingAgg _, q76Sql),
@@ -500,5 +589,6 @@ object StreamingQueries {
     "q87_streaming_dedup" -> (q87StreamingDedup _, q87Sql),
     "q92_streaming_vocab" -> (q92StreamingVocab _, q92Sql),
     "q93_stream_stream_join" -> (q93StreamStreamJoin _, q93Sql),
+    "q98_stream_stream_left_outer" -> (q98StreamStreamLeftOuter _, q98Sql),
   )
 }
