@@ -17,9 +17,11 @@ object Bench {
   def main(args: Array[String]): Unit = {
     // optional: Bench [queryName ...] limits to those queries (debugging)
     val only: Set[String] = args.toSet
-    // 2 timed runs, report the min: cross-query GC/cache interference
-    // at local[32] adds multi-second noise to single measurements.
-    val repeats = sys.env.getOrElse("SPARK_GRAFT_REPEATS", "2").toInt
+    // 3 timed runs, report the min: external machine load and GC add
+    // multi-second noise to single measurements (observed 2-4x swings
+    // on identical code under load average ~5); min-of-3 recovers the
+    // plan's true cost far more reliably than min-of-2.
+    val repeats = sys.env.getOrElse("SPARK_GRAFT_REPEATS", "3").toInt
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       math.min(32, Runtime.getRuntime.availableProcessors()).toString)
