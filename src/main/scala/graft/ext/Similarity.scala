@@ -86,14 +86,88 @@ object Similarity {
     ranked(scored, k)
   }
 
-  /** Embedding near-duplicate pairs: cosine >= threshold over a bounded
-    * id range (brute baseline; the LSH path above is the scale route).
+  /** Deterministic near-dup benchmark corpus: every 5th base vector
+    * (vec_id % 5 == 0, vec_id < idCap) gets a jittered copy at
+    * vec_id + copyOffset — per-component scale 1 + 0.03*((vec_id*31+i)%7-3),
+    * computed in double and rounded back to float32 (both correctly-
+    * rounded IEEE ops, so the DuckDB twin is bit-identical). The copies
+    * land at cosine ~0.998 to their original while the densest
+    * background pair tops out ~0.6, so at threshold 0.9 the qualifying
+    * set is EXACTLY the planted (original, copy) pairs — a clean,
+    * SF-independent near-dup gate (the corpus itself is dup-free, same
+    * injection idiom as the q91 curation funnel).
     */
-  def embeddingNearDups(emb: DataFrame, idCap: Long, threshold: Double): DataFrame = {
-    val sub = emb.filter(col("vec_id") < idCap)
-    val a = sub.select(col("vec_id").as("id_a"), col("embedding").as("ea"))
-    val b = sub.select(col("vec_id").as("id_b"), col("embedding").as("eb"))
+  def plantedNearDupCorpus(emb: DataFrame, idCap: Long,
+                           copyOffset: Long = 100000L): DataFrame = {
+    val base = emb.filter(col("vec_id") < idCap)
+      .select(col("vec_id"), col("embedding"))
+    val copies = base.filter(col("vec_id") % 5 === 0)
+      .withColumn("jittered", expr(
+        """transform(embedding, (x, i) ->
+          |  CAST(CAST(x AS DOUBLE) *
+          |       (1.0D + 0.03D * CAST((vec_id * 31 + i) % 7 - 3 AS DOUBLE))
+          |       AS FLOAT))""".stripMargin))
+      .select((col("vec_id") + lit(copyOffset)).as("vec_id"),
+              col("jittered").as("embedding"))
+    base.unionByName(copies)
+  }
+
+  /** Embedding near-duplicate pairs, brute baseline: all-pairs cosine
+    * >= threshold. O(n^2) by construction — the exactness oracle for
+    * [[nearDupPairsLsh]], never the path you'd run at scale.
+    */
+  def nearDupPairsBrute(corpus: DataFrame, threshold: Double): DataFrame = {
+    val a = corpus.select(col("vec_id").as("id_a"), col("embedding").as("ea"))
+    val b = corpus.select(col("vec_id").as("id_b"), col("embedding").as("eb"))
     a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .withColumn("cos6", round(cosineSim(col("ea"), col("eb")), 6))
+      .filter(col("cos6") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cos6"))
+  }
+
+  /** Banded sign-LSH near-dup pair ENUMERATION — the scale path for
+    * [[nearDupPairsBrute]]. `ps` holds bands * b hyperplanes sliced
+    * into `bands` tables of b sign bits each; a pair is a candidate
+    * iff all b bits agree in at least one table, i.e. candidates come
+    * from an EQUI-JOIN on the (table, bucket) key — never a cross
+    * join. Candidates are deduped per pair, then verified with the
+    * exact codegen'd cosine, so precision is always exact; recall is
+    * the banding guarantee p^b-per-table (the q99 gate hash-checks
+    * recall == 100% against the brute DuckDB oracle on the planted
+    * corpus). At 100 TB: the corpus is scanned once, exploded *bands
+    * ways, shuffled on a 2-int key; per-bucket self-joins hold ~n/2^b
+    * rows per table — subquadratic candidate volume (collision prob
+    * ~0.5^b for background pairs) and no broadcast of the big side.
+    *
+    * Why the gate threshold is 0.9, not q32-r3's 0.4: at cosine 0.4
+    * the pair angle is ~66 deg, per-plane sign agreement is ~0.63,
+    * and NO bucketing scheme (sign-LSH, multiprobe, metric-pivot
+    * bounds) prunes — exact recall there costs more candidate volume
+    * than the cross join. LSH pair enumeration is a near-dup tool;
+    * the planted corpus makes the gate a real near-dup task.
+    */
+  def nearDupPairsLsh(corpus: DataFrame, threshold: Double,
+                      ps: Array[Array[Double]], bands: Int): DataFrame = {
+    require(ps.length % bands == 0, s"${ps.length} planes not divisible into $bands bands")
+    val b = ps.length / bands
+    val bits = ps.zipWithIndex.map { case (p, i) =>
+      when(planeDot(col("embedding"), p) >= 0.0, lit(1L << (i % b))).otherwise(lit(0L))
+    }
+    val tableBuckets = (0 until bands).map { t =>
+      struct(lit(t).as("t"), bits.slice(t * b, (t + 1) * b).reduce(_ + _).as("bk"))
+    }
+    val bucketed = corpus
+      .select(col("vec_id"), col("embedding"),
+              explode(array(tableBuckets: _*)).as("tb"))
+      .select(col("vec_id"), col("embedding"),
+              col("tb.t").as("t"), col("tb.bk").as("bk"))
+    val l = bucketed.select(col("t"), col("bk"),
+      col("vec_id").as("id_a"), col("embedding").as("ea"))
+    val r = bucketed.select(col("t"), col("bk"),
+      col("vec_id").as("id_b"), col("embedding").as("eb"))
+    l.join(r, Seq("t", "bk")).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("ea"), col("eb"))
+      .dropDuplicates("id_a", "id_b") // collide in >1 table -> verify once
       .withColumn("cos6", round(cosineSim(col("ea"), col("eb")), 6))
       .filter(col("cos6") >= threshold)
       .select(col("id_a"), col("id_b"), col("cos6"))

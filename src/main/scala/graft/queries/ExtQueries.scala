@@ -379,17 +379,44 @@ object ExtQueries {
        |WHERE rank <= 3""".stripMargin
   }
 
-  // ---------------------------------------------------------------- q32
-  /** Embedding near-duplicate pairs: cosine >= 0.4 over vec_id < 500. */
+  // ------------------------------------------------------------ q32/q99
+  /** Embedding near-dup pairs over the planted-copy corpus (vec_id <
+    * 500 plus a jittered float32 copy of every 5th vector at +100000;
+    * the qualifying set is exactly the 100 planted pairs at cosine
+    * ~0.998 against a ~0.6 background — see
+    * [[Similarity.plantedNearDupCorpus]]). q32 gates the brute
+    * all-pairs baseline; q99 gates the banded sign-LSH scale path
+    * (4 tables x 10 sign bits, deterministic seed-42 hyperplanes).
+    * BOTH share the brute DuckDB oracle below, so a green q99 IS the
+    * proof that the bucketed equi-join enumeration reproduces the
+    * cross-join baseline pair-for-pair on the same corpus and
+    * threshold. (r3's tau=0.4 gate was dropped: at 66-degree pair
+    * angles no bucketing prunes — LSH is a near-dup tool.)
+    */
+  private lazy val NearDupPlanes = Similarity.planes(nPlanes = 40, dim = 64, seed = 42L)
+
   def q32EmbeddingNearDup(s: SparkSession, d: String): DataFrame =
-    Similarity.embeddingNearDups(emb(s, d), idCap = 500, threshold = 0.4)
+    Similarity.nearDupPairsBrute(
+      Similarity.plantedNearDupCorpus(emb(s, d), idCap = 500), threshold = 0.9)
+
+  def q99EmbeddingNearDupLsh(s: SparkSession, d: String): DataFrame =
+    Similarity.nearDupPairsLsh(
+      Similarity.plantedNearDupCorpus(emb(s, d), idCap = 500), threshold = 0.9,
+      NearDupPlanes, bands = 4)
 
   val q32Sql: String = {
     val cosAB = VectorFunctions.cosineSqlDuck("ea", "eb")
-    s"""WITH a AS (SELECT vec_id AS id_a, embedding AS ea FROM embeddings WHERE vec_id < 500),
-       |  b AS (SELECT vec_id AS id_b, embedding AS eb FROM embeddings WHERE vec_id < 500)
+    s"""WITH base AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 500),
+       |  jit AS (SELECT vec_id, list_transform(generate_series(1, len(embedding)),
+       |      i -> CAST(CAST(embedding[i] AS DOUBLE) *
+       |               (1.0 + 0.03 * CAST((vec_id * 31 + (i - 1)) % 7 - 3 AS DOUBLE)) AS FLOAT)) AS je
+       |    FROM base WHERE vec_id % 5 = 0),
+       |  corpus AS (SELECT vec_id, embedding FROM base
+       |             UNION ALL SELECT vec_id + 100000 AS vec_id, je AS embedding FROM jit),
+       |  a AS (SELECT vec_id AS id_a, embedding AS ea FROM corpus),
+       |  b AS (SELECT vec_id AS id_b, embedding AS eb FROM corpus)
        |SELECT id_a, id_b, round($cosAB, 6) AS cos6
-       |FROM a, b WHERE id_a < id_b AND round($cosAB, 6) >= 0.4""".stripMargin
+       |FROM a, b WHERE id_a < id_b AND round($cosAB, 6) >= 0.9""".stripMargin
   }
 
   // ---------------------------------------------------------------- q33
@@ -770,6 +797,7 @@ object ExtQueries {
     "q30_knn_brute" -> (q30KnnBrute _, q30Sql),
     "q31_ann_lsh" -> (q31AnnLsh _, q31Sql),
     "q32_embedding_neardup" -> (q32EmbeddingNearDup _, q32Sql),
+    "q99_embedding_neardup_lsh" -> (q99EmbeddingNearDupLsh _, q32Sql),
     "q33_multimodal_meta" -> (q33MultimodalMeta _, q33Sql),
     "q85_codec_decode" -> (q85CodecDecode _, q85Sql),
     "q86_contamination" -> (q86Contamination _, q86Sql),

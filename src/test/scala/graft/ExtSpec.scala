@@ -140,6 +140,19 @@ class ExtSpec extends SparkSpec {
     assert(ann.size == 20 && hits >= 8, s"recall@1 too low: $hits/${ann.size}")
   }
 
+  test("LSH near-dup pairs (q99) == brute pairs (q32): 100% recall on planted corpus") {
+    // the banded-LSH enumeration must reproduce the cross-join baseline
+    // pair-for-pair — this is the same equivalence the q99 gate
+    // hash-checks against the DuckDB brute oracle at sf0.01
+    val brute = graft.queries.ExtQueries.q32EmbeddingNearDup(spark, sfDir)
+      .select($"id_a", $"id_b", $"cos6").as[(Long, Long, Double)].collect().toSet
+    val lsh = graft.queries.ExtQueries.q99EmbeddingNearDupLsh(spark, sfDir)
+      .select($"id_a", $"id_b", $"cos6").as[(Long, Long, Double)].collect().toSet
+    assert(brute.nonEmpty, "planted corpus produced no qualifying pairs")
+    assert(lsh == brute,
+      s"LSH missed ${(brute -- lsh).size} pairs / invented ${(lsh -- brute).size}")
+  }
+
   test("IVF ANN (q37 shape): 4-probe recall@1 beats single-cell assignment") {
     val brute = Similarity.knnBrute(emb, 20, 1)
       .select($"qid", $"cid").as[(Long, Long)].collect().toMap

@@ -207,6 +207,22 @@ class PlanSpec extends SparkSpec {
       "expected a hash/merge equi-join on the shingle key")
   }
 
+  test("LSH near-dup enumeration is an equi-join on the (table, bucket) key — no cartesian") {
+    // q99 is the gated scale path for q32's brute baseline: candidates
+    // MUST come from a hash/merge join on the banded sign-LSH key; a
+    // refactor that loses the key (or re-introduces the crossJoin)
+    // would be invisible at 600 vectors and fatal at 100 TB
+    val p = plan("q99_embedding_neardup_lsh")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"LSH candidate join degraded to all-pairs:\n${p.take(1500)}")
+    assert("(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)".r.findFirstIn(p).isDefined,
+      "expected a hash/merge equi-join on the (t, bk) bucket key")
+    // the brute twin, by contrast, IS the documented cross join
+    val brute = plan("q32_embedding_neardup")
+    assert(brute.contains("CartesianProduct") || brute.contains("BroadcastNestedLoopJoin"),
+      "q32 should remain the brute all-pairs oracle twin")
+  }
+
   test("PageRank rounds are join + partial-aggregated sum — no windows, no cartesian") {
     val p = plan("q88_pagerank")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
