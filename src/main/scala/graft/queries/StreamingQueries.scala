@@ -33,6 +33,44 @@ import graft.sink.MergeSink
   */
 object StreamingQueries {
 
+  /** Session conf for STATEFUL streams, latched by the query at
+    * `start()` and restored immediately after (both settings are baked
+    * into the running query once started):
+    *
+    *  - state partitions sized to the stream (8), not the session's
+    *    batch default — stream-stream joins run FOUR state stores per
+    *    shuffle partition, and partition count is fixed at the query's
+    *    first batch, so 32 partitions x 4 stores x N batches of commit
+    *    overhead would dominate these gates;
+    *  - RocksDB state store provider — the default HDFS-backed store
+    *    keeps every key on-heap, the one piece of the streaming tier
+    *    that cannot hold at 100 TB key cardinality; RocksDB keeps
+    *    working state on local disk with bounded memory (public Spark
+    *    conf, changelog-checkpointed like the default).
+    */
+  private def startStateful(s: SparkSession)(
+      start: => org.apache.spark.sql.streaming.StreamingQuery)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    val prevProv = s.conf.getOption(provKey)
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    s.conf.set(provKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    // commit deltas, not full snapshots, per micro-batch — snapshots
+    // still happen, just asynchronously every N batches
+    s.conf.set(
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled", "true")
+    try start
+    finally {
+      s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      prevProv match {
+        case Some(p) => s.conf.set(provKey, p)
+        case None    => s.conf.unset(provKey)
+      }
+    }
+  }
+
   private val dataSchema = StructType(Seq(
     StructField("watched", DoubleType),
     StructField("duration", IntegerType),
@@ -276,18 +314,14 @@ object StreamingQueries {
       .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
       .agg(count(lit(1)).as("n_events"))
     val memName = "q84_sessions_" + java.lang.Long.toHexString(System.nanoTime())
-    // state partitions sized to the stream, not the batch default —
-    // fixed at first batch; conf restored immediately (see q93)
-    val prev = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "8")
-    val q =
-      try sessions.writeStream
+    val q = startStateful(s) {
+      sessions.writeStream
         .format("memory").queryName(memName)
         .outputMode("append")
         .option("checkpointLocation", ckpt)
         .trigger(Trigger.AvailableNow())
         .start()
-      finally s.conf.set("spark.sql.shuffle.partitions", prev)
+    }
     q.awaitTermination()
 
     s.table(memName)
@@ -348,17 +382,14 @@ object StreamingQueries {
       .withWatermark("ts", "3650 days")
       .dropDuplicatesWithinWatermark("event_id")
     val memName = "q87_dedup_" + java.lang.Long.toHexString(System.nanoTime())
-    // state partitions sized to the stream (see q93); conf restored
-    val prev = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "8")
-    val q =
-      try deduped.writeStream
+    val q = startStateful(s) {
+      deduped.writeStream
         .format("memory").queryName(memName)
         .outputMode("append")
         .option("checkpointLocation", ckpt)
         .trigger(Trigger.AvailableNow())
         .start()
-      finally s.conf.set("spark.sql.shuffle.partitions", prev)
+    }
     q.awaitTermination()
 
     s.table(memName).select(
@@ -460,22 +491,14 @@ object StreamingQueries {
     val joined = views.join(clicks, expr(
       "vu = cu AND ts_c BETWEEN ts_v - INTERVAL 1 HOUR AND ts_v + INTERVAL 1 HOUR"))
     val memName = "q93_ssj_" + java.lang.Long.toHexString(System.nanoTime())
-    // Stream-stream joins run FOUR state stores per shuffle partition;
-    // state partition count is fixed at the query's first batch, so
-    // size it to the stream, not to the session's batch default
-    // (32 partitions x 4 stores x N batches of commit overhead would
-    // dominate this gate). Conf is restored right after start —
-    // partitioning is already baked into the running query.
-    val prev = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "8")
-    val q =
-      try joined.writeStream
+    val q = startStateful(s) {
+      joined.writeStream
         .format("memory").queryName(memName)
         .outputMode("append")
         .option("checkpointLocation", ckpt)
         .trigger(Trigger.AvailableNow())
         .start()
-      finally s.conf.set("spark.sql.shuffle.partitions", prev)
+    }
     q.awaitTermination()
 
     s.table(memName).select(
@@ -554,16 +577,14 @@ object StreamingQueries {
       "vu = cu AND ts_c BETWEEN ts_v - INTERVAL 1 HOUR AND ts_v + INTERVAL 1 HOUR"),
       "leftOuter")
     val memName = "q98_sslo_" + java.lang.Long.toHexString(System.nanoTime())
-    val prev = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "8")
-    val q =
-      try joined.writeStream
+    val q = startStateful(s) {
+      joined.writeStream
         .format("memory").queryName(memName)
         .outputMode("append")
         .option("checkpointLocation", ckpt)
         .trigger(Trigger.AvailableNow())
         .start()
-      finally s.conf.set("spark.sql.shuffle.partitions", prev)
+    }
     q.awaitTermination()
 
     s.table(memName)

@@ -199,6 +199,97 @@ class StreamingSpec extends SparkSpec {
     assert(fromSink == direct && fromSink.nonEmpty)
   }
 
+  test("stream-stream left-outer join state survives checkpoint restart (RocksDB)") {
+    // q98's untested half: the JOIN state (buffered unmatched views +
+    // per-side watermarks) must recover from the checkpoint. Phase 1
+    // processes only the real events and stops — at that point the
+    // unmatched views exist ONLY in checkpointed state. The sentinel
+    // files land while the query is DOWN; phase 2 restarts and must
+    // flush exactly the NULL-emissions for the restored unmatched
+    // views, without re-emitting the phase-1 match. Runs under the
+    // RocksDB state-store provider — the same provider the streaming
+    // gates use — so state recovery is exercised on the scale path.
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.streaming.Trigger
+    val base = java.nio.file.Files.createTempDirectory("graft_ssjr_").toString
+    val inDir = new java.io.File(base, "in"); inDir.mkdirs()
+    val ckpt = s"$base/ckpt"; val outDir = s"$base/out"
+
+    def writeSlice(lines: Seq[String], i: Int): Unit = {
+      val dest = new java.io.File(inDir, f"$i%02d.json")
+      java.nio.file.Files.write(dest.toPath, lines.mkString("\n").getBytes)
+      dest.setLastModified(60000L * (i + 1))
+    }
+    def ev(id: Long, u: Long, ts: Long, t: String) =
+      s"""{"event_id":$id,"user_id":$u,"ts_us":$ts,"event_type":"$t"}"""
+    val t0 = 1000000000000000L // epoch micros
+    val minUs = 60000000L; val dayUs = 86400000000L
+    // user 1: matched within the hour; user 2: no click at all;
+    // user 3: click exists but outside the +-1h window
+    writeSlice(Seq(
+      ev(1, 1, t0, "view"), ev(101, 1, t0 + 10 * minUs, "click"),
+      ev(2, 2, t0, "view"),
+      ev(3, 3, t0, "view"), ev(103, 3, t0 + 120 * minUs, "click")), 0)
+
+    val wire = StructType(Seq(
+      StructField("event_id", LongType), StructField("user_id", LongType),
+      StructField("ts_us", LongType), StructField("event_type", StringType)))
+    def startQ() = {
+      def src() = spark.readStream.schema(wire)
+        .option("maxFilesPerTrigger", "1").json(inDir.toString)
+      val views = src().filter($"event_type" === "view")
+        .select($"event_id".as("view_id"), $"user_id".as("vu"),
+                timestamp_micros($"ts_us").as("ts_v"))
+        .withWatermark("ts_v", "1 second")
+      val clicks = src().filter($"event_type" === "click")
+        .select($"event_id".as("click_id"), $"user_id".as("cu"),
+                timestamp_micros($"ts_us").as("ts_c"))
+        .withWatermark("ts_c", "1 second")
+      views.join(clicks, expr(
+          "vu = cu AND ts_c BETWEEN ts_v - INTERVAL 1 HOUR AND ts_v + INTERVAL 1 HOUR"),
+          "leftOuter")
+        .writeStream.format("parquet")
+        .option("path", outDir).option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+    }
+
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProv = spark.conf.getOption(provKey)
+    spark.conf.set(provKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val q1 = startQ(); q1.awaitTermination() // phase 1: real events only
+      val afterP1 = spark.read.parquet(outDir)
+        .filter($"vu" >= 0).select($"view_id").as[Long].collect().toSet
+      assert(!afterP1.contains(2L) && !afterP1.contains(3L),
+        "unmatched views must still be buffered in state, not emitted")
+
+      // sentinels land while the query is down: first advances both
+      // sides' watermarks, second forces a batch that applies them
+      def sentinels(uBase: Long, at: Long) =
+        Seq(ev(-uBase, -uBase, at, "view"), ev(-uBase - 1, -uBase - 1, at, "click"))
+      writeSlice(sentinels(1L, t0 + 10 * dayUs), 1)
+      writeSlice(sentinels(3L, t0 + 20 * dayUs), 2)
+      val q2 = startQ(); q2.awaitTermination() // phase 2: restart from checkpoint
+
+      val out = spark.read.parquet(outDir).filter($"vu" >= 0)
+        .select($"view_id", $"click_id",
+          (unix_millis($"ts_c") - unix_millis($"ts_v")).as("gap_ms"))
+        .as[(Long, Option[Long], Option[Long])].collect().toSeq
+      assert(out.sortBy(_._1) == Seq(
+        (1L, Some(101L), Some(600000L)), // phase-1 match, emitted once
+        (2L, None, None),                // flushed from RESTORED state
+        (3L, None, None)),               // window miss -> NULL after restart
+        s"restart lost or duplicated join state: $out")
+    } finally {
+      prevProv match {
+        case Some(p) => spark.conf.set(provKey, p)
+        case None    => spark.conf.unset(provKey)
+      }
+    }
+  }
+
   test("TTL state policy expires idle keys past the watermark, keeps live ones") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[ChangeEvent]
