@@ -40,13 +40,20 @@ object Graph {
     val nodes = edges.select(col("src").as("node"))
       .unionByName(edges.select(col("dst").as("node"))).distinct()
     var ranks = nodes.withColumn("r", lit(1000000L))
-    (0 until iters).foreach { _ =>
+    (0 until iters).foreach { i =>
       val contrib = withDeg.join(ranks, withDeg("src") === ranks("node"))
         .select(col("dst").as("node"), expr("r div outdeg").as("c"))
       val inSum = contrib.groupBy(col("node")).agg(sum(col("c")).as("s"))
       ranks = nodes.join(inSum, Seq("node"), "left")
         .select(col("node"),
           (lit(150000L) + expr("(85 * coalesce(s, 0L)) div 100")).as("r"))
+      // `ranks` is referenced ONCE per round, so the Catalyst tree grows
+      // linearly (unlike the CC loop's union+join doubling) — a handful
+      // of rounds plans fine and stays auditable as one plan (PlanSpec
+      // reads the per-round partial aggregates). Larger iteration
+      // budgets still get lineage truncation so planning time stays
+      // O(1) per round, matching the SEMANTICS.md iterative-loop rule.
+      if ((i + 1) % 8 == 0) ranks = ranks.localCheckpoint(true)
     }
     ranks
   }

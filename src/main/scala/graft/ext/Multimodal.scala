@@ -157,7 +157,12 @@ object Multimodal {
               val bits = buf.getShort(off + 22).toInt
               if (audioFormat == 1 && channels > 0 && rate > 0 && bits > 0)
                 fmt = Some((rate, channels, bits))
-            } else if (ascii(off, "data")) dataBytes = size.toLong
+            } else if (ascii(off, "data")) {
+              // header-claimed size must be backed by actual payload
+              // bytes: a truncated WAV fails the decode (BMP/PPM
+              // parity), it does not report claimed frames as read
+              if (off + 8 + size.toLong <= b.length) dataBytes = size.toLong
+            }
             off += 8 + size + (size & 1) // chunks are word-aligned
           }
         }

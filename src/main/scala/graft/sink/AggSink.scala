@@ -133,5 +133,9 @@ final class AggSink(
     */
   def lastBatchId: Long =
     if (!tableExists) -1L
-    else spark.read.parquet(path).agg(max(col(FenceCol))).first().getLong(0)
+    else {
+      // max() over an existing-but-empty table is NULL, not an error
+      val r = spark.read.parquet(path).agg(max(col(FenceCol))).first()
+      if (r.isNullAt(0)) -1L else r.getLong(0)
+    }
 }

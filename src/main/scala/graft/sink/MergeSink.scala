@@ -186,13 +186,20 @@ object MergeSink {
         java.nio.file.StandardOpenOption.WRITE)
       catch { case _: java.nio.file.FileAlreadyExistsException => contention() }
     } else {
-      val out =
-        try fs.create(lock, false)
-        catch {
-          case _: org.apache.hadoop.fs.FileAlreadyExistsException => contention()
-          case _: java.io.IOException if fs.exists(lock) => contention()
-        }
+      // rename is the atomic namespace op on HDFS-like stores, so the
+      // CLAIM is the rename of a fully-written temp file — a contender
+      // can never observe a claimed-but-empty lock (create-then-write
+      // had that window). On S3-like object stores neither
+      // create-exclusive nor rename is atomic: the lock is ADVISORY
+      // there; a table format with a real commit protocol
+      // (Delta/Iceberg — see class doc) is the production answer.
+      val tmp = new Path(table + s"_lock.tmp.${java.util.UUID.randomUUID()}")
+      val out = fs.create(tmp, false)
       out.write(owner.getBytes("UTF-8")); out.close()
+      val claimed =
+        try fs.rename(tmp, lock) && fs.exists(lock)
+        catch { case _: java.io.IOException => false }
+      if (!claimed) { fs.delete(tmp, false); contention() }
     }
     try body finally fs.delete(lock, false)
   }

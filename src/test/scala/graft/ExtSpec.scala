@@ -273,6 +273,10 @@ class ExtSpec extends SparkSpec {
     assert(decodeBmp(truncated).isEmpty)
     val p6junk = "P6\n4 4\n255\n..".getBytes("US-ASCII") // short pixel payload
     assert(decodePpm(p6junk).isEmpty)
+    // truncated WAV: header claims frames the payload doesn't carry —
+    // must fail the decode like BMP/PPM, not report claimed frames
+    val wavTrunc = encodeWav(44100, 100).dropRight(50)
+    assert(decodeWav(wavTrunc).isEmpty)
     // crafted huge dimensions must FAIL, not integer-wrap into a bogus
     // small pixel count that "successfully" decodes
     val p6huge = "P6\n1431655766 1\n255\n..".getBytes("US-ASCII")

@@ -180,6 +180,18 @@ class PipelineSpec extends SparkSpec {
     assert(sink.lastBatchId == 10L)
   }
 
+  test("AggSink.lastBatchId is -1 on an existing-but-empty state table") {
+    // a state dir can exist with zero rows (retention sweep, manual
+    // truncation); max(fence) is then NULL and must read as "no batch
+    // applied", not throw
+    val dir = freshDir() + "/state"
+    spark.range(0).selectExpr("id AS k", "id AS v", "id AS n_rows",
+        "id AS __applied_batch")
+      .coalesce(1).write.parquet(dir)
+    val sink = new graft.sink.AggSink(spark, dir, Seq("k"), Seq("v"), 4)
+    assert(sink.lastBatchId == -1L)
+  }
+
   test("MergeSink compaction rewrites only oversized buckets, content intact") {
     import graft.sink.MergeSink
     val dir = freshDir() + "/state"
