@@ -208,12 +208,8 @@ object StreamingQueries {
     (0 until 4).foreach(i =>
       sink.merge(flat.filter(pmod(col("document_id"), lit(4)) === lit(i))))
     sink.compact(maxFilesPerBucket = 1)
-    val root = new org.apache.hadoop.fs.Path(stateDir)
-    val fs = root.getFileSystem(s.sessionState.newHadoopConf())
-    val perBucket = fs.listStatus(root).toSeq
-      .filter(st => st.isDirectory && st.getPath.getName.startsWith(s"${MergeSink.BucketCol}="))
-      .map(st => fs.listStatus(st.getPath).count(_.getPath.getName.endsWith(".parquet")))
-    require(perBucket.nonEmpty && perBucket.forall(_ <= 1),
+    val perBucket = sink.bucketFileCounts()
+    require(perBucket.nonEmpty && perBucket.values.forall(_ <= 1),
       s"compaction left oversized buckets: $perBucket")
     sink.read().select(
       col("user_id"),

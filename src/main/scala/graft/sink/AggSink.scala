@@ -1,6 +1,5 @@
 package graft.sink
 
-import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
@@ -39,15 +38,15 @@ import org.apache.spark.sql.functions._
   * the fence comparison sound: batch B is only ever re-delivered
   * while no batch > B has committed its offsets.
   *
-  * RESIDUAL WINDOW, documented honestly: "per-partition-atomic
-  * replace" is itself an approximation on plain filesystems — the
-  * Hadoop commit protocol deletes the old partition directory before
-  * renaming the staged one in, so a crash inside that narrow window
-  * can lose a bucket's directory entirely (the same exposure every
-  * non-transactional parquet table has, MergeSink included; for LWW
-  * the replay restores only the batch's own keys). Closing it needs a
-  * transactional table format (Delta/Iceberg snapshot commits), which
-  * slots in here without changing callers.
+  * The round-3 residual window — Hadoop's delete-before-rename inside
+  * dynamic partition overwrite, which could lose a bucket directory on
+  * a crash — is CLOSED: writes now go through [[TableManifest]]
+  * snapshot commits (immutable generation dirs + one atomic manifest
+  * rename), so a crash at any point leaves either the old snapshot or
+  * the new one, never a partial table. The fence still rides inside
+  * the data files, so fence and aggregate publish in the same atomic
+  * commit: a replayed batch after a pre-commit crash folds exactly
+  * once (PipelineSpec crash-injection tests cover both crash sides).
   */
 final class AggSink(
     spark: SparkSession,
@@ -60,15 +59,14 @@ final class AggSink(
   private val CountCol = "n_rows"
   private val FenceCol = "__applied_batch"
 
+  private[graft] val manifest = new TableManifest(spark, path)
+
   private def bucketOf: Column = pmod(hash(keys.map(col): _*), lit(nBuckets))
 
-  private def tableExists: Boolean = {
-    val p = new Path(path)
-    p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)
-  }
-
   /** Current aggregate state: keys ++ sumCols ++ n_rows. */
-  def read(): DataFrame = spark.read.parquet(path).drop(BucketCol, FenceCol)
+  def read(): DataFrame =
+    manifest.snapshot().map(_.drop(BucketCol, FenceCol)).getOrElse(
+      throw new IllegalStateException(s"no committed state at $path"))
 
   private def aggregate(df: DataFrame): DataFrame =
     df.groupBy(keys.map(col): _*)
@@ -93,32 +91,34 @@ final class AggSink(
     // per-bucket applied fences — at most |touched| (id, fence) ints
     // reach the driver; metadata, not data
     val fences: Map[Int, Long] =
-      if (touched.nonEmpty && tableExists)
-        spark.read.parquet(path)
-          .filter(col(BucketCol).isin(touched: _*))
-          .groupBy(col(BucketCol)).agg(max(col(FenceCol)).as("f"))
-          .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      if (touched.nonEmpty)
+        manifest.snapshot(Some(touched)).map(
+          _.groupBy(col(BucketCol)).agg(max(col(FenceCol)).as("f"))
+            .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap)
+          .getOrElse(Map.empty)
       else Map.empty
     val fold = touched.filter(b => batchId < 0 || fences.getOrElse(b, -1L) < batchId)
     if (fold.nonEmpty) {
+      val current = manifest.mapping()
       val partialIn = partial.filter(col(BucketCol).isin(fold: _*)).drop(BucketCol)
-      val base =
-        if (tableExists)
-          spark.read.parquet(path)
-            .filter(col(BucketCol).isin(fold: _*)).drop(BucketCol, FenceCol)
-            .unionByName(partialIn)
-        else partialIn
-      // fence travels WITH the data: same file, same partition swap —
-      // never ahead of or behind the aggregate it certifies. Unfenced
-      // merges (batchId = -1) carry each bucket's previous fence forward.
+      val base = manifest.snapshot(Some(fold)) match {
+        case Some(state) =>
+          state.drop(BucketCol, FenceCol).unionByName(partialIn)
+        case None => partialIn
+      }
+      // fence travels WITH the data: same files, same atomic manifest
+      // commit — never ahead of or behind the aggregate it certifies.
+      // Unfenced merges (batchId = -1) carry prior fences forward.
       val fenceOf: Column = greatest(lit(batchId),
         coalesce(element_at(typedlit(fences), col(BucketCol)), lit(-1L)))
+      val gen = manifest.newGenDir()
       aggregate(base)
         .withColumn(BucketCol, bucketOf)
         .withColumn(FenceCol, fenceOf)
-        .write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy(BucketCol).parquet(path)
+        .write
+        .partitionBy(BucketCol).parquet(s"$path/$gen")
+      manifest.commit(current ++ manifest.writtenBuckets(gen).map(_ -> gen))
+      manifest.vacuum()
     }
   }
 
@@ -132,10 +132,11 @@ final class AggSink(
     * read over the fence column only.
     */
   def lastBatchId: Long =
-    if (!tableExists) -1L
-    else {
-      // max() over an existing-but-empty table is NULL, not an error
-      val r = spark.read.parquet(path).agg(max(col(FenceCol))).first()
-      if (r.isNullAt(0)) -1L else r.getLong(0)
+    manifest.snapshot() match {
+      case None => -1L
+      case Some(df) =>
+        // max() over an existing-but-empty table is NULL, not an error
+        val r = df.agg(max(col(FenceCol))).first()
+        if (r.isNullAt(0)) -1L else r.getLong(0)
     }
 }

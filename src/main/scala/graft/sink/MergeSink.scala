@@ -35,13 +35,17 @@ import graft.ops.Cdc
   * for 100 TB); hot-key skew spreads by hash, and the merge itself is
   * the same map-side-combine hash aggregate as the batch path.
   *
-  * Write atomicity is parquet-committer-grade (per-partition directory
-  * swap), the same guarantee `Warehouse.append` relies on; a
-  * transactional table format (Delta/Iceberg MERGE) slots in here
-  * without changing callers. Exactly-once with Structured Streaming:
-  * the LWW merge is idempotent, so at-least-once redelivery of a
-  * micro-batch after a crash converges to the same state
-  * (StreamingSpec's checkpoint-restart case proves it).
+  * Write atomicity is SNAPSHOT-grade via [[TableManifest]]: every
+  * commit writes immutable files into a fresh generation dir and then
+  * atomically renames a new manifest into place — a crash at any
+  * point before the rename leaves the previous snapshot fully intact
+  * (no more delete-before-rename partition-overwrite window), and a
+  * crash after it is a complete commit. Combined with Structured
+  * Streaming: the LWW merge is idempotent, so at-least-once
+  * redelivery of a micro-batch after a crash converges to the same
+  * state (StreamingSpec's checkpoint-restart case proves it); the
+  * manifest makes each individual commit all-or-nothing
+  * (PipelineSpec's crash-injection case proves that).
   */
 final class MergeSink(
     spark: SparkSession,
@@ -52,49 +56,60 @@ final class MergeSink(
 
   import MergeSink.BucketCol
 
+  private[graft] val manifest = new TableManifest(spark, path)
+
   private def bucketOf: Column = pmod(hash(keys.map(col): _*), lit(nBuckets))
 
-  private def tableExists: Boolean = {
-    val p = new Path(path)
-    p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)
-  }
-
-  /** Current state (bucket column dropped — callers see the logical
-    * schema they wrote).
+  /** Current committed state (bucket column dropped — callers see the
+    * logical schema they wrote).
     */
-  def read(): DataFrame = spark.read.parquet(path).drop(BucketCol)
+  def read(): DataFrame =
+    manifest.snapshot().map(_.drop(BucketCol)).getOrElse(
+      throw new IllegalStateException(s"no committed state at $path"))
 
-  /** Latest-per-key state restricted to the given buckets; partition
-    * pruning keeps the scan to |buckets|/nBuckets of the table.
+  /** Latest-per-key state restricted to the given buckets; resolution
+    * is path-level — other buckets' files are never listed, let alone
+    * scanned.
     */
-  private def readBuckets(buckets: Seq[Int]): DataFrame =
-    spark.read.parquet(path)
-      .filter(col(BucketCol).isin(buckets: _*))
-      .drop(BucketCol)
+  private[graft] def readBuckets(buckets: Seq[Int]): Option[DataFrame] =
+    manifest.snapshot(Some(buckets)).map(_.drop(BucketCol))
+
+  /** Per-bucket parquet file counts of the committed snapshot — the
+    * compaction-policy input, and what layout gates audit.
+    */
+  def bucketFileCounts(): Map[Int, Int] =
+    manifest.bucketFiles().map { case (b, fl) => b -> fl.size }
+
+  /** (fileName, size, mtime) per bucket — maintenance metadata. */
+  def bucketFiles(): Map[Int, Seq[(String, Long, Long)]] = manifest.bucketFiles()
 
   /** Upsert one batch. Empty batches are a no-op (no read, no write).
     * Holds the writer lock: a concurrent merge or compact on the same
-    * table fails fast instead of interleaving partition overwrites
+    * table fails fast instead of interleaving commits
     * (see [[MergeSink.withWriterLock]]).
     */
   def merge(batch: DataFrame): Unit = MergeSink.withWriterLock(spark, path, "merge") {
     val touched = batch.select(bucketOf.as(BucketCol)).distinct()
       .collect().map(_.getInt(0)).toSeq
     if (touched.nonEmpty) {
-      val base =
-        if (tableExists) readBuckets(touched).unionByName(batch)
-        else batch
+      val current = manifest.mapping()
+      val base = readBuckets(touched) match {
+        case Some(state) => state.unionByName(batch)
+        case None        => batch
+      }
       val merged = Cdc.latestByKey(base, keys, orderCols)
+      val gen = manifest.newGenDir()
       merged
         .withColumn(BucketCol, bucketOf)
         // key-sorted within each write task: parquet row-group min/max
         // stats then let point lookups and merge reads skip row groups
         .sortWithinPartitions(keys.map(col): _*)
         .write
-        .mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
         .partitionBy(BucketCol)
-        .parquet(path)
+        .parquet(s"$path/$gen")
+      // all-or-nothing publish; crashed attempts' files stay invisible
+      manifest.commit(current ++ manifest.writtenBuckets(gen).map(_ -> gen))
+      manifest.vacuum()
     }
   }
 
@@ -112,23 +127,20 @@ final class MergeSink(
     * between merges on any schedule.
     */
   def compact(maxFilesPerBucket: Int = 4): Unit = MergeSink.withWriterLock(spark, path, "compact") {
-    val root = new Path(path)
-    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
-    if (fs.exists(root)) {
-      val oversized = fs.listStatus(root).toSeq
-        .filter(d => d.isDirectory && d.getPath.getName.startsWith(s"$BucketCol="))
-        .filter(d => fs.listStatus(d.getPath)
-          .count(_.getPath.getName.endsWith(".parquet")) > maxFilesPerBucket)
-        .map(_.getPath.getName.stripPrefix(s"$BucketCol=").toInt)
+    if (manifest.exists) {
+      val oversized = manifest.bucketFiles()
+        .filter { case (_, fl) => fl.size > maxFilesPerBucket }
+        .keys.toSeq.sorted
       if (oversized.nonEmpty) {
-        spark.read.parquet(path)
-          .filter(col(BucketCol).isin(oversized: _*))
+        val current = manifest.mapping()
+        val gen = manifest.newGenDir()
+        manifest.snapshot(Some(oversized)).get
           .repartition(oversized.length, col(BucketCol))
           .write
-          .mode("overwrite")
-          .option("partitionOverwriteMode", "dynamic")
           .partitionBy(BucketCol)
-          .parquet(path)
+          .parquet(s"$path/$gen")
+        manifest.commit(current ++ manifest.writtenBuckets(gen).map(_ -> gen))
+        manifest.vacuum()
       }
     }
   }

@@ -108,13 +108,10 @@ class PipelineSpec extends SparkSpec {
       .as[(String, Long)].collect().toSet
     assert(state() == expected && expected.nonEmpty)
 
-    // snapshot every bucket directory's files (name, size, mtime)
+    // snapshot every bucket's committed files (name, size, mtime)
     def snapshot(): Map[Int, Set[(String, Long, Long)]] =
       (0 until nBuckets).map { b =>
-        val d = new java.io.File(s"$dir/${MergeSink.BucketCol}=$b")
-        b -> Option(d.listFiles()).toSeq.flatten
-          .filter(_.getName.endsWith(".parquet"))
-          .map(f => (f.getName, f.length(), f.lastModified())).toSet
+        b -> sink.bucketFiles().getOrElse(b, Seq.empty).toSet
       }.toMap
     val before = snapshot()
     assert(before.values.forall(_.nonEmpty), "40 keys must populate all 8 buckets")
@@ -142,14 +139,15 @@ class PipelineSpec extends SparkSpec {
     sink.merge(rows.limit(0))
     assert(snapshot() == preEmpty)
 
-    // the merge read prunes at the partition level, not post-scan
-    import org.apache.spark.sql.execution.ExplainMode
-    val p = spark.read.parquet(dir)
-      .filter(col(MergeSink.BucketCol).isin(target, target + 1))
-      .queryExecution.explainString(ExplainMode.fromString("formatted"))
-    assert(p.contains("PartitionFilters") &&
-      "PartitionFilters: \\[[^\\]]*__bucket".r.findFirstIn(p).isDefined,
-      s"bucket filter did not reach PartitionFilters:\n${p.take(1200)}")
+    // the merge read prunes at the PATH level: a two-bucket resolve
+    // lists only those buckets' files into the scan — stronger than a
+    // PartitionFilters pushdown, the other buckets are never even
+    // enumerated
+    val inputs = sink.readBuckets(Seq(target, target + 1)).get.inputFiles
+    assert(inputs.nonEmpty && inputs.forall(f =>
+      f.contains(s"${MergeSink.BucketCol}=$target/") ||
+      f.contains(s"${MergeSink.BucketCol}=${target + 1}/")),
+      s"bucket read listed foreign files: ${inputs.take(5).mkString(", ")}")
   }
 
   test("AggSink folds batch partials to the whole-history aggregate; batch-id fence blocks replay") {
@@ -198,11 +196,8 @@ class PipelineSpec extends SparkSpec {
     val rows = Warehouse.toWarehouseRows(env).cache()
     val nBuckets = 2 // ~20 keys per bucket -> merges genuinely multi-task
     val sink = new MergeSink(spark, dir, Warehouse.DedupKeys, Warehouse.VersionCols, nBuckets)
-    def files(b: Int): Set[(String, Long, Long)] = {
-      val d = new java.io.File(s"$dir/${MergeSink.BucketCol}=$b")
-      Option(d.listFiles()).toSeq.flatten.filter(_.getName.endsWith(".parquet"))
-        .map(f => (f.getName, f.length(), f.lastModified())).toSet
-    }
+    def files(b: Int): Set[(String, Long, Long)] =
+      sink.bucketFiles().getOrElse(b, Seq.empty).toSet
     def state() = sink.read().select($"original_id", $"ingestion_seq")
       .as[(String, Long)].collect().toSet
 
@@ -271,6 +266,63 @@ class PipelineSpec extends SparkSpec {
     sink.merge(batch2, batchId = 2L)
     assert(sink.read().as[(String, Long, Long)].collect().toSet == s2)
     assert(sink.lastBatchId == 2L)
+  }
+
+  test("manifest commit: crash between data-file write and manifest swap loses nothing, double-reads nothing") {
+    import graft.sink.{AggSink, MergeSink}
+    val rows = Warehouse.toWarehouseRows(env).cache()
+
+    // ---- MergeSink: the crashed commit must be invisible ----
+    val dir = freshDir() + "/m_crash"
+    val sink = new MergeSink(spark, dir, Warehouse.DedupKeys, Warehouse.VersionCols, 4)
+    val even = rows.filter(pmod($"ingestion_seq", lit(2)) === 0)
+    val odd = rows.filter(pmod($"ingestion_seq", lit(2)) === 1)
+    sink.merge(even)
+    def state() = sink.read().select($"original_id", $"ingestion_seq")
+      .as[(String, Long)].collect().toSet
+    val committed = state()
+
+    sink.manifest.beforeCommit = () => throw new RuntimeException("injected crash")
+    val e = intercept[RuntimeException](sink.merge(odd))
+    assert(e.getMessage == "injected crash")
+    assert(state() == committed,
+      "a crash after the data write but before the manifest swap must leave the old snapshot intact")
+
+    // replay after restart: converges to the whole-history LWW, and the
+    // successful commit's vacuum sweeps the crashed attempt's orphans
+    sink.manifest.beforeCommit = () => ()
+    sink.merge(odd)
+    val expected = Cdc.latestByKey(rows, Warehouse.DedupKeys, Warehouse.VersionCols)
+      .select($"original_id", $"ingestion_seq").as[(String, Long)].collect().toSet
+    assert(state() == expected)
+    val liveGens = sink.manifest.mapping().values.toSet
+    val onDisk = Option(new java.io.File(dir + "/data").listFiles()).toSeq.flatten
+      .filter(_.isDirectory).map(d => s"data/${d.getName}").toSet
+    assert(onDisk == liveGens,
+      s"vacuum left orphan generations: ${onDisk -- liveGens}")
+
+    // ---- AggSink: addition is NOT idempotent — the crashed commit must
+    // leave the fence unarmed so the replayed batch folds exactly once ----
+    val adir = freshDir() + "/a_crash"
+    val ar = rows.filter(!$"is_deleted")
+      .select($"device_type", $"watched_seconds".cast("long").as("w"))
+    val asink = new AggSink(spark, adir, Seq("device_type"), Seq("w"), 4)
+    asink.merge(ar, batchId = 1L)
+    def astate() = asink.read().as[(String, Long, Long)].collect().toSet
+    val afterOne = astate()
+
+    asink.manifest.beforeCommit = () => throw new RuntimeException("injected crash")
+    intercept[RuntimeException](asink.merge(ar, batchId = 2L))
+    assert(astate() == afterOne, "crashed fold became visible")
+    assert(asink.lastBatchId == 1L, "fence advanced without a committed fold")
+
+    asink.manifest.beforeCommit = () => ()
+    asink.merge(ar, batchId = 2L) // restart replay: folds exactly once
+    val expectedAgg = afterOne.map { case (k, w, n) => (k, 2 * w, 2 * n) }
+    assert(astate() == expectedAgg, "replay after crash double-counted or lost rows")
+    assert(asink.lastBatchId == 2L)
+    asink.merge(ar, batchId = 2L) // and the armed fence blocks a re-replay
+    assert(astate() == expectedAgg)
   }
 
   test("writer lock: concurrent merge/compact fails fast, breakLock overrides") {
