@@ -87,10 +87,10 @@ object AsOfJoinStrategy extends SparkStrategy {
   * projections ARE codegen'd; only the loop shell is interpreted, and
   * it JITs). The cost is one codegen-stage boundary on each side —
   * the same boundary SortMergeJoin pays at its sorts. Benchmarked
-  * 2.6x FASTER than the fully-codegen'd composed join+argmax plan
-  * (BENCH q60 vs q36), because algorithm beats codegen at this shape:
-  * the composed form materializes every candidate match, the merge
-  * never does.
+  * 2.3x FASTER than the fully-codegen'd composed join+argmax plan
+  * (q60 0.354 s vs q36 0.830 s, sf0.1 min-of-3 — SEMANTICS.md),
+  * because algorithm beats codegen at this shape: the composed form
+  * materializes every candidate match, the merge never does.
   */
 case class AsOfJoinExec(
     leftKeys: Seq[Expression],

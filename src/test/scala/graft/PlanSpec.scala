@@ -207,6 +207,25 @@ class PlanSpec extends SparkSpec {
       "expected a hash/merge equi-join on the shingle key")
   }
 
+  test("native as-of join: one exchange+sort per side, no window, no row-inflating join") {
+    // the whole point of AsOfJoinExec vs the composed q36 form: shuffle
+    // volume is |L|+|R| (one hash exchange per side), the merge emits
+    // exactly one row per left row, and no Window/argmax or generic
+    // join ever materializes the per-event candidate set
+    val p = plan("q60_asof_native")
+    assert(p.contains("AsOfJoin"), "custom exec not planned")
+    val exchanges = "\\(\\d+\\) Exchange".r.findAllIn(p).toSet.size
+    assert(exchanges == 2, s"expected exactly one exchange per side, got $exchanges")
+    val sorts = "\\(\\d+\\) Sort".r.findAllIn(p).toSet.size
+    assert(sorts == 2, s"expected exactly one sort per side, got $sorts")
+    assert(!p.contains("Window"), "no window/argmax should appear")
+    assert("(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin|CartesianProduct)".r
+      .findFirstIn(p).isEmpty, "a generic join would inflate rows by version count")
+    // column pruning reaches both scans (events is wide; orders wider)
+    assert(!p.contains("o_comment") && !p.contains("props"),
+      "scan reads columns the as-of join never uses")
+  }
+
   test("LSH near-dup enumeration is an equi-join on the (table, bucket) key — no cartesian") {
     // q99 is the gated scale path for q32's brute baseline: candidates
     // MUST come from a hash/merge join on the banded sign-LSH key; a
