@@ -7,14 +7,18 @@ import org.apache.spark.sql.functions._
   * `binary` columns next to typed metadata, exactly like a training-data
   * lake would store them (payload + schema'd features).
   *
-  * Decode is REAL for the dependency-free container formats — BMP
-  * (24-bit uncompressed, both row orders), PPM (binary P6) and WAV
-  * (PCM RIFF) are parsed header+payload in pure JVM code below, and
-  * [[decodePayload]] sniffs magic bytes and routes to them. Formats
-  * that genuinely need codec libraries (JPEG/MP3/H.264...) fall back
-  * to `decodePayloadStub`, which derives deterministic fake features
-  * from the bytes so tests have stable expectations; swap the fallback
-  * for a JNI/javacv codec without touching the plumbing.
+  * Decode is REAL for the dependency-free formats — BMP (24-bit
+  * uncompressed, both row orders), PPM (binary P6), WAV (PCM RIFF),
+  * and PNG (truecolor 8-bit: IDAT inflate through the JVM's built-in
+  * zlib + all five row filters) are parsed header+payload in pure JVM
+  * code below; JPEG gets REAL header metadata (SOFn width/height —
+  * the fields a lake partitions on) while its scan data, which
+  * genuinely needs a DCT codec library, stays undecoded.
+  * [[decodePayload]] sniffs magic bytes and routes. Anything else
+  * (MP3/H.264/...) falls back to `decodePayloadStub`, which derives
+  * deterministic fake features from the bytes so tests have stable
+  * expectations; swap the fallback for a JNI/javacv codec without
+  * touching the plumbing.
   */
 object Multimodal {
 
@@ -172,8 +176,146 @@ object Multimodal {
       }
     } catch { case _: RuntimeException => None }
 
-  /** Fixture/production encoders for the same three formats (used by
-    * tests and the q85 gate; also how a lake would materialize derived
+  /** PNG, truecolor 8-bit (color type 2): REAL decode — IHDR parse,
+    * IDAT inflate via the JVM's built-in zlib, and per-row unfilter
+    * (all five standard filter types). Returns (width, height, pixels)
+    * as row-major RGB triplets. Structural failures (bad signature,
+    * unsupported depth/color/interlace, truncated or over-claiming
+    * IDAT) return None — same total-function contract as BMP/PPM. The
+    * decompressed-size cap (64 MB) is the zip-bomb guard: inflate
+    * output is not bounded by input length, so the cap must be checked
+    * BEFORE allocating, not inferred from payload size.
+    */
+  def decodePng(b: Array[Byte]): Option[(Int, Int, Array[Byte])] =
+    try {
+      val sig = Array(0x89, 'P'.toInt, 'N'.toInt, 'G'.toInt, 0x0d, 0x0a, 0x1a, 0x0a)
+      if (b.length < 45 || !sig.indices.forall(i => (b(i) & 0xff) == sig(i))) None
+      else {
+        val buf = ByteBuffer.wrap(b) // PNG ints are big-endian
+        if (buf.getInt(8) != 13 ||
+            !"IHDR".indices.forall(k => b(12 + k) == "IHDR".charAt(k).toByte)) None
+        else {
+          val w = buf.getInt(16); val h = buf.getInt(20)
+          val depth = b(24); val color = b(25)
+          val comp = b(26); val filt = b(27); val inter = b(28)
+          if (w <= 0 || h <= 0 || w.toLong * h * 3 > (1L << 26) ||
+              depth != 8 || color != 2 || comp != 0 || filt != 0 || inter != 0) None
+          else {
+            val idat = new java.io.ByteArrayOutputStream()
+            var off = 33; var ok = true; var done = false
+            while (ok && !done && off + 8 <= b.length) {
+              val len = buf.getInt(off)
+              val tag = new String(b, off + 4, 4, "US-ASCII")
+              if (len < 0 || off + 12L + len > b.length) ok = false
+              else {
+                if (tag == "IDAT") idat.write(b, off + 8, len)
+                else if (tag == "IEND") done = true
+                off += 12 + len
+              }
+            }
+            if (!ok || idat.size() == 0) None
+            else {
+              val stride = 1 + w * 3
+              val raw = new Array[Byte](h * stride)
+              val inf = new java.util.zip.Inflater()
+              inf.setInput(idat.toByteArray)
+              var got = 0; var stuck = false
+              while (!stuck && !inf.finished() && got < raw.length) {
+                val n = inf.inflate(raw, got, raw.length - got)
+                if (n == 0 && (inf.needsInput() || inf.needsDictionary())) stuck = true
+                got += n
+              }
+              inf.end()
+              if (got != raw.length) None
+              else {
+                val out = new Array[Byte](w * h * 3)
+                var row = 0; var badFilter = false
+                while (!badFilter && row < h) {
+                  val ft = raw(row * stride) & 0xff
+                  if (ft > 4) badFilter = true
+                  else {
+                    val ro = row * stride + 1; val oo = row * w * 3
+                    var i = 0
+                    while (i < w * 3) {
+                      val x = raw(ro + i) & 0xff
+                      val a = if (i >= 3) out(oo + i - 3) & 0xff else 0
+                      val up = if (row > 0) out(oo - w * 3 + i) & 0xff else 0
+                      val c = if (row > 0 && i >= 3) out(oo - w * 3 + i - 3) & 0xff else 0
+                      val v = ft match {
+                        case 0 => x
+                        case 1 => x + a
+                        case 2 => x + up
+                        case 3 => x + ((a + up) >> 1)
+                        case _ => // Paeth
+                          val p = a + up - c
+                          val pa = math.abs(p - a); val pb = math.abs(p - up)
+                          val pc = math.abs(p - c)
+                          x + (if (pa <= pb && pa <= pc) a else if (pb <= pc) up else c)
+                      }
+                      out(oo + i) = (v & 0xff).toByte
+                      i += 1
+                    }
+                    row += 1
+                  }
+                }
+                if (badFilter) None else Some((w, h, out))
+              }
+            }
+          }
+        }
+      }
+    } catch {
+      case _: RuntimeException => None
+      case _: java.util.zip.DataFormatException => None
+    }
+
+  /** JPEG frame-header metadata: walks the marker stream to the first
+    * SOFn segment and returns (width, height). HEADER-ONLY by design —
+    * pixel decode needs a DCT codec (external library); dimensions,
+    * the metadata a lake partitions and filters on, are a plain public
+    * byte format. Fill bytes, restart markers and all SOF variants
+    * (baseline/progressive/lossless) are handled; a malformed stream
+    * returns None.
+    */
+  def decodeJpegDims(b: Array[Byte]): Option[(Int, Int)] =
+    try {
+      if (b.length < 4 || (b(0) & 0xff) != 0xff || (b(1) & 0xff) != 0xd8) None
+      else {
+        var off = 2
+        var res: Option[(Int, Int)] = None
+        var stop = false
+        while (!stop && off + 2 <= b.length) {
+          if ((b(off) & 0xff) != 0xff) stop = true // marker misalignment
+          else {
+            var m = b(off + 1) & 0xff
+            while (m == 0xff && off + 2 < b.length) { off += 1; m = b(off + 1) & 0xff }
+            if (m == 0xd9 || m == 0xda) stop = true // EOI/SOS: dims precede scan data
+            else if (m == 0x01 || (m >= 0xd0 && m <= 0xd7)) off += 2 // standalone
+            else if (off + 4 > b.length) stop = true
+            else {
+              val len = ((b(off + 2) & 0xff) << 8) | (b(off + 3) & 0xff)
+              if (len < 2 || off + 2L + len > b.length) stop = true
+              else {
+                val isSof = (m >= 0xc0 && m <= 0xcf) && m != 0xc4 && m != 0xc8 && m != 0xcc
+                if (isSof) {
+                  if (len >= 7 && off + 9 <= b.length) {
+                    val h = ((b(off + 5) & 0xff) << 8) | (b(off + 6) & 0xff)
+                    val w = ((b(off + 7) & 0xff) << 8) | (b(off + 8) & 0xff)
+                    if (w > 0 && h > 0) res = Some((w, h))
+                  }
+                  stop = true
+                }
+                off += 2 + len
+              }
+            }
+          }
+        }
+        res
+      }
+    } catch { case _: RuntimeException => None }
+
+  /** Fixture/production encoders for the same formats (used by tests
+    * and the q85/q100 gates; also how a lake would materialize derived
     * thumbnails/clips without external libs).
     */
   def encodeBmp(w: Int, h: Int, bgrValue: Int): Array[Byte] = {
@@ -197,6 +339,60 @@ object Multimodal {
     header ++ px
   }
 
+  /** Truecolor PNG, every pixel (r,g,b) = rgbValue, filter-0 rows,
+    * single deflated IDAT, correct CRCs — a real PNG any reader opens.
+    */
+  def encodePng(w: Int, h: Int, rgbValue: Int): Array[Byte] = {
+    import java.util.zip.{CRC32, Deflater}
+    def chunk(tag: String, body: Array[Byte]): Array[Byte] = {
+      val out = ByteBuffer.allocate(12 + body.length) // big-endian
+      out.putInt(body.length).put(tag.getBytes("US-ASCII")).put(body)
+      val crc = new CRC32()
+      crc.update(tag.getBytes("US-ASCII")); crc.update(body)
+      out.putInt(crc.getValue.toInt)
+      out.array()
+    }
+    val sig = Array(0x89, 'P'.toInt, 'N'.toInt, 'G'.toInt,
+      0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+    val ihdr = ByteBuffer.allocate(13)
+    ihdr.putInt(w).putInt(h)
+      .put(8.toByte).put(2.toByte).put(0.toByte).put(0.toByte).put(0.toByte)
+    val stride = 1 + w * 3
+    val raw = new Array[Byte](h * stride)
+    var r = 0
+    while (r < h) {
+      java.util.Arrays.fill(raw, r * stride + 1, (r + 1) * stride, rgbValue.toByte)
+      r += 1
+    }
+    val defl = new Deflater()
+    defl.setInput(raw); defl.finish()
+    val z = new java.io.ByteArrayOutputStream()
+    val tmp = new Array[Byte](8192)
+    while (!defl.finished()) z.write(tmp, 0, defl.deflate(tmp))
+    defl.end()
+    sig ++ chunk("IHDR", ihdr.array()) ++ chunk("IDAT", z.toByteArray) ++
+      chunk("IEND", Array.empty[Byte])
+  }
+
+  /** Minimal well-formed JPEG marker stream (SOI + JFIF APP0 + SOF0
+    * with the given dimensions + EOI) — enough header for any
+    * metadata reader; carries no scan data by design.
+    */
+  def encodeJpegHeader(w: Int, h: Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def b8(v: Int): Unit = out.write(v & 0xff)
+    def b16(v: Int): Unit = { b8(v >> 8); b8(v) }
+    b8(0xff); b8(0xd8) // SOI
+    b8(0xff); b8(0xe0); b16(16) // APP0 JFIF
+    out.write("JFIF".getBytes("US-ASCII")); b8(0)
+    b8(1); b8(1); b8(0); b16(1); b16(1); b8(0); b8(0)
+    b8(0xff); b8(0xc0); b16(17) // SOF0: 8 + 3 components x 3
+    b8(8); b16(h); b16(w); b8(3)
+    (1 to 3).foreach { c => b8(c); b8(0x11); b8(if (c == 1) 0 else 1) }
+    b8(0xff); b8(0xd9) // EOI
+    out.toByteArray
+  }
+
   def encodeWav(sampleRate: Int, nFrames: Int): Array[Byte] = {
     val dataSize = nFrames * 2 // PCM16 mono silence
     val buf = ByteBuffer.allocate(44 + dataSize).order(ByteOrder.LITTLE_ENDIAN)
@@ -209,13 +405,16 @@ object Multimodal {
     buf.array()
   }
 
-  /** Sniff-and-decode: real parse for BMP/PPM/WAV, stub fallback for
-    * everything else (and for any malformed payload).
+  /** Sniff-and-decode: real parse for BMP/PPM/WAV/PNG, real header
+    * metadata for JPEG, stub fallback for everything else (and for any
+    * malformed payload).
     */
   def decodePayload(modality: String, payload: Array[Byte]): (Long, Long, Long, Long) =
     decodeBmp(payload).map { case (w, h, _) => (w.toLong, h.toLong, 1L, 0L) }
       .orElse(decodePpm(payload).map { case (w, h, _) => (w.toLong, h.toLong, 1L, 0L) })
       .orElse(decodeWav(payload).map { case (sr, _, _, _) => (0L, 0L, 0L, sr.toLong) })
+      .orElse(decodePng(payload).map { case (w, h, _) => (w.toLong, h.toLong, 1L, 0L) })
+      .orElse(decodeJpegDims(payload).map { case (w, h) => (w.toLong, h.toLong, 1L, 0L) })
       .getOrElse(decodePayloadStub(modality, payload))
 
   /** Batched per-partition feature extraction — the Scala analog of a
@@ -245,8 +444,9 @@ object Multimodal {
 
   /** Real-decode feature extraction incl. pixel statistics: mean
     * unsigned pixel byte for images (proves the pixel payload was
-    * actually parsed, not just the header), 0 for audio, -1 for
-    * undecodable payloads (stub dims are still reported).
+    * actually parsed, not just the header), 0 for audio, -1 when no
+    * pixels were read — stub fallback, or a header-only format (JPEG
+    * dims are real, its scan data needs an external DCT codec).
     */
   def codecFeatures(media: Dataset[MediaRecord])
                    (implicit spark: SparkSession): Dataset[CodecFeatures] = {
@@ -259,15 +459,16 @@ object Multimodal {
       }
     media.mapPartitions { it =>
       it.map { m =>
-        decodeBmp(m.payload) match {
+        decodeBmp(m.payload).orElse(decodePpm(m.payload))
+          .orElse(decodePng(m.payload)) match {
           case Some((w, h, px)) =>
             CodecFeatures(m.doc_id, m.modality, w, h, 1L, 0L, meanOf(px))
-          case None => decodePpm(m.payload) match {
-            case Some((w, h, px)) =>
-              CodecFeatures(m.doc_id, m.modality, w, h, 1L, 0L, meanOf(px))
-            case None => decodeWav(m.payload) match {
-              case Some((sr, _, _, _)) =>
-                CodecFeatures(m.doc_id, m.modality, 0L, 0L, 0L, sr.toLong, 0L)
+          case None => decodeWav(m.payload) match {
+            case Some((sr, _, _, _)) =>
+              CodecFeatures(m.doc_id, m.modality, 0L, 0L, 0L, sr.toLong, 0L)
+            case None => decodeJpegDims(m.payload) match {
+              case Some((w, h)) =>
+                CodecFeatures(m.doc_id, m.modality, w, h, 1L, 0L, -1L)
               case None =>
                 val (w, h, fr, sr) = decodePayloadStub(m.modality, m.payload)
                 CodecFeatures(m.doc_id, m.modality, w, h, fr, sr, -1L)

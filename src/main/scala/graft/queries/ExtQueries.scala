@@ -486,6 +486,48 @@ object ExtQueries {
       |            WHEN doc_id % 3 = 1 THEN 0 ELSE (doc_id * 53) % 256 END AS BIGINT) AS mean_px
       |FROM documents WHERE doc_id < 200""".stripMargin
 
+  // ---------------------------------------------------------------- q100
+  /** PNG + JPEG at the gate (q85's pattern, the formats a real corpus
+    * actually contains): even ids carry a REAL truecolor PNG —
+    * deflated IDAT, filter rows, CRCs — whose decode (JVM-zlib
+    * inflate + unfilter) must recover exact dimensions AND the mean
+    * pixel value (proof the compressed pixel payload was read);
+    * odd ids carry a JPEG marker stream whose SOF0 header must yield
+    * the exact dimensions, with mean_px = -1 documenting the
+    * header-only contract (scan data needs an external DCT codec).
+    * Fixtures are synthesized on the executors as pure formulas of
+    * doc_id; the oracle recomputes everything in closed form.
+    */
+  def q100CodecHeaders(s: SparkSession, d: String): DataFrame = {
+    import graft.ext.Multimodal
+    import Multimodal.MediaRecord
+    implicit val spark: SparkSession = s
+    import s.implicits._
+    val media = docs(s, d).select(col("doc_id")).filter(col("doc_id") < 200)
+      .as[Long].map { id =>
+        if (id % 2 == 0)
+          MediaRecord(id, "image",
+            Multimodal.encodePng(2 + (id % 13).toInt, 2 + (id % 7).toInt,
+              ((id * 41) % 256).toInt))
+        else
+          MediaRecord(id, "image",
+            Multimodal.encodeJpegHeader(3 + (id % 19).toInt, 3 + (id % 23).toInt))
+      }
+    Multimodal.codecFeatures(media).toDF()
+  }
+
+  val q100Sql: String =
+    """SELECT doc_id, 'image' AS modality,
+      |  CAST(CASE WHEN doc_id % 2 = 0 THEN 2 + doc_id % 13
+      |            ELSE 3 + doc_id % 19 END AS BIGINT) AS width,
+      |  CAST(CASE WHEN doc_id % 2 = 0 THEN 2 + doc_id % 7
+      |            ELSE 3 + doc_id % 23 END AS BIGINT) AS height,
+      |  CAST(1 AS BIGINT) AS n_frames,
+      |  CAST(0 AS BIGINT) AS sample_rate,
+      |  CAST(CASE WHEN doc_id % 2 = 0 THEN (doc_id * 41) % 256
+      |            ELSE -1 END AS BIGINT) AS mean_px
+      |FROM documents WHERE doc_id < 200""".stripMargin
+
   // ---------------------------------------------------------------- q86
   /** Benchmark-contamination screen — the release gate every training
     * corpus needs: find training docs sharing >= minShared distinct
@@ -800,6 +842,7 @@ object ExtQueries {
     "q99_embedding_neardup_lsh" -> (q99EmbeddingNearDupLsh _, q32Sql),
     "q33_multimodal_meta" -> (q33MultimodalMeta _, q33Sql),
     "q85_codec_decode" -> (q85CodecDecode _, q85Sql),
+    "q100_codec_headers" -> (q100CodecHeaders _, q100Sql),
     "q86_contamination" -> (q86Contamination _, q86Sql),
     "q90_mixture_sample" -> (q90MixtureSample _, q90Sql),
     "q95_hll_sketch" -> (q95HllSketch _, q95Sql),

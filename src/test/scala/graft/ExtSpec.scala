@@ -277,6 +277,46 @@ class ExtSpec extends SparkSpec {
     // must fail the decode like BMP/PPM, not report claimed frames
     val wavTrunc = encodeWav(44100, 100).dropRight(50)
     assert(decodeWav(wavTrunc).isEmpty)
+    // PNG round-trip: real inflate + unfilter recovers every pixel
+    assert(decodePng(encodePng(7, 5, 99)).exists {
+      case (w, h, px) => w == 7 && h == 5 && px.length == 105 &&
+        px.forall(b => (b & 0xff) == 99)
+    })
+    // non-zero row filters: hand-built 2x2 RGB whose row 0 uses Sub
+    // (first pixel raw, second stored as +1 deltas) and row 1 uses Up
+    // (zero deltas) — decoded rows must both be [10,20,30, 11,21,31]
+    locally {
+      import java.util.zip.{CRC32, Deflater}
+      def chunk(tag: String, body: Array[Byte]): Array[Byte] = {
+        val bb = java.nio.ByteBuffer.allocate(12 + body.length)
+        bb.putInt(body.length).put(tag.getBytes("US-ASCII")).put(body)
+        val crc = new CRC32(); crc.update(tag.getBytes("US-ASCII")); crc.update(body)
+        bb.putInt(crc.getValue.toInt); bb.array()
+      }
+      val ihdr = java.nio.ByteBuffer.allocate(13)
+      ihdr.putInt(2).putInt(2).put(8.toByte).put(2.toByte)
+        .put(0.toByte).put(0.toByte).put(0.toByte)
+      val raw = Array[Byte](1, 10, 20, 30, 1, 1, 1, /* Sub row */
+                            2, 0, 0, 0, 0, 0, 0)    /* Up row  */
+      val defl = new Deflater(); defl.setInput(raw); defl.finish()
+      val z = new java.io.ByteArrayOutputStream()
+      val tmp = new Array[Byte](256)
+      while (!defl.finished()) z.write(tmp, 0, defl.deflate(tmp))
+      defl.end()
+      val sig = Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+      val png = sig ++ chunk("IHDR", ihdr.array()) ++
+        chunk("IDAT", z.toByteArray) ++ chunk("IEND", Array.empty[Byte])
+      val expectedRow = Array[Byte](10, 20, 30, 11, 21, 31)
+      assert(decodePng(png).exists { case (w, h, px) =>
+        w == 2 && h == 2 && px.sameElements(expectedRow ++ expectedRow)
+      }, "Sub/Up unfilter math broken")
+    }
+    assert(decodePng(junk).isEmpty)
+    assert(decodePng(encodePng(4, 4, 10).dropRight(20)).isEmpty, "truncated IDAT must fail")
+    // JPEG header: SOF0 dims recovered; malformed/truncated fails
+    assert(decodeJpegDims(encodeJpegHeader(640, 480)) == Some((640, 480)))
+    assert(decodeJpegDims(junk).isEmpty)
+    assert(decodeJpegDims(encodeJpegHeader(640, 480).take(6)).isEmpty)
     // crafted huge dimensions must FAIL, not integer-wrap into a bogus
     // small pixel count that "successfully" decodes
     val p6huge = "P6\n1431655766 1\n255\n..".getBytes("US-ASCII")
