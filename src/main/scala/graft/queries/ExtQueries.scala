@@ -528,6 +528,70 @@ object ExtQueries {
       |            ELSE -1 END AS BIGINT) AS mean_px
       |FROM documents WHERE doc_id < 200""".stripMargin
 
+  // ---------------------------------------------------------------- q101
+  /** C4-style BOILERPLATE removal — the corpus-cleaning step between
+    * dedup and quality scoring in a real training pipeline: text is
+    * chunked into consecutive 5-word segments, any segment occurring
+    * in >= 5 distinct documents (site chrome, cookie banners,
+    * "subscribe" footers) is dropped corpus-wide, and the surviving
+    * segments reassemble each document. The corpus is boilerplate-free
+    * by construction, so a deterministic banner is PREPENDED to every
+    * 7th doc (q91's injection idiom) — prepending keeps it
+    * chunk-aligned at cid 0 in every carrier.
+    *
+    * Scale shape: one explode to (doc, cid, chunk), a hash aggregate
+    * for segment document-frequency, an equi-join on the chunk key,
+    * and per-doc reassembly via sort-free array_sort(collect_list) —
+    * no window over the corpus, no cartesian; identical to the
+    * contamination screen's cost model (df-capped key join).
+    */
+  def q101BoilerplateStrip(s: SparkSession, d: String): DataFrame = {
+    val banner = "subscribe to our newsletter now"
+    val withB = docs(s, d).select(col("doc_id"),
+      when(pmod(col("doc_id"), lit(7)) === 0,
+        concat(lit(banner + " "), col("text"))).otherwise(col("text")).as("text"))
+    val chunked = withB
+      .select(col("doc_id"), split(col("text"), " ").as("sp"))
+      .select(col("doc_id"), posexplode(expr(
+        """transform(sequence(0, cast(ceil(size(sp) / 5.0) as int) - 1),
+          |          c -> array_join(slice(sp, c * 5 + 1, 5), ' '))""".stripMargin))
+        .as(Seq("cid", "chunk")))
+    val segDf = chunked.groupBy(col("chunk"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+    val keep = chunked.join(segDf, "chunk").filter(col("df") < 5)
+    val totals = chunked.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"))
+    val kept = keep.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+           array_join(expr(
+             "transform(array_sort(collect_list(struct(cid, chunk))), e -> e.chunk)"),
+             " ").as("cleaned"))
+    totals.join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_chunks"),
+              (col("n_chunks") - coalesce(col("n_kept"), lit(0L))).as("n_dropped"),
+              coalesce(col("cleaned"), lit("")).as("cleaned"))
+  }
+
+  val q101Sql: String =
+    """WITH t AS (SELECT doc_id,
+      |    CASE WHEN doc_id % 7 = 0
+      |         THEN 'subscribe to our newsletter now ' || text ELSE text END AS text
+      |  FROM documents),
+      |  ch AS (SELECT doc_id, cid,
+      |      array_to_string(sp[(cid * 5 + 1):(cid * 5 + 5)], ' ') AS chunk
+      |    FROM (SELECT doc_id, string_split(text, ' ') AS sp FROM t),
+      |         unnest(generate_series(0, CAST(ceil(len(sp) / 5.0) AS BIGINT) - 1)) AS g(cid)),
+      |  sdf AS (SELECT chunk, count(DISTINCT doc_id) AS df FROM ch GROUP BY chunk),
+      |  keep AS (SELECT ch.* FROM ch JOIN sdf USING (chunk) WHERE df < 5),
+      |  tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks FROM ch GROUP BY doc_id),
+      |  ka AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+      |      string_agg(chunk, ' ' ORDER BY cid) AS cleaned
+      |    FROM keep GROUP BY doc_id)
+      |SELECT tot.doc_id, n_chunks,
+      |  n_chunks - coalesce(n_kept, 0) AS n_dropped,
+      |  coalesce(cleaned, '') AS cleaned
+      |FROM tot LEFT JOIN ka USING (doc_id)""".stripMargin
+
   // ---------------------------------------------------------------- q86
   /** Benchmark-contamination screen — the release gate every training
     * corpus needs: find training docs sharing >= minShared distinct
@@ -843,6 +907,7 @@ object ExtQueries {
     "q33_multimodal_meta" -> (q33MultimodalMeta _, q33Sql),
     "q85_codec_decode" -> (q85CodecDecode _, q85Sql),
     "q100_codec_headers" -> (q100CodecHeaders _, q100Sql),
+    "q101_boilerplate_strip" -> (q101BoilerplateStrip _, q101Sql),
     "q86_contamination" -> (q86Contamination _, q86Sql),
     "q90_mixture_sample" -> (q90MixtureSample _, q90Sql),
     "q95_hll_sketch" -> (q95HllSketch _, q95Sql),
