@@ -37,7 +37,8 @@ object Ingest {
     * `cdcJsonTwoPass`, which trades a second file scan for zero
     * memory pressure.
     */
-  def cdcJson(spark: SparkSession, path: String): (DataFrame, DataFrame) = {
+  private def cdcJsonSplit(spark: SparkSession, path: String)
+      : (DataFrame, DataFrame, DataFrame) = {
     val raw = spark.read
       .schema(withCorrupt(Schemas.envelopeSchema))
       .option("mode", "PERMISSIVE")
@@ -47,7 +48,24 @@ object Ingest {
     val good = raw.filter(col(CorruptCol).isNull).drop(CorruptCol)
     val bad = raw.filter(col(CorruptCol).isNotNull)
       .select(col(CorruptCol).as("raw_line"))
+    (raw, good, bad)
+  }
+
+  def cdcJson(spark: SparkSession, path: String): (DataFrame, DataFrame) = {
+    val (_, good, bad) = cdcJsonSplit(spark, path)
     (good, bad)
+  }
+
+  /** Loan-pattern variant of [[cdcJson]]: runs `body` over the split
+    * and UNPERSISTS the shared parsed frame on every exit path — the
+    * variant to use when the caller isn't a harness that clears the
+    * session cache itself (Bench/Verify do; ad-hoc callers forget).
+    */
+  def withCdcJson[T](spark: SparkSession, path: String)
+                    (body: (DataFrame, DataFrame) => T): T = {
+    val (raw, good, bad) = cdcJsonSplit(spark, path)
+    try body(good, bad)
+    finally raw.unpersist()
   }
 
   /** Cache-free split for inputs larger than cluster cache capacity:

@@ -56,6 +56,23 @@ class IngestSpec extends SparkSpec {
     assert(good2.schema == good.schema && bad2.schema == bad.schema)
   }
 
+  test("withCdcJson loan pattern unpersists the parsed cache on every exit path") {
+    val dir = Files.createTempDirectory("graft_jsonloan_").toString
+    Workload.cdcEnvelopes(spark, n = 20, nDocs = 5, seed = 7L)
+      .select(envelopeCols: _*).write.mode("overwrite").json(dir)
+    spark.catalog.clearCache() // isolate from earlier suites' entries
+    def cachedCount = spark.sharedState.cacheManager
+    val n = Ingest.withCdcJson(spark, dir) { (good, bad) =>
+      assert(bad.isEmpty); good.count()
+    }
+    assert(n == 20)
+    assert(cachedCount.isEmpty, "normal exit must unpersist the shared frame")
+    intercept[RuntimeException] {
+      Ingest.withCdcJson(spark, dir)((_, _) => throw new RuntimeException("boom"))
+    }
+    assert(cachedCount.isEmpty, "exceptional exit must unpersist too")
+  }
+
   test("CSV flat reads honor the explicit schema (no inference)") {
     val dir = Files.createTempDirectory("graft_csv_").toString
     val orders = graft.core.Tables.orders(spark, sfDir)
