@@ -225,8 +225,14 @@ object Multimodal {
                 if (n == 0 && (inf.needsInput() || inf.needsDictionary())) stuck = true
                 got += n
               }
+              // over-claiming IDAT (inflates past h*(1+3w)) is as
+              // structurally inconsistent as truncation: probe for a
+              // single extra byte before accepting
+              val overrun = got == raw.length && !inf.finished() &&
+                (try inf.inflate(new Array[Byte](1)) > 0
+                 catch { case _: java.util.zip.DataFormatException => true })
               inf.end()
-              if (got != raw.length) None
+              if (got != raw.length || overrun) None
               else {
                 val out = new Array[Byte](w * h * 3)
                 var row = 0; var badFilter = false

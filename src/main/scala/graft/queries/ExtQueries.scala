@@ -550,12 +550,17 @@ object ExtQueries {
     val withB = docs(s, d).select(col("doc_id"),
       when(pmod(col("doc_id"), lit(7)) === 0,
         concat(lit(banner + " "), col("text"))).otherwise(col("text")).as("text"))
+    // the exploded frame feeds the df aggregate AND both ends of the
+    // keep-join: persist once, eagerly (q86's pattern — harnesses
+    // clear per query, prod materializes a segment table)
     val chunked = withB
       .select(col("doc_id"), split(col("text"), " ").as("sp"))
       .select(col("doc_id"), posexplode(expr(
         """transform(sequence(0, cast(ceil(size(sp) / 5.0) as int) - 1),
           |          c -> array_join(slice(sp, c * 5 + 1, 5), ' '))""".stripMargin))
         .as(Seq("cid", "chunk")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    chunked.count()
     val segDf = chunked.groupBy(col("chunk"))
       .agg(countDistinct(col("doc_id")).as("df"))
     val keep = chunked.join(segDf, "chunk").filter(col("df") < 5)

@@ -52,22 +52,26 @@ object StreamingQueries {
       start: => org.apache.spark.sql.streaming.StreamingQuery)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val logKey =
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
     val prevParts = s.conf.get("spark.sql.shuffle.partitions")
     val prevProv = s.conf.getOption(provKey)
+    val prevLog = s.conf.getOption(logKey)
     s.conf.set("spark.sql.shuffle.partitions", "8")
     s.conf.set(provKey,
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     // commit deltas, not full snapshots, per micro-batch — snapshots
     // still happen, just asynchronously every N batches
-    s.conf.set(
-      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled", "true")
+    s.conf.set(logKey, "true")
+    def restore(key: String, prev: Option[String]): Unit = prev match {
+      case Some(p) => s.conf.set(key, p)
+      case None    => s.conf.unset(key)
+    }
     try start
     finally {
       s.conf.set("spark.sql.shuffle.partitions", prevParts)
-      prevProv match {
-        case Some(p) => s.conf.set(provKey, p)
-        case None    => s.conf.unset(provKey)
-      }
+      restore(provKey, prevProv)
+      restore(logKey, prevLog)
     }
   }
 

@@ -63,6 +63,10 @@ final class AggSink(
 
   private def bucketOf: Column = pmod(hash(keys.map(col): _*), lit(nBuckets))
 
+  /** Pre-manifest table adoption — see [[MergeSink.migrateLegacy]]. */
+  def migrateLegacy(): Unit =
+    withWriterLock(spark, path, "migrate")(manifest.migrateLegacy())
+
   /** Current aggregate state: keys ++ sumCols ++ n_rows. */
   def read(): DataFrame =
     manifest.snapshot().map(_.drop(BucketCol, FenceCol)).getOrElse(

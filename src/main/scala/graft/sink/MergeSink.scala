@@ -74,6 +74,14 @@ final class MergeSink(
   private[graft] def readBuckets(buckets: Seq[Int]): Option[DataFrame] =
     manifest.snapshot(Some(buckets)).map(_.drop(BucketCol))
 
+  /** One-time adoption of a table written by the pre-manifest code
+    * (bucket dirs at the root, no `_MANIFEST`) — reads fail loudly on
+    * such layouts instead of treating them as empty. File renames
+    * only, no data rewrite; idempotent.
+    */
+  def migrateLegacy(): Unit =
+    MergeSink.withWriterLock(spark, path, "migrate")(manifest.migrateLegacy())
+
   /** Per-bucket parquet file counts of the committed snapshot — the
     * compaction-policy input, and what layout gates audit.
     */
@@ -209,9 +217,36 @@ object MergeSink {
       val out = fs.create(tmp, false)
       out.write(owner.getBytes("UTF-8")); out.close()
       val claimed =
-        try fs.rename(tmp, lock) && fs.exists(lock)
-        catch { case _: java.io.IOException => false }
+        try fs.rename(tmp, lock)
+        catch {
+          case e: java.io.IOException =>
+            // the rename may have landed despite the error — if the lock
+            // now carries OUR owner string we hold it; otherwise this is
+            // a genuine I/O failure and must be rethrown, not
+            // misreported as contention (class-doc contract)
+            val ours =
+              try {
+                val in = fs.open(lock)
+                try scala.io.Source.fromInputStream(in).mkString == owner
+                finally in.close()
+              } catch { case _: java.io.IOException => false }
+            if (!ours) { fs.delete(tmp, false); throw e }
+            true
+        }
       if (!claimed) { fs.delete(tmp, false); contention() }
+      // holder-side hygiene: sweep lock temp files from CRASHED claimers
+      // (mtime-guarded so a live claimer mid-write is never raced; a live
+      // one is about to fail on rename and delete its own tmp anyway)
+      try {
+        val dir = lock.getParent
+        val prefix = lock.getName + ".tmp."
+        val cutoff = System.currentTimeMillis() - 10 * 60 * 1000
+        fs.listStatus(dir).foreach { st =>
+          if (st.getPath.getName.startsWith(prefix) &&
+              st.getModificationTime < cutoff)
+            fs.delete(st.getPath, false)
+        }
+      } catch { case _: java.io.IOException => () } // hygiene is best-effort
     }
     try body finally fs.delete(lock, false)
   }

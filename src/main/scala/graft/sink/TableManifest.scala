@@ -51,9 +51,51 @@ final class TableManifest(spark: SparkSession, val root: String) {
 
   def exists: Boolean = fs.exists(manifestPath)
 
+  /** A table written by the pre-manifest code has `__bucket=N` dirs
+    * directly under the root and no `_MANIFEST`. Reading that as "no
+    * committed state" would silently orphan every previously merged
+    * row (and, for AggSink, disarm the replay fence) — so resolution
+    * FAILS LOUDLY instead, and [[migrateLegacy]] performs the one-time
+    * adoption: move the bucket dirs into a generation dir and commit a
+    * manifest naming them.
+    */
+  private def legacyBuckets(): Seq[Int] =
+    if (!fs.exists(rootPath)) Seq.empty
+    else fs.listStatus(rootPath).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith(s"$BucketCol="))
+      .map(_.getPath.getName.stripPrefix(s"$BucketCol=").toInt)
+
+  private def requireNotLegacy(): Unit =
+    if (!exists) {
+      val legacy = legacyBuckets()
+      if (legacy.nonEmpty) throw new IllegalStateException(
+        s"$root holds a pre-manifest table layout (${legacy.size} bucket dirs, " +
+          "no _MANIFEST); refusing to read it as empty — run migrateLegacy() once")
+    }
+
+  /** One-time adoption of a pre-manifest table: bucket dirs move (file
+    * renames, no data rewrite) into a fresh generation dir and a
+    * manifest naming them is committed. Idempotent: a no-op when the
+    * manifest already exists or no legacy dirs remain.
+    */
+  def migrateLegacy(): Unit =
+    if (!exists) {
+      val legacy = legacyBuckets()
+      if (legacy.nonEmpty) {
+        val gen = newGenDir()
+        val genPath = new Path(root, gen)
+        fs.mkdirs(genPath)
+        legacy.foreach { b =>
+          fs.rename(new Path(root, s"$BucketCol=$b"),
+                    new Path(genPath, s"$BucketCol=$b"))
+        }
+        commit(legacy.map(_ -> gen).toMap)
+      }
+    }
+
   /** Current snapshot: bucket -> root-relative generation dir. */
   def mapping(): Map[Int, String] =
-    if (!exists) Map.empty
+    if (!exists) { requireNotLegacy(); Map.empty }
     else {
       val in = fs.open(manifestPath)
       val text =
@@ -94,8 +136,11 @@ final class TableManifest(spark: SparkSession, val root: String) {
         .rename(tmp, manifestPath, Options.Rename.OVERWRITE)
   }
 
-  /** Sweep generation dirs no longer referenced by the committed
-    * mapping: superseded bucket rewrites and crashed commits' orphans.
+  /** Sweep everything no longer referenced by the committed mapping:
+    * generation dirs (superseded bucket rewrites, crashed commits'
+    * data) and stale `_manifest.tmp.*` files (a writer that died
+    * between tmp write and rename). Callers hold the writer lock, so
+    * no live committer's tmp can be racing this sweep.
     */
   def vacuum(): Unit = {
     val live = mapping().values.toSet
@@ -105,6 +150,10 @@ final class TableManifest(spark: SparkSession, val root: String) {
         if (!live.contains(s"data/${st.getPath.getName}"))
           fs.delete(st.getPath, true)
       }
+    fs.listStatus(rootPath).foreach { st =>
+      if (st.getPath.getName.startsWith("_manifest.tmp."))
+        fs.delete(st.getPath, false)
+    }
   }
 
   /** Resolved snapshot read with the `__bucket` partition column.

@@ -313,6 +313,12 @@ class ExtSpec extends SparkSpec {
     }
     assert(decodePng(junk).isEmpty)
     assert(decodePng(encodePng(4, 4, 10).dropRight(20)).isEmpty, "truncated IDAT must fail")
+    locally { // header claims 2x2 but the IDAT stream carries 3x3
+      val over = encodePng(3, 3, 7)
+      val bb = java.nio.ByteBuffer.wrap(over)
+      bb.putInt(16, 2); bb.putInt(20, 2)
+      assert(decodePng(over).isEmpty, "over-claiming IDAT must fail")
+    }
     // JPEG header: SOF0 dims recovered; malformed/truncated fails
     assert(decodeJpegDims(encodeJpegHeader(640, 480)) == Some((640, 480)))
     assert(decodeJpegDims(junk).isEmpty)
@@ -357,6 +363,26 @@ class ExtSpec extends SparkSpec {
     // round 2: r(3) = 150000 + 85*(1000000+150000)/100 = 1_127_500
     //          r(1) = 150000 + 85*1850000/100 = 1_722_500 ; r(2) = 150000
     assert(r2 == Map(1L -> 1722500L, 2L -> 150000L, 3L -> 1127500L))
+  }
+
+  test("pageRank large iteration budgets truncate lineage without leaking checkpoints") {
+    import graft.ext.Graph
+    val edges = Seq((1L, 3L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
+    // 17 rounds crosses two truncation points (rounds 8 and 16); values
+    // must equal an untruncated reference loop, and superseded
+    // checkpoint blocks must unpersist (the r2 persist-leak class)
+    val before = spark.sparkContext.getPersistentRDDs.size
+    val got = Graph.pageRank(edges, 17).as[(Long, Long)].collect().toMap
+    val after = spark.sparkContext.getPersistentRDDs.size
+    assert(after - before <= 1,
+      s"checkpoint blocks accumulated: $before -> $after")
+    // reference: same recurrence, plain Scala longs
+    var r = Map(1L -> 1000000L, 2L -> 1000000L, 3L -> 1000000L)
+    (0 until 17).foreach { _ =>
+      val in = Map(3L -> (r(1L) + r(2L)), 1L -> r(3L), 2L -> 0L)
+      r = r.keys.map(k => k -> (150000L + 85L * in(k) / 100L)).toMap
+    }
+    assert(got == r, "truncated loop diverged from the plain recurrence")
   }
 
   test("langId precedence is deterministic and covers zero-score docs") {

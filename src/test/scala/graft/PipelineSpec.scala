@@ -179,15 +179,52 @@ class PipelineSpec extends SparkSpec {
   }
 
   test("AggSink.lastBatchId is -1 on an existing-but-empty state table") {
-    // a state dir can exist with zero rows (retention sweep, manual
-    // truncation); max(fence) is then NULL and must read as "no batch
-    // applied", not throw
+    // a committed snapshot can hold zero rows (retention sweep wrote an
+    // empty bucket); max(fence) over it is NULL and must read as "no
+    // batch applied", not throw. Built as a real manifested table so
+    // the NULL-max branch (not the no-manifest branch) is what runs.
     val dir = freshDir() + "/state"
+    val gen = "data/g-empty-fixture"
     spark.range(0).selectExpr("id AS k", "id AS v", "id AS n_rows",
         "id AS __applied_batch")
-      .coalesce(1).write.parquet(dir)
+      .coalesce(1).write.parquet(s"$dir/$gen/__bucket=0")
+    new graft.sink.TableManifest(spark, dir).commit(Map(0 -> gen))
     val sink = new graft.sink.AggSink(spark, dir, Seq("k"), Seq("v"), 4)
     assert(sink.lastBatchId == -1L)
+    // and a dir with NO manifest and no bucket dirs is simply absent
+    val bare = freshDir() + "/bare"
+    spark.range(0).selectExpr("id AS k", "id AS v", "id AS n_rows",
+        "id AS __applied_batch").coalesce(1).write.parquet(bare)
+    assert(new graft.sink.AggSink(spark, bare, Seq("k"), Seq("v"), 4).lastBatchId == -1L)
+  }
+
+  test("pre-manifest table layouts fail loudly and migrate losslessly") {
+    import graft.sink.MergeSink
+    val dir = freshDir() + "/legacy"
+    val rows = Warehouse.toWarehouseRows(env).cache()
+    // fabricate the round-3 layout: bucket dirs at the root, no manifest
+    Cdc.latestByKey(rows, Warehouse.DedupKeys, Warehouse.VersionCols)
+      .withColumn(MergeSink.BucketCol,
+        pmod(hash($"original_id"), lit(8)))
+      .write.partitionBy(MergeSink.BucketCol).parquet(dir)
+    val expected = Cdc.latestByKey(rows, Warehouse.DedupKeys, Warehouse.VersionCols)
+      .select($"original_id", $"ingestion_seq").as[(String, Long)].collect().toSet
+    val sink = new MergeSink(spark, dir, Warehouse.DedupKeys, Warehouse.VersionCols, 8)
+    // silent it is not: reading a legacy table as empty would orphan
+    // every row, so resolution must throw until migration runs
+    val e = intercept[IllegalStateException](sink.read())
+    assert(e.getMessage.contains("migrateLegacy"))
+    intercept[IllegalStateException](sink.merge(rows.limit(5)))
+    sink.migrateLegacy()
+    def state() = sink.read().select($"original_id", $"ingestion_seq")
+      .as[(String, Long)].collect().toSet
+    assert(state() == expected, "migration lost rows")
+    // and the migrated table merges normally (bump the DOMINANT version
+    // column — event_time leads VersionCols, a bare seq bump loses LWW)
+    sink.merge(rows.limit(50)
+      .withColumn("event_time", $"event_time" + expr("INTERVAL 1000 DAYS"))
+      .withColumn("ingestion_seq", $"ingestion_seq" + 10000L))
+    assert(state() != expected && state().size == expected.size)
   }
 
   test("MergeSink compaction rewrites only oversized buckets, content intact") {
