@@ -63,8 +63,44 @@ object SourceQueries {
       |  min(event_id) AS id_min, max(event_id) AS id_max
       |FROM events GROUP BY event_type""".stripMargin
 
+  // ---------------------------------------------------------------- q102
+  /** Avro round-trip — the remaining wire format from the reference's
+    * dependency set (consumer/requirements.txt:13, a transitive Beam
+    * dep; Spark 4 bundles the avro source in spark-sql). Avro has no
+    * native timestamp-nanos or unsigned types, so the projected
+    * columns are the long/double/string core; exactness discipline is
+    * q96's (integer checksum, never a double sum).
+    */
+  /** The full Avro reader/writer ships inside spark-sql; only the
+    * "avro" short-name registration lives in the separate spark-avro
+    * artifact, so the format is addressed by class name.
+    */
+  private val AvroFormat = "org.apache.spark.sql.avro.AvroFileFormat"
+
+  def q102AvroRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val dir = Files.createTempDirectory("graft_q102_").toString + "/avro"
+    Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), col("value"), col("event_type"))
+      .write.format(AvroFormat).save(dir)
+    s.read.format(AvroFormat).load(dir)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+           min(col("value")).as("vmin"),
+           max(col("value")).as("vmax"),
+           sum(floor(col("value") * 1000).cast("long")).as("vchk"),
+           sum(col("user_id")).as("uid_sum"))
+  }
+
+  val q102Sql: String =
+    """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+      |  min(value) AS vmin, max(value) AS vmax,
+      |  CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT) AS vchk,
+      |  CAST(sum(user_id) AS BIGINT) AS uid_sum
+      |FROM events GROUP BY event_type""".stripMargin
+
   val entries: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "q96_orc_roundtrip" -> (q96OrcRoundtrip _, q96Sql),
     "q97_csv_roundtrip" -> (q97CsvRoundtrip _, q97Sql),
+    "q102_avro_roundtrip" -> (q102AvroRoundtrip _, q102Sql),
   )
 }
