@@ -174,9 +174,10 @@ object Dedup {
     * edge are absent (singletons need no dedup action).
     *
     * Cache contract: the returned frame is an eager localCheckpoint
-    * (already materialized by the convergence check); its blocks are
-    * released by the ContextCleaner once the frame is unreferenced —
-    * no session-level cache entries are left behind.
+    * (already materialized by the convergence check); superseded
+    * rounds' checkpoint blocks are freed deterministically per round
+    * (see [[Lineage]]), and only the escaping final frame is left to
+    * the ContextCleaner — no session-level cache entries remain.
     */
   def connectedComponents(edges: DataFrame, idA: String = "id_a",
                           idB: String = "id_b", maxIter: Int = 20): DataFrame = {
@@ -187,11 +188,13 @@ object Dedup {
     // TWICE (union + join), so the Catalyst tree doubles per round —
     // an eager localCheckpoint keeps the plan O(1) per round AND
     // materializes the frame the convergence check needs anyway.
-    // Checkpoint blocks of finished rounds are released by the
-    // ContextCleaner once unreferenced.
-    var labels = sym.select(col("src").as("id")).distinct()
-      .withColumn("cluster_id", col("id"))
-      .localCheckpoint(true)
+    // Superseded rounds' checkpoint BLOCKS are freed deterministically
+    // via Lineage handles (Dataset.unpersist alone does not release
+    // localCheckpoint storage); only the escaping final frame is left
+    // to the ContextCleaner.
+    var (labels, freeLabels) = Lineage.checkpoint(
+      sym.select(col("src").as("id")).distinct()
+        .withColumn("cluster_id", col("id")))
     // convergence witness: every label is non-increasing per round, so
     // the label SUM strictly decreases iff anything changed — one
     // aggregate on the new frame instead of a join+count per round
@@ -203,24 +206,27 @@ object Dedup {
     while (!converged && iter < maxIter) {
       val viaNeighbor = sym.join(labels, sym("dst") === labels("id"))
         .select(col("src").as("id"), col("cluster_id"))
-      val next = labels.unionByName(viaNeighbor)
-        .groupBy(col("id")).agg(min(col("cluster_id")).as("cluster_id"))
-        .localCheckpoint(true)
+      val (next, freeNext) = Lineage.checkpoint(
+        labels.unionByName(viaNeighbor)
+          .groupBy(col("id")).agg(min(col("cluster_id")).as("cluster_id")))
       val s = labelSum(next)
       converged = s.compareTo(prevSum) == 0
       prevSum = s
+      freeLabels() // previous round is fully superseded
       labels = next
+      freeLabels = freeNext
       iter += 1
     }
     if (!converged) {
       // Diameter exceeded the linear-round budget: hand the edge set to
       // the log-round variant rather than returning truncated labels.
+      freeLabels() // truncated labels are discarded, free them too
       val out = starComponents(sym)
       sym.unpersist()
       out
     } else {
       sym.unpersist()
-      labels
+      labels // escapes to the caller — its blocks stay until GC
     }
   }
 
@@ -247,15 +253,15 @@ object Dedup {
     * [[connectedComponents]]. Per-round frames are eagerly
     * localCheckpoint'ed: the Catalyst tree would otherwise grow
     * exponentially across rounds (each round references the previous
-    * edge set three times); finished rounds' blocks are released by the
-    * ContextCleaner once unreferenced.
+    * edge set three times); finished rounds' blocks are freed
+    * deterministically per round (see [[Lineage]]).
     */
   def starComponents(symEdges: DataFrame, maxRounds: Int = 30): DataFrame = {
     // canonical down-pointing parent edges (src > dst), self-loops out
-    var e = symEdges.select(
+    var (e, freeE) = Lineage.checkpoint(symEdges.select(
         greatest(col("src"), col("dst")).as("src"),
         least(col("src"), col("dst")).as("dst"))
-      .filter(col("src") =!= col("dst")).distinct().localCheckpoint(true)
+      .filter(col("src") =!= col("dst")).distinct())
     var n = e.count()
     var converged = false
     var round = 0
@@ -266,24 +272,29 @@ object Dedup {
       val sym = e.unionByName(e.select(col("dst").as("src"), col("src").as("dst")))
       val minsL = sym.groupBy(col("src"))
         .agg(least(min(col("dst")), col("src")).as("m"))
-      val large = sym.join(minsL, "src").filter(col("dst") > col("src"))
-        .select(col("dst").as("src"), col("m").as("dst"))
-        .distinct().localCheckpoint(true)
+      val (large, freeLarge) = Lineage.checkpoint(
+        sym.join(minsL, "src").filter(col("dst") > col("src"))
+          .select(col("dst").as("src"), col("m").as("dst"))
+          .distinct())
       // small-star over the down-pointing large-star output:
       // m(u) = min(Γ⁻(u)); emit (u, m(u)) and (v, m(u)) for the other
       // small neighbors v ≠ m.
       val minsS = large.groupBy(col("src")).agg(min(col("dst")).as("m"))
       val joined = large.join(minsS, "src")
-      val next = joined.select(col("src"), col("m").as("dst"))
-        .unionByName(joined.filter(col("dst") =!= col("m"))
-          .select(col("dst").as("src"), col("m").as("dst")))
-        .filter(col("src") =!= col("dst"))
-        .distinct().localCheckpoint(true)
+      val (next, freeNext) = Lineage.checkpoint(
+        joined.select(col("src"), col("m").as("dst"))
+          .unionByName(joined.filter(col("dst") =!= col("m"))
+            .select(col("dst").as("src"), col("m").as("dst")))
+          .filter(col("src") =!= col("dst"))
+          .distinct())
       // exact fixed-point check: next ⊆ e with equal distinct counts ⇒
       // set equality; a fixed point of large∘small is a star forest.
       val nNext = next.count()
       converged = nNext == n && next.except(e).isEmpty
+      freeLarge() // next is materialized; the intermediate is dead
+      freeE()     // the except() check above was the last read of e
       e = next
+      freeE = freeNext
       n = nNext
       round += 1
     }

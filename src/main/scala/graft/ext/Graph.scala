@@ -40,8 +40,7 @@ object Graph {
     val nodes = edges.select(col("src").as("node"))
       .unionByName(edges.select(col("dst").as("node"))).distinct()
     var ranks = nodes.withColumn("r", lit(1000000L))
-    val sc = edges.sparkSession.sparkContext
-    var prevCkptIds: Set[Int] = Set.empty
+    var freePrev: () => Unit = () => ()
     (0 until iters).foreach { i =>
       val contrib = withDeg.join(ranks, withDeg("src") === ranks("node"))
         .select(col("dst").as("node"), expr("r div outdeg").as("c"))
@@ -53,18 +52,13 @@ object Graph {
       // linearly (unlike the CC loop's union+join doubling) — a handful
       // of rounds plans fine and stays auditable as one plan (PlanSpec
       // reads the per-round partial aggregates). Larger iteration
-      // budgets still get lineage truncation so planning time stays
-      // O(1) per round. Superseded checkpoint BLOCKS are freed
-      // deterministically by RDD id: Dataset.unpersist only clears
-      // CacheManager entries, not localCheckpoint storage, which
-      // otherwise waits on driver GC + ContextCleaner.
+      // budgets still get lineage truncation, with superseded
+      // checkpoints' blocks freed deterministically (see Lineage).
       if ((i + 1) % 8 == 0 && i != iters - 1) {
-        val before = sc.getPersistentRDDs.keySet
-        ranks = ranks.localCheckpoint(true)
-        val mine = (sc.getPersistentRDDs.keySet -- before).toSet
-        prevCkptIds.foreach(id =>
-          sc.getPersistentRDDs.get(id).foreach(_.unpersist(true)))
-        prevCkptIds = mine
+        val (ck, free) = Lineage.checkpoint(ranks)
+        freePrev()
+        freePrev = free
+        ranks = ck
       }
     }
     ranks
