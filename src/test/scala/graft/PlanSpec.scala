@@ -242,6 +242,19 @@ class PlanSpec extends SparkSpec {
       "q32 should remain the brute all-pairs oracle twin")
   }
 
+  test("boilerplate strip joins on the segment key — no cartesian, no corpus window") {
+    // q101's cost model is q86's: df hash-aggregate + equi-join on the
+    // chunk key + per-doc reassembly via collect_list; a window over
+    // the corpus or an all-pairs fallback would be invisible at 500
+    // docs and fatal at 100 TB
+    val p = plan("q101_boilerplate_strip")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "segment join degraded to all-pairs")
+    assert(!p.contains("Window"), "reassembly must not sort the corpus through a window")
+    assert("(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)".r.findFirstIn(p).isDefined,
+      "expected a hash/merge equi-join on the chunk key")
+  }
+
   test("PageRank rounds are join + partial-aggregated sum — no windows, no cartesian") {
     val p = plan("q88_pagerank")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
