@@ -601,6 +601,49 @@ object StreamingQueries {
       |  ON a.user_id = b.user_id
       | AND b.ts BETWEEN a.ts - INTERVAL 1 HOUR AND a.ts + INTERVAL 1 HOUR""".stripMargin
 
+  // ---------------------------------------------------------------- q103
+  /** Incremental DEDUP-INDEX maintenance — the signature store of a
+    * 100 TB near-dup pipeline kept fresh one micro-batch at a time:
+    * each arriving batch computes its MinHash signatures (one linear
+    * pass over the BATCH only) and LWW-upserts them into a
+    * MergeSink-backed signature table; the near-dup query then runs
+    * against the maintained index (bands -> candidate equi-join), with
+    * only the exact-Jaccard verify touching document text. The corpus
+    * is never rescanned for signatures — at scale this is the
+    * difference between O(|new docs|) and O(|corpus|) per refresh.
+    * Oracle: q26's one-shot batch pipeline — the maintained index must
+    * answer the near-dup query identically.
+    */
+  def q103StreamingMinhashIndex(s: SparkSession, d: String): DataFrame = {
+    import graft.ext.Dedup
+    val base = Files.createTempDirectory("graft_q103_").toString
+    val inDir = s"$base/in"; val ckpt = s"$base/ckpt"; val sigDir = s"$base/sigs"
+    graft.core.Tables.documents(s, d).select(col("doc_id"), col("text"))
+      .repartition(4, pmod(col("doc_id"), lit(4)))
+      .write.json(inDir)
+    val wire = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val stream = s.readStream.schema(wire)
+      .option("maxFilesPerTrigger", "1").json(inDir)
+    // each doc arrives exactly once, so any deterministic version
+    // column works for the LWW tiebreak (keys and orderCols must be
+    // disjoint — latestByKey builds a struct over both)
+    val sink = new MergeSink(s, sigDir,
+      keys = Seq("doc_id"), orderCols = Seq("mh0"), nBuckets = 8)
+    val q = stream.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        sink.merge(Dedup.withMinhash(batch, k = 12).drop("text"))
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val cands = Dedup.lshCandidates(
+      Dedup.lshBands(sink.read(), bands = 4, rowsPerBand = 3))
+    Dedup.withJaccard(cands, graft.core.Tables.documents(s, d))
+      .filter(col("jaccard") >= 0.5)
+  }
+
   val entries: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "q66_streaming_cdc" -> (q66StreamingCdc _, q66Sql),
     "q76_streaming_agg" -> (q76StreamingAgg _, q76Sql),
@@ -611,5 +654,6 @@ object StreamingQueries {
     "q92_streaming_vocab" -> (q92StreamingVocab _, q92Sql),
     "q93_stream_stream_join" -> (q93StreamStreamJoin _, q93Sql),
     "q98_stream_stream_left_outer" -> (q98StreamStreamLeftOuter _, q98Sql),
+    "q103_streaming_minhash_index" -> (q103StreamingMinhashIndex _, ExtQueries.q26Sql),
   )
 }
