@@ -644,6 +644,187 @@ object StreamingQueries {
       .filter(col("jaccard") >= 0.5)
   }
 
+  // ---------------------------------------------------------------- q104
+  /** TIME TRAVEL at the gate: the CDC history merges in 4 versioned
+    * commits; the query reads the table AS OF version 2 — the state
+    * after exactly the first two batches — through the manifest
+    * version log ([[graft.sink.TableManifest]]). The oracle recomputes
+    * that same prefix (document_id % 4 in {0, 1}) with plain LWW SQL,
+    * so a time-travel read that leaked any later (or dropped any
+    * earlier) commit hash-mismatches. The REQUIRE pins the version
+    * history itself: 4 merges must have published exactly versions
+    * 1..4. Reproducibility primitive for a training-data warehouse:
+    * "read the exact state that fed run N" is a metadata lookup, not a
+    * backup restore.
+    */
+  def q104TimeTravel(s: SparkSession, d: String): DataFrame = {
+    val base = Files.createTempDirectory("graft_q104_").toString
+    val stateDir = s"$base/state"
+    val env = CdcQueries.envelope(s, d)
+      .withColumn("ts_us", unix_micros(col("ts"))).drop("ts")
+    val flat = Cdc.enrichWatchedRatio(
+      Cdc.flattenEnvelope(env), "watched", "duration", rounded = false)
+    val sink = new MergeSink(s, stateDir,
+      keys = Seq("user_id"), orderCols = Seq("ts_us", "document_id"), nBuckets = 16)
+    (0 until 4).foreach(i =>
+      sink.merge(flat.filter(pmod(col("document_id"), lit(4)) === lit(i))))
+    require(sink.versions() == Seq(1L, 2L, 3L, 4L),
+      s"expected retained versions 1..4, got ${sink.versions()}")
+    sink.readAt(2L).select(
+      col("user_id"),
+      col("document_id").as("last_document_id"),
+      col("operation").as("last_operation"),
+      expr("ts_us div 1000").as("last_ms"),
+      col("watched_ratio").as("last_ratio"))
+  }
+
+  /** The version-2 prefix of the history (batches 0 and 1 of the 4-way
+    * document_id slicing), LWW-merged — q66's SQL over that subset.
+    */
+  val q104Sql: String =
+    """SELECT user_id, document_id AS last_document_id,
+      |  operation AS last_operation, epoch_ms(ts) AS last_ms,
+      |  (CASE WHEN coalesce(duration, 1) > 0
+      |        THEN coalesce(watched, 0.0) / coalesce(duration, 1)
+      |        ELSE 0.0 END) AS last_ratio
+      |FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+      |        ORDER BY ts DESC, document_id DESC) AS rn
+      |      FROM (SELECT
+      |        CASE WHEN event_type = 'signup' THEN 'insert'
+      |             WHEN event_type = 'error' THEN 'delete'
+      |             ELSE 'update' END AS operation,
+      |        event_id AS document_id, user_id, ts,
+      |        CASE WHEN event_type = 'error' THEN NULL ELSE value END AS watched,
+      |        CASE WHEN event_type = 'error' THEN NULL
+      |             ELSE CAST(json_extract_string(props, '$.k') AS INT) END AS duration
+      |      FROM events WHERE event_id % 4 <= 1))
+      |WHERE rn = 1""".stripMargin
+
+  // ---------------------------------------------------------------- q105
+  /** ZONE-MAP data skipping at the gate: the state table is
+    * RANGE-bucketed on user_id (contiguous 64-wide key ranges per
+    * bucket) with per-bucket min/max recorded in the manifest; the
+    * query reads user ids [40, 79] via `readRange`, which resolves
+    * ONLY the buckets whose zone map intersects the range — the
+    * pruning decision is pure manifest metadata, no file is listed for
+    * the rest. The REQUIRE pins the skipping whenever the key domain
+    * is unwrapped (width x nBuckets covers it): the range must resolve
+    * strictly fewer buckets than the table holds. The oracle filters
+    * the same LWW state by user_id in SQL — a zone map that pruned a
+    * bucket it shouldn't have drops rows and hash-mismatches.
+    */
+  def q105StatsPrune(s: SparkSession, d: String): DataFrame = {
+    val base = Files.createTempDirectory("graft_q105_").toString
+    val stateDir = s"$base/state"
+    val env = CdcQueries.envelope(s, d)
+      .withColumn("ts_us", unix_micros(col("ts"))).drop("ts")
+    val flat = Cdc.enrichWatchedRatio(
+      Cdc.flattenEnvelope(env), "watched", "duration", rounded = false)
+    val nBuckets = 64
+    val width = 64L
+    val sink = new MergeSink(s, stateDir,
+      keys = Seq("user_id"), orderCols = Seq("ts_us", "document_id"),
+      nBuckets = nBuckets, statsCols = Seq("user_id"), rangeBucketWidth = Some(width))
+    (0 until 2).foreach(i =>
+      sink.merge(flat.filter(pmod(col("document_id"), lit(2)) === lit(i))))
+    val resolved = sink.bucketsForRange("user_id", 40.0, 79.0)
+    val held = sink.bucketFileCounts().keySet
+    val maxUser = flat.agg(max(col("user_id"))).first().getLong(0)
+    if (maxUser < width * nBuckets) // unwrapped domain -> skipping MUST engage
+      require(resolved.size < held.size,
+        s"zone maps resolved ${resolved.size} of ${held.size} buckets — no skipping")
+    sink.readRange("user_id", 40.0, 79.0).select(
+      col("user_id"),
+      col("document_id").as("last_document_id"),
+      col("operation").as("last_operation"),
+      expr("ts_us div 1000").as("last_ms"),
+      col("watched_ratio").as("last_ratio"))
+  }
+
+  /** q66's LWW state restricted to the gated user_id range. */
+  val q105Sql: String =
+    """SELECT user_id, document_id AS last_document_id,
+      |  operation AS last_operation, epoch_ms(ts) AS last_ms,
+      |  (CASE WHEN coalesce(duration, 1) > 0
+      |        THEN coalesce(watched, 0.0) / coalesce(duration, 1)
+      |        ELSE 0.0 END) AS last_ratio
+      |FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+      |        ORDER BY ts DESC, document_id DESC) AS rn
+      |      FROM (SELECT
+      |        CASE WHEN event_type = 'signup' THEN 'insert'
+      |             WHEN event_type = 'error' THEN 'delete'
+      |             ELSE 'update' END AS operation,
+      |        event_id AS document_id, user_id, ts,
+      |        CASE WHEN event_type = 'error' THEN NULL ELSE value END AS watched,
+      |        CASE WHEN event_type = 'error' THEN NULL
+      |             ELSE CAST(json_extract_string(props, '$.k') AS INT) END AS duration
+      |      FROM events))
+      |WHERE rn = 1 AND user_id BETWEEN 40 AND 79""".stripMargin
+
+  // ---------------------------------------------------------------- q106
+  /** COMPLIANCE PURGE at the gate (GDPR / takedown): the CDC history
+    * merges into a versioned sink table, then every user with
+    * `user_id % 7 == 3` is HARD-deleted via `purgeKeys` — bucket-pruned
+    * rewrite (only buckets holding a purged key rewrite, anti-joined
+    * against the broadcast takedown list) followed by history
+    * destruction (`expireVersions(1)` deletes every pre-purge
+    * generation). Two REQUIREs pin what "purged" means: (1) the
+    * version log holds ONLY the purge snapshot — no time-travel path
+    * back to the data; (2) a recursive scan of every parquet byte left
+    * under the table root finds ZERO purged rows — erasure is
+    * physical, not logical. The oracle is the LWW state minus the
+    * purged keys (key filters commute with per-key LWW), so an
+    * over-purge (lost neighbor rows) or under-purge both
+    * hash-mismatch.
+    */
+  def q106PurgeCompliance(s: SparkSession, d: String): DataFrame = {
+    val base = Files.createTempDirectory("graft_q106_").toString
+    val stateDir = s"$base/state"
+    val env = CdcQueries.envelope(s, d)
+      .withColumn("ts_us", unix_micros(col("ts"))).drop("ts")
+    val flat = Cdc.enrichWatchedRatio(
+      Cdc.flattenEnvelope(env), "watched", "duration", rounded = false)
+    val sink = new MergeSink(s, stateDir,
+      keys = Seq("user_id"), orderCols = Seq("ts_us", "document_id"), nBuckets = 16)
+    (0 until 3).foreach(i =>
+      sink.merge(flat.filter(pmod(col("document_id"), lit(3)) === lit(i))))
+    val takedown = flat.select(col("user_id")).distinct()
+      .filter(pmod(col("user_id"), lit(7)) === lit(3))
+    sink.purgeKeys(takedown)
+    require(sink.versions().size == 1,
+      s"purge must destroy history; retained: ${sink.versions()}")
+    val residual = s.read.option("recursiveFileLookup", "true")
+      .parquet(s"$stateDir/data")
+      .filter(pmod(col("user_id"), lit(7)) === lit(3)).count()
+    require(residual == 0, s"$residual purged rows still physically on disk")
+    sink.read().select(
+      col("user_id"),
+      col("document_id").as("last_document_id"),
+      col("operation").as("last_operation"),
+      expr("ts_us div 1000").as("last_ms"),
+      col("watched_ratio").as("last_ratio"))
+  }
+
+  /** The LWW state minus the takedown keys. */
+  val q106Sql: String =
+    """SELECT user_id, document_id AS last_document_id,
+      |  operation AS last_operation, epoch_ms(ts) AS last_ms,
+      |  (CASE WHEN coalesce(duration, 1) > 0
+      |        THEN coalesce(watched, 0.0) / coalesce(duration, 1)
+      |        ELSE 0.0 END) AS last_ratio
+      |FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+      |        ORDER BY ts DESC, document_id DESC) AS rn
+      |      FROM (SELECT
+      |        CASE WHEN event_type = 'signup' THEN 'insert'
+      |             WHEN event_type = 'error' THEN 'delete'
+      |             ELSE 'update' END AS operation,
+      |        event_id AS document_id, user_id, ts,
+      |        CASE WHEN event_type = 'error' THEN NULL ELSE value END AS watched,
+      |        CASE WHEN event_type = 'error' THEN NULL
+      |             ELSE CAST(json_extract_string(props, '$.k') AS INT) END AS duration
+      |      FROM events))
+      |WHERE rn = 1 AND user_id % 7 <> 3""".stripMargin
+
   val entries: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "q66_streaming_cdc" -> (q66StreamingCdc _, q66Sql),
     "q76_streaming_agg" -> (q76StreamingAgg _, q76Sql),
@@ -655,5 +836,8 @@ object StreamingQueries {
     "q93_stream_stream_join" -> (q93StreamStreamJoin _, q93Sql),
     "q98_stream_stream_left_outer" -> (q98StreamStreamLeftOuter _, q98Sql),
     "q103_streaming_minhash_index" -> (q103StreamingMinhashIndex _, ExtQueries.q26Sql),
+    "q104_time_travel" -> (q104TimeTravel _, q104Sql),
+    "q105_stats_prune" -> (q105StatsPrune _, q105Sql),
+    "q106_purge_compliance" -> (q106PurgeCompliance _, q106Sql),
   )
 }

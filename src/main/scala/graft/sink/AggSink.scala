@@ -67,6 +67,19 @@ final class AggSink(
   def migrateLegacy(): Unit =
     withWriterLock(spark, path, "migrate")(manifest.migrateLegacy())
 
+  /** Aggregate state as of retained version `v` (the manifest version
+    * log is shared with MergeSink — every fold is a numbered snapshot).
+    */
+  def readAt(v: Long): DataFrame =
+    manifest.snapshotAt(v).map(_.drop(BucketCol, FenceCol)).getOrElse(
+      throw new IllegalStateException(s"version $v at $path holds no buckets"))
+
+  /** Retention knob bounding version-log storage — see
+    * [[graft.sink.TableManifest.expireVersions]].
+    */
+  def expireVersions(keepLast: Int): Unit =
+    withWriterLock(spark, path, "expire")(manifest.expireVersions(keepLast))
+
   /** Current aggregate state: keys ++ sumCols ++ n_rows. */
   def read(): DataFrame =
     manifest.snapshot().map(_.drop(BucketCol, FenceCol)).getOrElse(

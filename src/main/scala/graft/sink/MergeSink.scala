@@ -11,8 +11,19 @@ import graft.ops.Cdc
   * load_data.py:52-60 `insert_rows` into the ClickHouse
   * ReplacingMergeTree of clickhouse/init.sql:22-24).
   *
-  * The state table is parquet hash-partitioned on
-  * `__bucket = pmod(hash(keys), nBuckets)`. Each `merge(batch)`:
+  * The state table is parquet-partitioned on a bucket of the merge
+  * keys, `__bucket = f(keys)`, where `f` is one of two layouts:
+  *
+  *  - HASH (default): `pmod(hash(keys), nBuckets)` — uniform spread,
+  *    hot keys scattered; point lookups and merges prune by bucket.
+  *  - RANGE (`rangeBucketWidth = Some(w)`): `pmod(keys.head div w,
+  *    nBuckets)` — CONTIGUOUS key ranges share a bucket, so zone-map
+  *    statistics on the key (below) become tight and RANGE predicates
+  *    prune at the metadata level. The ClickHouse analog is ORDER BY
+  *    key range granules; the trade is skew sensitivity (pick `w` so
+  *    the key domain spreads across buckets).
+  *
+  * Each `merge(batch)`:
   *
   *   1. computes the batch's touched buckets (a `distinct` over the
   *      bucket expression — at most `nBuckets` small ints reach the
@@ -24,9 +35,10 @@ import graft.ops.Cdc
   *   3. LWW-merges state + batch with `Cdc.latestByKey` (commutative,
   *      associative, idempotent — replaying a batch is a no-op on
   *      content);
-  *   4. rewrites ONLY the touched partitions via dynamic partition
-  *      overwrite (untouched bucket directories keep their files
-  *      byte-for-byte — asserted in PipelineSpec).
+  *   4. rewrites ONLY the touched buckets into a fresh generation dir
+  *      and publishes via one atomic manifest commit (untouched bucket
+  *      directories keep their files byte-for-byte — asserted in
+  *      PipelineSpec).
   *
   * Cost per micro-batch is O(|touched state| + |batch|), not
   * O(|state|): with uniform key hashing a batch touching k distinct
@@ -34,6 +46,17 @@ import graft.ops.Cdc
   * 100 TB, size `nBuckets` so one bucket ≈ a few GB (e.g. 16k buckets
   * for 100 TB); hot-key skew spreads by hash, and the merge itself is
   * the same map-side-combine hash aggregate as the batch path.
+  *
+  * ZONE MAPS (`statsCols`): after each rewrite the sink records
+  * per-bucket min/max of the named numeric columns in the manifest
+  * (read back from the freshly written files — a columnar metadata
+  * scan of only those columns). [[readRange]] then resolves ONLY the
+  * buckets whose range can intersect the predicate — Iceberg-style
+  * data skipping where files outside the range are never even listed.
+  * Stats are only selective when layout correlates with the column
+  * (range bucketing on a key, or a time-ordered ingest on an
+  * event-time column); under hash bucketing they are recorded but
+  * typically span the full domain — documented, not hidden.
   *
   * Write atomicity is SNAPSHOT-grade via [[TableManifest]]: every
   * commit writes immutable files into a fresh generation dir and then
@@ -46,19 +69,32 @@ import graft.ops.Cdc
   * state (StreamingSpec's checkpoint-restart case proves it); the
   * manifest makes each individual commit all-or-nothing
   * (PipelineSpec's crash-injection case proves that).
+  *
+  * TIME TRAVEL: every commit is a retained, numbered version
+  * ([[TableManifest]] version log). [[readAt]] reads the table as of
+  * any retained version — the audit/debug/reproducibility primitive a
+  * training-data warehouse needs ("which exact state fed run N?").
+  * [[expireVersions]] is the retention knob that bounds history
+  * storage; expiry is what finally frees superseded generations.
   */
 final class MergeSink(
     spark: SparkSession,
     val path: String,
     keys: Seq[String],
     orderCols: Seq[String],
-    nBuckets: Int = 64) {
+    nBuckets: Int = 64,
+    statsCols: Seq[String] = Seq.empty,
+    rangeBucketWidth: Option[Long] = None) {
 
   import MergeSink.BucketCol
+  import TableManifest.{ColStats, Stats}
 
   private[graft] val manifest = new TableManifest(spark, path)
 
-  private def bucketOf: Column = pmod(hash(keys.map(col): _*), lit(nBuckets))
+  private def bucketOf: Column = rangeBucketWidth match {
+    case Some(w) => pmod(expr(s"${keys.head} div $w"), lit(nBuckets.toLong)).cast("int")
+    case None    => pmod(hash(keys.map(col): _*), lit(nBuckets))
+  }
 
   /** Current committed state (bucket column dropped — callers see the
     * logical schema they wrote).
@@ -66,6 +102,40 @@ final class MergeSink(
   def read(): DataFrame =
     manifest.snapshot().map(_.drop(BucketCol)).getOrElse(
       throw new IllegalStateException(s"no committed state at $path"))
+
+  /** State as of retained version `v` — see class doc (TIME TRAVEL). */
+  def readAt(v: Long): DataFrame =
+    manifest.snapshotAt(v).map(_.drop(BucketCol)).getOrElse(
+      throw new IllegalStateException(s"version $v at $path holds no buckets"))
+
+  /** Retained snapshot versions, ascending. */
+  def versions(): Seq[Long] = manifest.versions()
+
+  /** Retain only the `keepLast` most recent versions (min 1) and free
+    * the generations only expired versions referenced.
+    */
+  def expireVersions(keepLast: Int): Unit =
+    MergeSink.withWriterLock(spark, path, "expire")(manifest.expireVersions(keepLast))
+
+  /** Metadata-level data-skipping decision for `col` in `[lo, hi]` —
+    * exposed for layout audits and tests.
+    */
+  def bucketsForRange(c: String, lo: Double, hi: Double): Seq[Int] =
+    manifest.bucketsForRange(c, lo, hi)
+
+  /** Rows with `c` in `[lo, hi]` (NULLs excluded), resolving ONLY the
+    * buckets whose zone map can intersect the range — buckets outside
+    * it are never listed, let alone scanned. Equivalent to
+    * `read().where(c between lo and hi)` by the zone-map invariant;
+    * PipelineSpec asserts both the equivalence and the pruning.
+    */
+  def readRange(c: String, lo: Double, hi: Double): DataFrame = {
+    val bs = bucketsForRange(c, lo, hi)
+    val resolved =
+      if (bs.isEmpty) read().filter(lit(false)) // schema-preserving empty; optimizes to zero scans
+      else manifest.snapshot(Some(bs)).map(_.drop(BucketCol)).getOrElse(read().filter(lit(false)))
+    resolved.filter(col(c) >= lit(lo) && col(c) <= lit(hi))
+  }
 
   /** Latest-per-key state restricted to the given buckets; resolution
     * is path-level — other buckets' files are never listed, let alone
@@ -90,6 +160,32 @@ final class MergeSink(
 
   /** (fileName, size, mtime) per bucket — maintenance metadata. */
   def bucketFiles(): Map[Int, Seq[(String, Long, Long)]] = manifest.bucketFiles()
+
+  /** Per-bucket min/max of `statsCols` read back from a just-written
+    * generation — a columnar scan of ONLY those columns over ONLY the
+    * rewritten buckets' files. All-NULL columns record no stats for
+    * that bucket (missing stats never prune).
+    */
+  private def statsOfGen(gen: String): Map[Int, Stats] =
+    if (statsCols.isEmpty) Map.empty
+    else {
+      val aggs = statsCols.flatMap(c => Seq(
+        min(col(c)).cast("double").as(s"__mn_$c"),
+        max(col(c)).cast("double").as(s"__mx_$c")))
+      spark.read.parquet(s"$path/$gen")
+        .groupBy(col(BucketCol))
+        .agg(aggs.head, aggs.tail: _*)
+        .collect()
+        .map { r =>
+          val b = r.getAs[Number](BucketCol).intValue()
+          val st: Stats = statsCols.flatMap { c =>
+            val mn = r.getAs[Any](s"__mn_$c"); val mx = r.getAs[Any](s"__mx_$c")
+            if (mn == null || mx == null) None
+            else Some(c -> ColStats(mn.asInstanceOf[Double], mx.asInstanceOf[Double]))
+          }.toMap
+          b -> st
+        }.toMap
+    }
 
   /** Upsert one batch. Empty batches are a no-op (no read, no write).
     * Holds the writer lock: a concurrent merge or compact on the same
@@ -116,13 +212,70 @@ final class MergeSink(
         .partitionBy(BucketCol)
         .parquet(s"$path/$gen")
       // all-or-nothing publish; crashed attempts' files stay invisible
-      manifest.commit(current ++ manifest.writtenBuckets(gen).map(_ -> gen))
+      manifest.commit(
+        current ++ manifest.writtenBuckets(gen).map(_ -> gen),
+        manifest.stats() ++ statsOfGen(gen))
       manifest.vacuum()
     }
   }
 
   /** foreachBatch adapter: `stream.writeStream.foreachBatch(sink.forEachBatch)`. */
   def forEachBatch: (DataFrame, Long) => Unit = (batch, _) => merge(batch)
+
+  /** COMPLIANCE PURGE — hard-delete every row whose merge key appears
+    * in `keyRows` (a frame of the key columns), then DESTROY history so
+    * the data is physically unrecoverable (the GDPR / takedown-request
+    * primitive; a tombstone merge only hides a key, and time travel
+    * would happily resurrect it).
+    *
+    *   1. touched buckets come from `bucketOf` over the key list —
+    *      metadata, same pruning decision as [[merge]]; keys hash (or
+    *      range) to buckets deterministically, so NO other bucket can
+    *      hold the key;
+    *   2. ONLY those buckets rewrite, anti-joined against the
+    *      (broadcast-small) key list — Delta/Iceberg DELETE rewrite
+    *      semantics;
+    *   3. the commit publishes atomically like any other, then
+    *      `expireVersions(1)` drops every prior version: the old
+    *      generations holding the purged rows are deleted, not merely
+    *      dereferenced. (On object stores add the provider's billing /
+    *      versioning purge on top; here deletion is deletion.)
+    *
+    * Cost: O(|buckets holding purged keys| + |key list|), not
+    * O(|table|). The price of erasure is losing time travel across the
+    * purge point — inherent, not incidental: retained history IS the
+    * data you were asked to destroy.
+    */
+  def purgeKeys(keyRows: DataFrame): Unit = MergeSink.withWriterLock(spark, path, "purge") {
+    val keyList = keyRows.select(keys.map(col): _*).distinct()
+    val touched = keyList.select(bucketOf.as(BucketCol)).distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val held = manifest.mapping().keySet
+    val rewrite = touched.filter(held.contains)
+    if (rewrite.nonEmpty) {
+      val current = manifest.mapping()
+      val kept = readBuckets(rewrite).get
+        .join(broadcast(keyList), keys, "left_anti")
+      val gen = manifest.newGenDir()
+      kept
+        .withColumn(BucketCol, bucketOf)
+        .sortWithinPartitions(keys.map(col): _*)
+        .write
+        .partitionBy(BucketCol)
+        .parquet(s"$path/$gen")
+      // a bucket whose every row was purged vanishes from the mapping
+      // (the write produced no dir for it) rather than keeping a stale gen
+      val written = manifest.writtenBuckets(gen)
+      val emptied = rewrite.toSet -- written
+      manifest.commit(
+        (current -- emptied) ++ written.map(_ -> gen),
+        (manifest.stats() -- rewrite) ++
+          (if (statsCols.isEmpty) Map.empty else statsOfGen(gen)))
+    }
+    // history carries the purged rows — destroy it even when no bucket
+    // matched (the request may target data already purged upstream)
+    manifest.expireVersions(1)
+  }
 
   /** Compact buckets that have accumulated more than
     * `maxFilesPerBucket` parquet files — the classic streaming-sink
@@ -132,7 +285,8 @@ final class MergeSink(
     * ones never), one file per bucket after the rewrite
     * (`repartition` on the bucket column -> one task per bucket).
     * Content is untouched — pure layout maintenance, safe to run
-    * between merges on any schedule.
+    * between merges on any schedule; zone maps carry over unchanged
+    * for the same reason.
     */
   def compact(maxFilesPerBucket: Int = 4): Unit = MergeSink.withWriterLock(spark, path, "compact") {
     if (manifest.exists) {
@@ -147,7 +301,9 @@ final class MergeSink(
           .write
           .partitionBy(BucketCol)
           .parquet(s"$path/$gen")
-        manifest.commit(current ++ manifest.writtenBuckets(gen).map(_ -> gen))
+        manifest.commit(
+          current ++ manifest.writtenBuckets(gen).map(_ -> gen),
+          manifest.stats())
         manifest.vacuum()
       }
     }

@@ -18,36 +18,64 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *
   * Layout:
   * {{{
-  *   <root>/_MANIFEST                 # "bucket \t gen-dir" lines
+  *   <root>/_MANIFEST                 # current snapshot (see format below)
+  *   <root>/_versions/v-<n>          # immutable copy of snapshot n
   *   <root>/data/g-<uuid>/__bucket=N/part-*.parquet
   * }}}
   *
+  * Manifest format (tab-separated, one header + one line per bucket):
+  * {{{
+  *   #version=<n>
+  *   <bucket> \t <gen-dir> \t [col,min,max;col,min,max;…]
+  * }}}
+  * The optional third field carries per-bucket ZONE-MAP statistics
+  * (min/max per declared stats column, doubles — exact for integral
+  * values up to 2^53, which covers ids and epoch-micro timestamps).
+  * Readers prune buckets whose range cannot satisfy a predicate
+  * BEFORE any file is listed — the Iceberg manifest-stats idea at
+  * bucket granularity. A bucket with no recorded stats for a column
+  * is never pruned (correctness over optimism).
+  *
   * Commit = write the new snapshot's data files into a FRESH
-  * generation dir (never touching current files), fully write the new
-  * manifest to a temp name, then RENAME it onto `_MANIFEST` — the
-  * atomic namespace operation (NIO ATOMIC_MOVE locally, FileContext
-  * `Rename.OVERWRITE` on HDFS-like stores). A reader therefore
-  * resolves the old snapshot or the new one, never a mix; a writer
-  * crash at ANY point before the rename leaves the previous snapshot
-  * untouched and only orphans unreferenced data files, which
-  * [[vacuum]] sweeps on the next successful commit.
+  * generation dir (never touching current files), write the snapshot
+  * body to the immutable version file `_versions/v-<n>`, fully write
+  * the new manifest to a temp name, then RENAME it onto `_MANIFEST` —
+  * the atomic namespace operation (NIO ATOMIC_MOVE locally,
+  * FileContext `Rename.OVERWRITE` on HDFS-like stores). A reader
+  * therefore resolves the old snapshot or the new one, never a mix; a
+  * writer crash at ANY point before the rename leaves the previous
+  * snapshot untouched and only orphans unreferenced data files and an
+  * unpublished `v-<n>` (both ignored by readers — a version file above
+  * the published `#version` header does not exist as far as resolution
+  * is concerned — and reclaimed by [[vacuum]] / the next commit, which
+  * rewrites `v-<n>` from scratch).
+  *
+  * TIME TRAVEL: `_versions/v-<n>` files are retained across commits,
+  * so [[snapshotAt]] resolves any historical snapshot; generation dirs
+  * referenced by ANY retained version survive [[vacuum]]. Retention is
+  * bounded by [[expireVersions]] (Delta/Iceberg VACUUM-with-retention
+  * semantics): expiring old versions is what finally frees their
+  * superseded generation dirs. At 100 TB, version files stay tiny
+  * (one line per bucket — metadata, not data), so the cost of history
+  * is only the superseded data generations, which expiry reclaims.
   *
   * Concurrency: writers are serialized by [[MergeSink.withWriterLock]]
   * (single-writer contract). Readers never lock; they race only the
-  * manifest rename, which is atomic. Immediate vacuum can delete a
-  * generation a long-running reader of the PREVIOUS snapshot is still
-  * scanning — production object stores defer deletion by a retention
-  * horizon (Delta/Iceberg VACUUM semantics); the sweep here is
-  * immediate because the writer lock plus same-process readers make
-  * the window empty in this engine's usage.
+  * manifest rename, which is atomic. A long-running reader of an OLD
+  * version races only [[expireVersions]] — production object stores
+  * defer deletion by a retention horizon; here the writer lock plus
+  * same-process readers make the window empty in this engine's usage.
   */
 final class TableManifest(spark: SparkSession, val root: String) {
   import MergeSink.BucketCol
+  import TableManifest.{ColStats, Stats}
 
   private def conf = spark.sessionState.newHadoopConf()
   private val rootPath = new Path(root)
   private def fs = rootPath.getFileSystem(conf)
   private def manifestPath = new Path(root, TableManifest.ManifestFile)
+  private def versionsDir = new Path(root, TableManifest.VersionsDir)
+  private def versionPath(n: Long) = new Path(versionsDir, s"v-$n")
 
   def exists: Boolean = fs.exists(manifestPath)
 
@@ -93,34 +121,106 @@ final class TableManifest(spark: SparkSession, val root: String) {
       }
     }
 
-  /** Current snapshot: bucket -> root-relative generation dir. */
-  def mapping(): Map[Int, String] =
-    if (!exists) { requireNotLegacy(); Map.empty }
-    else {
-      val in = fs.open(manifestPath)
-      val text =
-        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-        finally in.close()
-      text.linesIterator.filter(_.nonEmpty).map { line =>
-        val Array(b, g) = line.split("\t", 2)
-        b.toInt -> g
-      }.toMap
+  private def readText(p: Path): String = {
+    val in = fs.open(p)
+    try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    finally in.close()
+  }
+
+  /** (version, bucket -> (gen, stats)) parsed from one manifest body.
+    * A body without a `#version` header predates the version log and
+    * reads as version 1 with no history.
+    */
+  private def parse(text: String): (Long, Map[Int, (String, Stats)]) = {
+    val lines = text.linesIterator.filter(_.nonEmpty).toSeq
+    val (version, dataLines) = lines.headOption match {
+      case Some(h) if h.startsWith("#version=") =>
+        (h.stripPrefix("#version=").toLong, lines.tail)
+      case _ => (1L, lines)
     }
+    val m = dataLines.map { line =>
+      val fields = line.split("\t", -1)
+      val stats: Stats =
+        if (fields.length < 3 || fields(2).isEmpty) Map.empty
+        else fields(2).split(";").iterator.map { triple =>
+          val Array(c, lo, hi) = triple.split(",", 3)
+          c -> ColStats(lo.toDouble, hi.toDouble)
+        }.toMap
+      fields(0).toInt -> (fields(1), stats)
+    }.toMap
+    (version, m)
+  }
+
+  private def full(): (Long, Map[Int, (String, Stats)]) =
+    if (!exists) { requireNotLegacy(); (0L, Map.empty) }
+    else parse(readText(manifestPath))
+
+  /** Current snapshot: bucket -> root-relative generation dir. */
+  def mapping(): Map[Int, String] = full()._2.map { case (b, (g, _)) => b -> g }
+
+  /** Current per-bucket zone-map stats (empty map per bucket when the
+    * writer declared no stats columns).
+    */
+  def stats(): Map[Int, Stats] = full()._2.map { case (b, (_, s)) => b -> s }
+
+  /** Published snapshot version (0 = never committed). */
+  def currentVersion(): Long = full()._1
+
+  /** Retained, published versions, ascending. Version files above the
+    * published `#version` are crashed-commit orphans, not snapshots.
+    */
+  def versions(): Seq[Long] = {
+    val cur = currentVersion()
+    if (!fs.exists(versionsDir)) Seq.empty
+    else fs.listStatus(versionsDir).toSeq
+      .map(_.getPath.getName).filter(_.startsWith("v-"))
+      .map(_.stripPrefix("v-").toLong)
+      .filter(_ <= cur).sorted
+  }
+
+  /** Historical snapshot `v`'s bucket -> generation dir. Fails loudly
+    * on an expired or never-published version.
+    */
+  def mappingAt(v: Long): Map[Int, String] = {
+    require(v >= 1 && v <= currentVersion(),
+      s"version $v is not published at $root (current=${currentVersion()})")
+    val p = versionPath(v)
+    if (!fs.exists(p)) throw new IllegalStateException(
+      s"version $v at $root has been expired (expireVersions) — retained: ${versions().mkString(",")}")
+    parse(readText(p))._2.map { case (b, (g, _)) => b -> g }
+  }
 
   /** Fresh, never-reused generation dir for one commit's data files. */
   def newGenDir(): String = s"data/g-${java.util.UUID.randomUUID()}"
 
   /** Crash-injection seam for tests: runs right before the manifest
-    * rename — the exact point "data files written, snapshot not yet
-    * published".
+    * rename — the exact point "data files + version file written,
+    * snapshot not yet published".
     */
   private[graft] var beforeCommit: () => Unit = () => ()
 
-  /** Publish a snapshot atomically (see class doc). */
-  def commit(m: Map[Int, String]): Unit = {
+  private def render(version: Long, m: Map[Int, String], stats: Map[Int, Stats]): String = {
+    val body = m.toSeq.sortBy(_._1).map { case (b, g) =>
+      val st = stats.getOrElse(b, Map.empty)
+        .toSeq.sortBy(_._1)
+        .map { case (c, cs) => s"$c,${cs.min},${cs.max}" }.mkString(";")
+      s"$b\t$g\t$st"
+    }.mkString("", "\n", "\n")
+    s"#version=$version\n$body"
+  }
+
+  /** Publish a snapshot atomically (see class doc). `stats` carries
+    * the per-bucket zone maps; omit for stat-less tables.
+    */
+  def commit(m: Map[Int, String], stats: Map[Int, Stats] = Map.empty): Unit = {
+    val next = currentVersion() + 1
+    val body = render(next, m, stats)
+    // immutable history copy first (overwrite: a crashed prior attempt
+    // at this same unpublished version is dead by single-writer rule)
+    fs.mkdirs(versionsDir)
+    val vout = fs.create(versionPath(next), true)
+    try vout.write(body.getBytes("UTF-8")) finally vout.close()
     beforeCommit()
-    val body = m.toSeq.sortBy(_._1)
-      .map { case (b, g) => s"$b\t$g" }.mkString("", "\n", "\n")
     val tmp = new Path(root, s"_manifest.tmp.${java.util.UUID.randomUUID()}")
     val out = fs.create(tmp, false)
     try out.write(body.getBytes("UTF-8")) finally out.close()
@@ -136,19 +236,47 @@ final class TableManifest(spark: SparkSession, val root: String) {
         .rename(tmp, manifestPath, Options.Rename.OVERWRITE)
   }
 
-  /** Sweep everything no longer referenced by the committed mapping:
-    * generation dirs (superseded bucket rewrites, crashed commits'
-    * data) and stale `_manifest.tmp.*` files (a writer that died
-    * between tmp write and rename). Callers hold the writer lock, so
-    * no live committer's tmp can be racing this sweep.
+  /** Sweep everything no longer reachable at (generation, bucket)
+    * granularity: a generation dir is shared by every bucket its
+    * commit wrote, so whole-dir liveness is not enough — a bucket
+    * subdir that NO retained version references any more (superseded
+    * rewrite whose versions expired, or a purged bucket) must go even
+    * while sibling buckets keep the dir alive. This is what makes
+    * [[MergeSink.purgeKeys]]' erasure PHYSICAL: after history expiry
+    * no parquet byte of a dereferenced bucket survives. Also sweeps
+    * generation dirs referenced by nothing (crashed commits), version
+    * files above the published version (crashed commits' history
+    * copies), and stale `_manifest.tmp.*` files. Callers hold the
+    * writer lock, so no live committer's files can be racing this
+    * sweep.
     */
   def vacuum(): Unit = {
-    val live = mapping().values.toSet
+    val cur = currentVersion()
+    // gen -> buckets any retained snapshot still resolves from it
+    val liveRefs: Map[String, Set[Int]] =
+      (mapping().toSeq ++ versions().flatMap(v => mappingAt(v).toSeq))
+        .groupMap { case (_, g) => g } { case (b, _) => b }
+        .map { case (g, bs) => g -> bs.toSet }
     val dataDir = new Path(root, "data")
     if (fs.exists(dataDir))
       fs.listStatus(dataDir).foreach { st =>
-        if (!live.contains(s"data/${st.getPath.getName}"))
-          fs.delete(st.getPath, true)
+        val rel = s"data/${st.getPath.getName}"
+        liveRefs.get(rel) match {
+          case None => fs.delete(st.getPath, true)
+          case Some(liveBuckets) =>
+            fs.listStatus(st.getPath).foreach { sub =>
+              val name = sub.getPath.getName
+              if (name.startsWith(s"$BucketCol=") &&
+                  !liveBuckets.contains(name.stripPrefix(s"$BucketCol=").toInt))
+                fs.delete(sub.getPath, true)
+            }
+        }
+      }
+    if (fs.exists(versionsDir))
+      fs.listStatus(versionsDir).foreach { st =>
+        val name = st.getPath.getName
+        if (name.startsWith("v-") && name.stripPrefix("v-").toLong > cur)
+          fs.delete(st.getPath, false)
       }
     fs.listStatus(rootPath).foreach { st =>
       if (st.getPath.getName.startsWith("_manifest.tmp."))
@@ -156,25 +284,56 @@ final class TableManifest(spark: SparkSession, val root: String) {
     }
   }
 
-  /** Resolved snapshot read with the `__bucket` partition column.
-    * `buckets` restricts resolution to those buckets' file sets —
-    * pruning at the PATH level: other buckets' files are never even
-    * listed into the scan. None = no committed state for the request.
+  /** Drop history: retain only the `keepLast` most recent versions
+    * (minimum 1 — the current snapshot is always readable), then
+    * vacuum generation dirs only the expired versions referenced.
+    * This is the retention knob that bounds storage growth under
+    * continuous merging.
     */
-  def snapshot(buckets: Option[Seq[Int]] = None): Option[DataFrame] = {
-    val all = mapping()
-    val m = buckets match {
-      case Some(bs) => all.filter { case (b, _) => bs.contains(b) }
-      case None     => all
+  def expireVersions(keepLast: Int): Unit = {
+    val keep = math.max(1, keepLast)
+    val cutoff = currentVersion() - keep
+    versions().filter(_ <= cutoff).foreach(v => fs.delete(versionPath(v), false))
+    vacuum()
+  }
+
+  private def resolve(m: Map[Int, String], buckets: Option[Seq[Int]]): Option[DataFrame] = {
+    val sel = buckets match {
+      case Some(bs) => m.filter { case (b, _) => bs.contains(b) }
+      case None     => m
     }
-    if (m.isEmpty) None
+    if (sel.isEmpty) None
     else Some(
-      m.groupBy(_._2).map { case (gen, bm) =>
+      sel.groupBy(_._2).map { case (gen, bm) =>
         val base = s"$root/$gen"
         val paths = bm.keys.toSeq.sorted.map(b => s"$base/$BucketCol=$b")
         spark.read.option("basePath", base).parquet(paths: _*)
       }.reduce(_ unionByName _))
   }
+
+  /** Resolved snapshot read with the `__bucket` partition column.
+    * `buckets` restricts resolution to those buckets' file sets —
+    * pruning at the PATH level: other buckets' files are never even
+    * listed into the scan. None = no committed state for the request.
+    */
+  def snapshot(buckets: Option[Seq[Int]] = None): Option[DataFrame] =
+    resolve(mapping(), buckets)
+
+  /** [[snapshot]] as of a retained historical version — time travel.
+    * Generation dirs are immutable and version-pinned, so this read is
+    * SNAPSHOT-ISOLATED from any concurrent committer.
+    */
+  def snapshotAt(v: Long, buckets: Option[Seq[Int]] = None): Option[DataFrame] =
+    resolve(mappingAt(v), buckets)
+
+  /** Buckets whose zone map can intersect `[lo, hi]` on `col` — the
+    * metadata-level data-skipping decision. Buckets without recorded
+    * stats for `col` are kept (never prune on missing information).
+    */
+  def bucketsForRange(col: String, lo: Double, hi: Double): Seq[Int] =
+    stats().collect {
+      case (b, s) if s.get(col).forall(cs => cs.max >= lo && cs.min <= hi) => b
+    }.toSeq.sorted
 
   /** Per-bucket (fileName, size, mtime) of the current snapshot — the
     * metadata the compaction policy and layout audits read.
@@ -205,4 +364,14 @@ final class TableManifest(spark: SparkSession, val root: String) {
 
 object TableManifest {
   val ManifestFile = "_MANIFEST"
+  val VersionsDir = "_versions"
+
+  /** Inclusive min/max zone map of one column within one bucket.
+    * Doubles: exact for integral values up to 2^53 (ids, epoch
+    * micros); floating stats columns round-trip via Double.toString.
+    */
+  final case class ColStats(min: Double, max: Double)
+
+  /** Column name -> zone map, for one bucket. */
+  type Stats = Map[String, ColStats]
 }

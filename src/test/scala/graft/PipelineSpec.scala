@@ -332,11 +332,19 @@ class PipelineSpec extends SparkSpec {
     val expected = Cdc.latestByKey(rows, Warehouse.DedupKeys, Warehouse.VersionCols)
       .select($"original_id", $"ingestion_seq").as[(String, Long)].collect().toSet
     assert(state() == expected)
-    val liveGens = sink.manifest.mapping().values.toSet
-    val onDisk = Option(new java.io.File(dir + "/data").listFiles()).toSeq.flatten
+    // vacuum keeps generations any RETAINED version references (time
+    // travel) but must have swept the crashed attempt's orphan data
+    def onDisk() = Option(new java.io.File(dir + "/data").listFiles()).toSeq.flatten
       .filter(_.isDirectory).map(d => s"data/${d.getName}").toSet
-    assert(onDisk == liveGens,
-      s"vacuum left orphan generations: ${onDisk -- liveGens}")
+    val retained = (sink.manifest.versions().flatMap(v => sink.manifest.mappingAt(v).values)
+      ++ sink.manifest.mapping().values).toSet
+    assert(onDisk() == retained,
+      s"vacuum left orphan generations: ${onDisk() -- retained}")
+    // expiring history down to the current version frees the rest
+    sink.expireVersions(1)
+    assert(onDisk() == sink.manifest.mapping().values.toSet,
+      s"expiry left superseded generations: ${onDisk() -- sink.manifest.mapping().values.toSet}")
+    assert(state() == expected, "expiry must not touch the current snapshot")
 
     // ---- AggSink: addition is NOT idempotent — the crashed commit must
     // leave the fence unarmed so the replayed batch folds exactly once ----
@@ -407,5 +415,117 @@ class PipelineSpec extends SparkSpec {
       .as[String].collect().toSet
     assert(deletedKeys.nonEmpty)
     assert(deletedKeys.intersect(liveKeys).isEmpty)
+  }
+
+  test("time travel: readAt resolves retained versions; crashed versions invisible; expiry frees history") {
+    import graft.sink.MergeSink
+    val dir = freshDir() + "/tt"
+    val rows = Warehouse.toWarehouseRows(env).cache()
+    val sink = new MergeSink(spark, dir, Warehouse.DedupKeys, Warehouse.VersionCols, 4)
+    val slices = (0 until 3).map(i => rows.filter(pmod($"ingestion_seq", lit(3)) === i))
+    slices.foreach(sink.merge)
+    assert(sink.versions() == Seq(1L, 2L, 3L))
+    def lww(df: org.apache.spark.sql.DataFrame) =
+      Cdc.latestByKey(df, Warehouse.DedupKeys, Warehouse.VersionCols)
+        .select($"original_id", $"ingestion_seq").as[(String, Long)].collect().toSet
+    def stateAt(v: Long) = sink.readAt(v).select($"original_id", $"ingestion_seq")
+      .as[(String, Long)].collect().toSet
+    assert(stateAt(1) == lww(slices(0)))
+    assert(stateAt(2) == lww(slices(0).unionByName(slices(1))))
+    assert(stateAt(3) == lww(rows))
+
+    // snapshot isolation: a version read is pinned to immutable
+    // generations — a later commit cannot show through it
+    val pinned = stateAt(2)
+    sink.merge(rows.limit(30)
+      .withColumn("event_time", $"event_time" + expr("INTERVAL 500 DAYS"))
+      .withColumn("ingestion_seq", $"ingestion_seq" + 50000L))
+    assert(sink.versions() == Seq(1L, 2L, 3L, 4L))
+    assert(stateAt(2) == pinned, "a committed version must be immutable")
+
+    // a crash before publish must not surface a new version
+    sink.manifest.beforeCommit = () => throw new RuntimeException("boom")
+    intercept[RuntimeException](sink.merge(rows.limit(10)
+      .withColumn("ingestion_seq", $"ingestion_seq" + 90000L)))
+    sink.manifest.beforeCommit = () => ()
+    assert(sink.versions() == Seq(1L, 2L, 3L, 4L))
+    assert(sink.manifest.currentVersion() == 4L)
+
+    // retention: keep the 2 newest; expired reads fail loudly, the
+    // current snapshot is untouched
+    sink.expireVersions(2)
+    assert(sink.versions() == Seq(3L, 4L))
+    val e = intercept[IllegalStateException](sink.readAt(2))
+    assert(e.getMessage.contains("expired"))
+    assert(stateAt(3) == lww(rows))
+  }
+
+  test("zone maps: range-bucketed sink prunes buckets at the metadata level; readRange equals full-scan filter") {
+    import graft.sink.MergeSink
+    val dir = freshDir() + "/zm"
+    val df = spark.range(400).select(
+      $"id".as("k"),
+      ($"id" % 7).as("ver"),
+      concat(lit("p"), $"id").as("payload"))
+    val sink = new MergeSink(spark, dir, keys = Seq("k"), orderCols = Seq("ver"),
+      nBuckets = 8, statsCols = Seq("k"), rangeBucketWidth = Some(50L))
+    // two merges: zone maps must update for rewritten buckets and
+    // carry over for untouched ones
+    sink.merge(df.filter($"k" < 200))
+    sink.merge(df.filter($"k" >= 200))
+
+    // contiguous 50-wide key ranges per bucket -> a 60-wide predicate
+    // range intersects at most 2 of the 8 buckets
+    val bs = sink.bucketsForRange("k", 100.0, 159.0)
+    assert(bs.nonEmpty && bs.size <= 2, s"zone maps failed to prune: $bs")
+    val got = sink.readRange("k", 100.0, 159.0).select($"k", $"ver")
+      .as[(Long, Long)].collect().toSet
+    val want = sink.read().where($"k" >= 100 && $"k" <= 159).select($"k", $"ver")
+      .as[(Long, Long)].collect().toSet
+    assert(got == want && got.size == 60)
+
+    // compaction is content-invariant: zone maps carry over unchanged
+    sink.compact(maxFilesPerBucket = 1)
+    assert(sink.bucketsForRange("k", 100.0, 159.0) == bs)
+    assert(sink.readRange("k", 100.0, 159.0).count() == 60)
+
+    // an out-of-domain range resolves ZERO buckets and still returns a
+    // schema-correct empty frame
+    assert(sink.bucketsForRange("k", 5000.0, 6000.0).isEmpty)
+    assert(sink.readRange("k", 5000.0, 6000.0).isEmpty)
+  }
+
+  test("compliance purge: bucket-pruned hard delete, emptied buckets vanish, stats refresh, history destroyed") {
+    import graft.sink.MergeSink
+    val dir = freshDir() + "/purge"
+    val df = spark.range(400).select(
+      $"id".as("k"), ($"id" % 7).as("ver"), concat(lit("p"), $"id").as("payload"))
+    val sink = new MergeSink(spark, dir, keys = Seq("k"), orderCols = Seq("ver"),
+      nBuckets = 8, statsCols = Seq("k"), rangeBucketWidth = Some(50L))
+    sink.merge(df)
+    sink.merge(df.filter($"k" < 100).withColumn("ver", $"ver" + 100))
+    assert(sink.versions().size == 2)
+
+    // purge ALL of bucket 3's keys (150..199) plus a slice of bucket 0
+    sink.purgeKeys(df.filter(($"k" >= 150 && $"k" < 200) || $"k" < 5).select($"k"))
+    assert(sink.versions().size == 1, "purge must destroy history")
+    val keys = sink.read().select($"k").as[Long].collect().toSet
+    assert(keys == ((5L until 150L) ++ (200L until 400L)).toSet)
+    // a fully-purged bucket vanishes from the mapping instead of
+    // pointing at a stale generation
+    assert(!sink.bucketFileCounts().keySet.contains(3))
+    // zone maps refreshed for the rewritten bucket: nothing resolves
+    // the purged low range any more
+    assert(sink.bucketsForRange("k", 0.0, 4.0).isEmpty, "stats not refreshed after purge")
+    // erasure is physical: no parquet byte under the root has the keys
+    val residual = spark.read.option("recursiveFileLookup", "true").parquet(dir + "/data")
+      .filter(($"k" >= 150 && $"k" < 200) || $"k" < 5).count()
+    assert(residual == 0, s"$residual purged rows still on disk")
+
+    // purging a key the table never held is a safe no-op on content
+    val before = sink.read().count()
+    sink.purgeKeys(spark.range(1).select(lit(9999L).as("k")))
+    assert(sink.read().count() == before)
+    assert(sink.versions().size == 1)
   }
 }
