@@ -147,7 +147,18 @@ object Similarity {
     * the planted corpus makes the gate a real near-dup task.
     */
   def nearDupPairsLsh(corpus: DataFrame, threshold: Double,
-                      ps: Array[Array[Double]], bands: Int): DataFrame = {
+                      ps: Array[Array[Double]], bands: Int): DataFrame =
+    nearDupFromIndex(signBuckets(corpus, ps, bands), threshold)
+
+  /** The sign-LSH INDEX rows of a corpus: one (vec_id, embedding, t,
+    * bk) row per band table — the explode side of [[nearDupPairsLsh]],
+    * split out so an INCREMENTAL index (a MergeSink table maintained
+    * per micro-batch, q107) computes bucket rows for arriving vectors
+    * only and stores them; the enumeration then runs off the stored
+    * index via [[nearDupFromIndex]]. Deterministic in (ps, bands), so
+    * index rows computed batch-at-a-time equal the one-shot bucketing.
+    */
+  def signBuckets(corpus: DataFrame, ps: Array[Array[Double]], bands: Int): DataFrame = {
     require(ps.length % bands == 0, s"${ps.length} planes not divisible into $bands bands")
     val b = ps.length / bands
     val bits = ps.zipWithIndex.map { case (p, i) =>
@@ -156,14 +167,20 @@ object Similarity {
     val tableBuckets = (0 until bands).map { t =>
       struct(lit(t).as("t"), bits.slice(t * b, (t + 1) * b).reduce(_ + _).as("bk"))
     }
-    val bucketed = corpus
+    corpus
       .select(col("vec_id"), col("embedding"),
               explode(array(tableBuckets: _*)).as("tb"))
       .select(col("vec_id"), col("embedding"),
               col("tb.t").as("t"), col("tb.bk").as("bk"))
-    val l = bucketed.select(col("t"), col("bk"),
+  }
+
+  /** Candidate enumeration + exact-cosine verify over [[signBuckets]]
+    * rows (fresh or read back from a maintained index table).
+    */
+  def nearDupFromIndex(index: DataFrame, threshold: Double): DataFrame = {
+    val l = index.select(col("t"), col("bk"),
       col("vec_id").as("id_a"), col("embedding").as("ea"))
-    val r = bucketed.select(col("t"), col("bk"),
+    val r = index.select(col("t"), col("bk"),
       col("vec_id").as("id_b"), col("embedding").as("eb"))
     l.join(r, Seq("t", "bk")).filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"), col("ea"), col("eb"))

@@ -644,6 +644,55 @@ object StreamingQueries {
       .filter(col("jaccard") >= 0.5)
   }
 
+  // ---------------------------------------------------------------- q107
+  /** Incremental EMBEDDING-INDEX maintenance — q103's discipline for
+    * the similarity tier: arriving vectors compute their banded
+    * sign-LSH bucket rows (4 tables x 10 seed-42 hyperplane bits, the
+    * q99 configuration) one micro-batch at a time, LWW-upserted into a
+    * MergeSink-backed index table keyed (vec_id, band table); the
+    * near-dup query then enumerates candidates from the MAINTAINED
+    * index (equi-join on the (t, bk) key) with exact-cosine verify —
+    * the corpus is never re-bucketed. Bucketing is deterministic in
+    * the planes, so the maintained index answers identically to q99's
+    * one-shot path; the oracle is the same brute cross-join SQL both
+    * share. The REQUIRE pins incrementality: 4 forced micro-batches
+    * must have produced exactly 4 versioned index commits. At 100 TB:
+    * refresh cost is O(|new vectors| x bands), not O(|corpus|).
+    */
+  def q107StreamingEmbeddingIndex(s: SparkSession, d: String): DataFrame = {
+    import graft.ext.Similarity
+    val base = Files.createTempDirectory("graft_q107_").toString
+    val inDir = s"$base/in"; val ckpt = s"$base/ckpt"; val idxDir = s"$base/index"
+    val planes = Similarity.planes(nPlanes = 40, dim = 64, seed = 42L)
+    val corpus = Similarity.plantedNearDupCorpus(
+      graft.core.Tables.embeddings(s, d), idCap = 500)
+    // one file per vec_id%4 slice (hash-repartition can leave a
+    // partition empty); parquet wire: float32 embeddings ride exact
+    (0 until 4).foreach(i => corpus
+      .filter(pmod(col("vec_id"), lit(4)) === lit(i))
+      .coalesce(1).write.mode("append").parquet(inDir))
+    val stream = s.readStream
+      .schema(StructType(Seq(
+        StructField("vec_id", LongType),
+        StructField("embedding", ArrayType(FloatType)))))
+      .option("maxFilesPerTrigger", "1").parquet(inDir)
+    // each (vec_id, t) index row arrives exactly once; any
+    // deterministic orderCol works for the LWW tiebreak
+    val sink = new MergeSink(s, idxDir,
+      keys = Seq("vec_id", "t"), orderCols = Seq("bk"), nBuckets = 8)
+    val q = stream.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        sink.merge(Similarity.signBuckets(batch, planes, bands = 4))
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    require(sink.versions().size == 4,
+      s"expected 4 incremental index commits, got ${sink.versions()}")
+    Similarity.nearDupFromIndex(sink.read(), threshold = 0.9)
+  }
+
   // ---------------------------------------------------------------- q104
   /** TIME TRAVEL at the gate: the CDC history merges in 4 versioned
     * commits; the query reads the table AS OF version 2 — the state
@@ -839,5 +888,6 @@ object StreamingQueries {
     "q104_time_travel" -> (q104TimeTravel _, q104Sql),
     "q105_stats_prune" -> (q105StatsPrune _, q105Sql),
     "q106_purge_compliance" -> (q106PurgeCompliance _, q106Sql),
+    "q107_streaming_embedding_index" -> (q107StreamingEmbeddingIndex _, ExtQueries.q32Sql),
   )
 }
