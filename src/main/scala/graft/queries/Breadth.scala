@@ -783,7 +783,44 @@ object Breadth {
       |  CAST(count(*) AS BIGINT) AS n_events
       |FROM islands GROUP BY user_id, sid""".stripMargin
 
+  // ---------------------------------------------------------------- q109
+  /** Retention cohort matrix — the product-analytics staple over the
+    * events table: users cohorted by first-activity week, counted per
+    * (cohort, activity week). Plan shape at 100 TB: two hash
+    * aggregates keyed user_id (first-month + distinct activity) and
+    * one equi-join on user_id — the join reuses the aggregates'
+    * hash partitioning, so the only data-sized shuffle is the initial
+    * key exchange; the cohort matrix itself is weeks², metadata.
+    */
+  def q109RetentionCohorts(s: SparkSession, d: String): DataFrame = {
+    val ev = graft.core.Tables.events(s, d)
+    val first = ev.groupBy(col("user_id"))
+      .agg(min(date_trunc("week", col("ts"))).as("cohort"))
+    ev.select(col("user_id"), date_trunc("week", col("ts")).as("am"))
+      .distinct()
+      .join(first, "user_id")
+      .groupBy(col("cohort"), col("am"))
+      .agg(count(lit(1)).cast("long").as("n_users"))
+      .select(
+        date_format(col("cohort"), "yyyy-MM-dd").as("cohort_week"),
+        date_format(col("am"), "yyyy-MM-dd").as("activity_week"),
+        (datediff(col("am"), col("cohort")) / 7).cast("long").as("weeks_since"),
+        col("n_users"))
+  }
+
+  val q109Sql: String =
+    """WITH f AS (SELECT user_id, min(date_trunc('week', ts)) AS cohort
+      |           FROM events GROUP BY user_id),
+      |  a AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS am FROM events)
+      |SELECT strftime(cohort, '%Y-%m-%d') AS cohort_week,
+      |  strftime(am, '%Y-%m-%d') AS activity_week,
+      |  CAST(datediff('day', cohort, am) // 7 AS BIGINT) AS weeks_since,
+      |  CAST(count(*) AS BIGINT) AS n_users
+      |FROM a JOIN f USING (user_id)
+      |GROUP BY cohort, am""".stripMargin
+
   val entries: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "q109_retention_cohorts" -> (q109RetentionCohorts _, q109Sql),
     "q43_percentiles" -> (q43Percentiles _, q43Sql),
     "q44_datetime" -> (q44Datetime _, q44Sql),
     "q45_strings" -> (q45Strings _, q45Sql),

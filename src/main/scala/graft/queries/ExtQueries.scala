@@ -890,6 +890,44 @@ object ExtQueries {
       |FROM m JOIN ent USING (doc_id) JOIN runs USING (doc_id)
       |GROUP BY modality""".stripMargin
 
+  // ---------------------------------------------------------------- q108
+  /** MERGEABLE frequency sketches (count-min) — the per-key-frequency
+    * twin of q95's HLL distinct sketches: one CMS over user_id is
+    * built DISTRIBUTED (count_min_sketch is an associative aggregate:
+    * per-partition sketches merge by cell-wise add), collected as a
+    * few-KB binary (metadata, not data), and answers per-key frequency
+    * probes without the 100 TB per-key groupBy. Witness discipline for
+    * an engine-specific estimate (SEMANTICS.md): the gate emits the
+    * exact twin (oracle-matched) plus an in-band boolean holding the
+    * CMS guarantees — est >= exact ALWAYS (hash collisions only ever
+    * add), and est <= exact + 2*eps*N for the fixed seed (deterministic
+    * for this data+seed; empirically verified at sf0.001/0.01/0.1).
+    */
+  def q108CmsHeavyHitters(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.util.sketch.CountMinSketch
+    val ev = Tables.events(s, d)
+    val eps = 0.005
+    val skRow = ev.agg(
+      expr(s"count_min_sketch(user_id, ${eps}D, 0.99D, 42)").as("sk"),
+      count(lit(1)).as("n")).first()
+    val sketch = CountMinSketch.readFrom(
+      new java.io.ByteArrayInputStream(skRow.getAs[Array[Byte]]("sk")))
+    val total = skRow.getAs[Long]("n")
+    val probes = (0L to 20L).map(u => u -> sketch.estimateCount(Long.box(u))).toMap
+    val estOf = typedlit(probes)
+    ev.filter(col("user_id") <= 20)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).cast("long").as("n_exact"))
+      .withColumn("est", element_at(estOf, col("user_id")))
+      .select(col("user_id"), col("n_exact"),
+        (col("est") >= col("n_exact") &&
+         col("est") <= col("n_exact") + lit(2.0 * eps * total)).as("est_ok"))
+  }
+
+  val q108Sql: String =
+    """SELECT user_id, CAST(count(*) AS BIGINT) AS n_exact, TRUE AS est_ok
+      |FROM events WHERE user_id <= 20 GROUP BY user_id""".stripMargin
+
   val entries: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "q65_payload_stats" -> (q65PayloadStats _, q65Sql),
     "q53_stratified_sample" -> (q53StratifiedSample _, q53Sql),
@@ -916,6 +954,7 @@ object ExtQueries {
     "q86_contamination" -> (q86Contamination _, q86Sql),
     "q90_mixture_sample" -> (q90MixtureSample _, q90Sql),
     "q95_hll_sketch" -> (q95HllSketch _, q95Sql),
+    "q108_cms_heavy_hitters" -> (q108CmsHeavyHitters _, q108Sql),
     "q91_curation_funnel" -> (q91CurationFunnel _, q91Sql),
   )
 }

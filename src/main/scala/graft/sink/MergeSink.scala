@@ -246,6 +246,14 @@ final class MergeSink(
     * purge point — inherent, not incidental: retained history IS the
     * data you were asked to destroy.
     */
+  /** The purge rewrite frame: surviving rows of the touched buckets —
+    * a broadcast ANTI-join against the key list (PlanSpec locks the
+    * shape), reading only those buckets' files. Exposed for plan
+    * audits; [[purgeKeys]] is the committing entry point.
+    */
+  private[graft] def purgeKeptFrame(keyList: DataFrame, rewrite: Seq[Int]): DataFrame =
+    readBuckets(rewrite).get.join(broadcast(keyList), keys, "left_anti")
+
   def purgeKeys(keyRows: DataFrame): Unit = MergeSink.withWriterLock(spark, path, "purge") {
     val keyList = keyRows.select(keys.map(col): _*).distinct()
     val touched = keyList.select(bucketOf.as(BucketCol)).distinct()
@@ -254,8 +262,7 @@ final class MergeSink(
     val rewrite = touched.filter(held.contains)
     if (rewrite.nonEmpty) {
       val current = manifest.mapping()
-      val kept = readBuckets(rewrite).get
-        .join(broadcast(keyList), keys, "left_anti")
+      val kept = purgeKeptFrame(keyList, rewrite)
       val gen = manifest.newGenDir()
       kept
         .withColumn(BucketCol, bucketOf)

@@ -279,4 +279,43 @@ class PlanSpec extends SparkSpec {
     assert("PartitionFilters: \\[[^\\]]*__bucket".r.findFirstIn(p).isDefined,
       s"bucket filter did not reach PartitionFilters:\n${p.take(1200)}")
   }
+
+  test("compliance purge rewrite: broadcast ANTI-join reading only the touched buckets") {
+    import graft.sink.MergeSink
+    val dir = java.nio.file.Files.createTempDirectory("graft_purgeplan_").toString + "/t"
+    val df = spark.range(400).select(
+      $"id".as("k"), ($"id" % 7).as("ver"), concat(lit("p"), $"id").as("payload"))
+    val sink = new MergeSink(spark, dir, keys = Seq("k"), orderCols = Seq("ver"),
+      nBuckets = 8, rangeBucketWidth = Some(50L))
+    sink.merge(df)
+    // takedown keys live in buckets 0 and 3 only
+    val keyList = df.filter($"k" < 5 || ($"k" >= 150 && $"k" < 160)).select($"k")
+    val kept = sink.purgeKeptFrame(keyList, Seq(0, 3))
+    val p = executed(kept)
+    assert(p.contains("BroadcastHashJoin"), "purge anti-join must broadcast the key list")
+    assert(p.contains("LeftAnti"), "purge rewrite must be an anti-join")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    // path-level pruning: the rewrite never lists untouched buckets' files
+    val files = kept.inputFiles
+    assert(files.nonEmpty && files.forall(f =>
+      f.contains("__bucket=0") || f.contains("__bucket=3")),
+      s"purge rewrite read untouched buckets: ${files.filterNot(f =>
+        f.contains("__bucket=0") || f.contains("__bucket=3")).take(3).mkString(",")}")
+  }
+
+  test("zone-map readRange resolves only intersecting buckets' files at the metadata level") {
+    import graft.sink.MergeSink
+    val dir = java.nio.file.Files.createTempDirectory("graft_zmplan_").toString + "/t"
+    val df = spark.range(400).select(
+      $"id".as("k"), ($"id" % 7).as("ver"), concat(lit("p"), $"id").as("payload"))
+    val sink = new MergeSink(spark, dir, keys = Seq("k"), orderCols = Seq("ver"),
+      nBuckets = 8, statsCols = Seq("k"), rangeBucketWidth = Some(50L))
+    sink.merge(df)
+    val resolved = sink.bucketsForRange("k", 100.0, 159.0).toSet
+    assert(resolved == Set(2, 3), s"expected buckets 2,3 resolved, got $resolved")
+    val files = sink.readRange("k", 100.0, 159.0).inputFiles
+    assert(files.nonEmpty && files.forall(f =>
+      resolved.exists(b => f.contains(s"__bucket=$b"))),
+      "readRange listed files outside the zone-map-resolved buckets")
+  }
 }
