@@ -874,6 +874,67 @@ object StreamingQueries {
       |      FROM events))
       |WHERE rn = 1 AND user_id % 7 <> 3""".stripMargin
 
+  // ---------------------------------------------------------------- q110
+  /** CHANGE DATA FEED at the gate: the 4-batch history commits as 4
+    * versions (q104's fixture); the query asks the sink "what changed
+    * between version 2 and version 4" — the incremental-consumption
+    * primitive that lets a downstream pipeline process increments
+    * instead of rescanning 100 TB. `changesBetween` full-outer-joins
+    * the two snapshots on the merge key (co-partitioned: both sides
+    * share the bucket layout) and classifies per key; the oracle
+    * reconstructs the same diff from the two LWW prefixes in SQL
+    * (insert = new user in the later prefix; update = the user's
+    * winning event changed, i.e. a different document_id — no deletes
+    * in a merge-only window; the TTL-eviction delete branch is covered
+    * by PipelineSpec). A CDF that leaked an unchanged key, or missed a
+    * changed one, hash-mismatches.
+    */
+  def q110ChangeFeed(s: SparkSession, d: String): DataFrame = {
+    val base = Files.createTempDirectory("graft_q110_").toString
+    val stateDir = s"$base/state"
+    val env = CdcQueries.envelope(s, d)
+      .withColumn("ts_us", unix_micros(col("ts"))).drop("ts")
+    val flat = Cdc.enrichWatchedRatio(
+      Cdc.flattenEnvelope(env), "watched", "duration", rounded = false)
+    val sink = new MergeSink(s, stateDir,
+      keys = Seq("user_id"), orderCols = Seq("ts_us", "document_id"), nBuckets = 16)
+    (0 until 4).foreach(i =>
+      sink.merge(flat.filter(pmod(col("document_id"), lit(4)) === lit(i))))
+    sink.changesBetween(2L, 4L).select(
+      col("user_id"), col("_change_type"),
+      col("document_id").as("last_document_id"),
+      col("operation").as("last_operation"),
+      expr("ts_us div 1000").as("last_ms"),
+      col("watched_ratio").as("last_ratio"))
+  }
+
+  /** The diff of the two LWW prefixes (batches 0-1 vs all four). */
+  val q110Sql: String =
+    """WITH src AS (SELECT
+      |    CASE WHEN event_type = 'signup' THEN 'insert'
+      |         WHEN event_type = 'error' THEN 'delete'
+      |         ELSE 'update' END AS operation,
+      |    event_id AS document_id, user_id, ts,
+      |    CASE WHEN event_type = 'error' THEN NULL ELSE value END AS watched,
+      |    CASE WHEN event_type = 'error' THEN NULL
+      |         ELSE CAST(json_extract_string(props, '$.k') AS INT) END AS duration
+      |  FROM events),
+      |  p2 AS (SELECT * FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+      |           ORDER BY ts DESC, document_id DESC) AS rn
+      |         FROM src WHERE document_id % 4 <= 1) WHERE rn = 1),
+      |  p4 AS (SELECT * FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+      |           ORDER BY ts DESC, document_id DESC) AS rn
+      |         FROM src) WHERE rn = 1)
+      |SELECT p4.user_id,
+      |  CASE WHEN p2.user_id IS NULL THEN 'insert' ELSE 'update' END AS _change_type,
+      |  p4.document_id AS last_document_id, p4.operation AS last_operation,
+      |  epoch_ms(p4.ts) AS last_ms,
+      |  (CASE WHEN coalesce(p4.duration, 1) > 0
+      |        THEN coalesce(p4.watched, 0.0) / coalesce(p4.duration, 1)
+      |        ELSE 0.0 END) AS last_ratio
+      |FROM p4 LEFT JOIN p2 ON p2.user_id = p4.user_id
+      |WHERE p2.user_id IS NULL OR p4.document_id <> p2.document_id""".stripMargin
+
   val entries: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "q66_streaming_cdc" -> (q66StreamingCdc _, q66Sql),
     "q76_streaming_agg" -> (q76StreamingAgg _, q76Sql),
@@ -889,5 +950,6 @@ object StreamingQueries {
     "q105_stats_prune" -> (q105StatsPrune _, q105Sql),
     "q106_purge_compliance" -> (q106PurgeCompliance _, q106Sql),
     "q107_streaming_embedding_index" -> (q107StreamingEmbeddingIndex _, ExtQueries.q32Sql),
+    "q110_change_feed" -> (q110ChangeFeed _, q110Sql),
   )
 }

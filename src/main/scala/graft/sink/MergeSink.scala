@@ -245,7 +245,44 @@ final class MergeSink(
     * O(|table|). The price of erasure is losing time travel across the
     * purge point — inherent, not incidental: retained history IS the
     * data you were asked to destroy.
+    *
+    * `destroyHistory = false` is the TTL-EVICTION variant (dropping
+    * cold keys for cost, not compliance): the delete commits like any
+    * other version, history and time travel survive, and
+    * [[changesBetween]] across the eviction reports the keys as
+    * `delete` rows — downstream increments see them leave.
     */
+  /** CHANGE DATA FEED between two retained versions — the incremental-
+    * consumption primitive (Delta CDF analog): downstream pipelines
+    * read "what changed since the version I last processed" instead of
+    * rescanning the table. A full-outer equi-join of the two snapshots
+    * on the merge keys, classified per key:
+    * `insert` (absent before), `delete` (absent after — purges),
+    * `update` (present in both, any non-key column differs,
+    * null-safely). Unchanged keys are dropped. Output: key columns +
+    * `_change_type` + the AFTER values of the non-key columns (NULL
+    * for deletes). Scale shape: both sides share the bucket layout and
+    * the join keys ARE the merge keys, so the join co-partitions; cost
+    * is O(|v1| + |v2|) with no row inflation.
+    */
+  def changesBetween(v1: Long, v2: Long): DataFrame = {
+    require(v1 < v2, s"changesBetween needs v1 < v2, got ($v1, $v2)")
+    val before = readAt(v1).withColumn("__in_b", lit(1))
+    val after = readAt(v2).withColumn("__in_a", lit(1))
+    val dataCols = readAt(v2).columns.filterNot(keys.contains).toSeq
+    val b = before.select(
+      keys.map(col) ++ dataCols.map(c => col(c).as(s"__b_$c")) :+ col("__in_b"): _*)
+    val joined = after.join(b, keys, "full_outer")
+    val unchanged = dataCols.map(c => col(c) <=> col(s"__b_$c")).reduce(_ && _)
+    joined
+      .withColumn("_change_type",
+        when(col("__in_b").isNull, lit("insert"))
+          .when(col("__in_a").isNull, lit("delete"))
+          .otherwise(lit("update")))
+      .filter(col("__in_b").isNull || col("__in_a").isNull || !unchanged)
+      .select(keys.map(col) ++ (col("_change_type") +: dataCols.map(col)): _*)
+  }
+
   /** The purge rewrite frame: surviving rows of the touched buckets —
     * a broadcast ANTI-join against the key list (PlanSpec locks the
     * shape), reading only those buckets' files. Exposed for plan
@@ -254,7 +291,8 @@ final class MergeSink(
   private[graft] def purgeKeptFrame(keyList: DataFrame, rewrite: Seq[Int]): DataFrame =
     readBuckets(rewrite).get.join(broadcast(keyList), keys, "left_anti")
 
-  def purgeKeys(keyRows: DataFrame): Unit = MergeSink.withWriterLock(spark, path, "purge") {
+  def purgeKeys(keyRows: DataFrame, destroyHistory: Boolean = true): Unit =
+      MergeSink.withWriterLock(spark, path, "purge") {
     val keyList = keyRows.select(keys.map(col): _*).distinct()
     val touched = keyList.select(bucketOf.as(BucketCol)).distinct()
       .collect().map(_.getInt(0)).toSeq
@@ -279,9 +317,10 @@ final class MergeSink(
         (manifest.stats() -- rewrite) ++
           (if (statsCols.isEmpty) Map.empty else statsOfGen(gen)))
     }
-    // history carries the purged rows — destroy it even when no bucket
-    // matched (the request may target data already purged upstream)
-    manifest.expireVersions(1)
+    // history carries the purged rows — for a compliance purge destroy
+    // it even when no bucket matched (the request may target data
+    // already purged upstream)
+    if (destroyHistory) manifest.expireVersions(1)
   }
 
   /** Compact buckets that have accumulated more than

@@ -528,4 +528,39 @@ class PipelineSpec extends SparkSpec {
     assert(sink.read().count() == before)
     assert(sink.versions().size == 1)
   }
+
+  test("change feed: insert/update/delete classification between versions; TTL eviction keeps history") {
+    import graft.sink.MergeSink
+    val dir = freshDir() + "/cdf"
+    val df = spark.range(100).select(
+      $"id".as("k"), lit(0L).as("ver"), concat(lit("p"), $"id").as("payload"))
+    val sink = new MergeSink(spark, dir, keys = Seq("k"), orderCols = Seq("ver"), nBuckets = 8)
+    sink.merge(df)                                              // v1: keys 0..99
+    sink.merge(df.filter($"k" < 10)
+      .withColumn("ver", lit(5L))
+      .withColumn("payload", concat(lit("q"), $"k")))           // v2: 0..9 updated
+    sink.merge(spark.range(100, 120).select(
+      $"id".as("k"), lit(1L).as("ver"), concat(lit("p"), $"id").as("payload"))) // v3: inserts
+    sink.purgeKeys(df.filter($"k" >= 90 && $"k" < 95).select($"k"),
+      destroyHistory = false)                                   // v4: TTL eviction
+    assert(sink.versions() == Seq(1L, 2L, 3L, 4L), "eviction must keep history")
+
+    val ch = sink.changesBetween(1L, 4L)
+      .select($"k", $"_change_type", $"ver").as[(Long, String, Option[Long])]
+      .collect().toSet
+    val expected =
+      (0L until 10L).map(k => (k, "update", Some(5L))).toSet ++
+      (100L until 120L).map(k => (k, "insert", Some(1L))).toSet ++
+      (90L until 95L).map(k => (k, "delete", None: Option[Long])).toSet
+    assert(ch == expected, s"diff mismatch: ${(ch -- expected).take(5)} / ${(expected -- ch).take(5)}")
+
+    // adjacent-window diff sees only that window's commits
+    val ch34 = sink.changesBetween(3L, 4L)
+      .select($"k", $"_change_type").as[(Long, String)].collect().toSet
+    assert(ch34 == (90L until 95L).map(k => (k, "delete")).toSet)
+
+    // unchanged table diffs to empty
+    sink.merge(df.filter($"k" === 50))                          // idempotent re-merge, v5
+    assert(sink.changesBetween(4L, 5L).isEmpty)
+  }
 }
