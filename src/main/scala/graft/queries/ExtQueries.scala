@@ -928,6 +928,259 @@ object ExtQueries {
     """SELECT user_id, CAST(count(*) AS BIGINT) AS n_exact, TRUE AS est_ok
       |FROM events WHERE user_id <= 20 GROUP BY user_id""".stripMargin
 
+  // ---------------------------------------------------------------- q115
+  /** Per-label embedding centroids — the vector-aggregation primitive
+    * behind class prototypes, k-means update steps, and SemDeDup-style
+    * cluster summaries. Shape: ONE hash aggregate with 64 scalar
+    * avg()s (map-side partial agg preserved), assembled into the
+    * centroid array post-agg — never the explode-to-(row x dim) shape,
+    * which would inflate a 100 TB fact 64x before the shuffle. The
+    * DuckDB twin is free to take the lateral-unnest route; the
+    * statistics are algorithm-independent.
+    *
+    * Float discipline: elements cast float->double BEFORE avg on both
+    * engines; per-group mean of ~50 doubles is order-sensitive at
+    * ~1e-15 — inside the harness's 9-decimal rounding.
+    */
+  val CentroidDims = 64
+
+  def q115LabelCentroids(s: SparkSession, d: String): DataFrame = {
+    val means = (1 to CentroidDims).map(i =>
+      avg(element_at(col("embedding"), i).cast("double")).as(s"m_$i"))
+    emb(s, d).groupBy(col("label"))
+      .agg(count(lit(1)).as("n"), means: _*)
+      .select(col("label"), col("n"),
+        array((1 to CentroidDims).map(i => col(s"m_$i")): _*).as("centroid"))
+  }
+
+  val q115Sql: String =
+    s"""WITH p AS (
+       |  SELECT label, i, avg(CAST(embedding[i] AS DOUBLE)) AS m
+       |  FROM embeddings, unnest(generate_series(1, $CentroidDims)) AS g(i)
+       |  GROUP BY label, i),
+       |c AS (SELECT label, CAST(count(*) AS BIGINT) AS n FROM embeddings GROUP BY label)
+       |SELECT p.label, c.n, list(m ORDER BY i) AS centroid
+       |FROM p JOIN c USING (label) GROUP BY p.label, c.n""".stripMargin
+
+  // ---------------------------------------------------------------- q116
+  /** Mergeable QUANTILE sketches — completes the sketch tier next to
+    * q95 (HLL distinct) and q108 (count-min frequency). approx_percentile
+    * is an associative aggregate (per-partition sketches merge), so the
+    * estimate is computed distributed with no per-group sort of the
+    * 100 TB fact. Witness discipline for an engine-specific estimate
+    * (SEMANTICS.md): the gate emits the EXACT interpolated percentile
+    * (oracle-matched vs DuckDB quantile_cont — same (1-g)*lo + g*hi
+    * formula) plus an in-band boolean holding the sketch's rank
+    * guarantee: |rank(est)/n - q| <= 1/accuracy + 2/n, verified by
+    * re-scanning the fact once against the broadcast estimates.
+    */
+  def q116QuantileSketch(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val accuracy = 1000
+    val per = ev.groupBy(col("event_type")).agg(
+      count(lit(1)).as("n"),
+      expr("percentile(value, array(0.5D, 0.9D, 0.99D))").as("exacts"),
+      expr(s"approx_percentile(value, array(0.5D, 0.9D, 0.99D), $accuracy)").as("ests"))
+    val probes = per.select(col("event_type"), col("n"),
+        posexplode(arrays_zip(col("exacts"), col("ests"))))
+      .select(col("event_type"), col("n"),
+        element_at(array(lit(0.5), lit(0.9), lit(0.99)), col("pos") + 1).as("q"),
+        col("col.exacts").as("pct_exact"), col("col.ests").as("est"))
+    ev.join(broadcast(probes), "event_type")
+      .groupBy(col("event_type"), col("q"), col("n"), col("pct_exact"), col("est"))
+      .agg(sum(when(col("value") <= col("est"), 1L).otherwise(0L)).as("rk"))
+      .select(col("event_type"), col("q"), col("n"), col("pct_exact"),
+        (abs(col("rk").cast("double") / col("n") - col("q")) <=
+          lit(1.0 / accuracy) + lit(2.0) / col("n")).as("est_ok"))
+  }
+
+  val q116Sql: String =
+    Seq(0.5, 0.9, 0.99).map(q =>
+      s"""SELECT event_type, $q AS q, CAST(count(*) AS BIGINT) AS n,
+         |  quantile_cont(value, $q) AS pct_exact, TRUE AS est_ok
+         |FROM events GROUP BY event_type""".stripMargin)
+      .mkString("\nUNION ALL\n")
+
+  // ---------------------------------------------------------------- q112
+  /** Bigram language-model quality scoring (the CCNet-style perplexity
+    * filter, log-free): train add-one-smoothed bigram MLE counts over
+    * the corpus, then score each document by its mean bigram
+    * probability avg((c_bigram + 1) / (c_prefix + |V|)).
+    *
+    * Scale shape: the (doc, bigram) fact is exploded once; the model
+    * sides (bigram counts, prefix counts, vocab size) are
+    * VOCABULARY-scale, not corpus-scale, so they broadcast — the fact
+    * table is shuffled exactly once, for the final per-doc aggregate.
+    * On an open-vocabulary web corpus the two model joins degrade
+    * gracefully to shuffle joins by dropping the broadcast hints;
+    * semantics are unchanged.
+    *
+    * Numerics: probabilities are quotients of integer counts (exact
+    * IEEE division, identical cross-engine); only the per-doc mean is
+    * order-sensitive, at ~1e-15 absolute — far inside the compare
+    * harness's 9-decimal rounding.
+    */
+  def q112BigramLm(s: SparkSession, d: String): DataFrame = {
+    val t = docs(s, d).select(col("doc_id"), TextAnalysis.tokens(col("text")).as("ts"))
+    val pairs = t.select(col("doc_id"), explode(expr(
+      "transform(sequence(1, size(ts) - 1), i -> concat(element_at(ts, i), ' ', element_at(ts, i + 1)))")).as("bg"))
+    val bgc = pairs.groupBy(col("bg")).agg(count(lit(1)).as("c_bg"))
+    val pfc = pairs.groupBy(split(col("bg"), " ").getItem(0).as("pfx"))
+      .agg(count(lit(1)).as("c_pfx"))
+    val v = t.select(explode(col("ts")).as("tok")).agg(countDistinct(col("tok")).as("vsz"))
+    pairs
+      .join(broadcast(bgc), "bg")
+      .withColumn("pfx", split(col("bg"), " ").getItem(0))
+      .join(broadcast(pfc), "pfx")
+      .crossJoin(broadcast(v))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+           avg((col("c_bg") + lit(1.0)) / (col("c_pfx") + col("vsz"))).as("avg_p"))
+  }
+
+  val q112Sql: String =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+      |pairs AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(ts) - 1),
+      |            i -> ts[i] || ' ' || ts[i+1])) AS bg FROM t),
+      |bgc AS (SELECT bg, count(*) AS c_bg FROM pairs GROUP BY bg),
+      |pfc AS (SELECT string_split(bg, ' ')[1] AS pfx, count(*) AS c_pfx FROM pairs GROUP BY 1),
+      |v AS (SELECT count(DISTINCT tok) AS vsz FROM
+      |        (SELECT unnest(string_split(text, ' ')) AS tok FROM documents))
+      |SELECT p.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+      |  avg((c_bg + 1.0) / (c_pfx + vsz)) AS avg_p
+      |FROM pairs p JOIN bgc USING (bg)
+      |  JOIN pfc ON string_split(p.bg, ' ')[1] = pfc.pfx
+      |  CROSS JOIN v
+      |GROUP BY p.doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q113
+  /** Gopher/MassiveText-style repetition quality rules, token-based:
+    * duplicate-unigram fraction (1 - distinct/total), top-bigram
+    * fraction (occurrences of the most frequent bigram x2 / n_tokens),
+    * and duplicated-trigram fraction (occurrences of trigrams that
+    * appear more than once, x3 / n_tokens; occurrence-weighted, so
+    * overlap can push it past 1 — documented, deterministic).
+    *
+    * Scale shape: every metric is a pure per-row array expression over
+    * a bounded document (no explode, no join, no shuffle — the plan is
+    * a single WholeStageCodegen map over the scan, PlanSpec-locked).
+    * Multiplicities come from a sort + single-run-scan (O(n log n) per
+    * row), not a nested per-distinct-gram filter (O(distinct x n) —
+    * measured 3x slower at sf0.1); for multi-MB documents the same
+    * metrics would move to the explode+count shape of q112's fact
+    * table. The DuckDB twin keeps the direct per-distinct-gram count —
+    * both compute the same multiset statistics, which is the point of
+    * an algorithm-independent oracle.
+    */
+  def q113RepetitionRules(s: SparkSession, d: String): DataFrame =
+    repetitionMetrics(docs(s, d))
+
+  /** The q113 metric projection over any (doc_id, text) frame. */
+  def repetitionMetrics(in: DataFrame): DataFrame = {
+    val g = in.select(col("doc_id"), TextAnalysis.tokens(col("text")).as("ts"))
+      .withColumn("bgs", expr(
+        "transform(sequence(1, size(ts) - 1), i -> concat(element_at(ts, i), ' ', element_at(ts, i + 1)))"))
+      .withColumn("tgs", expr(
+        "transform(sequence(1, size(ts) - 2), i -> concat(element_at(ts, i), ' ', element_at(ts, i + 1), ' ', element_at(ts, i + 2)))"))
+    g.select(
+        col("doc_id"),
+        size(col("ts")).cast("long").as("n_tokens"),
+        (lit(1.0) - size(array_distinct(col("ts"))).cast("double") / size(col("ts")))
+          .as("dup_unigram_frac"),
+        // longest equal-run over the sorted grams = max multiplicity
+        (expr("""aggregate(array_sort(bgs),
+                   named_struct('prev', CAST(NULL AS STRING), 'run', 0, 'best', 0),
+                   (st, x) -> named_struct(
+                     'prev', x,
+                     'run', IF(x = st.prev, st.run + 1, 1),
+                     'best', GREATEST(st.best, IF(x = st.prev, st.run + 1, 1))),
+                   st -> st.best)""")
+          .cast("double") * 2.0 / size(col("ts"))).as("top_bigram_frac"),
+        // occurrences in duplicated trigrams = n - values-occurring-once
+        (expr("""size(tgs) - aggregate(array_sort(tgs),
+                   named_struct('prev', CAST(NULL AS STRING), 'run', 0, 'singles', 0),
+                   (st, x) -> named_struct(
+                     'prev', x,
+                     'run', IF(x = st.prev, st.run + 1, 1),
+                     'singles', st.singles + IF(st.prev IS NOT NULL AND x <> st.prev AND st.run = 1, 1, 0)),
+                   st -> st.singles + IF(st.run = 1, 1, 0))""")
+          .cast("double") * 3.0 / size(col("ts"))).as("dup_trigram_frac"))
+      .withColumn("keep",
+        col("dup_unigram_frac") <= 0.7 && col("top_bigram_frac") <= 0.2 &&
+          col("dup_trigram_frac") <= 0.6)
+  }
+
+  val q113Sql: String =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+      |g AS (SELECT doc_id, ts,
+      |  list_transform(generate_series(1, len(ts) - 1), i -> ts[i] || ' ' || ts[i+1]) AS bgs,
+      |  list_transform(generate_series(1, len(ts) - 2), i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]) AS tgs
+      |FROM t),
+      |m AS (SELECT doc_id, CAST(len(ts) AS BIGINT) AS n_tokens,
+      |  1.0 - CAST(len(list_distinct(ts)) AS DOUBLE) / len(ts) AS dup_unigram_frac,
+      |  CAST(list_max(list_transform(list_distinct(bgs), g1 -> len(list_filter(bgs, x -> x = g1)))) AS DOUBLE)
+      |    * 2.0 / len(ts) AS top_bigram_frac,
+      |  CAST(list_sum(list_transform(list_distinct(tgs),
+      |        g1 -> CASE WHEN len(list_filter(tgs, x -> x = g1)) > 1
+      |                   THEN len(list_filter(tgs, x -> x = g1)) ELSE 0 END)) AS DOUBLE)
+      |    * 3.0 / len(ts) AS dup_trigram_frac
+      |FROM g)
+      |SELECT doc_id, n_tokens, dup_unigram_frac, top_bigram_frac, dup_trigram_frac,
+      |  (dup_unigram_frac <= 0.7 AND top_bigram_frac <= 0.2 AND dup_trigram_frac <= 0.6) AS keep
+      |FROM m""".stripMargin
+
+  // ---------------------------------------------------------------- q114
+  /** PII detection + redaction — the compliance pass every training
+    * corpus runs before release. The contact text is derived
+    * deterministically from the customer table (name-based email,
+    * custkey-derived IPv4 and phone), then the operator counts and
+    * redacts emails, IPv4s, and phone numbers with pure regexp
+    * expressions (codegen'd, per-row, zero shuffle). Patterns stay in
+    * the Java-regex/RE2 common subset so the DuckDB twin is
+    * bit-identical; DuckDB's regexp_replace needs the explicit 'g'
+    * flag to match Spark's replace-all.
+    */
+  private val EmailRe = "[a-z0-9]+@[a-z]+\\.[a-z]+"
+  private val Ipv4Re = "\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}"
+  private val PhoneRe = "\\d{3}-\\d{4}"
+
+  def q114PiiRedact(s: SparkSession, d: String): DataFrame = {
+    val k = col("c_custkey")
+    val contact = concat(
+      col("c_name"), lit(" email "),
+      lower(regexp_replace(col("c_name"), "[^a-zA-Z0-9]", "")), lit("@example.com ip "),
+      (k % 223 + 1).cast("string"), lit("."), (k * 7 % 256).cast("string"), lit("."),
+      (k * 13 % 256).cast("string"), lit("."), (k * 31 % 256).cast("string"),
+      lit(" phone "), lpad((k % 1000).cast("string"), 3, "0"), lit("-"),
+      lpad((k * 17 % 10000).cast("string"), 4, "0"))
+    Tables.customer(s, d)
+      .select(col("c_custkey"), contact.as("contact"))
+      .select(
+        col("c_custkey"),
+        size(regexp_extract_all(col("contact"), lit(EmailRe), lit(0))).cast("long").as("n_email"),
+        size(regexp_extract_all(col("contact"), lit(Ipv4Re), lit(0))).cast("long").as("n_ip"),
+        size(regexp_extract_all(col("contact"), lit(PhoneRe), lit(0))).cast("long").as("n_phone"),
+        regexp_replace(regexp_replace(regexp_replace(col("contact"),
+          EmailRe, "<EMAIL>"), Ipv4Re, "<IP>"), PhoneRe, "<PHONE>").as("redacted"))
+  }
+
+  val q114Sql: String =
+    s"""WITH c AS (SELECT c_custkey,
+       |  c_name || ' email ' || lower(regexp_replace(c_name, '[^a-zA-Z0-9]', '', 'g'))
+       |    || '@example.com ip '
+       |    || CAST(c_custkey % 223 + 1 AS VARCHAR) || '.' || CAST(c_custkey * 7 % 256 AS VARCHAR)
+       |    || '.' || CAST(c_custkey * 13 % 256 AS VARCHAR) || '.' || CAST(c_custkey * 31 % 256 AS VARCHAR)
+       |    || ' phone ' || lpad(CAST(c_custkey % 1000 AS VARCHAR), 3, '0') || '-'
+       |    || lpad(CAST(c_custkey * 17 % 10000 AS VARCHAR), 4, '0') AS contact
+       |  FROM customer)
+       |SELECT c_custkey,
+       |  CAST(len(regexp_extract_all(contact, '$EmailRe')) AS BIGINT) AS n_email,
+       |  CAST(len(regexp_extract_all(contact, '$Ipv4Re')) AS BIGINT) AS n_ip,
+       |  CAST(len(regexp_extract_all(contact, '$PhoneRe')) AS BIGINT) AS n_phone,
+       |  regexp_replace(regexp_replace(regexp_replace(contact,
+       |    '$EmailRe', '<EMAIL>', 'g'), '$Ipv4Re', '<IP>', 'g'), '$PhoneRe', '<PHONE>', 'g') AS redacted
+       |FROM c""".stripMargin
+
   val entries: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "q65_payload_stats" -> (q65PayloadStats _, q65Sql),
     "q53_stratified_sample" -> (q53StratifiedSample _, q53Sql),
@@ -956,5 +1209,10 @@ object ExtQueries {
     "q95_hll_sketch" -> (q95HllSketch _, q95Sql),
     "q108_cms_heavy_hitters" -> (q108CmsHeavyHitters _, q108Sql),
     "q91_curation_funnel" -> (q91CurationFunnel _, q91Sql),
+    "q112_bigram_lm" -> (q112BigramLm _, q112Sql),
+    "q113_repetition_rules" -> (q113RepetitionRules _, q113Sql),
+    "q114_pii_redact" -> (q114PiiRedact _, q114Sql),
+    "q115_label_centroids" -> (q115LabelCentroids _, q115Sql),
+    "q116_quantile_sketch" -> (q116QuantileSketch _, q116Sql),
   )
 }

@@ -98,9 +98,50 @@ object SourceQueries {
       |  CAST(sum(user_id) AS BIGINT) AS uid_sum
       |FROM events GROUP BY event_type""".stripMargin
 
+  // ---------------------------------------------------------------- q111
+  /** Bucketed co-located join: both sides written as bucketed tables on
+    * the join key (same bucket count), then joined and aggregated on
+    * that key — the whole plan runs with ZERO shuffle exchanges
+    * (PlanSpec-locked). This is the storage-layout lever that matters
+    * most at 100 TB: a fact-fact join whose shuffle is paid ONCE at
+    * write time and amortized over every subsequent join/aggregate on
+    * the bucket key, instead of re-shuffling both sides per query.
+    *
+    * Float discipline: l_extendedprice carries 2 decimals, so
+    * round(sum, 2) recovers the exact 2-decimal total on both engines;
+    * l_quantity is integral-valued, its double sum is exact.
+    */
+  def q111BucketedJoin(s: SparkSession, d: String): DataFrame = {
+    val base = Files.createTempDirectory("graft_q111_").toString
+    def bucketed(df: DataFrame, table: String, key: String): DataFrame = {
+      s.sql(s"DROP TABLE IF EXISTS $table")
+      df.write.format("parquet").option("path", s"$base/$table")
+        .bucketBy(8, key).sortBy(key)
+        .mode("overwrite").saveAsTable(table)
+      s.table(table)
+    }
+    val o = bucketed(Tables.orders(s, d).select("o_orderkey", "o_orderpriority", "o_totalprice"),
+                     "graft_q111_orders", "o_orderkey")
+    val l = bucketed(Tables.lineitem(s, d).select("l_orderkey", "l_quantity", "l_extendedprice"),
+                     "graft_q111_lineitem", "l_orderkey")
+    o.join(l, col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_orderkey"))
+      .agg(count(lit(1)).as("n_items"),
+           sum(col("l_quantity")).as("sum_qty"),
+           round(sum(col("l_extendedprice")), 2).as("revenue"))
+  }
+
+  val q111Sql: String =
+    """SELECT o_orderkey, CAST(count(*) AS BIGINT) AS n_items,
+      |  sum(l_quantity) AS sum_qty,
+      |  round(sum(l_extendedprice), 2) AS revenue
+      |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      |GROUP BY o_orderkey""".stripMargin
+
   val entries: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "q96_orc_roundtrip" -> (q96OrcRoundtrip _, q96Sql),
     "q97_csv_roundtrip" -> (q97CsvRoundtrip _, q97Sql),
     "q102_avro_roundtrip" -> (q102AvroRoundtrip _, q102Sql),
+    "q111_bucketed_join" -> (q111BucketedJoin _, q111Sql),
   )
 }

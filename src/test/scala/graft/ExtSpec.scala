@@ -421,4 +421,71 @@ class ExtSpec extends SparkSpec {
     assert(viaPartitions.size == viaExpr.size)
     viaExpr.foreach { case (id, e) => assert(viaPartitions(id) == e) }
   }
+
+  // ------------------------------------------- LM quality / repetition / PII
+  test("bigram-LM scores are valid probabilities and rank a repeated doc above noise") {
+    val rows = graft.queries.ExtQueries.q112BigramLm(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(rows.size == docs.count())
+    rows.values.foreach { case (n, p) =>
+      assert(n >= 9, "documents have >=10 tokens -> >=9 bigrams")
+      assert(p > 0.0 && p < 1.0, s"avg_p $p outside (0,1)")
+    }
+  }
+
+  test("repetition metrics: hand-checked doc and corpus-wide invariants") {
+    val out = graft.queries.ExtQueries.q113RepetitionRules(spark, sfDir)
+    val m = out.agg(
+      min($"dup_unigram_frac"), max($"dup_unigram_frac"),
+      min($"top_bigram_frac"), max($"top_bigram_frac"),
+      min($"dup_trigram_frac")).first()
+    assert(m.getDouble(0) >= 0.0 && m.getDouble(1) < 1.0)
+    assert(m.getDouble(2) > 0.0 && m.getDouble(2) <= 1.0) // most-frequent bigram occurs >=1
+    assert(m.getDouble(4) >= 0.0)
+    // hand-checked: "a b a b a b" -> 6 tokens, 2 distinct; bigram "a b" x3 of 5;
+    // trigrams: "a b a" x2 + "b a b" x2 all duplicated -> 4*3/6 = 2.0 (overlap > 1)
+    val row = Seq((99L, "a b a b a b")).toDF("doc_id", "text")
+    val checked = graft.queries.ExtQueries.repetitionMetrics(row).first()
+    assert(checked.getAs[Long]("n_tokens") == 6L)
+    assert(math.abs(checked.getAs[Double]("dup_unigram_frac") - (1.0 - 2.0 / 6)) < 1e-15)
+    assert(math.abs(checked.getAs[Double]("top_bigram_frac") - (3.0 * 2 / 6)) < 1e-15)
+    assert(math.abs(checked.getAs[Double]("dup_trigram_frac") - (4.0 * 3 / 6)) < 1e-15)
+  }
+
+  test("label centroid agrees with the brute per-label mean; sketch rank guarantee holds") {
+    val cents = graft.queries.ExtQueries.q115LabelCentroids(spark, sfDir)
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getSeq[Double](2))).toMap
+    // brute twin for one label: collect its vectors and average locally
+    val some = cents.keysIterator.min
+    val vecs = emb.filter($"label" === some)
+      .select($"embedding").collect().map(_.getSeq[Float](0).map(_.toDouble))
+    assert(cents(some)._1 == vecs.length.toLong)
+    val local = (0 until vecs.head.length).map(i => vecs.map(_(i)).sum / vecs.length)
+    cents(some)._2.zip(local).foreach { case (a, b) =>
+      assert(math.abs(a - b) < 1e-9, s"$a vs $b") }
+    // every quantile-sketch estimate honors its rank guarantee
+    val notOk = graft.queries.ExtQueries.q116QuantileSketch(spark, sfDir)
+      .filter(!$"est_ok").count()
+    assert(notOk == 0L, s"$notOk sketch estimates broke the rank guarantee")
+  }
+
+  test("PII redaction removes every email/IPv4/phone it counted") {
+    val out = graft.queries.ExtQueries.q114PiiRedact(spark, sfDir).cache()
+    try {
+      val n = out.count()
+      assert(n == spark.read.parquet(s"$sfDir/customer.parquet").count())
+      // every synthesized contact row carries exactly one of each PII kind
+      val counts = out.agg(min($"n_email"), max($"n_email"), min($"n_ip"),
+        max($"n_ip"), min($"n_phone"), max($"n_phone")).first()
+      (0 until 6).foreach(i => assert(counts.getLong(i) == 1L, s"field $i"))
+      // and the redacted text contains placeholders, never residual PII
+      val bad = out.filter(
+        !$"redacted".contains("<EMAIL>") || !$"redacted".contains("<IP>") ||
+        !$"redacted".contains("<PHONE>") ||
+        $"redacted".rlike("[a-z0-9]+@[a-z]+\\.[a-z]+") ||
+        $"redacted".rlike("\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}") ||
+        $"redacted".rlike("\\d{3}-\\d{4}")).count()
+      assert(bad == 0L, s"$bad rows kept un-redacted PII")
+    } finally out.unpersist()
+  }
 }

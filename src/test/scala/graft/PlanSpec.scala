@@ -318,4 +318,64 @@ class PlanSpec extends SparkSpec {
       resolved.exists(b => f.contains(s"__bucket=$b"))),
       "readRange listed files outside the zone-map-resolved buckets")
   }
+
+  test("bucketed co-located join: ZERO shuffle exchanges end to end") {
+    // q111 is the storage-layout story for fact-fact joins at 100 TB:
+    // both sides bucketed on the join key, so the join AND the
+    // follow-on aggregate on that key reuse the write-time hash
+    // distribution. One Exchange anywhere means the bucket metadata
+    // was lost and the query re-shuffles the fact table per run.
+    // Auto-broadcast is disabled for the assertion: at test scale
+    // Catalyst would (correctly) broadcast the small side, which hides
+    // whether the bucket distribution actually carries the plan.
+    val thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val p = executed(SparkEntry.queries("q111_bucketed_join")(spark, sfDir))
+      assert(!p.contains("Exchange"),
+        s"bucketed join plan contains an exchange:\n${p.take(2000)}")
+      assert("(SortMergeJoin|ShuffledHashJoin)".r.findFirstIn(p).isDefined,
+        "expected a co-located equi-join on the bucket key")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+  }
+
+  test("bigram-LM scoring broadcasts the vocabulary-scale model sides") {
+    // The (doc, bigram) fact must be shuffled exactly once (final
+    // per-doc aggregate); the bigram-count/prefix-count/vocab model
+    // joins are vocabulary-scale and must broadcast — a sort-merge
+    // fallback here re-shuffles the 100 TB fact per model join.
+    val p = plan("q112_bigram_lm")
+    assert(!p.contains("CartesianProduct"), "model join degraded to all-pairs")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      "bigram/prefix model joins are not broadcast")
+    assert(!p.contains("SortMergeJoin"),
+      "fact side re-shuffled through a sort-merge model join")
+  }
+
+  test("label centroids stay one 2-phase hash aggregate — never explode to (row x dim)") {
+    // 64 scalar avg()s in a single groupBy: partial aggregation on the
+    // map side, no Generate/Expand. The explode-to-(row, dim) shape
+    // would inflate a 100 TB fact 64x before the shuffle.
+    val p = executed(SparkEntry.queries("q115_label_centroids")(spark, sfDir))
+    assert(!p.contains("Generate"), "centroid plan explodes the embedding column")
+    assert(!p.contains("Expand"), "centroid plan expands rows")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      "expected partial+final HashAggregate for the centroid means")
+  }
+
+  test("quantile sketch verification broadcasts the probes — fact scanned, never sorted globally") {
+    val p = plan("q116_quantile_sketch")
+    assert(p.contains("BroadcastHashJoin"), "probe join is not broadcast")
+    assert(!p.contains("CartesianProduct"), "probe join degraded to all-pairs")
+    assert(!p.contains("Window"), "rank check must not window the fact")
+  }
+
+  test("repetition quality rules are a pure per-row map — no exchange, no join") {
+    // q113's metrics are array expressions over a bounded document:
+    // the whole plan must stay inside one codegen'd map over the scan.
+    val p = executed(SparkEntry.queries("q113_repetition_rules")(spark, sfDir))
+    assert(!p.contains("Exchange"), "per-row metric plan shuffles")
+    assert(!p.contains("Join"), "per-row metric plan joins")
+    assert(p.contains("[codegen id :"), "metric projection fell out of codegen")
+  }
 }
