@@ -194,6 +194,19 @@ object Similarity {
   def planesSqlLiteral(ps: Array[Array[Double]]): String =
     ps.map(_.map(_.toString).mkString("[", ", ", "]")).mkString("[", ", ", "]")
 
+  /** DuckDB twin of [[plantedNearDupCorpus]]: base/jit/corpus CTE
+    * bodies (bind inside a WITH). Same constants, same float32
+    * round-trip, bit-identical corpus.
+    */
+  def plantedCorpusSqlCtes(idCap: Long): String =
+    s"""base AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < $idCap),
+       |  jit AS (SELECT vec_id, list_transform(generate_series(1, len(embedding)),
+       |      i -> CAST(CAST(embedding[i] AS DOUBLE) *
+       |               (1.0 + 0.03 * CAST((vec_id * 31 + (i - 1)) % 7 - 3 AS DOUBLE)) AS FLOAT)) AS je
+       |    FROM base WHERE vec_id % 5 = 0),
+       |  corpus AS (SELECT vec_id, embedding FROM base
+       |             UNION ALL SELECT vec_id + 100000 AS vec_id, je AS embedding FROM jit)""".stripMargin
+
   /** Argmax-cosine cell assignment — the aggregate (never a window)
     * shape shared with `Extended.ivfAssignCells`: (cos6, cent_idx)
     * packed into one long keeps the argmax a primitive max() in a

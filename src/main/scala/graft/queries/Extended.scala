@@ -269,41 +269,55 @@ object Extended {
     * The packed-argmax decode uses ((x % k) + k) % k because DuckDB's
     * % keeps the dividend's sign while Spark's pmod is non-negative.
     */
+  private def cosDuck(a: String, b: String) = VectorFunctions.cosineSqlDuck(a, b)
+
+  /** Shared k-means-replay CTE generators (q75 IVF + q117 SemDeDup):
+    * packed-argmax cell assignment and one Lloyd round (assign + fixed-
+    * point means + rebuild). The packed-argmax decode uses
+    * ((x % k) + k) % k because DuckDB's % keeps the dividend's sign
+    * while Spark's pmod is non-negative.
+    */
+  private def packedAssignCte(from: String, cents: String, out: String, k: Int): String =
+    s"""$out AS (
+       |  SELECT t.vec_id, t.embedding,
+       |    CAST($k - 1 - ((max(CAST(round(round(${cosDuck("t.embedding", "c.cent")}, 6) * 1e6) AS BIGINT) * $k
+       |      + ($k - 1 - c.cent_idx))) % $k + $k) % $k AS INT) AS cent_idx
+       |  FROM $from t CROSS JOIN $cents c
+       |  GROUP BY t.vec_id, t.embedding)""".stripMargin
+
+  private def lloydRoundCte(train: String, i: Int, k: Int): String = {
+    val prev = s"c${i - 1}"
+    s"""${packedAssignCte(train, prev, s"a$i", k)},
+       |  m$i AS (
+       |    SELECT cent_idx, pos,
+       |      CAST(sum(xm) AS DOUBLE) / count(*) / 1e6 AS mval
+       |    FROM (SELECT cent_idx, i AS pos,
+       |            CAST(round(embedding[CAST(i AS INT)] * 1e6) AS BIGINT) AS xm
+       |          FROM (SELECT cent_idx, embedding,
+       |                  unnest(range(1, len(embedding) + 1)) AS i FROM a$i))
+       |    GROUP BY cent_idx, pos),
+       |  c$i AS (
+       |    SELECT p.cent_idx, coalesce(n.cent, p.cent) AS cent
+       |    FROM $prev p LEFT JOIN
+       |      (SELECT cent_idx, list(CAST(mval AS FLOAT) ORDER BY pos) AS cent
+       |       FROM m$i GROUP BY cent_idx) n
+       |    ON p.cent_idx = n.cent_idx)""".stripMargin
+  }
+
+  /** c0 init (first k by vec_id) + `iters` Lloyd rounds over `train`. */
+  private def kmeansReplayCtes(train: String, k: Int, iters: Int): String =
+    s"""c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cent_idx,
+       |           embedding AS cent
+       |         FROM (SELECT * FROM $train ORDER BY vec_id LIMIT $k)),
+       |  ${(1 to iters).map(lloydRoundCte(train, _, k)).mkString(",\n  ")}""".stripMargin
+
+  /** The whole q75 pipeline — training included — replayed in DuckDB SQL. */
   val q75Sql: String = {
     val k = 8
-    def cos(a: String, b: String) = VectorFunctions.cosineSqlDuck(a, b)
-    def packedAssign(from: String, cents: String, out: String): String =
-      s"""$out AS (
-         |  SELECT t.vec_id, t.embedding,
-         |    CAST($k - 1 - ((max(CAST(round(round(${cos("t.embedding", "c.cent")}, 6) * 1e6) AS BIGINT) * $k
-         |      + ($k - 1 - c.cent_idx))) % $k + $k) % $k AS INT) AS cent_idx
-         |  FROM $from t CROSS JOIN $cents c
-         |  GROUP BY t.vec_id, t.embedding)""".stripMargin
-    def lloydRound(i: Int): String = {
-      val prev = s"c${i - 1}"
-      s"""${packedAssign("train", prev, s"a$i")},
-         |  m$i AS (
-         |    SELECT cent_idx, pos,
-         |      CAST(sum(xm) AS DOUBLE) / count(*) / 1e6 AS mval
-         |    FROM (SELECT cent_idx, i AS pos,
-         |            CAST(round(embedding[CAST(i AS INT)] * 1e6) AS BIGINT) AS xm
-         |          FROM (SELECT cent_idx, embedding,
-         |                  unnest(range(1, len(embedding) + 1)) AS i FROM a$i))
-         |    GROUP BY cent_idx, pos),
-         |  c$i AS (
-         |    SELECT p.cent_idx, coalesce(n.cent, p.cent) AS cent
-         |    FROM $prev p LEFT JOIN
-         |      (SELECT cent_idx, list(CAST(mval AS FLOAT) ORDER BY pos) AS cent
-         |       FROM m$i GROUP BY cent_idx) n
-         |    ON p.cent_idx = n.cent_idx)""".stripMargin
-    }
+    def cos(a: String, b: String) = cosDuck(a, b)
     s"""WITH train AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 400),
-       |  c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cent_idx,
-       |           embedding AS cent
-       |         FROM (SELECT * FROM train ORDER BY vec_id LIMIT $k)),
-       |  ${lloydRound(1)},
-       |  ${lloydRound(2)},
-       |  ${packedAssign("embeddings", "c2", "cells")},
+       |  ${kmeansReplayCtes("train", k, 2)},
+       |  ${packedAssignCte("embeddings", "c2", "cells", k)},
        |  probes AS (
        |    SELECT qid, qe, cent_idx FROM (
        |      SELECT q.vec_id AS qid, q.embedding AS qe, c.cent_idx,
@@ -320,6 +334,58 @@ object Extended {
        |  FROM cells s JOIN probes p ON s.cent_idx = p.cent_idx
        |  WHERE s.vec_id <> p.qid)
        |WHERE rank <= 5""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q117
+  /** SemDeDup-style SEMANTIC deduplication: cluster the corpus with the
+    * q75 fixed-point k-means, then enumerate near-duplicate pairs ONLY
+    * within each cluster (equi-join on the trained cell id) and drop
+    * every vector that has a lower-id in-cell neighbor at cosine >=
+    * 0.9, keeping the lowest such id as the survivor. Cross-cluster
+    * duplicates are missed BY DESIGN — that is SemDeDup's documented
+    * trade: pair work is bounded per cell instead of O(n^2) corpus-
+    * wide. The corpus is q32's planted near-dup corpus, so the gate is
+    * fully deterministic end to end (training replayed in SQL, float32
+    * jitter bit-identical).
+    *
+    * Scale note: k=8 keeps the oracle tractable; at production scale k
+    * grows with the corpus (k ~ n / target-cell-size), so the per-cell
+    * self-join stays bounded and the 8-key skew visible here
+    * disappears.
+    */
+  def q117SemanticDedup(s: SparkSession, d: String): DataFrame = {
+    import graft.ext.Similarity
+    val corpus = Similarity.plantedNearDupCorpus(Tables.embeddings(s, d), idCap = 500L)
+    val cents = Similarity.kmeansCentroids(corpus, "vec_id", "embedding", k = 8, iters = 2)
+    val cells = Similarity.assignCells(
+        corpus.select(col("vec_id").as("__id"), col("embedding").as("__v")), cents, 8)
+      .select(col("__id").as("cid"), col("__v").as("ce"), col("cent_idx"))
+    val a = cells.select(col("cid").as("id_a"), col("ce").as("ea"), col("cent_idx"))
+    val b = cells.select(col("cid").as("id_b"), col("ce").as("eb"), col("cent_idx"))
+    a.join(b, "cent_idx")
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cos6", round(VectorFunctions.cosineSim(col("ea"), col("eb")), 6))
+      .filter(col("cos6") >= 0.9)
+      .groupBy(col("id_b"))
+      .agg(min(struct(col("id_a"), col("cent_idx"), col("cos6"))).as("kp"))
+      .select(col("id_b").as("vec_id"), col("kp.id_a").as("keeper"),
+              col("kp.cent_idx").as("cell"), col("kp.cos6").as("cos6"))
+  }
+
+  val q117Sql: String = {
+    val k = 8
+    s"""WITH ${graft.ext.Similarity.plantedCorpusSqlCtes(500L)},
+       |  ${kmeansReplayCtes("corpus", k, 2)},
+       |  ${packedAssignCte("corpus", "c2", "cells", k)},
+       |  p AS (
+       |    SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.cent_idx AS cell,
+       |      round(${cosDuck("a.embedding", "b.embedding")}, 6) AS cos6
+       |    FROM cells a JOIN cells b
+       |      ON a.cent_idx = b.cent_idx AND a.vec_id < b.vec_id
+       |    WHERE round(${cosDuck("a.embedding", "b.embedding")}, 6) >= 0.9)
+       |SELECT id_b AS vec_id, id_a AS keeper, cell, cos6 FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY id_b ORDER BY id_a ASC) AS rn FROM p)
+       |WHERE rn = 1""".stripMargin
   }
 
   // ---------------------------------------------------------------- q39
@@ -437,5 +503,6 @@ object Extended {
     "q38_full_outer" -> (q38FullOuter _, q38Sql),
     "q39_approx_distinct" -> (q39ApproxDistinct _, q39Sql),
     "q75_ivf_trained" -> (q75IvfTrained _, q75Sql),
+    "q117_semantic_dedup" -> (q117SemanticDedup _, q117Sql),
   )
 }

@@ -469,6 +469,25 @@ class ExtSpec extends SparkSpec {
     assert(notOk == 0L, s"$notOk sketch estimates broke the rank guarantee")
   }
 
+  test("semantic dedup drops (almost) exactly the planted copies, keeper = original") {
+    // planted copies sit at cosine ~0.998 to their original; background
+    // pairs top out ~0.6 — so the dropped set must be planted copies
+    // only, with the original as survivor. Cluster-local enumeration
+    // may miss a copy whose argmax cell differs from its original's
+    // (the SemDeDup recall trade) — bounded here, never inflated.
+    val dropped = graft.queries.Extended.q117SemanticDedup(spark, sfDir).collect()
+    assert(dropped.nonEmpty)
+    dropped.foreach { r =>
+      val (v, keeper) = (r.getLong(0), r.getLong(1))
+      assert(v >= 100000L, s"dropped a non-copy vector $v")
+      assert(keeper == v - 100000L, s"survivor for $v is $keeper, not its original")
+      assert(r.getDouble(3) >= 0.99, "planted pair scored below its design cosine")
+    }
+    val planted = emb.filter($"vec_id" < 500 && $"vec_id" % 5 === 0).count()
+    assert(dropped.length >= planted - math.max(2L, planted / 20),
+      s"recall too low: ${dropped.length} of $planted planted copies caught")
+  }
+
   test("PII redaction removes every email/IPv4/phone it counted") {
     val out = graft.queries.ExtQueries.q114PiiRedact(spark, sfDir).cache()
     try {

@@ -370,6 +370,21 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Window"), "rank check must not window the fact")
   }
 
+  test("semantic dedup pairs come from the cell equi-join — never corpus all-pairs") {
+    // the ONLY all-pairs op allowed is the 8-row centroid broadcast
+    // inside cell assignment; the pair enumeration itself must be an
+    // equi-join on the trained cell id.
+    val p = plan("q117_semantic_dedup")
+    assert(!p.contains("CartesianProduct"), "pair enumeration is a cartesian product")
+    // formatted mode prints each operator twice (tree + details), and
+    // the cell-assign subtree appears once per self-join side -> the 2
+    // legitimate 8-row centroid broadcasts show as 4 matches
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(p).size
+    assert(bnlj <= 4, s"$bnlj nested-loop joins — corpus self-join degraded to all-pairs")
+    assert("(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)".r.findFirstIn(p).isDefined,
+      "expected a hash/merge equi-join on cent_idx")
+  }
+
   test("repetition quality rules are a pure per-row map — no exchange, no join") {
     // q113's metrics are array expressions over a bounded document:
     // the whole plan must stay inside one codegen'd map over the scan.
