@@ -1001,6 +1001,85 @@ object ExtQueries {
          |FROM events GROUP BY event_type""".stripMargin)
       .mkString("\nUNION ALL\n")
 
+  // ---------------------------------------------------------------- q118
+  /** Distributed BPE merge training — learn the first `BpeRounds`
+    * byte-pair-encoding merges over the corpus, word-pair level: each
+    * round counts adjacent token pairs corpus-wide (explode + 2-phase
+    * hash agg), picks argmax with (count DESC, pair ASC) tie-break, and
+    * rewrites the corpus joining the winning pair with '_'.
+    *
+    * The rewrite uses literal left-to-right non-overlapping replace on
+    * a double-space-padded form (' a  b ' -> ' a_b '): doubling gives
+    * every token its own separators so CONSECUTIVE occurrences all
+    * merge, while OVERLAPPING ones ('a a a' merging (a,a)) merge
+    * greedily left-to-right — standard BPE semantics, and bit-identical
+    * in DuckDB, whose replace() scans the same way.
+    *
+    * Scale shape: each round is one corpus scan for the pair count
+    * (map-side combine), one 1-row argmax collected as metadata (the
+    * k-means-centroid precedent), one rewrite scan. Rounds are
+    * localCheckpointed via Lineage so the plan stays O(1) deep and
+    * superseded rounds' blocks are freed deterministically.
+    */
+  val BpeRounds = 8
+
+  def q118BpeMerges(s: SparkSession, d: String): DataFrame =
+    bpeMerges(docs(s, d), BpeRounds)
+
+  /** The q118 training loop over any (doc_id, text) frame. */
+  def bpeMerges(in: DataFrame, rounds: Int): DataFrame = {
+    import graft.ext.Lineage
+    val s = in.sparkSession
+    var corpus = in.select(col("doc_id"), col("text"))
+    var free: () => Unit = () => ()
+    val merges = Seq.newBuilder[(Int, String, String, Long)]
+    for (r <- 1 to rounds) {
+      val (ck, f) = Lineage.checkpoint(corpus)
+      free(); free = f
+      val best = ck
+        .select(explode(expr(
+          """zip_with(slice(split(text, ' '), 1, size(split(text, ' ')) - 1),
+            |         slice(split(text, ' '), 2, size(split(text, ' ')) - 1),
+            |         (x, y) -> struct(x AS a, y AS b))""".stripMargin)).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b")).agg(count(lit(1)).as("c"))
+        .agg(min(struct((-col("c")).as("nc"), col("a"), col("b"))).as("m"))
+        .select(col("m.a"), col("m.b"), (-col("m.nc")).as("c"))
+        .first()
+      val (a, b, c) = (best.getString(0), best.getString(1), best.getLong(2))
+      merges += ((r, a, b, c))
+      corpus = ck.withColumn("text", expr(
+        s"""array_join(filter(split(
+           |  replace(' ' || replace(text, ' ', '  ') || ' ', ' $a  $b ', ' ${a}_$b '),
+           |  ' '), x -> x != ''), ' ')""".stripMargin))
+    }
+    free()
+    import s.implicits._
+    merges.result().toDF("rank", "pair_a", "pair_b", "cnt")
+  }
+
+  val q118Sql: String = {
+    def pairCtes(i: Int): String =
+      s"""p$i AS (SELECT ts[i] AS a, ts[i+1] AS b, count(*) AS c
+         |  FROM (SELECT string_split(text, ' ') AS ts FROM t${i - 1}),
+         |       unnest(generate_series(1, len(ts) - 1)) AS g(i)
+         |  GROUP BY 1, 2),
+         |b$i AS (SELECT a, b, c FROM p$i ORDER BY c DESC, a ASC, b ASC LIMIT 1)""".stripMargin
+    def applyCte(i: Int): String =
+      s"""t$i AS (SELECT doc_id,
+         |  array_to_string(list_filter(string_split(
+         |    replace(' ' || replace(t${i - 1}.text, ' ', '  ') || ' ',
+         |            ' ' || b$i.a || '  ' || b$i.b || ' ',
+         |            ' ' || b$i.a || '_' || b$i.b || ' '), ' '), x -> x <> ''), ' ') AS text
+         |  FROM t${i - 1}, b$i)""".stripMargin
+    val ctes = (1 to BpeRounds).map { i =>
+      if (i < BpeRounds) s"${pairCtes(i)},\n${applyCte(i)}" else pairCtes(i)
+    }.mkString(",\n")
+    val sel = (1 to BpeRounds).map(i =>
+      s"SELECT $i AS rank, a AS pair_a, b AS pair_b, CAST(c AS BIGINT) AS cnt FROM b$i")
+      .mkString("\nUNION ALL\n")
+    s"WITH t0 AS (SELECT doc_id, text FROM documents),\n$ctes\n$sel"
+  }
+
   // ---------------------------------------------------------------- q112
   /** Bigram language-model quality scoring (the CCNet-style perplexity
     * filter, log-free): train add-one-smoothed bigram MLE counts over
@@ -1214,5 +1293,6 @@ object ExtQueries {
     "q114_pii_redact" -> (q114PiiRedact _, q114Sql),
     "q115_label_centroids" -> (q115LabelCentroids _, q115Sql),
     "q116_quantile_sketch" -> (q116QuantileSketch _, q116Sql),
+    "q118_bpe_merges" -> (q118BpeMerges _, q118Sql),
   )
 }

@@ -488,6 +488,30 @@ class ExtSpec extends SparkSpec {
       s"recall too low: ${dropped.length} of $planted planted copies caught")
   }
 
+  test("BPE merge training: hand-checked merge sequence, consecutive + overlap semantics") {
+    // corpus: "a b a b c" + "a b c d"
+    //   round 1: (a,b) x3 -> "a_b a_b c" / "a_b c d"
+    //   round 2: (a_b,c) x2 -> "a_b a_b_c" / "a_b_c d"
+    //   round 3: tie at 1; (a_b, a_b_c) < (a_b_c, d) lexicographically
+    val tiny = Seq((1L, "a b a b c"), (2L, "a b c d")).toDF("doc_id", "text")
+    val m = graft.queries.ExtQueries.bpeMerges(tiny, 3)
+      .orderBy($"rank").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(m(0) == ((1, "a", "b", 3L)), s"round 1 was ${m(0)}")
+    assert(m(1) == ((2, "a_b", "c", 2L)), s"round 2 was ${m(1)}")
+    assert(m(2) == ((3, "a_b", "a_b_c", 1L)), s"round 3 was ${m(2)}")
+    // overlap: 'a a a' merging (a,a) is greedy left-to-right -> a_a a
+    val ov = graft.queries.ExtQueries.bpeMerges(
+      Seq((1L, "a a a")).toDF("doc_id", "text"), 2)
+      .orderBy($"rank").collect()
+    assert(ov(0).getString(1) == "a" && ov(0).getString(2) == "a" &&
+           ov(0).getLong(3) == 2L)
+    // after greedy merge the corpus is "a_a a": the round-2 winner is
+    // (a_a, a) x1 — proving the first merge consumed greedily
+    assert(ov(1).getString(1) == "a_a" && ov(1).getString(2) == "a" &&
+           ov(1).getLong(3) == 1L)
+  }
+
   test("PII redaction removes every email/IPv4/phone it counted") {
     val out = graft.queries.ExtQueries.q114PiiRedact(spark, sfDir).cache()
     try {
