@@ -935,6 +935,50 @@ object StreamingQueries {
       |FROM p4 LEFT JOIN p2 ON p2.user_id = p4.user_id
       |WHERE p2.user_id IS NULL OR p4.document_id <> p2.document_id""".stripMargin
 
+  // ---------------------------------------------------------------- q119
+  /** Incremental CURATION-INDEX maintenance — the quality tier of
+    * q103/q107's discipline: each arriving micro-batch of documents
+    * computes its repetition-quality metrics (q113's pure per-row
+    * expressions — one linear pass over the BATCH only) and
+    * LWW-upserts them into a MergeSink-backed curation index keyed
+    * doc_id; the keep/drop query is answered from the MAINTAINED index
+    * without rescanning any document text. Metrics are per-row, so the
+    * index must answer byte-identically to q113's one-shot batch — the
+    * oracle is the same SQL both share. The REQUIRE pins
+    * incrementality: 4 forced micro-batches must have produced exactly
+    * 4 versioned index commits. At 100 TB: refresh cost is
+    * O(|new docs|) per batch, not O(|corpus|).
+    */
+  def q119StreamingCurationIndex(s: SparkSession, d: String): DataFrame = {
+    val base = Files.createTempDirectory("graft_q119_").toString
+    val inDir = s"$base/in"; val ckpt = s"$base/ckpt"; val idxDir = s"$base/index"
+    val docs = graft.core.Tables.documents(s, d).select(col("doc_id"), col("text"))
+    // one file per doc_id%4 slice -> exactly 4 micro-batches
+    (0 until 4).foreach(i => docs
+      .filter(pmod(col("doc_id"), lit(4)) === lit(i))
+      .coalesce(1).write.mode("append").json(inDir))
+    val wire = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val stream = s.readStream.schema(wire)
+      .option("maxFilesPerTrigger", "1").json(inDir)
+    // docs arrive exactly once; n_tokens is a deterministic LWW
+    // tiebreak disjoint from the key, as MergeSink requires
+    val sink = new MergeSink(s, idxDir,
+      keys = Seq("doc_id"), orderCols = Seq("n_tokens"), nBuckets = 8)
+    val q = stream.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        sink.merge(ExtQueries.repetitionMetrics(batch))
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    require(sink.versions().size == 4,
+      s"expected 4 incremental index commits, got ${sink.versions()}")
+    sink.read().select(col("doc_id"), col("n_tokens"), col("dup_unigram_frac"),
+      col("top_bigram_frac"), col("dup_trigram_frac"), col("keep"))
+  }
+
   val entries: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "q66_streaming_cdc" -> (q66StreamingCdc _, q66Sql),
     "q76_streaming_agg" -> (q76StreamingAgg _, q76Sql),
@@ -951,5 +995,6 @@ object StreamingQueries {
     "q106_purge_compliance" -> (q106PurgeCompliance _, q106Sql),
     "q107_streaming_embedding_index" -> (q107StreamingEmbeddingIndex _, ExtQueries.q32Sql),
     "q110_change_feed" -> (q110ChangeFeed _, q110Sql),
+    "q119_streaming_curation_index" -> (q119StreamingCurationIndex _, ExtQueries.q113Sql),
   )
 }
