@@ -1001,6 +1001,44 @@ object ExtQueries {
          |FROM events GROUP BY event_type""".stripMargin)
       .mkString("\nUNION ALL\n")
 
+  // ---------------------------------------------------------------- q120
+  /** Entity-resolution fuzzy join with BLOCKING — the record-linkage
+    * operator: probe strings (deterministic interior-char drops of the
+    * part-name catalog) are matched back against the catalog at edit
+    * distance <= 1. Candidates come from an EQUI-join on a blocking
+    * key (first char) plus a length-band filter — never an all-pairs
+    * cross join; the expensive levenshtein verify runs on candidates
+    * only. At 100 TB the blocking key is what bounds the join (first
+    * char + length band here; phonetic keys or q26's LSH bands for
+    * real-world names — same plan shape either way, PlanSpec-locked).
+    * levenshtein has identical unit-cost semantics in Spark and DuckDB,
+    * so the gate is hash-checked end to end.
+    */
+  def q120FuzzyJoin(s: SparkSession, d: String): DataFrame = {
+    val names = Tables.part(s, d).select(col("p_name")).distinct()
+    val dropAt = (length(col("p_name")) / 2).cast("int")
+    val probes = names.select(concat(
+      substring(col("p_name"), lit(1), dropAt - 1),
+      col("p_name").substr(dropAt + 1, length(col("p_name")))).as("probe"))
+    val cand = probes.withColumn("bk", substring(col("probe"), 1, 1))
+      .join(names.withColumn("bk", substring(col("p_name"), 1, 1)), "bk")
+      .filter(abs(length(col("probe")) - length(col("p_name"))) <= 1)
+    cand.withColumn("dist", levenshtein(col("probe"), col("p_name")))
+      .filter(col("dist") <= 1)
+      .select(col("probe"), col("p_name").as("matched"), col("dist").cast("long").as("dist"))
+  }
+
+  val q120Sql: String =
+    """WITH names AS (SELECT DISTINCT p_name FROM part),
+      |probes AS (SELECT substr(p_name, 1, CAST(length(p_name) // 2 AS INT) - 1) ||
+      |                  substr(p_name, CAST(length(p_name) // 2 AS INT) + 1) AS probe
+      |           FROM names)
+      |SELECT probe, n.p_name AS matched,
+      |  CAST(levenshtein(probe, n.p_name) AS BIGINT) AS dist
+      |FROM probes p JOIN names n ON substr(p.probe, 1, 1) = substr(n.p_name, 1, 1)
+      |WHERE abs(length(p.probe) - length(n.p_name)) <= 1
+      |  AND levenshtein(probe, n.p_name) <= 1""".stripMargin
+
   // ---------------------------------------------------------------- q118
   /** Distributed BPE merge training — learn the first `BpeRounds`
     * byte-pair-encoding merges over the corpus, word-pair level: each
@@ -1294,5 +1332,6 @@ object ExtQueries {
     "q115_label_centroids" -> (q115LabelCentroids _, q115Sql),
     "q116_quantile_sketch" -> (q116QuantileSketch _, q116Sql),
     "q118_bpe_merges" -> (q118BpeMerges _, q118Sql),
+    "q120_fuzzy_join" -> (q120FuzzyJoin _, q120Sql),
   )
 }

@@ -385,6 +385,17 @@ class PlanSpec extends SparkSpec {
       "expected a hash/merge equi-join on cent_idx")
   }
 
+  test("fuzzy join candidates come from the blocking-key equi-join — never all-pairs") {
+    // the levenshtein verify is the expensive part; it must run on
+    // blocked candidates only. A lost blocking key silently degrades
+    // to a cartesian over the full catalog at scale.
+    val p = plan("q120_fuzzy_join")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "fuzzy join degraded to all-pairs")
+    assert("(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)".r.findFirstIn(p).isDefined,
+      "expected a hash/merge equi-join on the blocking key")
+  }
+
   test("repetition quality rules are a pure per-row map — no exchange, no join") {
     // q113's metrics are array expressions over a bounded document:
     // the whole plan must stay inside one codegen'd map over the scan.
