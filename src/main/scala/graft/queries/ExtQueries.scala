@@ -1124,13 +1124,16 @@ object ExtQueries {
     * the corpus, then score each document by its mean bigram
     * probability avg((c_bigram + 1) / (c_prefix + |V|)).
     *
-    * Scale shape: the (doc, bigram) fact is exploded once; the model
-    * sides (bigram counts, prefix counts, vocab size) are
-    * VOCABULARY-scale, not corpus-scale, so they broadcast — the fact
-    * table is shuffled exactly once, for the final per-doc aggregate.
-    * On an open-vocabulary web corpus the two model joins degrade
-    * gracefully to shuffle joins by dropping the broadcast hints;
-    * semantics are unchanged.
+    * Scale shape: the corpus is scanned exactly TWICE — once to build
+    * the bigram-count model, once for the scoring fact. Prefix counts
+    * and vocab size derive from the bigram counts themselves
+    * (vocabulary-scale inputs; every token of a >=2-token document
+    * appears in some bigram, so distinct(a) U distinct(b) over the
+    * model IS the vocabulary). All model sides broadcast — the fact is
+    * shuffled once, for the final per-doc aggregate. On an
+    * open-vocabulary web corpus the model joins degrade gracefully to
+    * shuffle joins by dropping the broadcast hints; semantics are
+    * unchanged.
     *
     * Numerics: probabilities are quotients of integer counts (exact
     * IEEE division, identical cross-engine); only the per-doc mean is
@@ -1141,10 +1144,13 @@ object ExtQueries {
     val t = docs(s, d).select(col("doc_id"), TextAnalysis.tokens(col("text")).as("ts"))
     val pairs = t.select(col("doc_id"), explode(expr(
       "transform(sequence(1, size(ts) - 1), i -> concat(element_at(ts, i), ' ', element_at(ts, i + 1)))")).as("bg"))
+    // ONE corpus-scale aggregation; everything below reads only bgc
     val bgc = pairs.groupBy(col("bg")).agg(count(lit(1)).as("c_bg"))
-    val pfc = pairs.groupBy(split(col("bg"), " ").getItem(0).as("pfx"))
-      .agg(count(lit(1)).as("c_pfx"))
-    val v = t.select(explode(col("ts")).as("tok")).agg(countDistinct(col("tok")).as("vsz"))
+      .localCheckpoint(true) // vocabulary-scale; reread by 3 consumers
+    val pfc = bgc.groupBy(split(col("bg"), " ").getItem(0).as("pfx"))
+      .agg(sum(col("c_bg")).as("c_pfx"))
+    val v = bgc.select(explode(split(col("bg"), " ")).as("tok"))
+      .agg(countDistinct(col("tok")).as("vsz"))
     pairs
       .join(broadcast(bgc), "bg")
       .withColumn("pfx", split(col("bg"), " ").getItem(0))
