@@ -406,13 +406,9 @@ object ExtQueries {
 
   val q32Sql: String = {
     val cosAB = VectorFunctions.cosineSqlDuck("ea", "eb")
-    s"""WITH base AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 500),
-       |  jit AS (SELECT vec_id, list_transform(generate_series(1, len(embedding)),
-       |      i -> CAST(CAST(embedding[i] AS DOUBLE) *
-       |               (1.0 + 0.03 * CAST((vec_id * 31 + (i - 1)) % 7 - 3 AS DOUBLE)) AS FLOAT)) AS je
-       |    FROM base WHERE vec_id % 5 = 0),
-       |  corpus AS (SELECT vec_id, embedding FROM base
-       |             UNION ALL SELECT vec_id + 100000 AS vec_id, je AS embedding FROM jit),
+    // corpus CTEs shared with q117Sql via Similarity — one source of
+    // truth for the jitter constants and the copy offset
+    s"""WITH ${Similarity.plantedCorpusSqlCtes(500L)},
        |  a AS (SELECT vec_id AS id_a, embedding AS ea FROM corpus),
        |  b AS (SELECT vec_id AS id_b, embedding AS eb FROM corpus)
        |SELECT id_a, id_b, round($cosAB, 6) AS cos6
@@ -986,12 +982,19 @@ object ExtQueries {
       .select(col("event_type"), col("n"),
         element_at(array(lit(0.5), lit(0.9), lit(0.99)), col("pos") + 1).as("q"),
         col("col.exacts").as("pct_exact"), col("col.ests").as("est"))
+    // the estimate's rank is the INTERVAL [count(<est), count(<=est)]:
+    // with tied values the two endpoints differ, and the sketch is
+    // correct iff the interval intersects the target band — checking
+    // only the upper endpoint would flag a correct sketch whenever a
+    // duplicated value straddles the probed quantile
+    val band = lit(1.0 / accuracy) + lit(2.0) / col("n")
     ev.join(broadcast(probes), "event_type")
       .groupBy(col("event_type"), col("q"), col("n"), col("pct_exact"), col("est"))
-      .agg(sum(when(col("value") <= col("est"), 1L).otherwise(0L)).as("rk"))
+      .agg(sum(when(col("value") < col("est"), 1L).otherwise(0L)).as("rk_lo"),
+           sum(when(col("value") <= col("est"), 1L).otherwise(0L)).as("rk_hi"))
       .select(col("event_type"), col("q"), col("n"), col("pct_exact"),
-        (abs(col("rk").cast("double") / col("n") - col("q")) <=
-          lit(1.0 / accuracy) + lit(2.0) / col("n")).as("est_ok"))
+        (col("rk_lo").cast("double") / col("n") <= col("q") + band &&
+         col("rk_hi").cast("double") / col("n") >= col("q") - band).as("est_ok"))
   }
 
   val q116Sql: String =
@@ -1071,24 +1074,39 @@ object ExtQueries {
     var corpus = in.select(col("doc_id"), col("text"))
     var free: () => Unit = () => ()
     val merges = Seq.newBuilder[(Int, String, String, Long)]
-    for (r <- 1 to rounds) {
+    var r = 1
+    var exhausted = false
+    while (r <= rounds && !exhausted) {
       val (ck, f) = Lineage.checkpoint(corpus)
       free(); free = f
       val best = ck
         .select(explode(expr(
-          """zip_with(slice(split(text, ' '), 1, size(split(text, ' ')) - 1),
-            |         slice(split(text, ' '), 2, size(split(text, ' ')) - 1),
+          """zip_with(slice(split(text, ' '), 1, greatest(size(split(text, ' ')) - 1, 0)),
+            |         slice(split(text, ' '), 2, greatest(size(split(text, ' ')) - 1, 0)),
             |         (x, y) -> struct(x AS a, y AS b))""".stripMargin)).as("p"))
         .groupBy(col("p.a").as("a"), col("p.b").as("b")).agg(count(lit(1)).as("c"))
         .agg(min(struct((-col("c")).as("nc"), col("a"), col("b"))).as("m"))
         .select(col("m.a"), col("m.b"), (-col("m.nc")).as("c"))
         .first()
-      val (a, b, c) = (best.getString(0), best.getString(1), best.getLong(2))
-      merges += ((r, a, b, c))
-      corpus = ck.withColumn("text", expr(
-        s"""array_join(filter(split(
-           |  replace(' ' || replace(text, ' ', '  ') || ' ', ' $a  $b ', ' ${a}_$b '),
-           |  ' '), x -> x != ''), ' ')""".stripMargin))
+      if (best.isNullAt(0)) {
+        exhausted = true // every doc is a single token: no pairs left
+      } else {
+        val (a, b, c) = (best.getString(0), best.getString(1), best.getLong(2))
+        merges += ((r, a, b, c))
+        // merge pair carried as lit() VALUES, never spliced into parsed
+        // SQL — corpus tokens may contain quote/backslash characters
+        val doubled = concat(lit(" "),
+          expr("replace(text, ' ', '  ')"), lit(" "))
+        val merged = expr("replace(padded, pat, rep)")
+        corpus = ck
+          .withColumn("padded", doubled)
+          .withColumn("pat", lit(s" $a  $b "))
+          .withColumn("rep", lit(s" ${a}_$b "))
+          .withColumn("text",
+            array_join(filter(split(merged, " "), x => x =!= ""), " "))
+          .select(col("doc_id"), col("text"))
+        r += 1
+      }
     }
     free()
     import s.implicits._
@@ -1142,11 +1160,18 @@ object ExtQueries {
     */
   def q112BigramLm(s: SparkSession, d: String): DataFrame = {
     val t = docs(s, d).select(col("doc_id"), TextAnalysis.tokens(col("text")).as("ts"))
+    // slice/zip_with, not sequence(1, n-1): Spark's sequence DESCENDS
+    // when stop < start, so a 1-token doc would evaluate
+    // element_at(ts, 0) and throw under ANSI; slices are empty-safe
     val pairs = t.select(col("doc_id"), explode(expr(
-      "transform(sequence(1, size(ts) - 1), i -> concat(element_at(ts, i), ' ', element_at(ts, i + 1)))")).as("bg"))
-    // ONE corpus-scale aggregation; everything below reads only bgc
-    val bgc = pairs.groupBy(col("bg")).agg(count(lit(1)).as("c_bg"))
-      .localCheckpoint(true) // vocabulary-scale; reread by 3 consumers
+      """zip_with(slice(ts, 1, greatest(size(ts) - 1, 0)),
+        |         slice(ts, 2, greatest(size(ts) - 1, 0)),
+        |         (x, y) -> concat(x, ' ', y))""".stripMargin)).as("bg"))
+    // ONE corpus-scale aggregation; everything below reads only bgc.
+    // persist (not localCheckpoint): CacheManager-tracked, so the
+    // Bench/Verify per-query clearCache() reclaims it — checkpoint
+    // blocks on an escaping frame would strand until driver GC
+    val bgc = pairs.groupBy(col("bg")).agg(count(lit(1)).as("c_bg")).persist()
     val pfc = bgc.groupBy(split(col("bg"), " ").getItem(0).as("pfx"))
       .agg(sum(col("c_bg")).as("c_pfx"))
     val v = bgc.select(explode(split(col("bg"), " ")).as("tok"))
@@ -1200,11 +1225,20 @@ object ExtQueries {
 
   /** The q113 metric projection over any (doc_id, text) frame. */
   def repetitionMetrics(in: DataFrame): DataFrame = {
+    // slice/zip_with, not sequence(1, n-k): Spark's sequence DESCENDS
+    // when stop < start, so 1- and 2-token docs would evaluate
+    // element_at out of range and throw under ANSI while the DuckDB
+    // twin (empty generate_series) returns a row; slices are empty-safe
+    // on both engines
     val g = in.select(col("doc_id"), TextAnalysis.tokens(col("text")).as("ts"))
       .withColumn("bgs", expr(
-        "transform(sequence(1, size(ts) - 1), i -> concat(element_at(ts, i), ' ', element_at(ts, i + 1)))"))
+        """zip_with(slice(ts, 1, greatest(size(ts) - 1, 0)),
+          |         slice(ts, 2, greatest(size(ts) - 1, 0)),
+          |         (x, y) -> concat(x, ' ', y))""".stripMargin))
       .withColumn("tgs", expr(
-        "transform(sequence(1, size(ts) - 2), i -> concat(element_at(ts, i), ' ', element_at(ts, i + 1), ' ', element_at(ts, i + 2)))"))
+        """zip_with(slice(bgs, 1, greatest(size(ts) - 2, 0)),
+          |         slice(ts, 3, greatest(size(ts) - 2, 0)),
+          |         (x, y) -> concat(x, ' ', y))""".stripMargin))
     g.select(
         col("doc_id"),
         size(col("ts")).cast("long").as("n_tokens"),
@@ -1241,11 +1275,12 @@ object ExtQueries {
       |FROM t),
       |m AS (SELECT doc_id, CAST(len(ts) AS BIGINT) AS n_tokens,
       |  1.0 - CAST(len(list_distinct(ts)) AS DOUBLE) / len(ts) AS dup_unigram_frac,
-      |  CAST(list_max(list_transform(list_distinct(bgs), g1 -> len(list_filter(bgs, x -> x = g1)))) AS DOUBLE)
+      |  CAST(coalesce(list_max(list_transform(list_distinct(bgs),
+      |        g1 -> len(list_filter(bgs, x -> x = g1)))), 0) AS DOUBLE)
       |    * 2.0 / len(ts) AS top_bigram_frac,
-      |  CAST(list_sum(list_transform(list_distinct(tgs),
+      |  CAST(coalesce(list_sum(list_transform(list_distinct(tgs),
       |        g1 -> CASE WHEN len(list_filter(tgs, x -> x = g1)) > 1
-      |                   THEN len(list_filter(tgs, x -> x = g1)) ELSE 0 END)) AS DOUBLE)
+      |                   THEN len(list_filter(tgs, x -> x = g1)) ELSE 0 END)), 0) AS DOUBLE)
       |    * 3.0 / len(ts) AS dup_trigram_frac
       |FROM g)
       |SELECT doc_id, n_tokens, dup_unigram_frac, top_bigram_frac, dup_trigram_frac,

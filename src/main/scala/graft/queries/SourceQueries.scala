@@ -113,17 +113,20 @@ object SourceQueries {
     */
   def q111BucketedJoin(s: SparkSession, d: String): DataFrame = {
     val base = Files.createTempDirectory("graft_q111_").toString
+    // per-run table names: a fixed name would race concurrent sessions
+    // and leave each rerun's DROP orphaning the previous temp dir's
+    // data while reusing the catalog entry
+    val tag = java.util.UUID.randomUUID.toString.replace("-", "").take(8)
     def bucketed(df: DataFrame, table: String, key: String): DataFrame = {
-      s.sql(s"DROP TABLE IF EXISTS $table")
       df.write.format("parquet").option("path", s"$base/$table")
         .bucketBy(8, key).sortBy(key)
-        .mode("overwrite").saveAsTable(table)
+        .saveAsTable(table)
       s.table(table)
     }
     val o = bucketed(Tables.orders(s, d).select("o_orderkey", "o_orderpriority", "o_totalprice"),
-                     "graft_q111_orders", "o_orderkey")
+                     s"graft_q111_orders_$tag", "o_orderkey")
     val l = bucketed(Tables.lineitem(s, d).select("l_orderkey", "l_quantity", "l_extendedprice"),
-                     "graft_q111_lineitem", "l_orderkey")
+                     s"graft_q111_lineitem_$tag", "l_orderkey")
     o.join(l, col("o_orderkey") === col("l_orderkey"))
       .groupBy(col("o_orderkey"))
       .agg(count(lit(1)).as("n_items"),

@@ -450,6 +450,15 @@ class ExtSpec extends SparkSpec {
     assert(math.abs(checked.getAs[Double]("dup_unigram_frac") - (1.0 - 2.0 / 6)) < 1e-15)
     assert(math.abs(checked.getAs[Double]("top_bigram_frac") - (3.0 * 2 / 6)) < 1e-15)
     assert(math.abs(checked.getAs[Double]("dup_trigram_frac") - (4.0 * 3 / 6)) < 1e-15)
+    // 1- and 2-token docs must produce rows (zero fracs), not an ANSI
+    // element_at crash — documented as working over ANY (doc_id, text)
+    // frame and reused by q119's streaming micro-batches
+    val short = graft.queries.ExtQueries.repetitionMetrics(
+      Seq((1L, "solo"), (2L, "two tokens")).toDF("doc_id", "text"))
+      .orderBy($"doc_id").collect()
+    assert(short(0).getAs[Double]("top_bigram_frac") == 0.0)
+    assert(short(0).getAs[Double]("dup_trigram_frac") == 0.0)
+    assert(short(1).getAs[Double]("dup_trigram_frac") == 0.0)
   }
 
   test("label centroid agrees with the brute per-label mean; sketch rank guarantee holds") {
@@ -500,6 +509,16 @@ class ExtSpec extends SparkSpec {
     assert(m(0) == ((1, "a", "b", 3L)), s"round 1 was ${m(0)}")
     assert(m(1) == ((2, "a_b", "c", 2L)), s"round 2 was ${m(1)}")
     assert(m(2) == ((3, "a_b", "a_b_c", 1L)), s"round 3 was ${m(2)}")
+    // tokens carrying quotes must not break the rewrite (lit-valued
+    // merge columns, never spliced SQL), and a pair-less corpus must
+    // return the merges found so far instead of NPEing
+    val quoted = graft.queries.ExtQueries.bpeMerges(
+      Seq((1L, "it's it's fine")).toDF("doc_id", "text"), 2)
+      .orderBy($"rank").collect()
+    assert(quoted.length == 2 && quoted(0).getString(1) == "it's")
+    val solo = graft.queries.ExtQueries.bpeMerges(
+      Seq((1L, "solo")).toDF("doc_id", "text"), 3)
+    assert(solo.count() == 0L, "single-token corpus should learn zero merges")
     // overlap: 'a a a' merging (a,a) is greedy left-to-right -> a_a a
     val ov = graft.queries.ExtQueries.bpeMerges(
       Seq((1L, "a a a")).toDF("doc_id", "text"), 2)
