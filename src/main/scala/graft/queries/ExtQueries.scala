@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.core.Tables
 import graft.ext.{Dedup, Multimodal, Similarity, TextAnalysis}
@@ -1004,6 +1005,98 @@ object ExtQueries {
          |FROM events GROUP BY event_type""".stripMargin)
       .mkString("\nUNION ALL\n")
 
+  // ---------------------------------------------------------------- q121
+  /** Leakage-safe train/val/test split: the split key is the CONTENT
+    * hash, not the document id, so exact duplicates land in the same
+    * split by construction — the classic eval-contamination pitfall
+    * (same text in train and test under different ids) is impossible,
+    * not just unlikely. Deterministic md5 bucketing (q90's hash-gate
+    * idiom): bucket = first 7 md5 hex digits mod 100 -> 80/10/10.
+    * The witness column REQUIREs the invariant in-band: per split,
+    * every content hash's copies are fully contained (no hash spans
+    * two splits), which the oracle re-derives as TRUE.
+    */
+  def q121LeakageSafeSplit(s: SparkSession, d: String): DataFrame = {
+    val bucket = pmod(conv(substring(md5(col("text").cast("binary")), 1, 7), 16, 10)
+      .cast("long"), lit(100L))
+    val split = when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    val tagged = docs(s, d).select(col("doc_id"), col("text"))
+      .withColumn("split", split)
+      .withColumn("content_hash", md5(col("text").cast("binary")))
+    val spans = tagged.groupBy(col("content_hash"))
+      .agg(countDistinct(col("split")).as("n_splits"))
+    tagged.join(spans, "content_hash")
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+           countDistinct(col("content_hash")).as("n_contents"),
+           max(col("n_splits")).as("max_span"))
+      .select(col("split"), col("n_docs"), col("n_contents"),
+        (col("max_span") === 1).as("leakage_free"))
+  }
+
+  val q121Sql: String =
+    """WITH tagged AS (
+      |  SELECT doc_id, md5(text) AS content_hash,
+      |    CASE WHEN CAST(('0x' || substr(md5(text), 1, 7)) AS BIGINT) % 100 < 80 THEN 'train'
+      |         WHEN CAST(('0x' || substr(md5(text), 1, 7)) AS BIGINT) % 100 < 90 THEN 'val'
+      |         ELSE 'test' END AS split
+      |  FROM documents),
+      |spans AS (SELECT content_hash, count(DISTINCT split) AS n_splits
+      |          FROM tagged GROUP BY content_hash)
+      |SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(count(DISTINCT t.content_hash) AS BIGINT) AS n_contents,
+      |  (max(n_splits) = 1) AS leakage_free
+      |FROM tagged t JOIN spans USING (content_hash)
+      |GROUP BY split""".stripMargin
+
+  // ---------------------------------------------------------------- q122
+  /** Sample packing — chunk the curated corpus into fixed-token-budget
+    * packs for pretraining batches: documents are laid out in a
+    * deterministic order (doc_id) and assigned
+    * pack_id = floor(tokens-before-me / budget); a document whose span
+    * crosses the boundary STRADDLES two packs (recorded in-band), the
+    * standard concat-then-slice pretraining layout rather than
+    * first-fit bin packing. One window cumsum over the ordered corpus,
+    * one hash aggregate per pack.
+    *
+    * Scale note: the ORDER BY doc_id window is a total order — at
+    * 100 TB the same layout runs per range-partition (pack ids offset
+    * by per-partition token totals, computed from a partition-level
+    * prefix sum), keeping the sort distributed; semantics identical.
+    */
+  def q122SamplePacking(s: SparkSession, d: String): DataFrame = {
+    val budget = 2048L
+    val w = Window.orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val laid = docs(s, d)
+      .select(col("doc_id"), size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tok"))
+      .withColumn("cum_end", sum(col("n_tok")).over(w))
+      .withColumn("cum_start", col("cum_end") - col("n_tok"))
+      .withColumn("pack_id", (col("cum_start") / budget).cast("long"))
+      .withColumn("straddles",
+        ((col("cum_end") - 1) / budget).cast("long") =!= col("pack_id"))
+    laid.groupBy(col("pack_id"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(col("n_tok")).as("pack_tokens"),
+           sum(when(col("straddles"), 1L).otherwise(0L)).as("n_straddlers"))
+  }
+
+  val q122Sql: String =
+    """WITH laid AS (
+      |  SELECT doc_id, len(string_split(text, ' ')) AS n_tok,
+      |    sum(len(string_split(text, ' '))) OVER (ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_end
+      |  FROM documents),
+      |packs AS (
+      |  SELECT doc_id, n_tok, cum_end - n_tok AS cum_start,
+      |    (cum_end - n_tok) // 2048 AS pack_id,
+      |    ((cum_end - 1) // 2048 <> (cum_end - n_tok) // 2048) AS straddles
+      |  FROM laid)
+      |SELECT CAST(pack_id AS BIGINT) AS pack_id, CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(n_tok) AS BIGINT) AS pack_tokens,
+      |  CAST(sum(CASE WHEN straddles THEN 1 ELSE 0 END) AS BIGINT) AS n_straddlers
+      |FROM packs GROUP BY pack_id""".stripMargin
+
   // ---------------------------------------------------------------- q120
   /** Entity-resolution fuzzy join with BLOCKING — the record-linkage
     * operator: probe strings (deterministic interior-char drops of the
@@ -1374,5 +1467,7 @@ object ExtQueries {
     "q116_quantile_sketch" -> (q116QuantileSketch _, q116Sql),
     "q118_bpe_merges" -> (q118BpeMerges _, q118Sql),
     "q120_fuzzy_join" -> (q120FuzzyJoin _, q120Sql),
+    "q121_leakage_safe_split" -> (q121LeakageSafeSplit _, q121Sql),
+    "q122_sample_packing" -> (q122SamplePacking _, q122Sql),
   )
 }

@@ -531,6 +531,26 @@ class ExtSpec extends SparkSpec {
            ov(1).getLong(3) == 1L)
   }
 
+  test("leakage-safe split: planted cross-split duplicate still lands in ONE split") {
+    // two ids sharing one text: an id-keyed 80/10/10 split could send
+    // them to different splits; the content-hash split cannot
+    val planted = Seq(
+      (1L, "identical body"), (2L, "identical body"),
+      (3L, "another body"), (4L, "third body x"), (5L, "fourth body y"))
+      .toDF("doc_id", "text")
+    val outs = graft.queries.ExtQueries.q121LeakageSafeSplit(spark, sfDir).collect()
+    assert(outs.nonEmpty && outs.forall(_.getAs[Boolean]("leakage_free")))
+    // and directly on the planted frame via the same split expression
+    val viaCorpus = planted
+      .withColumn("b", pmod(conv(substring(md5($"text".cast("binary")), 1, 7), 16, 10)
+        .cast("long"), lit(100L)))
+      .withColumn("split",
+        when($"b" < 80, "train").when($"b" < 90, "val").otherwise("test"))
+      .groupBy($"text").agg(countDistinct($"split").as("n"))
+      .agg(max($"n")).first().getLong(0)
+    assert(viaCorpus == 1L, "a content hash spanned two splits")
+  }
+
   test("PII redaction removes every email/IPv4/phone it counted") {
     val out = graft.queries.ExtQueries.q114PiiRedact(spark, sfDir).cache()
     try {
