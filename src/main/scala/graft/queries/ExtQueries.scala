@@ -1097,6 +1097,60 @@ object ExtQueries {
       |  CAST(sum(CASE WHEN straddles THEN 1 ELSE 0 END) AS BIGINT) AS n_straddlers
       |FROM packs GROUP BY pack_id""".stripMargin
 
+  // ---------------------------------------------------------------- q123
+  /** Deterministic negative sampling — contrastive-pair generation
+    * with NO RNG state (q90's hash-gate idiom): each document draws
+    * k=3 partners via md5(doc_id # j) mod corpus-size over a dense
+    * rank, bumping by one on self-collision, then the pair is labelled
+    * is_true_negative = (content hashes differ) in-band — a duplicate
+    * text drawn as a "negative" is a FALSE negative for contrastive
+    * training and must be visible, not silently emitted. Everything is
+    * recomputable by the oracle, so the gate is exact.
+    *
+    * Scale shape: the dense rank is a global row_number (same
+    * total-order note as q122 — per-range-partition offsets at 100 TB);
+    * partner resolution is an equi-join on the computed rank.
+    */
+  def q123NegativeSampling(s: SparkSession, d: String): DataFrame = {
+    val k = 3
+    val ranked = docs(s, d)
+      .select(col("doc_id"), md5(col("text").cast("binary")).as("content_hash"))
+      .withColumn("rnk", row_number().over(Window.orderBy(col("doc_id"))).cast("long") - 1)
+    val n = ranked.agg(count(lit(1)).as("n"))
+    val draws = ranked.crossJoin(broadcast(n))
+      .select(col("doc_id"), col("content_hash"), col("rnk"), col("n"),
+        explode(array((0 until k).map(lit): _*)).as("j"))
+      .withColumn("h", pmod(conv(substring(
+        md5(concat(col("doc_id").cast("string"), lit("#"), col("j").cast("string"))),
+        1, 7), 16, 10).cast("long"), col("n")))
+      .withColumn("cand", when(col("h") === col("rnk"),
+        pmod(col("h") + 1, col("n"))).otherwise(col("h")))
+    val partners = ranked.select(col("rnk").as("cand"),
+      col("doc_id").as("neg_doc_id"), col("content_hash").as("neg_hash"))
+    draws.join(partners, "cand")
+      .select(col("doc_id"), col("j").cast("long").as("j"), col("neg_doc_id"),
+        (col("content_hash") =!= col("neg_hash")).as("is_true_negative"))
+  }
+
+  val q123Sql: String =
+    """WITH ranked AS (
+      |  SELECT doc_id, md5(text) AS content_hash,
+      |    row_number() OVER (ORDER BY doc_id) - 1 AS rnk
+      |  FROM documents),
+      |n AS (SELECT count(*) AS n FROM ranked),
+      |draws AS (
+      |  SELECT doc_id, content_hash, rnk, n.n, j,
+      |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#' || CAST(j AS VARCHAR)), 1, 7)) AS BIGINT) % n.n AS h
+      |  FROM ranked CROSS JOIN n, unnest([0, 1, 2]) AS g(j)),
+      |fixed AS (
+      |  SELECT doc_id, content_hash,
+      |    CAST(j AS BIGINT) AS j,
+      |    CASE WHEN h = rnk THEN (h + 1) % n ELSE h END AS cand
+      |  FROM draws)
+      |SELECT f.doc_id, f.j, r.doc_id AS neg_doc_id,
+      |  (f.content_hash <> r.content_hash) AS is_true_negative
+      |FROM fixed f JOIN ranked r ON f.cand = r.rnk""".stripMargin
+
   // ---------------------------------------------------------------- q120
   /** Entity-resolution fuzzy join with BLOCKING — the record-linkage
     * operator: probe strings (deterministic interior-char drops of the
@@ -1469,5 +1523,6 @@ object ExtQueries {
     "q120_fuzzy_join" -> (q120FuzzyJoin _, q120Sql),
     "q121_leakage_safe_split" -> (q121LeakageSafeSplit _, q121Sql),
     "q122_sample_packing" -> (q122SamplePacking _, q122Sql),
+    "q123_negative_sampling" -> (q123NegativeSampling _, q123Sql),
   )
 }
