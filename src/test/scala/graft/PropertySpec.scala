@@ -195,4 +195,56 @@ class PropertySpec extends SparkSpec {
       spark.catalog.clearCache()
     }
   }
+
+  test("repetition metrics agree with a local multiset recomputation on random docs") {
+    // random corpora over a 3-letter alphabet, lengths 1..8 — heavy on
+    // the short-doc and high-repetition edges the big corpus never hits
+    val tokGen = Gen.oneOf("a", "b", "c")
+    val docGen = Gen.choose(1, 8).flatMap(n => Gen.listOfN(n, tokGen))
+    val corpus = Gen.listOfN(40, docGen).pureApply(Gen.Parameters.default, Seed(7L))
+      .zipWithIndex.map { case (ts, i) => (i.toLong, ts.mkString(" ")) }
+    val got = graft.queries.ExtQueries.repetitionMetrics(
+        corpus.toDF("doc_id", "text"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    corpus.foreach { case (id, text) =>
+      val ts = text.split(" ").toSeq
+      val bgs = ts.sliding(2).filter(_.size == 2).map(_.mkString(" ")).toSeq
+      val tgs = ts.sliding(3).filter(_.size == 3).map(_.mkString(" ")).toSeq
+      val topBg = if (bgs.isEmpty) 0 else bgs.groupBy(identity).values.map(_.size).max
+      val dupTg = tgs.groupBy(identity).values.filter(_.size > 1).map(_.size).sum
+      val (n, dupU, topB, dupT) = got(id)
+      assert(n == ts.size)
+      assert(math.abs(dupU - (1.0 - ts.distinct.size.toDouble / ts.size)) < 1e-15)
+      assert(math.abs(topB - topBg * 2.0 / ts.size) < 1e-15, s"doc '$text'")
+      assert(math.abs(dupT - dupTg * 3.0 / ts.size) < 1e-15, s"doc '$text'")
+    }
+  }
+
+  test("sample packing: token conservation, contiguous packs, straddler bound") {
+    val out = graft.queries.ExtQueries.q122SamplePacking(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val total = spark.read.parquet(s"$sfDir/documents.parquet")
+      .selectExpr("sum(size(split(text, ' ')))").first().getLong(0)
+    assert(out.map(_._3).sum == total, "packing lost or duplicated tokens")
+    val ids = out.map(_._1).sorted
+    assert(ids.head == 0L && ids.sameElements(0L until ids.size),
+      "pack ids not contiguous from 0")
+    // at most one doc can straddle each pack's trailing boundary
+    out.foreach { case (pid, _, _, straddlers) =>
+      assert(straddlers <= 1, s"pack $pid claims $straddlers straddlers") }
+  }
+
+  test("BPE merge counts are non-increasing across rounds") {
+    // merging the argmax pair can only shrink other pairs' counts (new
+    // pairs created by the merged symbol are bounded by its count), so
+    // the selected count sequence must be monotonically non-increasing
+    val cnts = graft.queries.ExtQueries.q118BpeMerges(spark, sfDir)
+      .orderBy($"rank").collect().map(_.getLong(3)).toSeq
+    assert(cnts.nonEmpty)
+    cnts.sliding(2).foreach { case Seq(a, b) =>
+      assert(b <= a, s"count increased across rounds: $cnts")
+    case _ => ()
+    }
+  }
 }
