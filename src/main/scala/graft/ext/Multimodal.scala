@@ -399,6 +399,108 @@ object Multimodal {
     out.toByteArray
   }
 
+  /** Gradient BMP: every channel of pixel (x, y) =
+    * (x*7 + y*13 + seed) % 256, y counted TOP-DOWN (file rows are
+    * stored bottom-up per the format, so the encoder flips) — decoding
+    * plus any positional transform (resize) is verifiable by pure
+    * arithmetic, unlike a constant fill.
+    */
+  def encodeBmpGradient(w: Int, h: Int, seed: Int): Array[Byte] = {
+    val rowSize = (w * 3 + 3) / 4 * 4
+    val dataSize = rowSize * h
+    val buf = ByteBuffer.allocate(54 + dataSize).order(ByteOrder.LITTLE_ENDIAN)
+    buf.put('B'.toByte).put('M'.toByte).putInt(54 + dataSize)
+      .putInt(0).putInt(54)
+      .putInt(40).putInt(w).putInt(h).putShort(1).putShort(24)
+      .putInt(0).putInt(dataSize).putInt(2835).putInt(2835).putInt(0).putInt(0)
+    var r = 0
+    while (r < h) {
+      val y = h - 1 - r // bottom-up storage
+      val row = new Array[Byte](rowSize)
+      var x = 0
+      while (x < w) {
+        val v = ((x * 7 + y * 13 + seed) % 256).toByte
+        row(x * 3) = v; row(x * 3 + 1) = v; row(x * 3 + 2) = v
+        x += 1
+      }
+      buf.put(row); r += 1
+    }
+    buf.array()
+  }
+
+  /** PCM16 mono WAV carrying the given samples. */
+  def encodeWavPcm(sampleRate: Int, samples: Array[Short]): Array[Byte] = {
+    val dataSize = samples.length * 2
+    val buf = ByteBuffer.allocate(44 + dataSize).order(ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataSize)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1).putInt(sampleRate).putInt(sampleRate * 2)
+      .putShort(2).putShort(16)
+      .put("data".getBytes("US-ASCII")).putInt(dataSize)
+    samples.foreach(buf.putShort)
+    buf.array()
+  }
+
+  /** PCM16 mono sample extraction (same chunk-walk discipline as
+    * decodeWav; truncated data fails the decode).
+    */
+  def decodeWavSamples(b: Array[Byte]): Option[Array[Short]] =
+    decodeWav(b).flatMap { case (_, ch, bits, nFrames) =>
+      if (ch != 1 || bits != 16) None
+      else {
+        def ascii(off: Int, s: String): Boolean =
+          s.indices.forall(k => b(off + k) == s(k).toByte)
+        val buf = ByteBuffer.wrap(b).order(ByteOrder.LITTLE_ENDIAN)
+        var off = 12
+        var res: Option[Array[Short]] = None
+        while (off + 8 <= b.length && res.isEmpty) {
+          val size = buf.getInt(off + 4)
+          if (size < 0) off = b.length
+          else {
+            if (ascii(off, "data") && off + 8 + size.toLong <= b.length) {
+              val out = new Array[Short](nFrames.toInt)
+              var i = 0
+              while (i < out.length) { out(i) = buf.getShort(off + 8 + i * 2); i += 1 }
+              res = Some(out)
+            }
+            off += 8 + size + (size & 1)
+          }
+        }
+        res
+      }
+    }
+
+  /** Nearest-neighbor resize over top-down row-major BGR triplets:
+    * out(x, y) = src(x*w/ow, y*h/oh) with floor division — the
+    * decode -> transform step of a multimodal feature pipeline.
+    */
+  def resizeNearest(w: Int, h: Int, px: Array[Byte],
+                    ow: Int, oh: Int): Array[Byte] = {
+    require(w > 0 && h > 0 && ow > 0 && oh > 0)
+    val out = new Array[Byte](ow * oh * 3)
+    var y = 0
+    while (y < oh) {
+      val sy = y * h / oh
+      var x = 0
+      while (x < ow) {
+        val sx = x * w / ow
+        val src = (sy * w + sx) * 3
+        val dst = (y * ow + x) * 3
+        out(dst) = px(src); out(dst + 1) = px(src + 1); out(dst + 2) = px(src + 2)
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** Every k-th sample (frame sampling for audio/video streams). */
+  def frameSample(samples: Array[Short], k: Int): Array[Short] = {
+    require(k > 0)
+    Array.tabulate((samples.length + k - 1) / k)(i => samples(i * k))
+  }
+
   def encodeWav(sampleRate: Int, nFrames: Int): Array[Byte] = {
     val dataSize = nFrames * 2 // PCM16 mono silence
     val buf = ByteBuffer.allocate(44 + dataSize).order(ByteOrder.LITTLE_ENDIAN)

@@ -483,6 +483,55 @@ object ExtQueries {
       |            WHEN doc_id % 3 = 1 THEN 0 ELSE (doc_id * 53) % 256 END AS BIGINT) AS mean_px
       |FROM documents WHERE doc_id < 200""".stripMargin
 
+  // ---------------------------------------------------------------- q124
+  /** Multimodal RESIZE + FRAME-SAMPLE — the transform step after q85's
+    * decode: even ids carry a gradient BMP (pixel(x,y) =
+    * (x*7+y*13+seed) % 256) that is decoded and nearest-neighbor
+    * resized to 4x4; odd ids carry PCM16 WAV samples
+    * (sample(i) = (i*31+id) % 256) that are frame-sampled every 4th.
+    * The emitted checksum is the SUM over the resampled values, so the
+    * oracle re-derives the exact positional arithmetic — a resize that
+    * reads the wrong source pixel (or a frame-sampler with an
+    * off-by-one stride) hash-mismatches. Gradient content (not a
+    * constant fill) is what makes position errors visible.
+    */
+  def q124MediaResample(s: SparkSession, d: String): DataFrame = {
+    import graft.ext.Multimodal
+    implicit val spark: SparkSession = s
+    import s.implicits._
+    docs(s, d).select(col("doc_id")).filter(col("doc_id") < 120).as[Long].map { id =>
+      if (id % 2 == 0) {
+        val (w, h, seed) = (3 + (id % 13).toInt, 3 + (id % 9).toInt, (id % 251).toInt)
+        val (dw, dh, px) = Multimodal.decodeBmp(Multimodal.encodeBmpGradient(w, h, seed))
+          .getOrElse(sys.error(s"BMP decode failed for id $id"))
+        val res = Multimodal.resizeNearest(dw, dh, px, 4, 4)
+        val sum = (0 until 16).map(i => res(i * 3) & 0xff).sum.toLong
+        (id, "image", 16L, sum)
+      } else {
+        val n = 64 + (id % 64).toInt
+        val pcm = Array.tabulate(n)(i => ((i * 31 + id) % 256).toShort)
+        val dec = Multimodal.decodeWavSamples(Multimodal.encodeWavPcm(8000, pcm))
+          .getOrElse(sys.error(s"WAV decode failed for id $id"))
+        val sampled = Multimodal.frameSample(dec, 4)
+        (id, "audio", sampled.length.toLong, sampled.map(_.toLong).sum)
+      }
+    }.toDF("doc_id", "modality", "n_out", "resampled_sum")
+  }
+
+  val q124Sql: String =
+    """SELECT doc_id, 'image' AS modality, CAST(16 AS BIGINT) AS n_out,
+      |  CAST(list_sum(flatten(list_transform(generate_series(0, 3), y ->
+      |    list_transform(generate_series(0, 3), x ->
+      |      (((x * (3 + doc_id % 13)) // 4) * 7
+      |       + ((y * (3 + doc_id % 9)) // 4) * 13
+      |       + doc_id % 251) % 256)))) AS BIGINT) AS resampled_sum
+      |FROM documents WHERE doc_id < 120 AND doc_id % 2 = 0
+      |UNION ALL
+      |SELECT doc_id, 'audio', CAST((64 + doc_id % 64 - 1) // 4 + 1 AS BIGINT),
+      |  CAST(list_sum(list_transform(generate_series(0, (64 + doc_id % 64 - 1) // 4),
+      |    i -> (i * 4 * 31 + doc_id) % 256)) AS BIGINT)
+      |FROM documents WHERE doc_id < 120 AND doc_id % 2 = 1""".stripMargin
+
   // ---------------------------------------------------------------- q100
   /** PNG + JPEG at the gate (q85's pattern, the formats a real corpus
     * actually contains): even ids carry a REAL truecolor PNG —
@@ -1524,5 +1573,6 @@ object ExtQueries {
     "q121_leakage_safe_split" -> (q121LeakageSafeSplit _, q121Sql),
     "q122_sample_packing" -> (q122SamplePacking _, q122Sql),
     "q123_negative_sampling" -> (q123NegativeSampling _, q123Sql),
+    "q124_media_resample" -> (q124MediaResample _, q124Sql),
   )
 }

@@ -422,6 +422,24 @@ class ExtSpec extends SparkSpec {
     viaExpr.foreach { case (id, e) => assert(viaPartitions(id) == e) }
   }
 
+  test("resizeNearest and frameSample: hand-checked positional reads") {
+    import Multimodal._
+    // 4x2 gradient, seed 0: pixel(x,y) = x*7 + y*13
+    val Some((w, h, px)) = decodeBmp(encodeBmpGradient(4, 2, 0))
+    assert(w == 4 && h == 2)
+    // downsize to 2x1: out(x,0) = src(x*4/2, 0) = src(2x, 0) -> 0, 14
+    val down = resizeNearest(w, h, px, 2, 1)
+    assert((down(0) & 0xff) == 0 && (down(3) & 0xff) == 14)
+    // upsize to 8x4 replicates: out(7,3) = src(7*4/8, 3*2/4) = src(3,1) = 34
+    val up = resizeNearest(w, h, px, 8, 4)
+    assert((up(((3 * 8) + 7) * 3) & 0xff) == 3 * 7 + 13)
+    // WAV PCM roundtrip + every-3rd frame sampling (incl. negatives)
+    val pcm = Array.tabulate[Short](10)(i => (i * 100 - 400).toShort)
+    val Some(dec) = decodeWavSamples(encodeWavPcm(8000, pcm))
+    assert(dec.toSeq == pcm.toSeq)
+    assert(frameSample(dec, 3).toSeq == Seq[Short](-400, -100, 200, 500))
+  }
+
   // ------------------------------------------- LM quality / repetition / PII
   test("bigram-LM scores are valid probabilities and rank a repeated doc above noise") {
     val rows = graft.queries.ExtQueries.q112BigramLm(spark, sfDir)
