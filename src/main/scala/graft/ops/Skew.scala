@@ -44,4 +44,23 @@ object Skew {
       .groupBy(keys.map(col): _*)
       .agg(merged.head, merged.tail: _*)
   }
+
+  /** Skew-safe equi-join for a dim side too big to broadcast but small
+    * enough to replicate `salt` ways: the fact side salts each row by
+    * row id (identical hot keys scatter across `salt` reducers), the
+    * dim side is replicated once per salt value, and the join runs on
+    * (key, salt) — so a hot key's rows spread over `salt` partitions
+    * instead of pinning one. Exactly the rows of the unsalted join.
+    * (AQE skew handling splits oversized partitions after the fact;
+    * this is the explicit pre-plan form for known-pathological keys.)
+    */
+  def saltedJoin(fact: DataFrame, dim: DataFrame, key: String,
+                 salt: Int): DataFrame = {
+    require(salt > 0, "salt must be positive")
+    val saltedFact = fact.withColumn("__salt",
+      pmod(monotonically_increasing_id(), lit(salt)))
+    val replicatedDim = dim.withColumn("__salt",
+      explode(array((0 until salt).map(i => lit(i.toLong)): _*)))
+    saltedFact.join(replicatedDim, Seq(key, "__salt")).drop("__salt")
+  }
 }

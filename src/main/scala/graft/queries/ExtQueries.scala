@@ -1146,6 +1146,90 @@ object ExtQueries {
       |  CAST(sum(CASE WHEN straddles THEN 1 ELSE 0 END) AS BIGINT) AS n_straddlers
       |FROM packs GROUP BY pack_id""".stripMargin
 
+  // ---------------------------------------------------------------- q125
+  /** Overlapping document chunking (the RAG / context-window splitter):
+    * windows of ChunkW tokens at stride ChunkS (overlap W-S), last
+    * chunk clamped — pure per-row array expressions (slice clamps the
+    * tail identically to DuckDB's l[a:b]), exploded to one row per
+    * chunk. sequence(0, (n-1)/s) is ascending for every n >= 1, so no
+    * short-doc hazard here.
+    */
+  val ChunkW = 32
+  val ChunkS = 24
+
+  def q125ChunkOverlap(s: SparkSession, d: String): DataFrame =
+    docs(s, d).select(col("doc_id"), TextAnalysis.tokens(col("text")).as("ts"))
+      .select(col("doc_id"), explode(expr(
+        s"""transform(sequence(0, CAST((size(ts) - 1) / $ChunkS AS INT)),
+           |  i -> struct(CAST(i AS BIGINT) AS chunk_id,
+           |              slice(ts, i * $ChunkS + 1, $ChunkW) AS chunk))""".stripMargin)).as("c"))
+      .select(col("doc_id"), col("c.chunk_id"),
+        size(col("c.chunk")).cast("long").as("chunk_tokens"),
+        array_join(col("c.chunk"), " ").as("chunk_text"))
+
+  val q125Sql: String =
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents)
+       |SELECT doc_id, CAST(i AS BIGINT) AS chunk_id,
+       |  CAST(len(ts[i * $ChunkS + 1 : i * $ChunkS + $ChunkW]) AS BIGINT) AS chunk_tokens,
+       |  array_to_string(ts[i * $ChunkS + 1 : i * $ChunkS + $ChunkW], ' ') AS chunk_text
+       |FROM t, unnest(generate_series(0, (len(ts) - 1) // $ChunkS)) AS g(i)""".stripMargin
+
+  // ---------------------------------------------------------------- q126
+  /** Embedding L2-normalization + matryoshka truncation metrics: the
+    * full-vector norm, the first normalized component, and the
+    * fraction of L2 mass in the first 16 dims (the quality signal for
+    * truncating to a 16-dim matryoshka prefix). Per-row ordered folds
+    * (functions.aggregate / list_sum both accumulate in element
+    * order); results rounded to 6 decimals like every cosine gate.
+    */
+  def q126EmbeddingNormalize(s: SparkSession, d: String): DataFrame = {
+    val sumsq = (n: Int) => expr(
+      s"aggregate(slice(embedding, 1, $n), CAST(0.0 AS DOUBLE), (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))")
+    emb(s, d).select(
+      col("vec_id"),
+      round(sqrt(sumsq(64)), 6).as("l2"),
+      round(element_at(col("embedding"), 1).cast("double") / sqrt(sumsq(64)), 6).as("c1_norm"),
+      round(sqrt(sumsq(16)) / sqrt(sumsq(64)), 6).as("mass16"))
+  }
+
+  val q126Sql: String = {
+    def ss(n: Int) =
+      s"list_sum(list_transform(embedding[1:$n], x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
+    s"""SELECT vec_id, round(sqrt(${ss(64)}), 6) AS l2,
+       |  round(CAST(embedding[1] AS DOUBLE) / sqrt(${ss(64)}), 6) AS c1_norm,
+       |  round(sqrt(${ss(16)}) / sqrt(${ss(64)}), 6) AS mass16
+       |FROM embeddings""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q127
+  /** Salted skew join at the gate: events (hot 5-value event_type key —
+    * the distribution that pins one reducer in a plain shuffle join)
+    * joined to a per-type dim via [[graft.ops.Skew.saltedJoin]]: fact
+    * rows scatter over 8 salts, the dim replicates 8 ways, the join
+    * runs on (key, salt) — exactly the unsalted join's rows, which is
+    * what the oracle computes. Broadcast is disabled on the dim via
+    * hint-free replication, so the gate exercises the shuffle path the
+    * mechanism exists for.
+    */
+  def q127SaltedJoin(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val dim = ev.groupBy(col("event_type"))
+      .agg(min(col("event_id")).as("first_event"))
+    val joined = graft.ops.Skew.saltedJoin(
+      ev.select(col("event_type"), col("value")), dim, "event_type", salt = 8)
+    joined.groupBy(col("event_type"), col("first_event"))
+      .agg(count(lit(1)).as("n"),
+           sum(floor(col("value") * 1000).cast("long")).as("vchk"))
+  }
+
+  val q127Sql: String =
+    """WITH dim AS (SELECT event_type, min(event_id) AS first_event
+      |             FROM events GROUP BY event_type)
+      |SELECT e.event_type, d.first_event, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT) AS vchk
+      |FROM events e JOIN dim d USING (event_type)
+      |GROUP BY e.event_type, d.first_event""".stripMargin
+
   // ---------------------------------------------------------------- q123
   /** Deterministic negative sampling — contrastive-pair generation
     * with NO RNG state (q90's hash-gate idiom): each document draws
@@ -1574,5 +1658,8 @@ object ExtQueries {
     "q122_sample_packing" -> (q122SamplePacking _, q122Sql),
     "q123_negative_sampling" -> (q123NegativeSampling _, q123Sql),
     "q124_media_resample" -> (q124MediaResample _, q124Sql),
+    "q125_chunk_overlap" -> (q125ChunkOverlap _, q125Sql),
+    "q126_embedding_normalize" -> (q126EmbeddingNormalize _, q126Sql),
+    "q127_salted_join" -> (q127SaltedJoin _, q127Sql),
   )
 }

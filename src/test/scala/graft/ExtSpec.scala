@@ -569,6 +569,29 @@ class ExtSpec extends SparkSpec {
     assert(viaCorpus == 1L, "a content hash spanned two splits")
   }
 
+  test("salted join returns exactly the plain join's rows; chunker covers every token") {
+    import graft.ops.Skew
+    val ev = spark.read.parquet(s"$sfDir/events.parquet")
+      .select($"event_type", $"event_id")
+    val dim = ev.groupBy($"event_type").agg(min($"event_id").as("fe"))
+    val plain = ev.join(dim, "event_type")
+    val salted = Skew.saltedJoin(ev, dim, "event_type", salt = 8)
+    assert(salted.count() == plain.count())
+    assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
+    // chunker tail invariant: the last chunk ends exactly at the last
+    // token (max_chunk_id * stride + last_chunk_tokens == n_tokens)
+    val bad = graft.queries.ExtQueries.q125ChunkOverlap(spark, sfDir)
+      .groupBy($"doc_id")
+      .agg(max($"chunk_id").as("k"),
+           max(struct($"chunk_id", $"chunk_tokens")).as("last"))
+      .join(docs.select($"doc_id",
+        size(split($"text", " ")).cast("long").as("n")), "doc_id")
+      .filter($"k" * graft.queries.ExtQueries.ChunkS +
+              $"last.chunk_tokens" =!= $"n")
+      .count()
+    assert(bad == 0L, s"$bad docs have a chunk layout not ending at the last token")
+  }
+
   test("PII redaction removes every email/IPv4/phone it counted") {
     val out = graft.queries.ExtQueries.q114PiiRedact(spark, sfDir).cache()
     try {

@@ -396,6 +396,13 @@ class PlanSpec extends SparkSpec {
       "expected a hash/merge equi-join on the blocking key")
   }
 
+  test("salted join runs on the (key, salt) pair — hot keys scatter, no cartesian") {
+    val p = plan("q127_salted_join")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "salted join degraded to all-pairs")
+    assert(p.contains("__salt"), "salt column missing from the join plan")
+  }
+
   test("repetition quality rules are a pure per-row map — no exchange, no join") {
     // q113's metrics are array expressions over a bounded document:
     // the whole plan must stay inside one codegen'd map over the scan.
