@@ -1230,6 +1230,34 @@ object ExtQueries {
       |FROM events e JOIN dim d USING (event_type)
       |GROUP BY e.event_type, d.first_event""".stripMargin
 
+  // ---------------------------------------------------------------- q128
+  /** Bounded top-k per group via the TopK Aggregator — top 3 events by
+    * value per event_type, ids breaking exact ties. The window form
+    * (q07's shape) shuffles and sorts EVERY row of each group; this
+    * aggregate's buffer holds <= k pairs and merges associatively, so
+    * the map side combines and the shuffle carries k rows per upstream
+    * partition per group. The oracle is the window form — both orders
+    * are (value DESC, id ASC), so results hash-match exactly.
+    */
+  def q128TopkAgg(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val topk = udaf(graft.functions.TopK(3))
+    Tables.events(s, d)
+      .groupBy(col("event_type"))
+      .agg(topk(col("value"), col("event_id")).as("top"))
+      .select(col("event_type"), posexplode(col("top")))
+      .select(col("event_type"), (col("pos") + 1).cast("long").as("rank"),
+        col("col._2").as("event_id"), col("col._1").as("value"))
+  }
+
+  val q128Sql: String =
+    """SELECT event_type, CAST(rn AS BIGINT) AS rank, event_id, value FROM (
+      |  SELECT event_type, event_id, value,
+      |    row_number() OVER (PARTITION BY event_type
+      |      ORDER BY value DESC, event_id ASC) AS rn
+      |  FROM events)
+      |WHERE rn <= 3""".stripMargin
+
   // ---------------------------------------------------------------- q123
   /** Deterministic negative sampling — contrastive-pair generation
     * with NO RNG state (q90's hash-gate idiom): each document draws
@@ -1661,5 +1689,6 @@ object ExtQueries {
     "q125_chunk_overlap" -> (q125ChunkOverlap _, q125Sql),
     "q126_embedding_normalize" -> (q126EmbeddingNormalize _, q126Sql),
     "q127_salted_join" -> (q127SaltedJoin _, q127Sql),
+    "q128_topk_agg" -> (q128TopkAgg _, q128Sql),
   )
 }

@@ -396,6 +396,16 @@ class PlanSpec extends SparkSpec {
       "expected a hash/merge equi-join on the blocking key")
   }
 
+  test("top-k aggregator keeps partial aggregation — never a window over the fact") {
+    // the point of the TopK Aggregator: map-side combine carries <= k
+    // rows per partition per group; a Window here would shuffle and
+    // sort every row of every group
+    val p = plan("q128_topk_agg")
+    assert(!p.contains("Window"), "top-k fell back to a window sort")
+    assert("ObjectHashAggregate".r.findAllIn(p).size >= 2,
+      "expected partial+final ObjectHashAggregate for the typed buffer")
+  }
+
   test("salted join runs on the (key, salt) pair — hot keys scatter, no cartesian") {
     val p = plan("q127_salted_join")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
