@@ -324,7 +324,10 @@ object Multimodal {
     * and the q85/q100 gates; also how a lake would materialize derived
     * thumbnails/clips without external libs).
     */
-  def encodeBmp(w: Int, h: Int, bgrValue: Int): Array[Byte] = {
+  /** 24bpp BMP with per-pixel grayscale from `value(x, y)` — y counted
+    * TOP-DOWN (file rows are stored bottom-up, the encoder flips).
+    */
+  private def encodeBmpWith(w: Int, h: Int)(value: (Int, Int) => Byte): Array[Byte] = {
     val rowSize = (w * 3 + 3) / 4 * 4
     val dataSize = rowSize * h
     val buf = ByteBuffer.allocate(54 + dataSize).order(ByteOrder.LITTLE_ENDIAN)
@@ -332,11 +335,23 @@ object Multimodal {
       .putInt(0).putInt(54)
       .putInt(40).putInt(w).putInt(h).putShort(1).putShort(24)
       .putInt(0).putInt(dataSize).putInt(2835).putInt(2835).putInt(0).putInt(0)
-    val row = new Array[Byte](rowSize)
-    java.util.Arrays.fill(row, 0, w * 3, bgrValue.toByte)
-    (0 until h).foreach(_ => buf.put(row))
+    var r = 0
+    while (r < h) {
+      val y = h - 1 - r // bottom-up storage
+      val row = new Array[Byte](rowSize)
+      var x = 0
+      while (x < w) {
+        val v = value(x, y)
+        row(x * 3) = v; row(x * 3 + 1) = v; row(x * 3 + 2) = v
+        x += 1
+      }
+      buf.put(row); r += 1
+    }
     buf.array()
   }
+
+  def encodeBmp(w: Int, h: Int, bgrValue: Int): Array[Byte] =
+    encodeBmpWith(w, h)((_, _) => bgrValue.toByte)
 
   def encodePpm(w: Int, h: Int, grayValue: Int): Array[Byte] = {
     val header = s"P6\n$w $h\n255\n".getBytes("US-ASCII")
@@ -400,33 +415,12 @@ object Multimodal {
   }
 
   /** Gradient BMP: every channel of pixel (x, y) =
-    * (x*7 + y*13 + seed) % 256, y counted TOP-DOWN (file rows are
-    * stored bottom-up per the format, so the encoder flips) — decoding
-    * plus any positional transform (resize) is verifiable by pure
-    * arithmetic, unlike a constant fill.
+    * (x*7 + y*13 + seed) % 256 — decoding plus any positional
+    * transform (resize) is verifiable by pure arithmetic, unlike a
+    * constant fill.
     */
-  def encodeBmpGradient(w: Int, h: Int, seed: Int): Array[Byte] = {
-    val rowSize = (w * 3 + 3) / 4 * 4
-    val dataSize = rowSize * h
-    val buf = ByteBuffer.allocate(54 + dataSize).order(ByteOrder.LITTLE_ENDIAN)
-    buf.put('B'.toByte).put('M'.toByte).putInt(54 + dataSize)
-      .putInt(0).putInt(54)
-      .putInt(40).putInt(w).putInt(h).putShort(1).putShort(24)
-      .putInt(0).putInt(dataSize).putInt(2835).putInt(2835).putInt(0).putInt(0)
-    var r = 0
-    while (r < h) {
-      val y = h - 1 - r // bottom-up storage
-      val row = new Array[Byte](rowSize)
-      var x = 0
-      while (x < w) {
-        val v = ((x * 7 + y * 13 + seed) % 256).toByte
-        row(x * 3) = v; row(x * 3 + 1) = v; row(x * 3 + 2) = v
-        x += 1
-      }
-      buf.put(row); r += 1
-    }
-    buf.array()
-  }
+  def encodeBmpGradient(w: Int, h: Int, seed: Int): Array[Byte] =
+    encodeBmpWith(w, h)((x, y) => ((x * 7 + y * 13 + seed) % 256).toByte)
 
   /** PCM16 mono WAV carrying the given samples. */
   def encodeWavPcm(sampleRate: Int, samples: Array[Short]): Array[Byte] = {
@@ -443,7 +437,9 @@ object Multimodal {
   }
 
   /** PCM16 mono sample extraction (same chunk-walk discipline as
-    * decodeWav; truncated data fails the decode).
+    * decodeWav: the walk continues to the end and the LAST backed data
+    * chunk is authoritative, so the two decoders can never disagree on
+    * which payload nFrames describes; truncated data fails the decode).
     */
   def decodeWavSamples(b: Array[Byte]): Option[Array[Short]] =
     decodeWav(b).flatMap { case (_, ch, bits, nFrames) =>
@@ -453,21 +449,23 @@ object Multimodal {
           s.indices.forall(k => b(off + k) == s(k).toByte)
         val buf = ByteBuffer.wrap(b).order(ByteOrder.LITTLE_ENDIAN)
         var off = 12
-        var res: Option[Array[Short]] = None
-        while (off + 8 <= b.length && res.isEmpty) {
+        var dataOff = -1L
+        while (off + 8 <= b.length) {
           val size = buf.getInt(off + 4)
           if (size < 0) off = b.length
           else {
-            if (ascii(off, "data") && off + 8 + size.toLong <= b.length) {
-              val out = new Array[Short](nFrames.toInt)
-              var i = 0
-              while (i < out.length) { out(i) = buf.getShort(off + 8 + i * 2); i += 1 }
-              res = Some(out)
-            }
+            if (ascii(off, "data") && off + 8 + size.toLong <= b.length)
+              dataOff = off + 8L
             off += 8 + size + (size & 1)
           }
         }
-        res
+        if (dataOff < 0) None
+        else {
+          val out = new Array[Short](nFrames.toInt)
+          var i = 0
+          while (i < out.length) { out(i) = buf.getShort((dataOff + i * 2).toInt); i += 1 }
+          Some(out)
+        }
       }
     }
 
@@ -501,17 +499,8 @@ object Multimodal {
     Array.tabulate((samples.length + k - 1) / k)(i => samples(i * k))
   }
 
-  def encodeWav(sampleRate: Int, nFrames: Int): Array[Byte] = {
-    val dataSize = nFrames * 2 // PCM16 mono silence
-    val buf = ByteBuffer.allocate(44 + dataSize).order(ByteOrder.LITTLE_ENDIAN)
-    buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataSize)
-      .put("WAVE".getBytes("US-ASCII"))
-      .put("fmt ".getBytes("US-ASCII")).putInt(16)
-      .putShort(1).putShort(1).putInt(sampleRate).putInt(sampleRate * 2)
-      .putShort(2).putShort(16)
-      .put("data".getBytes("US-ASCII")).putInt(dataSize)
-    buf.array()
-  }
+  def encodeWav(sampleRate: Int, nFrames: Int): Array[Byte] =
+    encodeWavPcm(sampleRate, new Array[Short](nFrames)) // PCM16 mono silence
 
   /** Sniff-and-decode: real parse for BMP/PPM/WAV/PNG, real header
     * metadata for JPEG, stub fallback for everything else (and for any

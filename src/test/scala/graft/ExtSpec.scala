@@ -438,6 +438,26 @@ class ExtSpec extends SparkSpec {
     val Some(dec) = decodeWavSamples(encodeWavPcm(8000, pcm))
     assert(dec.toSeq == pcm.toSeq)
     assert(frameSample(dec, 3).toSeq == Seq[Short](-400, -100, 200, 500))
+    // multi-data-chunk WAV: both decoders must agree the LAST backed
+    // chunk is authoritative (sample extraction once read the first)
+    val a = Array[Short](1, 2)
+    val b = Array[Short](7, 8, 9, 10)
+    val two = {
+      val base = encodeWavPcm(8000, a)
+      val extra = java.nio.ByteBuffer.allocate(8 + b.length * 2)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      extra.put("data".getBytes("US-ASCII")).putInt(b.length * 2)
+      b.foreach(extra.putShort)
+      val out = base ++ extra.array()
+      // patch the RIFF size to cover the appended chunk
+      val bb = java.nio.ByteBuffer.wrap(out).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.putInt(4, out.length - 8)
+      out
+    }
+    val Some((_, _, _, nf)) = decodeWav(two)
+    assert(nf == b.length.toLong, s"decodeWav frames $nf")
+    assert(decodeWavSamples(two).map(_.toSeq).contains(b.toSeq),
+      "sample extraction disagreed with decodeWav on the authoritative chunk")
   }
 
   // ------------------------------------------- LM quality / repetition / PII
