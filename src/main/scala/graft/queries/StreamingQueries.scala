@@ -979,6 +979,84 @@ object StreamingQueries {
       col("top_bigram_frac"), col("dup_trigram_frac"), col("keep"))
   }
 
+  // ---------------------------------------------------------------- q129
+  /** Streaming TRENDING top-k: per 6-hour event-time window and event
+    * type, the top 3 events by value — the q128 TopK Aggregator
+    * running as STREAMING aggregation state (bounded buffer per open
+    * window in the state store, never the window's raw rows), emitted
+    * in APPEND mode once the watermark closes the window. Two
+    * time-ordered slices + the far-future sentinel pair (q84's gate
+    * discipline) force windows closed deterministically; the oracle is
+    * the batch window-function form over the same 6-hour buckets.
+    */
+  def q129StreamingTrending(s: SparkSession, d: String): DataFrame = {
+    val base = Files.createTempDirectory("graft_q129_").toString
+    val inDir = new java.io.File(base, "in"); inDir.mkdirs()
+    val ckpt = s"$base/ckpt"
+    val ev = graft.core.Tables.events(s, d)
+      .select(col("event_id"), col("event_type"), col("value"),
+              unix_micros(col("ts")).as("ts_us"))
+    val mm = ev.agg(min(col("ts_us")), max(col("ts_us"))).first()
+    val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+    val step = (hi - lo) / 2 + 1
+    def writeSlice(df: DataFrame, i: Int): Unit = {
+      val tmp = s"$base/slice$i"
+      df.coalesce(1).write.json(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".json")).get
+      val dest = new java.io.File(inDir, f"$i%02d.json")
+      Files.move(part.toPath, dest.toPath)
+      dest.setLastModified(60000L * (i + 1))
+    }
+    (0 until 2).foreach { i =>
+      writeSlice(ev.filter(col("ts_us") >= lo + i * step &&
+                           col("ts_us") <  lo + (i + 1) * step), i)
+    }
+    val day_us = 86400000000L
+    writeSlice(s.range(1).select(lit(-1L).as("event_id"), lit("x").as("event_type"),
+      lit(0.0).as("value"), lit(hi + 10 * day_us).as("ts_us")), 2)
+    writeSlice(s.range(1).select(lit(-2L).as("event_id"), lit("x").as("event_type"),
+      lit(0.0).as("value"), lit(hi + 20 * day_us).as("ts_us")), 3)
+
+    val topk = udaf(graft.functions.TopK(3))
+    val wire = StructType(Seq(
+      StructField("event_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("ts_us", LongType)))
+    val trending = s.readStream.schema(wire)
+      .option("maxFilesPerTrigger", "1").json(inDir.toString)
+      .select(col("event_id"), col("event_type"), col("value"),
+              timestamp_micros(col("ts_us")).as("ts"))
+      .withWatermark("ts", "1 second")
+      .groupBy(window(col("ts"), "6 hours"), col("event_type"))
+      .agg(topk(col("value"), col("event_id")).as("top"))
+    val memName = "q129_trending_" + java.lang.Long.toHexString(System.nanoTime())
+    val q = startStateful(s) {
+      trending.writeStream
+        .format("memory").queryName(memName)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+    }
+    q.awaitTermination()
+    s.table(memName)
+      .filter(col("event_type") =!= "x")
+      .select(col("event_type"), unix_millis(col("window.start")).as("w_start_ms"),
+              posexplode(col("top")))
+      .select(col("event_type"), col("w_start_ms"),
+        (col("pos") + 1).cast("long").as("rank"),
+        col("col._2").as("event_id"), col("col._1").as("value"))
+  }
+
+  val q129Sql: String =
+    """SELECT event_type, w_start_ms, CAST(rn AS BIGINT) AS rank, event_id, value FROM (
+      |  SELECT event_type, (epoch_ms(ts) // 21600000) * 21600000 AS w_start_ms,
+      |    event_id, value,
+      |    row_number() OVER (PARTITION BY event_type, epoch_ms(ts) // 21600000
+      |      ORDER BY value DESC, event_id ASC) AS rn
+      |  FROM events)
+      |WHERE rn <= 3""".stripMargin
+
   val entries: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "q66_streaming_cdc" -> (q66StreamingCdc _, q66Sql),
     "q76_streaming_agg" -> (q76StreamingAgg _, q76Sql),
@@ -996,5 +1074,6 @@ object StreamingQueries {
     "q107_streaming_embedding_index" -> (q107StreamingEmbeddingIndex _, ExtQueries.q32Sql),
     "q110_change_feed" -> (q110ChangeFeed _, q110Sql),
     "q119_streaming_curation_index" -> (q119StreamingCurationIndex _, ExtQueries.q113Sql),
+    "q129_streaming_trending" -> (q129StreamingTrending _, q129Sql),
   )
 }
