@@ -147,7 +147,10 @@ object ExtQueries {
       .agg(count(lit(1)).as("n_docs"), max(col("id")).as("max_doc_id"))
   }
 
-  val q71Sql: String =
+  /** Shared recursive-CTE prefix: near-dup pairs -> connected
+    * components as `comp(id, cluster_id)` (q71 + q130 build on it).
+    */
+  private lazy val ccCtePrefix: String =
     s"""WITH RECURSIVE p AS ($q26Sql),
        |  edges AS (SELECT id_a AS src, id_b AS dst FROM p
        |            UNION ALL SELECT id_b, id_a FROM p),
@@ -156,7 +159,10 @@ object ExtQueries {
        |    SELECT id, id FROM nodes
        |    UNION
        |    SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id),
-       |  comp AS (SELECT id, min(lbl) AS cluster_id FROM reach GROUP BY id)
+       |  comp AS (SELECT id, min(lbl) AS cluster_id FROM reach GROUP BY id)""".stripMargin
+
+  val q71Sql: String =
+    s"""$ccCtePrefix
        |SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_docs,
        |  max(id) AS max_doc_id
        |FROM comp GROUP BY cluster_id""".stripMargin
@@ -1230,6 +1236,43 @@ object ExtQueries {
       |FROM events e JOIN dim d USING (event_type)
       |GROUP BY e.event_type, d.first_event""".stripMargin
 
+  // ---------------------------------------------------------------- q130
+  /** Canonical-pick deduplication: within each near-dup cluster (q71's
+    * connected components over MinHash-LSH pairs), KEEP the
+    * highest-quality copy (q21's deterministic quality score, doc_id
+    * breaking exact ties) instead of an arbitrary id — what a real
+    * curation pipeline does, since the duplicates differ in cruft.
+    * argmax is a max(struct(quality, -id)) aggregate (the IVF/LWW
+    * packed-argmax discipline — never a window over the corpus).
+    */
+  def q130ClusterCanonical(s: SparkSession, d: String): DataFrame = {
+    import TextAnalysis._
+    val pairs = Dedup.minhashNearDups(docs(s, d), k = 12, bands = 4, threshold = 0.5)
+    val comps = Dedup.connectedComponents(pairs)
+    val toks = tokens(col("text"))
+    val quality = docs(s, d).select(col("doc_id"),
+      qualityScore(size(toks), digitTokenCount(toks), countIn(toks, Stopwords)).as("q"))
+    comps.join(quality, comps("id") === quality("doc_id"))
+      .groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("n_docs"),
+           max(struct(col("q"), (-col("doc_id")).as("nid"))).as("best"))
+      .select(col("cluster_id"), col("n_docs"),
+        (-col("best.nid")).as("keeper_doc_id"), col("best.q").as("keeper_quality"))
+  }
+
+  val q130Sql: String =
+    s"""$ccCtePrefix,
+       |  qual AS (SELECT doc_id, ${T.quality} AS q FROM documents),
+       |  ranked AS (
+       |    SELECT comp.cluster_id, qual.doc_id, qual.q,
+       |      row_number() OVER (PARTITION BY comp.cluster_id
+       |        ORDER BY qual.q DESC, qual.doc_id ASC) AS rn,
+       |      count(*) OVER (PARTITION BY comp.cluster_id) AS n_docs
+       |    FROM comp JOIN qual ON comp.id = qual.doc_id)
+       |SELECT cluster_id, CAST(n_docs AS BIGINT) AS n_docs,
+       |  doc_id AS keeper_doc_id, q AS keeper_quality
+       |FROM ranked WHERE rn = 1""".stripMargin
+
   // ---------------------------------------------------------------- q128
   /** Bounded top-k per group via the TopK Aggregator — top 3 events by
     * value per event_type, ids breaking exact ties. The window form
@@ -1690,5 +1733,6 @@ object ExtQueries {
     "q126_embedding_normalize" -> (q126EmbeddingNormalize _, q126Sql),
     "q127_salted_join" -> (q127SaltedJoin _, q127Sql),
     "q128_topk_agg" -> (q128TopkAgg _, q128Sql),
+    "q130_cluster_canonical" -> (q130ClusterCanonical _, q130Sql),
   )
 }

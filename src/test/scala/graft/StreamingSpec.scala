@@ -290,6 +290,72 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("TopK aggregation buffers survive checkpoint restart (RocksDB)") {
+    // q129's untested half: the typed Aggregator's Seq buffer must
+    // round-trip through checkpointed streaming aggregation state.
+    // Phase 1 ingests real events into a still-open window and stops —
+    // the k-pair buffers exist ONLY in state. Sentinels land while the
+    // query is down; phase 2 restarts, closes the window, and must
+    // emit exactly the batch top-3 (ties broken by id) from RESTORED
+    // buffers.
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.streaming.Trigger
+    val base = java.nio.file.Files.createTempDirectory("graft_topkr_").toString
+    val inDir = new java.io.File(base, "in"); inDir.mkdirs()
+    val ckpt = s"$base/ckpt"; val outDir = s"$base/out"
+    def writeSlice(lines: Seq[String], i: Int): Unit = {
+      val dest = new java.io.File(inDir, f"$i%02d.json")
+      java.nio.file.Files.write(dest.toPath, lines.mkString("\n").getBytes)
+      dest.setLastModified(60000L * (i + 1))
+    }
+    def ev(id: Long, v: Double, ts: Long) =
+      s"""{"event_id":$id,"event_type":"click","value":$v,"ts_us":$ts}"""
+    val t0 = 1000000000000000L; val dayUs = 86400000000L
+    writeSlice(Seq(ev(1, 5.0, t0), ev(2, 7.0, t0 + 1), ev(3, 7.0, t0 + 2),
+                   ev(4, 1.0, t0 + 3), ev(5, 3.0, t0 + 4)), 0)
+    val wire = StructType(Seq(
+      StructField("event_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("ts_us", LongType)))
+    val topk = udaf(graft.functions.TopK(3))
+    def startQ() =
+      spark.readStream.schema(wire)
+        .option("maxFilesPerTrigger", "1").json(inDir.toString)
+        .select($"event_id", $"event_type", $"value",
+                timestamp_micros($"ts_us").as("ts"))
+        .withWatermark("ts", "1 second")
+        .groupBy(window($"ts", "6 hours"), $"event_type")
+        .agg(topk($"value", $"event_id").as("top"))
+        .writeStream.format("parquet")
+        .option("path", outDir).option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProv = spark.conf.getOption(provKey)
+    spark.conf.set(provKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val q1 = startQ(); q1.awaitTermination()
+      assert(spark.read.schema(
+          "window struct<start:timestamp,end:timestamp>, event_type string, top array<struct<_1:double,_2:bigint>>")
+        .parquet(outDir).filter($"event_type" === "click").isEmpty,
+        "open window must stay buffered in state, not emitted")
+      writeSlice(Seq(ev(-1, 0.0, t0 + 10 * dayUs)), 1)
+      writeSlice(Seq(ev(-2, 0.0, t0 + 20 * dayUs)), 2)
+      val q2 = startQ(); q2.awaitTermination()
+      val top = spark.read.parquet(outDir).filter($"event_type" === "click")
+        .select(explode($"top")).select($"col._1", $"col._2")
+        .as[(Double, Long)].collect().toList
+        .filter(_._2 >= 0) // drop the sentinels' own closed window
+      assert(top == List((7.0, 2L), (7.0, 3L), (5.0, 1L)),
+        s"restored buffer emitted $top")
+    } finally {
+      prevProv match {
+        case Some(p) => spark.conf.set(provKey, p)
+        case None    => spark.conf.unset(provKey)
+      }
+    }
+  }
+
   test("TTL state policy expires idle keys past the watermark, keeps live ones") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[ChangeEvent]
