@@ -1236,6 +1236,95 @@ object ExtQueries {
       |FROM events e JOIN dim d USING (event_type)
       |GROUP BY e.event_type, d.first_event""".stripMargin
 
+  // ---------------------------------------------------------------- q131
+  /** Robust statistics per event type: exact interpolated median, MAD
+    * (median absolute deviation), and the |x - median| > 3*MAD outlier
+    * count — the quality-monitoring tier that survives heavy tails
+    * where mean/stddev (q73) do not. Two passes over the fact: one for
+    * the median, one (with the 5-row medians broadcast back) for MAD +
+    * outliers. Both engines interpolate (1-g)*lo + g*hi over identical
+    * operands, so the gate is hash-exact.
+    */
+  def q131RobustStats(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val med = ev.groupBy(col("event_type"))
+      .agg(expr("percentile(value, 0.5D)").as("median"))
+    val dev = ev.join(broadcast(med), "event_type")
+      .withColumn("adev", abs(col("value") - col("median")))
+    val mad = dev.groupBy(col("event_type"), col("median"))
+      .agg(expr("percentile(adev, 0.5D)").as("mad"), count(lit(1)).as("n"))
+    dev.join(broadcast(mad.select(col("event_type"), col("mad"), col("n"))), "event_type")
+      .groupBy(col("event_type"), col("median"), col("mad"), col("n"))
+      .agg(sum(when(col("adev") > col("mad") * 3, 1L).otherwise(0L)).as("n_outliers"))
+      .select(col("event_type"), col("n"), col("median"), col("mad"), col("n_outliers"))
+  }
+
+  val q131Sql: String =
+    """WITH med AS (SELECT event_type, quantile_cont(value, 0.5) AS median
+      |             FROM events GROUP BY event_type),
+      |dev AS (SELECT e.event_type, med.median, abs(e.value - med.median) AS adev
+      |        FROM events e JOIN med USING (event_type)),
+      |mad AS (SELECT event_type, median, quantile_cont(adev, 0.5) AS mad,
+      |          CAST(count(*) AS BIGINT) AS n
+      |        FROM dev GROUP BY event_type, median)
+      |SELECT d.event_type, mad.n, d.median, mad.mad,
+      |  CAST(sum(CASE WHEN d.adev > mad.mad * 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+      |FROM dev d JOIN mad USING (event_type)
+      |GROUP BY d.event_type, mad.n, d.median, mad.mad""".stripMargin
+
+  // ---------------------------------------------------------------- q132
+  /** Referential-integrity audit — the data-quality sweep a warehouse
+    * runs before publishing: per relationship, parent-key count,
+    * child-row count, and ORPHANED child rows (left-anti join on the
+    * parent key — never a full join materialization). The synthetic
+    * star schema is clean, so the witness value is 0 — and the gate
+    * proves the audit MECHANISM (an injected orphan shows up in
+    * ExtSpec, not here).
+    */
+  /** One relationship's audit row: counts + left-anti orphan count. */
+  def fkAudit(rel: String, child: DataFrame, ck: String,
+              parent: DataFrame, pk: String): DataFrame = {
+    val orphans = child.join(parent.select(col(pk).as(ck)), Seq(ck), "left_anti")
+    child.agg(count(lit(1)).as("n_child")).crossJoin(
+        parent.agg(count(lit(1)).as("n_parent")))
+      .crossJoin(orphans.agg(count(lit(1)).as("n_orphans")))
+      .select(lit(rel).as("relationship"), col("n_parent"), col("n_child"),
+              col("n_orphans"))
+  }
+
+  def q132FkAudit(s: SparkSession, d: String): DataFrame = {
+    def audit(rel: String, child: DataFrame, ck: String,
+              parent: DataFrame, pk: String): DataFrame =
+      fkAudit(rel, child, ck, parent, pk)
+    audit("lineitem->orders", Tables.lineitem(s, d), "l_orderkey",
+          Tables.orders(s, d), "o_orderkey")
+      .unionByName(audit("orders->customer",
+        Tables.orders(s, d).withColumn("c_custkey", col("o_custkey")), "c_custkey",
+        Tables.customer(s, d), "c_custkey"))
+      .unionByName(audit("customer->nation",
+        Tables.customer(s, d).withColumn("n_nationkey", col("c_nationkey")), "n_nationkey",
+        Tables.nation(s, d), "n_nationkey"))
+  }
+
+  val q132Sql: String =
+    """SELECT 'lineitem->orders' AS relationship,
+      |  (SELECT count(*) FROM orders) AS n_parent,
+      |  (SELECT count(*) FROM lineitem) AS n_child,
+      |  (SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+      |     (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)) AS n_orphans
+      |UNION ALL
+      |SELECT 'orders->customer',
+      |  (SELECT count(*) FROM customer),
+      |  (SELECT count(*) FROM orders),
+      |  (SELECT count(*) FROM orders x WHERE NOT EXISTS
+      |     (SELECT 1 FROM customer c WHERE c.c_custkey = x.o_custkey))
+      |UNION ALL
+      |SELECT 'customer->nation',
+      |  (SELECT count(*) FROM nation),
+      |  (SELECT count(*) FROM customer),
+      |  (SELECT count(*) FROM customer x WHERE NOT EXISTS
+      |     (SELECT 1 FROM nation n WHERE n.n_nationkey = x.c_nationkey))""".stripMargin
+
   // ---------------------------------------------------------------- q130
   /** Canonical-pick deduplication: within each near-dup cluster (q71's
     * connected components over MinHash-LSH pairs), KEEP the
@@ -1734,5 +1823,7 @@ object ExtQueries {
     "q127_salted_join" -> (q127SaltedJoin _, q127Sql),
     "q128_topk_agg" -> (q128TopkAgg _, q128Sql),
     "q130_cluster_canonical" -> (q130ClusterCanonical _, q130Sql),
+    "q131_robust_stats" -> (q131RobustStats _, q131Sql),
+    "q132_fk_audit" -> (q132FkAudit _, q132Sql),
   )
 }

@@ -612,6 +612,14 @@ class ExtSpec extends SparkSpec {
     assert(bad == 0L, s"$bad docs have a chunk layout not ending at the last token")
   }
 
+  test("FK audit counts exactly the injected orphans") {
+    val parent = Seq(1L, 2L, 3L).toDF("pk")
+    val child = Seq(1L, 1L, 2L, 99L, 98L).toDF("ck") // two orphans
+    val row = graft.queries.ExtQueries.fkAudit("t", child, "ck", parent, "pk").first()
+    assert(row.getLong(1) == 3L && row.getLong(2) == 5L && row.getLong(3) == 2L,
+      s"audit row was $row")
+  }
+
   test("PII redaction removes every email/IPv4/phone it counted") {
     val out = graft.queries.ExtQueries.q114PiiRedact(spark, sfDir).cache()
     try {
