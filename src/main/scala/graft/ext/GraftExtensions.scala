@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import graft.functions.{CosineSimilarity, DotProduct, JaccardSimilarity, SimHash48, WordShingles}
+import graft.functions.{CosineSimilarity, DotProduct, JaccardSimilarity, NfcNormalize, SimHash48, WordShingles}
 
 /** SparkSessionExtensions entry point: registers the engine's native
   * Catalyst expressions as SQL functions, so the `spark.sql(...)` path
@@ -45,6 +45,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => SimHash48(args(0))))
 
     ext.injectFunction((
+      FunctionIdentifier("nfc_normalize"),
+      info("nfc_normalize", "nfc_normalize(string) - Unicode NFC normalization (UAX #15)"),
+      (args: Seq[Expression]) => NfcNormalize(args(0))))
+
+    ext.injectFunction((
       FunctionIdentifier("word_shingles"),
       info("word_shingles", "word_shingles(array<string>, n) - distinct word n-gram shingles"),
       (args: Seq[Expression]) =>
@@ -76,5 +81,6 @@ object GraftExtensions {
     add("simhash48", args => SimHash48(args(0)))
     add("word_shingles", args => WordShingles(args(0), self.intArg(args(1), "word_shingles")))
     add("jaccard_sim", args => JaccardSimilarity(args(0), args(1)))
+    add("nfc_normalize", args => NfcNormalize(args(0)))
   }
 }

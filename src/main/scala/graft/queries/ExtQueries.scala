@@ -1236,6 +1236,40 @@ object ExtQueries {
       |FROM events e JOIN dim d USING (event_type)
       |GROUP BY e.event_type, d.first_event""".stripMargin
 
+  // ---------------------------------------------------------------- q133
+  /** Unicode NFC normalization at the gate: denormalized text is
+    * synthesized from the customer table (combining-mark sequences
+    * `e`+U+0301 and `i`+U+0308 that NFC folds to the composed é / ï),
+    * run through the native NfcNormalize expression, and compared
+    * byte-for-byte against DuckDB's nfc_normalize — both implement
+    * UAX #15. octet_length before/after pins that composition actually
+    * happened (raw is 2 bytes longer per combining pair than NFC).
+    * This is the canonicalization step dedup fingerprints need:
+    * without it, canonically-equal byte sequences from different
+    * producers hash apart.
+    */
+  def q133UnicodeNormalize(s: SparkSession, d: String): DataFrame = {
+    // DECOMPOSED combining sequences (e + U+0301, i + U+0308) -- the
+    // form NFC must fold; a precomposed literal would test nothing
+    val raw = concat(col("c_name"), lit(" café naïve"))
+    Tables.customer(s, d)
+      .select(col("c_custkey"), raw.as("raw"))
+      .select(
+        col("c_custkey"),
+        octet_length(col("raw")).cast("long").as("raw_bytes"),
+        graft.functions.NfcFunctions.nfcNormalize(col("raw")).as("nfc"))
+      .withColumn("nfc_bytes", octet_length(col("nfc")).cast("long"))
+  }
+
+  val q133Sql: String =
+    """WITH r AS (SELECT c_custkey,
+      |  c_name || ' cafe' || chr(769) || ' nai' || chr(776) || 've' AS raw
+      |  FROM customer)
+      |SELECT c_custkey, CAST(strlen(raw) AS BIGINT) AS raw_bytes,
+      |  nfc_normalize(raw) AS nfc,
+      |  CAST(strlen(nfc_normalize(raw)) AS BIGINT) AS nfc_bytes
+      |FROM r""".stripMargin
+
   // ---------------------------------------------------------------- q131
   /** Robust statistics per event type: exact interpolated median, MAD
     * (median absolute deviation), and the |x - median| > 3*MAD outlier
@@ -1825,5 +1859,6 @@ object ExtQueries {
     "q130_cluster_canonical" -> (q130ClusterCanonical _, q130Sql),
     "q131_robust_stats" -> (q131RobustStats _, q131Sql),
     "q132_fk_audit" -> (q132FkAudit _, q132Sql),
+    "q133_unicode_normalize" -> (q133UnicodeNormalize _, q133Sql),
   )
 }

@@ -66,6 +66,21 @@ class SqlFunctionsSpec extends SparkSpec {
     new GraftExtensions().apply(new org.apache.spark.sql.SparkSessionExtensions)
   }
 
+  test("nfc_normalize composes combining sequences, passes NFC strings through") {
+    import s.implicits._
+    // "e" + combining acute must compose to the 1-codepoint é
+    val row = s.sql("SELECT nfc_normalize('café') AS n, " +
+      "octet_length(nfc_normalize('café')) AS b").first()
+    assert(row.getString(0) == "café" && row.getInt(1) == 5)
+    // already-NFC input is returned unchanged (fast path)
+    assert(s.sql("SELECT nfc_normalize('plain ascii')").first().getString(0)
+      == "plain ascii")
+    // Column API reaches the same expression
+    val via = Seq("naïve").toDF("t")
+      .select(graft.functions.NfcFunctions.nfcNormalize($"t")).first().getString(0)
+    assert(via == "naïve")
+  }
+
   test("word_shingles rejects a non-literal n") {
     import s.implicits._
     Seq(("x y z", 2)).toDF("txt", "n").createOrReplaceTempView("bad")
