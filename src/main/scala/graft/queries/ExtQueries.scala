@@ -1283,8 +1283,12 @@ object ExtQueries {
     val ev = Tables.events(s, d)
     val med = ev.groupBy(col("event_type"))
       .agg(expr("percentile(value, 0.5D)").as("median"))
+    // persist: dev feeds BOTH the mad aggregation and the outlier
+    // count — without it the fact is rescanned per consumer
+    // (CacheManager-tracked; the harness clearCache() reclaims it)
     val dev = ev.join(broadcast(med), "event_type")
       .withColumn("adev", abs(col("value") - col("median")))
+      .persist()
     val mad = dev.groupBy(col("event_type"), col("median"))
       .agg(expr("percentile(adev, 0.5D)").as("mad"), count(lit(1)).as("n"))
     dev.join(broadcast(mad.select(col("event_type"), col("mad"), col("n"))), "event_type")
@@ -1326,19 +1330,13 @@ object ExtQueries {
               col("n_orphans"))
   }
 
-  def q132FkAudit(s: SparkSession, d: String): DataFrame = {
-    def audit(rel: String, child: DataFrame, ck: String,
-              parent: DataFrame, pk: String): DataFrame =
-      fkAudit(rel, child, ck, parent, pk)
-    audit("lineitem->orders", Tables.lineitem(s, d), "l_orderkey",
-          Tables.orders(s, d), "o_orderkey")
-      .unionByName(audit("orders->customer",
-        Tables.orders(s, d).withColumn("c_custkey", col("o_custkey")), "c_custkey",
+  def q132FkAudit(s: SparkSession, d: String): DataFrame =
+    fkAudit("lineitem->orders", Tables.lineitem(s, d), "l_orderkey",
+            Tables.orders(s, d), "o_orderkey")
+      .unionByName(fkAudit("orders->customer", Tables.orders(s, d), "o_custkey",
         Tables.customer(s, d), "c_custkey"))
-      .unionByName(audit("customer->nation",
-        Tables.customer(s, d).withColumn("n_nationkey", col("c_nationkey")), "n_nationkey",
+      .unionByName(fkAudit("customer->nation", Tables.customer(s, d), "c_nationkey",
         Tables.nation(s, d), "n_nationkey"))
-  }
 
   val q132Sql: String =
     """SELECT 'lineitem->orders' AS relationship,
