@@ -413,6 +413,21 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("__salt"), "salt column missing from the join plan")
   }
 
+  test("chunker is scan + per-row explode — no exchange, no join") {
+    val p = executed(SparkEntry.queries("q125_chunk_overlap")(spark, sfDir))
+    assert(!p.contains("Exchange"), "chunker plan shuffles")
+    assert(!p.contains("Join"), "chunker plan joins")
+    assert(p.contains("Generate"), "expected the per-chunk explode")
+  }
+
+  test("robust stats broadcast the 5-row medians back — the fact is never windowed") {
+    val p = plan("q131_robust_stats")
+    assert(!p.contains("Window"), "median/MAD fell back to a window sort")
+    assert("BroadcastHashJoin".r.findFirstIn(p).isDefined,
+      "medians not broadcast back onto the fact")
+    assert(!p.contains("CartesianProduct"), "stats join degraded to all-pairs")
+  }
+
   test("repetition quality rules are a pure per-row map — no exchange, no join") {
     // q113's metrics are array expressions over a bounded document:
     // the whole plan must stay inside one codegen'd map over the scan.
