@@ -1048,6 +1048,84 @@ object StreamingQueries {
         col("col._2").as("event_id"), col("col._1").as("value"))
   }
 
+  // ---------------------------------------------------------------- q134
+  /** Streaming WINDOWED DISTINCT sketches — trending uniques: per
+    * 6-hour window and event type, approx_count_distinct(user_id)
+    * (HLL++ partial state merging per micro-batch in the state store,
+    * never a per-window user set), APPEND-emitted on watermark close.
+    * Witness discipline (q39/q95): the gate joins the streaming
+    * estimates back to the batch-exact distinct counts and emits the
+    * exact value plus the in-band tolerance boolean the oracle answers
+    * TRUE to — a drifting sketch or a window that closed early flips
+    * the bool or the exact count and fails the hash.
+    */
+  def q134StreamingDistinct(s: SparkSession, d: String): DataFrame = {
+    val base = Files.createTempDirectory("graft_q134_").toString
+    val inDir = new java.io.File(base, "in"); inDir.mkdirs()
+    val ckpt = s"$base/ckpt"
+    val ev = graft.core.Tables.events(s, d)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("ts_us"))
+    val mm = ev.agg(min(col("ts_us")), max(col("ts_us"))).first()
+    val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+    val step = (hi - lo) / 2 + 1
+    def writeSlice(df: DataFrame, i: Int): Unit = {
+      val tmp = s"$base/slice$i"
+      df.coalesce(1).write.json(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".json")).get
+      val dest = new java.io.File(inDir, f"$i%02d.json")
+      Files.move(part.toPath, dest.toPath)
+      dest.setLastModified(60000L * (i + 1))
+    }
+    (0 until 2).foreach { i =>
+      writeSlice(ev.filter(col("ts_us") >= lo + i * step &&
+                           col("ts_us") <  lo + (i + 1) * step), i)
+    }
+    val day_us = 86400000000L
+    writeSlice(s.range(1).select(lit(-1L).as("user_id"), lit("x").as("event_type"),
+      lit(hi + 10 * day_us).as("ts_us")), 2)
+    writeSlice(s.range(1).select(lit(-2L).as("user_id"), lit("x").as("event_type"),
+      lit(hi + 20 * day_us).as("ts_us")), 3)
+
+    val wire = StructType(Seq(
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("ts_us", LongType)))
+    val uniques = s.readStream.schema(wire)
+      .option("maxFilesPerTrigger", "1").json(inDir.toString)
+      .select(col("user_id"), col("event_type"),
+              timestamp_micros(col("ts_us")).as("ts"))
+      .withWatermark("ts", "1 second")
+      .groupBy(window(col("ts"), "6 hours"), col("event_type"))
+      .agg(approx_count_distinct(col("user_id"), rsd = 0.02).as("approx_users"))
+    val memName = "q134_uniques_" + java.lang.Long.toHexString(System.nanoTime())
+    val q = startStateful(s) {
+      uniques.writeStream
+        .format("memory").queryName(memName)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+    }
+    q.awaitTermination()
+    val streamed = s.table(memName)
+      .filter(col("event_type") =!= "x")
+      .select(col("event_type"), unix_millis(col("window.start")).as("w_start_ms"),
+              col("approx_users"))
+    val exact = ev
+      .withColumn("w_start_ms", (col("ts_us") / 1000 / 21600000L).cast("long") * 21600000L)
+      .groupBy(col("event_type"), col("w_start_ms"))
+      .agg(countDistinct(col("user_id")).as("exact_users"))
+    streamed.join(exact, Seq("event_type", "w_start_ms"))
+      .select(col("event_type"), col("w_start_ms"), col("exact_users"),
+        (abs(col("approx_users") - col("exact_users")) <=
+          col("exact_users").cast("double") * 0.05 + 5.0).as("approx_ok"))
+  }
+
+  val q134Sql: String =
+    """SELECT event_type, (epoch_ms(ts) // 21600000) * 21600000 AS w_start_ms,
+      |  CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users, TRUE AS approx_ok
+      |FROM events GROUP BY event_type, w_start_ms""".stripMargin
+
   val q129Sql: String =
     """SELECT event_type, w_start_ms, CAST(rn AS BIGINT) AS rank, event_id, value FROM (
       |  SELECT event_type, (epoch_ms(ts) // 21600000) * 21600000 AS w_start_ms,
@@ -1075,5 +1153,6 @@ object StreamingQueries {
     "q110_change_feed" -> (q110ChangeFeed _, q110Sql),
     "q119_streaming_curation_index" -> (q119StreamingCurationIndex _, ExtQueries.q113Sql),
     "q129_streaming_trending" -> (q129StreamingTrending _, q129Sql),
+    "q134_streaming_distinct" -> (q134StreamingDistinct _, q134Sql),
   )
 }
