@@ -1126,6 +1126,90 @@ object StreamingQueries {
       |  CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users, TRUE AS approx_ok
       |FROM events GROUP BY event_type, w_start_ms""".stripMargin
 
+  // ---------------------------------------------------------------- q135
+  /** Streaming WINDOWED QUANTILE sketches — completes the streaming
+    * sketch tier (q129 bounded top-k state, q134 HLL distinct state):
+    * per 6-hour window and event type, approx_percentile's mergeable
+    * sketch accumulates in the state store per micro-batch, APPENDs on
+    * watermark close, and the gate re-derives q116's rank-interval
+    * guarantee against the batch fact — |rank interval of est| must
+    * intersect [q ± 1/accuracy + 2/n]. Exact per-window medians ride
+    * alongside as the oracle-matched twin (quantile_cont arithmetic,
+    * q116's discipline).
+    */
+  def q135StreamingQuantiles(s: SparkSession, d: String): DataFrame = {
+    val base = Files.createTempDirectory("graft_q135_").toString
+    val inDir = new java.io.File(base, "in"); inDir.mkdirs()
+    val ckpt = s"$base/ckpt"
+    val accuracy = 1000
+    val ev = graft.core.Tables.events(s, d)
+      .select(col("event_type"), col("value"), unix_micros(col("ts")).as("ts_us"))
+    val mm = ev.agg(min(col("ts_us")), max(col("ts_us"))).first()
+    val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+    val step = (hi - lo) / 2 + 1
+    def writeSlice(df: DataFrame, i: Int): Unit = {
+      val tmp = s"$base/slice$i"
+      df.coalesce(1).write.json(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".json")).get
+      val dest = new java.io.File(inDir, f"$i%02d.json")
+      Files.move(part.toPath, dest.toPath)
+      dest.setLastModified(60000L * (i + 1))
+    }
+    (0 until 2).foreach { i =>
+      writeSlice(ev.filter(col("ts_us") >= lo + i * step &&
+                           col("ts_us") <  lo + (i + 1) * step), i)
+    }
+    val day_us = 86400000000L
+    writeSlice(s.range(1).select(lit("x").as("event_type"), lit(0.0).as("value"),
+      lit(hi + 10 * day_us).as("ts_us")), 2)
+    writeSlice(s.range(1).select(lit("x").as("event_type"), lit(0.0).as("value"),
+      lit(hi + 20 * day_us).as("ts_us")), 3)
+
+    val wire = StructType(Seq(
+      StructField("event_type", StringType), StructField("value", DoubleType),
+      StructField("ts_us", LongType)))
+    val meds = s.readStream.schema(wire)
+      .option("maxFilesPerTrigger", "1").json(inDir.toString)
+      .select(col("event_type"), col("value"), timestamp_micros(col("ts_us")).as("ts"))
+      .withWatermark("ts", "1 second")
+      .groupBy(window(col("ts"), "6 hours"), col("event_type"))
+      .agg(expr(s"approx_percentile(value, 0.5D, $accuracy)").as("est"))
+    val memName = "q135_quant_" + java.lang.Long.toHexString(System.nanoTime())
+    val q = startStateful(s) {
+      meds.writeStream
+        .format("memory").queryName(memName)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+    }
+    q.awaitTermination()
+    val streamed = s.table(memName)
+      .filter(col("event_type") =!= "x")
+      .select(col("event_type"), unix_millis(col("window.start")).as("w_start_ms"),
+              col("est"))
+    val fact = ev
+      .withColumn("w_start_ms", (col("ts_us") / 1000 / 21600000L).cast("long") * 21600000L)
+    val exact = fact.groupBy(col("event_type"), col("w_start_ms"))
+      .agg(expr("percentile(value, 0.5D)").as("pct_exact"), count(lit(1)).as("n"))
+    val band = lit(1.0 / accuracy) + lit(2.0) / col("n")
+    fact.join(broadcast(streamed.join(exact, Seq("event_type", "w_start_ms"))),
+        Seq("event_type", "w_start_ms"))
+      .groupBy(col("event_type"), col("w_start_ms"), col("n"), col("pct_exact"), col("est"))
+      .agg(sum(when(col("value") < col("est"), 1L).otherwise(0L)).as("rk_lo"),
+           sum(when(col("value") <= col("est"), 1L).otherwise(0L)).as("rk_hi"))
+      .select(col("event_type"), col("w_start_ms"), col("n"), col("pct_exact"),
+        (col("rk_lo").cast("double") / col("n") <= lit(0.5) + band &&
+         col("rk_hi").cast("double") / col("n") >= lit(0.5) - band).as("est_ok"))
+  }
+
+  val q135Sql: String =
+    """SELECT event_type, (epoch_ms(ts) // 21600000) * 21600000 AS w_start_ms,
+      |  CAST(count(*) AS BIGINT) AS n,
+      |  quantile_cont(value, 0.5) AS pct_exact, TRUE AS est_ok
+      |FROM events GROUP BY event_type, w_start_ms""".stripMargin
+
   val q129Sql: String =
     """SELECT event_type, w_start_ms, CAST(rn AS BIGINT) AS rank, event_id, value FROM (
       |  SELECT event_type, (epoch_ms(ts) // 21600000) * 21600000 AS w_start_ms,
@@ -1154,5 +1238,6 @@ object StreamingQueries {
     "q119_streaming_curation_index" -> (q119StreamingCurationIndex _, ExtQueries.q113Sql),
     "q129_streaming_trending" -> (q129StreamingTrending _, q129Sql),
     "q134_streaming_distinct" -> (q134StreamingDistinct _, q134Sql),
+    "q135_streaming_quantiles" -> (q135StreamingQuantiles _, q135Sql),
   )
 }
