@@ -24,8 +24,18 @@ object Skew {
     val bad = aggs.values.toSet -- Set("sum", "count", "min", "max")
     require(bad.isEmpty, s"unsupported aggs: $bad")
 
-    // salt from the row id, not the key: identical keys must scatter.
-    val salted = df.withColumn("__salt", pmod(monotonically_increasing_id(), lit(salt)))
+    // Salt from ROW CONTENT, not the key (identical keys must scatter)
+    // and not monotonically_increasing_id (nondeterministic: on a
+    // shuffle-fetch failure, recomputed map tasks would re-salt the
+    // same rows differently, and reducers that already fetched partial
+    // output observe duplicated/missing rows — the SPARK-23207 class
+    // of retry hazard, exactly on the large-cluster path this operator
+    // exists for). xxhash64 over every column reproduces identical
+    // shuffle output on retry; fully-identical duplicate rows share a
+    // salt, which only matters if a hot key is hot from byte-identical
+    // copies — the documented trade for retry correctness.
+    val salted = df.withColumn("__salt",
+      pmod(xxhash64(df.columns.map(col).toIndexedSeq: _*), lit(salt.toLong)))
     val partial: Seq[Column] = aggs.toSeq.map {
       case (c, "sum")   => sum(col(c)).as(s"__p_$c")
       case (c, "count") => count(col(c)).as(s"__p_$c")
@@ -57,8 +67,10 @@ object Skew {
   def saltedJoin(fact: DataFrame, dim: DataFrame, key: String,
                  salt: Int): DataFrame = {
     require(salt > 0, "salt must be positive")
+    // deterministic content-hash salt — see saltedAggregate for why
+    // monotonically_increasing_id is a retry-correctness hazard here
     val saltedFact = fact.withColumn("__salt",
-      pmod(monotonically_increasing_id(), lit(salt)))
+      pmod(xxhash64(fact.columns.map(col).toIndexedSeq: _*), lit(salt.toLong)))
     val replicatedDim = dim.withColumn("__salt",
       explode(array((0 until salt).map(i => lit(i.toLong)): _*)))
     saltedFact.join(replicatedDim, Seq(key, "__salt")).drop("__salt")

@@ -993,10 +993,22 @@ object ExtQueries {
     * Float discipline: elements cast float->double BEFORE avg on both
     * engines; per-group mean of ~50 doubles is order-sensitive at
     * ~1e-15 — inside the harness's 9-decimal rounding.
+    *
+    * Gate shape: the GATE emits long format (label, n, dim_i, m) — all
+    * scalar columns, sortable by any oracle harness (an ArrayType
+    * output column crashed the driver's pandas sort in round 4). The
+    * melt is a posexplode OVER THE AGGREGATE OUTPUT (num_labels rows,
+    * metadata scale), not a pre-agg explode of the fact — PlanSpec
+    * locks both the wide helper (zero Generate) and the gate's
+    * Generate-above-HashAggregate ordering.
     */
   val CentroidDims = 64
 
-  def q115LabelCentroids(s: SparkSession, d: String): DataFrame = {
+  /** The scale-critical part: one 2-phase hash aggregate producing the
+    * centroid as an array column. Library entry point for consumers
+    * that want the vector; PlanSpec-locked to never explode the fact.
+    */
+  def labelCentroidsWide(s: SparkSession, d: String): DataFrame = {
     val means = (1 to CentroidDims).map(i =>
       avg(element_at(col("embedding"), i).cast("double")).as(s"m_$i"))
     emb(s, d).groupBy(col("label"))
@@ -1005,14 +1017,20 @@ object ExtQueries {
         array((1 to CentroidDims).map(i => col(s"m_$i")): _*).as("centroid"))
   }
 
+  def q115LabelCentroids(s: SparkSession, d: String): DataFrame =
+    labelCentroidsWide(s, d)
+      .select(col("label"), col("n"), posexplode(col("centroid")))
+      .select(col("label"), col("n"),
+        (col("pos") + 1).cast("long").as("dim_i"), col("col").as("m"))
+
   val q115Sql: String =
     s"""WITH p AS (
-       |  SELECT label, i, avg(CAST(embedding[i] AS DOUBLE)) AS m
+       |  SELECT label, CAST(i AS BIGINT) AS dim_i,
+       |         avg(CAST(embedding[i] AS DOUBLE)) AS m
        |  FROM embeddings, unnest(generate_series(1, $CentroidDims)) AS g(i)
        |  GROUP BY label, i),
        |c AS (SELECT label, CAST(count(*) AS BIGINT) AS n FROM embeddings GROUP BY label)
-       |SELECT p.label, c.n, list(m ORDER BY i) AS centroid
-       |FROM p JOIN c USING (label) GROUP BY p.label, c.n""".stripMargin
+       |SELECT p.label, c.n, p.dim_i, p.m FROM p JOIN c USING (label)""".stripMargin
 
   // ---------------------------------------------------------------- q116
   /** Mergeable QUANTILE sketches — completes the sketch tier next to
@@ -1617,13 +1635,15 @@ object ExtQueries {
     * Scale shape: the corpus is scanned exactly TWICE — once to build
     * the bigram-count model, once for the scoring fact. Prefix counts
     * and vocab size derive from the bigram counts themselves
-    * (vocabulary-scale inputs; every token of a >=2-token document
-    * appears in some bigram, so distinct(a) U distinct(b) over the
-    * model IS the vocabulary). All model sides broadcast — the fact is
-    * shuffled once, for the final per-doc aggregate. On an
-    * open-vocabulary web corpus the model joins degrade gracefully to
-    * shuffle joins by dropping the broadcast hints; semantics are
-    * unchanged.
+    * (vocabulary-scale inputs). |V| is DEFINED as the distinct tokens
+    * of the bigram model on BOTH engines (the oracle twin derives vsz
+    * from bgc too): a token appearing only in 1-token documents is by
+    * this definition out-of-vocabulary, so the two engines agree for
+    * any corpus, not just one where every doc has >=2 tokens. All
+    * model sides broadcast — the fact is shuffled once, for the final
+    * per-doc aggregate. On an open-vocabulary web corpus the model
+    * joins degrade gracefully to shuffle joins by dropping the
+    * broadcast hints; semantics are unchanged.
     *
     * Numerics: probabilities are quotients of integer counts (exact
     * IEEE division, identical cross-engine); only the per-doc mean is
@@ -1665,7 +1685,7 @@ object ExtQueries {
       |bgc AS (SELECT bg, count(*) AS c_bg FROM pairs GROUP BY bg),
       |pfc AS (SELECT string_split(bg, ' ')[1] AS pfx, count(*) AS c_pfx FROM pairs GROUP BY 1),
       |v AS (SELECT count(DISTINCT tok) AS vsz FROM
-      |        (SELECT unnest(string_split(text, ' ')) AS tok FROM documents))
+      |        (SELECT unnest(string_split(bg, ' ')) AS tok FROM bgc))
       |SELECT p.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
       |  avg((c_bg + 1.0) / (c_pfx + vsz)) AS avg_p
       |FROM pairs p JOIN bgc USING (bg)

@@ -111,12 +111,44 @@ object SourceQueries {
     * round(sum, 2) recovers the exact 2-decimal total on both engines;
     * l_quantity is integral-valued, its double sum is exact.
     */
+  // q111 returns a LAZY plan over its bucketed tables (PlanSpec asserts
+  // the zero-exchange shape on it), so cleanup can't happen before the
+  // caller materializes. Instead each invocation sweeps the PREVIOUS
+  // invocation's tables + temp dir (bounding in-session accumulation to
+  // one live set across bench min-of-3 / verify reruns), and a shutdown
+  // hook deletes the last dir on JVM exit (the in-memory catalog dies
+  // with the JVM; only the on-disk parquet would otherwise outlive it).
+  private val q111Live =
+    new java.util.concurrent.atomic.AtomicReference[(Seq[String], String)](null)
+
+  private def deleteRecursively(path: String): Unit = {
+    val root = new java.io.File(path)
+    def loop(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(loop))
+      f.delete(); ()
+    }
+    if (root.exists()) loop(root)
+  }
+
+  private lazy val q111ShutdownHook: Unit =
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      Option(q111Live.get()).foreach { case (_, dir) => deleteRecursively(dir) }))
+
+  private def q111Sweep(s: SparkSession, replaceWith: (Seq[String], String)): Unit = {
+    q111ShutdownHook
+    Option(q111Live.getAndSet(replaceWith)).foreach { case (tables, dir) =>
+      tables.foreach(t => s.sql(s"DROP TABLE IF EXISTS `$t`"))
+      deleteRecursively(dir)
+    }
+  }
+
   def q111BucketedJoin(s: SparkSession, d: String): DataFrame = {
     val base = Files.createTempDirectory("graft_q111_").toString
     // per-run table names: a fixed name would race concurrent sessions
     // and leave each rerun's DROP orphaning the previous temp dir's
     // data while reusing the catalog entry
     val tag = java.util.UUID.randomUUID.toString.replace("-", "").take(8)
+    q111Sweep(s, (Seq(s"graft_q111_orders_$tag", s"graft_q111_lineitem_$tag"), base))
     def bucketed(df: DataFrame, table: String, key: String): DataFrame = {
       df.write.format("parquet").option("path", s"$base/$table")
         .bucketBy(8, key).sortBy(key)

@@ -2,7 +2,7 @@ package graft.queries
 
 import java.nio.file.Files
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 import org.apache.spark.sql.types._
@@ -33,15 +33,30 @@ import graft.sink.MergeSink
   */
 object StreamingQueries {
 
+  /** Conf key for the stateful-stream state partition count. Streaming
+    * state partitioning is FROZEN at a query's first batch (it names
+    * the state store directories), so this must be sized for the
+    * query's LIFETIME key cardinality before first start — see
+    * SEMANTICS.md "Streaming state partition sizing".
+    */
+  val StatePartitionsKey = "graft.streaming.statePartitions"
+
+  /** Default 8: stream-stream joins run FOUR state stores per shuffle
+    * partition and these local gates run small-cardinality streams, so
+    * the per-micro-batch commit floor (partitions x stores x batches),
+    * not plan parallelism, dominates. A production deployment at real
+    * key cardinality sets [[StatePartitionsKey]] before first start.
+    */
+  val StatePartitionsDefault = 8
+
   /** Session conf for STATEFUL streams, latched by the query at
     * `start()` and restored immediately after (both settings are baked
     * into the running query once started):
     *
-    *  - state partitions sized to the stream (8), not the session's
-    *    batch default — stream-stream joins run FOUR state stores per
-    *    shuffle partition, and partition count is fixed at the query's
-    *    first batch, so 32 partitions x 4 stores x N batches of commit
-    *    overhead would dominate these gates;
+    *  - state partitions from [[StatePartitionsKey]] (default 8), not
+    *    the session's batch default — partition count is fixed at the
+    *    query's first batch, so 32 partitions x 4 stores x N batches
+    *    of commit overhead would dominate these gates;
     *  - RocksDB state store provider — the default HDFS-backed store
     *    keeps every key on-heap, the one piece of the streaming tier
     *    that cannot hold at 100 TB key cardinality; RocksDB keeps
@@ -57,7 +72,11 @@ object StreamingQueries {
     val prevParts = s.conf.get("spark.sql.shuffle.partitions")
     val prevProv = s.conf.getOption(provKey)
     val prevLog = s.conf.getOption(logKey)
-    s.conf.set("spark.sql.shuffle.partitions", "8")
+    val stateParts = s.conf.getOption(StatePartitionsKey)
+      .getOrElse(StatePartitionsDefault.toString)
+    require(stateParts.matches("[1-9][0-9]*"),
+      s"$StatePartitionsKey must be a positive int, got '$stateParts'")
+    s.conf.set("spark.sql.shuffle.partitions", stateParts)
     s.conf.set(provKey,
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     // commit deltas, not full snapshots, per micro-batch — snapshots
@@ -1048,6 +1067,21 @@ object StreamingQueries {
         col("col._2").as("event_id"), col("col._1").as("value"))
   }
 
+  /** Batch-exact twin of Spark's epoch-aligned 6-hour window start, in
+    * ms, computed with INTEGRAL floor arithmetic. The obvious
+    * ((ts_us/1000)/21600000).cast(long) truncates toward zero, so a
+    * pre-1970 (negative-epoch) timestamp would bucket one window late
+    * vs both window() (floor-aligned) and DuckDB's // floor division,
+    * breaking the streamed-vs-exact join. pmod is non-negative, so
+    * (x - pmod(x, w)) is the floor-aligned window start for ALL
+    * timestamps; the long quotient of that exact multiple is exact in
+    * IEEE double for any |quotient| < 2^53.
+    */
+  private def window6hStartMs(tsUs: Column): Column = {
+    val winUs = lit(21600000000L)
+    (((tsUs - pmod(tsUs, winUs)) / winUs).cast("long") * lit(21600000L))
+  }
+
   // ---------------------------------------------------------------- q134
   /** Streaming WINDOWED DISTINCT sketches — trending uniques: per
     * 6-hour window and event type, approx_count_distinct(user_id)
@@ -1112,7 +1146,7 @@ object StreamingQueries {
       .select(col("event_type"), unix_millis(col("window.start")).as("w_start_ms"),
               col("approx_users"))
     val exact = ev
-      .withColumn("w_start_ms", (col("ts_us") / 1000 / 21600000L).cast("long") * 21600000L)
+      .withColumn("w_start_ms", window6hStartMs(col("ts_us")))
       .groupBy(col("event_type"), col("w_start_ms"))
       .agg(countDistinct(col("user_id")).as("exact_users"))
     streamed.join(exact, Seq("event_type", "w_start_ms"))
@@ -1190,7 +1224,7 @@ object StreamingQueries {
       .select(col("event_type"), unix_millis(col("window.start")).as("w_start_ms"),
               col("est"))
     val fact = ev
-      .withColumn("w_start_ms", (col("ts_us") / 1000 / 21600000L).cast("long") * 21600000L)
+      .withColumn("w_start_ms", window6hStartMs(col("ts_us")))
     val exact = fact.groupBy(col("event_type"), col("w_start_ms"))
       .agg(expr("percentile(value, 0.5D)").as("pct_exact"), count(lit(1)).as("n"))
     val band = lit(1.0 / accuracy) + lit(2.0) / col("n")

@@ -500,8 +500,13 @@ class ExtSpec extends SparkSpec {
   }
 
   test("label centroid agrees with the brute per-label mean; sketch rank guarantee holds") {
-    val cents = graft.queries.ExtQueries.q115LabelCentroids(spark, sfDir)
-      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getSeq[Double](2))).toMap
+    // gate emits long format (label, n, dim_i, m); re-assemble per label
+    val long = graft.queries.ExtQueries.q115LabelCentroids(spark, sfDir)
+      .orderBy($"label", $"dim_i").collect()
+    val cents = long.groupBy(_.getInt(0)).map { case (lbl, rows) =>
+      lbl -> (rows.head.getLong(1), rows.map(_.getAs[Double]("m")).toSeq)
+    }.toMap
+    assert(long.length == cents.size * graft.queries.ExtQueries.CentroidDims)
     // brute twin for one label: collect its vectors and average locally
     val some = cents.keysIterator.min
     val vecs = emb.filter($"label" === some)

@@ -356,11 +356,22 @@ class PlanSpec extends SparkSpec {
     // 64 scalar avg()s in a single groupBy: partial aggregation on the
     // map side, no Generate/Expand. The explode-to-(row, dim) shape
     // would inflate a 100 TB fact 64x before the shuffle.
-    val p = executed(SparkEntry.queries("q115_label_centroids")(spark, sfDir))
-    assert(!p.contains("Generate"), "centroid plan explodes the embedding column")
-    assert(!p.contains("Expand"), "centroid plan expands rows")
-    assert("HashAggregate".r.findAllIn(p).size >= 2,
+    val wide = executed(graft.queries.ExtQueries.labelCentroidsWide(spark, sfDir))
+    assert(!wide.contains("Generate"), "centroid plan explodes the embedding column")
+    assert(!wide.contains("Expand"), "centroid plan expands rows")
+    assert("HashAggregate".r.findAllIn(wide).size >= 2,
       "expected partial+final HashAggregate for the centroid means")
+    // the GATE melts to long format for the oracle harness — its one
+    // Generate must sit ABOVE the aggregate (num_labels rows, metadata
+    // scale), never below it on the fact. In formatted explain the
+    // parent prints before the child, so first-index ordering is the
+    // structural check for this linear plan.
+    val gate = executed(SparkEntry.queries("q115_label_centroids")(spark, sfDir))
+    assert("HashAggregate".r.findAllIn(gate).size >= 2,
+      "expected partial+final HashAggregate for the centroid means")
+    val (gen, agg) = (gate.indexOf("Generate"), gate.indexOf("HashAggregate"))
+    assert(gen >= 0 && agg >= 0 && gen < agg,
+      "gate melt must be post-agg: Generate must be the aggregate's parent")
   }
 
   test("quantile sketch verification broadcasts the probes — fact scanned, never sorted globally") {

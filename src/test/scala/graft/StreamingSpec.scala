@@ -472,6 +472,41 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stateful state partitions are configurable via graft.streaming.statePartitions") {
+    // Streaming state partition count is frozen at a query's first
+    // batch (it names the state-store directories), so production runs
+    // at real key cardinality must size it BEFORE first start — the
+    // conf key exists for exactly that. Override to 3, run a real
+    // stateful gate, and assert (a) the stream still matches its
+    // batch-exact twin, (b) the checkpoint's state layout has exactly
+    // partitions {0,1,2}, (c) the session's batch shuffle-partition
+    // default is untouched afterward.
+    import graft.queries.StreamingQueries
+    val tmpRoot = new java.io.File(System.getProperty("java.io.tmpdir"))
+    def q87Dirs: Set[String] = Option(tmpRoot.listFiles()).get
+      .filter(f => f.isDirectory && f.getName.startsWith("graft_q87_"))
+      .map(_.getName).toSet
+    val before = q87Dirs
+    val prevBatchParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(StreamingQueries.StatePartitionsKey, "3")
+    try {
+      val got = StreamingQueries.q87StreamingDedup(spark, sfDir).count()
+      val exact = graft.core.Tables.events(spark, sfDir)
+        .select($"event_id").distinct().count()
+      assert(got == exact, s"stream deduped $got rows, batch twin has $exact")
+      val fresh = (q87Dirs -- before).toSeq
+      assert(fresh.size == 1, s"expected one new q87 dir, got $fresh")
+      val stateOp = new java.io.File(tmpRoot, s"${fresh.head}/ckpt/state/0")
+      val parts = Option(stateOp.listFiles()).get
+        .filter(f => f.isDirectory && f.getName.forall(_.isDigit))
+        .map(_.getName.toInt).toSet
+      assert(parts == Set(0, 1, 2),
+        s"state layout has partitions $parts, expected {0,1,2}")
+      assert(spark.conf.get("spark.sql.shuffle.partitions") == prevBatchParts,
+        "gate leaked its state partition override into the batch session")
+    } finally spark.conf.unset(StreamingQueries.StatePartitionsKey)
+  }
+
   test("windowed rates with watermark aggregate by operation") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[ChangeEvent]

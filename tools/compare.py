@@ -13,7 +13,22 @@ TABLES = ["region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings"]
 
 
+def check_sortable(df: pd.DataFrame) -> None:
+    """The driver's harness sorts RAW values; a nested-type column
+    (ndarray/list cells) crashes its pandas sort_values (round-4 q115
+    lesson). Reject such outputs here so the local gate catches them
+    even though canon() below could serialize them."""
+    if not len(df):
+        return
+    for c in df.columns:
+        v = df[c].iloc[0]
+        if isinstance(v, (list, tuple, dict)) or type(v).__name__ == "ndarray":
+            raise TypeError(
+                f"column {c!r} holds nested values — driver harness cannot sort it")
+
+
 def canon(df: pd.DataFrame) -> pd.DataFrame:
+    check_sortable(df)
     df = df.reindex(sorted(df.columns), axis=1)
 
     def canon_val(v):
