@@ -94,13 +94,43 @@ object Dedup {
       .select(col("doc_id") +: col("bk.band").as("band") +: keyCols: _*)
   }
 
+  /** Stop-bucket guard for pair-enumeration self-joins — the df-cap
+    * idiom (q86 contamination screen) generalized to any bucket key.
+    * A bucket of size m contributes m*(m-1)/2 candidate pairs, so ONE
+    * degenerate key at 100x the median bucket size costs 10000x the
+    * median bucket's pairs and re-creates the all-pairs blowup the
+    * banded join exists to avoid. Buckets larger than `cap` are
+    * dropped wholesale before the self-join (size via one map-side-
+    * combinable count, membership via left-semi — no window over the
+    * corpus). Recall trade, documented: pairs whose ONLY collision is
+    * a super-cap bucket are lost — in a dedup pipeline such buckets
+    * are degenerate keys (empty shingle set, boilerplate band value,
+    * all-zero embedding bucket) whose "pairs" are noise, and a pair of
+    * genuine near-dups still collides in its other, non-degenerate
+    * bands. Skew-robustness is property-tested in ExtSpec ("hot
+    * bucket").
+    */
+  def capBuckets(df: DataFrame, keyCols: Seq[String], cap: Int): DataFrame = {
+    require(cap > 1, s"bucket cap must exceed 1, got $cap")
+    val ok = df.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("__bsz")).filter(col("__bsz") <= cap)
+      .drop("__bsz")
+    df.join(ok, keyCols, "left_semi")
+  }
+
   /** Distinct candidate pairs (a < b) sharing any band bucket —
     * equi-join on (band, k0..): shuffles only small key rows.
+    * `maxBucket` engages the [[capBuckets]] stop-bucket guard
+    * (production path for skewed corpora); the default enumerates
+    * every bucket.
     */
-  def lshCandidates(bandsDf: DataFrame): DataFrame = {
+  def lshCandidates(bandsDf: DataFrame, maxBucket: Int = Int.MaxValue): DataFrame = {
     val keyCols = bandsDf.columns.filterNot(_ == "doc_id").toSeq
-    val l = bandsDf.withColumnRenamed("doc_id", "id_a")
-    val r = bandsDf.withColumnRenamed("doc_id", "id_b")
+    val capped =
+      if (maxBucket == Int.MaxValue) bandsDf
+      else capBuckets(bandsDf, keyCols, maxBucket)
+    val l = capped.withColumnRenamed("doc_id", "id_a")
+    val r = capped.withColumnRenamed("doc_id", "id_b")
     l.join(r, keyCols).filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b")).distinct()
   }
@@ -348,7 +378,8 @@ object Dedup {
     * (`spark.catalog.clearCache()` after consuming), as Bench/Verify
     * do per query.
     */
-  def simhashNearPairs(sigsIn: DataFrame, maxHamming: Int): DataFrame = {
+  def simhashNearPairs(sigsIn: DataFrame, maxHamming: Int,
+                       maxBucket: Int = Int.MaxValue): DataFrame = {
     require(maxHamming < 4, "4-block pigeonhole covers hamming <= 3")
     // Self-join reads the signature subtree twice; persist converts
     // 2x hash compute into one materialization (prod: a signatures
@@ -356,11 +387,16 @@ object Dedup {
     val sigs = sigsIn.select(col("doc_id"), col("simhash"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     sigs.count() // eager fill, no double-compute race (see minhashNearDups)
-    val nibbles = sigs.select(col("doc_id"), col("simhash"),
+    val allNibbles = sigs.select(col("doc_id"), col("simhash"),
         explode(array((0 until 4).map(j =>
           struct(lit(j).as("nib"),
             shiftright(col("simhash"), 12 * j).bitwiseAND(lit(4095L)).as("nv"))): _*)).as("n"))
       .select(col("doc_id"), col("simhash"), col("n.nib"), col("n.nv"))
+    // stop-bucket guard (see capBuckets): a boilerplate corpus puts
+    // thousands of identical signatures in one (nib, nv) bucket
+    val nibbles =
+      if (maxBucket == Int.MaxValue) allNibbles
+      else capBuckets(allNibbles, Seq("nib", "nv"), maxBucket)
     val l = nibbles.select(col("doc_id").as("id_a"), col("simhash").as("sh_a"), col("nib"), col("nv"))
     val r = nibbles.select(col("doc_id").as("id_b"), col("simhash").as("sh_b"), col("nib"), col("nv"))
     l.join(r, Seq("nib", "nv")).filter(col("id_a") < col("id_b"))

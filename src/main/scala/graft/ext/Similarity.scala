@@ -176,11 +176,20 @@ object Similarity {
 
   /** Candidate enumeration + exact-cosine verify over [[signBuckets]]
     * rows (fresh or read back from a maintained index table).
+    * `maxBucket` engages the stop-bucket guard (Dedup.capBuckets) on
+    * the (t, bk) key — a degenerate bucket (e.g. the all-zero-vector
+    * bucket, or any region of embedding space 100x denser than the
+    * median) otherwise contributes quadratic candidate volume; the
+    * default enumerates every bucket.
     */
-  def nearDupFromIndex(index: DataFrame, threshold: Double): DataFrame = {
-    val l = index.select(col("t"), col("bk"),
+  def nearDupFromIndex(index: DataFrame, threshold: Double,
+                       maxBucket: Int = Int.MaxValue): DataFrame = {
+    val capped =
+      if (maxBucket == Int.MaxValue) index
+      else Dedup.capBuckets(index, Seq("t", "bk"), maxBucket)
+    val l = capped.select(col("t"), col("bk"),
       col("vec_id").as("id_a"), col("embedding").as("ea"))
-    val r = index.select(col("t"), col("bk"),
+    val r = capped.select(col("t"), col("bk"),
       col("vec_id").as("id_b"), col("embedding").as("eb"))
     l.join(r, Seq("t", "bk")).filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"), col("ea"), col("eb"))

@@ -625,6 +625,60 @@ class ExtSpec extends SparkSpec {
       s"audit row was $row")
   }
 
+  test("hot bucket at 100x median frequency: stop-bucket cap bounds candidate volume in all three LSH tiers") {
+    // Synthesized corpora are uniform, so the banded equi-joins never
+    // see skew at gate scale — this plants ONE degenerate bucket at
+    // 100x the median bucket size in each tier and asserts the
+    // capBuckets guard keeps candidate volume at the background level
+    // while the uncapped join blows up quadratically (the property the
+    // guard exists for at 100 TB).
+
+    // -- MinHash LSH band tier: 200 background buckets of 2 docs, one
+    //    hot band value shared by 200 docs (100x the median size 2)
+    val background = spark.range(400).select(
+      $"id".as("doc_id"), lit(0).as("band"), ($"id" / 2).cast("long").as("k0"))
+    val hot = spark.range(1000, 1200).select(
+      $"id".as("doc_id"), lit(0).as("band"), lit(-1L).as("k0"))
+    val bands = background.unionByName(hot)
+    val uncapped = Dedup.lshCandidates(bands).count()
+    val capped = Dedup.lshCandidates(bands, maxBucket = 20).count()
+    assert(uncapped == 200L + 199L * 200L / 2,
+      s"uncapped volume $uncapped != hot-bucket quadratic prediction")
+    assert(capped == 200L, s"capped volume $capped != background pair count")
+
+    // -- SimHash pigeonhole tier: 200 identical signatures (a hot
+    //    (nib, nv) bucket in every block) on top of 200 spread ones.
+    //    0x001001001001 replicates id into all four 12-bit blocks, so
+    //    spread docs collide with nothing (every block value distinct)
+    val spread = spark.range(1, 200).select($"id".as("doc_id"),
+      ($"id" * 0x001001001001L).as("simhash"))
+    val dupSigs = spark.range(2000, 2200).select(
+      $"id".as("doc_id"), lit(0xABCDEFL).as("simhash"))
+    val sigs = spread.unionByName(dupSigs)
+    val unPairs = Dedup.simhashNearPairs(sigs, maxHamming = 3).count()
+    val capPairs = Dedup.simhashNearPairs(sigs, maxHamming = 3, maxBucket = 20).count()
+    assert(unPairs == 199L * 200L / 2, s"uncapped simhash pairs $unPairs != hot-bucket prediction")
+    assert(capPairs == 0L, s"capped simhash pairs $capPairs still include the degenerate bucket")
+
+    // -- sign-LSH embedding tier: background buckets of 2 identical
+    //    vectors; one (t, bk) bucket holding 200 copies of the same
+    //    embedding (the "dense region / zero vector" degeneracy)
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType), StructField("embedding", ArrayType(FloatType)),
+      StructField("t", IntegerType), StructField("bk", LongType)))
+    val bg = (0L until 400L).map(i =>
+      Row(i, Seq(1.0f, (i / 2).toFloat), 0, i / 2))
+    val dense = (5000L until 5200L).map(i => Row(i, Seq(0.5f, 0.5f), 0, -1L))
+    val index = spark.createDataFrame(
+      spark.sparkContext.parallelize(bg ++ dense, 4), schema)
+    val unEmb = Similarity.nearDupFromIndex(index, threshold = 0.99).count()
+    val capEmb = Similarity.nearDupFromIndex(index, threshold = 0.99, maxBucket = 20).count()
+    assert(unEmb == 200L + 199L * 200L / 2, s"uncapped embedding pairs $unEmb")
+    assert(capEmb == 200L, s"capped embedding pairs $capEmb != background pair count")
+  }
+
   test("PII redaction removes every email/IPv4/phone it counted") {
     val out = graft.queries.ExtQueries.q114PiiRedact(spark, sfDir).cache()
     try {
