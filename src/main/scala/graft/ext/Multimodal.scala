@@ -9,11 +9,13 @@ import org.apache.spark.sql.functions._
   *
   * Decode is REAL for the dependency-free formats — BMP (24-bit
   * uncompressed, both row orders), PPM (binary P6), WAV (PCM RIFF),
-  * and PNG (truecolor 8-bit: IDAT inflate through the JVM's built-in
-  * zlib + all five row filters) are parsed header+payload in pure JVM
-  * code below; JPEG gets REAL header metadata (SOFn width/height —
-  * the fields a lake partitions on) while its scan data, which
-  * genuinely needs a DCT codec library, stays undecoded.
+  * PNG (truecolor 8-bit: IDAT inflate through the JVM's built-in
+  * zlib + all five row filters), and baseline sequential JPEG
+  * (Huffman entropy decode + dequant + IDCT + chroma upsample +
+  * YCbCr->RGB, [[JpegCodec]]) are parsed header+payload in pure JVM
+  * code; out-of-profile JPEG (progressive/arithmetic/12-bit) still
+  * gets REAL header metadata (SOFn width/height — the fields a lake
+  * partitions on) via [[decodeJpegDims]].
   * [[decodePayload]] sniffs magic bytes and routes. Anything else
   * (MP3/H.264/...) falls back to `decodePayloadStub`, which derives
   * deterministic fake features from the bytes so tests have stable
@@ -502,15 +504,17 @@ object Multimodal {
   def encodeWav(sampleRate: Int, nFrames: Int): Array[Byte] =
     encodeWavPcm(sampleRate, new Array[Short](nFrames)) // PCM16 mono silence
 
-  /** Sniff-and-decode: real parse for BMP/PPM/WAV/PNG, real header
-    * metadata for JPEG, stub fallback for everything else (and for any
-    * malformed payload).
+  /** Sniff-and-decode: real parse for BMP/PPM/WAV/PNG and baseline
+    * JPEG (full scan decode via [[JpegCodec]]); real header metadata
+    * for out-of-profile JPEG (progressive/arithmetic); stub fallback
+    * for everything else (and for any malformed payload).
     */
   def decodePayload(modality: String, payload: Array[Byte]): (Long, Long, Long, Long) =
     decodeBmp(payload).map { case (w, h, _) => (w.toLong, h.toLong, 1L, 0L) }
       .orElse(decodePpm(payload).map { case (w, h, _) => (w.toLong, h.toLong, 1L, 0L) })
       .orElse(decodeWav(payload).map { case (sr, _, _, _) => (0L, 0L, 0L, sr.toLong) })
       .orElse(decodePng(payload).map { case (w, h, _) => (w.toLong, h.toLong, 1L, 0L) })
+      .orElse(JpegCodec.decode(payload).map { case (w, h, _) => (w.toLong, h.toLong, 1L, 0L) })
       .orElse(decodeJpegDims(payload).map { case (w, h) => (w.toLong, h.toLong, 1L, 0L) })
       .getOrElse(decodePayloadStub(modality, payload))
 
@@ -542,8 +546,9 @@ object Multimodal {
   /** Real-decode feature extraction incl. pixel statistics: mean
     * unsigned pixel byte for images (proves the pixel payload was
     * actually parsed, not just the header), 0 for audio, -1 when no
-    * pixels were read — stub fallback, or a header-only format (JPEG
-    * dims are real, its scan data needs an external DCT codec).
+    * pixels were read — stub fallback, or an out-of-profile JPEG
+    * (baseline sequential is fully decoded by [[JpegCodec]];
+    * progressive/arithmetic fall back to real SOFn header dims).
     */
   def codecFeatures(media: Dataset[MediaRecord])
                    (implicit spark: SparkSession): Dataset[CodecFeatures] = {
@@ -557,7 +562,8 @@ object Multimodal {
     media.mapPartitions { it =>
       it.map { m =>
         decodeBmp(m.payload).orElse(decodePpm(m.payload))
-          .orElse(decodePng(m.payload)) match {
+          .orElse(decodePng(m.payload))
+          .orElse(JpegCodec.decode(m.payload)) match {
           case Some((w, h, px)) =>
             CodecFeatures(m.doc_id, m.modality, w, h, 1L, 0L, meanOf(px))
           case None => decodeWav(m.payload) match {

@@ -580,6 +580,53 @@ object ExtQueries {
       |            ELSE -1 END AS BIGINT) AS mean_px
       |FROM documents WHERE doc_id < 200""".stripMargin
 
+  // ---------------------------------------------------------------- q136
+  /** REAL baseline-JPEG scan decode at the gate — closes the last
+    * header-only word in the codec tier (q100 proves SOFn dims; this
+    * proves the entropy-coded scan is Huffman-decoded, dequantized,
+    * IDCT'd, upsampled and color-converted). Fixture discipline: flat
+    * gray fills round-trip EXACTLY through baseline JPEG (only the DC
+    * coefficient survives the FDCT of a flat block, and Cb=Cr=128 is a
+    * fixed point of the color transform), so mean_px == fill value is
+    * a closed-form oracle even though the codec is lossy in general —
+    * while a header-only reader would emit -1 and hash-mismatch every
+    * row. Ids rotate through the three baseline profiles: grayscale
+    * single-component, 4:4:4 color, and 4:2:0 subsampled with restart
+    * markers every 2 MCUs; dims are non-multiples of 8 so every decode
+    * crops MCU padding. The lossy (gradient/AC) path is
+    * tolerance-bounded in ExtSpec, where an exactness oracle cannot
+    * exist.
+    */
+  def q136JpegDecode(s: SparkSession, d: String): DataFrame = {
+    import graft.ext.{JpegCodec, Multimodal}
+    import Multimodal.MediaRecord
+    implicit val spark: SparkSession = s
+    import s.implicits._
+    val media = docs(s, d).select(col("doc_id")).filter(col("doc_id") < 150)
+      .as[Long].map { id =>
+        val w = 3 + (id % 21).toInt
+        val h = 3 + (id % 17).toInt
+        val v = ((id * 59) % 256).toInt
+        val px = JpegCodec.flatRgb(w, h, v)
+        val payload = (id % 3) match {
+          case 0 => JpegCodec.encode(w, h, px, gray = true)
+          case 1 => JpegCodec.encode(w, h, px)
+          case _ => JpegCodec.encode(w, h, px, subsample420 = true, restartEvery = 2)
+        }
+        MediaRecord(id, "image", payload)
+      }
+    Multimodal.codecFeatures(media).toDF()
+  }
+
+  val q136Sql: String =
+    """SELECT doc_id, 'image' AS modality,
+      |  CAST(3 + doc_id % 21 AS BIGINT) AS width,
+      |  CAST(3 + doc_id % 17 AS BIGINT) AS height,
+      |  CAST(1 AS BIGINT) AS n_frames,
+      |  CAST(0 AS BIGINT) AS sample_rate,
+      |  CAST((doc_id * 59) % 256 AS BIGINT) AS mean_px
+      |FROM documents WHERE doc_id < 150""".stripMargin
+
   // ---------------------------------------------------------------- q101
   /** C4-style BOILERPLATE removal — the corpus-cleaning step between
     * dedup and quality scoring in a real training pipeline: text is
@@ -1878,5 +1925,6 @@ object ExtQueries {
     "q131_robust_stats" -> (q131RobustStats _, q131Sql),
     "q132_fk_audit" -> (q132FkAudit _, q132Sql),
     "q133_unicode_normalize" -> (q133UnicodeNormalize _, q133Sql),
+    "q136_jpeg_decode" -> (q136JpegDecode _, q136Sql),
   )
 }

@@ -333,6 +333,69 @@ class ExtSpec extends SparkSpec {
     assert(decodeBmp(bmpHuge).isEmpty, "overflowing BMP width must not decode")
   }
 
+  test("baseline JPEG codec: exact flat round-trip, bounded gradient error, restarts, profile boundary") {
+    import graft.ext.{JpegCodec, Multimodal}
+    // flat fills round-trip EXACTLY (only DC coefficients survive the
+    // FDCT; Cb=Cr=128 is a fixed point of the color convert) across
+    // grayscale, 4:4:4, 4:2:0, and odd non-multiple-of-8 dims
+    for {
+      (w, h) <- Seq((8, 8), (7, 5), (17, 9), (24, 16), (3, 3))
+      v <- Seq(0, 1, 127, 128, 200, 255)
+      (gray, sub) <- Seq((true, false), (false, false), (false, true))
+    } {
+      val enc = JpegCodec.encode(w, h, JpegCodec.flatRgb(w, h, v),
+        subsample420 = sub, gray = gray)
+      val dec = JpegCodec.decode(enc)
+      assert(dec.exists { case (dw, dh, px) =>
+        dw == w && dh == h && px.length == w * h * 3 &&
+          px.forall(b => (b & 0xff) == v)
+      }, s"flat round-trip failed: w=$w h=$h v=$v gray=$gray sub420=$sub")
+    }
+    // gradient content exercises the AC Huffman path + inverse zigzag +
+    // IDCT: with flat quant 1 the 4:4:4 round-trip error is pure DCT
+    // rounding, bounded by a few counts per channel
+    val (gw, gh) = (19, 13)
+    val grad = JpegCodec.gradientRgb(gw, gh, 5)
+    val decG = JpegCodec.decode(JpegCodec.encode(gw, gh, grad, quantVal = 1)).get
+    assert(decG._1 == gw && decG._2 == gh)
+    val maxErr = grad.indices.map(i => math.abs((grad(i) & 0xff) - (decG._3(i) & 0xff))).max
+    assert(maxErr <= 4, s"4:4:4 quant-1 gradient error $maxErr exceeds DCT rounding bound")
+    // restart markers: RST discipline (byte align, DC predictor reset)
+    // must reproduce the no-restart decode bit-for-bit
+    val plain = JpegCodec.decode(JpegCodec.encode(gw, gh, grad, quantVal = 1)).get
+    val rst = JpegCodec.decode(
+      JpegCodec.encode(gw, gh, grad, quantVal = 1, restartEvery = 1)).get
+    assert(plain._3.sameElements(rst._3), "restart-marker stream decoded differently")
+    // 4:2:0 on a WRAP-FREE smooth ramp: chroma is subsampled (lossy by
+    // design), so the error bound is chroma slope x upsample distance
+    // plus DCT noise — the mod-256 gradient above would put a 255->0
+    // cliff inside a 2x2 chroma average and measure content, not codec
+    val smooth = Array.tabulate(gw * gh * 3) { i =>
+      val p = i / 3; ((p % gw) * 3 + (p / gw) * 2 + (i % 3) * 5).toByte
+    }
+    val dec420 = JpegCodec.decode(
+      JpegCodec.encode(gw, gh, smooth, subsample420 = true, quantVal = 1)).get
+    val err420 = smooth.indices.map(i => math.abs((smooth(i) & 0xff) - (dec420._3(i) & 0xff))).max
+    assert(err420 <= 16, s"4:2:0 smooth-ramp error $err420 out of subsampling bound")
+    // profile boundary + robustness: header-only stream has no scan
+    // (full decode None, dims still parse); progressive SOF2 refused;
+    // junk and truncated scans refused, never thrown
+    val hdrOnly = Multimodal.encodeJpegHeader(40, 30)
+    assert(JpegCodec.decode(hdrOnly).isEmpty)
+    assert(Multimodal.decodeJpegDims(hdrOnly) == Some((40, 30)))
+    val baseline = JpegCodec.encode(16, 16, JpegCodec.flatRgb(16, 16, 77))
+    val progressive = baseline.clone()
+    // SOF0 marker byte (0xc0 after 0xff) -> 0xc2: find and patch it
+    val sofAt = baseline.indices.dropWhile(i =>
+      !((baseline(i) & 0xff) == 0xff && (baseline(i + 1) & 0xff) == 0xc0)).head
+    progressive(sofAt + 1) = 0xc2.toByte
+    assert(JpegCodec.decode(progressive).isEmpty, "progressive must be out of profile")
+    assert(Multimodal.decodeJpegDims(progressive) == Some((16, 16)),
+      "header metadata must still read out-of-profile JPEGs")
+    assert(JpegCodec.decode("not a jpeg at all".getBytes("US-ASCII")).isEmpty)
+    assert(JpegCodec.decode(baseline.dropRight(12)).isEmpty, "truncated scan must fail")
+  }
+
   test("extractFeatures real-decodes container formats and stubs the rest, distributed") {
     import graft.ext.Multimodal
     import Multimodal._
