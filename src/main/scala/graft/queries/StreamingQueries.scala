@@ -37,9 +37,29 @@ object StreamingQueries {
     * state partitioning is FROZEN at a query's first batch (it names
     * the state store directories), so this must be sized for the
     * query's LIFETIME key cardinality before first start — see
-    * SEMANTICS.md "Streaming state partition sizing".
+    * SEMANTICS.md "Streaming state partition sizing". spark.-prefixed
+    * so a plain -D system property on the driver JVM reaches the
+    * session conf.
     */
-  val StatePartitionsKey = "graft.streaming.statePartitions"
+  val StatePartitionsKey = "spark.graft.streaming.statePartitions"
+
+  /** Conf key for the incremental-index gates' (q103/q107/q119) file
+    * micro-batch size. Default 1 = one commit per source file, the
+    * honest worst case for per-batch commit overhead (RocksDB
+    * changelog + manifest rename per batch); raising it amortizes the
+    * commit floor over more data per trigger — the production lever
+    * when index freshness allows. Results are trigger-invariant (LWW
+    * upserts commute across batch boundaries); only commit count and
+    * wall time change.
+    */
+  val IndexFilesPerTriggerKey = "spark.graft.streaming.indexFilesPerTrigger"
+
+  private def indexFilesPerTrigger(s: SparkSession): Int = {
+    val v = s.conf.getOption(IndexFilesPerTriggerKey).getOrElse("1")
+    require(v.matches("[1-9][0-9]*"),
+      s"$IndexFilesPerTriggerKey must be a positive int, got '$v'")
+    v.toInt
+  }
 
   /** Default 8: stream-stream joins run FOUR state stores per shuffle
     * partition and these local gates run small-cardinality streams, so
@@ -643,7 +663,7 @@ object StreamingQueries {
     val wire = StructType(Seq(
       StructField("doc_id", LongType), StructField("text", StringType)))
     val stream = s.readStream.schema(wire)
-      .option("maxFilesPerTrigger", "1").json(inDir)
+      .option("maxFilesPerTrigger", indexFilesPerTrigger(s).toString).json(inDir)
     // each doc arrives exactly once, so any deterministic version
     // column works for the LWW tiebreak (keys and orderCols must be
     // disjoint — latestByKey builds a struct over both)
@@ -694,7 +714,7 @@ object StreamingQueries {
       .schema(StructType(Seq(
         StructField("vec_id", LongType),
         StructField("embedding", ArrayType(FloatType)))))
-      .option("maxFilesPerTrigger", "1").parquet(inDir)
+      .option("maxFilesPerTrigger", indexFilesPerTrigger(s).toString).parquet(inDir)
     // each (vec_id, t) index row arrives exactly once; any
     // deterministic orderCol works for the LWW tiebreak
     val sink = new MergeSink(s, idxDir,
@@ -707,8 +727,9 @@ object StreamingQueries {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    require(sink.versions().size == 4,
-      s"expected 4 incremental index commits, got ${sink.versions()}")
+    val expectedCommits = (4 + indexFilesPerTrigger(s) - 1) / indexFilesPerTrigger(s)
+    require(sink.versions().size == expectedCommits,
+      s"expected $expectedCommits incremental index commits, got ${sink.versions()}")
     Similarity.nearDupFromIndex(sink.read(), threshold = 0.9)
   }
 
@@ -979,7 +1000,7 @@ object StreamingQueries {
     val wire = StructType(Seq(
       StructField("doc_id", LongType), StructField("text", StringType)))
     val stream = s.readStream.schema(wire)
-      .option("maxFilesPerTrigger", "1").json(inDir)
+      .option("maxFilesPerTrigger", indexFilesPerTrigger(s).toString).json(inDir)
     // docs arrive exactly once; n_tokens is a deterministic LWW
     // tiebreak disjoint from the key, as MergeSink requires
     val sink = new MergeSink(s, idxDir,
@@ -992,8 +1013,9 @@ object StreamingQueries {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    require(sink.versions().size == 4,
-      s"expected 4 incremental index commits, got ${sink.versions()}")
+    val expectedCommits = (4 + indexFilesPerTrigger(s) - 1) / indexFilesPerTrigger(s)
+    require(sink.versions().size == expectedCommits,
+      s"expected $expectedCommits incremental index commits, got ${sink.versions()}")
     sink.read().select(col("doc_id"), col("n_tokens"), col("dup_unigram_frac"),
       col("top_bigram_frac"), col("dup_trigram_frac"), col("keep"))
   }
