@@ -1673,6 +1673,79 @@ object ExtQueries {
     s"WITH t0 AS (SELECT doc_id, text FROM documents),\n$ctes\n$sel"
   }
 
+  // ---------------------------------------------------------------- q137
+  /** BPE TOKENIZATION (train/apply split) — the deployment shape of
+    * q118: merges are TRAINED on a sample (doc_id < 100, the expensive
+    * iterative part runs on a bounded subset), then APPLIED to the
+    * whole corpus as driver-side literal metadata — 8 chained
+    * replace() rewrites folded into ONE linear plan: no join, no
+    * shuffle, no iteration state; the entire tokenization of a 100 TB
+    * corpus is a single embarrassingly-parallel scan inside one
+    * codegen span (PlanSpec-locked). Rewrite semantics are exactly
+    * q118's double-space-padded greedy left-to-right replace, so the
+    * oracle replays the training chain CTE-for-CTE on the sample and
+    * the apply chain on the corpus. Gate emits per-doc token counts
+    * before/after — a wrong merge order, a non-greedy rewrite, or a
+    * train/apply divergence all shift counts and fail the hash.
+    */
+  def q137BpeTokenize(s: SparkSession, d: String): DataFrame = {
+    val trained = bpeMerges(docs(s, d).filter(col("doc_id") < 100), BpeRounds)
+      .orderBy(col("rank")).collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    val base = docs(s, d).select(col("doc_id"), col("text"),
+      size(split(col("text"), " ")).cast("long").as("n_tokens_before"))
+    bpeApply(base, trained)
+      .select(col("doc_id"), col("n_tokens_before"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens_after"))
+  }
+
+  /** Apply trained BPE merges (rank order) to the `text` column of any
+    * frame, preserving other columns. Merges ride as column LITERALS
+    * (never spliced into parsed SQL — tokens may contain quotes), so
+    * the fold builds one linear whole-stage-codegen plan: 8 merges =
+    * 8 chained string rewrites in a single scan, zero exchanges.
+    */
+  def bpeApply(in: DataFrame, merges: Seq[(String, String)]): DataFrame =
+    merges.foldLeft(in) { case (df, (a, b)) =>
+      val doubled = concat(lit(" "),
+        org.apache.spark.sql.functions.replace(col("text"), lit(" "), lit("  ")), lit(" "))
+      val merged = org.apache.spark.sql.functions.replace(
+        doubled, lit(s" $a  $b "), lit(s" ${a}_$b "))
+      df.withColumn("text",
+        array_join(filter(split(merged, " "), x => x =!= ""), " "))
+    }
+
+  val q137Sql: String = {
+    // training chain on the sample (s0..s7, winners b1..b8) + apply
+    // chain on the corpus (d0..d8) — rewrite text identical to q118Sql
+    def rewrite(src: String, bi: String): String =
+      s"""array_to_string(list_filter(string_split(
+         |    replace(' ' || replace($src.text, ' ', '  ') || ' ',
+         |            ' ' || $bi.a || '  ' || $bi.b || ' ',
+         |            ' ' || $bi.a || '_' || $bi.b || ' '), ' '), x -> x <> ''), ' ')""".stripMargin
+    def pairCtes(i: Int): String =
+      s"""p$i AS (SELECT ts[i] AS a, ts[i+1] AS b, count(*) AS c
+         |  FROM (SELECT string_split(text, ' ') AS ts FROM s${i - 1}),
+         |       unnest(generate_series(1, len(ts) - 1)) AS g(i)
+         |  GROUP BY 1, 2),
+         |b$i AS (SELECT a, b, c FROM p$i ORDER BY c DESC, a ASC, b ASC LIMIT 1)""".stripMargin
+    def trainApply(i: Int): String =
+      s"s$i AS (SELECT doc_id, ${rewrite(s"s${i - 1}", s"b$i")} AS text FROM s${i - 1}, b$i)"
+    def corpusApply(i: Int): String =
+      s"d$i AS (SELECT doc_id, ${rewrite(s"d${i - 1}", s"b$i")} AS text FROM d${i - 1}, b$i)"
+    val ctes = (1 to BpeRounds).map { i =>
+      val train = if (i < BpeRounds) s"${pairCtes(i)},\n${trainApply(i)}" else pairCtes(i)
+      s"$train,\n${corpusApply(i)}"
+    }.mkString(",\n")
+    s"""WITH s0 AS (SELECT doc_id, text FROM documents WHERE doc_id < 100),
+       |d0 AS (SELECT doc_id, text FROM documents),
+       |$ctes
+       |SELECT d0.doc_id,
+       |  CAST(len(string_split(d0.text, ' ')) AS BIGINT) AS n_tokens_before,
+       |  CAST(len(string_split(d$BpeRounds.text, ' ')) AS BIGINT) AS n_tokens_after
+       |FROM d0 JOIN d$BpeRounds USING (doc_id)""".stripMargin
+  }
+
   // ---------------------------------------------------------------- q112
   /** Bigram language-model quality scoring (the CCNet-style perplexity
     * filter, log-free): train add-one-smoothed bigram MLE counts over
@@ -1926,5 +1999,6 @@ object ExtQueries {
     "q132_fk_audit" -> (q132FkAudit _, q132Sql),
     "q133_unicode_normalize" -> (q133UnicodeNormalize _, q133Sql),
     "q136_jpeg_decode" -> (q136JpegDecode _, q136Sql),
+    "q137_bpe_tokenize" -> (q137BpeTokenize _, q137Sql),
   )
 }

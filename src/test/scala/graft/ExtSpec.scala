@@ -637,6 +637,30 @@ class ExtSpec extends SparkSpec {
            ov(1).getLong(3) == 1L)
   }
 
+  test("BPE apply reproduces the training rewrite: order, greed, consecutive merges") {
+    // applying the trained merges must yield the exact corpus the
+    // training loop would have produced — rank order matters (merge 2
+    // consumes merge 1's output), greed matters ('a a a' -> 'a_a a'),
+    // consecutive occurrences all merge
+    val corpus = Seq((1L, "a b a b c"), (2L, "a b c d"), (3L, "a a a"))
+      .toDF("doc_id", "text")
+    val applied = graft.queries.ExtQueries.bpeApply(
+        corpus, Seq(("a", "b"), ("a_b", "c")))
+      .orderBy($"doc_id").select($"text").as[String].collect()
+    assert(applied(0) == "a_b a_b_c", s"doc 1 was '${applied(0)}'")
+    assert(applied(1) == "a_b_c d", s"doc 2 was '${applied(1)}'")
+    assert(applied(2) == "a a a", s"doc 3 untouched, was '${applied(2)}'")
+    val greedy = graft.queries.ExtQueries.bpeApply(
+        corpus.filter($"doc_id" === 3), Seq(("a", "a")))
+      .select($"text").as[String].head()
+    assert(greedy == "a_a a", s"greedy overlap was '$greedy'")
+    // non-text columns ride through untouched
+    val withExtra = graft.queries.ExtQueries.bpeApply(
+      corpus.withColumn("n", org.apache.spark.sql.functions.length($"text")),
+      Seq(("a", "b")))
+    assert(withExtra.columns.toSet == Set("doc_id", "text", "n"))
+  }
+
   test("leakage-safe split: planted cross-split duplicate still lands in ONE split") {
     // two ids sharing one text: an id-keyed 80/10/10 split could send
     // them to different splits; the content-hash split cannot

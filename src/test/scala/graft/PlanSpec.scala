@@ -374,6 +374,25 @@ class PlanSpec extends SparkSpec {
       "gate melt must be post-agg: Generate must be the aggregate's parent")
   }
 
+  test("BPE apply is one linear scan + single Project — no exchange, no join, merges as literals") {
+    // the train/apply split's whole point: tokenizing the 100 TB
+    // corpus with trained merges must be a single embarrassingly-
+    // parallel scan (8 chained literal rewrites), never a join against
+    // a merge table or a shuffle
+    val applied = graft.queries.ExtQueries.bpeApply(
+      spark.read.parquet(s"$sfDir/documents.parquet")
+        .select($"doc_id", $"text"),
+      Seq(("a", "b"), ("c", "d"), ("a_b", "c_d")))
+    val p = executed(applied)
+    assert(!p.contains("Exchange"), "BPE apply shuffled the corpus")
+    assert(!p.contains("Join"), "BPE apply joined instead of folding literals")
+    // shape is Scan -> one Project (8 folded rewrites); the Project's
+    // empty-token filter() is a HOF (CodegenFallback, same class as
+    // q113's aggregate()) so we assert the operator count, not codegen
+    assert("Project".r.findAllIn(p).size <= 2, // tree + details section
+      "BPE apply should fold every merge into one Project over the scan")
+  }
+
   test("quantile sketch verification broadcasts the probes — fact scanned, never sorted globally") {
     val p = plan("q116_quantile_sketch")
     assert(p.contains("BroadcastHashJoin"), "probe join is not broadcast")
