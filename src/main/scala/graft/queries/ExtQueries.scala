@@ -627,6 +627,48 @@ object ExtQueries {
       |  CAST((doc_id * 59) % 256 AS BIGINT) AS mean_px
       |FROM documents WHERE doc_id < 150""".stripMargin
 
+  // ---------------------------------------------------------------- q138
+  /** Audio FEATURE EXTRACTION over real decoded PCM — the curation
+    * metrics an audio pipeline filters on: energy (integer sum of
+    * squares — exact cross-engine, no float RMS), zero-crossing count
+    * (sign(0) = non-negative), absolute peak. Deterministic PCM16
+    * fixtures (sample_i = (i*31 + id) % 256 - 128) are encoded to real
+    * RIFF/WAVE on the executors, decoded back through the total WAV
+    * parser, and the features must match the oracle's closed-form
+    * recomputation — a decoder that misreads the data chunk, an
+    * off-by-one in the crossing scan, or a sign-extension bug all
+    * hash-mismatch.
+    */
+  def q138AudioFeatures(s: SparkSession, d: String): DataFrame = {
+    import graft.ext.Multimodal
+    import Multimodal.MediaRecord
+    implicit val spark: SparkSession = s
+    import s.implicits._
+    val media = docs(s, d).select(col("doc_id")).filter(col("doc_id") < 150)
+      .as[Long].map { id =>
+        val n = 64 + (id % 64).toInt
+        val pcm = Array.tabulate(n)(i => ((i * 31 + id) % 256 - 128).toShort)
+        MediaRecord(id, "audio",
+          Multimodal.encodeWavPcm(8000 * (1 + (id % 5).toInt), pcm))
+      }
+    Multimodal.audioFeatures(media).toDF()
+  }
+
+  val q138Sql: String =
+    """WITH s AS (
+      |  SELECT doc_id, 8000 * (1 + doc_id % 5) AS sample_rate,
+      |         64 + doc_id % 64 AS n,
+      |         list_transform(generate_series(0, CAST(64 + doc_id % 64 AS INT) - 1),
+      |                        i -> (i * 31 + doc_id) % 256 - 128) AS sm
+      |  FROM documents WHERE doc_id < 150)
+      |SELECT doc_id, CAST(sample_rate AS BIGINT) AS sample_rate,
+      |  CAST(n AS BIGINT) AS n_samples,
+      |  CAST(list_sum(list_transform(sm, x -> x * x)) AS BIGINT) AS sum_sq,
+      |  CAST(len(list_filter(generate_series(2, CAST(n AS INT)),
+      |       i -> (sm[i] >= 0) <> (sm[i - 1] >= 0))) AS BIGINT) AS zero_crossings,
+      |  CAST(list_max(list_transform(sm, x -> abs(x))) AS BIGINT) AS peak
+      |FROM s""".stripMargin
+
   // ---------------------------------------------------------------- q101
   /** C4-style BOILERPLATE removal — the corpus-cleaning step between
     * dedup and quality scoring in a real training pipeline: text is
@@ -2000,5 +2042,6 @@ object ExtQueries {
     "q133_unicode_normalize" -> (q133UnicodeNormalize _, q133Sql),
     "q136_jpeg_decode" -> (q136JpegDecode _, q136Sql),
     "q137_bpe_tokenize" -> (q137BpeTokenize _, q137Sql),
+    "q138_audio_features" -> (q138AudioFeatures _, q138Sql),
   )
 }

@@ -637,6 +637,25 @@ class ExtSpec extends SparkSpec {
            ov(1).getLong(3) == 1L)
   }
 
+  test("audio features: hand-checked energy/crossings/peak; undecodable payloads drop") {
+    import graft.ext.Multimodal
+    import Multimodal.MediaRecord
+    implicit val s = spark
+    // signal [3, -2, 0, -1]: sum_sq = 9+4+0+1 = 14; crossings at
+    // 3->-2 and -2->0 and 0->-1 (sign(0) is non-negative) = 3; peak 3
+    val media = Seq(
+      MediaRecord(1L, "audio", Multimodal.encodeWavPcm(8000,
+        Array[Short](3, -2, 0, -1))),
+      MediaRecord(2L, "audio", "not audio".getBytes("US-ASCII"))).toDS()
+    val out = Multimodal.audioFeatures(media).collect()
+    assert(out.length == 1, "undecodable payload must drop, not fake features")
+    val f = out.head
+    assert(f.doc_id == 1L && f.sample_rate == 8000L && f.n_samples == 4L)
+    assert(f.sum_sq == 14L, s"sum_sq ${f.sum_sq}")
+    assert(f.zero_crossings == 3L, s"zc ${f.zero_crossings}")
+    assert(f.peak == 3L, s"peak ${f.peak}")
+  }
+
   test("BPE apply reproduces the training rewrite: order, greed, consecutive merges") {
     // applying the trained merges must yield the exact corpus the
     // training loop would have produced — rank order matters (merge 2
