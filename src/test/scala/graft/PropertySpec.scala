@@ -235,6 +235,58 @@ class PropertySpec extends SparkSpec {
       assert(straddlers <= 1, s"pack $pid claims $straddlers straddlers") }
   }
 
+  test("JPEG codec is total and exact under random fuzz (fixed seeds)") {
+    import graft.ext.JpegCodec
+    val rnd = new java.util.Random(42L)
+    // 1. flat fills at random dims/values/profiles round-trip EXACTLY
+    (1 to 40).foreach { _ =>
+      val w = 1 + rnd.nextInt(40); val h = 1 + rnd.nextInt(40)
+      val v = rnd.nextInt(256)
+      val gray = rnd.nextBoolean(); val sub = !gray && rnd.nextBoolean()
+      val rst = if (rnd.nextBoolean()) 1 + rnd.nextInt(3) else 0
+      val dec = JpegCodec.decode(JpegCodec.encode(w, h,
+        JpegCodec.flatRgb(w, h, v), subsample420 = sub, gray = gray,
+        restartEvery = rst))
+      assert(dec.exists { case (dw, dh, px) =>
+        dw == w && dh == h && px.forall(b => (b & 0xff) == v)
+      }, s"flat fuzz failed: w=$w h=$h v=$v gray=$gray sub=$sub rst=$rst")
+    }
+    // 2. arbitrary random pixel content (worst case for the DCT) stays
+    // within the quant-1 rounding envelope at 4:4:4
+    (1 to 10).foreach { i =>
+      val w = 1 + rnd.nextInt(24); val h = 1 + rnd.nextInt(24)
+      val px = new Array[Byte](w * h * 3); rnd.nextBytes(px)
+      val dec = JpegCodec.decode(JpegCodec.encode(w, h, px, quantVal = 1))
+      assert(dec.isDefined, s"noise image $i failed to decode")
+      val (_, _, out) = dec.get
+      val maxErr = px.indices.map(j => math.abs((px(j) & 0xff) - (out(j) & 0xff))).max
+      assert(maxErr <= 8, s"noise round-trip error $maxErr at w=$w h=$h")
+    }
+    // 3. total-function contract: random bytes and truncations of a
+    // valid stream must return None or Some, NEVER throw
+    val valid = JpegCodec.encode(9, 7, JpegCodec.gradientRgb(9, 7, 3))
+    (0 until valid.length by 7).foreach { n =>
+      JpegCodec.decode(java.util.Arrays.copyOf(valid, n)) // must not throw
+    }
+    (1 to 200).foreach { _ =>
+      val junk = new Array[Byte](rnd.nextInt(400))
+      rnd.nextBytes(junk)
+      JpegCodec.decode(junk) // must not throw
+      // bias the fuzz toward the marker parser: valid SOI prefix
+      if (junk.length >= 2) { junk(0) = 0xff.toByte; junk(1) = 0xd8.toByte }
+      JpegCodec.decode(junk)
+    }
+    // 4. single random byte-flips inside a valid stream: total, and if
+    // it still decodes, dims are the header's
+    (1 to 100).foreach { _ =>
+      val mut = valid.clone()
+      mut(rnd.nextInt(mut.length)) = rnd.nextInt(256).toByte
+      JpegCodec.decode(mut).foreach { case (w, h, px) =>
+        assert(px.length == w * h * 3)
+      }
+    }
+  }
+
   test("BPE merge counts are non-increasing across rounds") {
     // merging the argmax pair can only shrink other pairs' counts (new
     // pairs created by the merged symbol are bounded by its count), so
