@@ -150,11 +150,65 @@ object CdcQueries {
        |WHERE rn = 1 AND operation <> 'delete'
        |GROUP BY etype""".stripMargin
 
+  // ---------------------------------------------------------------- q139
+  /** SCD TYPE-2 attribute history at the gate: the CDC upsert stream
+    * (inserts + updates; key = user_id, tracked attribute = etype)
+    * folds through [[graft.ops.Scd2.merge]] in THREE ts-range batches —
+    * each round touches only the open rows + the arriving slice, with
+    * per-round lineage checkpoints (the CC/BPE iteration discipline).
+    * The folded history must equal the one-shot change-compression the
+    * oracle computes with lag/lead windows — a wrong batch stitch
+    * (open row closed at the wrong ts, a no-change update opening a
+    * spurious version, an interval chain broken across batches) shifts
+    * intervals and fails the hash.
+    */
+  def q139Scd2History(s: SparkSession, d: String): DataFrame = {
+    import graft.ext.Lineage
+    import graft.ops.Scd2
+    val ups = envelope(s, d).filter(col("operation").isin("insert", "update"))
+      .select(col("user_id").as("key"), col("data.etype").as("attr"),
+              unix_millis(col("ts")).as("ts_ms"), col("document_id").as("tie"))
+    val mm = ups.agg(min(col("ts_ms")), max(col("ts_ms"))).first()
+    val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+    val step = (hi - lo) / 3 + 1
+    var hist = ups.filter(lit(false))
+      .select(col("key"), col("attr"), col("ts_ms").as("valid_from_ms"),
+              col("ts_ms").as("valid_to_ms"))
+    var free: () => Unit = () => ()
+    (0 until 3).foreach { i =>
+      val batch = ups.filter(col("ts_ms") >= lo + i * step &&
+                             col("ts_ms") <  lo + (i + 1) * step)
+      val (ck, f) = Lineage.checkpoint(Scd2.merge(hist, batch))
+      free(); free = f
+      hist = ck
+    }
+    hist.select(col("key").as("user_id"), col("attr").as("etype"),
+                col("valid_from_ms"), col("valid_to_ms"))
+  }
+
+  val q139Sql: String =
+    """WITH u AS (SELECT user_id AS key, event_type AS attr,
+      |             epoch_ms(ts) AS ts_ms, event_id AS tie
+      |           FROM events WHERE event_type <> 'error'),
+      |o AS (SELECT key, attr, ts_ms, tie,
+      |        lag(attr) OVER (PARTITION BY key ORDER BY ts_ms, tie) AS prev
+      |      FROM u),
+      |c AS (SELECT key, attr, ts_ms, tie FROM o
+      |      WHERE prev IS NULL OR attr <> prev),
+      |h AS (SELECT key, attr, ts_ms AS valid_from_ms,
+      |        lead(ts_ms) OVER (PARTITION BY key ORDER BY ts_ms, tie) AS valid_to_ms
+      |      FROM c)
+      |SELECT key AS user_id, attr AS etype,
+      |  CAST(valid_from_ms AS BIGINT) AS valid_from_ms,
+      |  CAST(valid_to_ms AS BIGINT) AS valid_to_ms
+      |FROM h""".stripMargin
+
   val entries: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "q16_cdc_enrich_flatten" -> (q16EnrichFlatten _, q16Sql),
     "q17_cdc_latest_by_key" -> (q17LatestByKey _, q17Sql),
     "q18_cdc_live_state" -> (q18LiveState _, q18Sql),
     "q19_cdc_route_counts" -> (q19RouteCounts _, q19Sql),
     "q20_cdc_video_analytics" -> (q20VideoAnalytics _, q20Sql),
+    "q139_scd2_history" -> (q139Scd2History _, q139Sql),
   )
 }

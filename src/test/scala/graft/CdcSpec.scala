@@ -98,4 +98,38 @@ class CdcSpec extends SparkSpec {
     assert(out(0).getLong(1) == 2 && out(0).getDouble(2) == 0.6)
     assert(out(1).getLong(1) == 1 && out(1).getDouble(2) == 1.0)
   }
+
+  test("SCD2 merge: no-change updates extend, changes version, batches stitch like one-shot") {
+    import graft.ops.Scd2
+    def ups(rows: (Long, String, Long, Long)*) =
+      rows.toDF("key", "attr", "ts_ms", "tie")
+    val empty = ups().select($"key", $"attr",
+      $"ts_ms".as("valid_from_ms"), $"ts_ms".as("valid_to_ms"))
+    // batch 1: key 1 goes a@10, a@20 (no-op), b@30; key 2: x@15
+    val h1 = Scd2.merge(empty, ups((1L, "a", 10L, 1L), (1L, "a", 20L, 2L),
+      (1L, "b", 30L, 3L), (2L, "x", 15L, 4L)))
+    val rows1 = h1.orderBy($"key", $"valid_from_ms")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3)))
+    assert(rows1.toSeq == Seq((1L, "a", 10L, 30L), (1L, "b", 30L, -1L),
+      (2L, "x", 15L, -1L)), rows1.mkString(","))
+    // batch 2: key 1 b@40 must EXTEND the open b (no new version);
+    // key 1 a@50 re-versions; key 2 unchanged rides through open
+    val h2 = Scd2.merge(h1, ups((1L, "b", 40L, 5L), (1L, "a", 50L, 6L)))
+    val rows2 = h2.orderBy($"key", $"valid_from_ms")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3)))
+    assert(rows2.toSeq == Seq((1L, "a", 10L, 30L), (1L, "b", 30L, 50L),
+      (1L, "a", 50L, -1L), (2L, "x", 15L, -1L)), rows2.mkString(","))
+    // equals the one-shot merge of all updates in one batch
+    val oneShot = Scd2.merge(empty, ups((1L, "a", 10L, 1L), (1L, "a", 20L, 2L),
+      (1L, "b", 30L, 3L), (2L, "x", 15L, 4L), (1L, "b", 40L, 5L), (1L, "a", 50L, 6L)))
+    assert(oneShot.exceptAll(h2).isEmpty && h2.exceptAll(oneShot).isEmpty,
+      "batched fold diverged from the one-shot merge")
+    // point-in-time lookups over the half-open intervals
+    assert(Scd2.asOf(h2, 29L).orderBy($"key").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq == Seq((1L, "a"), (2L, "x")))
+    assert(Scd2.asOf(h2, 30L).filter($"key" === 1L).head().getString(1) == "b")
+    assert(Scd2.asOf(h2, 9L).count() == 0L)
+  }
 }
