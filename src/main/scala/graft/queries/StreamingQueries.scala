@@ -850,6 +850,55 @@ object StreamingQueries {
       |      FROM events))
       |WHERE rn = 1 AND user_id BETWEEN 40 AND 79""".stripMargin
 
+  // ---------------------------------------------------------------- q140
+  /** Z-ORDER MULTI-DIMENSIONAL SKIPPING at the gate: events are
+    * written into a MergeSink range-bucketed on the Morton-interleaved
+    * (user_id, floor(value)) key, tiling the 2-D domain into an 8x8
+    * bucket grid whose per-bucket zone maps are tight in BOTH columns.
+    * Two REQUIREs pin the layout property q105 cannot give: a user_id
+    * range AND a value range must EACH resolve a strict subset of the
+    * held buckets — single-column range layout prunes on exactly one
+    * dimension; z-order prunes on either. The result rows themselves
+    * are plain filters (oracle = two range filters, union-all), so a
+    * zone map that wrongly prunes a bucket drops rows and fails the
+    * hash, not just the REQUIRE.
+    */
+  def q140ZorderSkipping(s: SparkSession, d: String): DataFrame = {
+    import graft.ops.ZOrder
+    val base = Files.createTempDirectory("graft_q140_").toString
+    val ev = graft.core.Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), col("value"))
+    val mm = ev.agg(max(col("user_id")), max(floor(col("value")).cast("long"))).first()
+    val (maxU, maxV) = (mm.getLong(0), mm.getLong(1))
+    val rows = ev.withColumn("zv", ZOrder.zvalue16(
+      ZOrder.rank16(col("user_id"), maxU),
+      ZOrder.rank16(floor(col("value")).cast("long"), maxV)))
+    val nBuckets = 64
+    val sink = new MergeSink(s, s"$base/state",
+      keys = Seq("zv", "event_id"), orderCols = Seq("user_id"),
+      nBuckets = nBuckets, statsCols = Seq("user_id", "value"),
+      rangeBucketWidth = Some(1L << 26)) // 32-bit z div 2^26 = 8x8 grid
+    sink.merge(rows)
+    val held = sink.bucketFileCounts().keySet
+    val byUser = sink.bucketsForRange("user_id", 40.0, 79.0)
+    val byValue = sink.bucketsForRange("value", 100.0, 199.99)
+    require(byUser.size < held.size,
+      s"z-order user_id pruning resolved ${byUser.size} of ${held.size} buckets")
+    require(byValue.size < held.size,
+      s"z-order value pruning resolved ${byValue.size} of ${held.size} buckets")
+    sink.readRange("user_id", 40.0, 79.0)
+      .select(lit("u").as("dim"), col("event_id"), col("user_id"), col("value"))
+      .unionByName(sink.readRange("value", 100.0, 199.99)
+        .select(lit("v").as("dim"), col("event_id"), col("user_id"), col("value")))
+  }
+
+  val q140Sql: String =
+    """SELECT 'u' AS dim, event_id, user_id, value FROM events
+      |WHERE user_id BETWEEN 40 AND 79
+      |UNION ALL
+      |SELECT 'v' AS dim, event_id, user_id, value FROM events
+      |WHERE value BETWEEN 100.0 AND 199.99""".stripMargin
+
   // ---------------------------------------------------------------- q106
   /** COMPLIANCE PURGE at the gate (GDPR / takedown): the CDC history
     * merges into a versioned sink table, then every user with
@@ -1295,5 +1344,6 @@ object StreamingQueries {
     "q129_streaming_trending" -> (q129StreamingTrending _, q129Sql),
     "q134_streaming_distinct" -> (q134StreamingDistinct _, q134Sql),
     "q135_streaming_quantiles" -> (q135StreamingQuantiles _, q135Sql),
+    "q140_zorder_skipping" -> (q140ZorderSkipping _, q140Sql),
   )
 }

@@ -319,6 +319,45 @@ class PlanSpec extends SparkSpec {
       "readRange listed files outside the zone-map-resolved buckets")
   }
 
+  test("z-order layout: interleave bit math exact; both dimensions prune to grid stripes") {
+    import graft.ops.ZOrder
+    import graft.sink.MergeSink
+    // hand-checked interleave: a=3 (0b11) spreads to 0b101, b=1 to
+    // 0b1 shifted odd -> z = 0b111 = 7; a=0,b=65535 -> odd bits only
+    val z = spark.range(1).select(
+      ZOrder.zvalue16(lit(3L), lit(1L)).as("z1"),
+      ZOrder.zvalue16(lit(0L), lit(65535L)).as("z2"),
+      ZOrder.zvalue16(lit(65535L), lit(0L)).as("z3")).first()
+    assert(z.getLong(0) == 7L)
+    assert(z.getLong(1) == 0xAAAAAAAAL, f"odd-bit spread was ${z.getLong(1)}%x")
+    assert(z.getLong(2) == 0x55555555L, f"even-bit spread was ${z.getLong(2)}%x")
+    // uniform 2-D data, 64 z-range buckets = 8x8 grid: a query on ONE
+    // eighth of either dimension must resolve ~one stripe (8 buckets
+    // + alignment fringe), never most of the table
+    val dir = java.nio.file.Files.createTempDirectory("graft_zorder_").toString + "/t"
+    val n = 4096
+    val df = spark.range(n).select(
+      $"id".as("k"),
+      ($"id" % 64).as("a"),
+      (($"id" / 64).cast("long") % 64).as("b"))
+    val rows = df.withColumn("zv", ZOrder.zvalue16(
+      ZOrder.rank16($"a", 63L), ZOrder.rank16($"b", 63L)))
+    val sink = new MergeSink(spark, dir, keys = Seq("zv", "k"),
+      orderCols = Seq("a"), nBuckets = 64,
+      statsCols = Seq("a", "b"), rangeBucketWidth = Some(1L << 26))
+    sink.merge(rows)
+    val held = sink.bucketFileCounts().keySet.size
+    val byA = sink.bucketsForRange("a", 0.0, 7.0).size
+    val byB = sink.bucketsForRange("b", 0.0, 7.0).size
+    assert(held > 32, s"uniform corpus should fill most buckets, held $held")
+    assert(byA <= 16, s"a-range resolved $byA of $held buckets — not a stripe")
+    assert(byB <= 16, s"b-range resolved $byB of $held buckets — not a stripe")
+    // correctness floor under pruning: readRange == full filter
+    val got = sink.readRange("a", 0.0, 7.0).count()
+    val want = rows.filter($"a" <= 7).count()
+    assert(got == want, s"pruned read lost rows: $got vs $want")
+  }
+
   test("bucketed co-located join: ZERO shuffle exchanges end to end") {
     // q111 is the storage-layout story for fact-fact joins at 100 TB:
     // both sides bucketed on the join key, so the join AND the
