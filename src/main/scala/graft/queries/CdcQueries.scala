@@ -203,6 +203,59 @@ object CdcQueries {
       |  CAST(valid_to_ms AS BIGINT) AS valid_to_ms
       |FROM h""".stripMargin
 
+  // ---------------------------------------------------------------- q141
+  /** TEMPORAL DIMENSION JOIN — "which attribute version was valid at
+    * event time", the query every SCD2 history exists to answer,
+    * joined at scale through the NATIVE as-of operator
+    * (graft.plans.AsOf): intervals partition each key's timeline, so
+    * backward as-of on valid_from alone — one merge pass after
+    * co-partitioning — picks exactly the containing interval; no
+    * interval-overlap range join, no per-probe candidate explosion.
+    * Probes are the DELETE events (excluded from the history build),
+    * so the answer is derived from OTHER rows — a probe before its
+    * key's first version stays NULL (left as-of). Zero-length
+    * intervals (two changes at one ms, q139's tie discipline) are
+    * filtered before the join; the oracle's [from, to) predicate
+    * skips them identically.
+    */
+  def q141TemporalDimJoin(s: SparkSession, d: String): DataFrame = {
+    import graft.ops.Scd2
+    val ups = envelope(s, d).filter(col("operation").isin("insert", "update"))
+      .select(col("user_id").as("key"), col("data.etype").as("attr"),
+              unix_millis(col("ts")).as("ts_ms"), col("document_id").as("tie"))
+    val empty = ups.filter(lit(false))
+      .select(col("key"), col("attr"), col("ts_ms").as("valid_from_ms"),
+              col("ts_ms").as("valid_to_ms"))
+    val hist = Scd2.merge(empty, ups)
+      .filter(col("valid_to_ms").isNull || col("valid_to_ms") > col("valid_from_ms"))
+      .select(col("key"), col("attr"), col("valid_from_ms"))
+    val probes = envelope(s, d).filter(col("operation") === "delete")
+      .select(col("document_id").as("event_id"), col("user_id"),
+              unix_millis(col("ts")).as("ts_ms"))
+    graft.plans.AsOf.join(probes, hist,
+        Seq("user_id"), Seq("key"), "ts_ms", "valid_from_ms")
+      .select(col("event_id"), col("user_id"), col("attr").as("etype_at_ts"))
+  }
+
+  val q141Sql: String =
+    """WITH u AS (SELECT user_id AS key, event_type AS attr,
+      |             epoch_ms(ts) AS ts_ms, event_id AS tie
+      |           FROM events WHERE event_type <> 'error'),
+      |o AS (SELECT key, attr, ts_ms, tie,
+      |        lag(attr) OVER (PARTITION BY key ORDER BY ts_ms, tie) AS prev
+      |      FROM u),
+      |c AS (SELECT key, attr, ts_ms, tie FROM o
+      |      WHERE prev IS NULL OR attr <> prev),
+      |h AS (SELECT key, attr, ts_ms AS valid_from_ms,
+      |        lead(ts_ms) OVER (PARTITION BY key ORDER BY ts_ms, tie) AS valid_to_ms
+      |      FROM c),
+      |p AS (SELECT event_id, user_id, epoch_ms(ts) AS ts_ms
+      |      FROM events WHERE event_type = 'error')
+      |SELECT p.event_id, p.user_id, h.attr AS etype_at_ts
+      |FROM p LEFT JOIN h ON p.user_id = h.key
+      |  AND h.valid_from_ms <= p.ts_ms
+      |  AND (h.valid_to_ms IS NULL OR h.valid_to_ms > p.ts_ms)""".stripMargin
+
   val entries: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "q16_cdc_enrich_flatten" -> (q16EnrichFlatten _, q16Sql),
     "q17_cdc_latest_by_key" -> (q17LatestByKey _, q17Sql),
@@ -210,5 +263,6 @@ object CdcQueries {
     "q19_cdc_route_counts" -> (q19RouteCounts _, q19Sql),
     "q20_cdc_video_analytics" -> (q20VideoAnalytics _, q20Sql),
     "q139_scd2_history" -> (q139Scd2History _, q139Sql),
+    "q141_temporal_dim_join" -> (q141TemporalDimJoin _, q141Sql),
   )
 }
