@@ -63,4 +63,55 @@ object Graph {
     }
     ranks
   }
+
+  /** Per-node TRIANGLE COUNTS over an undirected edge frame (`a`,
+    * `b`; duplicates/self-loops/direction ignored) — the clustering
+    * primitive behind community cohesion and spam-graph screens.
+    *
+    * Compact-forward with DEGREE ORDERING, the standard skew guard:
+    * every edge is oriented from its lower-(degree, id) endpoint, so a
+    * hub node's wedge fan-out is capped (out-degree after orientation
+    * is O(sqrt(|E|)) for any graph) — wedge volume is
+    * sum(outdeg^2) ~ O(|E|^1.5) worst case instead of the
+    * sum(deg^2) blowup a hub causes under id-only orientation. The
+    * pipeline is three hash equi-joins (orient, wedge self-join,
+    * closure left-semi) and one aggregate — no neighborhood is ever
+    * collected into a single row.
+    *
+    * Returns (node, n_triangles) for nodes in >= 1 triangle. The count
+    * is orientation-independent, which is what lets an id-ordered SQL
+    * oracle check a degree-ordered implementation.
+    */
+  def triangleCounts(edgesIn: DataFrame): DataFrame = {
+    val und = edgesIn.select(
+        least(col("a"), col("b")).as("x"), greatest(col("a"), col("b")).as("y"))
+      .filter(col("x") =!= col("y")).distinct()
+    val deg = und.select(col("x").as("node"))
+      .unionByName(und.select(col("y").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    // orient by (deg, id): src = smaller endpoint under that order
+    val oriented = und
+      .join(deg.select(col("node").as("x"), col("deg").as("dx")), "x")
+      .join(deg.select(col("node").as("y"), col("deg").as("dy")), "y")
+      .select(
+        when(col("dx") < col("dy") ||
+             (col("dx") === col("dy") && col("x") < col("y")), col("x"))
+          .otherwise(col("y")).as("src"),
+        when(col("dx") < col("dy") ||
+             (col("dx") === col("dy") && col("x") < col("y")), col("y"))
+          .otherwise(col("x")).as("dst"),
+        col("dx"), col("dy"))
+    val o = oriented.select(col("src"), col("dst"))
+    // wedges at a common source: unordered target pairs (u < v by the
+    // same (deg, id) orientation order keeps each wedge once)
+    val l = o.select(col("src"), col("dst").as("u"))
+    val r = o.select(col("src"), col("dst").as("v"))
+    val wedges = l.join(r, "src").filter(col("u") < col("v"))
+    // closure: the (u, v) edge exists in EITHER orientation
+    val closure = o.select(col("src").as("u"), col("dst").as("v"))
+      .unionByName(o.select(col("dst").as("u"), col("src").as("v")))
+    val tris = wedges.join(closure, Seq("u", "v"), "left_semi")
+    tris.select(explode(array(col("src"), col("u"), col("v"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("n_triangles"))
+  }
 }

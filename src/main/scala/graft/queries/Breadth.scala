@@ -819,8 +819,62 @@ object Breadth {
       |FROM a JOIN f USING (user_id)
       |GROUP BY cohort, am""".stripMargin
 
+  // ---------------------------------------------------------------- q142
+  /** ORDERED EVENT FUNNEL — view -> click -> purchase, each step
+    * within 7 days of the previous, first qualifying timestamp per
+    * step: the product-analytics staple. Scale shape: each step is ONE
+    * hash aggregate over that step's filtered events joined to the
+    * previous step's per-user frame (user-cardinality, broadcast-able
+    * at dim scale) — never a per-user event sort or a sequence scan
+    * over the raw stream; step k's shuffle carries only step-k events.
+    * Emits per-user stage reached + the step timestamps, NULL where
+    * the funnel broke (strict > ordering, so a click at exactly the
+    * view's ts does not advance).
+    */
+  def q142EventFunnel(s: SparkSession, d: String): DataFrame = {
+    val ev = graft.core.Tables.events(s, d)
+      .select(col("user_id"), col("event_type"), col("ts"))
+    val win = expr("INTERVAL 7 DAYS")
+    val a = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("ta"))
+    val b = ev.filter(col("event_type") === "click").join(a, "user_id")
+      .filter(col("ts") > col("ta") && col("ts") <= col("ta") + win)
+      .groupBy(col("user_id")).agg(min(col("ts")).as("tb"))
+    val c = ev.filter(col("event_type") === "purchase").join(b, "user_id")
+      .filter(col("ts") > col("tb") && col("ts") <= col("tb") + win)
+      .groupBy(col("user_id")).agg(min(col("ts")).as("tc"))
+    a.join(b, Seq("user_id"), "left").join(c, Seq("user_id"), "left")
+      .select(col("user_id"),
+        when(col("tc").isNotNull, 3L).when(col("tb").isNotNull, 2L)
+          .otherwise(1L).as("stage"),
+        unix_millis(col("ta")).as("ta_ms"),
+        unix_millis(col("tb")).as("tb_ms"),
+        unix_millis(col("tc")).as("tc_ms"))
+  }
+
+  val q142Sql: String =
+    """WITH a AS (SELECT user_id, min(ts) AS ta FROM events
+      |           WHERE event_type = 'view' GROUP BY user_id),
+      |b AS (SELECT e.user_id, min(e.ts) AS tb
+      |      FROM events e JOIN a ON e.user_id = a.user_id
+      |      WHERE e.event_type = 'click'
+      |        AND e.ts > a.ta AND e.ts <= a.ta + INTERVAL 7 DAY
+      |      GROUP BY e.user_id),
+      |c AS (SELECT e.user_id, min(e.ts) AS tc
+      |      FROM events e JOIN b ON e.user_id = b.user_id
+      |      WHERE e.event_type = 'purchase'
+      |        AND e.ts > b.tb AND e.ts <= b.tb + INTERVAL 7 DAY
+      |      GROUP BY e.user_id)
+      |SELECT a.user_id,
+      |  CAST(CASE WHEN c.tc IS NOT NULL THEN 3
+      |            WHEN b.tb IS NOT NULL THEN 2 ELSE 1 END AS BIGINT) AS stage,
+      |  epoch_ms(a.ta) AS ta_ms, epoch_ms(b.tb) AS tb_ms, epoch_ms(c.tc) AS tc_ms
+      |FROM a LEFT JOIN b ON a.user_id = b.user_id
+      |       LEFT JOIN c ON a.user_id = c.user_id""".stripMargin
+
   val entries: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "q109_retention_cohorts" -> (q109RetentionCohorts _, q109Sql),
+    "q142_event_funnel" -> (q142EventFunnel _, q142Sql),
     "q43_percentiles" -> (q43Percentiles _, q43Sql),
     "q44_datetime" -> (q44Datetime _, q44Sql),
     "q45_strings" -> (q45Strings _, q45Sql),

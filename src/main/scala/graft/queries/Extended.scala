@@ -445,6 +445,39 @@ object Extended {
        |SELECT node, r FROM r4""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q143
+  /** TRIANGLE COUNTS over the co-purchase graph (parts sharing an
+    * order) — the graph-cohesion primitive next to q88 (PageRank) and
+    * q71 (connected components). The implementation is compact-forward
+    * with DEGREE ORDERING ([[graft.ext.Graph.triangleCounts]]): edges
+    * orient from the lower-(degree, id) endpoint, capping a hub part's
+    * wedge fan-out at O(sqrt(|E|)) — the skew guard a 100 TB
+    * co-occurrence graph needs, since "appears in every order" parts
+    * are exactly the hubs that blow up id-only orientation. The count
+    * is orientation-independent, so the oracle checks it with the
+    * simple id-ordered triple join.
+    */
+  def q143Triangles(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey"))
+    val l1 = li.select(col("l_orderkey"), col("l_partkey").as("a"))
+    val l2 = li.select(col("l_orderkey"), col("l_partkey").as("b"))
+    val edges = l1.join(l2, "l_orderkey").filter(col("a") < col("b"))
+      .select(col("a").cast("long").as("a"), col("b").cast("long").as("b"))
+    graft.ext.Graph.triangleCounts(edges)
+      .select(col("node").as("part"), col("n_triangles"))
+  }
+
+  val q143Sql: String =
+    """WITH e AS (SELECT DISTINCT a.l_partkey AS x, b.l_partkey AS y
+      |           FROM lineitem a JOIN lineitem b
+      |             ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+      |t AS (SELECT e1.x AS p, e1.y AS q, e2.y AS r
+      |      FROM e e1 JOIN e e2 ON e2.x = e1.y
+      |      JOIN e e3 ON e3.x = e1.x AND e3.y = e2.y)
+      |SELECT CAST(node AS BIGINT) AS part, CAST(count(*) AS BIGINT) AS n_triangles
+      |FROM (SELECT unnest([p, q, r]) AS node FROM t)
+      |GROUP BY node""".stripMargin
+
   // ---------------------------------------------------------------- q89
   /** Symmetric int8 embedding quantization — the compression step
     * before shipping an ANN corpus (q = floor(x * 127 / max|x|)
@@ -494,6 +527,7 @@ object Extended {
 
   val entries: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "q88_pagerank" -> (q88PageRank _, q88Sql),
+    "q143_triangle_counts" -> (q143Triangles _, q143Sql),
     "q89_quantize_int8" -> (q89QuantizeInt8 _, q89Sql),
     "q34_ts_normalize" -> (q34TsNormalize _, q34Sql),
     "q35_cube" -> (q35Cube _, q35Sql),

@@ -637,6 +637,26 @@ class ExtSpec extends SparkSpec {
            ov(1).getLong(3) == 1L)
   }
 
+  test("triangle counts: hand-checked graph, duplicates/direction/self-loops ignored") {
+    import graft.ext.Graph
+    // K4 on {1,2,3,4} (4 triangles, every node in 3) plus a pendant
+    // node 5 (in none) — fed with duplicate edges, reversed direction,
+    // and a self-loop, all of which must be ignored
+    val k4 = for { a <- 1L to 4L; b <- 1L to 4L if a < b } yield (a, b)
+    val edges = (k4 ++ Seq((2L, 1L), (1L, 2L), (4L, 5L), (3L, 3L)))
+      .toDF("a", "b")
+    val got = Graph.triangleCounts(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L), got.toString)
+    // star + one chord: hub 0 connects to 1..5, chord (1,2) -> exactly
+    // one triangle {0,1,2}; degree orientation must not double-count
+    // through the hub
+    val star = ((1L to 5L).map(i => (0L, i)) :+ (1L, 2L)).toDF("a", "b")
+    val got2 = Graph.triangleCounts(star).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got2 == Map(0L -> 1L, 1L -> 1L, 2L -> 1L), got2.toString)
+  }
+
   test("audio features: hand-checked energy/crossings/peak; undecodable payloads drop") {
     import graft.ext.Multimodal
     import Multimodal.MediaRecord
