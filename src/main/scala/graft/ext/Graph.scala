@@ -114,4 +114,88 @@ object Graph {
     tris.select(explode(array(col("src"), col("u"), col("v"))).as("node"))
       .groupBy(col("node")).agg(count(lit(1)).as("n_triangles"))
   }
+
+  /** Bounded-round single-source shortest WEIGHTED paths over an
+    * undirected edge frame (`a`, `b`, `w`: int) — Bellman-Ford in its
+    * frontier-parallel form: each round relaxes every edge out of the
+    * current distance frame (one equi-join), then min-combines with
+    * the standing distances (one aggregate). After R rounds the frame
+    * holds the exact shortest distance among paths of <= R edges —
+    * the bounded-horizon contract the walk-enumeration oracle states
+    * directly. State is one (node, dist) row per reached node; the
+    * join touches O(reached-adjacent edges) per round; no transitive
+    * closure, no per-node neighborhood collection.
+    *
+    * Rounds are lineage-checkpointed (plans stay O(1) deep) with
+    * superseded blocks freed, the [[bfsHops]] discipline. Multi-edges
+    * collapse to their min weight up front — fewer relaxation
+    * candidates, same distances.
+    */
+  def ssspRounds(edgesIn: DataFrame, source: Long, rounds: Int): DataFrame = {
+    val spark = edgesIn.sparkSession
+    import spark.implicits._
+    val edges = edgesIn.select(col("a").as("src"), col("b").as("dst"), col("w"))
+      .unionByName(edgesIn.select(col("b").as("src"), col("a").as("dst"), col("w")))
+      .filter(col("src") =!= col("dst"))
+      .groupBy(col("src"), col("dst")).agg(min(col("w")).as("w"))
+    var dist = Seq((source, 0L)).toDF("node", "dist")
+    var free: () => Unit = () => ()
+    (1 to rounds).foreach { _ =>
+      val relaxed = dist.join(edges, dist("node") === edges("src"))
+        .select(edges("dst").as("node"),
+          (dist("dist") + edges("w").cast("long")).as("dist"))
+      val (ck, freeCk) = Lineage.checkpoint(
+        dist.unionByName(relaxed).groupBy(col("node")).agg(min(col("dist")).as("dist")))
+      free()
+      free = freeCk
+      dist = ck
+    }
+    dist
+  }
+
+  /** Bounded-depth BFS shortest hop counts from one source over an
+    * undirected edge frame (`a`, `b`) — frontier-parallel, the
+    * Pregel-shape traversal (one equi-join + one min-combine per
+    * round), NOT a transitive-closure materialization: round h's
+    * frontier is only the nodes FIRST reached at distance h (an
+    * anti-join against the visited set drops re-reachings), so per
+    * round the join touches O(frontier-adjacent edges) and state is
+    * one (node, dist) row per visited node. The closure-style oracle
+    * (recursive CTE enumerating every (node, d<=maxHops) walk
+    * endpoint, then min(d)) is the quadratic anti-baseline the
+    * frontier shape avoids; both agree because min over all walk
+    * lengths IS the shortest distance.
+    *
+    * Both frontier and visited are lineage-checkpointed each round
+    * (visited is referenced by the anti-join AND the final result, so
+    * without truncation the plan doubles per round — the q71 CC
+    * lesson), with superseded rounds' blocks freed deterministically.
+    *
+    * Returns (node, hops) for every node within `maxHops` of `source`
+    * (source itself at 0).
+    */
+  def bfsHops(edgesIn: DataFrame, source: Long, maxHops: Int): DataFrame = {
+    val spark = edgesIn.sparkSession
+    import spark.implicits._
+    val edges = edgesIn.select(col("a").as("src"), col("b").as("dst"))
+      .unionByName(edgesIn.select(col("b").as("src"), col("a").as("dst")))
+      .filter(col("src") =!= col("dst")).distinct()
+    var visited = Seq((source, 0L)).toDF("node", "hops")
+    var frontier = visited
+    var free: () => Unit = () => ()
+    (1 to maxHops).foreach { h =>
+      val next = frontier.join(edges, frontier("node") === edges("src"))
+        .select(edges("dst").as("node"))
+        .distinct()
+        .join(visited, Seq("node"), "left_anti")
+        .withColumn("hops", lit(h.toLong))
+      val (ckNext, freeNext) = Lineage.checkpoint(next)
+      val (ckVisited, freeVisited) = Lineage.checkpoint(visited.unionByName(ckNext))
+      free() // previous rounds' blocks: superseded, release
+      free = () => { freeNext(); freeVisited() }
+      frontier = ckNext
+      visited = ckVisited
+    }
+    visited
+  }
 }

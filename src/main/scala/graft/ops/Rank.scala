@@ -1,0 +1,69 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.ext.Lineage
+
+/** Distributed global row numbering — the primitive behind exact
+  * equi-depth histograms, global percentile assignment, and
+  * deterministic pagination, WITHOUT the single-partition window
+  * (`row_number().over(Window.orderBy(...))` moves the entire dataset
+  * through ONE task — the canonical 100 TB scale-killer; Spark itself
+  * warns `WindowExec: No Partition Defined`).
+  *
+  * Shape (the classic two-pass distributed rank):
+  *   1. range-repartition on the sort key, sort within partitions —
+  *      the same machinery as a global `orderBy`, fully parallel;
+  *   2. count rows per partition (metadata-scale: one long per
+  *      partition, collected to the driver like the k-means centroids
+  *      or sink bucket lists);
+  *   3. per-partition `row_number` (window PARTITIONED by partition id
+  *      — parallel, no single-task funnel) plus the partition's
+  *      cumulative offset, broadcast-joined back on partition id.
+  *
+  * The range-partitioned frame is lineage-checkpointed so pass 2 and
+  * pass 3 read the SAME materialized partitioning: RangePartitioner
+  * samples per-RDD-id seeds, so re-executing the exchange in two
+  * separate jobs could place boundary rows differently and corrupt
+  * offsets. The checkpoint blocks are released by the session's
+  * per-query `clearCache` (the frame escapes to the caller, so no
+  * eager free here — the bfsHops discipline).
+  *
+  * The result is a correct global row number for any TOTAL ordering
+  * (ties in the key columns would get arbitrary relative order across
+  * partition boundaries — pass a tiebreak column that makes the order
+  * total, as every oracle-gated caller must anyway).
+  */
+object Rank {
+
+  /** Adds `rnCol` (1-based global row number under `order`) to `df`.
+    * `order` must be a total order for a deterministic result.
+    */
+  def globalRowNumber(df: DataFrame, order: Seq[Column], rnCol: String,
+                      numPartitions: Int = 0): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val parts =
+      if (numPartitions > 0) numPartitions
+      else spark.sessionState.conf.numShufflePartitions
+    val (parted, _) = Lineage.checkpoint(
+      df.repartitionByRange(parts, order: _*)
+        .sortWithinPartitions(order: _*)
+        .withColumn("__pid", spark_partition_id()))
+    // pass 2: per-partition counts — metadata-scale collect
+    val counts: Map[Int, Long] = parted.groupBy(col("__pid")).count()
+      .as[(Int, Long)].collect().toMap
+    val offsets = (0 until parts).scanLeft(0L) {
+      case (acc, pid) => acc + counts.getOrElse(pid, 0L)
+    }.dropRight(1).zipWithIndex.map { case (off, pid) => (pid, off) }
+    val offDf = broadcast(offsets.toDF("__pid", "__off"))
+    // pass 3: parallel per-partition row_number + offset
+    val w = Window.partitionBy(col("__pid")).orderBy(order: _*)
+    parted
+      .join(offDf, "__pid")
+      .withColumn(rnCol, row_number().over(w).cast("long") + col("__off"))
+      .drop("__pid", "__off")
+  }
+}

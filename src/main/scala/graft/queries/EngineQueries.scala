@@ -1,0 +1,600 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.core.Tables
+import graft.ext.{Graph, SetSimJoin, TextAnalysis}
+import graft.functions.BloomFunctions
+import graft.functions.ShingleFunctions.wordShingles
+
+/** Round-5 engine tier: sketch-pruned joins, exact similarity joins,
+  * inverted-index search, data profiling, graph traversal, and
+  * distribution-drift analytics — capability extensions past the
+  * reference surface (like Dedup/Similarity/Graph), each shaped for
+  * the 1000-executor case and each oracle-gated.
+  */
+object EngineQueries {
+
+  import TextAnalysis.{Sql => T}
+
+  private def dec2(c: Column): Column = c.cast(DecimalType(18, 2))
+  private def oneMinus(c: Column): Column =
+    lit(1).cast(DecimalType(3, 2)) - c.cast(DecimalType(4, 2))
+
+  // ---------------------------------------------------------------- q144
+  /** BLOOM-PRUNED shuffle join ([[graft.functions.BloomMightContain]]):
+    * the dim key set (urgent orders — a fifth of the table, far past
+    * broadcast-hash-join range at 100 TB) folds into a ~1-byte-per-key
+    * bloom sketch on the dim side only; the fact scan probes the sketch
+    * INSIDE whole-stage codegen before the shuffle, so ~4/5 of fact
+    * rows never hit the wire. The exact join afterwards discharges the
+    * fpp-rate false positives — the result is identical to the plain
+    * join (which is exactly what the oracle runs). Revenue sums use the
+    * decimal-exact idiom (Relational.scala q01 scaladoc).
+    */
+  def q144BloomPrunedJoin(s: SparkSession, d: String): DataFrame = {
+    val dim = Tables.orders(s, d)
+      .filter(col("o_orderpriority") === lit("1-URGENT"))
+      .select(col("o_orderkey"))
+    // sketch sizing: one dim-side count (an agg, not a data collect);
+    // the sketch itself is executor-metadata-scale (~n bytes at 1% fpp)
+    val bloom = BloomFunctions.buildBloom(dim, "o_orderkey", dim.count(), 0.01)
+    val fact = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_returnflag"),
+        (dec2(col("l_extendedprice")) * oneMinus(col("l_discount"))).as("rev"))
+      .filter(BloomFunctions.mightContain(col("l_orderkey"), bloom))
+    fact.join(dim, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_returnflag"))
+      .agg(round(sum(col("rev")), 2).cast("double").as("revenue"),
+           count(lit(1)).as("n_items"))
+  }
+
+  val q144Sql: String =
+    """SELECT l_returnflag,
+      |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1.00 - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE) AS revenue,
+      |  count(*) AS n_items
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |WHERE o_orderpriority = '1-URGENT'
+      |GROUP BY l_returnflag""".stripMargin
+
+  // ---------------------------------------------------------------- q145
+  /** EXACT Jaccard-threshold near-dup pairs via PPJoin-style prefix
+    * filtering ([[graft.ext.SetSimJoin]]) — the no-false-negative twin
+    * of q26's MinHash-LSH tier (LSH can MISS a qualifying pair; prefix
+    * filtering cannot). Same 3-word shingles, same threshold 0.5, so
+    * on this corpus the pair set coincides with q26's — but the
+    * guarantee differs, and the candidate generator is an equi-join on
+    * each record's RAREST tokens rather than banded hashes. The brute
+    * all-pairs SQL below is the oracle control, q27's shape.
+    */
+  def q145SetSimJoin(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), wordShingles(split(col("text"), " "), 3).as("sh"))
+    SetSimJoin.pairs(docs, "doc_id", "sh", 0.5)
+  }
+
+  val q145Sql: String =
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+       |  s AS (SELECT doc_id, ${T.shinglesOf("ts")} AS sh FROM t)
+       |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |  CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+       |    / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
+       |FROM s a JOIN s b ON a.doc_id < b.doc_id
+       |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+       |    / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5""".stripMargin
+
+  // ---------------------------------------------------------------- q146
+  /** INVERTED-INDEX phrase search: postings (token -> sorted positions
+    * per doc) built declaratively, probed for the phrase "hash join"
+    * by positional adjacency (a position p in the first token's list
+    * with p+1 in the second's — array_intersect on the shifted list,
+    * no explode). The phrase filter is on the GROUPING key, so
+    * Catalyst pushes it below the aggregate: only the two probe
+    * tokens' occurrences ever shuffle, not the corpus-wide index —
+    * the plan a search tier needs when the index is built fresh per
+    * batch. (A persisted deployment would write `postings` bucketed by
+    * token — q111's machinery — making the probe a bucket-pruned scan.)
+    */
+  def q146PhraseSearch(s: SparkSession, d: String): DataFrame = {
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("ts"))
+    val pos = toks.select(col("doc_id"), posexplode(col("ts")).as(Seq("pos", "tok")))
+    val postings = pos.groupBy(col("tok"), col("doc_id"))
+      .agg(sort_array(collect_list(col("pos"))).as("positions"))
+    val first  = postings.filter(col("tok") === lit("hash"))
+      .select(col("doc_id"), col("positions").as("pa"))
+    val second = postings.filter(col("tok") === lit("join"))
+      .select(col("doc_id"), col("positions").as("pb"))
+    first.join(second, "doc_id")
+      .select(col("doc_id"),
+        size(array_intersect(transform(col("pa"), p => p + lit(1)), col("pb")))
+          .cast("long").as("n_occurrences"))
+      .filter(col("n_occurrences") > 0)
+  }
+
+  val q146Sql: String =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+      |  p AS (SELECT doc_id, unnest(ts) AS tok, unnest(range(0, len(ts))) AS pos FROM t)
+      |SELECT a.doc_id, CAST(count(*) AS BIGINT) AS n_occurrences
+      |FROM p a JOIN p b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+      |WHERE a.tok = 'hash' AND b.tok = 'join'
+      |GROUP BY a.doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q147
+  /** ONE-PASS column profiler (the Deequ-style data-quality sweep a
+    * pipeline runs before trusting a new drop): per column, null
+    * count, exact distinct count, and null fraction — all in a single
+    * aggregate over one scan (Catalyst plans the multi-column exact
+    * distinct with one Expand: rows duplicate per profiled column, but
+    * the corpus is still READ once, and every path partial-aggregates
+    * map-side). At 100 TB the exact distincts swap for
+    * approx_count_distinct — same single scan, no Expand, 2% error;
+    * the gate keeps the exact form because the oracle must replay it.
+    * Output is long-format (column, metrics) — the harness-sortable
+    * shape (the q115 lesson).
+    */
+  private val profiled = Seq(
+    "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
+    "l_extendedprice", "l_discount", "l_tax", "l_returnflag", "l_linestatus",
+    "l_shipdate")
+
+  def q147ColumnProfile(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    val aggs = count(lit(1)).as("_rows") +:
+      profiled.flatMap(c => Seq(
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nulls"),
+        count_distinct(col(c)).as(s"${c}__dist")))
+    val one = li.agg(aggs.head, aggs.tail: _*)
+    val stackArgs = profiled
+      .map(c => s"'$c', ${c}__nulls, ${c}__dist").mkString(", ")
+    one.select(col("_rows"),
+        expr(s"stack(${profiled.length}, $stackArgs) AS (col_name, n_nulls, n_distinct)"))
+      .select(col("col_name"), col("n_nulls"), col("n_distinct"),
+        (col("n_nulls").cast("double") / col("_rows")).as("null_frac"))
+  }
+
+  val q147Sql: String = profiled.map { c =>
+    s"""SELECT '$c' AS col_name, count(*) - count($c) AS n_nulls,
+       |  count(DISTINCT $c) AS n_distinct,
+       |  CAST(count(*) - count($c) AS DOUBLE) / count(*) AS null_frac
+       |FROM lineitem""".stripMargin
+  }.mkString("\nUNION ALL\n")
+
+  // ---------------------------------------------------------------- q148
+  /** Frontier-parallel BFS ([[graft.ext.Graph.bfsHops]]) over the
+    * adjacent-lineitem part graph (consecutive line numbers of one
+    * order — the sparse co-occurrence graph, where full co-purchase is
+    * near-complete), hop counts <= 3 from part 0. The oracle is the
+    * closure-style recursive CTE — every walk endpoint, min'd — the
+    * anti-baseline whose intermediate is quadratic in reachability
+    * while the frontier shape's state stays one row per visited node.
+    */
+  def q148BfsHops(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"))
+    val x = li.select(col("l_orderkey"), col("l_linenumber"),
+      col("l_partkey").cast("long").as("pa"))
+    val y = li.select(col("l_orderkey"),
+      (col("l_linenumber") - 1).as("l_linenumber"), col("l_partkey").cast("long").as("pb"))
+    val edges = x.join(y, Seq("l_orderkey", "l_linenumber"))
+      .filter(col("pa") =!= col("pb"))
+      .select(least(col("pa"), col("pb")).as("a"), greatest(col("pa"), col("pb")).as("b"))
+    Graph.bfsHops(edges, 0L, 3)
+  }
+
+  val q148Sql: String =
+    """WITH RECURSIVE e AS (
+      |    SELECT DISTINCT least(a.l_partkey, b.l_partkey) AS x,
+      |                    greatest(a.l_partkey, b.l_partkey) AS y
+      |    FROM lineitem a JOIN lineitem b
+      |      ON a.l_orderkey = b.l_orderkey
+      |     AND b.l_linenumber = a.l_linenumber + 1
+      |     AND a.l_partkey <> b.l_partkey),
+      |  ed AS (SELECT x AS src, y AS dst FROM e UNION ALL SELECT y, x FROM e),
+      |  walk(node, d) AS (
+      |    SELECT CAST(0 AS BIGINT) AS node, 0 AS d
+      |    UNION
+      |    SELECT ed.dst, w.d + 1 FROM walk w JOIN ed ON ed.src = w.node
+      |    WHERE w.d < 3)
+      |SELECT node, CAST(min(d) AS BIGINT) AS hops FROM walk GROUP BY node""".stripMargin
+
+  // ---------------------------------------------------------------- q149
+  /** GAPS-AND-ISLANDS: consecutive-day activity streaks per user (the
+    * retention/engagement primitive next to q109's cohorts). The
+    * classic O(1)-state idiom: day minus its per-user row_number is
+    * constant exactly along a run of consecutive days, so one window
+    * plus one aggregate finds every island — no self-join, no
+    * iteration; the shuffle is one partition-by-user exchange.
+    */
+  def q149ActivityStreaks(s: SparkSession, d: String): DataFrame = {
+    val days = Tables.events(s, d)
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+    val rn = row_number().over(Window.partitionBy(col("user_id")).orderBy(col("day")))
+    val islands = days
+      .withColumn("grp", datediff(col("day"), lit("1970-01-01").cast("date")) - rn)
+      .groupBy(col("user_id"), col("grp"))
+      .agg(count(lit(1)).as("len"))
+    islands.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_streaks"), max(col("len")).as("max_streak"),
+           sum(col("len")).as("total_days"))
+  }
+
+  val q149Sql: String =
+    """WITH days AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+      |  r AS (SELECT user_id, day,
+      |          row_number() OVER (PARTITION BY user_id ORDER BY day) AS rn
+      |        FROM days),
+      |  g AS (SELECT user_id, date_diff('day', DATE '1970-01-01', day) - rn AS grp FROM r),
+      |  i AS (SELECT user_id, grp, count(*) AS len FROM g GROUP BY 1, 2)
+      |SELECT user_id, count(*) AS n_streaks,
+      |  CAST(max(len) AS BIGINT) AS max_streak,
+      |  CAST(sum(len) AS BIGINT) AS total_days
+      |FROM i GROUP BY user_id""".stripMargin
+
+  // ---------------------------------------------------------------- q150
+  /** Two-sample KOLMOGOROV-SMIRNOV drift detection: D = max |F_a - F_b|
+    * between each event type's value distribution and the 'click'
+    * baseline — the distribution-shift gate a training pipeline runs
+    * between data drops. ECDFs come from per-value counts (ties
+    * grouped BEFORE the cumulative window, so the statistic is
+    * order-independent) cumulated per comparison pair; the max-diff
+    * aggregate is exact. Scale: the per-pair ORDER BY value window is
+    * a per-pair sort — exact KS needs it; the sketch tier (q116/q135
+    * KLL quantiles) is the approx path when a sort per comparison is
+    * too dear. All divisions are long/long -> IEEE double, identical
+    * on both engines.
+    */
+  def q150KsDrift(s: SparkSession, d: String): DataFrame = {
+    val targets = Seq("view", "purchase", "error", "signup")
+    val ev = Tables.events(s, d).select(col("event_type"), col("value"))
+    val t = ev.filter(col("event_type").isin(targets: _*))
+      .select(col("event_type").as("pair"), col("value"), lit(1).as("side"))
+    val base = ev.filter(col("event_type") === lit("click"))
+      .select(explode(array(targets.map(lit): _*)).as("pair"), col("value"), lit(0).as("side"))
+    val perVal = t.unionByName(base)
+      .groupBy(col("pair"), col("value"))
+      .agg(sum(when(col("side") === 1, 1L).otherwise(0L)).as("c1"),
+           sum(when(col("side") === 0, 1L).otherwise(0L)).as("c0"))
+    val w = Window.partitionBy(col("pair")).orderBy(col("value"))
+    val cum = perVal
+      .withColumn("f1", sum(col("c1")).over(w))
+      .withColumn("f0", sum(col("c0")).over(w))
+    val n = perVal.groupBy(col("pair"))
+      .agg(sum(col("c1")).as("n1"), sum(col("c0")).as("n0"))
+    cum.join(n, "pair")
+      .groupBy(col("pair"), col("n1"), col("n0"))
+      .agg(max(abs(col("f1") / col("n1") - col("f0") / col("n0"))).as("ks_d"))
+      .select(col("pair"), col("n1"), col("n0"), col("ks_d"))
+  }
+
+  val q150Sql: String =
+    """WITH t AS (
+      |    SELECT event_type AS pair, value, 1 AS side FROM events
+      |    WHERE event_type IN ('view', 'purchase', 'error', 'signup')
+      |    UNION ALL
+      |    SELECT p.pair, e.value, 0 AS side FROM events e,
+      |      (SELECT unnest(['view', 'purchase', 'error', 'signup']) AS pair) p
+      |    WHERE e.event_type = 'click'),
+      |  pv AS (SELECT pair, value,
+      |           CAST(sum(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+      |           CAST(sum(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c0
+      |         FROM t GROUP BY 1, 2),
+      |  cum AS (SELECT pair, value,
+      |            CAST(sum(c1) OVER (PARTITION BY pair ORDER BY value) AS BIGINT) AS f1,
+      |            CAST(sum(c0) OVER (PARTITION BY pair ORDER BY value) AS BIGINT) AS f0
+      |          FROM pv),
+      |  n AS (SELECT pair, CAST(sum(c1) AS BIGINT) AS n1,
+      |          CAST(sum(c0) AS BIGINT) AS n0 FROM pv GROUP BY 1)
+      |SELECT cum.pair, n1, n0, max(abs(f1 / n1 - f0 / n0)) AS ks_d
+      |FROM cum JOIN n ON cum.pair = n.pair
+      |GROUP BY cum.pair, n1, n0""".stripMargin
+
+  // ---------------------------------------------------------------- q151
+  /** Bounded-round weighted SSSP ([[graft.ext.Graph.ssspRounds]]):
+    * Bellman-Ford frontier relaxation over the adjacent-lineitem part
+    * graph (q148's sparse edges, weight = integer quantity sum,
+    * multi-edges collapsed to min) — 3 rounds from part 0 gives the
+    * exact shortest distance among paths of <= 3 edges, which is
+    * precisely what the walk-enumeration oracle (every weighted walk,
+    * min'd) states. Per round: one equi-join + one min-combine; state
+    * one row per reached node.
+    */
+  def q151SsspWeighted(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("l_partkey").cast("long").as("pk"), col("l_quantity"))
+    val x = li.select(col("l_orderkey"), col("l_linenumber"),
+      col("pk").as("pa"), col("l_quantity").as("qa"))
+    val y = li.select(col("l_orderkey"),
+      (col("l_linenumber") - 1).as("l_linenumber"),
+      col("pk").as("pb"), col("l_quantity").as("qb"))
+    val edges = x.join(y, Seq("l_orderkey", "l_linenumber"))
+      .filter(col("pa") =!= col("pb"))
+      .groupBy(least(col("pa"), col("pb")).as("a"),
+               greatest(col("pa"), col("pb")).as("b"))
+      .agg(min((col("qa") + col("qb")).cast("int")).as("w"))
+    Graph.ssspRounds(edges, 0L, 3)
+  }
+
+  val q151Sql: String =
+    """WITH RECURSIVE e AS (
+      |    SELECT least(a.l_partkey, b.l_partkey) AS x,
+      |           greatest(a.l_partkey, b.l_partkey) AS y,
+      |           min(CAST(a.l_quantity + b.l_quantity AS INT)) AS w
+      |    FROM lineitem a JOIN lineitem b
+      |      ON a.l_orderkey = b.l_orderkey
+      |     AND b.l_linenumber = a.l_linenumber + 1
+      |     AND a.l_partkey <> b.l_partkey
+      |    GROUP BY 1, 2),
+      |  ed AS (SELECT x AS src, y AS dst, w FROM e UNION ALL SELECT y, x, w FROM e),
+      |  walk(node, dist, depth) AS (
+      |    SELECT CAST(0 AS BIGINT), CAST(0 AS BIGINT), 0
+      |    UNION ALL
+      |    SELECT ed.dst, wk.dist + ed.w, wk.depth + 1
+      |    FROM walk wk JOIN ed ON ed.src = wk.node
+      |    WHERE wk.depth < 3)
+      |SELECT node, min(dist) AS dist FROM walk GROUP BY node""".stripMargin
+
+  // ---------------------------------------------------------------- q152
+  /** EXACT equi-depth histogram over a distributed global row number
+    * ([[graft.ops.Rank.globalRowNumber]] — range-repartition + per-
+    * partition offsets, NEVER the single-partition global window).
+    * Bucket of a row = floor((rn-1)*B / N): pure integer arithmetic,
+    * identical on both engines for any N. The order (price, orderkey,
+    * linenumber) is total, so the rank — and therefore every bucket
+    * boundary — is deterministic. At 100 TB the approx path is
+    * approx_percentile boundaries (one pass, no rank); the gate keeps
+    * the exact form because the oracle must replay it bit-for-bit.
+    */
+  def q152EquiDepthHist(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+      .select(col("l_extendedprice").as("p"), col("l_orderkey"), col("l_linenumber"))
+    val n = li.count() // one metadata agg; N is needed by the bucket formula
+    val ranked = graft.ops.Rank.globalRowNumber(
+      li, Seq(col("p"), col("l_orderkey"), col("l_linenumber")), "__rn")
+    ranked
+      .withColumn("bucket", expr(s"CAST(((__rn - 1) * 8) DIV ${n}L AS BIGINT)"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_rows"), min(col("p")).as("lo"), max(col("p")).as("hi"))
+  }
+
+  val q152Sql: String =
+    """WITH r AS (SELECT l_extendedprice AS p,
+      |    row_number() OVER (ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS rn,
+      |    count(*) OVER () AS n
+      |  FROM lineitem)
+      |SELECT CAST((rn - 1) * 8 // n AS BIGINT) AS bucket,
+      |  count(*) AS n_rows, min(p) AS lo, max(p) AS hi
+      |FROM r GROUP BY 1""".stripMargin
+
+  // ---------------------------------------------------------------- q153
+  /** Deterministic k-per-group sampling via the bounded
+    * [[graft.functions.TopK]] Aggregator: draw = 28-bit integer from
+    * md5('samp#' || doc_id) (exact in the aggregator's Double score),
+    * top-5 per source by (draw DESC, doc_id ASC). Uniform-without-RNG
+    * (q90's hash-gate idiom) but EXACT-k per stratum, and the shuffle
+    * carries <= k pairs per upstream partition per group — the window
+    * form the oracle runs ships every row of every group.
+    */
+  def q153GroupSample(s: SparkSession, d: String): DataFrame = {
+    val topk = udaf(graft.functions.TopK(5))
+    val docs = Tables.documents(s, d)
+      .select(col("source"), col("doc_id"),
+        conv(substring(md5(concat(lit("samp#"), col("doc_id").cast("string"))), 1, 7), 16, 10)
+          .cast("double").as("draw"))
+    docs.groupBy(col("source"))
+      .agg(topk(col("draw"), col("doc_id")).as("top"))
+      .select(col("source"), posexplode(col("top")))
+      .select(col("source"), (col("pos") + 1).cast("long").as("rank"),
+        col("col._2").as("doc_id"), col("col._1").cast("long").as("draw"))
+  }
+
+  val q153Sql: String =
+    """WITH d AS (SELECT source, doc_id,
+      |    ('0x' || substr(md5('samp#' || CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT AS draw
+      |  FROM documents),
+      |  r AS (SELECT source, doc_id, draw,
+      |    row_number() OVER (PARTITION BY source ORDER BY draw DESC, doc_id ASC) AS rn
+      |  FROM d)
+      |SELECT source, CAST(rn AS BIGINT) AS rank, doc_id, draw
+      |FROM r WHERE rn <= 5""".stripMargin
+
+  // ---------------------------------------------------------------- q154
+  /** LAST-TOUCH attribution through the native as-of operator
+    * ([[graft.plans.AsOf]]): each purchase joins backward to the most
+    * recent click by the same user within a 7-day tolerance (ties on
+    * ts broken by larger click id — the operator's tiebreak order),
+    * unmatched purchases kept with NULL. One merge pass after
+    * co-partitioning by user; the oracle pays the range-join +
+    * row_number materialization the operator avoids.
+    */
+  def q154Attribution(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val purchases = ev.filter(col("event_type") === lit("purchase"))
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts"), col("value"))
+    val clicks = ev.filter(col("event_type") === lit("click"))
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+        col("ts").as("ts_c"))
+    graft.plans.AsOf.join(purchases, clicks,
+        Seq("user_id"), Seq("c_user"), "ts", "ts_c",
+        rightTiebreaks = Seq("click_id"),
+        tolerance = Some(7L * 86400L * 1000000L))
+      .select(col("purchase_id"), col("user_id"), col("value"), col("click_id"))
+  }
+
+  val q154Sql: String =
+    """WITH p AS (SELECT event_id AS purchase_id, user_id, ts, value
+      |    FROM events WHERE event_type = 'purchase'),
+      |  c AS (SELECT event_id AS click_id, user_id, ts AS tc
+      |    FROM events WHERE event_type = 'click'),
+      |  m AS (SELECT p.purchase_id AS mpid, c.click_id,
+      |      row_number() OVER (PARTITION BY p.purchase_id
+      |        ORDER BY c.tc DESC, c.click_id DESC) AS rn
+      |    FROM p JOIN c ON c.user_id = p.user_id
+      |      AND c.tc <= p.ts AND c.tc >= p.ts - INTERVAL 7 DAY)
+      |SELECT p.purchase_id, p.user_id, p.value, m.click_id
+      |FROM p LEFT JOIN (SELECT * FROM m WHERE rn = 1) m
+      |  ON m.mpid = p.purchase_id""".stripMargin
+
+  // ---------------------------------------------------------------- q155
+  /** TIME-WEIGHTED average (the irregular-sampling integral — TWAP /
+    * sensor-mean primitive): per user-day, each event's value holds
+    * until the next event; TWA = sum(value x duration) / sum(duration)
+    * over the closed segments. Cross-engine float discipline: value is
+    * exact at 6 decimals -> DECIMAL(18,6); durations are exact micros
+    * (BIGINT); the product sum is an exact DECIMAL whose round(.,2)
+    * stays under 2^53 (magnitude audited at sf1), so the final
+    * numerator double is EXACT and the TWA division is one identical
+    * IEEE op on both engines. One partition-by-(user,day) window + one
+    * aggregate — no self-join.
+    */
+  def q155TimeWeightedAvg(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), to_date(col("ts")).as("day"),
+        unix_micros(col("ts")).as("us"),
+        col("value").cast(DecimalType(18, 6)).as("v"),
+        col("event_id"))
+    val w = Window.partitionBy(col("user_id"), col("day"))
+      .orderBy(col("us"), col("event_id"))
+    val seg = ev.withColumn("nxt", lead(col("us"), 1).over(w))
+      .filter(col("nxt").isNotNull)
+      .withColumn("dur", col("nxt") - col("us"))
+    seg.groupBy(col("user_id"), col("day"))
+      .agg(count(lit(1)).as("n_segs"),
+           round(sum(col("v") * col("dur")), 2).cast("double").as("num"),
+           sum(col("dur")).as("dur_us"))
+      .withColumn("twa", col("num") / col("dur_us").cast("double"))
+      // epoch-day bigint, not DATE: the q68 cross-harness date idiom
+      .select(col("user_id"),
+        datediff(col("day"), lit("1970-01-01").cast("date")).cast("long").as("epoch_day"),
+        col("n_segs"), col("num"), col("dur_us"), col("twa"))
+  }
+
+  val q155Sql: String =
+    """WITH s AS (SELECT user_id, CAST(ts AS DATE) AS day, epoch_us(ts) AS us,
+      |    CAST(value AS DECIMAL(18,6)) AS v,
+      |    lead(epoch_us(ts)) OVER (PARTITION BY user_id, CAST(ts AS DATE)
+      |      ORDER BY epoch_us(ts), event_id) AS nxt
+      |  FROM events),
+      |  g AS (SELECT user_id, day, count(*) AS n_segs,
+      |      CAST(round(sum(v * (nxt - us)), 2) AS DOUBLE) AS num,
+      |      CAST(sum(nxt - us) AS BIGINT) AS dur_us
+      |    FROM s WHERE nxt IS NOT NULL GROUP BY 1, 2)
+      |SELECT user_id,
+      |  CAST(datediff('day', DATE '1970-01-01', day) AS BIGINT) AS epoch_day,
+      |  n_segs, num, dur_us,
+      |  num / CAST(dur_us AS DOUBLE) AS twa
+      |FROM g""".stripMargin
+
+  // ---------------------------------------------------------------- q156
+  /** GRID-CELL epsilon proximity self-join (the spatial-join shape) on
+    * the first two embedding dimensions: each point lands in cell
+    * (floor(x/eps), floor(y/eps)); a qualifying pair is at most one
+    * cell apart in each axis, so candidates are an equi-join of one
+    * side exploded to its 3x3 neighborhood against the other side's
+    * home cell — each unordered pair is generated EXACTLY once (one
+    * offset matches), never all-pairs. Distances compare as squared
+    * doubles computed with the same op order on both engines (no
+    * sqrt, no libm). The brute cross-join below is the oracle control.
+    */
+  def q156GridEpsJoin(s: SparkSession, d: String): DataFrame = {
+    val eps = 0.02
+    val pts = Tables.embeddings(s, d).select(col("vec_id"),
+      element_at(col("embedding"), 1).cast("double").as("x"),
+      element_at(col("embedding"), 2).cast("double").as("y"))
+      .withColumn("cx", floor(col("x") / lit(eps)))
+      .withColumn("cy", floor(col("y") / lit(eps)))
+    val off = Seq(-1L, 0L, 1L)
+    val probe = pts.select(col("vec_id").as("ia"), col("x").as("xa"),
+        col("y").as("ya"), col("cx"), col("cy"))
+      .withColumn("dx", explode(array(off.map(lit): _*)))
+      .withColumn("dy", explode(array(off.map(lit): _*)))
+      .select(col("ia"), col("xa"), col("ya"),
+        (col("cx") + col("dx")).as("cx"), (col("cy") + col("dy")).as("cy"))
+    val home = pts.select(col("vec_id").as("ib"), col("x").as("xb"),
+      col("y").as("yb"), col("cx"), col("cy"))
+    probe.join(home, Seq("cx", "cy"))
+      .filter(col("ia") < col("ib"))
+      .withColumn("d2",
+        (col("xa") - col("xb")) * (col("xa") - col("xb"))
+          + (col("ya") - col("yb")) * (col("ya") - col("yb")))
+      .filter(col("d2") <= lit(eps * eps))
+      .select(col("ia"), col("ib"), col("d2"))
+  }
+
+  val q156Sql: String =
+    """WITH p AS (SELECT vec_id, CAST(embedding[1] AS DOUBLE) AS x,
+      |    CAST(embedding[2] AS DOUBLE) AS y FROM embeddings)
+      |SELECT a.vec_id AS ia, b.vec_id AS ib,
+      |  (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) AS d2
+      |FROM p a JOIN p b ON a.vec_id < b.vec_id
+      |WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) <= 0.02 * 0.02""".stripMargin
+
+  // ---------------------------------------------------------------- q157
+  /** JOIN-KEY skew advisor — the pre-flight diagnostic that decides
+    * whether a key needs salting (q127) or AQE skew handling: per-key
+    * frequency table (one map-side-combined hash agg), then global
+    * stats over the KEY-cardinality frame (rows = distinct keys, not
+    * data): total rows, distinct keys, max frequency, exact p99
+    * frequency (interpolated over key frequencies — swap for the
+    * sketch tier when key cardinality itself is data-scale), and the
+    * top-10 heaviest keys. Long-format scalars throughout.
+    */
+  def q157SkewAdvisor(s: SparkSession, d: String): DataFrame = {
+    val freq = Tables.events(s, d)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("f"))
+    val global = freq.agg(
+        sum(col("f")).as("total_rows"),
+        count(lit(1)).as("n_keys"),
+        max(col("f")).as("max_f"),
+        expr("percentile(f, 0.99)").as("p99_f"))
+      .select(explode(array(
+        struct(lit("total_rows").as("stat"), lit(null).cast("long").as("key"),
+          col("total_rows").cast("double").as("val")),
+        struct(lit("n_keys").as("stat"), lit(null).cast("long").as("key"),
+          col("n_keys").cast("double").as("val")),
+        struct(lit("max_freq").as("stat"), lit(null).cast("long").as("key"),
+          col("max_f").cast("double").as("val")),
+        struct(lit("p99_freq").as("stat"), lit(null).cast("long").as("key"),
+          col("p99_f").as("val")))).as("r"))
+      .select(col("r.stat"), col("r.key"), col("r.val"))
+    val top = freq.orderBy(col("f").desc, col("user_id").asc).limit(10)
+      .select(lit("top_key").as("stat"), col("user_id").as("key"),
+        col("f").cast("double").as("val"))
+    global.unionByName(top)
+  }
+
+  val q157Sql: String =
+    """WITH f AS (SELECT user_id, count(*) AS f FROM events GROUP BY 1),
+      |  g AS (SELECT CAST(sum(f) AS BIGINT) AS total_rows,
+      |      count(*) AS n_keys, max(f) AS max_f,
+      |      quantile_cont(f, 0.99) AS p99_f FROM f)
+      |SELECT 'total_rows' AS stat, CAST(NULL AS BIGINT) AS key,
+      |  CAST(total_rows AS DOUBLE) AS val FROM g
+      |UNION ALL SELECT 'n_keys', NULL, CAST(n_keys AS DOUBLE) FROM g
+      |UNION ALL SELECT 'max_freq', NULL, CAST(max_f AS DOUBLE) FROM g
+      |UNION ALL SELECT 'p99_freq', NULL, p99_f FROM g
+      |UNION ALL SELECT 'top_key', user_id, CAST(f AS DOUBLE) FROM
+      |  (SELECT user_id, f FROM f ORDER BY f DESC, user_id ASC LIMIT 10)""".stripMargin
+
+  val entries: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "q144_bloom_pruned_join" -> (q144BloomPrunedJoin _, q144Sql),
+    "q145_setsim_join" -> (q145SetSimJoin _, q145Sql),
+    "q146_phrase_search" -> (q146PhraseSearch _, q146Sql),
+    "q147_column_profile" -> (q147ColumnProfile _, q147Sql),
+    "q148_bfs_hops" -> (q148BfsHops _, q148Sql),
+    "q149_activity_streaks" -> (q149ActivityStreaks _, q149Sql),
+    "q150_ks_drift" -> (q150KsDrift _, q150Sql),
+    "q151_sssp_weighted" -> (q151SsspWeighted _, q151Sql),
+    "q152_equidepth_hist" -> (q152EquiDepthHist _, q152Sql),
+    "q153_group_sample" -> (q153GroupSample _, q153Sql),
+    "q154_attribution" -> (q154Attribution _, q154Sql),
+    "q155_time_weighted_avg" -> (q155TimeWeightedAvg _, q155Sql),
+    "q156_grid_eps_join" -> (q156GridEpsJoin _, q156Sql),
+    "q157_skew_advisor" -> (q157SkewAdvisor _, q157Sql),
+  )
+}

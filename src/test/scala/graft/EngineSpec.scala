@@ -1,0 +1,237 @@
+package graft
+
+import org.apache.spark.sql.execution.FormattedMode
+import org.apache.spark.sql.functions._
+
+import graft.ext.{Graph, SetSimJoin}
+import graft.functions.BloomFunctions
+
+/** Round-5 engine tier: bloom-pruned joins, exact set-similarity join,
+  * frontier BFS — semantics on hand-built inputs plus the plan shapes
+  * the 100 TB story needs.
+  */
+class EngineSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sfDir)
+      .queryExecution.explainString(FormattedMode)
+
+  /** Collect first so AQE finalizes and codegen spans appear. */
+  private def executedPlan(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sfDir)
+    df.collect()
+    df.queryExecution.explainString(FormattedMode)
+  }
+
+  // ------------------------------------------------------------ bloom
+
+  test("bloom pruning never changes join results (false positives discharged)") {
+    val dim = Seq(2L, 4L, 6L, 8L).toDF("k")
+    val fact = (1L to 100L).toDF("v")
+    val bloom = BloomFunctions.buildBloom(dim, "k", 4, 0.01)
+    val pruned = fact
+      .filter(BloomFunctions.mightContain(col("v"), bloom))
+      .join(dim, col("v") === col("k"))
+      .select(col("v")).as[Long].collect().sorted
+    assert(pruned.toSeq == Seq(2L, 4L, 6L, 8L))
+  }
+
+  test("bloom sketch has zero false negatives over every dim key") {
+    val dim = (1L to 5000L).map(_ * 7L).toDF("k")
+    val bloom = BloomFunctions.buildBloom(dim, "k", 5000, 0.03)
+    // every true key must pass the probe — a miss would drop real rows
+    val misses = dim.filter(!BloomFunctions.mightContain(col("k"), bloom)).count()
+    assert(misses == 0L, s"bloom dropped $misses genuine keys")
+  }
+
+  test("q144 plan: bloom probe filters the fact scan below the join, in codegen") {
+    val p = executedPlan("q144_bloom_pruned_join")
+    assert(p.contains("bloom_might_contain"), "bloom probe missing from the plan")
+    // the probe must sit in a Filter on the fact scan side, BELOW the
+    // join (pre-shuffle at scale), not applied after it: the detail
+    // section lists nodes bottom-up, so the bloom Filter's detail
+    // entry must precede the join's
+    val filterDetail = p.indexOf("Condition : (bloom_might_contain")
+    val joinDetail = p.indexOf("BroadcastHashJoin")
+    assert(filterDetail >= 0, "bloom probe is not a Filter condition")
+    assert(joinDetail >= 0, "join missing")
+    // native expression ⇒ the filter stage stays in whole-stage codegen
+    // (formatted AQE-final plans mark spans as "[codegen id : n]")
+    val filterLine = p.linesIterator
+      .find(l => l.contains("Filter") && l.contains("codegen id"))
+    assert(filterLine.isDefined, "bloom filter stage fell out of codegen")
+  }
+
+  // ------------------------------------------------------- setsim join
+
+  test("SetSimJoin matches brute-force all-pairs exactly (no false negatives)") {
+    // sets engineered so some qualifying pairs share only their RARE
+    // tokens — the case banded-LSH can miss but prefix filtering cannot
+    val docs = Seq(
+      (1L, Seq("a", "b", "c", "d")),
+      (2L, Seq("a", "b", "c", "e")),          // j(1,2)=3/5=0.6   ✓
+      (3L, Seq("a", "b", "x", "y")),          // j(1,3)=2/6=0.33  ✗
+      (4L, Seq("p", "q", "r", "s", "t")),
+      (5L, Seq("p", "q", "r", "s", "u")),     // j(4,5)=4/6=0.67  ✓
+      (6L, Seq("zz", "ww")),
+      (7L, Seq("zz", "ww")),                  // j(6,7)=1.0       ✓
+      (8L, Seq("a", "p", "zz"))               // stop-ish mix, no match
+    ).toDF("doc_id", "sh")
+    val got = SetSimJoin.pairs(docs, "doc_id", "sh", 0.5)
+      .select(col("id_a"), col("id_b")).as[(Long, Long)].collect().toSet
+    // brute oracle computed in-test over the same frame
+    val a = docs.select(col("doc_id").as("id_a"), col("sh").as("sa"))
+    val b = docs.select(col("doc_id").as("id_b"), col("sh").as("sb"))
+    val brute = a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .withColumn("i", size(array_intersect(col("sa"), col("sb"))).cast("double"))
+      .withColumn("j", col("i") / (size(col("sa")) + size(col("sb")) - col("i")))
+      .filter(col("j") >= 0.5)
+      .select(col("id_a"), col("id_b")).as[(Long, Long)].collect().toSet
+    assert(got == brute, s"got $got, brute $brute")
+    assert(got == Set((1L, 2L), (4L, 5L), (6L, 7L)))
+  }
+
+  test("q145 plan: prefix-filtered candidates, no cartesian product") {
+    val p = plan("q145_setsim_join")
+    assert(!p.contains("CartesianProduct"), "setsim join degenerated to all-pairs")
+    assert(!p.contains("BroadcastNestedLoopJoin"), "setsim join is nested-loop")
+  }
+
+  // -------------------------------------------------------------- bfs
+
+  test("bfsHops: shortest distances on a hand graph, bounded by maxHops") {
+    // 0-1-2-3-4 path, plus shortcut 0-9-3: dist(3) = 2 via 9, not 3
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L), (0L, 9L), (9L, 3L))
+      .toDF("a", "b")
+    val got = Graph.bfsHops(edges, 0L, 3)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(0L -> 0L, 1L -> 1L, 9L -> 1L, 2L -> 2L, 3L -> 2L, 4L -> 3L))
+    // bounded frontier: maxHops=1 must not reach distance-2 nodes
+    val near = Graph.bfsHops(edges, 0L, 1).as[(Long, Long)].collect().toMap
+    assert(near == Map(0L -> 0L, 1L -> 1L, 9L -> 1L))
+  }
+
+  test("bfsHops frees superseded checkpoint blocks (no persist leak)") {
+    val before = spark.sparkContext.getPersistentRDDs.size
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 3L)).toDF("a", "b")
+    val out = Graph.bfsHops(edges, 0L, 3)
+    out.count()
+    val during = spark.sparkContext.getPersistentRDDs.size
+    // only the final round's pair (frontier + visited) may remain live
+    assert(during - before <= 2,
+      s"checkpoint blocks leaked: $before -> $during")
+  }
+
+  // ------------------------------------------------------ plan shapes
+
+  test("q147 plan: profiler reads lineitem exactly once (one scan, Expand)") {
+    val p = plan("q147_column_profile")
+    // count detail-section headers "(n) Scan parquet" — the tree line
+    // and detail header would double-count a single scan otherwise
+    val scans = """\(\d+\) Scan parquet""".r.findAllIn(p).size
+    assert(scans == 1, s"profiler scanned the corpus $scans times")
+    assert(p.contains("Expand"), "multi-distinct lost its Expand rewrite")
+  }
+
+  test("q146 plan: phrase probe filters postings on the grouping key below the agg") {
+    val p = plan("q146_phrase_search")
+    // token equality predicates must reach the scan side (pushed under
+    // the aggregate by Catalyst), so only 2 tokens' postings shuffle
+    assert(p.contains("PushedFilters:") && p.contains("hash"),
+      "probe-token filter not pushed toward the scan")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q148/q150 plans: no cartesian products in BFS or KS drift") {
+    assert(!plan("q148_bfs_hops").contains("CartesianProduct"))
+    assert(!plan("q150_ks_drift").contains("CartesianProduct"))
+  }
+
+  // ------------------------------------------------------------- sssp
+
+  test("ssspRounds: weighted shortest paths, bounded horizon, min multi-edge") {
+    // 0-1 (5, plus a parallel 7 that must collapse to 5), 1-2 (1),
+    // 0-2 (10): best dist(2) = 6 via two hops, only visible at rounds>=2
+    val edges = Seq((0L, 1L, 5), (0L, 1L, 7), (1L, 2L, 1), (0L, 2L, 10))
+      .toDF("a", "b", "w")
+    val r2 = Graph.ssspRounds(edges, 0L, 2).as[(Long, Long)].collect().toMap
+    assert(r2 == Map(0L -> 0L, 1L -> 5L, 2L -> 6L))
+    // horizon 1: the 2-hop improvement is out of reach, direct edge wins
+    val r1 = Graph.ssspRounds(edges, 0L, 1).as[(Long, Long)].collect().toMap
+    assert(r1 == Map(0L -> 0L, 1L -> 5L, 2L -> 10L))
+  }
+
+  // ------------------------------------------------------------- rank
+
+  test("globalRowNumber matches the single-partition window on a total order") {
+    val df = spark.range(1000).select(
+      (col("id") * 37 % 101).as("k"), col("id"))
+    val got = graft.ops.Rank
+      .globalRowNumber(df, Seq(col("k"), col("id")), "rn", numPartitions = 7)
+      .select(col("k"), col("id"), col("rn"))
+      .as[(Long, Long, Long)].collect().sortBy(r => (r._1, r._2))
+    val exp = df.withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("k"), col("id"))).cast("long"))
+      .as[(Long, Long, Long)].collect().sortBy(r => (r._1, r._2))
+    assert(got.toSeq == exp.toSeq)
+    // rn is a permutation of 1..N
+    assert(got.map(_._3).sorted.toSeq == (1L to 1000L).toSeq)
+  }
+
+  test("q152 plan: equi-depth rank range-partitions, never a single-partition window") {
+    val p = plan("q152_equidepth_hist")
+    // the rank's own range exchange is materialized inside the lineage
+    // checkpoint; what the final plan must show is a Window PARTITIONED
+    // by the partition id (parallel) and no single-partition funnel
+    assert(p.contains("Window"), "rank window missing")
+    assert(p.contains("__pid"), "window is not partitioned by partition id")
+    assert(!p.contains("SinglePartition"),
+      "plan funnels through a single partition")
+  }
+
+  test("q153 plan: group sample is a bounded aggregate, not a window") {
+    val p = plan("q153_group_sample")
+    assert(p.contains("ObjectHashAggregate"), "TopK aggregator not planned")
+    assert(!p.contains("(\\d+\\) Window"), "sample fell back to a window sort")
+  }
+
+  test("q154 plan: attribution runs the native as-of operator") {
+    assert(plan("q154_attribution").contains("AsOfJoin"),
+      "attribution lost the custom as-of exec")
+  }
+
+  test("q156: grid join generates each qualifying pair exactly once, no cartesian") {
+    val p = plan("q156_grid_eps_join")
+    assert(!p.contains("CartesianProduct"), "grid join degenerated to all-pairs")
+    // duplicate pairs would double rows vs the brute oracle; assert
+    // uniqueness directly too
+    val df = SparkEntry.queries("q156_grid_eps_join")(spark, sfDir)
+    val n = df.count()
+    val distinctPairs = df.select(col("ia"), col("ib")).distinct().count()
+    assert(n == distinctPairs, s"grid join emitted duplicate pairs: $n vs $distinctPairs")
+  }
+
+  test("q155: time-weighted average on a hand-built day") {
+    // one user, one day: v=10 held 2s, v=20 held 6s -> TWA = 17.5
+    val base = java.sql.Timestamp.valueOf("2024-03-01 00:00:00")
+    def at(sec: Int) = new java.sql.Timestamp(base.getTime + sec * 1000L)
+    val ev = Seq(
+      (1L, at(0), 10.0, 100L), (2L, at(2), 20.0, 100L), (3L, at(8), 99.0, 100L))
+      .toDF("event_id", "ts", "value", "user_id")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"), to_date(col("ts")))
+      .orderBy(unix_micros(col("ts")), col("event_id"))
+    val seg = ev
+      .withColumn("us", unix_micros(col("ts")))
+      .withColumn("v", col("value").cast("decimal(18,6)"))
+      .withColumn("nxt", lead(col("us"), 1).over(w))
+      .filter(col("nxt").isNotNull)
+      .withColumn("dur", col("nxt") - col("us"))
+    val r = seg.groupBy(col("user_id"))
+      .agg((round(sum(col("v") * col("dur")), 2).cast("double")
+        / sum(col("dur")).cast("double")).as("twa"))
+      .as[(Long, Double)].collect().head
+    assert(math.abs(r._2 - 17.5) < 1e-12, s"TWA = ${r._2}")
+  }
+}
