@@ -460,8 +460,13 @@ object EngineQueries {
         col("event_id"))
     val w = Window.partitionBy(col("user_id"), col("day"))
       .orderBy(col("us"), col("event_id"))
+    // dur > 0, not just non-null: a zero-duration segment (duplicate
+    // timestamps — present in replayed/duplicated feeds) carries zero
+    // time weight, and a group of ONLY such segments would divide by
+    // zero. Surfaced by the sf1 duplicate-ts stress, kept as the
+    // definition: the integral runs over positive-length intervals.
     val seg = ev.withColumn("nxt", lead(col("us"), 1).over(w))
-      .filter(col("nxt").isNotNull)
+      .filter(col("nxt").isNotNull && col("nxt") > col("us"))
       .withColumn("dur", col("nxt") - col("us"))
     seg.groupBy(col("user_id"), col("day"))
       .agg(count(lit(1)).as("n_segs"),
@@ -483,7 +488,7 @@ object EngineQueries {
       |  g AS (SELECT user_id, day, count(*) AS n_segs,
       |      CAST(round(sum(v * (nxt - us)), 2) AS DOUBLE) AS num,
       |      CAST(sum(nxt - us) AS BIGINT) AS dur_us
-      |    FROM s WHERE nxt IS NOT NULL GROUP BY 1, 2)
+      |    FROM s WHERE nxt IS NOT NULL AND nxt > us GROUP BY 1, 2)
       |SELECT user_id,
       |  CAST(datediff('day', DATE '1970-01-01', day) AS BIGINT) AS epoch_day,
       |  n_segs, num, dur_us,
@@ -581,6 +586,221 @@ object EngineQueries {
       |UNION ALL SELECT 'top_key', user_id, CAST(f AS DOUBLE) FROM
       |  (SELECT user_id, f FROM f ORDER BY f DESC, user_id ASC LIMIT 10)""".stripMargin
 
+  // ---------------------------------------------------------------- q158
+  /** MARKOV transition matrix over per-user event timelines: adjacent
+    * (current -> next) event-type pairs via one partition-by-user
+    * lead() window, bigram counts in one hash aggregate, and row
+    * probabilities normalized by a window over the TYPE-cardinality
+    * frame (25 rows — metadata, not data). The conditional
+    * probabilities are long/long -> double divisions, bit-identical
+    * across engines. This is the session-flow model a product
+    * analytics tier derives (where do users go after X?).
+    */
+  def q158MarkovTransitions(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(unix_micros(col("ts")), col("event_id"))
+    val pairs = Tables.events(s, d)
+      .select(col("user_id"), col("event_type").as("cur"),
+        col("ts"), col("event_id"))
+      .withColumn("nxt", lead(col("cur"), 1).over(w))
+      .filter(col("nxt").isNotNull)
+    val counts = pairs.groupBy(col("cur"), col("nxt")).agg(count(lit(1)).as("n"))
+    counts.withColumn("p",
+      col("n").cast("double") / sum(col("n")).over(Window.partitionBy(col("cur"))).cast("double"))
+  }
+
+  val q158Sql: String =
+    """WITH o AS (SELECT user_id, event_type AS cur,
+      |    lead(event_type) OVER (PARTITION BY user_id
+      |      ORDER BY epoch_us(ts), event_id) AS nxt
+      |  FROM events),
+      |  c AS (SELECT cur, nxt, count(*) AS n FROM o
+      |    WHERE nxt IS NOT NULL GROUP BY 1, 2)
+      |SELECT cur, nxt, n,
+      |  CAST(n AS DOUBLE) / CAST(sum(n) OVER (PARTITION BY cur) AS DOUBLE) AS p
+      |FROM c""".stripMargin
+
+  // ---------------------------------------------------------------- q159
+  /** LAG-1 AUTOCORRELATION of the daily revenue series — time-series
+    * drift in one number. The q73 exact-moment discipline end-to-end:
+    * daily totals are exact integer cents (any partitioning, same
+    * sums); the (x_t, x_{t+1}) pairs come from one lead() over the
+    * DAY-cardinality series (~30 rows — metadata); products are cast
+    * to DECIMAL(38,0) BEFORE summing (a long*long at sf1000 would
+    * wrap); the Pearson r derives from the exact moments in identical
+    * IEEE ops (sqrt is IEEE-exact, unlike pow/exp). */
+  def q159Autocorr(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.events(s, d)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(sum(round(col("value") * 100).cast("long")).as("xc"))
+    val w = Window.orderBy(col("day")) // day-cardinality frame: metadata
+    val pairs = daily.withColumn("yc", lead(col("xc"), 1).over(w))
+      .filter(col("yc").isNotNull)
+    val dec = DecimalType(38, 0)
+    val agg = pairs.agg(
+      count(lit(1)).as("n"),
+      sum(col("xc").cast(dec)).as("sx"), sum(col("yc").cast(dec)).as("sy"),
+      sum((col("xc").cast(dec) * col("xc").cast(dec))).as("sxx"),
+      sum((col("yc").cast(dec) * col("yc").cast(dec))).as("syy"),
+      sum((col("xc").cast(dec) * col("yc").cast(dec))).as("sxy"))
+    val n = col("n").cast("double")
+    def d_(c: String) = col(c).cast("double")
+    agg.select(col("n"),
+      ((n * d_("sxy") - d_("sx") * d_("sy")) /
+        (sqrt(n * d_("sxx") - d_("sx") * d_("sx"))
+          * sqrt(n * d_("syy") - d_("sy") * d_("sy")))).as("autocorr_lag1"))
+  }
+
+  val q159Sql: String =
+    """WITH daily AS (SELECT CAST(ts AS DATE) AS day,
+      |    sum(CAST(round(value * 100) AS BIGINT)) AS xc
+      |  FROM events GROUP BY 1),
+      |  p AS (SELECT xc, lead(xc) OVER (ORDER BY day) AS yc FROM daily),
+      |  m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+      |      sum(CAST(xc AS DECIMAL(38,0))) AS sx,
+      |      sum(CAST(yc AS DECIMAL(38,0))) AS sy,
+      |      sum(CAST(xc AS DECIMAL(38,0)) * CAST(xc AS DECIMAL(38,0))) AS sxx,
+      |      sum(CAST(yc AS DECIMAL(38,0)) * CAST(yc AS DECIMAL(38,0))) AS syy,
+      |      sum(CAST(xc AS DECIMAL(38,0)) * CAST(yc AS DECIMAL(38,0))) AS sxy
+      |    FROM p WHERE yc IS NOT NULL)
+      |SELECT n,
+      |  (n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+      |    / (sqrt(n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+      |       * sqrt(n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+      |  AS autocorr_lag1
+      |FROM m""".stripMargin
+
+  // ---------------------------------------------------------------- q160
+  /** EWMA (exponentially weighted moving average) of each user's
+    * purchase series — an inherently SEQUENTIAL recurrence
+    * (s_i = a*x_i + (1-a)*s_{i-1}) made deterministic by running it as
+    * an ORDERED FOLD over the collected per-user series: both engines
+    * fold left-to-right over the identical (ts, event_id)-sorted list,
+    * so every intermediate double is the same IEEE value (the q126
+    * ordered-fold idiom; contrast q73, where order-INdependence came
+    * from exact integer moments). Seed = first element, the standard
+    * EWMA init. Per-user lists are session-scale (tens of purchases),
+    * not corpus-scale — the collect is bounded per group.
+    */
+  def q160Ewma(s: SparkSession, d: String): DataFrame = {
+    val purch = Tables.events(s, d)
+      .filter(col("event_type") === lit("purchase"))
+      .groupBy(col("user_id"))
+      .agg(sort_array(collect_list(struct(
+        unix_micros(col("ts")).as("us"), col("event_id").as("eid"),
+        col("value").as("v")))).as("seq"))
+      .withColumn("vs", transform(col("seq"), p => p.getField("v")))
+    purch.select(col("user_id"), size(col("vs")).cast("long").as("n"),
+      aggregate(
+        expr("slice(vs, 2, greatest(size(vs) - 1, 0))"),
+        element_at(col("vs"), 1),
+        (acc, x) => lit(0.25) * x + lit(0.75) * acc).as("ewma"))
+  }
+
+  val q160Sql: String =
+    """WITH s AS (SELECT user_id,
+      |    list(value ORDER BY epoch_us(ts), event_id) AS vs
+      |  FROM events WHERE event_type = 'purchase' GROUP BY 1)
+      |SELECT user_id, CAST(len(vs) AS BIGINT) AS n,
+      |  list_reduce(vs, (acc, x) -> 0.25 * x + 0.75 * acc) AS ewma
+      |FROM s""".stripMargin
+
+  // ---------------------------------------------------------------- q161
+  /** STRATIFIED proportional sampling with EXACT total size: allocate
+    * K=100 slots across language strata by largest-remainder
+    * apportionment (integer base = n*K DIV total, leftover slots to
+    * the largest remainders — pure integer arithmetic, sums to K
+    * exactly, no float rounding drift), then draw each stratum's k_i
+    * docs by the deterministic md5 order (q153's draw). The
+    * apportionment runs on the STRATUM-cardinality frame (5 rows);
+    * the per-stratum rank window partitions by lang — parallel,
+    * stratum-bounded.
+    */
+  def q161StratifiedSplit(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .select(col("lang"), col("doc_id"),
+        conv(substring(md5(concat(lit("strat#"), col("doc_id").cast("string"))), 1, 7), 16, 10)
+          .cast("long").as("draw"))
+    val counts = docs.groupBy(col("lang")).agg(count(lit(1)).as("n"))
+    val tot = Window.partitionBy() // 5-row stratum frame: metadata scale
+    val alloc = counts
+      .withColumn("total", sum(col("n")).over(tot))
+      .withColumn("base", expr("(n * 100) DIV total"))
+      .withColumn("rem", expr("(n * 100) % total"))
+      .withColumn("rr", row_number().over(
+        Window.orderBy(col("rem").desc, col("lang").asc)))
+      .withColumn("leftover", lit(100) - sum(col("base")).over(tot))
+      .withColumn("k", col("base") + when(col("rr") <= col("leftover"), 1L).otherwise(0L))
+      .select(col("lang"), col("k"))
+    val ranked = docs.withColumn("rank", row_number().over(
+      Window.partitionBy(col("lang")).orderBy(col("draw").desc, col("doc_id").asc)).cast("long"))
+    ranked.join(broadcast(alloc), "lang")
+      .filter(col("rank") <= col("k"))
+      .select(col("lang"), col("doc_id"), col("rank"), col("k"))
+  }
+
+  val q161Sql: String =
+    """WITH d AS (SELECT lang, doc_id,
+      |    ('0x' || substr(md5('strat#' || CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT AS draw
+      |  FROM documents),
+      |  c AS (SELECT lang, count(*) AS n FROM d GROUP BY 1),
+      |  t AS (SELECT sum(n) AS total FROM c),
+      |  q AS (SELECT lang, n, (n * 100) // total AS base, (n * 100) % total AS rem
+      |    FROM c, t),
+      |  a AS (SELECT lang, base + CASE WHEN row_number()
+      |        OVER (ORDER BY rem DESC, lang ASC)
+      |        <= 100 - sum(base) OVER () THEN 1 ELSE 0 END AS k
+      |    FROM q),
+      |  r AS (SELECT lang, doc_id, draw, row_number() OVER (PARTITION BY lang
+      |      ORDER BY draw DESC, doc_id ASC) AS rank
+      |    FROM d)
+      |SELECT r.lang, r.doc_id, CAST(r.rank AS BIGINT) AS rank,
+      |  CAST(a.k AS BIGINT) AS k
+      |FROM r JOIN a ON a.lang = r.lang WHERE r.rank <= a.k""".stripMargin
+
+  // ---------------------------------------------------------------- q163
+  /** ROLLING 7-day distinct users from MERGEABLE daily sketches — the
+    * sketch-partial-reuse pattern that makes sliding distinct counts
+    * affordable: ONE corpus scan builds a DataSketches HLL per day
+    * (`hll_sketch_agg`), then each day's 7-day estimate merges its
+    * window's sketches (`hll_union_agg`) on the DAY-cardinality frame
+    * (~30 rows — metadata, not data). The naive exact form rescans the
+    * corpus once per day (7x read amplification at 100 TB); here it
+    * survives as the in-gate exact twin, and the sketch estimate rides
+    * as a witness boolean (<=5% relative error — generous vs HLL's
+    * ~2.4% at lgK=12), the q39/q73 discipline for engine-specific
+    * values the oracle cannot replay.
+    */
+  def q163RollingDistinct(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(to_date(col("ts")).as("day"), col("user_id"))
+    val daily = ev.groupBy(col("day")).agg(hll_sketch_agg(col("user_id")).as("sk"))
+    val est = daily.as("a")
+      .join(daily.as("b"),
+        datediff(col("a.day"), col("b.day")).between(0, 6))
+      .groupBy(col("a.day").as("day"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("b.sk"))).as("est"))
+    val exact = ev.select(col("day").as("eday"), col("user_id")).as("e")
+      .join(daily.select(col("day")).as("sp"),
+        datediff(col("sp.day"), col("eday")).between(0, 6))
+      .groupBy(col("sp.day").as("day"))
+      .agg(count_distinct(col("user_id")).as("exact_users"))
+    exact.join(est, "day")
+      .select(
+        datediff(col("day"), lit("1970-01-01").cast("date")).cast("long").as("epoch_day"),
+        col("exact_users"),
+        (abs(col("est") - col("exact_users").cast("double"))
+          <= col("exact_users").cast("double") * lit(0.05)).as("sketch_ok"))
+  }
+
+  val q163Sql: String =
+    """WITH days AS (SELECT DISTINCT CAST(ts AS DATE) AS day FROM events),
+      |  w AS (SELECT d.day, e.user_id FROM days d JOIN events e
+      |    ON CAST(e.ts AS DATE) BETWEEN d.day - 6 AND d.day)
+      |SELECT CAST(datediff('day', DATE '1970-01-01', day) AS BIGINT) AS epoch_day,
+      |  count(DISTINCT user_id) AS exact_users, TRUE AS sketch_ok
+      |FROM w GROUP BY day""".stripMargin
+
   val entries: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "q144_bloom_pruned_join" -> (q144BloomPrunedJoin _, q144Sql),
     "q145_setsim_join" -> (q145SetSimJoin _, q145Sql),
@@ -596,5 +816,10 @@ object EngineQueries {
     "q155_time_weighted_avg" -> (q155TimeWeightedAvg _, q155Sql),
     "q156_grid_eps_join" -> (q156GridEpsJoin _, q156Sql),
     "q157_skew_advisor" -> (q157SkewAdvisor _, q157Sql),
+    "q158_markov_transitions" -> (q158MarkovTransitions _, q158Sql),
+    "q159_autocorr" -> (q159Autocorr _, q159Sql),
+    "q160_ewma" -> (q160Ewma _, q160Sql),
+    "q161_stratified_split" -> (q161StratifiedSplit _, q161Sql),
+    "q163_rolling_distinct" -> (q163RollingDistinct _, q163Sql),
   )
 }

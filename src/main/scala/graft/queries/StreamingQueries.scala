@@ -1324,7 +1324,80 @@ object StreamingQueries {
       |  FROM events)
       |WHERE rn <= 3""".stripMargin
 
+  // ---------------------------------------------------------------- q162
+  /** Arbitrary-state v2 (`transformWithState`) as a gated streaming
+    * query — the successor API to flatMapGroupsWithState (q66's LWW
+    * upsert path), exercised end-to-end: per-user running purchase
+    * stats in a RocksDB `ValueState` cell
+    * ([[graft.streaming.RunningPurchaseStats]]), Update-mode
+    * re-emission per batch. Counts are strictly increasing, so the
+    * per-key emission with the largest count is the final fold — and
+    * because the fold accumulates exact integer cents, it equals the
+    * one-shot batch aggregate bit-for-bit regardless of how the 4
+    * forced micro-batches split the history. That batch aggregate is
+    * the oracle.
+    */
+  def q162TransformWithState(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val base = Files.createTempDirectory("graft_q162_").toString
+    val inDir = new java.io.File(base, "in"); inDir.mkdirs()
+    val ckpt = s"$base/ckpt"
+    val ev = graft.core.Tables.events(s, d)
+      .filter(col("event_type") === lit("purchase"))
+      .select(col("user_id"), round(col("value") * 100).cast("long").as("cents"),
+              unix_micros(col("ts")).as("ts_us"))
+    val mm = ev.agg(min(col("ts_us")), max(col("ts_us"))).first()
+    val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+    val step = (hi - lo) / 4 + 1
+    (0 until 4).foreach { i =>
+      val tmp = s"$base/slice$i"
+      ev.filter(col("ts_us") >= lo + i * step && col("ts_us") < lo + (i + 1) * step)
+        .coalesce(1).write.json(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".json")).get
+      val dest = new java.io.File(inDir, f"$i%02d.json")
+      Files.move(part.toPath, dest.toPath)
+      dest.setLastModified(60000L * (i + 1))
+    }
+    val wire = StructType(Seq(
+      StructField("user_id", LongType), StructField("cents", LongType),
+      StructField("ts_us", LongType)))
+    val running = s.readStream.schema(wire)
+      .option("maxFilesPerTrigger", "1").json(inDir.toString)
+      .select(col("user_id"), col("cents")).as[(Long, Long)]
+      .groupByKey(_._1)
+      .transformWithState(new graft.streaming.RunningPurchaseStats,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        org.apache.spark.sql.streaming.OutputMode.Update())
+      .toDF("user_id", "n", "sum_c", "max_c")
+    val memName = "q162_tws_" + java.lang.Long.toHexString(System.nanoTime())
+    val q = startStateful(s) {
+      running.writeStream
+        .format("memory").queryName(memName)
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+    }
+    q.awaitTermination()
+    // final fold per key = emission with the largest count (strictly
+    // increasing), unpacked from one deterministic max(struct)
+    s.table(memName)
+      .groupBy(col("user_id"))
+      .agg(max(struct(col("n"), col("sum_c"), col("max_c"))).as("fin"))
+      .select(col("user_id"), col("fin.n").as("n_purchases"),
+        col("fin.sum_c").as("sum_cents"), col("fin.max_c").as("max_cents"))
+  }
+
+  val q162Sql: String =
+    """SELECT user_id, count(*) AS n_purchases,
+      |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+      |  CAST(max(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS max_cents
+      |FROM events WHERE event_type = 'purchase'
+      |GROUP BY user_id""".stripMargin
+
   val entries: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "q162_transform_with_state" -> (q162TransformWithState _, q162Sql),
     "q66_streaming_cdc" -> (q66StreamingCdc _, q66Sql),
     "q76_streaming_agg" -> (q76StreamingAgg _, q76Sql),
     "q82_merge_compact" -> (q82MergeCompact _, q66Sql),

@@ -212,6 +212,54 @@ class EngineSpec extends SparkSpec {
     assert(n == distinctPairs, s"grid join emitted duplicate pairs: $n vs $distinctPairs")
   }
 
+  // ------------------------------------------------ batch-3 analytics
+
+  test("q158: transition probabilities sum to 1 per current state") {
+    val rows = SparkEntry.queries("q158_markov_transitions")(spark, sfDir)
+      .groupBy(col("cur")).agg(sum(col("p")).as("s"))
+      .as[(String, Double)].collect()
+    rows.foreach { case (cur, s) =>
+      assert(math.abs(s - 1.0) < 1e-9, s"P(.|$cur) sums to $s") }
+    assert(rows.length == 5)
+  }
+
+  test("q159: lag-1 autocorrelation is a valid correlation") {
+    val r = SparkEntry.queries("q159_autocorr")(spark, sfDir)
+      .select(col("autocorr_lag1")).as[Double].collect().head
+    assert(r >= -1.0 && r <= 1.0, s"autocorr = $r")
+  }
+
+  test("EWMA ordered fold matches the recurrence by hand") {
+    // x = [10, 20, 40], a = 0.25, seed = x1:
+    // s2 = .25*20 + .75*10 = 12.5 ; s3 = .25*40 + .75*12.5 = 19.375
+    val vs = Seq((1L, Seq(10.0, 20.0, 40.0))).toDF("user_id", "vs")
+    val got = vs.select(aggregate(
+        expr("slice(vs, 2, greatest(size(vs) - 1, 0))"),
+        element_at(col("vs"), 1),
+        (acc, x) => lit(0.25) * x + lit(0.75) * acc).as("ewma"))
+      .as[Double].collect().head
+    assert(got == 19.375, s"ewma = $got")
+  }
+
+  test("q161: largest-remainder allocation sums to exactly 100, k rows per stratum") {
+    val sel = SparkEntry.queries("q161_stratified_split")(spark, sfDir)
+    val perLang = sel.groupBy(col("lang"))
+      .agg(count(lit(1)).as("picked"), max(col("k")).as("k"), max(col("rank")).as("maxr"))
+      .as[(String, Long, Long, Long)].collect()
+    perLang.foreach { case (lang, picked, k, maxr) =>
+      assert(picked == k, s"$lang picked $picked != k $k")
+      assert(maxr == k, s"$lang max rank $maxr != k $k")
+    }
+    assert(perLang.map(_._3).sum == 100L, "allocation does not sum to 100")
+  }
+
+  test("q163: every rolling sketch estimate passes the witness bound") {
+    val rows = SparkEntry.queries("q163_rolling_distinct")(spark, sfDir)
+      .select(col("sketch_ok")).as[Boolean].collect()
+    assert(rows.nonEmpty && rows.forall(identity),
+      s"${rows.count(!_)} of ${rows.length} sketch estimates out of bound")
+  }
+
   test("q155: time-weighted average on a hand-built day") {
     // one user, one day: v=10 held 2s, v=20 held 6s -> TWA = 17.5
     val base = java.sql.Timestamp.valueOf("2024-03-01 00:00:00")
