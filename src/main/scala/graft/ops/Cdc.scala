@@ -90,7 +90,11 @@ object Cdc {
     val payload = df.columns.filterNot(c => keys.contains(c)).toSeq
     // version columns first (they dominate the comparison), then the
     // remaining payload so exact version ties still resolve determinately.
-    val ordered = orderCols ++ payload.filterNot(orderCols.contains)
+    // Key columns are dropped from the struct: they are constant within
+    // the group, and emitting them again would duplicate the output
+    // column (ambiguous references downstream).
+    val ordered = orderCols.filterNot(keys.contains) ++
+      payload.filterNot(orderCols.contains)
     val packed = struct(ordered.map(col): _*)
     df.groupBy(keys.map(col): _*)
       .agg(max(packed).as("__latest"))

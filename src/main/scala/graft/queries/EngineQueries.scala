@@ -801,6 +801,250 @@ object EngineQueries {
       |  count(DISTINCT user_id) AS exact_users, TRUE AS sketch_ok
       |FROM w GROUP BY day""".stripMargin
 
+  // ---------------------------------------------------------------- q168
+  /** RUNNING BALANCE WITH RESETS — the conditional-accumulator window
+    * shape (account balance since last statement, session spend since
+    * last error, odometer since last service): a cumulative sum that
+    * restarts whenever a marker event appears. Two stacked windows,
+    * both per-user (parallel across users, never a global sort):
+    * segment id = running count of `error` markers (the gaps-and-
+    * islands trick: a monotone step function that increments AT each
+    * marker), then the balance = running sum of purchase cents within
+    * (user, segment). All integers; tie order fixed by (ts, event_id)
+    * with event_id unique, so RANGE/ROWS frame ambiguity cannot bite.
+    */
+  def q168ResetRunningBalance(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).select(
+      col("event_id"), col("user_id"), col("event_type"),
+      unix_micros(col("ts")).as("us"),
+      round(col("value") * 100).cast("long").as("cents"))
+    val w1 = Window.partitionBy(col("user_id"))
+      .orderBy(col("us"), col("event_id"))
+    val seg = ev.withColumn("seg",
+      sum(when(col("event_type") === lit("error"), 1L).otherwise(0L)).over(w1))
+    val w2 = Window.partitionBy(col("user_id"), col("seg"))
+      .orderBy(col("us"), col("event_id"))
+    seg.withColumn("bal",
+        sum(when(col("event_type") === lit("purchase"), col("cents"))
+          .otherwise(0L)).over(w2))
+      .filter(col("event_type") === lit("purchase"))
+      .select(col("event_id"), col("user_id"), col("seg"), col("bal"))
+  }
+
+  val q168Sql: String =
+    """WITH e AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS us,
+      |    CAST(round(value * 100) AS BIGINT) AS cents
+      |  FROM events),
+      |  s AS (SELECT *, sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+      |      OVER (PARTITION BY user_id ORDER BY us, event_id) AS seg
+      |    FROM e)
+      |SELECT event_id, user_id, CAST(seg AS BIGINT) AS seg,
+      |  CAST(sum(CASE WHEN event_type = 'purchase' THEN cents ELSE 0 END)
+      |    OVER (PARTITION BY user_id, seg ORDER BY us, event_id) AS BIGINT) AS bal
+      |FROM s QUALIFY event_type = 'purchase'""".stripMargin
+
+  // ---------------------------------------------------------------- q169
+  /** CHI-SQUARE CONTINGENCY CELLS for event-type x day-of-week
+    * independence — the categorical-drift / A-B sanity test shape. One
+    * hash aggregate builds the 35-cell table; row totals, column
+    * totals and the grand total are windows over the CELL frame (35
+    * rows — metadata). Day-of-week = epoch-day mod 7 (pure integer —
+    * engine-neutral, unlike dayofweek() whose origin differs across
+    * engines). Per-cell term (obs*N - rt*ct)^2 / (rt*ct*N) is emitted
+    * long-format rather than summed: every factor is an exact BIGINT
+    * below 2^53 cast to double, and the expression shape is IDENTICAL
+    * on both engines, so each term is bit-reproducible (the q156
+    * squared-distance discipline; no pow/exp). Cell-level output also
+    * shows WHICH cells deviate, which the summed statistic hides.
+    */
+  def q169ChiSquareCells(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).select(
+      col("event_type").as("etype"),
+      pmod(datediff(to_date(col("ts")), lit("1970-01-01").cast("date")), lit(7))
+        .cast("long").as("dow"))
+    val cells = ev.groupBy(col("etype"), col("dow")).agg(count(lit(1)).as("obs"))
+    val wT = Window.partitionBy(col("etype"))
+    val wD = Window.partitionBy(col("dow"))
+    val wAll = Window.partitionBy() // 35-cell frame: metadata scale
+    def dbl(c: Column) = c.cast("double")
+    val t = cells
+      .withColumn("rt", sum(col("obs")).over(wT))
+      .withColumn("ct", sum(col("obs")).over(wD))
+      .withColumn("n", sum(col("obs")).over(wAll))
+    val dev = dbl(col("obs")) * dbl(col("n")) - dbl(col("rt")) * dbl(col("ct"))
+    t.select(col("etype"), col("dow"), col("obs"), col("rt"), col("ct"),
+      (dev * dev / (dbl(col("rt")) * dbl(col("ct")) * dbl(col("n")))).as("term"))
+  }
+
+  val q169Sql: String =
+    """WITH e AS (SELECT event_type AS etype,
+      |    CAST(datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) % 7 AS BIGINT) AS dow
+      |  FROM events),
+      |  c AS (SELECT etype, dow, count(*) AS obs FROM e GROUP BY 1, 2),
+      |  t AS (SELECT etype, dow, obs,
+      |      sum(obs) OVER (PARTITION BY etype) AS rt,
+      |      sum(obs) OVER (PARTITION BY dow) AS ct,
+      |      sum(obs) OVER () AS n
+      |    FROM c)
+      |SELECT etype, dow, CAST(obs AS BIGINT) AS obs,
+      |  CAST(rt AS BIGINT) AS rt, CAST(ct AS BIGINT) AS ct,
+      |  (CAST(obs AS DOUBLE) * CAST(n AS DOUBLE)
+      |     - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE))
+      |  * (CAST(obs AS DOUBLE) * CAST(n AS DOUBLE)
+      |     - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE))
+      |  / (CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) * CAST(n AS DOUBLE)) AS term
+      |FROM t""".stripMargin
+
+  // ---------------------------------------------------------------- q170
+  /** PER-GROUP FEATURE SCALING — the three standard normalizations an
+    * ML feature pipeline applies, each per user over purchase amounts:
+    * min-max to [0,1], z-score, and percentile rank. All windows
+    * partition by user (parallel, never a global sort). Determinism:
+    * per-group moments are exact integer cents (n, sum, sum-of-
+    * squares all < 2^53 — exact as doubles), the z denominator
+    * sqrt(n*sxx - s^2) is one IEEE sqrt of an exactly-represented
+    * value, and degenerate groups (constant value, single row) emit
+    * NULL explicitly instead of NaN/Inf (whose canonicalization is
+    * engine-specific). percent_rank ties are broken by unique
+    * event_id, so the rank is total.
+    */
+  def q170FeatureScaling(s: SparkSession, d: String): DataFrame = {
+    val p = Tables.events(s, d)
+      .filter(col("event_type") === lit("purchase"))
+      .select(col("event_id"), col("user_id"),
+        round(col("value") * 100).cast("long").as("cents"))
+    val wu = Window.partitionBy(col("user_id"))
+    val wr = Window.partitionBy(col("user_id"))
+      .orderBy(col("cents"), col("event_id"))
+    def dbl(c: Column) = c.cast("double")
+    val t = p
+      .withColumn("mn", min(col("cents")).over(wu))
+      .withColumn("mx", max(col("cents")).over(wu))
+      .withColumn("n", count(lit(1)).over(wu))
+      .withColumn("s", sum(col("cents")).over(wu))
+      .withColumn("sxx", sum(col("cents") * col("cents")).over(wu))
+    val zden2 = dbl(col("n")) * dbl(col("sxx")) - dbl(col("s")) * dbl(col("s"))
+    t.select(col("event_id"), col("user_id"), col("cents"),
+      when(col("mx") > col("mn"),
+        dbl(col("cents") - col("mn")) / dbl(col("mx") - col("mn")))
+        .otherwise(lit(null).cast("double")).as("minmax"),
+      when(zden2 > lit(0.0),
+        (dbl(col("cents")) * dbl(col("n")) - dbl(col("s"))) / sqrt(zden2))
+        .otherwise(lit(null).cast("double")).as("zscore"),
+      percent_rank().over(wr).as("pr"))
+  }
+
+  val q170Sql: String =
+    """WITH p AS (SELECT event_id, user_id,
+      |    CAST(round(value * 100) AS BIGINT) AS cents
+      |  FROM events WHERE event_type = 'purchase'),
+      |  t AS (SELECT event_id, user_id, cents,
+      |      min(cents) OVER (PARTITION BY user_id) AS mn,
+      |      max(cents) OVER (PARTITION BY user_id) AS mx,
+      |      count(*) OVER (PARTITION BY user_id) AS n,
+      |      sum(cents) OVER (PARTITION BY user_id) AS s,
+      |      sum(cents * cents) OVER (PARTITION BY user_id) AS sxx,
+      |      percent_rank() OVER (PARTITION BY user_id
+      |        ORDER BY cents, event_id) AS pr
+      |    FROM p)
+      |SELECT event_id, user_id, cents,
+      |  CASE WHEN mx > mn THEN CAST(cents - mn AS DOUBLE) / CAST(mx - mn AS DOUBLE)
+      |    ELSE NULL END AS minmax,
+      |  CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+      |         - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) > 0.0
+      |    THEN (CAST(cents AS DOUBLE) * CAST(n AS DOUBLE) - CAST(s AS DOUBLE))
+      |      / sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+      |             - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+      |    ELSE NULL END AS zscore,
+      |  pr
+      |FROM t""".stripMargin
+
+  // ---------------------------------------------------------------- q171
+  /** FEATURE HASHING (the hashing trick): fixed 16-dim signed
+    * bag-of-words per document, no vocabulary pass — dimension and
+    * sign both derive from md5 of the token (the engine-neutral hash
+    * the sampling gates already use; a murmur-based dim would be
+    * Spark-only and unverifiable). One explode + one hash aggregate,
+    * long-format output (doc_id, dim, v) — sparse by construction,
+    * exactly how the vector feeds a trainer. Collision semantics are
+    * the POINT of the trick (signed sums make collisions cancel in
+    * expectation), so the gate's exactness is about reproducibility,
+    * not collision-freedom.
+    */
+  def q171FeatureHashing(s: SparkSession, d: String): DataFrame = {
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .filter(length(col("tok")) > 0)
+    val hashed = toks
+      .withColumn("dim",
+        pmod(conv(substring(md5(col("tok")), 1, 7), 16, 10).cast("long"), lit(16L)))
+      .withColumn("sgn",
+        when(pmod(conv(substring(md5(col("tok")), 8, 1), 16, 10).cast("long"),
+          lit(2L)) === lit(0L), 1L).otherwise(-1L))
+    hashed.groupBy(col("doc_id"), col("dim"))
+      .agg(sum(col("sgn")).as("v"))
+  }
+
+  val q171Sql: String =
+    """WITH t AS (SELECT doc_id, tok
+      |    FROM documents, unnest(string_split(text, ' ')) AS u(tok)
+      |    WHERE strlen(tok) > 0),
+      |  h AS (SELECT doc_id,
+      |      ('0x' || substr(md5(tok), 1, 7))::BIGINT % 16 AS dim,
+      |      CASE WHEN ('0x' || substr(md5(tok), 8, 1))::BIGINT % 2 = 0
+      |        THEN 1 ELSE -1 END AS sgn
+      |    FROM t)
+      |SELECT doc_id, dim, CAST(sum(sgn) AS BIGINT) AS v
+      |FROM h GROUP BY 1, 2""".stripMargin
+
+  // ---------------------------------------------------------------- q172
+  /** OBSERVED METRICS (`Dataset.observe` + `Observation`) — data-
+    * quality counters that ride an EXISTING pass over the data instead
+    * of costing a second scan: at 100 TB, a separate "SELECT count,
+    * nulls, sum" audit query doubles the read; observe attaches the
+    * aggregates to the query's own plan (an accumulator-backed
+    * CollectMetrics node) and resolves them when the action completes.
+    * The gate observes row count, null-value count, exact cents sum
+    * and id bounds on the pipeline's post-filter frame, materializes
+    * the pipeline to the noop sink (the action), then emits the
+    * observed values long-format. All metrics are exact integers; the
+    * oracle recomputes them with plain SQL — proving the in-flight
+    * counters equal a dedicated audit scan.
+    */
+  def q172ObserveMetrics(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val obs = org.apache.spark.sql.Observation("q172")
+    val purchases = Tables.events(s, d)
+      .filter(col("event_type") === lit("purchase"))
+      .observe(obs,
+        count(lit(1)).as("n_rows"),
+        sum(when(col("value").isNull, 1L).otherwise(0L)).as("n_null_value"),
+        sum(round(col("value") * 100).cast("long")).as("sum_cents"),
+        min(col("event_id")).as("min_event_id"),
+        max(col("event_id")).as("max_event_id"))
+    // the observed frame feeds real downstream work; the noop write is
+    // the action that completes the pass
+    purchases.groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+      .write.format("noop").mode("overwrite").save()
+    val m = obs.get
+    m.toSeq.map { case (k, v) => (k, v.asInstanceOf[Number].longValue) }
+      .toDF("metric", "value")
+  }
+
+  val q172Sql: String =
+    """SELECT 'n_rows' AS metric, CAST(count(*) AS BIGINT) AS value
+      |  FROM events WHERE event_type = 'purchase'
+      |UNION ALL SELECT 'n_null_value',
+      |  CAST(coalesce(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT)
+      |  FROM events WHERE event_type = 'purchase'
+      |UNION ALL SELECT 'sum_cents',
+      |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+      |  FROM events WHERE event_type = 'purchase'
+      |UNION ALL SELECT 'min_event_id', min(event_id)
+      |  FROM events WHERE event_type = 'purchase'
+      |UNION ALL SELECT 'max_event_id', max(event_id)
+      |  FROM events WHERE event_type = 'purchase'""".stripMargin
+
   val entries: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "q144_bloom_pruned_join" -> (q144BloomPrunedJoin _, q144Sql),
     "q145_setsim_join" -> (q145SetSimJoin _, q145Sql),
@@ -821,5 +1065,10 @@ object EngineQueries {
     "q160_ewma" -> (q160Ewma _, q160Sql),
     "q161_stratified_split" -> (q161StratifiedSplit _, q161Sql),
     "q163_rolling_distinct" -> (q163RollingDistinct _, q163Sql),
+    "q168_reset_running_balance" -> (q168ResetRunningBalance _, q168Sql),
+    "q169_chisq_cells" -> (q169ChiSquareCells _, q169Sql),
+    "q170_feature_scaling" -> (q170FeatureScaling _, q170Sql),
+    "q171_feature_hashing" -> (q171FeatureHashing _, q171Sql),
+    "q172_observe_metrics" -> (q172ObserveMetrics _, q172Sql),
   )
 }

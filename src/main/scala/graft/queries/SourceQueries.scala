@@ -173,10 +173,54 @@ object SourceQueries {
       |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
       |GROUP BY o_orderkey""".stripMargin
 
+  // ---------------------------------------------------------------- q167
+  /** `binaryFile` source — Spark's bulk raw-asset ingestion path (how a
+    * directory of images/audio enters the lake before any decode): one
+    * row per file with (path, modificationTime, length, content),
+    * split across tasks by `maxPartitionBytes` like any file scan. The
+    * gate materializes each document's UTF-8 bytes as an individual
+    * blob file (written EXECUTOR-side via foreachPartition — no driver
+    * loop; on a cluster the target is a shared store, same code), then
+    * ingests the directory back: id parsed from the path, byte length
+    * from the source's metadata column (no content read needed for
+    * it), and an md5 digest of the content bytes. Oracle recomputes
+    * length and digest from the table itself — the round-trip proves
+    * content fidelity, not just counts. Production note: pathGlobFilter
+    * prunes non-matching files at listing time; for millions of small
+    * assets prefer fewer, larger archives (the multimodal parquet
+    * tables in ext/Multimodal are exactly that next step).
+    */
+  def q167BinaryFiles(s: SparkSession, d: String): DataFrame = {
+    val dir = Files.createTempDirectory("graft_q167_").toString + "/blobs"
+    new java.io.File(dir).mkdirs()
+    Tables.documents(s, d)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      .foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
+        rows.foreach { r =>
+          val id = r.getLong(0)
+          val bytes = r.getAs[Array[Byte]](1)
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(dir, f"doc_$id%08d.bin"), bytes)
+        }
+      }
+    s.read.format("binaryFile").option("pathGlobFilter", "*.bin").load(dir)
+      .select(
+        regexp_extract(col("path"), "doc_(\\d+)\\.bin", 1).cast("long").as("doc_id"),
+        col("length").cast("long").as("byte_len"),
+        md5(col("content")).as("digest"))
+  }
+
+  val q167Sql: String =
+    """SELECT doc_id,
+      |  CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+      |  md5(text) AS digest
+      |FROM documents""".stripMargin
+
   val entries: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "q96_orc_roundtrip" -> (q96OrcRoundtrip _, q96Sql),
     "q97_csv_roundtrip" -> (q97CsvRoundtrip _, q97Sql),
     "q102_avro_roundtrip" -> (q102AvroRoundtrip _, q102Sql),
     "q111_bucketed_join" -> (q111BucketedJoin _, q111Sql),
+    "q167_binary_files" -> (q167BinaryFiles _, q167Sql),
   )
 }

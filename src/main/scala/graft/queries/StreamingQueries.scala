@@ -1396,8 +1396,187 @@ object StreamingQueries {
       |FROM events WHERE event_type = 'purchase'
       |GROUP BY user_id""".stripMargin
 
+  // ---------------------------------------------------------------- q166
+  /** BLOOM-SIDECAR POINT LOOKUP on a SECONDARY id — the metadata-level
+    * pruning that zone maps cannot give: the table is bucketed by its
+    * merge key (`o_orderkey`), so "all orders of customer X" correlates
+    * with NO bucket and every bucket's min/max spans the full custkey
+    * domain. Per-(bucket, column) bloom sidecars ([[graft.sink.BucketBloom]],
+    * written with each commit from the committed files themselves)
+    * answer "might bucket B hold custkey X?" before any file is
+    * listed; [[graft.sink.MergeSink.readPoints]] resolves only the
+    * admitted buckets and the residual `isin` discharges false
+    * positives. At 100 TB (16k buckets), a customer's orders live in
+    * ~tens of buckets — the sidecar check is a driver-side metadata
+    * scan (4 KiB per bucket), vs listing and scanning every bucket's
+    * files. Oracle = the plain `IN` filter over the source table (the
+    * sink holds exactly the source rows: merge keys are unique).
+    */
+  def q166BloomPointLookup(s: SparkSession, d: String): DataFrame = {
+    val base = Files.createTempDirectory("graft_q166_").toString
+    val orders = graft.core.Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_custkey"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+    val sink = new MergeSink(s, s"$base/t",
+      keys = Seq("o_orderkey"), orderCols = Seq("cents"),
+      nBuckets = 32, bloomCols = Seq("o_custkey"))
+    sink.merge(orders)
+    val probes = Seq(7L, 107L, 207L, 307L, 407L)
+    sink.readPoints("o_custkey", probes)
+      .select(col("o_orderkey"), col("o_custkey"), col("cents"))
+  }
+
+  val q166Sql: String =
+    """SELECT o_orderkey, o_custkey,
+      |  CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      |FROM orders WHERE o_custkey IN (7, 107, 207, 307, 407)""".stripMargin
+
+  // ---------------------------------------------------------------- q164
+  /** STREAM-STATIC JOIN — the enrichment shape every production stream
+    * runs: a purchase stream joined to a batch dimension (customer ->
+    * nation) with the dim BROADCAST, so each micro-batch plans a
+    * BroadcastHashJoin and the stream side never shuffles. Stateless
+    * (no watermark, no state store): append mode emits each enriched
+    * row exactly once. The static side is re-resolved per micro-batch
+    * (that is the stream-static contract — a dim update between
+    * batches is picked up); at 100 TB the stream side is the big one
+    * and the broadcast dim rides to every executor once per batch.
+    * Oracle = the same three-way join in one batch SQL.
+    */
+  def q164StreamStaticJoin(s: SparkSession, d: String): DataFrame = {
+    val base = Files.createTempDirectory("graft_q164_").toString
+    val inDir = new java.io.File(base, "in"); inDir.mkdirs()
+    val ckpt = s"$base/ckpt"
+    val ev = graft.core.Tables.events(s, d)
+      .filter(col("event_type") === lit("purchase"))
+      .select(col("event_id"), col("user_id"),
+        round(col("value") * 100).cast("long").as("cents"),
+        unix_micros(col("ts")).as("ts_us"))
+    val mm = ev.agg(min(col("ts_us")), max(col("ts_us"))).first()
+    val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+    val step = (hi - lo) / 4 + 1
+    (0 until 4).foreach { i =>
+      val tmp = s"$base/slice$i"
+      ev.filter(col("ts_us") >= lo + i * step && col("ts_us") < lo + (i + 1) * step)
+        .coalesce(1).write.json(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".json")).get
+      val dest = new java.io.File(inDir, f"$i%02d.json")
+      Files.move(part.toPath, dest.toPath)
+      dest.setLastModified(60000L * (i + 1))
+    }
+    val dim = broadcast(
+      graft.core.Tables.customer(s, d)
+        .join(graft.core.Tables.nation(s, d),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("n_name")))
+    val wire = StructType(Seq(
+      StructField("event_id", LongType), StructField("user_id", LongType),
+      StructField("cents", LongType), StructField("ts_us", LongType)))
+    val enriched = s.readStream.schema(wire)
+      .option("maxFilesPerTrigger", "1").json(inDir.toString)
+      .join(dim, col("user_id") === col("c_custkey"))
+      .select(col("event_id"), col("user_id"),
+        col("n_name").as("nation"), col("cents"))
+    val memName = "q164_ss_" + java.lang.Long.toHexString(System.nanoTime())
+    val q = enriched.writeStream
+      .format("memory").queryName(memName)
+      .outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(memName)
+  }
+
+  val q164Sql: String =
+    """SELECT e.event_id, e.user_id, n.n_name AS nation,
+      |  CAST(round(e.value * 100) AS BIGINT) AS cents
+      |FROM events e
+      |JOIN customer c ON c.c_custkey = e.user_id
+      |JOIN nation n ON n.n_nationkey = c.c_nationkey
+      |WHERE e.event_type = 'purchase'""".stripMargin
+
+  // ---------------------------------------------------------------- q165
+  /** COMPOSITE arbitrary state (v2): [[graft.streaming.UserActivityCounts]]
+    * holds a per-user `MapState` (event-type -> count; each update
+    * touches ONE RocksDB map cell, not a serialized per-key blob) and
+    * a `ListState` (one append per micro-batch the user appears in —
+    * constant-size writes). Update-mode emissions re-emit the full map
+    * stamped with the batch-appearance count; both components are
+    * nondecreasing, so max(struct(batches, n)) per (user, type)
+    * resolves the final fold. The oracle recomputes both exactly:
+    * counts by a plain group-by, batch appearances from the slice
+    * arithmetic the feed itself used (integer div — reproducible in
+    * SQL).
+    */
+  def q165MapListState(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val base = Files.createTempDirectory("graft_q165_").toString
+    val inDir = new java.io.File(base, "in"); inDir.mkdirs()
+    val ckpt = s"$base/ckpt"
+    val ev = graft.core.Tables.events(s, d)
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("ts_us"))
+    val mm = ev.agg(min(col("ts_us")), max(col("ts_us"))).first()
+    val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+    val step = (hi - lo) / 4 + 1
+    (0 until 4).foreach { i =>
+      val tmp = s"$base/slice$i"
+      ev.filter(col("ts_us") >= lo + i * step && col("ts_us") < lo + (i + 1) * step)
+        .coalesce(1).write.json(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".json")).get
+      val dest = new java.io.File(inDir, f"$i%02d.json")
+      Files.move(part.toPath, dest.toPath)
+      dest.setLastModified(60000L * (i + 1))
+    }
+    val wire = StructType(Seq(
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("ts_us", LongType)))
+    val running = s.readStream.schema(wire)
+      .option("maxFilesPerTrigger", "1").json(inDir.toString)
+      .select(col("user_id"), col("event_type")).as[(Long, String)]
+      .groupByKey(_._1)
+      .transformWithState(new graft.streaming.UserActivityCounts,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        org.apache.spark.sql.streaming.OutputMode.Update())
+      .toDF("user_id", "event_type", "n", "nb")
+    val memName = "q165_ml_" + java.lang.Long.toHexString(System.nanoTime())
+    val q = startStateful(s) {
+      running.writeStream
+        .format("memory").queryName(memName)
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+    }
+    q.awaitTermination()
+    s.table(memName)
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(max(struct(col("nb"), col("n"))).as("fin"))
+      .select(col("user_id"), col("event_type"),
+        col("fin.n").as("n_events"), col("fin.nb").as("batches_seen"))
+  }
+
+  val q165Sql: String =
+    """WITH span AS (SELECT min(epoch_us(ts)) AS lo, max(epoch_us(ts)) AS hi
+      |    FROM events),
+      |  e AS (SELECT user_id, event_type,
+      |      (epoch_us(ts) - lo) // ((hi - lo) // 4 + 1) AS sl
+      |    FROM events, span),
+      |  c AS (SELECT user_id, event_type, count(*) AS n_events
+      |    FROM e GROUP BY 1, 2),
+      |  b AS (SELECT user_id, count(DISTINCT sl) AS batches_seen
+      |    FROM e GROUP BY 1)
+      |SELECT c.user_id, c.event_type, c.n_events, b.batches_seen
+      |FROM c JOIN b ON b.user_id = c.user_id""".stripMargin
+
   val entries: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "q162_transform_with_state" -> (q162TransformWithState _, q162Sql),
+    "q164_stream_static_join" -> (q164StreamStaticJoin _, q164Sql),
+    "q165_map_list_state" -> (q165MapListState _, q165Sql),
+    "q166_bloom_point_lookup" -> (q166BloomPointLookup _, q166Sql),
     "q66_streaming_cdc" -> (q66StreamingCdc _, q66Sql),
     "q76_streaming_agg" -> (q76StreamingAgg _, q76Sql),
     "q82_merge_compact" -> (q82MergeCompact _, q66Sql),

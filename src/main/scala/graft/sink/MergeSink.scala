@@ -84,7 +84,9 @@ final class MergeSink(
     orderCols: Seq[String],
     nBuckets: Int = 64,
     statsCols: Seq[String] = Seq.empty,
-    rangeBucketWidth: Option[Long] = None) {
+    rangeBucketWidth: Option[Long] = None,
+    bloomCols: Seq[String] = Seq.empty,
+    bloomBits: Int = BucketBloom.DefaultBits) {
 
   import MergeSink.BucketCol
   import TableManifest.{ColStats, Stats}
@@ -187,6 +189,57 @@ final class MergeSink(
         }.toMap
     }
 
+  /** Per-(bucket, column) BLOOM SIDECARS for a just-written generation
+    * (see [[BucketBloom]] for geometry and why): one extra columnar
+    * scan of only the written files, hashing with codegen'd `xxhash64`
+    * inside the scan and aggregating fixed-size bitsets with map-side
+    * combine — the collect is `nBuckets x bloomBits/8` bytes of
+    * metadata. Sidecars land inside the generation dir BEFORE the
+    * manifest rename, so they share the data files' atomic-publish
+    * story.
+    */
+  private def writeBloomsOfGen(gen: String): Unit =
+    if (bloomCols.nonEmpty) {
+      val build = udaf(BucketBloom.Build(bloomBits, BucketBloom.DefaultHashes))
+      val df = spark.read.parquet(s"$path/$gen")
+      bloomCols.foreach { c =>
+        df.filter(col(c).isNotNull)
+          .select(col(BucketCol), xxhash64(col(c)).as("__h"))
+          .groupBy(col(BucketCol))
+          .agg(build(col("__h")).as("__bloom"))
+          .collect()
+          .foreach { r =>
+            manifest.writeBloom(gen, r.getAs[Number](BucketCol).intValue(), c,
+              BucketBloom.DefaultHashes, r.getAs[Array[Byte]]("__bloom"))
+          }
+      }
+    }
+
+  /** Buckets that might hold `c = v` per the bloom sidecars — the
+    * metadata-level point-lookup pruning decision. `c` must be a
+    * BIGINT column named in `bloomCols` for pruning to bite; anything
+    * else keeps every bucket (missing sidecars never prune).
+    */
+  def bucketsForPoint(c: String, v: Long): Seq[Int] =
+    manifest.bucketsForPoint(c, BucketBloom.hashLong(v))
+
+  /** Rows with `c` IN `vs`, resolving ONLY the buckets some probe's
+    * bloom admits — the secondary-id point lookup ([[readRange]]'s
+    * equality sibling). False positives are discharged by the residual
+    * `isin` filter; false negatives cannot happen (the sidecar is
+    * built from the committed files themselves). Equivalent to
+    * `read().where(c isin vs)`; PipelineSpec asserts equivalence and
+    * pruning.
+    */
+  def readPoints(c: String, vs: Seq[Long]): DataFrame = {
+    val bs = vs.flatMap(v => bucketsForPoint(c, v)).distinct.sorted
+    val resolved =
+      if (bs.isEmpty) read().filter(lit(false))
+      else manifest.snapshot(Some(bs)).map(_.drop(BucketCol))
+        .getOrElse(read().filter(lit(false)))
+    resolved.filter(col(c).isin(vs: _*))
+  }
+
   /** Upsert one batch. Empty batches are a no-op (no read, no write).
     * Holds the writer lock: a concurrent merge or compact on the same
     * table fails fast instead of interleaving commits
@@ -211,6 +264,7 @@ final class MergeSink(
         .write
         .partitionBy(BucketCol)
         .parquet(s"$path/$gen")
+      writeBloomsOfGen(gen)
       // all-or-nothing publish; crashed attempts' files stay invisible
       manifest.commit(
         current ++ manifest.writtenBuckets(gen).map(_ -> gen),
@@ -310,6 +364,7 @@ final class MergeSink(
         .parquet(s"$path/$gen")
       // a bucket whose every row was purged vanishes from the mapping
       // (the write produced no dir for it) rather than keeping a stale gen
+      writeBloomsOfGen(gen)
       val written = manifest.writtenBuckets(gen)
       val emptied = rewrite.toSet -- written
       manifest.commit(
@@ -347,6 +402,9 @@ final class MergeSink(
           .write
           .partitionBy(BucketCol)
           .parquet(s"$path/$gen")
+        // content is unchanged but the rewritten buckets move to a new
+        // generation dir — sidecars are generation-scoped, so rebuild
+        writeBloomsOfGen(gen)
         manifest.commit(
           current ++ manifest.writtenBuckets(gen).map(_ -> gen),
           manifest.stats())

@@ -335,6 +335,58 @@ final class TableManifest(spark: SparkSession, val root: String) {
       case (b, s) if s.get(col).forall(cs => cs.max >= lo && cs.min <= hi) => b
     }.toSeq.sorted
 
+  // ------------------------------------------------- bloom sidecars
+
+  /** Bloom sidecars live INSIDE the bucket's generation dir, prefixed
+    * `_` so every Hadoop/Spark data scan ignores them. Generation dirs
+    * are immutable and atomically published, so a sidecar written
+    * before [[commit]] shares the data files' crash story exactly: an
+    * unpublished generation's sidecars are orphans, a published one's
+    * are guaranteed present and consistent with its rows.
+    */
+  private def bloomPath(gen: String, bucket: Int, c: String): Path =
+    new Path(root, s"$gen/$BucketCol=$bucket/_bloom_$c")
+
+  /** Sidecar format: 4-byte big-endian hash count, then the bitset. */
+  def writeBloom(gen: String, bucket: Int, c: String,
+                 numHashes: Int, bits: Array[Byte]): Unit = {
+    val out = fs.create(bloomPath(gen, bucket, c), true)
+    try { out.writeInt(numHashes); out.write(bits) } finally out.close()
+  }
+
+  /** Current snapshot's bloom for (bucket, column), if the writer
+    * recorded one — (numHashes, bits).
+    */
+  def bloom(bucket: Int, c: String): Option[(Int, Array[Byte])] =
+    mapping().get(bucket).flatMap { gen =>
+      val p = bloomPath(gen, bucket, c)
+      if (!fs.exists(p)) None
+      else {
+        val len = fs.getFileStatus(p).getLen.toInt - 4
+        val in = fs.open(p)
+        try {
+          val k = in.readInt()
+          val bits = new Array[Byte](len)
+          in.readFully(bits)
+          Some((k, bits))
+        } finally in.close()
+      }
+    }
+
+  /** Buckets that MIGHT hold a row with `c` hashing to `hash` — the
+    * metadata-level point-lookup decision ([[bucketsForRange]]'s
+    * equality sibling, for high-cardinality secondary ids where
+    * min/max spans the domain and zone maps cannot prune). A bucket
+    * without a sidecar for `c` is kept: missing information never
+    * prunes.
+    */
+  def bucketsForPoint(c: String, hash: Long): Seq[Int] =
+    mapping().keys.filter { b =>
+      bloom(b, c).forall { case (k, bits) =>
+        BucketBloom.mightContain(bits, k, hash)
+      }
+    }.toSeq.sorted
+
   /** Per-bucket (fileName, size, mtime) of the current snapshot — the
     * metadata the compaction policy and layout audits read.
     */

@@ -253,6 +253,56 @@ class EngineSpec extends SparkSpec {
     assert(perLang.map(_._3).sum == 100L, "allocation does not sum to 100")
   }
 
+  test("q164: stream-static enrich equals the batch three-way join") {
+    val streamed = SparkEntry.queries("q164_stream_static_join")(spark, sfDir)
+    val batch = graft.core.Tables.events(spark, sfDir)
+      .filter(col("event_type") === lit("purchase"))
+      .join(graft.core.Tables.customer(spark, sfDir),
+        col("user_id") === col("c_custkey"))
+      .join(graft.core.Tables.nation(spark, sfDir),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("event_id"), col("user_id"), col("n_name").as("nation"),
+        round(col("value") * 100).cast("long").as("cents"))
+    assert(streamed.count() == batch.count())
+    assert(streamed.except(batch).isEmpty && batch.except(streamed).isEmpty)
+  }
+
+  test("q165: map/list state folds match batch counts; batch appearances in [1,4]") {
+    val got = SparkEntry.queries("q165_map_list_state")(spark, sfDir)
+    val batchCounts = graft.core.Tables.events(spark, sfDir)
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+    assert(got.select(col("user_id"), col("event_type"), col("n_events"))
+      .except(batchCounts).isEmpty)
+    val nb = got.select(col("batches_seen")).as[Long].collect()
+    assert(nb.nonEmpty && nb.forall(b => b >= 1L && b <= 4L),
+      s"batches_seen out of [1,4]: ${nb.distinct.sorted.mkString(",")}")
+  }
+
+  test("q168: balance resets at each marker on a hand-built timeline") {
+    // purchase 100 -> error -> purchase 50 -> purchase 25:
+    // segment 0 balance 100; segment 1 balances 50, 75
+    val ev = Seq(
+      (1L, 1L, "purchase", 1000L, 100L),
+      (2L, 1L, "error",    2000L,   0L),
+      (3L, 1L, "purchase", 3000L,  50L),
+      (4L, 1L, "purchase", 4000L,  25L))
+      .toDF("event_id", "user_id", "event_type", "us", "cents")
+    val w1 = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+    val seg = ev.withColumn("seg",
+      sum(when(col("event_type") === lit("error"), 1L).otherwise(0L)).over(w1))
+    val w2 = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"), col("seg")).orderBy(col("us"), col("event_id"))
+    val got = seg.withColumn("bal",
+        sum(when(col("event_type") === lit("purchase"), col("cents"))
+          .otherwise(0L)).over(w2))
+      .filter(col("event_type") === lit("purchase"))
+      .select(col("event_id"), col("seg"), col("bal"))
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got == Seq((1L, 0L, 100L), (3L, 1L, 50L), (4L, 1L, 75L)), got.toString)
+  }
+
   test("q163: every rolling sketch estimate passes the witness bound") {
     val rows = SparkEntry.queries("q163_rolling_distinct")(spark, sfDir)
       .select(col("sketch_ok")).as[Boolean].collect()

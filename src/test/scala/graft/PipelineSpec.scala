@@ -495,6 +495,47 @@ class PipelineSpec extends SparkSpec {
     assert(sink.readRange("k", 5000.0, 6000.0).isEmpty)
   }
 
+  test("bloom sidecars: secondary-id point lookup prunes buckets; readPoints equals full-scan isin; compaction rebuilds") {
+    import graft.sink.MergeSink
+    val dir = freshDir() + "/bloom"
+    // pk k hash-buckets over 32; secondary `owner` (400 owners x 10
+    // rows) correlates with NO bucket — the zone-map-blind case
+    val df = spark.range(4000).select(
+      $"id".as("k"), ($"id" % 400).as("owner"), ($"id" % 7).as("ver"),
+      concat(lit("p"), $"id").as("payload"))
+    val sink = new MergeSink(spark, dir, keys = Seq("k"), orderCols = Seq("ver"),
+      nBuckets = 32, bloomCols = Seq("owner"))
+    // two merges: sidecars must refresh for rewritten buckets and
+    // stay valid for untouched ones
+    sink.merge(df.filter($"k" < 2000))
+    sink.merge(df.filter($"k" >= 2000))
+
+    // an owner's 10 rows hash into <= 10 of the 32 buckets; the bloom
+    // decision must admit a strict subset (plus at most a few false
+    // positives — discharged below by the result equivalence)
+    val probes = Seq(17L, 93L, 251L)
+    probes.foreach { o =>
+      val bs = sink.bucketsForPoint("owner", o)
+      assert(bs.size <= 13, s"bloom failed to prune for owner $o: ${bs.size} buckets")
+    }
+    val got = sink.readPoints("owner", probes)
+      .select($"k", $"owner").as[(Long, Long)].collect().toSet
+    val want = sink.read().where($"owner".isin(probes: _*))
+      .select($"k", $"owner").as[(Long, Long)].collect().toSet
+    assert(got == want && got.size == 30)
+
+    // a value absent from the table prunes (nearly) everything and
+    // returns a schema-correct empty frame
+    assert(sink.bucketsForPoint("owner", 999999L).size <= 3)
+    assert(sink.readPoints("owner", Seq(999999L)).isEmpty)
+
+    // compaction moves content to a fresh generation dir — sidecars
+    // are generation-scoped and must be rebuilt, not lost
+    sink.compact(maxFilesPerBucket = 1)
+    assert(sink.bucketsForPoint("owner", 17L).size <= 13)
+    assert(sink.readPoints("owner", probes).count() == 30)
+  }
+
   test("compliance purge: bucket-pruned hard delete, emptied buckets vanish, stats refresh, history destroyed") {
     import graft.sink.MergeSink
     val dir = freshDir() + "/purge"
