@@ -1045,6 +1045,315 @@ object EngineQueries {
       |UNION ALL SELECT 'max_event_id', max(event_id)
       |  FROM events WHERE event_type = 'purchase'""".stripMargin
 
+  // ---------------------------------------------------------------- q174
+  /** ORDERED STRING AGGREGATION — `listagg ... WITHIN GROUP (ORDER BY)`
+    * (new in Spark 4.0): each user's full event-type journey as one
+    * ordered string, the canonical input to sequence mining / funnel
+    * tools that want a flat per-entity trace. Order key is the unique
+    * `event_id` (deterministic — a ts order would tie). Plan shape:
+    * ONE hash aggregate keyed user_id; the sort happens inside the
+    * aggregate buffer per group, never as a corpus-wide sort. Per-user
+    * strings are bounded by per-user event counts (hundreds), not
+    * corpus size.
+    */
+  def q174ListAgg(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_type"), col("event_id"))
+      .groupBy(col("user_id"))
+      .agg(expr("listagg(event_type, '|') WITHIN GROUP (ORDER BY event_id)").as("journey"),
+           count(lit(1)).as("n_events"))
+
+  val q174Sql: String =
+    """SELECT user_id,
+      |  string_agg(event_type, '|' ORDER BY event_id) AS journey,
+      |  CAST(count(*) AS BIGINT) AS n_events
+      |FROM events GROUP BY user_id""".stripMargin
+
+  // ---------------------------------------------------------------- q175
+  /** EXACT distinct counting via BITMAPS (`bitmap_construct_agg`,
+    * Spark 3.5+) — the exact-count sibling of the HLL tier (q39/q95):
+    * each (event_type, 32k-id bucket) folds into a fixed 4 KiB bitmap
+    * in ONE partial-aggregating pass (map-side combine ORs bitmaps,
+    * so the shuffle carries at most one bitmap per group per task,
+    * never raw ids), then `bitmap_count` + a second tiny agg sums
+    * exact per-bucket cardinalities. vs count(DISTINCT): same answer,
+    * but the shuffle payload is bounded by the ID DOMAIN (ids/32k
+    * buckets x 4 KiB), not by row count — and bitmaps persist as
+    * mergeable columns (the incremental-index idiom, unlike an opaque
+    * distinct). The oracle IS count(DISTINCT user_id).
+    */
+  def q175BitmapDistinct(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(col("event_type"), col("user_id"))
+      .groupBy(col("event_type"),
+        expr("bitmap_bucket_number(user_id)").as("__bkt"))
+      .agg(expr("bitmap_construct_agg(bitmap_bit_position(user_id))").as("__bm"))
+      .groupBy(col("event_type"))
+      .agg(sum(expr("bitmap_count(__bm)")).as("n_users"))
+
+  val q175Sql: String =
+    """SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+      |FROM events GROUP BY event_type""".stripMargin
+
+  // ---------------------------------------------------------------- q176
+  /** PER-GROUP OLS REGRESSION from exact moments — spend (cents) vs
+    * hour-of-day per event type, the distributed form of `regr_slope`/
+    * `regr_intercept`/`regr_r2`: ONE hash aggregate collects the five
+    * exact integer moment sums (n, Sx, Sy, Sxy, Sxx, Syy); slope,
+    * intercept and R² are then single closed-form double expressions
+    * over them. The built-in regr_* aggregates accumulate doubles in
+    * partition order (nondeterministic across engines AND across
+    * retries); decimal moment sums are exact and order-free, so the
+    * gate is bit-reproducible. Products are cast to DECIMAL(19,0)
+    * before multiplying (→ DECIMAL(38,0), exact far past sf100).
+    */
+  def q176OlsRegression(s: SparkSession, d: String): DataFrame = {
+    def d19(c: Column) = c.cast(DecimalType(19, 0))
+    def dbl(c: Column) = c.cast("double")
+    val m = Tables.events(s, d)
+      .filter(col("value").isNotNull)
+      .select(col("event_type"),
+        hour(col("ts")).cast("long").as("x"),
+        round(col("value") * 100).cast("long").as("y"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+           sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"),
+           sum(d19(col("y")) * d19(col("y"))).as("syy"))
+    val num  = d19(col("n")) * d19(col("sxy")) - d19(col("sx")) * d19(col("sy"))
+    val den  = d19(col("n")) * d19(col("sxx")) - d19(col("sx")) * d19(col("sx"))
+    val deny = d19(col("n")) * col("syy") - d19(col("sy")) * d19(col("sy"))
+    val slope = dbl(num) / dbl(den)
+    m.select(col("event_type"), col("n"),
+      when(den =!= 0, slope).as("slope"),
+      when(den =!= 0,
+        (dbl(col("sy")) - slope * dbl(col("sx"))) / dbl(col("n"))).as("intercept"),
+      when(den =!= 0 && deny =!= 0,
+        dbl(num) * dbl(num) / (dbl(den) * dbl(deny))).as("r2"))
+  }
+
+  val q176Sql: String =
+    """WITH m AS (SELECT event_type, count(*) AS n,
+      |    sum(hour(ts)) AS sx,
+      |    sum(CAST(round(value * 100) AS BIGINT)) AS sy,
+      |    sum(hour(ts) * CAST(round(value * 100) AS BIGINT)) AS sxy,
+      |    sum(hour(ts) * hour(ts)) AS sxx,
+      |    sum(CAST(round(value * 100) AS DECIMAL(19,0))
+      |        * CAST(round(value * 100) AS DECIMAL(19,0))) AS syy
+      |  FROM events WHERE value IS NOT NULL GROUP BY event_type),
+      |  t AS (SELECT event_type, n,
+      |    CAST(n AS DECIMAL(19,0)) * CAST(sxy AS DECIMAL(19,0))
+      |      - CAST(sx AS DECIMAL(19,0)) * CAST(sy AS DECIMAL(19,0)) AS num,
+      |    CAST(n AS DECIMAL(19,0)) * CAST(sxx AS DECIMAL(19,0))
+      |      - CAST(sx AS DECIMAL(19,0)) * CAST(sx AS DECIMAL(19,0)) AS den,
+      |    CAST(n AS DECIMAL(19,0)) * syy
+      |      - CAST(sy AS DECIMAL(19,0)) * CAST(sy AS DECIMAL(19,0)) AS deny,
+      |    sx, sy
+      |  FROM m)
+      |SELECT event_type, CAST(n AS BIGINT) AS n,
+      |  CASE WHEN den <> 0 THEN CAST(num AS DOUBLE) / CAST(den AS DOUBLE) END AS slope,
+      |  CASE WHEN den <> 0 THEN (CAST(sy AS DOUBLE)
+      |      - (CAST(num AS DOUBLE) / CAST(den AS DOUBLE)) * CAST(sx AS DOUBLE))
+      |    / CAST(n AS DOUBLE) END AS intercept,
+      |  CASE WHEN den <> 0 AND deny <> 0
+      |    THEN CAST(num AS DOUBLE) * CAST(num AS DOUBLE)
+      |      / (CAST(den AS DOUBLE) * CAST(deny AS DOUBLE)) END AS r2
+      |FROM t""".stripMargin
+
+  // ---------------------------------------------------------------- q177
+  /** WELCH'S T-TEST between every pair of event types on spend — the
+    * unequal-variance two-sample test an experimentation platform runs
+    * per metric: per-type exact moments (ONE hash aggregate over the
+    * corpus), then a self-join of the 5-row moment frame (broadcast;
+    * pairs²  is metadata) computes t and the Welch–Satterthwaite df as
+    * closed-form double expressions. Means and variances come from
+    * exact integer sums with a FIXED operation order, so both engines
+    * produce identical IEEE doubles — the q169 discipline; the
+    * built-in var_samp would accumulate in partition order and is
+    * avoided.
+    */
+  def q177WelchTTest(s: SparkSession, d: String): DataFrame = {
+    def d19(c: Column) = c.cast(DecimalType(19, 0))
+    def dbl(c: Column) = c.cast("double")
+    val m = Tables.events(s, d)
+      .filter(col("value").isNotNull)
+      .select(col("event_type"), round(col("value") * 100).cast("long").as("y"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("s"),
+           sum(d19(col("y")) * d19(col("y"))).as("sxx"))
+    def v(p: String) = // sample variance = (n*sxx - s^2) / (n*(n-1)), exact numerator
+      dbl(d19(col(s"${p}_n")) * col(s"${p}_sxx") - d19(col(s"${p}_s")) * d19(col(s"${p}_s"))) /
+        (dbl(col(s"${p}_n")) * (dbl(col(s"${p}_n")) - lit(1.0)))
+    def mean(p: String) = dbl(col(s"${p}_s")) / dbl(col(s"${p}_n"))
+    val a = m.select(col("event_type").as("type_a"), col("n").as("a_n"),
+      col("s").as("a_s"), col("sxx").as("a_sxx"))
+    val b = m.select(col("event_type").as("type_b"), col("n").as("b_n"),
+      col("s").as("b_s"), col("sxx").as("b_sxx"))
+    val se2 = v("a") / dbl(col("a_n")) + v("b") / dbl(col("b_n"))
+    a.join(broadcast(b), col("type_a") < col("type_b"))
+      .select(col("type_a"), col("type_b"), col("a_n"), col("b_n"),
+        ((mean("a") - mean("b")) / sqrt(se2)).as("t"),
+        (se2 * se2 /
+          ((v("a") / dbl(col("a_n"))) * (v("a") / dbl(col("a_n"))) / (dbl(col("a_n")) - lit(1.0)) +
+           (v("b") / dbl(col("b_n"))) * (v("b") / dbl(col("b_n"))) / (dbl(col("b_n")) - lit(1.0)))).as("df"))
+  }
+
+  val q177Sql: String =
+    """WITH m AS (SELECT event_type, count(*) AS n,
+      |    sum(CAST(round(value * 100) AS BIGINT)) AS s,
+      |    sum(CAST(round(value * 100) AS DECIMAL(19,0))
+      |        * CAST(round(value * 100) AS DECIMAL(19,0))) AS sxx
+      |  FROM events WHERE value IS NOT NULL GROUP BY event_type),
+      |  p AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+      |    a.n AS a_n, b.n AS b_n,
+      |    CAST(a.s AS DOUBLE) / CAST(a.n AS DOUBLE) AS ma,
+      |    CAST(b.s AS DOUBLE) / CAST(b.n AS DOUBLE) AS mb,
+      |    CAST(CAST(a.n AS DECIMAL(19,0)) * a.sxx
+      |        - CAST(a.s AS DECIMAL(19,0)) * CAST(a.s AS DECIMAL(19,0)) AS DOUBLE)
+      |      / (CAST(a.n AS DOUBLE) * (CAST(a.n AS DOUBLE) - 1.0)) AS va,
+      |    CAST(CAST(b.n AS DECIMAL(19,0)) * b.sxx
+      |        - CAST(b.s AS DECIMAL(19,0)) * CAST(b.s AS DECIMAL(19,0)) AS DOUBLE)
+      |      / (CAST(b.n AS DOUBLE) * (CAST(b.n AS DOUBLE) - 1.0)) AS vb
+      |  FROM m a JOIN m b ON a.event_type < b.event_type)
+      |SELECT type_a, type_b, CAST(a_n AS BIGINT) AS a_n, CAST(b_n AS BIGINT) AS b_n,
+      |  (ma - mb) / sqrt(va / CAST(a_n AS DOUBLE) + vb / CAST(b_n AS DOUBLE)) AS t,
+      |  (va / CAST(a_n AS DOUBLE) + vb / CAST(b_n AS DOUBLE))
+      |    * (va / CAST(a_n AS DOUBLE) + vb / CAST(b_n AS DOUBLE))
+      |  / ((va / CAST(a_n AS DOUBLE)) * (va / CAST(a_n AS DOUBLE)) / (CAST(a_n AS DOUBLE) - 1.0)
+      |     + (vb / CAST(b_n AS DOUBLE)) * (vb / CAST(b_n AS DOUBLE)) / (CAST(b_n AS DOUBLE) - 1.0)) AS df
+      |FROM p""".stripMargin
+
+  // ---------------------------------------------------------------- q179
+  /** URL PARSING (`parse_url`) — clickstream/referrer decomposition,
+    * the per-row scalar surface a web-log pipeline leans on: URLs are
+    * built deterministically from document attributes (the testdata
+    * carries no URL column), then decomposed into host, path and one
+    * query parameter with three `parse_url` calls. Pure per-row
+    * codegen'd compute, no shuffle. The oracle reconstructs the same
+    * parts from the same attributes with plain string ops — proving
+    * the parser inverts the constructor exactly.
+    */
+  def q179ParseUrl(s: SparkSession, d: String): DataFrame = {
+    val u = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), col("source"),
+        concat(lit("https://"), col("source"), lit(".example.org/"),
+          col("lang"), lit("/doc/"), col("doc_id"),
+          lit("?id="), col("doc_id"), lit("&lang="), col("lang")).as("url"))
+    u.select(col("doc_id"),
+      parse_url(col("url"), lit("HOST")).as("host"),
+      parse_url(col("url"), lit("PATH")).as("path"),
+      parse_url(col("url"), lit("QUERY"), lit("id")).as("qid"),
+      parse_url(col("url"), lit("QUERY"), lit("lang")).as("qlang"))
+  }
+
+  val q179Sql: String =
+    """SELECT doc_id,
+      |  source || '.example.org' AS host,
+      |  '/' || lang || '/doc/' || CAST(doc_id AS VARCHAR) AS path,
+      |  CAST(doc_id AS VARCHAR) AS qid,
+      |  lang AS qlang
+      |FROM documents""".stripMargin
+
+  // ---------------------------------------------------------------- q180
+  /** MANN–WHITNEY U — the nonparametric two-sample test (purchase vs
+    * click spend), exact: ranks never materialize per row; the sample
+    * collapses to per-DISTINCT-VALUE counts first (one hash
+    * aggregate), then average ranks fall out of a running sum over
+    * the value-ordered count frame. That frame is bounded by the
+    * VALUE DOMAIN (distinct cents), not row count — the one
+    * unpartitioned window here runs on it deliberately (the q169
+    * whole-distribution idiom). Doubled rank sums (2R₁, 2U₁) stay
+    * integer (average ranks are halves), so everything except the
+    * final z is exact arithmetic; z is one fixed-shape double
+    * expression with the standard tie-corrected variance.
+    */
+  def q180MannWhitneyU(s: SparkSession, d: String): DataFrame = {
+    def d19(c: Column) = c.cast(DecimalType(19, 0))
+    def dbl(c: Column) = c.cast("double")
+    val x = Tables.events(s, d)
+      .filter(col("value").isNotNull &&
+        col("event_type").isin("purchase", "click"))
+      .select(when(col("event_type") === "purchase", 1L).otherwise(0L).as("g1"),
+        round(col("value") * 100).cast("long").as("cents"))
+    val byVal = x.groupBy(col("cents"))
+      .agg(sum(col("g1")).as("n1v"), sum(lit(1L) - col("g1")).as("n2v"))
+    val w = Window.orderBy(col("cents"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val t = byVal
+      .withColumn("cum_lt", coalesce(sum(col("n1v") + col("n2v")).over(w), lit(0L)))
+    val agg = t.agg(
+      sum(col("n1v")).as("n1"), sum(col("n2v")).as("n2"),
+      sum(col("n1v") * (lit(2L) * col("cum_lt") + col("n1v") + col("n2v") + lit(1L))).as("two_r1"),
+      sum(d19(col("n1v") + col("n2v")) * d19(col("n1v") + col("n2v")) * d19(col("n1v") + col("n2v"))
+        - d19(col("n1v") + col("n2v"))).as("tie3"))
+    val nn = dbl(col("n1")) + dbl(col("n2"))
+    val varU = dbl(col("n1")) * dbl(col("n2")) / lit(12.0) *
+      ((nn + lit(1.0)) - dbl(col("tie3")) / (nn * (nn - lit(1.0))))
+    agg.select(col("n1"), col("n2"),
+      col("two_r1"),
+      (lit(2L) * col("n1") * col("n2") + col("n1") * (col("n1") + lit(1L)) - col("two_r1")).as("two_u1"),
+      (((dbl(lit(2L) * col("n1") * col("n2") + col("n1") * (col("n1") + lit(1L)) - col("two_r1")) / lit(2.0))
+        - dbl(col("n1")) * dbl(col("n2")) / lit(2.0)) / sqrt(varU)).as("z"))
+  }
+
+  val q180Sql: String =
+    """WITH x AS (SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS g1,
+      |    CAST(round(value * 100) AS BIGINT) AS cents
+      |  FROM events
+      |  WHERE value IS NOT NULL AND event_type IN ('purchase', 'click')),
+      |  v AS (SELECT cents, sum(g1) AS n1v, sum(1 - g1) AS n2v
+      |    FROM x GROUP BY cents),
+      |  c AS (SELECT cents, n1v, n2v,
+      |      coalesce(sum(n1v + n2v) OVER (ORDER BY cents
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_lt
+      |    FROM v),
+      |  a AS (SELECT CAST(sum(n1v) AS BIGINT) AS n1, CAST(sum(n2v) AS BIGINT) AS n2,
+      |      CAST(sum(n1v * (2 * cum_lt + n1v + n2v + 1)) AS BIGINT) AS two_r1,
+      |      sum(CAST(n1v + n2v AS DECIMAL(19,0)) * CAST(n1v + n2v AS DECIMAL(19,0))
+      |          * CAST(n1v + n2v AS DECIMAL(19,0))
+      |        - CAST(n1v + n2v AS DECIMAL(19,0))) AS tie3
+      |    FROM c)
+      |SELECT n1, n2, two_r1,
+      |  2 * n1 * n2 + n1 * (n1 + 1) - two_r1 AS two_u1,
+      |  ((CAST(2 * n1 * n2 + n1 * (n1 + 1) - two_r1 AS DOUBLE) / 2.0)
+      |    - CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 2.0)
+      |  / sqrt(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 12.0
+      |    * ((CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE) + 1.0)
+      |       - CAST(tie3 AS DOUBLE)
+      |         / ((CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))
+      |            * (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE) - 1.0)))) AS z
+      |FROM a""".stripMargin
+
+  // ---------------------------------------------------------------- q181
+  /** WINDOW GROUP LIMIT — top-3 spend per event type via row_number
+    * filter, written the declarative way so Catalyst's
+    * WindowGroupLimit rewrite (Spark 3.5+) kicks in: instead of fully
+    * sorting every partition's rows and numbering them all, each map
+    * task keeps only k rows per group BEFORE the shuffle (a per-group
+    * TakeOrdered), so the exchange carries O(groups x k), not O(rows).
+    * PlanSpec locks the WindowGroupLimit node into the physical plan —
+    * without it this is the classic 100 TB anti-pattern (global
+    * per-partition sort for a 15-row answer).
+    */
+  def q181WindowGroupLimit(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("cents").desc, col("event_id"))
+    Tables.events(s, d)
+      .filter(col("value").isNotNull)
+      .select(col("event_type"), col("event_id"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 3)
+  }
+
+  val q181Sql: String =
+    """SELECT event_type, event_id, cents, rn FROM (
+      |  SELECT event_type, event_id,
+      |    CAST(round(value * 100) AS BIGINT) AS cents,
+      |    CAST(row_number() OVER (PARTITION BY event_type
+      |      ORDER BY CAST(round(value * 100) AS BIGINT) DESC, event_id) AS BIGINT) AS rn
+      |  FROM events WHERE value IS NOT NULL)
+      |WHERE rn <= 3""".stripMargin
+
   val entries: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "q144_bloom_pruned_join" -> (q144BloomPrunedJoin _, q144Sql),
     "q145_setsim_join" -> (q145SetSimJoin _, q145Sql),
@@ -1070,5 +1379,12 @@ object EngineQueries {
     "q170_feature_scaling" -> (q170FeatureScaling _, q170Sql),
     "q171_feature_hashing" -> (q171FeatureHashing _, q171Sql),
     "q172_observe_metrics" -> (q172ObserveMetrics _, q172Sql),
+    "q174_listagg" -> (q174ListAgg _, q174Sql),
+    "q175_bitmap_distinct" -> (q175BitmapDistinct _, q175Sql),
+    "q176_ols_regression" -> (q176OlsRegression _, q176Sql),
+    "q177_welch_ttest" -> (q177WelchTTest _, q177Sql),
+    "q179_parse_url" -> (q179ParseUrl _, q179Sql),
+    "q180_mann_whitney_u" -> (q180MannWhitneyU _, q180Sql),
+    "q181_window_group_limit" -> (q181WindowGroupLimit _, q181Sql),
   )
 }

@@ -216,11 +216,49 @@ object SourceQueries {
       |  md5(text) AS digest
       |FROM documents""".stripMargin
 
+  // ---------------------------------------------------------------- q178
+  /** XML round-trip — the `xml` datasource Spark 4 absorbed from
+    * spark-xml, covering the last of the ingestion-format family
+    * (parquet/ORC/CSV/JSON/Avro/binaryFile/XML). Write with an
+    * explicit rowTag, read back with an EXPLICIT schema (inference
+    * would re-type ids to the narrowest fit — the q97 CSV contract
+    * applies to every self-describing-less format). String fidelity
+    * is the real test: o_comment carries punctuation the writer must
+    * escape and the reader must unescape; the md5-sum checksum over
+    * comments proves byte-exact inversion, while cents sum proves
+    * numeric fidelity. XML files split by row boundaries like any
+    * text source — scan parallelism is files x maxPartitionBytes.
+    */
+  def q178XmlRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val dir = Files.createTempDirectory("graft_q178_").toString + "/xml"
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), col("source"),
+        col("n_chars"), col("text"))
+      .write.format("xml").option("rowTag", "doc").save(dir)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("lang", StringType),
+      StructField("source", StringType), StructField("n_chars", LongType),
+      StructField("text", StringType)))
+    s.read.format("xml").option("rowTag", "doc").schema(schema).load(dir)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sum_chars"),
+           min(col("doc_id")).as("id_min"), max(col("doc_id")).as("id_max"),
+           sum(conv(substring(md5(col("text")), 1, 7), 16, 10).cast("long")).as("text_chk"))
+  }
+
+  val q178Sql: String =
+    """SELECT lang, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+      |  min(doc_id) AS id_min, max(doc_id) AS id_max,
+      |  CAST(sum(('0x' || substr(md5(text), 1, 7))::BIGINT) AS BIGINT) AS text_chk
+      |FROM documents GROUP BY lang""".stripMargin
+
   val entries: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "q96_orc_roundtrip" -> (q96OrcRoundtrip _, q96Sql),
     "q97_csv_roundtrip" -> (q97CsvRoundtrip _, q97Sql),
     "q102_avro_roundtrip" -> (q102AvroRoundtrip _, q102Sql),
     "q111_bucketed_join" -> (q111BucketedJoin _, q111Sql),
     "q167_binary_files" -> (q167BinaryFiles _, q167Sql),
+    "q178_xml_roundtrip" -> (q178XmlRoundtrip _, q178Sql),
   )
 }

@@ -1572,8 +1572,105 @@ object StreamingQueries {
       |SELECT c.user_id, c.event_type, c.n_events, b.batches_seen
       |FROM c JOIN b ON b.user_id = c.user_id""".stripMargin
 
+  // ---------------------------------------------------------------- q173
+  /** EVENT-TIME TIMERS on the v2 state API ([[graft.streaming.SessionTimers]]):
+    * sessionization driven by explicit per-key timers instead of the
+    * built-in `session_window` (q84) — the mechanism every
+    * timeout-driven operator (SLA breach, abandoned cart, session
+    * close) is built from. Each user's open session lives in a
+    * RocksDB ValueState; a timer at `last_event + gap` fires when the
+    * WATERMARK passes it, emitting the closed session in Append mode.
+    * Feed = the q84 harness: globally time-ordered micro-batch slices
+    * plus two far-future sentinel rows whose only job is to push the
+    * watermark past every real deadline (the second sentinel buys the
+    * extra batch in which the first's watermark takes effect). The
+    * oracle is q78's gaps-and-islands SQL extended with the session
+    * spend — streamed timer emission must equal the one-shot batch
+    * sessionization exactly (same `diff >= gap` boundary rule).
+    */
+  def q173SessionTimers(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val base = Files.createTempDirectory("graft_q173_").toString
+    val inDir = new java.io.File(base, "in"); inDir.mkdirs()
+    val ckpt = s"$base/ckpt"
+
+    val ev = graft.core.Tables.events(s, d)
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+        coalesce(round(col("value") * 100).cast("long"), lit(0L)).as("cents"))
+    val mm = ev.agg(min(col("ts_us")), max(col("ts_us"))).first()
+    val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+    val step = (hi - lo) / 2 + 1
+
+    def writeSlice(df: DataFrame, i: Int): Unit = {
+      val tmp = s"$base/slice$i"
+      df.coalesce(1).write.json(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".json")).get
+      val dest = new java.io.File(inDir, f"$i%02d.json")
+      Files.move(part.toPath, dest.toPath)
+      dest.setLastModified(60000L * (i + 1))
+    }
+    (0 until 2).foreach { i =>
+      writeSlice(ev.filter(col("ts_us") >= lo + i * step &&
+                           col("ts_us") <  lo + (i + 1) * step), i)
+    }
+    val day_us = 86400000000L
+    writeSlice(s.range(1).select(lit(-1L).as("user_id"),
+      lit(hi + 10 * day_us).as("ts_us"), lit(0L).as("cents")), 2)
+    writeSlice(s.range(1).select(lit(-2L).as("user_id"),
+      lit(hi + 20 * day_us).as("ts_us"), lit(0L).as("cents")), 3)
+
+    val wire = StructType(Seq(
+      StructField("user_id", LongType), StructField("ts_us", LongType),
+      StructField("cents", LongType)))
+    val sessions = s.readStream.schema(wire)
+      .option("maxFilesPerTrigger", "1").json(inDir.toString)
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+      .withWatermark("ts", "1 second")
+      .select(col("user_id"), col("ts_us"), col("cents"))
+      .as[(Long, Long, Long)]
+      .groupByKey(_._1)
+      .transformWithState(new graft.streaming.SessionTimers(30L * 60L * 1000L),
+        org.apache.spark.sql.streaming.TimeMode.EventTime(),
+        org.apache.spark.sql.streaming.OutputMode.Append())
+      .toDF("user_id", "start_ms", "end_ms", "n_events", "sum_cents")
+    val memName = "q173_timers_" + java.lang.Long.toHexString(System.nanoTime())
+    val q = startStateful(s) {
+      sessions.writeStream
+        .format("memory").queryName(memName)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+    }
+    q.awaitTermination()
+    s.table(memName).filter(col("user_id") >= 0)
+  }
+
+  val q173Sql: String =
+    """WITH marked AS (
+      |  SELECT user_id, ts,
+      |    coalesce(CAST(round(value * 100) AS BIGINT), 0) AS cents,
+      |    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+      |              >= INTERVAL 30 MINUTE
+      |         OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+      |      THEN 1 ELSE 0 END AS brk
+      |  FROM events),
+      |  islands AS (
+      |    SELECT user_id, ts, cents,
+      |      sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+      |        ROWS UNBOUNDED PRECEDING) AS sid
+      |    FROM marked)
+      |SELECT user_id,
+      |  epoch_ms(min(ts)) AS start_ms,
+      |  epoch_ms(max(ts)) + 30 * 60 * 1000 AS end_ms,
+      |  CAST(count(*) AS BIGINT) AS n_events,
+      |  CAST(sum(cents) AS BIGINT) AS sum_cents
+      |FROM islands GROUP BY user_id, sid""".stripMargin
+
   val entries: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "q162_transform_with_state" -> (q162TransformWithState _, q162Sql),
+    "q173_session_timers" -> (q173SessionTimers _, q173Sql),
     "q164_stream_static_join" -> (q164StreamStaticJoin _, q164Sql),
     "q165_map_list_state" -> (q165MapListState _, q165Sql),
     "q166_bloom_point_lookup" -> (q166BloomPointLookup _, q166Sql),

@@ -332,4 +332,51 @@ class EngineSpec extends SparkSpec {
       .as[(Long, Double)].collect().head
     assert(math.abs(r._2 - 17.5) < 1e-12, s"TWA = ${r._2}")
   }
+
+  test("q174: journey element count equals n_events for every user") {
+    val rows = SparkEntry.queries("q174_listagg")(spark, sfDir)
+      .select(size(split(col("journey"), "\\|")).cast("long"), col("n_events"))
+      .as[(Long, Long)].collect()
+    assert(rows.nonEmpty && rows.forall { case (k, n) => k == n },
+      "listagg dropped or duplicated elements")
+  }
+
+  test("q176: r-squared within [0,1], moments present for every type") {
+    val rows = SparkEntry.queries("q176_ols_regression")(spark, sfDir)
+      .select(col("n"), col("slope"), col("r2"))
+      .as[(Long, Option[Double], Option[Double])].collect()
+    assert(rows.length == 5)
+    rows.foreach { case (n, slope, r2) =>
+      assert(n > 1 && slope.nonEmpty, "degenerate regression on real data")
+      r2.foreach(v => assert(v >= 0.0 && v <= 1.0, s"r2 out of range: $v"))
+    }
+  }
+
+  test("q177: Welch df lies between min(n)-1 and n1+n2-2 for every pair") {
+    // the Welch-Satterthwaite estimate is bracketed by these bounds —
+    // a formula slip (wrong denominator order) lands outside them
+    val rows = SparkEntry.queries("q177_welch_ttest")(spark, sfDir)
+      .select(col("a_n"), col("b_n"), col("t"), col("df"))
+      .as[(Long, Long, Double, Double)].collect()
+    assert(rows.length == 10) // C(5,2) type pairs
+    rows.foreach { case (na, nb, t, df) =>
+      assert(!t.isNaN && !t.isInfinite)
+      assert(df >= (math.min(na, nb) - 1).toDouble - 1e-9 &&
+             df <= (na + nb - 2).toDouble + 1e-9,
+        s"df $df outside [${math.min(na, nb) - 1}, ${na + nb - 2}]")
+    }
+  }
+
+  test("q180: doubled U statistic within [0, 2*n1*n2] and U1+U2 identity") {
+    val (n1, n2, twoR1, twoU1, z) =
+      SparkEntry.queries("q180_mann_whitney_u")(spark, sfDir)
+        .as[(Long, Long, Long, Long, Double)].collect().head
+    assert(twoU1 >= 0L && twoU1 <= 2L * n1 * n2, s"2*U1 out of range: $twoU1")
+    // 2*R1 + 2*R2 = 2 * N(N+1)/2 rank-sum identity => U1 + U2 = n1*n2
+    val n = n1 + n2
+    val twoR2 = n * (n + 1L) - twoR1
+    val twoU2 = 2L * n1 * n2 + n2 * (n2 + 1L) - twoR2
+    assert(twoU1 + twoU2 == 2L * n1 * n2, "U1 + U2 != n1*n2")
+    assert(!z.isNaN && !z.isInfinite)
+  }
 }

@@ -505,4 +505,36 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Join"), "per-row metric plan joins")
     assert(p.contains("[codegen id :"), "metric projection fell out of codegen")
   }
+
+  test("rank<=k filter rewrites to WindowGroupLimit — maps keep k rows, not all") {
+    // without the rewrite, every map task sorts and ships its FULL
+    // partition for a 15-row answer — the canonical 100 TB window trap
+    val p = plan("q181_window_group_limit")
+    assert(p.contains("WindowGroupLimit"),
+      "row_number<=k did not rewrite to WindowGroupLimit")
+  }
+
+  test("bitmap distinct partial-aggregates map-side — raw ids cross the wire once, no Expand") {
+    val p = executed(SparkEntry.queries("q175_bitmap_distinct")(spark, sfDir))
+    // bitmap_construct_agg is an ImperativeAggregate with a BINARY
+    // buffer: HashAggregate can't hold it, so Spark plans
+    // SortAggregate — fine, PROVIDED the partial level sits below the
+    // exchange (map tasks ship one OR-merged bitmap per local group,
+    // never raw ids) and distinct never falls back to Expand.
+    val fin = p.substring(p.indexOf("== Final Plan =="),
+      math.max(p.indexOf("== Initial Plan =="), p.length - 1))
+    assert(!fin.contains("Expand"), "distinct fell back to the Expand rewrite")
+    assert(!fin.contains("Join"), "bitmap plan joins")
+    val aggs = "(SortAggregate|ObjectHashAggregate|HashAggregate) \\(".r
+      .findAllIn(fin).size
+    assert(aggs >= 3, // partial+merge bitmap levels, then the count-sum agg
+      s"partial aggregation level missing ($aggs aggregate nodes)")
+  }
+
+  test("Welch pairs join broadcasts the 5-row moment frame — fact scanned once per side") {
+    val p = executed(SparkEntry.queries("q177_welch_ttest")(spark, sfDir))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      "pair join did not broadcast the tiny moment frame")
+    assert(!p.contains("SortMergeJoin"), "metadata-scale pair join sort-merges")
+  }
 }

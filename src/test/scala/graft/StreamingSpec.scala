@@ -522,4 +522,86 @@ class StreamingSpec extends SparkSpec {
       assert(n == events.size)
     } finally q.stop()
   }
+
+  test("session timers and their state survive checkpoint restart (RocksDB)") {
+    // q173's untested half: REGISTERED TIMERS must recover from the
+    // checkpoint along with the ValueState. Phase 1 ingests one slice
+    // and stops — two sessions are open, each with a live timer, both
+    // existing ONLY in checkpointed state. Sentinels land while the
+    // query is DOWN; phase 2 restarts, the watermark passes the
+    // restored deadlines, and the timer path must emit exactly the
+    // open sessions — no loss (timer dropped) and no duplicate
+    // (in-batch close already emitted u2's first session in phase 1).
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.streaming.Trigger
+    val base = java.nio.file.Files.createTempDirectory("graft_timr_").toString
+    val inDir = new java.io.File(base, "in"); inDir.mkdirs()
+    val ckpt = s"$base/ckpt"; val outDir = s"$base/out"
+
+    def writeSlice(lines: Seq[String], i: Int): Unit = {
+      val dest = new java.io.File(inDir, f"$i%02d.json")
+      java.nio.file.Files.write(dest.toPath, lines.mkString("\n").getBytes)
+      dest.setLastModified(60000L * (i + 1))
+    }
+    def ev(u: Long, ts: Long, c: Long) =
+      s"""{"user_id":$u,"ts_us":$ts,"cents":$c}"""
+    val t0 = 1000000000000000L // epoch micros
+    val minUs = 60000000L; val dayUs = 86400000000L
+    // u1: two events 10min apart (one open session);
+    // u2: two events 40min apart (first closes IN-BATCH, second open)
+    writeSlice(Seq(
+      ev(1, t0, 100), ev(1, t0 + 10 * minUs, 50),
+      ev(2, t0, 7), ev(2, t0 + 40 * minUs, 9)), 0)
+
+    val wire = StructType(Seq(
+      StructField("user_id", LongType), StructField("ts_us", LongType),
+      StructField("cents", LongType)))
+    def startQ() =
+      spark.readStream.schema(wire)
+        .option("maxFilesPerTrigger", "1").json(inDir.toString)
+        .withColumn("ts", timestamp_micros($"ts_us"))
+        .withWatermark("ts", "1 second")
+        .select($"user_id", $"ts_us", $"cents")
+        .as[(Long, Long, Long)]
+        .groupByKey(_._1)
+        .transformWithState(new graft.streaming.SessionTimers(30L * 60L * 1000L),
+          org.apache.spark.sql.streaming.TimeMode.EventTime(),
+          OutputMode.Append())
+        .toDF("user_id", "start_ms", "end_ms", "n_events", "sum_cents")
+        .writeStream.format("parquet")
+        .option("path", outDir).option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProv = spark.conf.getOption(provKey)
+    spark.conf.set(provKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val q1 = startQ(); q1.awaitTermination() // phase 1: slice 0 only
+      val afterP1 = spark.read.parquet(outDir).filter($"user_id" >= 0)
+        .select($"user_id", $"n_events").as[(Long, Long)].collect().toSet
+      assert(afterP1 == Set((2L, 1L)),
+        s"only u2's first session may close in-batch during phase 1: $afterP1")
+
+      writeSlice(Seq(ev(-1, t0 + 10 * dayUs, 0)), 1)
+      writeSlice(Seq(ev(-2, t0 + 20 * dayUs, 0)), 2)
+      val q2 = startQ(); q2.awaitTermination() // phase 2: restart + timers fire
+
+      val t0ms = t0 / 1000L; val gapMs = 30L * 60000L; val minMs = 60000L
+      val out = spark.read.parquet(outDir).filter($"user_id" >= 0)
+        .select($"user_id", $"start_ms", $"end_ms", $"n_events", $"sum_cents")
+        .as[(Long, Long, Long, Long, Long)].collect().toSeq.sorted
+      assert(out == Seq(
+        (1L, t0ms, t0ms + 10 * minMs + gapMs, 2L, 150L), // from RESTORED timer
+        (2L, t0ms, t0ms + gapMs, 1L, 7L),                // phase-1 in-batch close
+        (2L, t0ms + 40 * minMs, t0ms + 40 * minMs + gapMs, 1L, 9L)),
+        s"restart lost or duplicated timer state: $out")
+    } finally {
+      prevProv match {
+        case Some(p) => spark.conf.set(provKey, p)
+        case None    => spark.conf.unset(provKey)
+      }
+    }
+  }
 }
