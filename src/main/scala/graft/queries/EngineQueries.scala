@@ -1354,6 +1354,245 @@ object EngineQueries {
       |  FROM events WHERE value IS NOT NULL)
       |WHERE rn <= 3""".stripMargin
 
+  // ---------------------------------------------------------------- q182
+  /** PARAGRAPH-LEVEL exact dedup — dedup at SUB-document granularity
+    * (the C4/RefinedWeb move the doc-level q23/q24 can't make: a
+    * boilerplate paragraph repeated across thousands of pages
+    * survives doc-level dedup entirely). Documents chunk into fixed
+    * 10-token paragraphs (q125's slice idiom), each hashes once, and
+    * the GLOBAL first occurrence — min (doc_id, chunk_id) per hash, a
+    * plain partial-aggregating argmin, never a corpus window — is the
+    * survivor; every doc reassembles from its surviving paragraphs in
+    * order (listagg WITHIN GROUP). Scale shape: one explode, two hash
+    * aggregates, one equi-join on (hash, doc, chunk) — all keyed,
+    * no all-pairs anywhere.
+    */
+  def q182ParagraphDedup(s: SparkSession, d: String): DataFrame = {
+    val W = 10
+    val ch = Tables.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("ts"))
+      .select(col("doc_id"), explode(expr(
+        s"""transform(sequence(0, CAST((size(ts) - 1) / $W AS INT)),
+           |  i -> struct(CAST(i AS BIGINT) AS chunk_id,
+           |              array_join(slice(ts, i * $W + 1, $W), ' ') AS ptext))""".stripMargin)).as("c"))
+      .select(col("doc_id"), col("c.chunk_id"), col("c.ptext"),
+        md5(col("c.ptext")).as("h"))
+    val first = ch.groupBy(col("h"))
+      .agg(min(struct(col("doc_id"), col("chunk_id"))).as("f"))
+      .select(col("h"), col("f.doc_id").as("f_doc"), col("f.chunk_id").as("f_chunk"))
+    ch.join(first,
+        ch("h") === first("h") && col("doc_id") === col("f_doc") &&
+          col("chunk_id") === col("f_chunk"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        expr("listagg(ptext, ' ') WITHIN GROUP (ORDER BY chunk_id)").as("dedup_text"))
+  }
+
+  val q182Sql: String =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+      |  c AS (SELECT doc_id, CAST(i AS BIGINT) AS chunk_id,
+      |      array_to_string(ts[i * 10 + 1 : i * 10 + 10], ' ') AS ptext
+      |    FROM t, unnest(generate_series(0, (len(ts) - 1) // 10)) AS g(i)),
+      |  h AS (SELECT doc_id, chunk_id, ptext, md5(ptext) AS hh,
+      |      row_number() OVER (PARTITION BY md5(ptext)
+      |        ORDER BY doc_id, chunk_id) AS rn
+      |    FROM c)
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+      |  string_agg(ptext, ' ' ORDER BY chunk_id) AS dedup_text
+      |FROM h WHERE rn = 1 GROUP BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q183
+  /** DATASET MIXING with UPSAMPLING — epoch composition: a training
+    * mix repeats high-quality sources (the multi-epoch trick) while
+    * streaming low-priority ones once. The repeat factor is a
+    * DETERMINISTIC literal policy per source tier; each doc explodes
+    * into `repeat` numbered copies (`sequence(1, r)` — ascending,
+    * r >= 1, the safe direction), so the mixed corpus is exactly
+    * reproducible — no RNG state, any worker re-derives its shard.
+    * Per-row explode only: no shuffle at all until a downstream
+    * consumer asks for one.
+    */
+  def q183DatasetMixing(s: SparkSession, d: String): DataFrame = {
+    val reps = when(col("source").isin("src0", "src1", "src2", "src3", "src4"), 3L)
+      .when(col("source").isin("src5", "src6", "src7", "src8", "src9"), 2L)
+      .otherwise(1L)
+    Tables.documents(s, d)
+      .select(col("source"), col("doc_id"), reps.as("repeat"))
+      .select(col("source"), col("doc_id"), col("repeat"),
+        explode(sequence(lit(1L), col("repeat"))).as("copy_idx"))
+  }
+
+  val q183Sql: String =
+    """WITH r AS (SELECT source, doc_id,
+      |    CASE WHEN source IN ('src0','src1','src2','src3','src4') THEN 3
+      |         WHEN source IN ('src5','src6','src7','src8','src9') THEN 2
+      |         ELSE 1 END AS rep
+      |  FROM documents)
+      |SELECT source, doc_id, CAST(rep AS BIGINT) AS repeat,
+      |  CAST(i AS BIGINT) AS copy_idx
+      |FROM r, unnest(generate_series(1, rep)) AS g(i)""".stripMargin
+
+  // ---------------------------------------------------------------- q185
+  /** COLLATION-AWARE grouping (Spark 4 collations): case-insensitive
+    * aggregation via `collate(c, 'UTF8_LCASE')` — the engine-level
+    * answer to mixed-case keys (vs the lower() rewrite, which loses
+    * the original strings and breaks equality pushdown on collated
+    * catalogs). Input case is deterministically mangled (upper on
+    * even event ids) so every group genuinely mixes variants; the
+    * output key is normalized explicitly (lower of the group's min)
+    * because a collated group's representative is
+    * engine-nondeterministic — the ORACLE-SAFE projection discipline.
+    */
+  def q185CollatedGroupBy(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(when(col("event_id") % 2 === 0, upper(col("event_type")))
+        .otherwise(col("event_type")).as("etm"))
+      .groupBy(expr("collate(etm, 'UTF8_LCASE')").as("__k"))
+      .agg(lower(min(col("etm"))).as("key"), count(lit(1)).as("n"),
+        countDistinct(col("etm")).as("variants"))
+      .select(col("key"), col("n"), col("variants"))
+
+  val q185Sql: String =
+    """WITH m AS (SELECT CASE WHEN event_id % 2 = 0 THEN upper(event_type)
+      |    ELSE event_type END AS etm
+      |  FROM events)
+      |SELECT lower(min(etm)) AS key, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(count(DISTINCT etm) AS BIGINT) AS variants
+      |FROM m GROUP BY lower(etm)""".stripMargin
+
+  // ---------------------------------------------------------------- q186
+  /** RFM SEGMENTATION — the classic customer scoring, built the
+    * scale-safe way: per-user recency/frequency/monetary from ONE
+    * hash aggregate, then quartile THRESHOLDS (exact interpolated
+    * percentiles, q43's cross-engine precedent) computed on the
+    * user-count frame and broadcast back as a 1-row attach. An
+    * ntile-over-all-users window would global-sort the user dimension
+    * (~10⁸ rows at scale) three times; threshold-compare is
+    * shuffle-free past the per-user agg. Buckets are closed-form
+    * integer comparisons; the composite segment string concatenates
+    * them.
+    */
+  def q186RfmSegments(s: SparkSession, d: String): DataFrame = {
+    val p = Tables.events(s, d)
+      .filter(col("event_type") === "purchase" && col("value").isNotNull)
+      .select(col("user_id"), to_date(col("ts")).as("dt"),
+        round(col("value") * 100).cast("long").as("cents"))
+    val maxD = p.agg(max(col("dt")).as("corpus_max")).      // 1-row attach
+      select(col("corpus_max"))
+    val rfm = p.groupBy(col("user_id"))
+      .agg(max(col("dt")).as("last_dt"), count(lit(1)).as("f"),
+        sum(col("cents")).as("m_cents"))
+      .crossJoin(broadcast(maxD))
+      .select(col("user_id"),
+        datediff(col("corpus_max"), col("last_dt")).cast("long").as("r_days"),
+        col("f"), col("m_cents"))
+    val th = rfm.agg(
+      expr("percentile(r_days, 0.25)").as("r25"), expr("percentile(r_days, 0.5)").as("r50"),
+      expr("percentile(r_days, 0.75)").as("r75"),
+      expr("percentile(f, 0.25)").as("f25"), expr("percentile(f, 0.5)").as("f50"),
+      expr("percentile(f, 0.75)").as("f75"),
+      expr("percentile(m_cents, 0.25)").as("m25"), expr("percentile(m_cents, 0.5)").as("m50"),
+      expr("percentile(m_cents, 0.75)").as("m75"))
+    def bucket(c: String, t: String) =
+      (lit(1L) + (col(c) > col(s"${t}25")).cast("long")
+        + (col(c) > col(s"${t}50")).cast("long")
+        + (col(c) > col(s"${t}75")).cast("long"))
+    rfm.crossJoin(broadcast(th))
+      .select(col("user_id"), col("r_days"), col("f"), col("m_cents"),
+        bucket("r_days", "r").as("r_q"), bucket("f", "f").as("f_q"),
+        bucket("m_cents", "m").as("m_q"),
+        concat(bucket("r_days", "r"), lit("-"), bucket("f", "f"),
+          lit("-"), bucket("m_cents", "m")).as("segment"))
+  }
+
+  val q186Sql: String =
+    """WITH p AS (SELECT user_id, CAST(ts AS DATE) AS dt,
+      |    CAST(round(value * 100) AS BIGINT) AS cents
+      |  FROM events WHERE event_type = 'purchase' AND value IS NOT NULL),
+      |  mx AS (SELECT max(dt) AS corpus_max FROM p),
+      |  rfm AS (SELECT user_id,
+      |      CAST(datediff('day', max(dt), (SELECT corpus_max FROM mx)) AS BIGINT) AS r_days,
+      |      count(*) AS f, sum(cents) AS m_cents
+      |    FROM p GROUP BY user_id),
+      |  th AS (SELECT
+      |      quantile_cont(r_days, 0.25) AS r25, quantile_cont(r_days, 0.5) AS r50,
+      |      quantile_cont(r_days, 0.75) AS r75,
+      |      quantile_cont(f, 0.25) AS f25, quantile_cont(f, 0.5) AS f50,
+      |      quantile_cont(f, 0.75) AS f75,
+      |      quantile_cont(m_cents, 0.25) AS m25, quantile_cont(m_cents, 0.5) AS m50,
+      |      quantile_cont(m_cents, 0.75) AS m75
+      |    FROM rfm)
+      |SELECT user_id, r_days, CAST(f AS BIGINT) AS f, CAST(m_cents AS BIGINT) AS m_cents,
+      |  1 + CAST(r_days > r25 AS BIGINT) + CAST(r_days > r50 AS BIGINT)
+      |    + CAST(r_days > r75 AS BIGINT) AS r_q,
+      |  1 + CAST(f > f25 AS BIGINT) + CAST(f > f50 AS BIGINT)
+      |    + CAST(f > f75 AS BIGINT) AS f_q,
+      |  1 + CAST(m_cents > m25 AS BIGINT) + CAST(m_cents > m50 AS BIGINT)
+      |    + CAST(m_cents > m75 AS BIGINT) AS m_q,
+      |  (1 + CAST(r_days > r25 AS BIGINT) + CAST(r_days > r50 AS BIGINT)
+      |     + CAST(r_days > r75 AS BIGINT))
+      |  || '-' ||
+      |  (1 + CAST(f > f25 AS BIGINT) + CAST(f > f50 AS BIGINT)
+      |     + CAST(f > f75 AS BIGINT))
+      |  || '-' ||
+      |  (1 + CAST(m_cents > m25 AS BIGINT) + CAST(m_cents > m50 AS BIGINT)
+      |     + CAST(m_cents > m75 AS BIGINT)) AS segment
+      |FROM rfm, th""".stripMargin
+
+  // ---------------------------------------------------------------- q187
+  /** ID-BLOCK COMPLETENESS AUDIT — sequence-gap detection done the
+    * distributed way: a global islands-over-ids window would sort the
+    * corpus; bucketing ids into fixed 1000-wide blocks makes gap
+    * counting a pure hash aggregate (missing = span − present per
+    * block), with block-local min/max locating the holes. The
+    * data-quality question a CDC pipeline actually asks ("did we drop
+    * events?") — answered in one scan, no window, no sort.
+    */
+  def q187IdBlockAudit(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select((col("event_id") / 1000).cast("long").as("block"), col("event_id"))
+      .groupBy(col("block"))
+      .agg(count(lit(1)).as("present"),
+        min(col("event_id")).as("id_min"), max(col("event_id")).as("id_max"))
+      .select(col("block"), col("present"),
+        (col("id_max") - col("id_min") + 1L - col("present")).as("missing"),
+        col("id_min"), col("id_max"))
+
+  val q187Sql: String =
+    """SELECT event_id // 1000 AS block, CAST(count(*) AS BIGINT) AS present,
+      |  max(event_id) - min(event_id) + 1 - count(*) AS missing,
+      |  min(event_id) AS id_min, max(event_id) AS id_max
+      |FROM events GROUP BY 1""".stripMargin
+
+  // ---------------------------------------------------------------- q188
+  /** EXACT MODE per group — most frequent spend value per event type,
+    * ties to the smallest value: two stacked hash aggregates (count
+    * per (group, value), then argmax as `max(struct(n, -value))` —
+    * the LWW-dedup idiom, partial-aggregating map-side), never a
+    * window over the count frame. The built-in `mode()` breaks ties
+    * nondeterministically; the struct comparison pins them.
+    */
+  def q188ExactMode(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .filter(col("value").isNotNull)
+      .select(col("event_type"), round(col("value") * 100).cast("long").as("cents"))
+      .groupBy(col("event_type"), col("cents")).agg(count(lit(1)).as("n"))
+      .groupBy(col("event_type"))
+      .agg(max(struct(col("n"), (-col("cents")).as("neg"))).as("m"))
+      .select(col("event_type"), (-col("m.neg")).as("mode_cents"),
+        col("m.n").as("n_mode"))
+
+  val q188Sql: String =
+    """WITH c AS (SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents,
+      |    count(*) AS n
+      |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+      |  r AS (SELECT event_type, cents, n,
+      |      row_number() OVER (PARTITION BY event_type
+      |        ORDER BY n DESC, cents ASC) AS rn
+      |    FROM c)
+      |SELECT event_type, cents AS mode_cents, CAST(n AS BIGINT) AS n_mode
+      |FROM r WHERE rn = 1""".stripMargin
+
   val entries: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "q144_bloom_pruned_join" -> (q144BloomPrunedJoin _, q144Sql),
     "q145_setsim_join" -> (q145SetSimJoin _, q145Sql),
@@ -1386,5 +1625,11 @@ object EngineQueries {
     "q179_parse_url" -> (q179ParseUrl _, q179Sql),
     "q180_mann_whitney_u" -> (q180MannWhitneyU _, q180Sql),
     "q181_window_group_limit" -> (q181WindowGroupLimit _, q181Sql),
+    "q182_paragraph_dedup" -> (q182ParagraphDedup _, q182Sql),
+    "q183_dataset_mixing" -> (q183DatasetMixing _, q183Sql),
+    "q185_collated_groupby" -> (q185CollatedGroupBy _, q185Sql),
+    "q186_rfm_segments" -> (q186RfmSegments _, q186Sql),
+    "q187_id_block_audit" -> (q187IdBlockAudit _, q187Sql),
+    "q188_exact_mode" -> (q188ExactMode _, q188Sql),
   )
 }

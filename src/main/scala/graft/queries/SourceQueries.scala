@@ -253,6 +253,45 @@ object SourceQueries {
       |  CAST(sum(('0x' || substr(md5(text), 1, 7))::BIGINT) AS BIGINT) AS text_chk
       |FROM documents GROUP BY lang""".stripMargin
 
+  // ---------------------------------------------------------------- q184
+  /** DYNAMIC PARTITION PRUNING — the mechanism that makes star-schema
+    * joins survive 100 TB: the fact table is laid out partitioned by
+    * date (the standard warehouse layout this sink writes here), the
+    * dim side's filter selects a few dates at RUNTIME, and Catalyst
+    * injects the dim's build-side keys as a partition filter into the
+    * fact SCAN (`dynamicpruning` subquery) — so the fact reads only
+    * the matching date directories instead of all of them. Without
+    * DPP this is a full corpus scan whose rows die in the join.
+    * PlanSpec locks the dynamicpruning expression into the fact scan.
+    * The dim's date set derives deterministically from the data
+    * (epoch-day mod 7 < 2 — "weekend" dates); the oracle applies the
+    * same predicate directly.
+    */
+  def q184DynamicPartitionPruning(s: SparkSession, d: String): DataFrame = {
+    val dir = Files.createTempDirectory("graft_q184_").toString + "/fact"
+    Tables.events(s, d)
+      .select(col("event_id"), col("event_type"),
+        round(col("value") * 100).cast("long").as("cents"),
+        to_date(col("ts")).as("event_date"))
+      .write.partitionBy("event_date").parquet(dir)
+    val fact = s.read.parquet(dir)
+    val dim = Tables.events(s, d)
+      .select(to_date(col("ts")).as("d_date")).distinct()
+      .filter(pmod(datediff(col("d_date"), lit("1970-01-01").cast("date")),
+        lit(7)) < 2)
+    fact.join(dim, col("event_date") === col("d_date"))
+      .groupBy(date_format(col("event_date"), "yyyy-MM-dd").as("day"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"))
+  }
+
+  val q184Sql: String =
+    """SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+      |  CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+      |FROM events
+      |WHERE datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) % 7 < 2
+      |GROUP BY 1""".stripMargin
+
   val entries: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "q96_orc_roundtrip" -> (q96OrcRoundtrip _, q96Sql),
     "q97_csv_roundtrip" -> (q97CsvRoundtrip _, q97Sql),
@@ -260,5 +299,6 @@ object SourceQueries {
     "q111_bucketed_join" -> (q111BucketedJoin _, q111Sql),
     "q167_binary_files" -> (q167BinaryFiles _, q167Sql),
     "q178_xml_roundtrip" -> (q178XmlRoundtrip _, q178Sql),
+    "q184_dynamic_partition_pruning" -> (q184DynamicPartitionPruning _, q184Sql),
   )
 }

@@ -379,4 +379,47 @@ class EngineSpec extends SparkSpec {
     assert(twoU1 + twoU2 == 2L * n1 * n2, "U1 + U2 != n1*n2")
     assert(!z.isNaN && !z.isInfinite)
   }
+
+  test("q182: kept paragraphs across the corpus equal the distinct paragraph hashes") {
+    // first-occurrence dedup keeps exactly one chunk per distinct hash
+    val kept = SparkEntry.queries("q182_paragraph_dedup")(spark, sfDir)
+      .agg(sum(col("n_kept"))).as[Long].collect().head
+    val W = 10
+    val distinctChunks = graft.core.Tables.documents(spark, sfDir)
+      .select(split(col("text"), " ").as("ts"))
+      .select(explode(expr(
+        s"""transform(sequence(0, CAST((size(ts) - 1) / $W AS INT)),
+           |  i -> array_join(slice(ts, i * $W + 1, $W), ' '))""".stripMargin)).as("p"))
+      .select(md5(col("p"))).distinct().count()
+    assert(kept == distinctChunks, s"kept $kept != distinct $distinctChunks")
+  }
+
+  test("q186: every quartile bucket 1-4 is populated on real data") {
+    val rows = SparkEntry.queries("q186_rfm_segments")(spark, sfDir)
+      .select(col("r_q"), col("f_q"), col("m_q"))
+      .as[(Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    for ((name, vs) <- Seq("r" -> rows.map(_._1), "f" -> rows.map(_._2),
+                           "m" -> rows.map(_._3))) {
+      assert(vs.forall(q => q >= 1 && q <= 4), s"$name quartile out of range")
+      assert(vs.distinct.length >= 3, // >=3 distinct buckets: thresholds real
+        s"$name quartiles degenerate: ${vs.distinct.sorted.mkString(",")}")
+    }
+  }
+
+  test("q183: copy counts match the tier policy exactly") {
+    val got = SparkEntry.queries("q183_dataset_mixing")(spark, sfDir)
+      .groupBy(col("source")).agg(
+        countDistinct(col("doc_id")).as("docs"), count(lit(1)).as("copies"))
+      .select(col("source"), col("docs"), col("copies"))
+      .as[(String, Long, Long)].collect()
+    got.foreach { case (src, docs, copies) =>
+      val tier = src.drop(3).toInt match {
+        case n if n <= 4 => 3L
+        case n if n <= 9 => 2L
+        case _           => 1L
+      }
+      assert(copies == docs * tier, s"$src: $copies copies for $docs docs")
+    }
+  }
 }

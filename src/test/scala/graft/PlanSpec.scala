@@ -531,6 +531,15 @@ class PlanSpec extends SparkSpec {
       s"partial aggregation level missing ($aggs aggregate nodes)")
   }
 
+  test("date-partitioned fact scan carries a dynamicpruning partition filter") {
+    // without DPP the fact side reads EVERY date directory and the
+    // join discards most rows — the full-scan star-join trap
+    val p = executed(
+      SparkEntry.queries("q184_dynamic_partition_pruning")(spark, sfDir))
+    assert(p.contains("dynamicpruning"),
+      "fact scan has no runtime partition filter (DPP did not fire)")
+  }
+
   test("Welch pairs join broadcasts the 5-row moment frame — fact scanned once per side") {
     val p = executed(SparkEntry.queries("q177_welch_ttest")(spark, sfDir))
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
