@@ -1593,6 +1593,54 @@ object EngineQueries {
       |SELECT event_type, cents AS mode_cents, CAST(n AS BIGINT) AS n_mode
       |FROM r WHERE rn = 1""".stripMargin
 
+  // ---------------------------------------------------------------- q190
+  /** TIME-SERIES GAP FILL + LOCF — the feature-store staple: each
+    * user's daily spend series densified to a complete calendar (one
+    * row per day between the user's first and last activity) with
+    * last-observation-carried-forward imputation. Scale shape: the
+    * calendar explode is per-user span (bounded by days, not events),
+    * the left join is co-keyed (user, day) on both sides, and LOCF is
+    * a per-user running `last(ignoreNulls)` window — parallel across
+    * users, never a global sort. `is_gap` marks imputed rows so
+    * downstream consumers can weight them.
+    */
+  def q190GapFillLocf(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.events(s, d)
+      .filter(col("event_type") === "purchase" && col("value").isNotNull)
+      .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+      .agg(sum(round(col("value") * 100).cast("long")).as("observed"))
+    val grid = daily.groupBy(col("user_id"))
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(col("user_id"),
+        explode(expr("sequence(d0, d1, interval 1 day)")).as("day"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    grid.join(daily, Seq("user_id", "day"), "left")
+      .select(col("user_id"), date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("observed"),
+        last(col("observed"), ignoreNulls = true).over(w).as("filled"),
+        col("observed").isNull.as("is_gap"))
+  }
+
+  val q190Sql: String =
+    """WITH p AS (SELECT user_id, CAST(ts AS DATE) AS day,
+      |    sum(CAST(round(value * 100) AS BIGINT)) AS observed
+      |  FROM events WHERE event_type = 'purchase' AND value IS NOT NULL
+      |  GROUP BY 1, 2),
+      |  s AS (SELECT user_id, min(day) AS d0, max(day) AS d1
+      |    FROM p GROUP BY 1),
+      |  g AS (SELECT user_id, CAST(gs AS DATE) AS day
+      |    FROM s, unnest(generate_series(CAST(d0 AS TIMESTAMP),
+      |      CAST(d1 AS TIMESTAMP), INTERVAL 1 DAY)) AS t(gs)),
+      |  j AS (SELECT g.user_id, g.day, p.observed
+      |    FROM g LEFT JOIN p ON p.user_id = g.user_id AND p.day = g.day)
+      |SELECT user_id, strftime(day, '%Y-%m-%d') AS day,
+      |  CAST(observed AS BIGINT) AS observed,
+      |  CAST(last_value(observed IGNORE NULLS) OVER (PARTITION BY user_id
+      |    ORDER BY day ROWS UNBOUNDED PRECEDING) AS BIGINT) AS filled,
+      |  observed IS NULL AS is_gap
+      |FROM j""".stripMargin
+
   val entries: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "q144_bloom_pruned_join" -> (q144BloomPrunedJoin _, q144Sql),
     "q145_setsim_join" -> (q145SetSimJoin _, q145Sql),
@@ -1631,5 +1679,6 @@ object EngineQueries {
     "q186_rfm_segments" -> (q186RfmSegments _, q186Sql),
     "q187_id_block_audit" -> (q187IdBlockAudit _, q187Sql),
     "q188_exact_mode" -> (q188ExactMode _, q188Sql),
+    "q190_gap_fill_locf" -> (q190GapFillLocf _, q190Sql),
   )
 }

@@ -1993,7 +1993,51 @@ object ExtQueries {
        |    '$EmailRe', '<EMAIL>', 'g'), '$Ipv4Re', '<IP>', 'g'), '$PhoneRe', '<PHONE>', 'g') AS redacted
        |FROM c""".stripMargin
 
+  // ---------------------------------------------------------------- q189
+  /** HARD-NEGATIVE MINING for contrastive training: for each anchor
+    * vector, the top-3 most-similar vectors carrying a DIFFERENT
+    * label — the "hard" negatives that actually move a contrastive
+    * loss (random negatives are trivially separable). Gate runs the
+    * exact path (broadcast anchors x corpus scan, q30's shape, with
+    * the label-mismatch predicate fused into the scan filter); at
+    * 100 TB the IVF route (q75) answers the same query per-cell —
+    * mine within the anchor's nearest cells only — since a hard
+    * negative is by definition near the anchor. Ranking discipline:
+    * round-6 cosine, ties by candidate id (q30's determinism rule).
+    */
+  def q189HardNegatives(s: SparkSession, d: String): DataFrame = {
+    val e = emb(s, d)
+    val q = e.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        col("label").as("qlabel"))
+    val c = e.select(col("vec_id").as("cid"), col("embedding").as("ce"),
+      col("label").as("clabel"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("cid") =!= col("qid") && col("clabel") =!= col("qlabel"))
+      .withColumn("cos6",
+        round(VectorFunctions.cosineSim(col("qe"), col("ce")), 6))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos6").desc, col("cid").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 3)
+      .select(col("qid"), col("rank"), col("cid"),
+        col("clabel").cast("long").as("neg_label"), col("cos6"))
+  }
+
+  val q189Sql: String =
+    s"""WITH q AS (SELECT vec_id AS qid, embedding AS qe, label AS qlabel
+       |    FROM embeddings WHERE vec_id < 20),
+       |  c AS (SELECT vec_id AS cid, embedding AS ce, label AS clabel
+       |    FROM embeddings),
+       |  sc AS (SELECT qid, cid, clabel, round($cosQC, 6) AS cos6
+       |    FROM q, c WHERE cid <> qid AND clabel <> qlabel)
+       |SELECT qid, rank, cid, CAST(clabel AS BIGINT) AS neg_label, cos6 FROM
+       |  (SELECT qid, cid, clabel, cos6, row_number() OVER
+       |     (PARTITION BY qid ORDER BY cos6 DESC, cid) AS rank FROM sc)
+       |WHERE rank <= 3""".stripMargin
+
   val entries: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "q189_hard_negatives" -> (q189HardNegatives _, q189Sql),
     "q65_payload_stats" -> (q65PayloadStats _, q65Sql),
     "q53_stratified_sample" -> (q53StratifiedSample _, q53Sql),
     "q21_text_stats" -> (q21TextStats _, q21Sql),

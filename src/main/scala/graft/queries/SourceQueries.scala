@@ -292,6 +292,46 @@ object SourceQueries {
       |WHERE datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) % 7 < 2
       |GROUP BY 1""".stripMargin
 
+  // ---------------------------------------------------------------- q191
+  /** CORRUPT-RECORD HANDLING at the source (PERMISSIVE mode +
+    * `columnNameOfCorruptRecord`) — the schema-on-read half of the
+    * quarantine contract (P5, `ops/Quarantine`): a real feed always
+    * contains malformed lines, and DROPPING them silently (the
+    * reference's `except` habit) loses data lineage. The gate writes
+    * a JSON-lines feed where every 7th event id is deterministically
+    * truncated mid-string (always invalid JSON), reads it back with
+    * an explicit schema carrying the corrupt-record column, and
+    * gates the full accounting: every malformed line lands in
+    * `_corrupt`, every valid line parses — nothing vanishes. Per-row
+    * parse, no shuffle until the count.
+    */
+  def q191CorruptRecords(s: SparkSession, d: String): DataFrame = {
+    val dir = Files.createTempDirectory("graft_q191_").toString + "/jsonl"
+    Tables.events(s, d)
+      .select(col("event_id"),
+        to_json(struct(col("event_id"), col("event_type"))).as("line"))
+      .select(when(pmod(col("event_id"), lit(7)) === 0,
+          expr("substring(line, 1, length(line) - 2)"))
+        .otherwise(col("line")).as("value"))
+      .write.text(dir)
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("event_type", StringType),
+      StructField("_corrupt_record", StringType)))
+    s.read.schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(dir)
+      .select(when(col("_corrupt_record").isNotNull, lit("_corrupt"))
+        .otherwise(col("event_type")).as("category"))
+      .groupBy(col("category")).agg(count(lit(1)).as("n"))
+  }
+
+  val q191Sql: String =
+    """SELECT CASE WHEN event_id % 7 = 0 THEN '_corrupt' ELSE event_type END
+      |    AS category,
+      |  CAST(count(*) AS BIGINT) AS n
+      |FROM events GROUP BY 1""".stripMargin
+
   val entries: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "q96_orc_roundtrip" -> (q96OrcRoundtrip _, q96Sql),
     "q97_csv_roundtrip" -> (q97CsvRoundtrip _, q97Sql),
@@ -300,5 +340,6 @@ object SourceQueries {
     "q167_binary_files" -> (q167BinaryFiles _, q167Sql),
     "q178_xml_roundtrip" -> (q178XmlRoundtrip _, q178Sql),
     "q184_dynamic_partition_pruning" -> (q184DynamicPartitionPruning _, q184Sql),
+    "q191_corrupt_records" -> (q191CorruptRecords _, q191Sql),
   )
 }

@@ -407,6 +407,42 @@ class EngineSpec extends SparkSpec {
     }
   }
 
+  test("q190: LOCF never leaves a null after the first observation; gaps marked") {
+    val rows = SparkEntry.queries("q190_gap_fill_locf")(spark, sfDir)
+      .select(col("user_id"), col("day"), col("observed"), col("filled"),
+        col("is_gap"))
+      .as[(Long, String, Option[Long], Option[Long], Boolean)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, _, obs, filled, gap) =>
+      assert(gap == obs.isEmpty, "is_gap must mark exactly the imputed rows")
+      // grid starts at each user's first observed day -> always fillable
+      assert(filled.nonEmpty, "LOCF left a null inside the span")
+      if (obs.nonEmpty) assert(filled == obs, "observed row must pass through")
+    }
+  }
+
+  test("q189: every mined negative carries a different label than its anchor") {
+    val anchors = graft.core.Tables.embeddings(spark, sfDir)
+      .filter(col("vec_id") < 20)
+      .select(col("vec_id").as("qid"), col("label").cast("long").as("qlabel"))
+    val joined = SparkEntry.queries("q189_hard_negatives")(spark, sfDir)
+      .join(anchors, "qid")
+      .select(col("qid"), col("neg_label"), col("qlabel"))
+      .as[(Long, Long, Long)].collect()
+    assert(joined.length == 60) // 20 anchors x top-3
+    joined.foreach { case (q, neg, ql) =>
+      assert(neg != ql, s"anchor $q mined a same-label 'negative'")
+    }
+  }
+
+  test("q191: corrupt accounting is total — categories partition the feed") {
+    val got = SparkEntry.queries("q191_corrupt_records")(spark, sfDir)
+      .select(col("category"), col("n")).as[(String, Long)].collect().toMap
+    val total = graft.core.Tables.events(spark, sfDir).count()
+    assert(got.values.sum == total, "rows vanished in PERMISSIVE parse")
+    assert(got.contains("_corrupt") && got("_corrupt") > 0)
+  }
+
   test("q183: copy counts match the tier policy exactly") {
     val got = SparkEntry.queries("q183_dataset_mixing")(spark, sfDir)
       .groupBy(col("source")).agg(
