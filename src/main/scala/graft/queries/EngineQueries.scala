@@ -1641,6 +1641,137 @@ object EngineQueries {
       |  observed IS NULL AS is_gap
       |FROM j""".stripMargin
 
+  // ---------------------------------------------------------------- q192
+  /** HOPPING (sliding) time windows — `window(ts, '6 hours',
+    * '3 hours')`: every event lands in exactly TWO overlapping
+    * windows (win/slide = 2), the standard smoothing a monitoring
+    * dashboard wants over tumbling jumps. Spark expands the
+    * assignment per-row (a 2x explode inside the aggregate, never a
+    * self-join); the oracle derives the same two epoch-aligned starts
+    * arithmetically. One hash aggregate over (window, type) — the 2x
+    * row factor is the price of overlap, paid before the map-side
+    * combine.
+    */
+  def q192HoppingWindows(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .filter(col("value").isNotNull)
+      .groupBy(window(col("ts"), "6 hours", "3 hours"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("value") * 100).cast("long")).as("sum_cents"))
+      .select(unix_millis(col("window.start")).as("w_start_ms"),
+        col("event_type"), col("n"), col("sum_cents"))
+
+  val q192Sql: String =
+    """WITH e AS (SELECT event_type, epoch_ms(ts) AS tms,
+      |    CAST(round(value * 100) AS BIGINT) AS cents
+      |  FROM events WHERE value IS NOT NULL),
+      |  w AS (SELECT event_type, cents,
+      |      ((tms // 10800000) - g.i) * 10800000 AS w_start_ms
+      |    FROM e, unnest(generate_series(0, 1)) AS g(i))
+      |SELECT w_start_ms, event_type, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(cents) AS BIGINT) AS sum_cents
+      |FROM w GROUP BY 1, 2""".stripMargin
+
+  // ---------------------------------------------------------------- q193
+  /** DYNAMIC-GAP session windows — `session_window` with a PER-EVENT
+    * gap expression (purchases hold a session open 60 min, everything
+    * else 30): the semantics every engagement model wants (a
+    * transaction signals intent longer than a scroll). Each event
+    * extends its session to `t + gap(event)`; overlapping extents
+    * merge, so the boundary rule is interval-merge, not fixed-gap
+    * islands. The oracle reproduces it with a running max of
+    * extents: a new island starts where the event time reaches every
+    * previous extent's max. Exact integer micros throughout.
+    */
+  def q193DynamicGapSessions(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(col("user_id"), session_window(col("ts"),
+        // make_interval -> CalendarIntervalType (ANSI INTERVAL literals
+        // are DayTimeIntervalType, which session_window rejects)
+        when(col("event_type") === "purchase",
+          expr("make_interval(0, 0, 0, 0, 1, 0, 0)"))
+          .otherwise(expr("make_interval(0, 0, 0, 0, 0, 30, 0)"))))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        unix_millis(col("session_window.start")).as("start_ms"),
+        unix_millis(col("session_window.end")).as("end_ms"),
+        col("n_events"))
+
+  val q193Sql: String =
+    """WITH e AS (SELECT user_id, epoch_us(ts) AS t_us,
+      |    epoch_us(ts) + CASE WHEN event_type = 'purchase'
+      |      THEN 3600000000 ELSE 1800000000 END AS ext_us
+      |  FROM events),
+      |  m AS (SELECT user_id, t_us, ext_us,
+      |      CASE WHEN t_us >= max(ext_us) OVER (PARTITION BY user_id
+      |          ORDER BY t_us, ext_us
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      |        OR row_number() OVER (PARTITION BY user_id
+      |          ORDER BY t_us, ext_us) = 1
+      |      THEN 1 ELSE 0 END AS brk
+      |    FROM e),
+      |  i AS (SELECT user_id, t_us, ext_us,
+      |      sum(brk) OVER (PARTITION BY user_id ORDER BY t_us, ext_us
+      |        ROWS UNBOUNDED PRECEDING) AS sid
+      |    FROM m)
+      |SELECT user_id, min(t_us) // 1000 AS start_ms,
+      |  max(ext_us) // 1000 AS end_ms, CAST(count(*) AS BIGINT) AS n_events
+      |FROM i GROUP BY user_id, sid""".stripMargin
+
+  // ---------------------------------------------------------------- q194
+  /** ROLLING Z-SCORE anomaly flags — each purchase scored against the
+    * user's OWN trailing 8 purchases (regime-change detection, where
+    * q170's whole-history z-score washes out drift). The trailing
+    * moments are exact integer window sums (ROWS frame, per-user
+    * partitions — parallel, bounded, never global); the z itself is
+    * q170's one-sqrt IEEE expression over them. Flags need >= 4
+    * trailing points and positive variance — explicit NULL otherwise,
+    * never NaN.
+    */
+  def q194RollingZScore(s: SparkSession, d: String): DataFrame = {
+    def dbl(c: Column) = c.cast("double")
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("us"), col("event_id"))
+      .rowsBetween(-7, 0)
+    val t = Tables.events(s, d)
+      .filter(col("event_type") === "purchase" && col("value").isNotNull)
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .withColumn("n_w", count(lit(1)).over(w))
+      .withColumn("s_w", sum(col("cents")).over(w))
+      .withColumn("sxx_w", sum(col("cents") * col("cents")).over(w))
+    val den2 = dbl(col("n_w")) * dbl(col("sxx_w")) - dbl(col("s_w")) * dbl(col("s_w"))
+    val z = (dbl(col("cents")) * dbl(col("n_w")) - dbl(col("s_w"))) / sqrt(den2)
+    t.select(col("event_id"), col("user_id"), col("cents"), col("n_w"),
+      when(col("n_w") >= 4 && den2 > 0.0, z).as("z"),
+      when(col("n_w") >= 4 && den2 > 0.0, abs(z) > lit(2.0))
+        .otherwise(lit(false)).as("is_anomaly"))
+  }
+
+  val q194Sql: String =
+    """WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS us,
+      |    CAST(round(value * 100) AS BIGINT) AS cents
+      |  FROM events WHERE event_type = 'purchase' AND value IS NOT NULL),
+      |  t AS (SELECT event_id, user_id, cents,
+      |      count(*) OVER w AS n_w, sum(cents) OVER w AS s_w,
+      |      sum(cents * cents) OVER w AS sxx_w
+      |    FROM p
+      |    WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id
+      |      ROWS BETWEEN 7 PRECEDING AND CURRENT ROW))
+      |SELECT event_id, user_id, cents, CAST(n_w AS BIGINT) AS n_w,
+      |  CASE WHEN n_w >= 4 AND CAST(n_w AS DOUBLE) * CAST(sxx_w AS DOUBLE)
+      |      - CAST(s_w AS DOUBLE) * CAST(s_w AS DOUBLE) > 0.0
+      |    THEN (CAST(cents AS DOUBLE) * CAST(n_w AS DOUBLE) - CAST(s_w AS DOUBLE))
+      |      / sqrt(CAST(n_w AS DOUBLE) * CAST(sxx_w AS DOUBLE)
+      |             - CAST(s_w AS DOUBLE) * CAST(s_w AS DOUBLE)) END AS z,
+      |  CASE WHEN n_w >= 4 AND CAST(n_w AS DOUBLE) * CAST(sxx_w AS DOUBLE)
+      |      - CAST(s_w AS DOUBLE) * CAST(s_w AS DOUBLE) > 0.0
+      |    THEN abs((CAST(cents AS DOUBLE) * CAST(n_w AS DOUBLE) - CAST(s_w AS DOUBLE))
+      |      / sqrt(CAST(n_w AS DOUBLE) * CAST(sxx_w AS DOUBLE)
+      |             - CAST(s_w AS DOUBLE) * CAST(s_w AS DOUBLE))) > 2.0
+      |    ELSE FALSE END AS is_anomaly
+      |FROM t""".stripMargin
+
   val entries: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "q144_bloom_pruned_join" -> (q144BloomPrunedJoin _, q144Sql),
     "q145_setsim_join" -> (q145SetSimJoin _, q145Sql),
@@ -1680,5 +1811,8 @@ object EngineQueries {
     "q187_id_block_audit" -> (q187IdBlockAudit _, q187Sql),
     "q188_exact_mode" -> (q188ExactMode _, q188Sql),
     "q190_gap_fill_locf" -> (q190GapFillLocf _, q190Sql),
+    "q192_hopping_windows" -> (q192HoppingWindows _, q192Sql),
+    "q193_dynamic_gap_sessions" -> (q193DynamicGapSessions _, q193Sql),
+    "q194_rolling_zscore" -> (q194RollingZScore _, q194Sql),
   )
 }

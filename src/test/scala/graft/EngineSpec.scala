@@ -443,6 +443,30 @@ class EngineSpec extends SparkSpec {
     assert(got.contains("_corrupt") && got("_corrupt") > 0)
   }
 
+  test("q192: every event lands in exactly two hopping windows") {
+    val winTotal = SparkEntry.queries("q192_hopping_windows")(spark, sfDir)
+      .agg(sum(col("n"))).as[Long].collect().head
+    val events = graft.core.Tables.events(spark, sfDir)
+      .filter(col("value").isNotNull).count()
+    assert(winTotal == 2 * events, s"window total $winTotal != 2 x $events")
+  }
+
+  test("q193: dynamic-gap sessions partition each user's events; intervals disjoint") {
+    val sess = SparkEntry.queries("q193_dynamic_gap_sessions")(spark, sfDir)
+      .select(col("user_id"), col("start_ms"), col("end_ms"), col("n_events"))
+      .as[(Long, Long, Long, Long)].collect()
+    assert(sess.map(_._4).sum == graft.core.Tables.events(spark, sfDir).count(),
+      "session membership must cover every event exactly once")
+    sess.groupBy(_._1).foreach { case (u, ss) =>
+      val sorted = ss.sortBy(_._2)
+      sorted.sliding(2).foreach {
+        case Array((_, _, e1, _), (_, s2, _, _)) =>
+          assert(e1 <= s2, s"user $u: overlapping sessions ($e1 > $s2)")
+        case _ => ()
+      }
+    }
+  }
+
   test("q183: copy counts match the tier policy exactly") {
     val got = SparkEntry.queries("q183_dataset_mixing")(spark, sfDir)
       .groupBy(col("source")).agg(
