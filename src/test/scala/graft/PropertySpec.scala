@@ -28,6 +28,98 @@ class PropertySpec extends SparkSpec {
   private def sample(n: Int, seed: Long): List[ChangeEvent] =
     Gen.listOfN(n, eventGen).pureApply(Gen.Parameters.default, Seed(seed))
 
+  test("SessionTimers equals batch sessionization under any time-ordered slicing") {
+    // q173's mechanism fuzzed: random per-user event times, a random
+    // number of TIME-ORDERED micro-batch slices (the feed contract),
+    // random slice boundaries — the timer-driven streamed sessions
+    // must equal the local gaps-and-islands fold exactly, for every
+    // split. Covers: sessions spanning slice boundaries (state +
+    // timer carry), multi-session batches (in-batch close), and
+    // final-session close via sentinel-advanced watermark.
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.streaming.Trigger
+    val gapMs = 30L * 60000L
+    val t0 = 1000000000000000L // epoch micros
+    val evGen = for {
+      u <- Gen.choose(0L, 5L)
+      ts <- Gen.choose(0L, 6L * 3600L * 1000000L) // 6h span
+      c <- Gen.choose(1L, 500L)
+    } yield (u, t0 + ts, c)
+
+    // transformWithState needs multi-column-family state -> RocksDB
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProv = spark.conf.getOption(provKey)
+    spark.conf.set(provKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try for (seed <- 1 to 2) {
+      val evs = Gen.listOfN(60, evGen)
+        .pureApply(Gen.Parameters.default, Seed(seed.toLong))
+      val nSlices = 2 + seed % 3
+      val sorted = evs.sortBy(_._2)
+      val per = math.max(1, sorted.size / nSlices)
+
+      val base = java.nio.file.Files.createTempDirectory(s"graft_stp$seed").toString
+      val inDir = new java.io.File(base, "in"); inDir.mkdirs()
+      def writeSlice(rows: Seq[(Long, Long, Long)], i: Int): Unit = {
+        val dest = new java.io.File(inDir, f"$i%02d.json")
+        java.nio.file.Files.write(dest.toPath, rows.map { case (u, ts, c) =>
+          s"""{"user_id":$u,"ts_us":$ts,"cents":$c}"""
+        }.mkString("\n").getBytes)
+        dest.setLastModified(60000L * (i + 1))
+      }
+      val slices = sorted.grouped(per).toSeq
+      slices.zipWithIndex.foreach { case (sl, i) => writeSlice(sl, i) }
+      val dayUs = 86400000000L
+      writeSlice(Seq((-1L, t0 + 10 * dayUs, 0L)), slices.size)
+      writeSlice(Seq((-2L, t0 + 20 * dayUs, 0L)), slices.size + 1)
+
+      val wire = StructType(Seq(
+        StructField("user_id", LongType), StructField("ts_us", LongType),
+        StructField("cents", LongType)))
+      val memName = s"stp_${seed}_" + java.lang.Long.toHexString(System.nanoTime())
+      val q = spark.readStream.schema(wire)
+        .option("maxFilesPerTrigger", "1").json(inDir.toString)
+        .withColumn("ts", timestamp_micros($"ts_us"))
+        .withWatermark("ts", "1 second")
+        .select($"user_id", $"ts_us", $"cents")
+        .as[(Long, Long, Long)]
+        .groupByKey(_._1)
+        .transformWithState(new graft.streaming.SessionTimers(gapMs),
+          org.apache.spark.sql.streaming.TimeMode.EventTime(),
+          org.apache.spark.sql.streaming.OutputMode.Append())
+        .toDF("user_id", "start_ms", "end_ms", "n_events", "sum_cents")
+        .writeStream.format("memory").queryName(memName)
+        .outputMode("append")
+        .option("checkpointLocation", s"$base/ckpt")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+
+      val got = spark.table(memName).filter($"user_id" >= 0)
+        .as[(Long, Long, Long, Long, Long)].collect().toSet
+      val expected = evs.groupBy(_._1).flatMap { case (u, es) =>
+        val ts = es.sortBy(_._2)
+        val sessions = ts.foldLeft(List.empty[List[(Long, Long, Long)]]) {
+          case (acc, e) => acc match {
+            case cur :: rest if e._2 - cur.head._2 < gapMs * 1000L =>
+              (e :: cur) :: rest // cur.head is the session's LAST event
+            case _ => List(e) :: acc
+          }
+        }
+        sessions.map { sess =>
+          val ms = sess.map(_._2)
+          (u, ms.min / 1000L, ms.max / 1000L + gapMs,
+            sess.size.toLong, sess.map(_._3).sum)
+        }
+      }.toSet
+      assert(got == expected,
+        s"seed $seed ($nSlices slices): streamed ${got.size} != batch ${expected.size}")
+    } finally prevProv match {
+      case Some(p) => spark.conf.set(provKey, p)
+      case None    => spark.conf.unset(provKey)
+    }
+  }
+
   test("watched_ratio in [0,1] under the 0<=watched<=duration invariant") {
     (1 to 5).foreach { i =>
       val evs = sample(50, i.toLong)
