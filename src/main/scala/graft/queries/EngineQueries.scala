@@ -1772,6 +1772,49 @@ object EngineQueries {
       |    ELSE FALSE END AS is_anomaly
       |FROM t""".stripMargin
 
+  // ---------------------------------------------------------------- q195
+  /** MOVING MEDIAN — the robust smoother (a single outlier shifts a
+    * moving average by outlier/n; it moves a median not at all): each
+    * purchase's trailing-7-row median per user. No windowed percentile
+    * exists in either engine, but the frame is BOUNDED (7 rows), so
+    * collecting it into an array and indexing the sorted middle is
+    * exact and O(frame) per row: `sort_array(collect_list) over w` —
+    * lower-middle element (quantile_disc convention) keeps everything
+    * integer, no interpolation. Per-user ROWS frames: parallel,
+    * bounded, never global. The frame-as-array trick is the general
+    * escape hatch for any order-statistic over a SMALL window; for
+    * wide frames the right tool is the streaming quantile sketch
+    * (q135), not a bigger array.
+    */
+  def q195MovingMedian(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("us"), col("event_id"))
+      .rowsBetween(-6, 0)
+    Tables.events(s, d)
+      .filter(col("event_type") === "purchase" && col("value").isNotNull)
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .withColumn("frame", sort_array(collect_list(col("cents")).over(w)))
+      .select(col("event_id"), col("user_id"), col("cents"),
+        size(col("frame")).cast("long").as("n_w"),
+        element_at(col("frame"),
+          ((size(col("frame")) + 1) / 2).cast("int")).as("med"))
+  }
+
+  val q195Sql: String =
+    """WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS us,
+      |    CAST(round(value * 100) AS BIGINT) AS cents
+      |  FROM events WHERE event_type = 'purchase' AND value IS NOT NULL),
+      |  t AS (SELECT event_id, user_id, cents,
+      |      list_sort(list(cents) OVER w) AS frame
+      |    FROM p
+      |    WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id
+      |      ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
+      |SELECT event_id, user_id, cents,
+      |  CAST(len(frame) AS BIGINT) AS n_w,
+      |  frame[CAST((len(frame) + 1) // 2 AS INT)] AS med
+      |FROM t""".stripMargin
+
   val entries: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "q144_bloom_pruned_join" -> (q144BloomPrunedJoin _, q144Sql),
     "q145_setsim_join" -> (q145SetSimJoin _, q145Sql),
@@ -1814,5 +1857,6 @@ object EngineQueries {
     "q192_hopping_windows" -> (q192HoppingWindows _, q192Sql),
     "q193_dynamic_gap_sessions" -> (q193DynamicGapSessions _, q193Sql),
     "q194_rolling_zscore" -> (q194RollingZScore _, q194Sql),
+    "q195_moving_median" -> (q195MovingMedian _, q195Sql),
   )
 }

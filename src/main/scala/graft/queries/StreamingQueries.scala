@@ -1668,9 +1668,105 @@ object StreamingQueries {
       |  CAST(sum(cents) AS BIGINT) AS sum_cents
       |FROM islands GROUP BY user_id, sid""".stripMargin
 
+  // ---------------------------------------------------------------- q196
+  /** LATE-DATA ACCOUNTING — what the watermark actually DOES, gated:
+    * the feed arrives deliberately OUT of event-time order with a
+    * 1-second watermark delay over 6h tumbling windows in Append
+    * mode. Spark's TWO-WATERMARK design (3.4+) makes the late filter
+    * lag one batch: batch N drops against the EVICTION watermark of
+    * batch N-1 (measured here — see SEMANTICS.md "late-data
+    * accounting"). So the feed splits in THIRDS: the upper third
+    * lands first and sets the max; the middle third (batch 1) is
+    * still ADMITTED (its late-filter watermark predates the max);
+    * the lowest third (batch 2) faces a late-filter watermark of
+    * max - 1s and survives only if its window is still open — with a
+    * ~30-day span and 6h windows, none are. The oracle encodes the
+    * acceptance predicate EXACTLY: streamed output == aggregate over
+    * precisely the rows the watermark contract admits. StreamingSpec
+    * asserts the flip side — `numRowsDroppedByWatermark` equals the
+    * late-row count — on a hand-built feed. This is the semantics
+    * that bounds streaming state at 100 TB: without the drop, every
+    * straggler reopens a window and state grows with history, not
+    * with the horizon.
+    */
+  def q196LateDataAccounting(s: SparkSession, d: String): DataFrame = {
+    val base = Files.createTempDirectory("graft_q196_").toString
+    val inDir = new java.io.File(base, "in"); inDir.mkdirs()
+    val ckpt = s"$base/ckpt"
+    val ev = graft.core.Tables.events(s, d)
+      .select(col("event_type"), unix_micros(col("ts")).as("ts_us"),
+        coalesce(round(col("value") * 100).cast("long"), lit(0L)).as("cents"))
+    val mm = ev.agg(min(col("ts_us")), max(col("ts_us"))).first()
+    val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+    val third = (hi - lo) / 3
+    val (cut1, cut2) = (lo + 2 * third, lo + third)
+
+    def writeSlice(df: DataFrame, i: Int): Unit = {
+      val tmp = s"$base/slice$i"
+      df.coalesce(1).write.json(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".json")).get
+      val dest = new java.io.File(inDir, f"$i%02d.json")
+      Files.move(part.toPath, dest.toPath)
+      dest.setLastModified(60000L * (i + 1))
+    }
+    // upper third FIRST (sets the max); middle third rides the
+    // one-batch late-filter lag; lowest third is genuinely dropped
+    writeSlice(ev.filter(col("ts_us") >= cut1), 0)
+    writeSlice(ev.filter(col("ts_us") >= cut2 && col("ts_us") < cut1), 1)
+    writeSlice(ev.filter(col("ts_us") < cut2), 2)
+    val day_us = 86400000000L
+    writeSlice(s.range(1).select(lit("__sentinel").as("event_type"),
+      lit(hi + 10 * day_us).as("ts_us"), lit(0L).as("cents")), 3)
+    writeSlice(s.range(1).select(lit("__sentinel").as("event_type"),
+      lit(hi + 20 * day_us).as("ts_us"), lit(0L).as("cents")), 4)
+
+    val wire = StructType(Seq(
+      StructField("event_type", StringType), StructField("ts_us", LongType),
+      StructField("cents", LongType)))
+    val agg = s.readStream.schema(wire)
+      .option("maxFilesPerTrigger", "1").json(inDir.toString)
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+      .withWatermark("ts", "1 second")
+      .groupBy(window(col("ts"), "6 hours"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"))
+      .select(unix_millis(col("window.start")).as("w_start_ms"),
+        col("event_type"), col("n"), col("sum_cents"))
+    val memName = "q196_late_" + java.lang.Long.toHexString(System.nanoTime())
+    val q = startStateful(s) {
+      agg.writeStream
+        .format("memory").queryName(memName)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+    }
+    q.awaitTermination()
+    s.table(memName).filter(col("event_type") =!= "__sentinel")
+  }
+
+  val q196Sql: String =
+    """WITH b AS (SELECT min(epoch_us(ts)) AS lo, max(epoch_us(ts)) AS hi
+      |    FROM events),
+      |  e AS (SELECT event_type, epoch_us(ts) AS us, epoch_ms(ts) AS tms,
+      |      coalesce(CAST(round(value * 100) AS BIGINT), 0) AS cents,
+      |      lo, hi
+      |    FROM events, b),
+      |  a AS (SELECT event_type, tms, cents
+      |    FROM e
+      |    WHERE us >= lo + (hi - lo) // 3  -- batches 0-1: admitted
+      |                                     -- (late filter lags a batch)
+      |       OR (tms // 21600000) * 21600000 + 21600000
+      |            > hi // 1000 - 1000     -- late but window still open
+      |  )
+      |SELECT (tms // 21600000) * 21600000 AS w_start_ms, event_type,
+      |  CAST(count(*) AS BIGINT) AS n, CAST(sum(cents) AS BIGINT) AS sum_cents
+      |FROM a GROUP BY 1, 2""".stripMargin
+
   val entries: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "q162_transform_with_state" -> (q162TransformWithState _, q162Sql),
     "q173_session_timers" -> (q173SessionTimers _, q173Sql),
+    "q196_late_data_accounting" -> (q196LateDataAccounting _, q196Sql),
     "q164_stream_static_join" -> (q164StreamStaticJoin _, q164Sql),
     "q165_map_list_state" -> (q165MapListState _, q165Sql),
     "q166_bloom_point_lookup" -> (q166BloomPointLookup _, q166Sql),

@@ -523,6 +523,51 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("late-events filter lags eviction by one batch; drops counted exactly") {
+    // q196's contract, isolated: Spark 3.4+ two-watermark design —
+    // batch N's LATE filter uses batch N-1's EVICTION watermark. A
+    // late row one batch after the max is ADMITTED; the same-lateness
+    // row two batches after is DROPPED and counted in
+    // numRowsDroppedByWatermark. This is the measured behavior the
+    // q196 oracle's acceptance predicate encodes.
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.streaming.Trigger
+    val base = java.nio.file.Files.createTempDirectory("graft_latew_").toString
+    val inDir = new java.io.File(base, "in"); inDir.mkdirs()
+    def w(lines: Seq[String], i: Int): Unit = {
+      val dest = new java.io.File(inDir, f"$i%02d.json")
+      java.nio.file.Files.write(dest.toPath, lines.mkString("\n").getBytes)
+      dest.setLastModified(60000L * (i + 1))
+    }
+    val t0 = 1700000000000000L; val hUs = 3600000000L
+    w(Seq(s"""{"et":"hi","ts_us":${t0 + 100 * hUs},"c":1}"""), 0)
+    w(Seq(s"""{"et":"lateA","ts_us":$t0,"c":1}"""), 1) // 1 batch after max
+    w(Seq(s"""{"et":"lateB","ts_us":${t0 + hUs},"c":1}"""), 2) // 2 after
+    w(Seq(s"""{"et":"__s","ts_us":${t0 + 400 * hUs},"c":0}"""), 3)
+    w(Seq(s"""{"et":"__s","ts_us":${t0 + 800 * hUs},"c":0}"""), 4)
+    val wire = StructType(Seq(StructField("et", StringType),
+      StructField("ts_us", LongType), StructField("c", LongType)))
+    val memName = "latew_" + java.lang.Long.toHexString(System.nanoTime())
+    val q = spark.readStream.schema(wire).option("maxFilesPerTrigger", "1")
+      .json(inDir.toString)
+      .withColumn("ts", timestamp_micros($"ts_us"))
+      .withWatermark("ts", "1 second")
+      .groupBy(window($"ts", "6 hours"), $"et")
+      .agg(count(lit(1)).as("n"))
+      .writeStream.format("memory").queryName(memName)
+      .outputMode("append").option("checkpointLocation", s"$base/ckpt")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val dropped = q.recentProgress
+      .flatMap(_.stateOperators.map(_.numRowsDroppedByWatermark)).sum
+    assert(dropped == 1, s"exactly lateB must be dropped, counted $dropped")
+    val emitted = spark.table(memName).filter($"et" =!= "__s")
+      .select($"et").as[String].collect().toSet
+    assert(emitted == Set("hi", "lateA"),
+      s"lateA admitted (late filter lags), lateB dropped: $emitted")
+  }
+
   test("session timers and their state survive checkpoint restart (RocksDB)") {
     // q173's untested half: REGISTERED TIMERS must recover from the
     // checkpoint along with the ValueState. Phase 1 ingests one slice
