@@ -33,6 +33,9 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Fail fast with ONE clear message if the driver regenerated the
+    // testdata with a different schema (it has, between rounds).
+    graft.core.Preflight.check(spark, sfDir)
 
     def exec(df: DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
@@ -70,7 +73,17 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v, None) => v }.sum
     val nFailed = results.count(_._3.nonEmpty)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$nFailed,"errors":$errors,"sf":"$sfDir"}""")
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$nFailed,"errors":$errors,"sf":"$sfDir"}"""
+    // The driver captures only a bounded output TAIL; an ~8 KB JSON line
+    // has been truncated into "parsed: null" two rounds running. Persist
+    // the full JSON to a file too, and make the LAST line a short
+    // health summary so any tail capture shows pass/fail at a glance.
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("BENCH_local.json"), json + "\n")
+    catch { case _: Throwable => () }
+    println(json)
+    println(s"""{"metric":"summary","failed":$nFailed,"total_sec":${math.round(total)},"queries":${results.size},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Synthesize a larger scale factor from an existing testdata dir for
+  * bench-only scale audits (BENCH_sf1.json): fact tables are unioned
+  * `copies` times with primary keys shifted into disjoint ranges, dim
+  * tables are carried through single-copy. Previously an ad-hoc
+  * snippet; committed so the sf1 artifact is reproducible against
+  * whatever testdata generation the driver ships.
+  *
+  *   runMain graft.SynthScale <srcSfDir> <dstDir> <copies>
+  *
+  * Key-shift discipline: PK-like ids (o_orderkey, l_orderkey,
+  * event_id/user_id, doc_id, vec_id) shift by copy*STRIDE so copies
+  * never collide; FKs into dims (o_custkey, l_partkey/l_suppkey,
+  * c_nationkey, ...) are left alone so dim joins keep their fan-out
+  * and broadcast shape. Per-user event streams replicate as disjoint
+  * users (user_id shifts with event_id), keeping sessionization and
+  * distinct-user gates linear in copies.
+  */
+object SynthScale {
+  // far above any driver-generated id at sf<=1
+  private val Stride = 1000000000L
+
+  def main(args: Array[String]): Unit = {
+    val src = args(0)
+    val dst = args(1)
+    val copies = args(2).toInt
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      math.min(32, Runtime.getRuntime.availableProcessors()).toString)
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val shifts: Map[String, Seq[String]] = Map(
+      "orders"     -> Seq("o_orderkey"),
+      "lineitem"   -> Seq("l_orderkey"),
+      "events"     -> Seq("event_id", "user_id"),
+      "documents"  -> Seq("doc_id"),
+      "embeddings" -> Seq("vec_id"))
+
+    graft.core.Tables.names.foreach { t =>
+      val base = t match {
+        case "events" => graft.core.Tables.events(spark, src)
+        case _        => graft.core.Tables.load(spark, src, t)
+      }
+      val out: DataFrame = shifts.get(t) match {
+        case None => base // dim: single copy
+        case Some(keys) =>
+          (0 until copies).map { i =>
+            keys.foldLeft(base) { (df, k) =>
+              df.withColumn(k, col(k) + lit(i * Stride))
+            }
+          }.reduce(_ union _)
+      }
+      out.write.mode("overwrite").parquet(s"$dst/$t.parquet")
+      println(s"[synth] $t -> $dst/$t.parquet (${if (shifts.contains(t)) copies else 1} copies)")
+    }
+    spark.stop()
+  }
+}

@@ -1,0 +1,78 @@
+package graft.core
+
+import org.apache.spark.sql.SparkSession
+
+/** Testdata schema preflight.
+  *
+  * The driver regenerates /root/testdata between rounds and has shipped
+  * different physical encodings across drops (events.ts was
+  * TIMESTAMP(NANOS) in one generation, TIMESTAMP(MICROS,NTZ) in the
+  * next — the latter silently analysis-errored 89 queries in round 5).
+  * This check runs once at Bench/Verify startup and turns any future
+  * drift into ONE clear line naming table/column/found-vs-expected,
+  * instead of dozens of identical stack traces downstream.
+  *
+  * Types are matched against an accept-set per column, not a single
+  * type: the loaders normalize known variants (Tables.events), and
+  * date-ish columns may legitimately arrive as date / timestamp /
+  * timestamp_ntz. A column whose normalized type is outside its
+  * accept-set, or a missing column, fails the preflight.
+  */
+object Preflight {
+
+  private val T  = Set("timestamp", "timestamp_ntz", "date")
+  private val I  = Set("int", "bigint")
+
+  /** column -> acceptable Spark simpleString types, per table, as seen
+    * AFTER the Tables loader (i.e. events.ts already normalized). */
+  private val expected: Map[String, Seq[(String, Set[String])]] = Map(
+    "region" -> Seq("r_regionkey" -> I, "r_name" -> Set("string")),
+    "nation" -> Seq("n_nationkey" -> I, "n_name" -> Set("string"), "n_regionkey" -> I),
+    "customer" -> Seq("c_custkey" -> I, "c_name" -> Set("string"), "c_nationkey" -> I,
+      "c_acctbal" -> Set("double"), "c_mktsegment" -> Set("string")),
+    "supplier" -> Seq("s_suppkey" -> I, "s_name" -> Set("string"), "s_nationkey" -> I,
+      "s_acctbal" -> Set("double")),
+    "part" -> Seq("p_partkey" -> I, "p_name" -> Set("string"), "p_brand" -> Set("string"),
+      "p_type" -> Set("string"), "p_size" -> I, "p_retailprice" -> Set("double")),
+    "orders" -> Seq("o_orderkey" -> I, "o_custkey" -> I, "o_orderstatus" -> Set("string"),
+      "o_totalprice" -> Set("double"), "o_orderdate" -> T, "o_orderpriority" -> Set("string")),
+    "lineitem" -> Seq("l_orderkey" -> I, "l_partkey" -> I, "l_suppkey" -> I,
+      "l_linenumber" -> I, "l_quantity" -> Set("double"), "l_extendedprice" -> Set("double"),
+      "l_discount" -> Set("double"), "l_tax" -> Set("double"), "l_returnflag" -> Set("string"),
+      "l_linestatus" -> Set("string"), "l_shipdate" -> T),
+    "events" -> Seq("event_id" -> I, "ts" -> Set("timestamp"), "user_id" -> I,
+      "event_type" -> Set("string"), "value" -> Set("double"), "props" -> Set("string")),
+    "documents" -> Seq("doc_id" -> I, "text" -> Set("string"), "lang" -> Set("string"),
+      "source" -> Set("string"), "n_chars" -> I),
+    "embeddings" -> Seq("vec_id" -> I,
+      "embedding" -> Set("array<float>", "array<double>"), "label" -> I))
+
+  /** Throws IllegalStateException with every mismatch on one line each;
+    * returns silently when all 10 tables conform. */
+  def check(spark: SparkSession, sfDir: String): Unit = {
+    val problems = expected.toSeq.sortBy(_._1).flatMap { case (table, cols) =>
+      try {
+        val df = table match {
+          case "events" => Tables.events(spark, sfDir)
+          case t        => Tables.load(spark, sfDir, t)
+        }
+        val actual = df.schema.map(f => f.name -> f.dataType.simpleString).toMap
+        cols.flatMap { case (col, accept) =>
+          actual.get(col) match {
+            case None =>
+              Some(s"$table.$col: MISSING (have: ${df.schema.fieldNames.mkString(",")})")
+            case Some(t) if !accept(t) =>
+              Some(s"$table.$col: found $t, expected one of {${accept.mkString(",")}}")
+            case _ => None
+          }
+        }
+      } catch {
+        case e: Throwable =>
+          Seq(s"$table: unreadable at $sfDir — ${e.toString.takeWhile(_ != '\n').take(200)}")
+      }
+    }
+    if (problems.nonEmpty)
+      throw new IllegalStateException(
+        "testdata preflight FAILED:\n" + problems.mkString("\n"))
+  }
+}

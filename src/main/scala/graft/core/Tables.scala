@@ -24,17 +24,38 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = load(s, d, "lineitem")
-  /** events.parquet carries TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects ([PARQUET_TYPE_ILLEGAL]). Read it as raw Long nanos
-    * (legacy conf) and convert with integer division — `ts div 1000`
-    * stays in Long, a double intermediate would lose precision at
-    * 1.7e18 ns.
+  /** events.parquet's `ts` encoding has varied across testdata
+    * generations: TIMESTAMP(NANOS) in some drops (which Spark's
+    * vectorized reader rejects — [PARQUET_TYPE_ILLEGAL] — unless read
+    * as raw Long nanos via the legacy conf) and TIMESTAMP(MICROS,
+    * isAdjustedToUTC=false) in others (read as TIMESTAMP_NTZ). Adapt
+    * to whatever the footer says and normalize `ts` to session-UTC
+    * TimestampType, which is what every downstream query (and the
+    * DuckDB oracle, session tz = UTC) assumes.
+    *
+    * The nanos→micros conversion uses integer division — `ts div 1000`
+    * stays in Long; a double intermediate would lose precision at
+    * 1.7e18 ns. The legacy conf is only set on the nanos path (a plain
+    * read throws there), never unconditionally.
     */
   def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(s, d, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    val raw =
+      try load(s, d, "events")
+      catch {
+        case _: Throwable =>
+          // TIMESTAMP(NANOS) footer: readable only as raw Long nanos.
+          s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+          load(s, d, "events")
+      }
+    raw.schema("ts").dataType match {
+      case LongType            => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType    => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case TimestampType       => raw
+      case other => throw new IllegalStateException(
+        s"events.ts: unsupported parquet type $other (expected long/timestamp/timestamp_ntz)")
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")

@@ -1,0 +1,46 @@
+package graft.core
+
+import java.util.concurrent.ConcurrentHashMap
+
+/** Per-query scratch-directory registry (generalizes q111's sweep).
+  *
+  * Round-trip and streaming gates materialize intermediate files
+  * (ORC/CSV/Avro/XML snapshots, checkpoints, versioned tables) under
+  * java.io.tmpdir. The returned DataFrames are LAZY plans over those
+  * files, so a query function cannot delete its own directory before
+  * the caller materializes — but unbounded accumulation across a
+  * min-of-3 bench x 196 queries x rounds is real disk pressure.
+  *
+  * Policy: one live directory per prefix. `scoped(prefix)` creates a
+  * fresh dir and deletes the PREVIOUS dir registered under the same
+  * prefix (safe in Bench/Verify, which fully materialize each run
+  * before the next invocation), and a JVM shutdown hook deletes
+  * everything still registered — so no `graft_q*` trees outlive the
+  * process.
+  */
+object TempDirs {
+  private val live = new ConcurrentHashMap[String, String]()
+
+  private lazy val hookInstalled: Unit =
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      live.values().forEach(d => deleteRecursively(d))
+    }))
+
+  /** Fresh temp dir under `prefix`; sweeps the previous dir with the
+    * same prefix. Returns the absolute path as a String. */
+  def scoped(prefix: String): String = {
+    hookInstalled
+    val dir = java.nio.file.Files.createTempDirectory(prefix).toString
+    Option(live.put(prefix, dir)).foreach(deleteRecursively)
+    dir
+  }
+
+  def deleteRecursively(path: String): Unit = {
+    val root = new java.io.File(path)
+    def loop(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(loop))
+      f.delete(); ()
+    }
+    if (root.exists()) loop(root)
+  }
+}

@@ -21,7 +21,7 @@ object SourceQueries {
 
   // ---------------------------------------------------------------- q96
   def q96OrcRoundtrip(s: SparkSession, d: String): DataFrame = {
-    val dir = Files.createTempDirectory("graft_q96_").toString + "/orc"
+    val dir = graft.core.TempDirs.scoped("graft_q96_") + "/orc"
     Tables.events(s, d)
       .select(col("event_id"), col("user_id"), col("value"), col("event_type"))
       .write.orc(dir)
@@ -44,7 +44,7 @@ object SourceQueries {
     * typing — the `Ingest.flatCsv` contract).
     */
   def q97CsvRoundtrip(s: SparkSession, d: String): DataFrame = {
-    val dir = Files.createTempDirectory("graft_q97_").toString + "/csv"
+    val dir = graft.core.TempDirs.scoped("graft_q97_") + "/csv"
     Tables.events(s, d)
       .select(col("event_id"), col("user_id"), col("event_type"))
       .write.option("header", "true").csv(dir)
@@ -78,7 +78,7 @@ object SourceQueries {
   private val AvroFormat = "org.apache.spark.sql.avro.AvroFileFormat"
 
   def q102AvroRoundtrip(s: SparkSession, d: String): DataFrame = {
-    val dir = Files.createTempDirectory("graft_q102_").toString + "/avro"
+    val dir = graft.core.TempDirs.scoped("graft_q102_") + "/avro"
     Tables.events(s, d)
       .select(col("event_id"), col("user_id"), col("value"), col("event_type"))
       .write.format(AvroFormat).save(dir)
@@ -143,7 +143,7 @@ object SourceQueries {
   }
 
   def q111BucketedJoin(s: SparkSession, d: String): DataFrame = {
-    val base = Files.createTempDirectory("graft_q111_").toString
+    val base = graft.core.TempDirs.scoped("graft_q111_")
     // per-run table names: a fixed name would race concurrent sessions
     // and leave each rerun's DROP orphaning the previous temp dir's
     // data while reusing the catalog entry
@@ -191,7 +191,7 @@ object SourceQueries {
     * tables in ext/Multimodal are exactly that next step).
     */
   def q167BinaryFiles(s: SparkSession, d: String): DataFrame = {
-    val dir = Files.createTempDirectory("graft_q167_").toString + "/blobs"
+    val dir = graft.core.TempDirs.scoped("graft_q167_") + "/blobs"
     new java.io.File(dir).mkdirs()
     Tables.documents(s, d)
       .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
@@ -230,7 +230,7 @@ object SourceQueries {
     * text source — scan parallelism is files x maxPartitionBytes.
     */
   def q178XmlRoundtrip(s: SparkSession, d: String): DataFrame = {
-    val dir = Files.createTempDirectory("graft_q178_").toString + "/xml"
+    val dir = graft.core.TempDirs.scoped("graft_q178_") + "/xml"
     Tables.documents(s, d)
       .select(col("doc_id"), col("lang"), col("source"),
         col("n_chars"), col("text"))
@@ -268,7 +268,7 @@ object SourceQueries {
     * same predicate directly.
     */
   def q184DynamicPartitionPruning(s: SparkSession, d: String): DataFrame = {
-    val dir = Files.createTempDirectory("graft_q184_").toString + "/fact"
+    val dir = graft.core.TempDirs.scoped("graft_q184_") + "/fact"
     Tables.events(s, d)
       .select(col("event_id"), col("event_type"),
         round(col("value") * 100).cast("long").as("cents"),
@@ -306,7 +306,7 @@ object SourceQueries {
     * parse, no shuffle until the count.
     */
   def q191CorruptRecords(s: SparkSession, d: String): DataFrame = {
-    val dir = Files.createTempDirectory("graft_q191_").toString + "/jsonl"
+    val dir = graft.core.TempDirs.scoped("graft_q191_") + "/jsonl"
     Tables.events(s, d)
       .select(col("event_id"),
         to_json(struct(col("event_id"), col("event_type"))).as("line"))

@@ -134,7 +134,7 @@ object StreamingQueries {
       .write.json(inDir)
 
   def q66StreamingCdc(s: SparkSession, d: String): DataFrame = {
-    val base = Files.createTempDirectory("graft_q66_").toString
+    val base = graft.core.TempDirs.scoped("graft_q66_")
     val inDir = s"$base/in"; val ckpt = s"$base/ckpt"; val stateDir = s"$base/state"
 
     // 1. wire format: envelope JSON-lines in 4 files -> 4 micro-batches
@@ -197,7 +197,7 @@ object StreamingQueries {
     */
   def q76StreamingAgg(s: SparkSession, d: String): DataFrame = {
     import graft.sink.AggSink
-    val base = Files.createTempDirectory("graft_q76_").toString
+    val base = graft.core.TempDirs.scoped("graft_q76_")
     val inDir = s"$base/in"; val ckpt = s"$base/ckpt"; val stateDir = s"$base/state"
     writeEnvelopeJson(s, d, inDir)
 
@@ -239,7 +239,7 @@ object StreamingQueries {
     * either by layout or by hash.
     */
   def q82MergeCompact(s: SparkSession, d: String): DataFrame = {
-    val base = Files.createTempDirectory("graft_q82_").toString
+    val base = graft.core.TempDirs.scoped("graft_q82_")
     val stateDir = s"$base/state"
     val env = CdcQueries.envelope(s, d)
       .withColumn("ts_us", unix_micros(col("ts"))).drop("ts")
@@ -272,7 +272,7 @@ object StreamingQueries {
     * count, not bytes.
     */
   def q83SchemaEvolution(s: SparkSession, d: String): DataFrame = {
-    val base = Files.createTempDirectory("graft_q83_").toString + "/table"
+    val base = graft.core.TempDirs.scoped("graft_q83_") + "/table"
     val ev = graft.core.Tables.events(s, d)
     ev.filter(col("event_id") % 2 === 0)
       .select(col("event_id"), col("value"))
@@ -312,7 +312,7 @@ object StreamingQueries {
     * gaps-and-islands oracle over the whole history (q78's SQL).
     */
   def q84StreamingSessions(s: SparkSession, d: String): DataFrame = {
-    val base = Files.createTempDirectory("graft_q84_").toString
+    val base = graft.core.TempDirs.scoped("graft_q84_")
     val inDir = new java.io.File(base, "in"); inDir.mkdirs()
     val ckpt = s"$base/ckpt"
 
@@ -384,7 +384,7 @@ object StreamingQueries {
     * horizon), not O(history); this run pins the correctness side.
     */
   def q87StreamingDedup(s: SparkSession, d: String): DataFrame = {
-    val base = Files.createTempDirectory("graft_q87_").toString
+    val base = graft.core.TempDirs.scoped("graft_q87_")
     val inDir = new java.io.File(base, "in"); inDir.mkdirs()
     val ckpt = s"$base/ckpt"
 
@@ -452,7 +452,7 @@ object StreamingQueries {
   def q92StreamingVocab(s: SparkSession, d: String): DataFrame = {
     import graft.sink.AggSink
     import graft.ext.TextAnalysis
-    val base = Files.createTempDirectory("graft_q92_").toString
+    val base = graft.core.TempDirs.scoped("graft_q92_")
     val inDir = s"$base/in"; val ckpt = s"$base/ckpt"; val stateDir = s"$base/state"
     graft.core.Tables.documents(s, d).select(col("doc_id"), col("text"))
       .repartition(4, pmod(col("doc_id"), lit(4)))
@@ -501,7 +501,7 @@ object StreamingQueries {
     * state is O(rate x window), not O(history).
     */
   def q93StreamStreamJoin(s: SparkSession, d: String): DataFrame = {
-    val base = Files.createTempDirectory("graft_q93_").toString
+    val base = graft.core.TempDirs.scoped("graft_q93_")
     val inDir = s"$base/in"; val ckpt = s"$base/ckpt"
     // two files -> two micro-batches per side: enough to force
     // CROSS-BATCH matching through the join state (file-2 views match
@@ -567,7 +567,7 @@ object StreamingQueries {
     * rows with gaps, unmatched rows with NULLs.
     */
   def q98StreamStreamLeftOuter(s: SparkSession, d: String): DataFrame = {
-    val base = Files.createTempDirectory("graft_q98_").toString
+    val base = graft.core.TempDirs.scoped("graft_q98_")
     val inDir = new java.io.File(base, "in"); inDir.mkdirs()
     val ckpt = s"$base/ckpt"
 
@@ -655,7 +655,7 @@ object StreamingQueries {
     */
   def q103StreamingMinhashIndex(s: SparkSession, d: String): DataFrame = {
     import graft.ext.Dedup
-    val base = Files.createTempDirectory("graft_q103_").toString
+    val base = graft.core.TempDirs.scoped("graft_q103_")
     val inDir = s"$base/in"; val ckpt = s"$base/ckpt"; val sigDir = s"$base/sigs"
     graft.core.Tables.documents(s, d).select(col("doc_id"), col("text"))
       .repartition(4, pmod(col("doc_id"), lit(4)))
@@ -700,7 +700,7 @@ object StreamingQueries {
     */
   def q107StreamingEmbeddingIndex(s: SparkSession, d: String): DataFrame = {
     import graft.ext.Similarity
-    val base = Files.createTempDirectory("graft_q107_").toString
+    val base = graft.core.TempDirs.scoped("graft_q107_")
     val inDir = s"$base/in"; val ckpt = s"$base/ckpt"; val idxDir = s"$base/index"
     val planes = Similarity.planes(nPlanes = 40, dim = 64, seed = 42L)
     val corpus = Similarity.plantedNearDupCorpus(
@@ -747,7 +747,7 @@ object StreamingQueries {
     * backup restore.
     */
   def q104TimeTravel(s: SparkSession, d: String): DataFrame = {
-    val base = Files.createTempDirectory("graft_q104_").toString
+    val base = graft.core.TempDirs.scoped("graft_q104_")
     val stateDir = s"$base/state"
     val env = CdcQueries.envelope(s, d)
       .withColumn("ts_us", unix_micros(col("ts"))).drop("ts")
@@ -803,7 +803,7 @@ object StreamingQueries {
     * bucket it shouldn't have drops rows and hash-mismatches.
     */
   def q105StatsPrune(s: SparkSession, d: String): DataFrame = {
-    val base = Files.createTempDirectory("graft_q105_").toString
+    val base = graft.core.TempDirs.scoped("graft_q105_")
     val stateDir = s"$base/state"
     val env = CdcQueries.envelope(s, d)
       .withColumn("ts_us", unix_micros(col("ts"))).drop("ts")
@@ -865,7 +865,7 @@ object StreamingQueries {
     */
   def q140ZorderSkipping(s: SparkSession, d: String): DataFrame = {
     import graft.ops.ZOrder
-    val base = Files.createTempDirectory("graft_q140_").toString
+    val base = graft.core.TempDirs.scoped("graft_q140_")
     val ev = graft.core.Tables.events(s, d)
       .select(col("event_id"), col("user_id"), col("value"))
     val mm = ev.agg(max(col("user_id")), max(floor(col("value")).cast("long"))).first()
@@ -916,7 +916,7 @@ object StreamingQueries {
     * hash-mismatch.
     */
   def q106PurgeCompliance(s: SparkSession, d: String): DataFrame = {
-    val base = Files.createTempDirectory("graft_q106_").toString
+    val base = graft.core.TempDirs.scoped("graft_q106_")
     val stateDir = s"$base/state"
     val env = CdcQueries.envelope(s, d)
       .withColumn("ts_us", unix_micros(col("ts"))).drop("ts")
@@ -979,7 +979,7 @@ object StreamingQueries {
     * changed one, hash-mismatches.
     */
   def q110ChangeFeed(s: SparkSession, d: String): DataFrame = {
-    val base = Files.createTempDirectory("graft_q110_").toString
+    val base = graft.core.TempDirs.scoped("graft_q110_")
     val stateDir = s"$base/state"
     val env = CdcQueries.envelope(s, d)
       .withColumn("ts_us", unix_micros(col("ts"))).drop("ts")
@@ -1039,7 +1039,7 @@ object StreamingQueries {
     * O(|new docs|) per batch, not O(|corpus|).
     */
   def q119StreamingCurationIndex(s: SparkSession, d: String): DataFrame = {
-    val base = Files.createTempDirectory("graft_q119_").toString
+    val base = graft.core.TempDirs.scoped("graft_q119_")
     val inDir = s"$base/in"; val ckpt = s"$base/ckpt"; val idxDir = s"$base/index"
     val docs = graft.core.Tables.documents(s, d).select(col("doc_id"), col("text"))
     // one file per doc_id%4 slice -> exactly 4 micro-batches
@@ -1080,7 +1080,7 @@ object StreamingQueries {
     * the batch window-function form over the same 6-hour buckets.
     */
   def q129StreamingTrending(s: SparkSession, d: String): DataFrame = {
-    val base = Files.createTempDirectory("graft_q129_").toString
+    val base = graft.core.TempDirs.scoped("graft_q129_")
     val inDir = new java.io.File(base, "in"); inDir.mkdirs()
     val ckpt = s"$base/ckpt"
     val ev = graft.core.Tables.events(s, d)
@@ -1148,9 +1148,16 @@ object StreamingQueries {
     * timestamps; the long quotient of that exact multiple is exact in
     * IEEE double for any |quotient| < 2^53.
     */
+  /** Floor-aligned 6h window start in epoch millis, from epoch micros —
+    * entirely in Long arithmetic. `tsUs - pmod(tsUs, win)` is the exact
+    * floor multiple (pmod is non-negative, so this floors for negative
+    * epochs too, matching window()'s alignment), and integral `div`
+    * keeps it exact: the previous `/`+cast-long form went through
+    * doubles, and at 1.7e18 us the numerator exceeds 2^53, so the
+    * rounded quotient could truncate one window low. */
   private def window6hStartMs(tsUs: Column): Column = {
     val winUs = lit(21600000000L)
-    (((tsUs - pmod(tsUs, winUs)) / winUs).cast("long") * lit(21600000L))
+    call_function("div", tsUs - pmod(tsUs, winUs), winUs) * lit(21600000L)
   }
 
   // ---------------------------------------------------------------- q134
@@ -1165,7 +1172,7 @@ object StreamingQueries {
     * the bool or the exact count and fails the hash.
     */
   def q134StreamingDistinct(s: SparkSession, d: String): DataFrame = {
-    val base = Files.createTempDirectory("graft_q134_").toString
+    val base = graft.core.TempDirs.scoped("graft_q134_")
     val inDir = new java.io.File(base, "in"); inDir.mkdirs()
     val ckpt = s"$base/ckpt"
     val ev = graft.core.Tables.events(s, d)
@@ -1243,7 +1250,7 @@ object StreamingQueries {
     * q116's discipline).
     */
   def q135StreamingQuantiles(s: SparkSession, d: String): DataFrame = {
-    val base = Files.createTempDirectory("graft_q135_").toString
+    val base = graft.core.TempDirs.scoped("graft_q135_")
     val inDir = new java.io.File(base, "in"); inDir.mkdirs()
     val ckpt = s"$base/ckpt"
     val accuracy = 1000
@@ -1339,7 +1346,7 @@ object StreamingQueries {
     */
   def q162TransformWithState(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val base = Files.createTempDirectory("graft_q162_").toString
+    val base = graft.core.TempDirs.scoped("graft_q162_")
     val inDir = new java.io.File(base, "in"); inDir.mkdirs()
     val ckpt = s"$base/ckpt"
     val ev = graft.core.Tables.events(s, d)
@@ -1413,7 +1420,7 @@ object StreamingQueries {
     * sink holds exactly the source rows: merge keys are unique).
     */
   def q166BloomPointLookup(s: SparkSession, d: String): DataFrame = {
-    val base = Files.createTempDirectory("graft_q166_").toString
+    val base = graft.core.TempDirs.scoped("graft_q166_")
     val orders = graft.core.Tables.orders(s, d)
       .select(col("o_orderkey"), col("o_custkey"),
         round(col("o_totalprice") * 100).cast("long").as("cents"))
@@ -1444,7 +1451,7 @@ object StreamingQueries {
     * Oracle = the same three-way join in one batch SQL.
     */
   def q164StreamStaticJoin(s: SparkSession, d: String): DataFrame = {
-    val base = Files.createTempDirectory("graft_q164_").toString
+    val base = graft.core.TempDirs.scoped("graft_q164_")
     val inDir = new java.io.File(base, "in"); inDir.mkdirs()
     val ckpt = s"$base/ckpt"
     val ev = graft.core.Tables.events(s, d)
@@ -1512,7 +1519,7 @@ object StreamingQueries {
     */
   def q165MapListState(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val base = Files.createTempDirectory("graft_q165_").toString
+    val base = graft.core.TempDirs.scoped("graft_q165_")
     val inDir = new java.io.File(base, "in"); inDir.mkdirs()
     val ckpt = s"$base/ckpt"
     val ev = graft.core.Tables.events(s, d)
@@ -1590,7 +1597,7 @@ object StreamingQueries {
     */
   def q173SessionTimers(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val base = Files.createTempDirectory("graft_q173_").toString
+    val base = graft.core.TempDirs.scoped("graft_q173_")
     val inDir = new java.io.File(base, "in"); inDir.mkdirs()
     val ckpt = s"$base/ckpt"
 
@@ -1690,7 +1697,7 @@ object StreamingQueries {
     * with the horizon.
     */
   def q196LateDataAccounting(s: SparkSession, d: String): DataFrame = {
-    val base = Files.createTempDirectory("graft_q196_").toString
+    val base = graft.core.TempDirs.scoped("graft_q196_")
     val inDir = new java.io.File(base, "in"); inDir.mkdirs()
     val ckpt = s"$base/ckpt"
     val ev = graft.core.Tables.events(s, d)

@@ -30,6 +30,38 @@ class ScaleOpsSpec extends SparkSpec {
     }
   }
 
+  test("salted join/agg salts are a pure function of row content (retry-safe)") {
+    // The SPARK-23207 hazard: a salt derived from monotonically_increasing_id
+    // (or any partition-position source) changes when map tasks are
+    // recomputed after a shuffle-fetch failure, so retried stages emit
+    // different shuffle output than the lost originals. A content-hash
+    // salt is invariant to HOW rows are partitioned. Proxy for retry
+    // recomputation: derive the salt under three different physical
+    // layouts and assert every row salts identically — position-derived
+    // salts fail this immediately.
+    val base = spark.range(0, 5000).toDF("i")
+      .withColumn("k", when($"i" % 5 === 0, lit("hot")).otherwise(concat(lit("k"), $"i")))
+      .withColumn("v", ($"i" % 97).cast("double"))
+    def saltsOf(df: org.apache.spark.sql.DataFrame): Map[Long, Long] = {
+      // same expression saltedAggregate/saltedJoin use internally
+      df.withColumn("__salt", pmod(xxhash64(df.columns.map(col).toIndexedSeq: _*), lit(8L)))
+        .select($"i", $"__salt").as[(Long, Long)].collect().toMap
+    }
+    val s1 = saltsOf(base)
+    val s2 = saltsOf(base.repartition(3))               // different partitioning
+    val s3 = saltsOf(base.repartition(17, $"k").sortWithinPartitions($"v"))
+    assert(s1 == s2 && s1 == s3,
+      "salt must not depend on physical row placement (retry nondeterminism)")
+    // And end-to-end: two independent evaluations of the salted join
+    // produce identical row multisets.
+    val dim = spark.range(0, 40).toDF("d")
+      .withColumn("k", when($"d" === 0, lit("hot")).otherwise(concat(lit("k"), $"d")))
+      .drop("d")
+    def joined() = Skew.saltedJoin(base, dim, "k", salt = 8)
+      .select($"i").as[Long].collect().sorted.toSeq
+    assert(joined() == joined(), "salted join output must be run-invariant")
+  }
+
   test("bucketed tables join without an exchange") {
     // warehouse dir is a tmp dir set at session build (SparkSpec)
     val o = spark.read.parquet(s"$sfDir/orders.parquet")
