@@ -1,0 +1,207 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+
+/** Round-6 batch: attribution, frequent-items sketch, bounded label
+  * propagation, and weighted sampling — each oracle-gated and shaped
+  * for the 1000-executor case.
+  */
+object AdvancedQueries {
+
+  // ---------------------------------------------------------------- q197
+  /** LINEAR MULTI-TOUCH attribution: each purchase's value is credited
+    * across the user's click/view touches in the trailing 24 h,
+    * proportionally by touch-type share (the multi-touch complement of
+    * q154's last-touch). The touch counts come from one RANGE-framed
+    * window pass over the per-user timeline — never a purchases x
+    * touches range join, which re-materializes the fan-out the frame
+    * already bounds. One shuffle (by user), frame state is O(window
+    * content), and the emitted credit is an exact IEEE quotient of
+    * integer-valued terms (cents * n_t < 2^53), identical cross-engine.
+    */
+  def q197MultiTouchAttribution(s: SparkSession, d: String): DataFrame = {
+    val dayUs = 86400000000L
+    val ev = Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"), col("value"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"))
+      .rangeBetween(-dayUs, 0L)
+    val counted = ev
+      .withColumn("n_click", sum(when(col("event_type") === "click", 1L).otherwise(0L)).over(w))
+      .withColumn("n_view",  sum(when(col("event_type") === "view",  1L).otherwise(0L)).over(w))
+      .filter(col("event_type") === "purchase" && col("value").isNotNull)
+      .withColumn("cents", round(col("value") * 100).cast("long"))
+      .withColumn("n_touch", col("n_click") + col("n_view"))
+      .filter(col("n_touch") > 0)
+    counted
+      .select(col("event_id"), col("user_id"), col("cents"), col("n_touch"),
+        expr("stack(2, 'click', n_click, 'view', n_view) AS (touch_type, n_t)"))
+      .filter(col("n_t") > 0)
+      .select(col("event_id"), col("user_id"), col("touch_type"), col("n_t"),
+        ((col("cents") * col("n_t")).cast("double") / col("n_touch")).as("credit"))
+  }
+
+  val q197Sql: String =
+    """WITH ev AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS us, value FROM events),
+      |c AS (SELECT event_id, user_id, event_type, value,
+      |    sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) OVER w AS n_click,
+      |    sum(CASE WHEN event_type = 'view'  THEN 1 ELSE 0 END) OVER w AS n_view
+      |  FROM ev
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY us
+      |    RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW)),
+      |p AS (SELECT event_id, user_id, CAST(round(value * 100) AS BIGINT) AS cents,
+      |    n_click, n_view, n_click + n_view AS n_touch
+      |  FROM c WHERE event_type = 'purchase' AND value IS NOT NULL
+      |    AND n_click + n_view > 0),
+      |u AS (SELECT event_id, user_id, cents, n_touch, 'click' AS touch_type, n_click AS n_t FROM p
+      |  UNION ALL
+      |  SELECT event_id, user_id, cents, n_touch, 'view', n_view FROM p)
+      |SELECT event_id, user_id, touch_type, CAST(n_t AS BIGINT) AS n_t,
+      |  CAST(cents * n_t AS DOUBLE) / n_touch AS credit
+      |FROM u WHERE n_t > 0""".stripMargin
+
+  // ---------------------------------------------------------------- q198
+  /** FREQUENT ITEMS via a Misra-Gries summary
+    * ([[graft.functions.MisraGries]]) — deterministic heavy hitters
+    * with a one-sided guarantee: every item with true count > n/k is
+    * in the k-counter sketch. The sketch is a mergeable Aggregator
+    * (map-side combine carries <= k counters per partition, never the
+    * item stream), next to the randomized count-min estimates (q52/
+    * q108) and the bounded top-k by value (q128).
+    *
+    * Witness discipline (SEMANTICS.md): the candidate SET beyond the
+    * guarantee is merge-order-dependent, so the gate emits the
+    * EXACT frequent items (count > n/64 from an exact aggregate) plus
+    * the in-band boolean "item is in the sketch", which the guarantee
+    * forces TRUE — a sketch that lost a guaranteed item fails the
+    * hash. Items are floor(value) buckets — naturally skewed enough
+    * that several buckets clear the n/64 bar on the synthetic data.
+    */
+  def q198FrequentItems(s: SparkSession, d: String): DataFrame = {
+    val k = 64
+    val items = Tables.events(s, d)
+      .filter(col("value").isNotNull)
+      .select(floor(col("value")).cast("long").cast("string").as("item"))
+    val mg = udaf(graft.functions.MisraGries(k))
+    val sketch = items.agg(mg(col("item")).as("cands")) // 1 row, <= k entries
+    val totals = items.agg(count(lit(1)).as("n_total")) // 1 row
+    items.groupBy(col("item")).agg(count(lit(1)).as("n_item"))
+      .crossJoin(broadcast(totals))
+      .filter(col("n_item") > col("n_total") / lit(k.toDouble))
+      .crossJoin(broadcast(sketch))
+      .select(col("item"), col("n_item"),
+        array_contains(col("cands"), col("item")).as("in_sketch"))
+  }
+
+  val q198Sql: String =
+    """WITH i AS (SELECT CAST(CAST(floor(value) AS BIGINT) AS VARCHAR) AS item
+      |    FROM events WHERE value IS NOT NULL),
+      |t AS (SELECT count(*) AS n_total FROM i)
+      |SELECT item, CAST(count(*) AS BIGINT) AS n_item, TRUE AS in_sketch
+      |FROM i, t GROUP BY item, n_total
+      |HAVING count(*) > n_total / 64.0""".stripMargin
+
+  // ---------------------------------------------------------------- q199
+  /** BOUNDED LABEL PROPAGATION over the co-purchase graph: 3
+    * synchronous min-label rounds (label := min(own, neighbors')) from
+    * identity labels — the community-seeding primitive between a
+    * single groupBy (no structure) and full connected components
+    * (q71's log-diameter star escalation). Each round is one shuffle
+    * join (edges x labels) plus a min-aggregate; 3 rounds means the
+    * plan stays O(1) deep without lineage checkpoints. Fixed round
+    * count is what makes the semantics SQL-expressible — the oracle
+    * is the same 3 chained joins — and is the honest contract at
+    * 100 TB: rounds, not convergence, bound the cost (full closure is
+    * q71's job).
+    */
+  def q199LabelPropagation(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_partkey").cast("long").as("p"))
+      .distinct()
+    val e = li.as("x").join(li.as("y"), "l_orderkey")
+      .select(col("x.p").as("src"), col("y.p").as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+    var labels = li.select(col("p").as("vx")).distinct()
+      .withColumn("lbl", col("vx"))
+    for (_ <- 1 to 3) {
+      val nbr = e.join(labels, e("src") === labels("vx"))
+        .groupBy(col("dst")).agg(min(col("lbl")).as("nl"))
+      labels = labels.join(nbr, labels("vx") === nbr("dst"), "left")
+        .select(labels("vx"),
+          least(col("lbl"), coalesce(col("nl"), col("lbl"))).as("lbl"))
+    }
+    labels.select(col("vx").as("part"), col("lbl").as("community"))
+  }
+
+  val q199Sql: String =
+    """WITH li AS (SELECT DISTINCT l_orderkey, CAST(l_partkey AS BIGINT) AS p FROM lineitem),
+      |e AS (SELECT DISTINCT a.p AS src, b.p AS dst
+      |  FROM li a JOIN li b USING (l_orderkey) WHERE a.p <> b.p),
+      |v AS (SELECT DISTINCT p AS vx FROM li),
+      |l0 AS (SELECT vx, vx AS lbl FROM v),
+      |n1 AS (SELECT e.dst AS vx, min(x.lbl) AS nl FROM e JOIN l0 x ON e.src = x.vx GROUP BY e.dst),
+      |l1 AS (SELECT l.vx, least(l.lbl, coalesce(n1.nl, l.lbl)) AS lbl FROM l0 l LEFT JOIN n1 USING (vx)),
+      |n2 AS (SELECT e.dst AS vx, min(x.lbl) AS nl FROM e JOIN l1 x ON e.src = x.vx GROUP BY e.dst),
+      |l2 AS (SELECT l.vx, least(l.lbl, coalesce(n2.nl, l.lbl)) AS lbl FROM l1 l LEFT JOIN n2 USING (vx)),
+      |n3 AS (SELECT e.dst AS vx, min(x.lbl) AS nl FROM e JOIN l2 x ON e.src = x.vx GROUP BY e.dst),
+      |l3 AS (SELECT l.vx, least(l.lbl, coalesce(n3.nl, l.lbl)) AS lbl FROM l2 l LEFT JOIN n3 USING (vx))
+      |SELECT vx AS part, lbl AS community FROM l3""".stripMargin
+
+  // ---------------------------------------------------------------- q200
+  /** WEIGHTED SAMPLING WITHOUT REPLACEMENT (Efraimidis-Spirakis A-ES):
+    * per language, the top-10 documents by priority u^(1/w), where w
+    * is the document's char count and u is a deterministic md5-derived
+    * uniform (the q121 hash-draw idiom: first 13 md5 hex digits / 2^52
+    * — 52 bits, exact in double on both engines). A-ES turns weighted
+    * sampling into a plain top-k: the priority is a per-row expression
+    * (zero shuffles), and the selection runs through the bounded top-k
+    * Aggregator (q128) — map-side combine carries <= 10 (priority, id)
+    * pairs per partition per language, never the corpus, which is the
+    * 100 TB path a row_number() window (full shuffle + sort of every
+    * row) cannot take. Cross-engine pow() agrees far inside the
+    * harness tolerance: adjacent priorities differ by >= ~1e-6 while
+    * libm/JDK pow disagree at <= 1 ulp (~1e-16).
+    */
+  def q200WeightedSample(s: SparkSession, d: String): DataFrame = {
+    val twoTo52 = 4503599627370496.0 // 16^13
+    val base = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .filter(col("n_chars") > 0)
+    val u = conv(substring(md5(col("doc_id").cast("string")), 1, 13), 16, 10)
+      .cast("double") / lit(twoTo52)
+    val scored = base.withColumn("priority",
+      pow(u, lit(1.0) / col("n_chars").cast("double")))
+    val topk = udaf(graft.functions.TopK(10))
+    val top = scored.groupBy(col("lang"))
+      .agg(topk(col("priority"), col("doc_id")).as("top"))
+      .select(col("lang"), posexplode(col("top")))
+      .select(col("lang"), (col("pos") + 1).cast("long").as("rk"),
+        col("col._2").as("doc_id"))
+    top.join(base.select(col("doc_id"), col("n_chars")), Seq("doc_id"))
+      .select(col("lang"), col("rk"), col("doc_id"), col("n_chars"))
+  }
+
+  val q200Sql: String =
+    """WITH b AS (SELECT doc_id, lang, n_chars,
+      |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13))::BIGINT
+      |      / 4503599627370496.0 AS u
+      |  FROM documents WHERE n_chars > 0),
+      |r AS (SELECT doc_id, lang, n_chars,
+      |    row_number() OVER (PARTITION BY lang
+      |      ORDER BY pow(u, 1.0 / n_chars) DESC, doc_id) AS rk
+      |  FROM b)
+      |SELECT lang, CAST(rk AS BIGINT) AS rk, doc_id, n_chars
+      |FROM r WHERE rk <= 10""".stripMargin
+
+  val entries: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "q197_multitouch_attribution" -> (q197MultiTouchAttribution _, q197Sql),
+    "q198_frequent_items" -> (q198FrequentItems _, q198Sql),
+    "q199_label_propagation" -> (q199LabelPropagation _, q199Sql),
+    "q200_weighted_sample" -> (q200WeightedSample _, q200Sql),
+  )
+}

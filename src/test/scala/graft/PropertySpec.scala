@@ -379,6 +379,37 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("MisraGries keeps every item with count > n/k under any merge shape") {
+    // The MG one-sided guarantee must survive DISTRIBUTED merging: for
+    // random skewed streams, random partition counts, and random
+    // partition boundaries, every item whose true count exceeds n/k
+    // must appear in the merged sketch (the candidate set may hold
+    // extras — that's the sketch's documented slack, discharged by
+    // q198's exact-count witness join).
+    import graft.functions.MisraGries
+    val mg = MisraGries(8)
+    val itemGen = Gen.frequency(
+      (8, Gen.const("hot")), (4, Gen.const("warm")),
+      (1, Gen.choose(0, 500).map("cold" + _)))
+    (1 to 20).foreach { trial =>
+      val xs = Gen.listOfN(2000, itemGen)
+        .pureApply(Gen.Parameters.default, Seed(trial.toLong))
+      val nParts = 1 + (trial % 7)
+      val parts = xs.grouped(math.max(1, xs.size / nParts)).toSeq
+      val merged = parts
+        .map(p => p.foldLeft(mg.zero)(mg.reduce))
+        .reduce(mg.merge)
+      val out = mg.finish(merged).toSet
+      val exact = xs.groupBy(identity).view.mapValues(_.size.toLong)
+      val thresh = xs.size.toDouble / 8
+      exact.filter(_._2 > thresh).keys.foreach { item =>
+        assert(out.contains(item),
+          s"trial $trial: guaranteed item $item (count ${exact(item)} > $thresh) missing from sketch")
+      }
+      assert(merged.size <= 8, s"trial $trial: sketch exceeded k counters")
+    }
+  }
+
   test("BPE merge counts are non-increasing across rounds") {
     // merging the argmax pair can only shrink other pairs' counts (new
     // pairs created by the merged symbol are bounded by its count), so
