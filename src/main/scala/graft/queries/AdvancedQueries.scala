@@ -198,10 +198,121 @@ object AdvancedQueries {
       |SELECT lang, CAST(rk AS BIGINT) AS rk, doc_id, n_chars
       |FROM r WHERE rk <= 10""".stripMargin
 
+  // ---------------------------------------------------------------- q201
+  /** BOUNDED K-CORE PEELING (3 rounds, K=16) over the word-adjacency
+    * graph (tokens that appear consecutively in a document): each
+    * round drops vertices whose degree in the surviving subgraph is
+    * < K, then restricts edges to survivors — the cohesion filter
+    * between raw degree (one agg) and full k-core decomposition
+    * (data-dependent round count). The word graph is the right
+    * substrate: Zipfian degrees peel gently into a stable hub core,
+    * where the near-regular co-purchase graph collapses all-or-nothing
+    * under any interesting K. Each round is one degree aggregate + two
+    * semi-join-shaped edge restrictions; 3 fixed rounds keeps the plan
+    * O(1) deep and the semantics SQL-chainable (q199's fixed-round
+    * contract). At 100 TB the same loop runs to fixpoint with lineage
+    * checkpoints per round (q71's escalation discipline); bounded
+    * rounds are the gate-able prefix of that loop. Output is
+    * operational and engine-agnostic: post-round-3 edge-set degrees.
+    */
+  def q201KCorePeeling(s: SparkSession, d: String): DataFrame = {
+    val K = 16
+    val bg = Tables.documents(s, d)
+      .select(split(col("text"), " ").as("ts"))
+      .select(explode(expr(
+        """zip_with(slice(ts, 1, greatest(size(ts) - 1, 0)),
+          |         slice(ts, 2, greatest(size(ts) - 1, 0)),
+          |         (x, y) -> struct(x AS a, y AS b))""".stripMargin)).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+      .filter(col("a") =!= col("b"))
+    var e = bg.select(col("a").as("src"), col("b").as("dst"))
+      .union(bg.select(col("b").as("src"), col("a").as("dst")))
+      .distinct()
+    for (_ <- 1 to 3) {
+      val alive = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= K).select(col("src").as("v"))
+      e = e.join(alive.select(col("v").as("src")), "src")
+           .join(alive.select(col("v").as("dst")), "dst")
+           .select(col("src"), col("dst"))
+    }
+    e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      .select(col("src").as("token"), col("deg"))
+  }
+
+  val q201Sql: String =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+      |bg AS (SELECT unnest(list_transform(generate_series(1, len(ts) - 1),
+      |    i -> [ts[i], ts[i+1]])) AS pr FROM t),
+      |e0 AS (SELECT DISTINCT pr[1] AS src, pr[2] AS dst FROM bg WHERE pr[1] <> pr[2]
+      |  UNION SELECT DISTINCT pr[2], pr[1] FROM bg WHERE pr[1] <> pr[2]),
+      |a1 AS (SELECT src AS v FROM e0 GROUP BY src HAVING count(*) >= 16),
+      |e1 AS (SELECT e.src, e.dst FROM e0 e JOIN a1 x ON e.src = x.v JOIN a1 y ON e.dst = y.v),
+      |a2 AS (SELECT src AS v FROM e1 GROUP BY src HAVING count(*) >= 16),
+      |e2 AS (SELECT e.src, e.dst FROM e1 e JOIN a2 x ON e.src = x.v JOIN a2 y ON e.dst = y.v),
+      |a3 AS (SELECT src AS v FROM e2 GROUP BY src HAVING count(*) >= 16),
+      |e3 AS (SELECT e.src, e.dst FROM e2 e JOIN a3 x ON e.src = x.v JOIN a3 y ON e.dst = y.v)
+      |SELECT src AS token, CAST(count(*) AS BIGINT) AS deg
+      |FROM e3 GROUP BY src""".stripMargin
+
+  // ---------------------------------------------------------------- q203
+  /** SPARSE RANDOM PROJECTION (Johnson-Lindenstrauss, Achlioptas +-1
+    * signs): 64-dim embeddings down to 16 dims via p_j = sum_i s_ij *
+    * v_i / sqrt(16), where the sign matrix s_ij is derived from md5
+    * parity of "i_j" — deterministic, seedless, and recomputable by
+    * ANY engine, which is what makes the projection itself (not just a
+    * witness) the gate. The 16x64 sign matrix is computed once on the
+    * driver (metadata scale — the broadcast-literal discipline of the
+    * k-means centroids) and folded into per-row zip_with/aggregate
+    * expressions: the projection is a single codegen'd map over the
+    * scan, zero shuffles, zero joins. Long-format output (q115's
+    * melt): the explode is over the 16 PROJECTED dims, never the input
+    * fact.
+    */
+  val JlOutDims = 16
+  val JlInDims = 64
+
+  /** Same formula both engines: +1 if the first md5 hex digit of
+    * "i_j" is even, else -1. */
+  private def jlSign(i: Int, j: Int): Double = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"${i}_$j".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    if (Integer.parseInt(hex.substring(0, 1), 16) % 2 == 0) 1.0 else -1.0
+  }
+
+  def q203RandomProjection(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+    val projected = (1 to JlOutDims).map { j =>
+      val signs = array((1 to JlInDims).map(i => lit(jlSign(i, j))): _*)
+      (aggregate(zip_with(col("v"), signs, (x, sg) => x * sg),
+        lit(0.0), (acc, x) => acc + x) / lit(4.0)).as(s"p_$j")
+    }
+    emb.select(col("vec_id") +: projected: _*)
+      .select(col("vec_id"),
+        posexplode(array((1 to JlOutDims).map(j => col(s"p_$j")): _*)))
+      .select(col("vec_id"), (col("pos") + 1).cast("long").as("dim_j"),
+        col("col").as("p"))
+  }
+
+  val q203Sql: String =
+    s"""WITH s AS (SELECT j, i,
+       |    CASE WHEN ('0x' || substr(md5(CAST(i AS VARCHAR) || '_' || CAST(j AS VARCHAR)), 1, 1))::INT % 2 = 0
+       |         THEN 1.0 ELSE -1.0 END AS sg
+       |  FROM unnest(generate_series(1, $JlOutDims)) t1(j),
+       |       unnest(generate_series(1, $JlInDims)) t2(i)),
+       |x AS (SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS v
+       |  FROM embeddings, unnest(generate_series(1, $JlInDims)) g(i))
+       |SELECT x.vec_id, CAST(s.j AS BIGINT) AS dim_j, sum(s.sg * x.v) / 4.0 AS p
+       |FROM x JOIN s USING (i) GROUP BY x.vec_id, s.j""".stripMargin
+
   val entries: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "q197_multitouch_attribution" -> (q197MultiTouchAttribution _, q197Sql),
     "q198_frequent_items" -> (q198FrequentItems _, q198Sql),
     "q199_label_propagation" -> (q199LabelPropagation _, q199Sql),
     "q200_weighted_sample" -> (q200WeightedSample _, q200Sql),
+    "q201_kcore_peeling" -> (q201KCorePeeling _, q201Sql),
+    "q203_random_projection" -> (q203RandomProjection _, q203Sql),
   )
 }

@@ -640,6 +640,91 @@ object StreamingQueries {
       |  ON a.user_id = b.user_id
       | AND b.ts BETWEEN a.ts - INTERVAL 1 HOUR AND a.ts + INTERVAL 1 HOUR""".stripMargin
 
+  // ---------------------------------------------------------------- q202
+  /** FULL-OUTER stream-stream join — completes the outer tier next to
+    * q93 (inner, cross-batch matching) and q98 (left-outer, watermark-
+    * gated emission): unmatched rows from BOTH sides must surface with
+    * NULLs once the watermark passes their join horizon, which
+    * requires state eviction to fire symmetrically. Same feed contract
+    * as q98 (one real batch + two sentinel batches that advance, then
+    * apply, the watermark); state stays O(rate x window). The
+    * sentinels never match each other (distinct negative users), so
+    * the first pair outer-emits (filtered in-band) and the last pair
+    * dies in state at stream end — exactly the q98 discipline.
+    */
+  def q202StreamStreamFullOuter(s: SparkSession, d: String): DataFrame = {
+    val base = graft.core.TempDirs.scoped("graft_q202_")
+    val inDir = new java.io.File(base, "in"); inDir.mkdirs()
+    val ckpt = s"$base/ckpt"
+
+    val ev = graft.core.Tables.events(s, d)
+      .select(col("event_id"), col("user_id"),
+              unix_micros(col("ts")).as("ts_us"), col("event_type"))
+      .filter(col("event_type").isin("view", "click"))
+    val hi = ev.agg(max(col("ts_us"))).first().getLong(0)
+    def writeSlice(df: DataFrame, i: Int): Unit = {
+      val tmp = s"$base/slice$i"
+      df.coalesce(1).write.json(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".json")).get
+      val dest = new java.io.File(inDir, f"$i%02d.json")
+      Files.move(part.toPath, dest.toPath)
+      dest.setLastModified(60000L * (i + 1))
+    }
+    writeSlice(ev, 0)
+    val day_us = 86400000000L
+    def sentinels(uBase: Long, at: Long) =
+      s.range(1).select(lit(-uBase).as("event_id"), lit(-uBase).as("user_id"),
+          lit(at).as("ts_us"), lit("view").as("event_type"))
+        .unionByName(s.range(1).select(lit(-uBase - 1).as("event_id"),
+          lit(-uBase - 1).as("user_id"), lit(at).as("ts_us"),
+          lit("click").as("event_type")))
+    writeSlice(sentinels(1L, hi + 10 * day_us), 1)
+    writeSlice(sentinels(3L, hi + 20 * day_us), 2)
+
+    val wire = StructType(Seq(
+      StructField("event_id", LongType), StructField("user_id", LongType),
+      StructField("ts_us", LongType), StructField("event_type", StringType)))
+    def src() = s.readStream.schema(wire)
+      .option("maxFilesPerTrigger", "1").json(inDir.toString)
+    val views = src().filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id").as("vu"),
+              timestamp_micros(col("ts_us")).as("ts_v"))
+      .withWatermark("ts_v", "1 second")
+    val clicks = src().filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("cu"),
+              timestamp_micros(col("ts_us")).as("ts_c"))
+      .withWatermark("ts_c", "1 second")
+    val joined = views.join(clicks, expr(
+      "vu = cu AND ts_c BETWEEN ts_v - INTERVAL 1 HOUR AND ts_v + INTERVAL 1 HOUR"),
+      "fullOuter")
+    val memName = "q202_ssfo_" + java.lang.Long.toHexString(System.nanoTime())
+    val q = startStateful(s) {
+      joined.writeStream
+        .format("memory").queryName(memName)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+    }
+    q.awaitTermination()
+
+    s.table(memName)
+      .filter(coalesce(col("vu"), col("cu")) >= 0)
+      .select(col("view_id"), col("click_id"),
+              coalesce(col("vu"), col("cu")).as("user_id"),
+              (unix_millis(col("ts_c")) - unix_millis(col("ts_v"))).as("gap_ms"))
+  }
+
+  val q202Sql: String =
+    """SELECT a.event_id AS view_id, b.event_id AS click_id,
+      |  COALESCE(a.user_id, b.user_id) AS user_id,
+      |  CAST(epoch_ms(b.ts) - epoch_ms(a.ts) AS BIGINT) AS gap_ms
+      |FROM (SELECT * FROM events WHERE event_type = 'view') a
+      |FULL JOIN (SELECT * FROM events WHERE event_type = 'click') b
+      |  ON a.user_id = b.user_id
+      | AND b.ts BETWEEN a.ts - INTERVAL 1 HOUR AND a.ts + INTERVAL 1 HOUR""".stripMargin
+
   // ---------------------------------------------------------------- q103
   /** Incremental DEDUP-INDEX maintenance — the signature store of a
     * 100 TB near-dup pipeline kept fresh one micro-batch at a time:
@@ -1786,6 +1871,7 @@ object StreamingQueries {
     "q92_streaming_vocab" -> (q92StreamingVocab _, q92Sql),
     "q93_stream_stream_join" -> (q93StreamStreamJoin _, q93Sql),
     "q98_stream_stream_left_outer" -> (q98StreamStreamLeftOuter _, q98Sql),
+    "q202_stream_stream_full_outer" -> (q202StreamStreamFullOuter _, q202Sql),
     "q103_streaming_minhash_index" -> (q103StreamingMinhashIndex _, ExtQueries.q26Sql),
     "q104_time_travel" -> (q104TimeTravel _, q104Sql),
     "q105_stats_prune" -> (q105StatsPrune _, q105Sql),
