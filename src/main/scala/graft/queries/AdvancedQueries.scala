@@ -307,6 +307,148 @@ object AdvancedQueries {
        |SELECT x.vec_id, CAST(s.j AS BIGINT) AS dim_j, sum(s.sg * x.v) / 4.0 AS p
        |FROM x JOIN s USING (i) GROUP BY x.vec_id, s.j""".stripMargin
 
+  // ---------------------------------------------------------------- q204
+  /** NATIVE approx_top_k (Spark 4.1's DataSketches frequent-items
+    * aggregate) — completes the native sketch surface next to HLL
+    * (q39), count-min (q52/q108), quantile (q116), and the custom MG
+    * Aggregator (q198). Witness discipline: the sketch's top list is
+    * engine-specific, so the gate ranks by the EXACT counts (count
+    * DESC, item ASC — deterministic) and emits, per exact-top-10 item,
+    * the in-band boolean that the sketch tracked it within a 1%-of-n
+    * error bound. At the gate's cardinalities the sketch is exact; the
+    * bound is the honest contract for open-vocabulary streams where
+    * compaction kicks in.
+    */
+  def q204ApproxTopK(s: SparkSession, d: String): DataFrame = {
+    val items = Tables.events(s, d)
+      .filter(col("value").isNotNull)
+      .select(floor(col("value")).cast("long").cast("string").as("item"))
+    val est = items.agg(expr("approx_top_k(item, 20)").as("tk"))
+      .select(explode(col("tk")).as("e"))
+      .select(col("e.item").as("item"), col("e.count").as("est"))
+    val exact = items.groupBy(col("item")).agg(count(lit(1)).as("n_item"))
+    val totals = items.agg(count(lit(1)).as("n_total"))
+    val w = Window.orderBy(col("n_item").desc, col("item").asc)
+    exact
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 10)
+      .join(est, Seq("item"), "left")
+      .crossJoin(broadcast(totals))
+      .select(col("item"), col("rk"), col("n_item"),
+        (col("est").isNotNull &&
+          abs(col("est") - col("n_item")) <= col("n_total") / lit(100.0)).as("tracked_ok"))
+  }
+
+  val q204Sql: String =
+    """WITH i AS (SELECT CAST(CAST(floor(value) AS BIGINT) AS VARCHAR) AS item
+      |    FROM events WHERE value IS NOT NULL),
+      |x AS (SELECT item, count(*) AS n_item FROM i GROUP BY item),
+      |r AS (SELECT item, n_item,
+      |    row_number() OVER (ORDER BY n_item DESC, item) AS rk FROM x)
+      |SELECT item, CAST(rk AS BIGINT) AS rk, CAST(n_item AS BIGINT) AS n_item,
+      |  TRUE AS tracked_ok
+      |FROM r WHERE rk <= 10""".stripMargin
+
+  // ---------------------------------------------------------------- q205
+  /** PRODUCT QUANTIZATION ANN (PQ-flat with asymmetric distance): the
+    * 64-dim embedding splits into 8 subspaces of 8 dims; each subspace
+    * has a 16-entry codebook, so a vector compresses to 8 code bytes
+    * (64x smaller than float32); queries score candidates by ADC —
+    * summing 8 precomputed query-to-centroid subdistances instead of
+    * 64-dim float math. q37's determinism trick makes the ORACLE exact
+    * rather than witness-weak: codebooks are data-derived (stride-25
+    * vec_ids), so DuckDB recomputes encode + ADC + ranking bit-for-bit
+    * (identical IEEE op order: ascending-i fold per subspace, round-6 +
+    * id tie-break at every argmin/rank — the q37 discipline).
+    *
+    * Scale shape: encoding is one crossJoin against a BROADCAST
+    * 128-row codebook + packed-long argmin inside HashAggregate (the
+    * q37 pack — no sort, no window over the corpus); ADC joins the
+    * 8-row-per-vector code table against a broadcast query-distance
+    * table on (subspace, code) — shuffle-free compute, ONE shuffle for
+    * the per-(query, candidate) sum. At 100 TB, PQ composes with the
+    * IVF cells (q37/q75): probe only in-cell codes (IVF-PQ) — the gate
+    * pins the PQ half of that pipeline.
+    */
+  val PqSubspaces = 8
+  val PqSubDim = 8
+  val PqCents = 16
+
+  def q205ProductQuantization(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    // 8-dim subvector L2^2, ascending-i fold — DuckDB list_sum twin
+    // runs the identical op order, so the doubles agree bit-for-bit
+    def subDist(v: org.apache.spark.sql.Column, c: org.apache.spark.sql.Column,
+                sCol: org.apache.spark.sql.Column) =
+      aggregate(
+        zip_with(slice(v, (sCol - 1) * PqSubDim + 1, lit(PqSubDim)),
+                 slice(c, (sCol - 1) * PqSubDim + 1, lit(PqSubDim)),
+          (x, y) => (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double"))),
+        lit(0.0), (acc, x) => acc + x)
+    val subs = s.range(1, PqSubspaces + 1).select(col("id").cast("int").as("s"))
+    val cents = emb.filter(col("vec_id") % 25 === 0 && col("vec_id") < (25 * PqCents))
+      .select(expr("vec_id div 25").as("cent_idx"), col("embedding").as("ce"))
+      .crossJoin(subs)
+    val m = lit(PqCents.toLong)
+    // encode: argmin via the packed-long min (round-6 snap + idx tie-break)
+    val dist6i = round(round(subDist(col("embedding"), col("ce"), col("s")), 6) * 1e6, 0)
+      .cast("long")
+    val codes = emb.select(col("vec_id").as("vid"), col("embedding"))
+      .crossJoin(broadcast(cents))
+      .withColumn("packed", dist6i * m + col("cent_idx"))
+      .groupBy(col("vid"), col("s"))
+      .agg(min(col("packed")).as("p"))
+      .withColumn("cent_idx", pmod(col("p"), m))
+      .select(col("vid"), col("s"), col("cent_idx"))
+    // ADC lookup table: |Q| x 8 x 16 rows — broadcast metadata
+    val qd = emb.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      .crossJoin(broadcast(cents))
+      .withColumn("qdist", subDist(col("qe"), col("ce"), col("s")))
+      .select(col("qid"), col("s"), col("cent_idx"), col("qdist"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("adist6").asc, col("cid").asc)
+    codes.join(broadcast(qd), Seq("s", "cent_idx"))
+      .filter(col("vid") =!= col("qid"))
+      .groupBy(col("qid"), col("vid"))
+      .agg(sum(col("qdist")).as("adist"))
+      .withColumn("adist6", round(col("adist"), 6))
+      .select(col("qid"), col("vid").as("cid"), col("adist6"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 3)
+      .select(col("qid"), col("rank"), col("cid"), col("adist6"))
+  }
+
+  val q205Sql: String =
+    s"""WITH sub AS (SELECT unnest(generate_series(1, $PqSubspaces)) AS s),
+       |cents AS (SELECT CAST(vec_id // 25 AS BIGINT) AS cent_idx, embedding AS ce
+       |  FROM embeddings WHERE vec_id % 25 = 0 AND vec_id < ${25 * PqCents}),
+       |encd AS (SELECT e.vec_id AS vid, sub.s, c.cent_idx,
+       |    list_sum(list_transform(generate_series(1, $PqSubDim),
+       |      i -> (CAST(e.embedding[(sub.s - 1) * $PqSubDim + i] AS DOUBLE)
+       |            - CAST(c.ce[(sub.s - 1) * $PqSubDim + i] AS DOUBLE))
+       |         * (CAST(e.embedding[(sub.s - 1) * $PqSubDim + i] AS DOUBLE)
+       |            - CAST(c.ce[(sub.s - 1) * $PqSubDim + i] AS DOUBLE)))) AS dist
+       |  FROM embeddings e, sub, cents c),
+       |enc AS (SELECT vid, s, cent_idx FROM (
+       |    SELECT vid, s, cent_idx,
+       |      row_number() OVER (PARTITION BY vid, s ORDER BY round(dist, 6), cent_idx) AS rn
+       |    FROM encd) WHERE rn = 1),
+       |qd AS (SELECT e.vec_id AS qid, sub.s, c.cent_idx,
+       |    list_sum(list_transform(generate_series(1, $PqSubDim),
+       |      i -> (CAST(e.embedding[(sub.s - 1) * $PqSubDim + i] AS DOUBLE)
+       |            - CAST(c.ce[(sub.s - 1) * $PqSubDim + i] AS DOUBLE))
+       |         * (CAST(e.embedding[(sub.s - 1) * $PqSubDim + i] AS DOUBLE)
+       |            - CAST(c.ce[(sub.s - 1) * $PqSubDim + i] AS DOUBLE)))) AS qdist
+       |  FROM embeddings e, sub, cents c WHERE e.vec_id < 20),
+       |adc AS (SELECT qd.qid, enc.vid, sum(qd.qdist) AS adist
+       |  FROM enc JOIN qd ON enc.s = qd.s AND enc.cent_idx = qd.cent_idx
+       |  WHERE enc.vid <> qd.qid GROUP BY qd.qid, enc.vid)
+       |SELECT qid, CAST(rk AS BIGINT) AS rank, vid AS cid, round(adist, 6) AS adist6
+       |FROM (SELECT qid, vid, adist,
+       |    row_number() OVER (PARTITION BY qid ORDER BY round(adist, 6), vid) AS rk
+       |  FROM adc)
+       |WHERE rk <= 3""".stripMargin
+
   val entries: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "q197_multitouch_attribution" -> (q197MultiTouchAttribution _, q197Sql),
     "q198_frequent_items" -> (q198FrequentItems _, q198Sql),
@@ -314,5 +456,7 @@ object AdvancedQueries {
     "q200_weighted_sample" -> (q200WeightedSample _, q200Sql),
     "q201_kcore_peeling" -> (q201KCorePeeling _, q201Sql),
     "q203_random_projection" -> (q203RandomProjection _, q203Sql),
+    "q204_approx_top_k" -> (q204ApproxTopK _, q204Sql),
+    "q205_product_quantization" -> (q205ProductQuantization _, q205Sql),
   )
 }
