@@ -449,6 +449,70 @@ object AdvancedQueries {
        |  FROM adc)
        |WHERE rk <= 3""".stripMargin
 
+  // ---------------------------------------------------------------- q206
+  /** INTERVAL-OVERLAP JOIN (intervals x intervals — the shape point-
+    * in-range as-of joins (q36/q60) and grid epsilon joins (q156)
+    * don't cover): per-user activity sessions (4h-gap islands) joined
+    * against every OTHER user's overlapping session, emitted as a
+    * per-session concurrency count. The scale path is TEMPORAL
+    * BANDING: each interval explodes to the 6h bands it spans
+    * (span-bounded — sessions are gap-bounded, so bands-per-interval
+    * is small), the join runs as a band EQUI-join, and each
+    * overlapping pair is counted exactly once by pinning it to the
+    * band of the later interval start (floor(max(st1,st2)/B) lies in
+    * both intervals' band ranges whenever they overlap). A plain
+    * interval theta join is quadratic-per-time-region; banding makes
+    * the work proportional to sum of per-band concurrency^2 — the
+    * calendar/genomics interval-join discipline. Band arithmetic uses
+    * integral div (epoch-micros magnitudes exceed 2^53 — the q134
+    * lesson).
+    */
+  def q206IntervalOverlapJoin(s: SparkSession, d: String): DataFrame = {
+    val gapUs = 4L * 3600000000L
+    val bandUs = 21600000000L
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"))
+    val wLag = Window.partitionBy(col("user_id")).orderBy(col("us"))
+    val sess = ev
+      .withColumn("brk",
+        when(col("us") - lag(col("us"), 1).over(wLag) > gapUs, 1L).otherwise(0L))
+      .withColumn("isl", sum(col("brk")).over(
+        wLag.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("isl"))
+      .agg(min(col("us")).as("st"), max(col("us")).as("en"))
+      .withColumn("sid", col("user_id") * lit(1000000L) + col("isl"))
+    def bandOf(c: org.apache.spark.sql.Column) =
+      call_function("div", c, lit(bandUs))
+    val bands = sess.withColumn("band",
+      explode(sequence(bandOf(col("st")), bandOf(col("en")))))
+    val a = bands.select(col("sid").as("a_sid"), col("user_id").as("a_uid"),
+      col("st").as("a_st"), col("en").as("a_en"), col("band"))
+    val b = bands.select(col("sid").as("b_sid"), col("user_id").as("b_uid"),
+      col("st").as("b_st"), col("en").as("b_en"), col("band"))
+    val overlaps = a.join(b, Seq("band"))
+      .filter(col("a_uid") =!= col("b_uid") &&
+        col("a_st") <= col("b_en") && col("b_st") <= col("a_en") &&
+        col("band") === bandOf(greatest(col("a_st"), col("b_st"))))
+      .groupBy(col("a_sid")).agg(count(lit(1)).as("n"))
+    sess.join(overlaps, sess("sid") === overlaps("a_sid"), "left")
+      .select(col("sid"), coalesce(col("n"), lit(0L)).as("n_concurrent"))
+  }
+
+  val q206Sql: String =
+    """WITH ev AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+      |o AS (SELECT user_id, us, CASE WHEN us - lag(us) OVER
+      |    (PARTITION BY user_id ORDER BY us) > 14400000000 THEN 1 ELSE 0 END AS brk
+      |  FROM ev),
+      |i AS (SELECT user_id, us, sum(brk) OVER (PARTITION BY user_id ORDER BY us
+      |    ROWS UNBOUNDED PRECEDING) AS isl FROM o),
+      |sess AS (SELECT user_id, CAST(user_id * 1000000 + isl AS BIGINT) AS sid,
+      |    min(us) AS st, max(us) AS en
+      |  FROM i GROUP BY user_id, isl)
+      |SELECT s.sid, CAST(count(t.sid) AS BIGINT) AS n_concurrent
+      |FROM sess s LEFT JOIN sess t
+      |  ON s.user_id <> t.user_id AND s.st <= t.en AND t.st <= s.en
+      |GROUP BY s.sid""".stripMargin
+
   val entries: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "q197_multitouch_attribution" -> (q197MultiTouchAttribution _, q197Sql),
     "q198_frequent_items" -> (q198FrequentItems _, q198Sql),
@@ -458,5 +522,6 @@ object AdvancedQueries {
     "q203_random_projection" -> (q203RandomProjection _, q203Sql),
     "q204_approx_top_k" -> (q204ApproxTopK _, q204Sql),
     "q205_product_quantization" -> (q205ProductQuantization _, q205Sql),
+    "q206_interval_overlap_join" -> (q206IntervalOverlapJoin _, q206Sql),
   )
 }

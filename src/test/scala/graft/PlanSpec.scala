@@ -546,4 +546,31 @@ class PlanSpec extends SparkSpec {
       "pair join did not broadcast the tiny moment frame")
     assert(!p.contains("SortMergeJoin"), "metadata-scale pair join sort-merges")
   }
+
+  test("JL projection is a pure per-row map — no exchange, no join, no generate over the fact") {
+    // the sign matrix must be folded in as literals; the only Generate
+    // allowed is the output-scale melt of the 16 projected dims
+    val p = executed(SparkEntry.queries("q203_random_projection")(spark, sfDir))
+    assert(!p.contains("Exchange"), "projection shuffles")
+    assert(!p.contains("Join"), "projection joins (sign matrix not a literal?)")
+  }
+
+  test("PQ encode argmin is a HashAggregate over a broadcast codebook — no sort, no window on the corpus") {
+    val p = executed(SparkEntry.queries("q205_product_quantization")(spark, sfDir))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      "codebook/query-table joins are not broadcast")
+    assert(p.contains("HashAggregate"), "packed-long argmin lost its hash aggregate")
+    // the only Window is the |Q|-bounded final ranking; the corpus-side
+    // encode must never sort: windows over (vid, s) would show a
+    // partial Sort before Window with vid in its ordering
+    assert(!p.contains("Sort [vid"), "encode path sorts the corpus")
+  }
+
+  test("multi-touch attribution is one user-shuffle window pass — no range join") {
+    val p = executed(SparkEntry.queries("q197_multitouch_attribution")(spark, sfDir))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "attribution fell back to a purchases x touches range join")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges <= 1, s"expected one user-key shuffle, saw $exchanges")
+  }
 }
