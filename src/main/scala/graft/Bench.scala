@@ -80,8 +80,12 @@ object Bench {
     // the full JSON to a file too, and make the LAST line a short
     // health summary so any tail capture shows pass/fail at a glance.
     try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("BENCH_local.json"), json + "\n")
-    catch { case _: Throwable => () }
+      java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_local.json")),
+      json + "\n")
+    catch { case e: Throwable =>
+      // never fail the bench over the artifact, but never hide it either
+      System.err.println(s"[bench] WARN could not write BENCH_local.json: $e")
+    }
     println(json)
     println(s"""{"metric":"summary","failed":$nFailed,"total_sec":${math.round(total)},"queries":${results.size},"sf":"$sfDir"}""")
     spark.stop()

@@ -44,8 +44,13 @@ object Tables {
     val raw =
       try load(s, d, "events")
       catch {
-        case _: Throwable =>
-          // TIMESTAMP(NANOS) footer: readable only as raw Long nanos.
+        // ONLY the nanos-footer schema rejection takes the legacy-conf
+        // retry; anything else (missing file, corrupt footer, perms)
+        // must propagate as itself — a blanket catch would misdiagnose
+        // real failures as encoding problems AND leave the legacy conf
+        // flipped on the session.
+        case e: Throwable if e.toString.contains("PARQUET_TYPE_ILLEGAL") ||
+            e.toString.contains("Illegal Parquet type") =>
           s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
           load(s, d, "events")
       }

@@ -296,16 +296,18 @@ object AdvancedQueries {
         col("col").as("p"))
   }
 
+  /** The fold is pinned ascending-i on BOTH engines: Spark's
+    * aggregate() is a left fold, and the twin uses list_reduce (also a
+    * left fold) over the per-row dim list — an unnest + hash-agg
+    * sum() would accumulate in morsel order and could differ at the
+    * last ulp, exactly at rounding boundaries. */
   val q203Sql: String =
-    s"""WITH s AS (SELECT j, i,
-       |    CASE WHEN ('0x' || substr(md5(CAST(i AS VARCHAR) || '_' || CAST(j AS VARCHAR)), 1, 1))::INT % 2 = 0
-       |         THEN 1.0 ELSE -1.0 END AS sg
-       |  FROM unnest(generate_series(1, $JlOutDims)) t1(j),
-       |       unnest(generate_series(1, $JlInDims)) t2(i)),
-       |x AS (SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS v
-       |  FROM embeddings, unnest(generate_series(1, $JlInDims)) g(i))
-       |SELECT x.vec_id, CAST(s.j AS BIGINT) AS dim_j, sum(s.sg * x.v) / 4.0 AS p
-       |FROM x JOIN s USING (i) GROUP BY x.vec_id, s.j""".stripMargin
+    s"""SELECT vec_id, CAST(j AS BIGINT) AS dim_j,
+       |  list_reduce(list_transform(generate_series(1, $JlInDims),
+       |    i -> (CASE WHEN ('0x' || substr(md5(CAST(i AS VARCHAR) || '_' || CAST(j AS VARCHAR)), 1, 1))::INT % 2 = 0
+       |          THEN 1.0 ELSE -1.0 END) * CAST(embedding[i] AS DOUBLE)),
+       |    (x, y) -> x + y) / 4.0 AS p
+       |FROM embeddings, unnest(generate_series(1, $JlOutDims)) t(j)""".stripMargin
 
   // ---------------------------------------------------------------- q204
   /** NATIVE approx_top_k (Spark 4.1's DataSketches frequent-items
@@ -328,10 +330,14 @@ object AdvancedQueries {
       .select(col("e.item").as("item"), col("e.count").as("est"))
     val exact = items.groupBy(col("item")).agg(count(lit(1)).as("n_item"))
     val totals = items.agg(count(lit(1)).as("n_total"))
+    // top-10 selection via orderBy+limit — plans as TakeOrderedAndProject
+    // (per-partition top-10, merged on the driver), never a global sort
+    // of all distinct items; the rank window then runs over the
+    // 10-row result (bounded input — the q37 probe-set precedent)
+    val top10 = exact.orderBy(col("n_item").desc, col("item").asc).limit(10)
     val w = Window.orderBy(col("n_item").desc, col("item").asc)
-    exact
+    top10
       .withColumn("rk", row_number().over(w).cast("long"))
-      .filter(col("rk") <= 10)
       .join(est, Seq("item"), "left")
       .crossJoin(broadcast(totals))
       .select(col("item"), col("rk"), col("n_item"),
@@ -400,18 +406,24 @@ object AdvancedQueries {
       .agg(min(col("packed")).as("p"))
       .withColumn("cent_idx", pmod(col("p"), m))
       .select(col("vid"), col("s"), col("cent_idx"))
-    // ADC lookup table: |Q| x 8 x 16 rows — broadcast metadata
+    // ADC lookup table: |Q| x 8 x 16 rows — broadcast metadata. The
+    // per-subspace distance is snapped to INTEGER micros before the
+    // 8-way sum: the ADC accumulation order is shuffle-dependent (and
+    // DuckDB's hash-agg order is its own), so a double sum would break
+    // the exact-oracle contract exactly at rounding boundaries;
+    // integer addition is order-free on both engines.
     val qd = emb.filter(col("vec_id") < 20)
       .select(col("vec_id").as("qid"), col("embedding").as("qe"))
       .crossJoin(broadcast(cents))
-      .withColumn("qdist", subDist(col("qe"), col("ce"), col("s")))
-      .select(col("qid"), col("s"), col("cent_idx"), col("qdist"))
+      .withColumn("qd6i",
+        round(round(subDist(col("qe"), col("ce"), col("s")), 6) * 1e6, 0).cast("long"))
+      .select(col("qid"), col("s"), col("cent_idx"), col("qd6i"))
     val w = Window.partitionBy(col("qid")).orderBy(col("adist6").asc, col("cid").asc)
     codes.join(broadcast(qd), Seq("s", "cent_idx"))
       .filter(col("vid") =!= col("qid"))
       .groupBy(col("qid"), col("vid"))
-      .agg(sum(col("qdist")).as("adist"))
-      .withColumn("adist6", round(col("adist"), 6))
+      .agg(sum(col("qd6i")).as("a6i"))
+      .withColumn("adist6", col("a6i") / lit(1e6))
       .select(col("qid"), col("vid").as("cid"), col("adist6"))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= 3)
@@ -423,29 +435,31 @@ object AdvancedQueries {
        |cents AS (SELECT CAST(vec_id // 25 AS BIGINT) AS cent_idx, embedding AS ce
        |  FROM embeddings WHERE vec_id % 25 = 0 AND vec_id < ${25 * PqCents}),
        |encd AS (SELECT e.vec_id AS vid, sub.s, c.cent_idx,
-       |    list_sum(list_transform(generate_series(1, $PqSubDim),
+       |    list_reduce(list_transform(generate_series(1, $PqSubDim),
        |      i -> (CAST(e.embedding[(sub.s - 1) * $PqSubDim + i] AS DOUBLE)
        |            - CAST(c.ce[(sub.s - 1) * $PqSubDim + i] AS DOUBLE))
        |         * (CAST(e.embedding[(sub.s - 1) * $PqSubDim + i] AS DOUBLE)
-       |            - CAST(c.ce[(sub.s - 1) * $PqSubDim + i] AS DOUBLE)))) AS dist
+       |            - CAST(c.ce[(sub.s - 1) * $PqSubDim + i] AS DOUBLE))),
+       |      (x, y) -> x + y) AS dist
        |  FROM embeddings e, sub, cents c),
        |enc AS (SELECT vid, s, cent_idx FROM (
        |    SELECT vid, s, cent_idx,
        |      row_number() OVER (PARTITION BY vid, s ORDER BY round(dist, 6), cent_idx) AS rn
        |    FROM encd) WHERE rn = 1),
        |qd AS (SELECT e.vec_id AS qid, sub.s, c.cent_idx,
-       |    list_sum(list_transform(generate_series(1, $PqSubDim),
+       |    CAST(round(round(list_reduce(list_transform(generate_series(1, $PqSubDim),
        |      i -> (CAST(e.embedding[(sub.s - 1) * $PqSubDim + i] AS DOUBLE)
        |            - CAST(c.ce[(sub.s - 1) * $PqSubDim + i] AS DOUBLE))
        |         * (CAST(e.embedding[(sub.s - 1) * $PqSubDim + i] AS DOUBLE)
-       |            - CAST(c.ce[(sub.s - 1) * $PqSubDim + i] AS DOUBLE)))) AS qdist
+       |            - CAST(c.ce[(sub.s - 1) * $PqSubDim + i] AS DOUBLE))),
+       |      (x, y) -> x + y), 6) * 1e6) AS BIGINT) AS qd6i
        |  FROM embeddings e, sub, cents c WHERE e.vec_id < 20),
-       |adc AS (SELECT qd.qid, enc.vid, sum(qd.qdist) AS adist
+       |adc AS (SELECT qd.qid, enc.vid, CAST(sum(qd.qd6i) AS BIGINT) AS a6i
        |  FROM enc JOIN qd ON enc.s = qd.s AND enc.cent_idx = qd.cent_idx
        |  WHERE enc.vid <> qd.qid GROUP BY qd.qid, enc.vid)
-       |SELECT qid, CAST(rk AS BIGINT) AS rank, vid AS cid, round(adist, 6) AS adist6
-       |FROM (SELECT qid, vid, adist,
-       |    row_number() OVER (PARTITION BY qid ORDER BY round(adist, 6), vid) AS rk
+       |SELECT qid, CAST(rk AS BIGINT) AS rank, vid AS cid, a6i / 1e6 AS adist6
+       |FROM (SELECT qid, vid, a6i,
+       |    row_number() OVER (PARTITION BY qid ORDER BY a6i, vid) AS rk
        |  FROM adc)
        |WHERE rk <= 3""".stripMargin
 
