@@ -483,7 +483,14 @@ object AdvancedQueries {
     */
   def q206IntervalOverlapJoin(s: SparkSession, d: String): DataFrame = {
     val gapUs = 4L * 3600000000L
-    val bandUs = 21600000000L
+    // 1h bands, not 6h: candidate volume is sum of per-band
+    // concurrency^2, and on burst-heavy data narrower bands cut the
+    // quadratic term faster than they grow the linear band-row term
+    // (measured at sf1: 5.2e9 candidates at 6h vs 2.3e9 at 1h; below
+    // 1h the band-row growth wins and volume rises again). The band
+    // width is internal — the pair-once pinning argument holds for
+    // any width.
+    val bandUs = 3600000000L
     val ev = Tables.events(s, d)
       .select(col("user_id"), unix_micros(col("ts")).as("us"))
     val wLag = Window.partitionBy(col("user_id")).orderBy(col("us"))
