@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked `run` output goes through sbt's logger by default, prefixing
+// every line with "[info] " — which has broken the driver's JSON parse
+// of the Bench summary three rounds running. StdoutOutput makes the
+// forked JVM inherit this process's bare stdout/stderr instead.
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

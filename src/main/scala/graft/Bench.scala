@@ -79,15 +79,27 @@ object Bench {
     // has been truncated into "parsed: null" two rounds running. Persist
     // the full JSON to a file too, and make the LAST line a short
     // health summary so any tail capture shows pass/fail at a glance.
-    try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_local.json")),
-      json + "\n")
+    //
+    // Artifact discipline: BENCH_local.json is the CURATED artifact —
+    // full query set, canonical sf0.1 dir, min-of-3. Subset debug runs
+    // (`Bench q201`), other sf dirs, and single-shot runs write
+    // BENCH_lastrun.json instead, so they can never silently clobber
+    // the committed baseline. SPARK_GRAFT_BENCH_OUT overrides both.
+    val canonical = only.isEmpty && sfDir == "/root/testdata/sf0.1" && repeats >= 3
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      if (canonical) "BENCH_local.json" else "BENCH_lastrun.json")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), json + "\n")
     catch { case e: Throwable =>
       // never fail the bench over the artifact, but never hide it either
-      System.err.println(s"[bench] WARN could not write BENCH_local.json: $e")
+      System.err.println(s"[bench] WARN could not write $outFile: $e")
     }
+    val summary =
+      s"""{"metric":"summary","failed":$nFailed,"total_sec":${math.round(total)},"queries":${results.size},"sf":"$sfDir"}"""
+    // Summary goes to stderr too: even if a capture channel prefixes or
+    // truncates stdout, the bare line exists somewhere.
+    System.err.println(summary)
     println(json)
-    println(s"""{"metric":"summary","failed":$nFailed,"total_sec":${math.round(total)},"queries":${results.size},"sf":"$sfDir"}""")
+    println(summary)
     spark.stop()
   }
 }

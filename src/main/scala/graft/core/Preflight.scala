@@ -74,5 +74,33 @@ object Preflight {
     if (problems.nonEmpty)
       throw new IllegalStateException(
         "testdata preflight FAILED:\n" + problems.mkString("\n"))
+    // Type checks can't catch a silent UNIT change (seconds-vs-micros
+    // in the raw ts would still normalize to a well-typed timestamp,
+    // just centuries off) or an empty regeneration. Two value checks:
+    //  - every table non-empty (limit(1) scan — one split per table);
+    //  - post-normalization events.ts years in a plausible band.
+    val valueProblems = {
+      val empties = expected.keys.toSeq.sorted.flatMap { table =>
+        val df = if (table == "events") Tables.events(spark, sfDir)
+                 else Tables.load(spark, sfDir, table)
+        if (df.limit(1).count() == 0L) Some(s"$table: EMPTY at $sfDir") else None
+      }
+      val tsRange = {
+        import org.apache.spark.sql.functions.{max, min, year}
+        val r = Tables.events(spark, sfDir)
+          .agg(min(year(org.apache.spark.sql.functions.col("ts"))).as("lo"),
+               max(year(org.apache.spark.sql.functions.col("ts"))).as("hi"))
+          .head()
+        val (lo, hi) = (r.getInt(0), r.getInt(1))
+        if (lo < 2000 || hi > 2100)
+          Some(s"events.ts: year range [$lo, $hi] outside plausible [2000, 2100]" +
+            " — likely a ts unit drift (seconds-vs-micros) in this testdata drop")
+        else None
+      }
+      empties ++ tsRange
+    }
+    if (valueProblems.nonEmpty)
+      throw new IllegalStateException(
+        "testdata preflight FAILED:\n" + valueProblems.mkString("\n"))
   }
 }

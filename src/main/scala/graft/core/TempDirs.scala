@@ -26,12 +26,22 @@ object TempDirs {
       live.values().forEach(d => deleteRecursively(d))
     }))
 
-  /** Fresh temp dir under `prefix`; sweeps the previous dir with the
-    * same prefix. Returns the absolute path as a String. */
+  /** Fresh temp dir under `prefix`; sweeps the previous dir registered
+    * under the same (prefix, thread). Returns the absolute path.
+    *
+    * Keyed by calling thread, not prefix alone: if the same query runs
+    * concurrently in one JVM (parallel ScalaTest suites both touching
+    * a SourceQueries/StreamingQueries entry), a prefix-only registry
+    * would let the second call delete files a still-lazy plan from the
+    * first call reads. Per-thread keys mean a call can only ever sweep
+    * its own thread's previous generation; cross-thread dirs survive
+    * until the shutdown hook.
+    */
   def scoped(prefix: String): String = {
     hookInstalled
     val dir = java.nio.file.Files.createTempDirectory(prefix).toString
-    Option(live.put(prefix, dir)).foreach(deleteRecursively)
+    val key = s"$prefix@${Thread.currentThread().getId}"
+    Option(live.put(key, dir)).foreach(deleteRecursively)
     dir
   }
 

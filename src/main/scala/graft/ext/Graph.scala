@@ -174,6 +174,93 @@ object Graph {
     * Returns (node, hops) for every node within `maxHops` of `source`
     * (source itself at 0).
     */
+  /** Min-label propagation TO CONVERGENCE over a directed edge frame
+    * (`src`, `dst`): each round every vertex takes the min of its own
+    * label and its in-neighbors' labels, and the loop ends when an
+    * exact changed-row count (one join per round) reaches ZERO — the
+    * convergence-promoted upgrade of the fixed-3-round prefix contract
+    * (q199), run with q71's escalation discipline: per-round lineage
+    * checkpoints keep the plan O(1) deep, superseded rounds' blocks are
+    * freed deterministically, and the safety cap turns a runaway loop
+    * into a loud error, not a silent hang (monotone min propagation
+    * converges in <= diameter rounds, so the cap should never fire).
+    * At the fixpoint every label is its component's minimum vertex id
+    * (for symmetric edge frames) — which is what lets a closure-style
+    * oracle state the result without replaying rounds.
+    *
+    * Returns (vx, lbl) for every vertex in `vertices` (column `vx`).
+    */
+  def labelPropagateToFixpoint(vertices: DataFrame, edgesIn: DataFrame,
+                               maxRounds: Int = 200): DataFrame = {
+    val edges = edgesIn.select(col("src"), col("dst"))
+    val (ck0, free0) = Lineage.checkpoint(
+      vertices.select(col("vx")).distinct().withColumn("lbl", col("vx")))
+    var labels = ck0
+    var free: () => Unit = free0
+    var converged = false
+    var round = 0
+    while (!converged) {
+      round += 1
+      if (round > maxRounds)
+        sys.error(s"labelPropagateToFixpoint: no convergence in $maxRounds rounds")
+      val nbr = edges.join(labels, edges("src") === labels("vx"))
+        .groupBy(col("dst")).agg(min(col("lbl")).as("nl"))
+      val (ckNext, freeNext) = Lineage.checkpoint(
+        labels.join(nbr, labels("vx") === nbr("dst"), "left")
+          .select(labels("vx"),
+            least(col("lbl"), coalesce(col("nl"), col("lbl"))).as("lbl")))
+      // exact convergence witness BEFORE releasing the old round
+      val changed = ckNext
+        .join(labels.select(col("vx"), col("lbl").as("prev")), "vx")
+        .filter(col("lbl") =!= col("prev")).count()
+      free()
+      free = freeNext
+      labels = ckNext
+      converged = changed == 0L
+    }
+    labels
+  }
+
+  /** K-core peeling TO STABILITY (capped at `maxRounds`) over a
+    * SYMMETRIC edge frame (`src`, `dst` with both directions present,
+    * so out-degree = degree): each round drops vertices whose
+    * surviving degree is < k and restricts edges to survivors,
+    * stopping as soon as a round removes nothing — or at the cap.
+    * Peeling is monotone (the edge set only shrinks) and idempotent at
+    * the fixpoint, so a fixed-`maxRounds` oracle replay equals this
+    * early-exit loop EXACTLY: rounds after stability are no-ops on
+    * both engines, and if stability needs more than the cap, both stop
+    * at the same prefix. Rounds are lineage-checkpointed with
+    * superseded blocks freed (the convergence count piggybacks on the
+    * checkpoint materialization).
+    *
+    * Returns the stable (or capped) edge frame.
+    */
+  def kCorePeel(edgesIn: DataFrame, k: Int, maxRounds: Int): DataFrame = {
+    val (ck0, free0) = Lineage.checkpoint(edgesIn.select(col("src"), col("dst")))
+    var e = ck0
+    var free: () => Unit = free0
+    var n = e.count()
+    var stable = false
+    var round = 0
+    while (!stable && round < maxRounds) {
+      round += 1
+      val alive = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k).select(col("src").as("v"))
+      val (ckNext, freeNext) = Lineage.checkpoint(
+        e.join(alive.select(col("v").as("src")), "src")
+          .join(alive.select(col("v").as("dst")), "dst")
+          .select(col("src"), col("dst")))
+      val nNext = ckNext.count()
+      free()
+      free = freeNext
+      e = ckNext
+      stable = nNext == n
+      n = nNext
+    }
+    e
+  }
+
   def bfsHops(edgesIn: DataFrame, source: Long, maxHops: Int): DataFrame = {
     val spark = edgesIn.sparkSession
     import spark.implicits._

@@ -325,7 +325,12 @@ object AdvancedQueries {
     val items = Tables.events(s, d)
       .filter(col("value").isNotNull)
       .select(floor(col("value")).cast("long").cast("string").as("item"))
-    val est = items.agg(expr("approx_top_k(item, 20)").as("tk"))
+    // maxItemsTracked widened to 4096 (default is 2*k=40): floor(value)
+    // buckets on the shipped data number in the dozens, so every bucket
+    // is tracked EXACTLY and tracked_ok can only diverge from the
+    // oracle's constant TRUE if >20 items tie at-or-above the exact
+    // rank-10 count — a data assumption AdvancedSpec pins explicitly.
+    val est = items.agg(expr("approx_top_k(item, 20, 4096)").as("tk"))
       .select(explode(col("tk")).as("e"))
       .select(col("e.item").as("item"), col("e.count").as("est"))
     val exact = items.groupBy(col("item")).agg(count(lit(1)).as("n_item"))
@@ -380,44 +385,61 @@ object AdvancedQueries {
   val PqSubDim = 8
   val PqCents = 16
 
-  def q205ProductQuantization(s: SparkSession, d: String): DataFrame = {
-    val emb = Tables.embeddings(s, d)
-    // 8-dim subvector L2^2, ascending-i fold — DuckDB list_sum twin
-    // runs the identical op order, so the doubles agree bit-for-bit
-    def subDist(v: org.apache.spark.sql.Column, c: org.apache.spark.sql.Column,
-                sCol: org.apache.spark.sql.Column) =
-      aggregate(
-        zip_with(slice(v, (sCol - 1) * PqSubDim + 1, lit(PqSubDim)),
-                 slice(c, (sCol - 1) * PqSubDim + 1, lit(PqSubDim)),
-          (x, y) => (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double"))),
-        lit(0.0), (acc, x) => acc + x)
+  // 8-dim subvector L2^2, ascending-i fold — DuckDB list_reduce twin
+  // runs the identical op order, so the doubles agree bit-for-bit
+  private def pqSubDist(v: org.apache.spark.sql.Column, c: org.apache.spark.sql.Column,
+                        sCol: org.apache.spark.sql.Column) =
+    aggregate(
+      zip_with(slice(v, (sCol - 1) * PqSubDim + 1, lit(PqSubDim)),
+               slice(c, (sCol - 1) * PqSubDim + 1, lit(PqSubDim)),
+        (x, y) => (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double"))),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** PQ codebook frame: (cent_idx, ce) x subspace s — 128 rows of
+    * broadcast metadata, data-derived (stride-25 vec_ids) so ANY
+    * engine recomputes it exactly. */
+  private def pqCodebook(s: SparkSession, emb: DataFrame): DataFrame = {
     val subs = s.range(1, PqSubspaces + 1).select(col("id").cast("int").as("s"))
-    val cents = emb.filter(col("vec_id") % 25 === 0 && col("vec_id") < (25 * PqCents))
+    emb.filter(col("vec_id") % 25 === 0 && col("vec_id") < (25 * PqCents))
       .select(expr("vec_id div 25").as("cent_idx"), col("embedding").as("ce"))
       .crossJoin(subs)
+  }
+
+  /** Corpus PQ codes (vid, s, cent_idx): argmin per subspace via the
+    * packed-long min (round-6 snap + idx tie-break) inside a
+    * HashAggregate over a broadcast codebook — no sort, no window. */
+  private def pqEncode(emb: DataFrame, cents: DataFrame): DataFrame = {
     val m = lit(PqCents.toLong)
-    // encode: argmin via the packed-long min (round-6 snap + idx tie-break)
-    val dist6i = round(round(subDist(col("embedding"), col("ce"), col("s")), 6) * 1e6, 0)
+    val dist6i = round(round(pqSubDist(col("embedding"), col("ce"), col("s")), 6) * 1e6, 0)
       .cast("long")
-    val codes = emb.select(col("vec_id").as("vid"), col("embedding"))
+    emb.select(col("vec_id").as("vid"), col("embedding"))
       .crossJoin(broadcast(cents))
       .withColumn("packed", dist6i * m + col("cent_idx"))
       .groupBy(col("vid"), col("s"))
       .agg(min(col("packed")).as("p"))
       .withColumn("cent_idx", pmod(col("p"), m))
       .select(col("vid"), col("s"), col("cent_idx"))
-    // ADC lookup table: |Q| x 8 x 16 rows — broadcast metadata. The
-    // per-subspace distance is snapped to INTEGER micros before the
-    // 8-way sum: the ADC accumulation order is shuffle-dependent (and
-    // DuckDB's hash-agg order is its own), so a double sum would break
-    // the exact-oracle contract exactly at rounding boundaries;
-    // integer addition is order-free on both engines.
-    val qd = emb.filter(col("vec_id") < 20)
+  }
+
+  /** ADC lookup table (qid, s, cent_idx, qd6i): |Q| x 8 x 16 rows —
+    * broadcast metadata. The per-subspace distance is snapped to
+    * INTEGER micros before any summation: accumulation order is
+    * shuffle-dependent (and DuckDB's hash-agg order is its own), so a
+    * double sum would break the exact-oracle contract exactly at
+    * rounding boundaries; integer addition is order-free everywhere. */
+  private def pqQueryDists(emb: DataFrame, cents: DataFrame): DataFrame =
+    emb.filter(col("vec_id") < 20)
       .select(col("vec_id").as("qid"), col("embedding").as("qe"))
       .crossJoin(broadcast(cents))
       .withColumn("qd6i",
-        round(round(subDist(col("qe"), col("ce"), col("s")), 6) * 1e6, 0).cast("long"))
+        round(round(pqSubDist(col("qe"), col("ce"), col("s")), 6) * 1e6, 0).cast("long"))
       .select(col("qid"), col("s"), col("cent_idx"), col("qd6i"))
+
+  def q205ProductQuantization(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val cents = pqCodebook(s, emb)
+    val codes = pqEncode(emb, cents)
+    val qd = pqQueryDists(emb, cents)
     val w = Window.partitionBy(col("qid")).orderBy(col("adist6").asc, col("cid").asc)
     codes.join(broadcast(qd), Seq("s", "cent_idx"))
       .filter(col("vid") =!= col("qid"))
@@ -494,6 +516,15 @@ object AdvancedQueries {
     val ev = Tables.events(s, d)
       .select(col("user_id"), unix_micros(col("ts")).as("us"))
     val wLag = Window.partitionBy(col("user_id")).orderBy(col("us"))
+    // Materialized ONCE: the session frame feeds BOTH self-join sides
+    // and the final left join — unpersisted, the events scan + per-user
+    // window ran three times (the round-6 verdict's measured hot spot:
+    // it doubles the heaviest phase of the repo's most expensive sf1
+    // query). persist() over localCheckpoint because Bench/Verify's
+    // spark.catalog.clearCache() reclaims CacheManager entries between
+    // runs; checkpoint blocks it cannot see would accumulate across a
+    // min-of-3. The band explode is recomputed from the cached frame —
+    // it is a per-row map, not worth caching at 8x the row count.
     val sess = ev
       .withColumn("brk",
         when(col("us") - lag(col("us"), 1).over(wLag) > gapUs, 1L).otherwise(0L))
@@ -502,15 +533,28 @@ object AdvancedQueries {
       .groupBy(col("user_id"), col("isl"))
       .agg(min(col("us")).as("st"), max(col("us")).as("en"))
       .withColumn("sid", col("user_id") * lit(1000000L) + col("isl"))
+      .persist()
     def bandOf(c: org.apache.spark.sql.Column) =
       call_function("div", c, lit(bandUs))
     val bands = sess.withColumn("band",
       explode(sequence(bandOf(col("st")), bandOf(col("en")))))
+    // Hot-band guard: per-band join work is concurrency², and without a
+    // guard a flash-crowd band lands in ONE task (AQE can split skewed
+    // SMJ partitions, but only after a straggler materializes the skew).
+    // Sub-band SALTING splits the a side S ways by sid hash and
+    // replicates the b side to all S salt keys: the matched pair set is
+    // identical (each (a,b) meets exactly once, at a's salt), but the
+    // hottest band now spreads over S tasks. The cost — an S× fan-out
+    // of the small band-row stream on one side — is a constant factor
+    // the quadratic term dwarfs exactly when the guard matters.
+    val S = 8
     val a = bands.select(col("sid").as("a_sid"), col("user_id").as("a_uid"),
       col("st").as("a_st"), col("en").as("a_en"), col("band"))
+      .withColumn("salt", pmod(hash(col("a_sid")), lit(S)))
     val b = bands.select(col("sid").as("b_sid"), col("user_id").as("b_uid"),
       col("st").as("b_st"), col("en").as("b_en"), col("band"))
-    val overlaps = a.join(b, Seq("band"))
+      .withColumn("salt", explode(sequence(lit(0), lit(S - 1))))
+    val overlaps = a.join(b, Seq("band", "salt"))
       .filter(col("a_uid") =!= col("b_uid") &&
         col("a_st") <= col("b_en") && col("b_st") <= col("a_en") &&
         col("band") === bandOf(greatest(col("a_st"), col("b_st"))))
@@ -534,6 +578,221 @@ object AdvancedQueries {
       |  ON s.user_id <> t.user_id AND s.st <= t.en AND t.st <= s.en
       |GROUP BY s.sid""".stripMargin
 
+  // ---------------------------------------------------------------- q207
+  /** IVF-PQ ANN — the declared 100 TB scale path, composed end-to-end:
+    * the coarse IVF level (q37's 16 stride-25 centroids + packed-argmax
+    * cell assign, [[Extended.ivfAssignCells]]) restricts each query to
+    * its nprobe=4 best cells, and within those cells candidates are
+    * scored by PQ asymmetric distance (q205's broadcast codebooks +
+    * integer-micro ADC) — never by raw 64-dim float math, and never
+    * against the full corpus.
+    *
+    * Scale shape: both index tables — cells(cid, cent_id) and
+    * codes(vid, s, cent_idx) — are hash-agg products of broadcast
+    * crossJoins (one shuffle each, no window/sort over the corpus; at
+    * 100 TB they'd be precomputed, bucketed by cent_id). The probe set
+    * is |Q| x nprobe rows, broadcast; candidate selection is a
+    * broadcast equi-join against cells, so corpus-side work after
+    * indexing is proportional to the probed cells' content, not the
+    * corpus (nprobe/nlist of it). The ADC table is |Q| x 8 x 16
+    * broadcast metadata; the single corpus-scale shuffle joins
+    * candidates to their 8 code rows, then integer-sums per (query,
+    * candidate).
+    *
+    * Oracle exactness: both levels reuse their parents' determinism
+    * tricks — data-derived IVF centroids ranked by round(cos, 6) with
+    * cent_id tie-break (q37), data-derived PQ codebooks with round-6
+    * integer-micro subdistances and order-free integer ADC sums (q205)
+    * — so DuckDB replays cell assign + encode + probe + ADC + ranking
+    * bit-for-bit.
+    */
+  val IvfPqNprobe = 4
+
+  def q207IvfPq(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    // coarse level: q37's centroid frame + argmax cell assignment
+    val ivfCents = emb.filter(col("vec_id") % 25 === 0 && col("vec_id") < 400)
+      .select(expr("vec_id div 25").as("cent_idx"),
+              col("vec_id").as("cent_id"), col("embedding").as("cent"))
+    val cells = Extended.ivfAssignCells(
+        emb.select(col("vec_id").as("cid"), col("embedding").as("ce")),
+        ivfCents, nCents = 16)
+      .select(col("cid"), col("cent_id"))
+    // probe assignment: |Q| x 16 rows, window bounded by the query set
+    val wProbe = Window.partitionBy(col("qid"))
+      .orderBy(col("cent_cos").desc, col("cent_id").asc)
+    val probes = emb.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      .crossJoin(broadcast(ivfCents))
+      .withColumn("cent_cos",
+        round(graft.functions.VectorFunctions.cosineSim(col("qe"), col("cent")), 6))
+      .withColumn("crank", row_number().over(wProbe))
+      .filter(col("crank") <= IvfPqNprobe)
+      .select(col("qid"), col("cent_id"))
+    // fine level: q205's codebooks, corpus codes, ADC table
+    val cents = pqCodebook(s, emb)
+    val codes = pqEncode(emb, cents)
+    val qd = pqQueryDists(emb, cents)
+    // candidates = corpus vectors in a probed cell (broadcast equi-join)
+    val cand = cells.join(broadcast(probes), Seq("cent_id"))
+      .filter(col("cid") =!= col("qid"))
+      .select(col("qid"), col("cid"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("adist6").asc, col("cid").asc)
+    cand.join(codes, cand("cid") === codes("vid"))
+      .join(broadcast(qd), Seq("qid", "s", "cent_idx"))
+      .groupBy(col("qid"), col("cid"))
+      .agg(sum(col("qd6i")).as("a6i"))
+      .withColumn("adist6", col("a6i") / lit(1e6))
+      .select(col("qid"), col("cid"), col("adist6"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 3)
+      .select(col("qid"), col("rank"), col("cid"), col("adist6"))
+  }
+
+  val q207Sql: String = {
+    val cosEC = graft.functions.VectorFunctions.cosineSqlDuck("e", "cent")
+    s"""WITH icents AS (SELECT vec_id AS cent_id, embedding AS cent FROM embeddings
+       |    WHERE vec_id % 25 = 0 AND vec_id < 400),
+       |cells AS (SELECT cid, cent_id FROM (
+       |    SELECT v.vec_id AS cid, c.cent_id,
+       |      row_number() OVER (PARTITION BY v.vec_id
+       |        ORDER BY round($cosEC, 6) DESC, c.cent_id) AS crank
+       |    FROM (SELECT vec_id, embedding, embedding AS e FROM embeddings) v, icents c)
+       |  WHERE crank = 1),
+       |probes AS (SELECT qid, cent_id FROM (
+       |    SELECT v.vec_id AS qid, c.cent_id,
+       |      row_number() OVER (PARTITION BY v.vec_id
+       |        ORDER BY round($cosEC, 6) DESC, c.cent_id) AS crank
+       |    FROM (SELECT vec_id, embedding, embedding AS e FROM embeddings
+       |          WHERE vec_id < 20) v, icents c)
+       |  WHERE crank <= $IvfPqNprobe),
+       |sub AS (SELECT unnest(generate_series(1, $PqSubspaces)) AS s),
+       |pqc AS (SELECT CAST(vec_id // 25 AS BIGINT) AS cent_idx, embedding AS ce
+       |  FROM embeddings WHERE vec_id % 25 = 0 AND vec_id < ${25 * PqCents}),
+       |encd AS (SELECT e.vec_id AS vid, sub.s, c.cent_idx,
+       |    list_reduce(list_transform(generate_series(1, $PqSubDim),
+       |      i -> (CAST(e.embedding[(sub.s - 1) * $PqSubDim + i] AS DOUBLE)
+       |            - CAST(c.ce[(sub.s - 1) * $PqSubDim + i] AS DOUBLE))
+       |         * (CAST(e.embedding[(sub.s - 1) * $PqSubDim + i] AS DOUBLE)
+       |            - CAST(c.ce[(sub.s - 1) * $PqSubDim + i] AS DOUBLE))),
+       |      (x, y) -> x + y) AS dist
+       |  FROM embeddings e, sub, pqc c),
+       |enc AS (SELECT vid, s, cent_idx FROM (
+       |    SELECT vid, s, cent_idx,
+       |      row_number() OVER (PARTITION BY vid, s ORDER BY round(dist, 6), cent_idx) AS rn
+       |    FROM encd) WHERE rn = 1),
+       |qd AS (SELECT e.vec_id AS qid, sub.s, c.cent_idx,
+       |    CAST(round(round(list_reduce(list_transform(generate_series(1, $PqSubDim),
+       |      i -> (CAST(e.embedding[(sub.s - 1) * $PqSubDim + i] AS DOUBLE)
+       |            - CAST(c.ce[(sub.s - 1) * $PqSubDim + i] AS DOUBLE))
+       |         * (CAST(e.embedding[(sub.s - 1) * $PqSubDim + i] AS DOUBLE)
+       |            - CAST(c.ce[(sub.s - 1) * $PqSubDim + i] AS DOUBLE))),
+       |      (x, y) -> x + y), 6) * 1e6) AS BIGINT) AS qd6i
+       |  FROM embeddings e, sub, pqc c WHERE e.vec_id < 20),
+       |cand AS (SELECT p.qid, c.cid FROM probes p JOIN cells c USING (cent_id)
+       |  WHERE c.cid <> p.qid),
+       |adc AS (SELECT cand.qid, enc.vid AS cid, CAST(sum(qd.qd6i) AS BIGINT) AS a6i
+       |  FROM cand JOIN enc ON enc.vid = cand.cid
+       |    JOIN qd ON qd.qid = cand.qid AND qd.s = enc.s AND qd.cent_idx = enc.cent_idx
+       |  GROUP BY cand.qid, enc.vid)
+       |SELECT qid, CAST(rk AS BIGINT) AS rank, cid, a6i / 1e6 AS adist6
+       |FROM (SELECT qid, cid, a6i,
+       |    row_number() OVER (PARTITION BY qid ORDER BY a6i, cid) AS rk
+       |  FROM adc)
+       |WHERE rk <= 3""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q208
+  /** LABEL PROPAGATION TO CONVERGENCE — the fixpoint promotion of
+    * q199's fixed-3-round prefix, via [[graft.ext.Graph.labelPropagateToFixpoint]]
+    * (per-round lineage checkpoints, deterministic block release, exact
+    * changed-count convergence detection — q71's escalation machinery
+    * applied to community labels). Substrate: the BRAND-SCOPED
+    * co-purchase graph (parts co-purchased in one order AND sharing
+    * p_brand) — component sizes are bounded by brand part-count, which
+    * keeps the oracle's transitive closure quadratic-in-component, not
+    * quadratic-in-corpus, while the Spark side still runs a genuinely
+    * data-dependent number of rounds. At the fixpoint every part's
+    * community is the min part-key reachable in its brand component,
+    * which is exactly what the closure-style oracle states — min over
+    * all reachable labels — with NO round replay, so the gate is exact
+    * for ANY convergence round count.
+    */
+  def q208LabelPropFixpoint(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey"))
+    val pb = Tables.part(s, d).select(col("p_partkey"), col("p_brand"))
+    val lib = li.join(pb, li("l_partkey") === pb("p_partkey"))
+      .select(col("l_orderkey"), col("p_brand"), col("l_partkey").cast("long").as("p"))
+      .distinct()
+    val e = lib.as("x").join(lib.as("y"), Seq("l_orderkey", "p_brand"))
+      .select(col("x.p").as("src"), col("y.p").as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+    val v = lib.select(col("p").as("vx")).distinct()
+    graft.ext.Graph.labelPropagateToFixpoint(v, e)
+      .select(col("vx").as("part"), col("lbl").as("community"))
+  }
+
+  val q208Sql: String =
+    """WITH RECURSIVE
+      |lib AS (SELECT DISTINCT l.l_orderkey, p.p_brand, CAST(l.l_partkey AS BIGINT) AS p
+      |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+      |e AS MATERIALIZED (SELECT DISTINCT a.p AS src, b.p AS dst FROM lib a JOIN lib b
+      |  ON a.l_orderkey = b.l_orderkey AND a.p_brand = b.p_brand WHERE a.p <> b.p),
+      |r AS (
+      |  SELECT p AS vx, p AS lbl FROM (SELECT DISTINCT p FROM lib)
+      |  UNION
+      |  SELECT e.dst AS vx, r.lbl FROM e JOIN r ON e.src = r.vx
+      |)
+      |SELECT vx AS part, CAST(min(lbl) AS BIGINT) AS community FROM r GROUP BY vx""".stripMargin
+
+  // ---------------------------------------------------------------- q209
+  /** K-CORE PEELING TO STABILITY — the fixpoint promotion of q201's
+    * fixed-3-round prefix, via [[graft.ext.Graph.kCorePeel]] (early
+    * exit the round nothing drops, lineage checkpoints, capped at 12).
+    * Same word-adjacency substrate and K=16 as q201. The oracle replays
+    * EXACTLY 12 peel rounds as a MATERIALIZED CTE chain; because
+    * peeling is monotone and idempotent at the fixpoint, the capped
+    * early-exit loop and the fixed-round replay agree for any data:
+    * rounds after stability are no-ops on both engines, and past the
+    * cap both stop at the same prefix. (The same trick cannot gate
+    * q208 — label propagation has no engine-free fixed-round twin
+    * cheaper than the closure — which is why that gate uses the
+    * closure oracle instead.)
+    */
+  def q209KCoreFixpoint(s: SparkSession, d: String): DataFrame = {
+    val bg = Tables.documents(s, d)
+      .select(split(col("text"), " ").as("ts"))
+      .select(explode(expr(
+        """zip_with(slice(ts, 1, greatest(size(ts) - 1, 0)),
+          |         slice(ts, 2, greatest(size(ts) - 1, 0)),
+          |         (x, y) -> struct(x AS a, y AS b))""".stripMargin)).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+      .filter(col("a") =!= col("b"))
+    val e0 = bg.select(col("a").as("src"), col("b").as("dst"))
+      .union(bg.select(col("b").as("src"), col("a").as("dst")))
+      .distinct()
+    graft.ext.Graph.kCorePeel(e0, k = 16, maxRounds = 12)
+      .groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      .select(col("src").as("token"), col("deg"))
+  }
+
+  val q209Sql: String = {
+    val base =
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+        |bg AS (SELECT unnest(list_transform(generate_series(1, len(ts) - 1),
+        |    i -> [ts[i], ts[i+1]])) AS pr FROM t),
+        |e0 AS MATERIALIZED (SELECT DISTINCT pr[1] AS src, pr[2] AS dst FROM bg WHERE pr[1] <> pr[2]
+        |  UNION SELECT DISTINCT pr[2], pr[1] FROM bg WHERE pr[1] <> pr[2])""".stripMargin
+    // MATERIALIZED is load-bearing: e(i-1) is referenced twice per
+    // round; inlined CTEs would re-expand the chain exponentially.
+    val rounds = (1 to 12).map { i =>
+      s"""a$i AS MATERIALIZED (SELECT src AS v FROM e${i - 1} GROUP BY src HAVING count(*) >= 16),
+         |e$i AS MATERIALIZED (SELECT e.src, e.dst FROM e${i - 1} e JOIN a$i x ON e.src = x.v JOIN a$i y ON e.dst = y.v)""".stripMargin
+    }.mkString(",\n")
+    s"$base,\n$rounds\nSELECT src AS token, CAST(count(*) AS BIGINT) AS deg FROM e12 GROUP BY src"
+  }
+
   val entries: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "q197_multitouch_attribution" -> (q197MultiTouchAttribution _, q197Sql),
     "q198_frequent_items" -> (q198FrequentItems _, q198Sql),
@@ -544,5 +803,8 @@ object AdvancedQueries {
     "q204_approx_top_k" -> (q204ApproxTopK _, q204Sql),
     "q205_product_quantization" -> (q205ProductQuantization _, q205Sql),
     "q206_interval_overlap_join" -> (q206IntervalOverlapJoin _, q206Sql),
+    "q207_ivf_pq" -> (q207IvfPq _, q207Sql),
+    "q208_label_prop_fixpoint" -> (q208LabelPropFixpoint _, q208Sql),
+    "q209_kcore_fixpoint" -> (q209KCoreFixpoint _, q209Sql),
   )
 }

@@ -329,7 +329,8 @@ object StreamingQueries {
       val tmp = s"$base/slice$i"
       df.coalesce(1).write.json(tmp)
       val part = new java.io.File(tmp).listFiles()
-        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".json")).get
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".json"))
+        .getOrElse(sys.error(s"no part-*.json under $tmp — empty slice or changed writer naming"))
       val dest = new java.io.File(inDir, f"$i%02d.json")
       Files.move(part.toPath, dest.toPath)
       dest.setLastModified(60000L * (i + 1))
@@ -400,7 +401,8 @@ object StreamingQueries {
       val tmp = s"$base/slice$i"
       df.coalesce(1).write.json(tmp)
       val part = new java.io.File(tmp).listFiles()
-        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".json")).get
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".json"))
+        .getOrElse(sys.error(s"no part-*.json under $tmp — empty slice or changed writer naming"))
       val dest = new java.io.File(inDir, f"$i%02d.json")
       Files.move(part.toPath, dest.toPath)
       dest.setLastModified(60000L * (i + 1))
@@ -580,7 +582,8 @@ object StreamingQueries {
       val tmp = s"$base/slice$i"
       df.coalesce(1).write.json(tmp)
       val part = new java.io.File(tmp).listFiles()
-        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".json")).get
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".json"))
+        .getOrElse(sys.error(s"no part-*.json under $tmp — empty slice or changed writer naming"))
       val dest = new java.io.File(inDir, f"$i%02d.json")
       Files.move(part.toPath, dest.toPath)
       dest.setLastModified(60000L * (i + 1))
@@ -666,7 +669,8 @@ object StreamingQueries {
       val tmp = s"$base/slice$i"
       df.coalesce(1).write.json(tmp)
       val part = new java.io.File(tmp).listFiles()
-        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".json")).get
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".json"))
+        .getOrElse(sys.error(s"no part-*.json under $tmp — empty slice or changed writer naming"))
       val dest = new java.io.File(inDir, f"$i%02d.json")
       Files.move(part.toPath, dest.toPath)
       dest.setLastModified(60000L * (i + 1))
@@ -1178,7 +1182,8 @@ object StreamingQueries {
       val tmp = s"$base/slice$i"
       df.coalesce(1).write.json(tmp)
       val part = new java.io.File(tmp).listFiles()
-        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".json")).get
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".json"))
+        .getOrElse(sys.error(s"no part-*.json under $tmp — empty slice or changed writer naming"))
       val dest = new java.io.File(inDir, f"$i%02d.json")
       Files.move(part.toPath, dest.toPath)
       dest.setLastModified(60000L * (i + 1))
@@ -1269,7 +1274,8 @@ object StreamingQueries {
       val tmp = s"$base/slice$i"
       df.coalesce(1).write.json(tmp)
       val part = new java.io.File(tmp).listFiles()
-        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".json")).get
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".json"))
+        .getOrElse(sys.error(s"no part-*.json under $tmp — empty slice or changed writer naming"))
       val dest = new java.io.File(inDir, f"$i%02d.json")
       Files.move(part.toPath, dest.toPath)
       dest.setLastModified(60000L * (i + 1))
@@ -1348,7 +1354,8 @@ object StreamingQueries {
       val tmp = s"$base/slice$i"
       df.coalesce(1).write.json(tmp)
       val part = new java.io.File(tmp).listFiles()
-        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".json")).get
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".json"))
+        .getOrElse(sys.error(s"no part-*.json under $tmp — empty slice or changed writer naming"))
       val dest = new java.io.File(inDir, f"$i%02d.json")
       Files.move(part.toPath, dest.toPath)
       dest.setLastModified(60000L * (i + 1))
@@ -1446,7 +1453,8 @@ object StreamingQueries {
       ev.filter(col("ts_us") >= lo + i * step && col("ts_us") < lo + (i + 1) * step)
         .coalesce(1).write.json(tmp)
       val part = new java.io.File(tmp).listFiles()
-        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".json")).get
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".json"))
+        .getOrElse(sys.error(s"no part-*.json under $tmp — empty slice or changed writer naming"))
       val dest = new java.io.File(inDir, f"$i%02d.json")
       Files.move(part.toPath, dest.toPath)
       dest.setLastModified(60000L * (i + 1))
@@ -1552,7 +1560,8 @@ object StreamingQueries {
       ev.filter(col("ts_us") >= lo + i * step && col("ts_us") < lo + (i + 1) * step)
         .coalesce(1).write.json(tmp)
       val part = new java.io.File(tmp).listFiles()
-        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".json")).get
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".json"))
+        .getOrElse(sys.error(s"no part-*.json under $tmp — empty slice or changed writer naming"))
       val dest = new java.io.File(inDir, f"$i%02d.json")
       Files.move(part.toPath, dest.toPath)
       dest.setLastModified(60000L * (i + 1))
@@ -1618,7 +1627,8 @@ object StreamingQueries {
       ev.filter(col("ts_us") >= lo + i * step && col("ts_us") < lo + (i + 1) * step)
         .coalesce(1).write.json(tmp)
       val part = new java.io.File(tmp).listFiles()
-        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".json")).get
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".json"))
+        .getOrElse(sys.error(s"no part-*.json under $tmp — empty slice or changed writer naming"))
       val dest = new java.io.File(inDir, f"$i%02d.json")
       Files.move(part.toPath, dest.toPath)
       dest.setLastModified(60000L * (i + 1))
@@ -1697,7 +1707,8 @@ object StreamingQueries {
       val tmp = s"$base/slice$i"
       df.coalesce(1).write.json(tmp)
       val part = new java.io.File(tmp).listFiles()
-        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".json")).get
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".json"))
+        .getOrElse(sys.error(s"no part-*.json under $tmp — empty slice or changed writer naming"))
       val dest = new java.io.File(inDir, f"$i%02d.json")
       Files.move(part.toPath, dest.toPath)
       dest.setLastModified(60000L * (i + 1))
@@ -1797,7 +1808,8 @@ object StreamingQueries {
       val tmp = s"$base/slice$i"
       df.coalesce(1).write.json(tmp)
       val part = new java.io.File(tmp).listFiles()
-        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".json")).get
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".json"))
+        .getOrElse(sys.error(s"no part-*.json under $tmp — empty slice or changed writer naming"))
       val dest = new java.io.File(inDir, f"$i%02d.json")
       Files.move(part.toPath, dest.toPath)
       dest.setLastModified(60000L * (i + 1))

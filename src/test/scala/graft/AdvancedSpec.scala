@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.FormattedMode
+import org.apache.spark.sql.functions._
+
+/** Locks for the advanced-tier gates: the data assumptions q204's
+  * witness column leans on, q206's one-scan banding, q207's index-side
+  * plan shape, and the fixpoint semantics of the convergence-promoted
+  * graph helpers (q208/q209).
+  */
+class AdvancedSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def executed(df: DataFrame): String = {
+    df.collect()
+    df.queryExecution.explainString(FormattedMode)
+  }
+
+  test("q204 data assumptions: tracked capacity covers all buckets, no tie spans rank 20") {
+    // tracked_ok == the oracle's constant TRUE requires (a) every
+    // distinct floor(value) bucket fits in maxItemsTracked=4096 (then
+    // the sketch's counts are exact), and (b) at most 20 items count
+    // at-or-above the exact rank-10 count (then no exact-top-10 item
+    // can be pushed off the sketch's 20-entry list by tie ordering).
+    val items = graft.core.Tables.events(spark, sfDir)
+      .filter(col("value").isNotNull)
+      .select(floor(col("value")).cast("long").cast("string").as("item"))
+    val counts = items.groupBy(col("item")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("item").asc).collect()
+    assert(counts.length <= 4096,
+      s"${counts.length} distinct buckets exceed approx_top_k's tracked capacity")
+    val rank10 = counts(math.min(9, counts.length - 1)).getLong(1)
+    val atOrAbove = counts.count(_.getLong(1) >= rank10)
+    assert(atOrAbove <= 20,
+      s"$atOrAbove items tie at-or-above the rank-10 count — the top-20 list could drop one")
+  }
+
+  test("q206 bands both self-join sides from one cached session frame") {
+    val p = executed(SparkEntry.queries("q206_interval_overlap_join")(spark, sfDir))
+    val inMem = "InMemoryTableScan".r.findAllIn(p).size
+    assert(inMem >= 3,
+      s"expected >=3 cached session-frame reads (band side a, band side b, final join), saw $inMem")
+    spark.catalog.clearCache()
+  }
+
+  test("q207 index tables are hash-agg over broadcast metadata — no cartesian, no corpus sort") {
+    val p = executed(SparkEntry.queries("q207_ivf_pq")(spark, sfDir))
+    assert(!p.contains("CartesianProduct"), "corpus-side cartesian product")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      "centroid/codebook/probe frames are not broadcast")
+    assert(p.contains("HashAggregate"), "packed-long argmin lost its hash aggregate")
+    // corpus-side encode/assign must never sort; the only Sorts belong
+    // to the |Q|-bounded probe and final rankings (partitioned by qid)
+    assert(!p.contains("Sort [vid"), "PQ encode path sorts the corpus")
+    assert(!p.contains("Sort [cid"), "IVF assign path sorts the corpus")
+  }
+
+  test("label propagation converges past any bounded prefix on a hand chain graph") {
+    // path 1-2-...-10: the min label needs 9 rounds to reach the far
+    // end, so a fixed-3-round prefix provably cannot finish — the
+    // fixpoint loop must keep going until the changed-count hits zero
+    val edges = (1L to 9L).flatMap(i => Seq((i, i + 1), (i + 1, i))).toDF("src", "dst")
+    val verts = (1L to 10L).map(Tuple1(_)).toDF("vx")
+    val out = graft.ext.Graph.labelPropagateToFixpoint(verts, edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == (1L to 10L).map(_ -> 1L).toMap,
+      s"fixpoint labels wrong: $out")
+  }
+
+  test("k-core peeling: early-exit stability, full peel, and cap prefix on hand graphs") {
+    // chain of 6 at k=2 peels endpoint pairs round by round to empty
+    val chain = (1L to 5L).flatMap(i => Seq((i, i + 1), (i + 1, i))).toDF("src", "dst")
+    assert(graft.ext.Graph.kCorePeel(chain, k = 2, maxRounds = 12).count() == 0L,
+      "chain should peel to empty at k=2")
+    // a 4-cycle at k=2 is already stable: nothing may drop
+    val cyc = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L))
+      .flatMap { case (a, b) => Seq((a, b), (b, a)) }.toDF("src", "dst")
+    assert(graft.ext.Graph.kCorePeel(cyc, k = 2, maxRounds = 12).count() == 8L,
+      "stable cycle must survive unchanged")
+    // capped run stops at the same prefix a fixed-round replay would
+    val after1 = graft.ext.Graph.kCorePeel(chain, k = 2, maxRounds = 1).count()
+    assert(after1 == 6L, s"one peel round of the 6-chain should leave 6 directed edges, saw $after1")
+  }
+}
