@@ -793,6 +793,144 @@ object AdvancedQueries {
     s"$base,\n$rounds\nSELECT src AS token, CAST(count(*) AS BIGINT) AS deg FROM e12 GROUP BY src"
   }
 
+  // ---------------------------------------------------------------- q210
+  /** IVF-PQ with RESIDUAL encoding — the full FAISS-IVFADC shape that
+    * q207 deliberately stopped short of: PQ quantizes r = v - c(v)
+    * (the vector minus its assigned coarse centroid), which couples
+    * the levels (PQ input depends on the IVF assignment) and is what
+    * makes PQ codes accurate in practice — residuals are centered
+    * near zero, so a 16-entry codebook covers them far better than it
+    * covers raw vectors. Per probed cell the query forms its own
+    * residual r_q = q - c_cell and a per-(cell, subspace, code) ADC
+    * table (|Q| x nprobe x 8 x 16 rows — still broadcast metadata);
+    * candidate restriction to probed cells falls out of the scoring
+    * join's cent_id key, needing no separate semi-join.
+    *
+    * Determinism: residual subtraction is one exact-rounded double op
+    * per element on both engines (float32 -> double casts are exact),
+    * BEFORE the q205 discipline takes over (ascending-i fold, round-6
+    * integer-micro snap, id tie-breaks). The residual codebook sample
+    * uses the OFFSET stride vec_id % 25 == 7: the % 25 == 0 sample IS
+    * the coarse centroid set, whose residuals are identically zero —
+    * a degenerate codebook.
+    *
+    * Scale shape: identical to q207 (broadcast-metadata crossJoins +
+    * hash-agg argmin; one corpus-scale scoring join keyed by
+    * (cent_id, s, code)), plus one broadcast join to attach each
+    * vector's centroid for the residual — the cells table is reused,
+    * not recomputed, from the same assignment expression.
+    */
+  def q210IvfPqResidual(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val ivfCents = emb.filter(col("vec_id") % 25 === 0 && col("vec_id") < 400)
+      .select(expr("vec_id div 25").as("cent_idx"),
+              col("vec_id").as("cent_id"), col("embedding").as("cent"))
+    val cells = Extended.ivfAssignCells(
+        emb.select(col("vec_id").as("cid"), col("embedding").as("ce")),
+        ivfCents, nCents = 16)
+      .select(col("cid"), col("cent_id"))
+    val centVecs = ivfCents.select(col("cent_id"), col("cent"))
+    val resid = emb.select(col("vec_id"), col("embedding"))
+      .join(cells, emb("vec_id") === cells("cid"))
+      .join(broadcast(centVecs), Seq("cent_id"))
+      .select(col("vec_id"), col("cent_id"),
+        zip_with(col("embedding"), col("cent"),
+          (x, y) => x.cast("double") - y.cast("double")).as("resv"))
+    val subs = s.range(1, PqSubspaces + 1).select(col("id").cast("int").as("s"))
+    val cb = resid
+      .filter(col("vec_id") % 25 === 7 && col("vec_id") < (25 * PqCents + 7))
+      .select(expr("(vec_id - 7) div 25").as("cent_idx"), col("resv").as("ce"))
+      .crossJoin(subs)
+    val m = lit(PqCents.toLong)
+    val dist6i = round(round(pqSubDist(col("resv"), col("ce"), col("s")), 6) * 1e6, 0)
+      .cast("long")
+    val codes = resid.select(col("vec_id").as("vid"), col("cent_id"), col("resv"))
+      .crossJoin(broadcast(cb))
+      .withColumn("packed", dist6i * m + col("cent_idx"))
+      .groupBy(col("vid"), col("cent_id"), col("s"))
+      .agg(min(col("packed")).as("p"))
+      .withColumn("code", pmod(col("p"), m))
+      .select(col("vid"), col("cent_id"), col("s"), col("code"))
+    val wProbe = Window.partitionBy(col("qid"))
+      .orderBy(col("cent_cos").desc, col("cent_id").asc)
+    val probes = emb.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      .crossJoin(broadcast(ivfCents))
+      .withColumn("cent_cos",
+        round(graft.functions.VectorFunctions.cosineSim(col("qe"), col("cent")), 6))
+      .withColumn("crank", row_number().over(wProbe))
+      .filter(col("crank") <= IvfPqNprobe)
+      .select(col("qid"), col("cent_id"),
+        zip_with(col("qe"), col("cent"),
+          (x, y) => x.cast("double") - y.cast("double")).as("rq"))
+    val qd = probes.crossJoin(broadcast(cb))
+      .withColumn("qd6i",
+        round(round(pqSubDist(col("rq"), col("ce"), col("s")), 6) * 1e6, 0).cast("long"))
+      .select(col("qid"), col("cent_id"), col("s"), col("cent_idx").as("code"), col("qd6i"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("adist6").asc, col("cid").asc)
+    codes.join(broadcast(qd), Seq("cent_id", "s", "code"))
+      .filter(col("vid") =!= col("qid"))
+      .groupBy(col("qid"), col("vid"))
+      .agg(sum(col("qd6i")).as("a6i"))
+      .withColumn("adist6", col("a6i") / lit(1e6))
+      .select(col("qid"), col("vid").as("cid"), col("adist6"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 3)
+      .select(col("qid"), col("rank"), col("cid"), col("adist6"))
+  }
+
+  val q210Sql: String = {
+    val cosEC = graft.functions.VectorFunctions.cosineSqlDuck("e", "cent")
+    def sq(arr: String) =
+      s"""list_reduce(list_transform(generate_series(1, $PqSubDim),
+         |      i -> ($arr[(sub.s - 1) * $PqSubDim + i] - c.ce[(sub.s - 1) * $PqSubDim + i])
+         |         * ($arr[(sub.s - 1) * $PqSubDim + i] - c.ce[(sub.s - 1) * $PqSubDim + i])),
+         |      (x, y) -> x + y)""".stripMargin
+    s"""WITH icents AS (SELECT CAST(vec_id // 25 AS BIGINT) AS cent_idx, vec_id AS cent_id,
+       |    embedding AS cent FROM embeddings WHERE vec_id % 25 = 0 AND vec_id < 400),
+       |cells AS MATERIALIZED (SELECT cid, cent_id FROM (
+       |    SELECT v.vec_id AS cid, c.cent_id,
+       |      row_number() OVER (PARTITION BY v.vec_id
+       |        ORDER BY round($cosEC, 6) DESC, c.cent_id) AS crank
+       |    FROM (SELECT vec_id, embedding, embedding AS e FROM embeddings) v, icents c)
+       |  WHERE crank = 1),
+       |resid AS MATERIALIZED (SELECT e.vec_id, cl.cent_id,
+       |    list_transform(generate_series(1, ${PqSubspaces * PqSubDim}),
+       |      i -> CAST(e.embedding[i] AS DOUBLE) - CAST(ic.cent[i] AS DOUBLE)) AS resv
+       |  FROM embeddings e JOIN cells cl ON e.vec_id = cl.cid
+       |    JOIN icents ic ON cl.cent_id = ic.cent_id),
+       |sub AS (SELECT unnest(generate_series(1, $PqSubspaces)) AS s),
+       |cb AS (SELECT CAST((vec_id - 7) // 25 AS BIGINT) AS cent_idx, resv AS ce
+       |  FROM resid WHERE vec_id % 25 = 7 AND vec_id < ${25 * PqCents + 7}),
+       |encd AS (SELECT r.vec_id AS vid, r.cent_id, sub.s, c.cent_idx,
+       |    ${sq("r.resv")} AS dist
+       |  FROM resid r, sub, cb c),
+       |enc AS (SELECT vid, cent_id, s, cent_idx AS code FROM (
+       |    SELECT vid, cent_id, s, cent_idx,
+       |      row_number() OVER (PARTITION BY vid, s ORDER BY round(dist, 6), cent_idx) AS rn
+       |    FROM encd) WHERE rn = 1),
+       |probes AS (SELECT qid, cent_id, rq FROM (
+       |    SELECT v.vec_id AS qid, c.cent_id,
+       |      list_transform(generate_series(1, ${PqSubspaces * PqSubDim}),
+       |        i -> CAST(v.embedding[i] AS DOUBLE) - CAST(c.cent[i] AS DOUBLE)) AS rq,
+       |      row_number() OVER (PARTITION BY v.vec_id
+       |        ORDER BY round($cosEC, 6) DESC, c.cent_id) AS crank
+       |    FROM (SELECT vec_id, embedding, embedding AS e FROM embeddings
+       |          WHERE vec_id < 20) v, icents c)
+       |  WHERE crank <= $IvfPqNprobe),
+       |qd AS (SELECT p.qid, p.cent_id, sub.s, c.cent_idx AS code,
+       |    CAST(round(round(${sq("p.rq")}, 6) * 1e6) AS BIGINT) AS qd6i
+       |  FROM probes p, sub, cb c),
+       |adc AS (SELECT qd.qid, enc.vid AS cid, CAST(sum(qd.qd6i) AS BIGINT) AS a6i
+       |  FROM enc JOIN qd ON enc.cent_id = qd.cent_id AND enc.s = qd.s AND enc.code = qd.code
+       |  WHERE enc.vid <> qd.qid GROUP BY qd.qid, enc.vid)
+       |SELECT qid, CAST(rk AS BIGINT) AS rank, cid, a6i / 1e6 AS adist6
+       |FROM (SELECT qid, cid, a6i,
+       |    row_number() OVER (PARTITION BY qid ORDER BY a6i, cid) AS rk
+       |  FROM adc)
+       |WHERE rk <= 3""".stripMargin
+  }
+
   val entries: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "q197_multitouch_attribution" -> (q197MultiTouchAttribution _, q197Sql),
     "q198_frequent_items" -> (q198FrequentItems _, q198Sql),
@@ -806,5 +944,6 @@ object AdvancedQueries {
     "q207_ivf_pq" -> (q207IvfPq _, q207Sql),
     "q208_label_prop_fixpoint" -> (q208LabelPropFixpoint _, q208Sql),
     "q209_kcore_fixpoint" -> (q209KCoreFixpoint _, q209Sql),
+    "q210_ivf_pq_residual" -> (q210IvfPqResidual _, q210Sql),
   )
 }

@@ -56,6 +56,16 @@ class AdvancedSpec extends SparkSpec {
     assert(!p.contains("Sort [cid"), "IVF assign path sorts the corpus")
   }
 
+  test("q210 residual IVF-PQ keeps the q207 index shape — no cartesian, no corpus sort") {
+    val p = executed(SparkEntry.queries("q210_ivf_pq_residual")(spark, sfDir))
+    assert(!p.contains("CartesianProduct"), "corpus-side cartesian product")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      "centroid/codebook/ADC frames are not broadcast")
+    assert(p.contains("HashAggregate"), "packed-long argmin lost its hash aggregate")
+    assert(!p.contains("Sort [vid"), "residual encode path sorts the corpus")
+    assert(!p.contains("Sort [cid"), "IVF assign path sorts the corpus")
+  }
+
   test("label propagation converges past any bounded prefix on a hand chain graph") {
     // path 1-2-...-10: the min label needs 9 rounds to reach the far
     // end, so a fixed-3-round prefix provably cannot finish — the

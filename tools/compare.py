@@ -3,9 +3,15 @@
 in DuckDB over the sf tables, compare to the Verify parquet dumps
 (columns sorted by name, rows sorted, values canonicalized).
 
-Usage: python3 tools/compare.py <sfDir> <verifyOutDir>
+Usage: python3 tools/compare.py <sfDir> <verifyOutDir> [timeoutSecPerQuery]
+
+The optional per-query timeout (default: none) interrupts a DuckDB
+oracle that runs away at large synthesized scale factors (the oracle
+twins of banded/bucketed operators are deliberately quadratic
+anti-baselines — q206's theta join, q36's composed as-of) and records
+the query as TIMEOUT instead of hanging the whole sweep.
 """
-import sys, json, glob, math
+import sys, json, glob, math, threading, time
 import duckdb
 import pandas as pd
 
@@ -47,7 +53,30 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     return out
 
 
-def main(sf_dir: str, out_dir: str) -> None:
+def run_with_timeout(con, sql: str, timeout_sec):
+    """Execute on `con`, interrupting after timeout_sec (None = never).
+    Raises TimeoutError on interrupt."""
+    if not timeout_sec:
+        return con.execute(sql).df()
+    fired = threading.Event()
+
+    def watchdog():
+        if not fired.wait(timeout_sec):
+            con.interrupt()
+
+    t = threading.Thread(target=watchdog, daemon=True)
+    t.start()
+    try:
+        df = con.execute(sql).df()
+        fired.set()
+        return df
+    except duckdb.InterruptException:
+        raise TimeoutError(f"oracle exceeded {timeout_sec}s")
+    finally:
+        fired.set()
+
+
+def main(sf_dir: str, out_dir: str, timeout_sec=None) -> None:
     con = duckdb.connect()
     import os
     for t in TABLES:
@@ -68,7 +97,14 @@ def main(sf_dir: str, out_dir: str) -> None:
             continue
         try:
             got = canon(pd.concat([pd.read_parquet(f) for f in files]))
-            exp = canon(con.execute(sql).df())
+            t0 = time.time()
+            exp = canon(run_with_timeout(con, sql, timeout_sec))
+            if time.time() - t0 > 30:
+                print(f"  [slow oracle] {name}: {time.time() - t0:.0f}s")
+        except TimeoutError as e:
+            print(f"TIMEOUT {name}: {e}")
+            n_fail += 1
+            continue
         except Exception as e:
             print(f"FAIL {name}: {type(e).__name__}: {e}")
             n_fail += 1
@@ -95,4 +131,5 @@ def main(sf_dir: str, out_dir: str) -> None:
 
 
 if __name__ == "__main__":
-    main(sys.argv[1], sys.argv[2])
+    main(sys.argv[1], sys.argv[2],
+         float(sys.argv[3]) if len(sys.argv) > 3 else None)
