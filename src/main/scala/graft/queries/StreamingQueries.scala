@@ -822,6 +822,75 @@ object StreamingQueries {
     Similarity.nearDupFromIndex(sink.read(), threshold = 0.9)
   }
 
+  // ---------------------------------------------------------------- q211
+  /** Incremental PQ-CODE INDEX maintenance — the q103/q107 discipline
+    * applied to the compressed-ANN tier (q205/q207/q210): arriving
+    * vectors encode into 8 PQ code rows each against the FIXED
+    * broadcast codebook (index metadata, data-derived from the static
+    * stride-25 sample — at 100 TB the codebook is trained once and
+    * versioned with the index), LWW-upserted into a MergeSink-backed
+    * codes table keyed (vid, s) one micro-batch at a time. The corpus
+    * is never re-encoded: refresh cost is O(|new vectors| x 8), and
+    * the maintained table IS the `codes` side q207/q210 probe — this
+    * gate closes the loop from "PQ index exists" to "PQ index stays
+    * fresh under arrivals". Oracle: q205's one-shot batch encode SQL —
+    * the maintained table must equal it exactly. The REQUIRE pins
+    * incrementality: 4 slices must produce the expected number of
+    * versioned commits.
+    */
+  def q211StreamingPqIndex(s: SparkSession, d: String): DataFrame = {
+    val base = graft.core.TempDirs.scoped("graft_q211_")
+    val inDir = s"$base/in"; val ckpt = s"$base/ckpt"; val idxDir = s"$base/codes"
+    val emb = graft.core.Tables.embeddings(s, d)
+    val cents = AdvancedQueries.pqCodebook(s, emb)
+    // one file per vec_id%4 slice (hash-repartition can leave a
+    // partition empty); parquet wire: float32 embeddings ride exact
+    (0 until 4).foreach(i => emb.select(col("vec_id"), col("embedding"))
+      .filter(pmod(col("vec_id"), lit(4)) === lit(i))
+      .coalesce(1).write.mode("append").parquet(inDir))
+    val stream = s.readStream
+      .schema(StructType(Seq(
+        StructField("vec_id", LongType),
+        StructField("embedding", ArrayType(FloatType)))))
+      .option("maxFilesPerTrigger", indexFilesPerTrigger(s).toString).parquet(inDir)
+    // each (vid, s) code row arrives exactly once; any deterministic
+    // orderCol works for the LWW tiebreak
+    val sink = new MergeSink(s, idxDir,
+      keys = Seq("vid", "s"), orderCols = Seq("code"), nBuckets = 8)
+    val q = stream.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        sink.merge(AdvancedQueries.pqEncode(batch, cents)
+          .withColumnRenamed("cent_idx", "code"))
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val expectedCommits = (4 + indexFilesPerTrigger(s) - 1) / indexFilesPerTrigger(s)
+    require(sink.versions().size == expectedCommits,
+      s"expected $expectedCommits incremental index commits, got ${sink.versions()}")
+    sink.read().select(col("vid"), col("s").cast("long").as("s"), col("code"))
+  }
+
+  val q211Sql: String = {
+    import AdvancedQueries.{PqSubspaces, PqSubDim, PqCents}
+    s"""WITH sub AS (SELECT unnest(generate_series(1, $PqSubspaces)) AS s),
+       |pqc AS (SELECT CAST(vec_id // 25 AS BIGINT) AS cent_idx, embedding AS ce
+       |  FROM embeddings WHERE vec_id % 25 = 0 AND vec_id < ${25 * PqCents}),
+       |encd AS (SELECT e.vec_id AS vid, sub.s, c.cent_idx,
+       |    list_reduce(list_transform(generate_series(1, $PqSubDim),
+       |      i -> (CAST(e.embedding[(sub.s - 1) * $PqSubDim + i] AS DOUBLE)
+       |            - CAST(c.ce[(sub.s - 1) * $PqSubDim + i] AS DOUBLE))
+       |         * (CAST(e.embedding[(sub.s - 1) * $PqSubDim + i] AS DOUBLE)
+       |            - CAST(c.ce[(sub.s - 1) * $PqSubDim + i] AS DOUBLE))),
+       |      (x, y) -> x + y) AS dist
+       |  FROM embeddings e, sub, pqc c)
+       |SELECT vid, CAST(s AS BIGINT) AS s, CAST(cent_idx AS BIGINT) AS code FROM (
+       |    SELECT vid, s, cent_idx,
+       |      row_number() OVER (PARTITION BY vid, s ORDER BY round(dist, 6), cent_idx) AS rn
+       |    FROM encd) WHERE rn = 1""".stripMargin
+  }
+
   // ---------------------------------------------------------------- q104
   /** TIME TRAVEL at the gate: the CDC history merges in 4 versioned
     * commits; the query reads the table AS OF version 2 — the state
@@ -1889,6 +1958,7 @@ object StreamingQueries {
     "q105_stats_prune" -> (q105StatsPrune _, q105Sql),
     "q106_purge_compliance" -> (q106PurgeCompliance _, q106Sql),
     "q107_streaming_embedding_index" -> (q107StreamingEmbeddingIndex _, ExtQueries.q32Sql),
+    "q211_streaming_pq_index" -> (q211StreamingPqIndex _, q211Sql),
     "q110_change_feed" -> (q110ChangeFeed _, q110Sql),
     "q119_streaming_curation_index" -> (q119StreamingCurationIndex _, ExtQueries.q113Sql),
     "q129_streaming_trending" -> (q129StreamingTrending _, q129Sql),
