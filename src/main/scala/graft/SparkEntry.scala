@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{AdvancedQueries, Breadth, CdcQueries, EngineQueries, ExtQueries, Extended, Relational, SourceQueries, SqlSurface, StreamingQueries}
+import graft.queries.{AdvancedQueries, Breadth, CdcQueries, CurationQueries, EngineQueries, ExtQueries, Extended, Relational, SourceQueries, SqlSurface, StreamingQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -16,7 +16,7 @@ object SparkEntry {
     Seq(Relational.entries, CdcQueries.entries, ExtQueries.entries,
         Extended.entries, SqlSurface.entries, Breadth.entries,
         StreamingQueries.entries, SourceQueries.entries, EngineQueries.entries,
-        AdvancedQueries.entries)
+        AdvancedQueries.entries, CurationQueries.entries)
 
   private lazy val all: Map[String, ((SparkSession, String) => DataFrame, String)] =
     groups.reduce(_ ++ _)

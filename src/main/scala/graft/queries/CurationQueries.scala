@@ -1,0 +1,373 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+
+/** Round-7 batch: data-layout clustering (Z-order), two training-data
+  * curation staples (ExactSubstr-style span dedup, DSIR-style
+  * hashed-n-gram importance weights), sequence pattern matching, and
+  * the statistics tier a 100 TB optimizer leans on (deterministic
+  * bootstrap CIs, CMS join-size estimation, ANALYZE-style column
+  * stats). Every gate keeps the repo's cross-engine disciplines:
+  * integer/multiply-first bucket math, md5-derived determinism,
+  * DECIMAL sums before any double cast, and (ts, event_id) total
+  * orders for window frames.
+  */
+object CurationQueries {
+
+  // ---------------------------------------------------------------- q212
+  /** Z-ORDER CLUSTERING: interleave the top 8 bits of min-max-
+    * normalized (l_partkey, l_suppkey) into a 16-bit Morton code and
+    * report per-zbucket (top-8-Morton-bits) counts and dimension
+    * spans. The point of Z-order at 100 TB is DATA LAYOUT: writing
+    * files in z order gives every file a tight min/max rectangle in
+    * BOTH dimensions, so parquet zone maps prune 2-D probes that a
+    * single-column sort can only prune in one dimension (the
+    * CurationSpec locks the span bound — each zbucket covers <= 1/16
+    * of each normalized dimension by construction — and demonstrates
+    * two-sided file pruning on a z-ordered partitioned write). All
+    * math is integers with multiply-first normalization — (x-min)*256
+    * div (range+1) — and the bit interleave is an unrolled constant
+    * expression (div/mod by literal powers of two), identical on both
+    * engines; the min/max stats frame is a 1-row broadcast.
+    */
+  def q212ZOrder(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d).select(col("l_partkey"), col("l_suppkey"))
+    val stats = li.agg(
+      min(col("l_partkey")).as("minp"), max(col("l_partkey")).as("maxp"),
+      min(col("l_suppkey")).as("mins"), max(col("l_suppkey")).as("maxs"))
+    val z = (0 until 8).map { i =>
+      s"((xb div ${1L << i}) % 2) * ${1L << (2 * i)} + ((yb div ${1L << i}) % 2) * ${1L << (2 * i + 1)}"
+    }.mkString(" + ")
+    li.crossJoin(broadcast(stats))
+      .withColumn("xb", expr("((l_partkey - minp) * 256) div (maxp - minp + 1)"))
+      .withColumn("yb", expr("((l_suppkey - mins) * 256) div (maxs - mins + 1)"))
+      .withColumn("zbucket", expr(s"($z) div 256"))
+      .groupBy(col("zbucket"))
+      .agg(count(lit(1)).as("n"),
+        min(col("l_partkey")).as("min_p"), max(col("l_partkey")).as("max_p"),
+        min(col("l_suppkey")).as("min_s"), max(col("l_suppkey")).as("max_s"))
+  }
+
+  val q212Sql: String = {
+    val z = (0 until 8).map { i =>
+      s"((xb // ${1L << i}) % 2) * ${1L << (2 * i)} + ((yb // ${1L << i}) % 2) * ${1L << (2 * i + 1)}"
+    }.mkString(" + ")
+    s"""WITH stats AS (SELECT min(l_partkey) AS minp, max(l_partkey) AS maxp,
+       |    min(l_suppkey) AS mins, max(l_suppkey) AS maxs FROM lineitem),
+       |b AS (SELECT l_partkey, l_suppkey,
+       |    ((l_partkey - minp) * 256) // (maxp - minp + 1) AS xb,
+       |    ((l_suppkey - mins) * 256) // (maxs - mins + 1) AS yb
+       |  FROM lineitem, stats)
+       |SELECT ($z) // 256 AS zbucket, CAST(count(*) AS BIGINT) AS n,
+       |  min(l_partkey) AS min_p, max(l_partkey) AS max_p,
+       |  min(l_suppkey) AS min_s, max(l_suppkey) AS max_s
+       |FROM b GROUP BY 1""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q213
+  /** EXACT-SUBSTRING DEDUP (Lee et al. 2022's ExactSubstr, the
+    * suffix-array pass quantized to fixed 8-token windows): every
+    * 8-token sliding window is a gram; a gram appearing in >= 2
+    * distinct documents marks all its positions as duplicated span
+    * tokens, and each doc reports its duplicated-position coverage —
+    * the doc-internal complement of the paragraph-level dedup (q182)
+    * and the shingle-hash near-dup tier (q25-q29): those drop whole
+    * units, this MEASURES cross-document span duplication at token
+    * granularity. Shape: one explode to (doc, pos, gram) — O(total
+    * tokens) rows — one hash aggregate keyed by gram for the
+    * >= 2-doc set, one flag join back, one per-doc rollup. At 100 TB
+    * the gram key is the skew hazard (boilerplate grams are
+    * Zipfian-hot): the aggregate is map-side combinable, and the flag
+    * join's hot keys take the q127 salting treatment if profiling
+    * shows them — the per-doc rollup itself is never keyed by gram.
+    * Spark's sequence(1, n) DESCENDS for n < 1 (the verify-skill
+    * gotcha), so the window list is guarded by a size >= 8 CASE;
+    * DuckDB's generate_series is naturally empty there.
+    */
+  def q213ExactSubstr(s: SparkSession, d: String): DataFrame = {
+    val grams = Tables.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("ts"))
+      .select(col("doc_id"), explode(expr(
+        """CASE WHEN size(ts) >= 8
+          |  THEN transform(sequence(1, size(ts) - 7), i -> array_join(slice(ts, i, 8), ' '))
+          |  ELSE array() END""".stripMargin)).as("gram"))
+    val dup = grams.groupBy(col("gram"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2)
+      .select(col("gram"), lit(1L).as("is_dup"))
+    grams.join(dup, Seq("gram"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_pos"),
+        sum(coalesce(col("is_dup"), lit(0L))).as("n_dup_pos"))
+      .withColumn("dup_ratio",
+        col("n_dup_pos").cast("double") / col("n_pos").cast("double"))
+  }
+
+  val q213Sql: String =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+      |g AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(ts) - 7),
+      |    i -> array_to_string(ts[i:i+7], ' '))) AS gram FROM t),
+      |d AS (SELECT gram FROM g GROUP BY gram HAVING count(DISTINCT doc_id) >= 2)
+      |SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_pos,
+      |  CAST(count(d.gram) AS BIGINT) AS n_dup_pos,
+      |  CAST(count(d.gram) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS dup_ratio
+      |FROM g LEFT JOIN d ON g.gram = d.gram
+      |GROUP BY g.doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q214
+  /** DSIR-STYLE IMPORTANCE WEIGHTS (Xie et al. 2023, quantized):
+    * score each document for how target-like (lang='en') its hashed
+    * unigram profile is. Per 64-bucket hashed feature b, the
+    * importance ratio p_target(b)/p_all(b) is quantized to the exact
+    * integer (cnt_en[b] * 1000000) div cnt_all[b]; a doc's score is
+    * the sum of its word occurrences' ratios — all integer math, no
+    * cross-engine transcendentals (true DSIR takes logs; monotone
+    * ranking survives the quantization). Distinct from the LM-
+    * perplexity quality score (q112): DSIR weights TOWARD a target
+    * distribution for resampling, not against a fluency model. The
+    * bucket hash is the repo's engine-free md5 idiom (first 7 hex
+    * digits mod 64). Scale shape: the 64-row ratio table is broadcast
+    * metadata (two map-side-combinable aggregates over the corpus),
+    * so scoring is one broadcast join + one per-doc hash aggregate —
+    * the corpus is scanned twice but only shuffled per-doc.
+    */
+  def q214DsirWeights(s: SparkSession, d: String): DataFrame = {
+    val words = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .withColumn("b", expr("CAST(conv(substring(md5(w), 1, 7), 16, 10) AS BIGINT) % 64"))
+    val ratios = words.groupBy(col("b")).agg(
+        count(lit(1)).as("cnt_all"),
+        count(when(col("lang") === "en", 1)).as("cnt_en"))
+      .select(col("b"), expr("(cnt_en * 1000000) div cnt_all").as("llr_q"))
+    words.join(broadcast(ratios), "b")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("llr_q")).as("score_q"))
+  }
+
+  val q214Sql: String =
+    """WITH words AS (SELECT doc_id, lang, w,
+      |    CAST(('0x' || substr(md5(w), 1, 7)) AS BIGINT) % 64 AS b
+      |  FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w FROM documents)
+      |  WHERE w <> ''),
+      |ratios AS (SELECT b, (count(*) FILTER (lang = 'en') * 1000000) // count(*) AS llr_q
+      |  FROM words GROUP BY b)
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+      |  CAST(sum(llr_q) AS BIGINT) AS score_q
+      |FROM words JOIN ratios USING (b)
+      |GROUP BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q215
+  /** EVENT-SEQUENCE PATTERN COUNTS — the MATCH_RECOGNIZE analog: per
+    * (user, day), the day's events collapse to an ordered initial-
+    * letter string (s/v/c/p/e under the (ts, event_id) total order),
+    * and patterns are counted by regex over that string: immediate
+    * view->click adjacencies, error->purchase adjacencies, and a
+    * whole-funnel subsequence flag. Distinct from the per-step funnel
+    * aggregate (q142: ordered-anywhere stage times) and the Markov
+    * transition matrix (pairwise transition counts): regex states
+    * ADJACENCY and arbitrary-pattern semantics over the full ordered
+    * string. Regex-over-listagg is the declarative way to get
+    * sequential pattern semantics without a per-row state machine:
+    * one SortAggregate keyed (user, day) — bounded state, one
+    * shuffle — then per-row codegen'd regex. Both engines scan
+    * regexes left-to-right non-overlapping, so counts are
+    * engine-free. Day boundaries chunk a user's timeline, keeping
+    * each aggregated string bounded (a hot user contributes one row
+    * per day, not one unbounded string).
+    */
+  def q215SeqPatterns(s: SparkSession, d: String): DataFrame = {
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), col("ts").cast("date").as("day"),
+        unix_micros(col("ts")).as("us"), substring(col("event_type"), 1, 1).as("c"))
+      .groupBy(col("user_id"), col("day"))
+      .agg(expr("listagg(c, '') WITHIN GROUP (ORDER BY us, event_id)").as("seq"))
+      .select(col("user_id"),
+        expr("CAST(datediff(day, DATE '1970-01-01') AS BIGINT)").as("epoch_day"),
+        length(col("seq")).cast("long").as("seq_len"),
+        expr("CAST(regexp_count(seq, 'vc') AS BIGINT)").as("n_vc"),
+        expr("CAST(regexp_count(seq, 'ep') AS BIGINT)").as("n_ep"),
+        expr("seq rlike 's.*v.*c.*p'").as("has_funnel"))
+  }
+
+  val q215Sql: String =
+    """WITH s AS (SELECT user_id, CAST(ts AS DATE) AS day,
+      |    string_agg(substr(event_type, 1, 1), '' ORDER BY epoch_us(ts), event_id) AS seq
+      |  FROM events GROUP BY user_id, CAST(ts AS DATE))
+      |SELECT user_id, CAST(datediff('day', DATE '1970-01-01', day) AS BIGINT) AS epoch_day,
+      |  CAST(length(seq) AS BIGINT) AS seq_len,
+      |  CAST(len(regexp_extract_all(seq, 'vc')) AS BIGINT) AS n_vc,
+      |  CAST(len(regexp_extract_all(seq, 'ep')) AS BIGINT) AS n_ep,
+      |  regexp_matches(seq, 's.*v.*c.*p') AS has_funnel
+      |FROM s""".stripMargin
+
+  // ---------------------------------------------------------------- q216
+  /** DETERMINISTIC MULTIPLIER-BOOTSTRAP CONFIDENCE INTERVALS for the
+    * per-event-type median: 16 bootstrap replicas, each reweighting
+    * every row by a deterministic md5-derived multiplier in {0, 1, 1,
+    * 2} (mean 1 — the Poisson(1) bootstrap quantized to two bits),
+    * then the weighted median per replica, then the min/max envelope
+    * across replicas. The multiplier bootstrap is THE distributed
+    * resampling scheme at 100 TB — no row is ever drawn or moved,
+    * each replica is a per-row weight column, and all 16 replicas
+    * ride one shuffle (explode x16, window per (type, replica)). The
+    * weighted median is the engine-free kind: min value whose
+    * running weight (over the (value, event_id) total order) reaches
+    * half the replica's total — integer weights, exact on both
+    * engines.
+    */
+  def q216BootstrapCi(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type"), col("b"))
+      .orderBy(col("value"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val all = Window.partitionBy(col("event_type"), col("b"))
+    Tables.events(s, d)
+      .select(col("event_type"), col("event_id"), col("value"))
+      .withColumn("b", explode(sequence(lit(0), lit(15))))
+      .withColumn("wt", expr(
+        """CASE CAST(conv(substring(md5(concat(CAST(event_id AS STRING), '#',
+          |  CAST(b AS STRING))), 1, 7), 16, 10) AS BIGINT) % 4
+          |  WHEN 0 THEN 0L WHEN 3 THEN 2L ELSE 1L END""".stripMargin))
+      .withColumn("cum", sum(col("wt")).over(w))
+      .withColumn("tot", sum(col("wt")).over(all))
+      .groupBy(col("event_type"), col("b"))
+      .agg(min(when(col("cum") * 2 >= col("tot"), col("value"))).as("med"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_replicas"),
+        min(col("med")).as("ci_lo"), max(col("med")).as("ci_hi"))
+  }
+
+  val q216Sql: String =
+    """WITH r AS (SELECT e.event_type, e.event_id, e.value, g.b,
+      |    CASE CAST(('0x' || substr(md5(CAST(e.event_id AS VARCHAR) || '#' ||
+      |      CAST(g.b AS VARCHAR)), 1, 7)) AS BIGINT) % 4
+      |      WHEN 0 THEN 0 WHEN 3 THEN 2 ELSE 1 END AS wt
+      |  FROM events e, (SELECT unnest(generate_series(0, 15)) AS b) g),
+      |c AS (SELECT event_type, b, value,
+      |    sum(wt) OVER (PARTITION BY event_type, b ORDER BY value, event_id
+      |      ROWS UNBOUNDED PRECEDING) AS cum,
+      |    sum(wt) OVER (PARTITION BY event_type, b) AS tot
+      |  FROM r),
+      |m AS (SELECT event_type, b, min(CASE WHEN cum * 2 >= tot THEN value END) AS med
+      |  FROM c GROUP BY event_type, b)
+      |SELECT event_type, CAST(count(*) AS BIGINT) AS n_replicas,
+      |  min(med) AS ci_lo, max(med) AS ci_hi
+      |FROM m GROUP BY event_type""".stripMargin
+
+  // ---------------------------------------------------------------- q217
+  /** JOIN-SIZE ESTIMATION via COUNT-MIN-SKETCH INNER PRODUCT — the
+    * optimizer statistic that decides broadcast-vs-shuffle at 100 TB:
+    * |orders JOIN customer ON custkey| = sum_k cntO(k) * cntC(k),
+    * estimated as min over d=4 hash rows of the 64-bucket CMS inner
+    * product (AMS'99 / Cormode-Muthukrishnan). Every collision adds
+    * non-negative mass, so each row's inner product >= the true size
+    * and the min stays one-sided — the emitted witness
+    * (est_ge_exact) is the oracle-checkable guarantee, the q39/q52
+    * sketch-gate discipline. The sketches are 4 x 64 integer counters
+    * per side — mergeable partials, broadcast metadata — so the
+    * estimate costs two map-side-combinable aggregates and a
+    * 256-row join, while the exact twin pays the full key-count
+    * join. Hashes are the engine-free md5 idiom, keyed by (row, key).
+    */
+  def q217JoinSizeCms(s: SparkSession, d: String): DataFrame = {
+    def sketch(df: DataFrame, key: String, out: String): DataFrame =
+      df.groupBy(col(key)).agg(count(lit(1)).as("cnt"))
+        .withColumn("j", explode(sequence(lit(0), lit(3))))
+        .withColumn("hb", expr(
+          s"CAST(conv(substring(md5(concat(CAST(j AS STRING), '#', CAST($key AS STRING))), 1, 7), 16, 10) AS BIGINT) % 64"))
+        .groupBy(col("j"), col("hb")).agg(sum(col("cnt")).as(out))
+    val so = sketch(Tables.orders(s, d), "o_custkey", "co")
+    val sc = sketch(Tables.customer(s, d), "c_custkey", "cc")
+    val est = so.join(sc, Seq("j", "hb"))
+      .groupBy(col("j")).agg(sum(col("co") * col("cc")).as("ip"))
+      .agg(min(col("ip")).as("cms_est"))
+    val exact = Tables.orders(s, d).groupBy(col("o_custkey")).agg(count(lit(1)).as("no"))
+      .join(Tables.customer(s, d).groupBy(col("c_custkey")).agg(count(lit(1)).as("nc")),
+        col("o_custkey") === col("c_custkey"))
+      .agg(coalesce(sum(col("no") * col("nc")), lit(0L)).as("exact_pairs"))
+    exact.crossJoin(est)
+      .select(col("exact_pairs"), col("cms_est"),
+        (col("cms_est") >= col("exact_pairs")).as("est_ge_exact"))
+  }
+
+  val q217Sql: String =
+    """WITH ko AS (SELECT o_custkey AS k, count(*) AS cnt FROM orders GROUP BY 1),
+      |kc AS (SELECT c_custkey AS k, count(*) AS cnt FROM customer GROUP BY 1),
+      |so AS (SELECT g.j, CAST(('0x' || substr(md5(CAST(g.j AS VARCHAR) || '#' ||
+      |      CAST(ko.k AS VARCHAR)), 1, 7)) AS BIGINT) % 64 AS hb,
+      |    CAST(sum(cnt) AS BIGINT) AS co
+      |  FROM ko, (SELECT unnest(generate_series(0, 3)) AS j) g GROUP BY 1, 2),
+      |sc AS (SELECT g.j, CAST(('0x' || substr(md5(CAST(g.j AS VARCHAR) || '#' ||
+      |      CAST(kc.k AS VARCHAR)), 1, 7)) AS BIGINT) % 64 AS hb,
+      |    CAST(sum(cnt) AS BIGINT) AS cc
+      |  FROM kc, (SELECT unnest(generate_series(0, 3)) AS j) g GROUP BY 1, 2),
+      |est AS (SELECT CAST(min(ip) AS BIGINT) AS cms_est FROM (
+      |  SELECT so.j, sum(so.co * sc.cc) AS ip FROM so JOIN sc USING (j, hb) GROUP BY so.j)),
+      |ex AS (SELECT CAST(coalesce(sum(ko.cnt * kc.cnt), 0) AS BIGINT) AS exact_pairs
+      |  FROM ko JOIN kc USING (k))
+      |SELECT exact_pairs, cms_est, cms_est >= exact_pairs AS est_ge_exact
+      |FROM ex, est""".stripMargin
+
+  // ---------------------------------------------------------------- q218
+  /** ANALYZE-STYLE COLUMN STATISTICS — the stats-collection pass
+    * behind every 100 TB planning decision (broadcast thresholds,
+    * join reorder, skew detection): per column, row/null counts,
+    * exact NDV, min/max, and an equi-depth histogram (discrete
+    * percentiles at 1/8..7/8). percentile_disc is the
+    * tie-order-independent order statistic — the value at a global
+    * rank is well-defined for any duplicate ordering, so the result
+    * is engine-free with NO global sort: Spark's percentile
+    * aggregates build per-partition value->count maps and merge them
+    * (state is O(ndv), map-side combinable), never a single-reducer
+    * ordering. One aggregate per column, unioned; each output row is
+    * a 12-number table-stats record.
+    */
+  def q218TableStats(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    def statsOf(c: String): DataFrame = {
+      val qs = Seq(1, 2, 3, 4, 5, 6, 7).map { i =>
+        expr(s"CAST(percentile_disc(0.${i * 125}) WITHIN GROUP (ORDER BY $c) AS DOUBLE)")
+          .as(s"p$i")
+      }
+      li.agg(count(lit(1)).as("n_rows"),
+          (count(lit(1)) - count(col(c))).as("n_null"),
+          countDistinct(col(c)).as("ndv"),
+          min(col(c)).cast("double").as("min_v"),
+          max(col(c)).cast("double").as("max_v"))
+        .crossJoin(li.agg(qs.head, qs.tail: _*))
+        .select(lit(c).as("col_name"), col("n_rows"), col("n_null"), col("ndv"),
+          col("min_v"), col("max_v"),
+          col("p1"), col("p2"), col("p3"), col("p4"), col("p5"), col("p6"), col("p7"))
+    }
+    statsOf("l_quantity")
+      .unionByName(statsOf("l_extendedprice"))
+      .unionByName(statsOf("l_discount"))
+  }
+
+  val q218Sql: String = {
+    def one(c: String): String = {
+      val qs = Seq(1, 2, 3, 4, 5, 6, 7)
+        .map(i => s"CAST(quantile_disc($c, 0.${i * 125}) AS DOUBLE) AS p$i").mkString(", ")
+      s"""SELECT '$c' AS col_name, CAST(count(*) AS BIGINT) AS n_rows,
+         |  CAST(count(*) - count($c) AS BIGINT) AS n_null,
+         |  CAST(count(DISTINCT $c) AS BIGINT) AS ndv,
+         |  CAST(min($c) AS DOUBLE) AS min_v, CAST(max($c) AS DOUBLE) AS max_v, $qs
+         |FROM lineitem""".stripMargin
+    }
+    Seq("l_quantity", "l_extendedprice", "l_discount").map(one).mkString("\nUNION ALL\n")
+  }
+
+  val entries: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "q212_zorder" -> (q212ZOrder _, q212Sql),
+    "q213_exact_substr" -> (q213ExactSubstr _, q213Sql),
+    "q214_dsir_weights" -> (q214DsirWeights _, q214Sql),
+    "q215_seq_patterns" -> (q215SeqPatterns _, q215Sql),
+    "q216_bootstrap_ci" -> (q216BootstrapCi _, q216Sql),
+    "q217_join_size_cms" -> (q217JoinSizeCms _, q217Sql),
+    "q218_table_stats" -> (q218TableStats _, q218Sql),
+  )
+}

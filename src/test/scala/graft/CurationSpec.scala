@@ -1,0 +1,129 @@
+package graft
+
+import org.apache.spark.sql.execution.FormattedMode
+import org.apache.spark.sql.functions._
+
+/** Locks for the round-7 curation/statistics tier: q212's Z-order
+  * locality bound and the two-sided file pruning it buys, q213's
+  * span-dedup invariants, q216's multiplier-weight law, q217's
+  * one-sided CMS guarantee against an independently computed truth,
+  * and q218's distributed (partial-aggregate) percentile shape.
+  */
+class CurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("q212 zbuckets bound both dimensions to <= 1/16 of their range (+floor slack)") {
+    val rows = SparkEntry.queries("q212_zorder")(spark, sfDir).collect()
+    val li = graft.core.Tables.lineitem(spark, sfDir)
+      .agg(min("l_partkey"), max("l_partkey"), min("l_suppkey"), max("l_suppkey"))
+      .head()
+    val (minp, maxp, mins, maxs) =
+      (li.getLong(0), li.getLong(1), li.getLong(2), li.getLong(3))
+    // a zbucket fixes the top 4 normalized bits of EACH dimension, so
+    // its raw span is at most range/16 plus one normalization cell
+    val pBound = (maxp - minp + 1) / 16 + (maxp - minp + 1) / 256 + 2
+    val sBound = (maxs - mins + 1) / 16 + (maxs - mins + 1) / 256 + 2
+    rows.foreach { r =>
+      val (pSpan, sSpan) =
+        (r.getAs[Long]("max_p") - r.getAs[Long]("min_p"),
+         r.getAs[Long]("max_s") - r.getAs[Long]("min_s"))
+      assert(pSpan <= pBound, s"zbucket ${r.get(0)}: partkey span $pSpan > $pBound")
+      assert(sSpan <= sBound, s"zbucket ${r.get(0)}: suppkey span $sSpan > $sBound")
+    }
+  }
+
+  test("q212 z-partitioned layout prunes a 2-D rectangle probe in BOTH dimensions") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_zorder_").toString
+    val li = graft.core.Tables.lineitem(spark, sfDir).select("l_partkey", "l_suppkey")
+    val st = li.agg(min("l_partkey"), max("l_partkey"), min("l_suppkey"), max("l_suppkey")).head()
+    val (minp, maxp, mins, maxs) = (st.getLong(0), st.getLong(1), st.getLong(2), st.getLong(3))
+    val z = (0 until 8).map { i =>
+      s"((xb div ${1L << i}) % 2) * ${1L << (2 * i)} + ((yb div ${1L << i}) % 2) * ${1L << (2 * i + 1)}"
+    }.mkString(" + ")
+    li.withColumn("xb", expr(s"((l_partkey - $minp) * 256) div (${maxp - minp + 1})"))
+      .withColumn("yb", expr(s"((l_suppkey - $mins) * 256) div (${maxs - mins + 1})"))
+      .withColumn("zbucket", expr(s"($z) div 256"))
+      .write.partitionBy("zbucket").mode("overwrite").parquet(dir)
+    val back = spark.read.parquet(dir)
+    // files touched at EXECUTION time (inputFiles is planning-time and
+    // ignores partition pruning)
+    def filesRead(df: org.apache.spark.sql.DataFrame): Long =
+      df.select(input_file_name()).distinct().count()
+    val total = filesRead(back)
+    // rectangle = lower quarter of both dims -> xhi, yhi in 0..3 ->
+    // 16 of the 256 possible zbuckets (the z-range rewrite every
+    // Z-order reader does: rectangle -> Morton bucket set)
+    val buckets = for (xh <- 0 to 3; yh <- 0 to 3) yield {
+      (0 until 4).map(i => ((xh >> i) & 1).toLong * (1L << (2 * i)) +
+        ((yh >> i) & 1).toLong * (1L << (2 * i + 1))).sum
+    }
+    val pHi = minp + (maxp - minp + 1) / 4 - 1
+    val sHi = mins + (maxs - mins + 1) / 4 - 1
+    val probe = back.filter(col("zbucket").isin(buckets: _*) &&
+      col("l_partkey") <= pHi && col("l_suppkey") <= sHi)
+    val read = filesRead(probe)
+    assert(read < total / 4,
+      s"2-D probe read $read of $total files — z layout should prune to ~1/16")
+    // the bucket-set rewrite loses no rows vs the raw rectangle
+    val exact = back.filter(col("l_partkey") <= pHi && col("l_suppkey") <= sHi).count()
+    assert(probe.count() == exact, "z-bucket rewrite dropped rows")
+    graft.core.TempDirs.deleteRecursively(dir)
+  }
+
+  test("q213 span-dedup invariants: counts bounded, boilerplate found, grams flagged consistently") {
+    val rows = SparkEntry.queries("q213_exact_substr")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, d) = (r.getAs[Long]("n_pos"), r.getAs[Long]("n_dup_pos"))
+      assert(d >= 0 && d <= n, s"doc ${r.get(0)}: dup positions $d outside [0, $n]")
+    }
+    assert(rows.count(_.getAs[Long]("n_dup_pos") > 0) > 0,
+      "no duplicated 8-token span found — the gate is not exercising the dup path")
+  }
+
+  test("q216 multiplier weights follow the {0,1,1,2} law (mean-1 resampling)") {
+    val wts = graft.core.Tables.events(spark, sfDir)
+      .select(col("event_id")).withColumn("b", explode(sequence(lit(0), lit(15))))
+      .withColumn("wt", expr(
+        """CASE CAST(conv(substring(md5(concat(CAST(event_id AS STRING), '#',
+          |  CAST(b AS STRING))), 1, 7), 16, 10) AS BIGINT) % 4
+          |  WHEN 0 THEN 0L WHEN 3 THEN 2L ELSE 1L END""".stripMargin))
+      .groupBy("wt").count().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(wts.keySet == Set(0L, 1L, 2L), s"unexpected weight values: ${wts.keySet}")
+    val total = wts.values.sum.toDouble
+    // md5 uniformity: P(0)=P(2)=1/4, P(1)=1/2, so mass ~ total
+    val mass = wts.map { case (w, n) => w * n }.sum.toDouble
+    assert(math.abs(mass / total - 1.0) < 0.05,
+      s"replica mass ${mass / total} per row drifts from the mean-1 law")
+  }
+
+  test("q217 CMS estimate is one-sided against an independently joined truth") {
+    val r = SparkEntry.queries("q217_join_size_cms")(spark, sfDir).head()
+    val truth = graft.core.Tables.orders(spark, sfDir).as("o")
+      .join(graft.core.Tables.customer(spark, sfDir).as("c"),
+        col("o.o_custkey") === col("c.c_custkey"))
+      .count()
+    assert(r.getAs[Long]("exact_pairs") == truth, "exact twin disagrees with a direct join")
+    assert(r.getAs[Long]("cms_est") >= truth, "CMS inner product lost its one-sided guarantee")
+    assert(r.getAs[Boolean]("est_ge_exact"))
+  }
+
+  test("q218 percentile_disc aggregates with map-side partials — no pre-aggregate global sort") {
+    val df = SparkEntry.queries("q218_table_stats")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.explainString(FormattedMode)
+    assert(p.contains("partial_percentile_disc") || p.contains("Partial"),
+      "percentile_disc lost its partial (map-side) aggregation level")
+    val stats = df.collect().map(r => r.getAs[String]("col_name") -> r).toMap
+    val li = graft.core.Tables.lineitem(spark, sfDir)
+    val qty = stats("l_quantity")
+    assert(qty.getAs[Long]("ndv") ==
+      li.select(countDistinct(col("l_quantity"))).head().getLong(0))
+    assert(qty.getAs[Double]("min_v") ==
+      li.agg(min(col("l_quantity")).cast("double")).head().getDouble(0))
+    // the equi-depth boundaries are nondecreasing and inside [min, max]
+    val ps = (1 to 7).map(i => qty.getAs[Double](s"p$i"))
+    assert(ps.sliding(2).forall(w => w(0) <= w(1)), s"histogram not monotone: $ps")
+    assert(ps.head >= qty.getAs[Double]("min_v") && ps.last <= qty.getAs[Double]("max_v"))
+  }
+}
