@@ -30,22 +30,22 @@ object CurationQueries {
     * of each normalized dimension by construction — and demonstrates
     * two-sided file pruning on a z-ordered partitioned write). All
     * math is integers with multiply-first normalization — (x-min)*256
-    * div (range+1) — and the bit interleave is an unrolled constant
-    * expression (div/mod by literal powers of two), identical on both
-    * engines; the min/max stats frame is a 1-row broadcast.
+    * div (range+1) — and the bit interleave is the native codegen
+    * [[graft.functions.MortonInterleave]] expression (one tight bit
+    * loop inside whole-stage codegen; the oracle's unrolled
+    * div/mod-by-powers-of-two arithmetic twin is spec-locked
+    * equivalent); the min/max stats frame is a 1-row broadcast.
     */
   def q212ZOrder(s: SparkSession, d: String): DataFrame = {
     val li = Tables.lineitem(s, d).select(col("l_partkey"), col("l_suppkey"))
     val stats = li.agg(
       min(col("l_partkey")).as("minp"), max(col("l_partkey")).as("maxp"),
       min(col("l_suppkey")).as("mins"), max(col("l_suppkey")).as("maxs"))
-    val z = (0 until 8).map { i =>
-      s"((xb div ${1L << i}) % 2) * ${1L << (2 * i)} + ((yb div ${1L << i}) % 2) * ${1L << (2 * i + 1)}"
-    }.mkString(" + ")
     li.crossJoin(broadcast(stats))
       .withColumn("xb", expr("((l_partkey - minp) * 256) div (maxp - minp + 1)"))
       .withColumn("yb", expr("((l_suppkey - mins) * 256) div (maxs - mins + 1)"))
-      .withColumn("zbucket", expr(s"($z) div 256"))
+      .withColumn("zval", graft.functions.MortonInterleave.morton(col("xb"), col("yb"), 8))
+      .withColumn("zbucket", expr("zval div 256"))
       .groupBy(col("zbucket"))
       .agg(count(lit(1)).as("n"),
         min(col("l_partkey")).as("min_p"), max(col("l_partkey")).as("max_p"),
@@ -361,6 +361,212 @@ object CurationQueries {
     Seq("l_quantity", "l_extendedprice", "l_discount").map(one).mkString("\nUNION ALL\n")
   }
 
+  // ---------------------------------------------------------------- q219
+  /** ITEM-ITEM COLLABORATIVE-FILTERING SIMILARITY: for every part,
+    * the top-3 co-purchased partners by cosine over order-occurrence
+    * vectors — cos(a, b) = |orders(a) n orders(b)| / (sqrt|orders(a)|
+    * * sqrt|orders(b)|). The classic recommender precompute. Shape:
+    * pair generation is WITHIN-order (distinct items per order
+    * self-joined on l_orderkey — fan-out bounded by basket size
+    * squared, never a corpus cross join), counts are map-side
+    * combinable, the per-item occurrence counts join is dim-scale,
+    * and the top-3 is a bounded rank window per item. IEEE sqrt is
+    * exactly rounded on both engines, and the quotient is emitted
+    * with pinned parenthesization — the cross-engine float
+    * discipline. co >= 2 trims the noise floor BEFORE ranking so
+    * ranks agree by construction.
+    */
+  def q219ItemItemCf(s: SparkSession, d: String): DataFrame = {
+    val oi = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val ni = oi.groupBy(col("l_partkey")).agg(count(lit(1)).as("n"))
+    val co = oi.select(col("l_orderkey"), col("l_partkey").as("item"))
+      .join(oi.select(col("l_orderkey"), col("l_partkey").as("partner")), "l_orderkey")
+      .filter(col("item") =!= col("partner"))
+      .groupBy(col("item"), col("partner")).agg(count(lit(1)).as("co"))
+      .filter(col("co") >= 2)
+    val scored = co
+      .join(ni.select(col("l_partkey").as("item"), col("n").as("na")), "item")
+      .join(ni.select(col("l_partkey").as("partner"), col("n").as("nb")), "partner")
+      .withColumn("cos", col("co").cast("double") /
+        (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))))
+    scored
+      .withColumn("rank", row_number().over(Window.partitionBy(col("item"))
+        .orderBy(col("cos").desc, col("partner").asc)).cast("long"))
+      .filter(col("rank") <= 3)
+      .select(col("item"), col("rank"), col("partner"), col("co"), col("cos"))
+  }
+
+  val q219Sql: String =
+    """WITH oi AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      |ni AS (SELECT l_partkey, count(*) AS n FROM oi GROUP BY 1),
+      |co AS (SELECT a.l_partkey AS item, b.l_partkey AS partner, count(*) AS co
+      |  FROM oi a JOIN oi b ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+      |  GROUP BY 1, 2 HAVING count(*) >= 2),
+      |sc AS (SELECT co.item, co.partner, co.co,
+      |    CAST(co.co AS DOUBLE) / (sqrt(CAST(na.n AS DOUBLE)) * sqrt(CAST(nb.n AS DOUBLE))) AS cos
+      |  FROM co JOIN ni na ON co.item = na.l_partkey JOIN ni nb ON co.partner = nb.l_partkey)
+      |SELECT item, CAST(rk AS BIGINT) AS rank, partner, CAST(co AS BIGINT) AS co, cos
+      |FROM (SELECT *, row_number() OVER (PARTITION BY item ORDER BY cos DESC, partner) AS rk
+      |  FROM sc)
+      |WHERE rk <= 3""".stripMargin
+
+  // ---------------------------------------------------------------- q220
+  /** OHLC BAR DOWNSAMPLING: per (user, 5-minute bar), the
+    * open/high/low/close/volume summary — the canonical time-series
+    * compaction for metrics and market data. Open/close are packed
+    * argmin/argmax — min/max over struct(us, event_id, value), the
+    * repo's single-aggregation first/last idiom (never a per-group
+    * sort or row_number pass on the Spark side; the oracle's
+    * row_number twin states the same endpoint). Volume is the
+    * DECIMAL-sum discipline. One hash aggregate, one shuffle, state
+    * per group is two structs + four scalars.
+    */
+  def q220OhlcBars(s: SparkSession, d: String): DataFrame = {
+    val barUs = 300000000L
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"), col("value"))
+      .withColumn("bar_us", expr(s"(us div $barUs) * $barUs"))
+      .groupBy(col("user_id"), col("bar_us"))
+      .agg(count(lit(1)).as("n"),
+        min(struct(col("us"), col("event_id"), col("value"))).as("o"),
+        max(struct(col("us"), col("event_id"), col("value"))).as("c"),
+        max(col("value")).as("high"), min(col("value")).as("low"),
+        expr("CAST(round(sum(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE)").as("vol"))
+      .select(col("user_id"), col("bar_us"), col("n"),
+        col("o.value").as("open"), col("high"), col("low"),
+        col("c.value").as("close"), col("vol"))
+  }
+
+  val q220Sql: String =
+    """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us, value,
+      |    (epoch_us(ts) // 300000000) * 300000000 AS bar_us FROM events),
+      |r AS (SELECT *,
+      |    row_number() OVER (PARTITION BY user_id, bar_us ORDER BY us, event_id) AS ra,
+      |    row_number() OVER (PARTITION BY user_id, bar_us ORDER BY us DESC, event_id DESC) AS rd
+      |  FROM e)
+      |SELECT user_id, bar_us, CAST(count(*) AS BIGINT) AS n,
+      |  max(CASE WHEN ra = 1 THEN value END) AS open,
+      |  max(value) AS high, min(value) AS low,
+      |  max(CASE WHEN rd = 1 THEN value END) AS close,
+      |  CAST(round(sum(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS vol
+      |FROM r GROUP BY user_id, bar_us""".stripMargin
+
+  // ---------------------------------------------------------------- q221
+  /** SOURCE-PAIR VOCABULARY OVERLAP (Jaccard): for every pair of
+    * document sources, |vocab(a) n vocab(b)| / |vocab(a) u vocab(b)|
+    * — the corpus-mixing diagnostic that tells a curation pipeline
+    * which sources are near-redundant before sampling weights are
+    * chosen. Exact set Jaccard from integer counts (intersection via
+    * a token equi-join of the DISTINCT (source, token) frame; union
+    * by inclusion-exclusion), emitted as one raw quotient. Scale
+    * shape: the distinct frame is O(vocab x sources), the join fans
+    * out per token by the number of sources containing it (bounded
+    * by sources^2, not corpus^2), and per-source vocab sizes are a
+    * broadcast dim. Zipf-hot tokens are exactly the q213/q127 skew
+    * note — bounded here by the source count.
+    */
+  def q221VocabJaccard(s: SparkSession, d: String): DataFrame = {
+    val st = Tables.documents(s, d)
+      .select(col("source"), explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "").distinct()
+    val sizes = st.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    st.select(col("source").as("source_a"), col("w"))
+      .join(st.select(col("source").as("source_b"), col("w")), "w")
+      .filter(col("source_a") < col("source_b"))
+      .groupBy(col("source_a"), col("source_b")).agg(count(lit(1)).as("inter"))
+      .join(broadcast(sizes.select(col("source").as("source_a"), col("n").as("na"))), "source_a")
+      .join(broadcast(sizes.select(col("source").as("source_b"), col("n").as("nb"))), "source_b")
+      .select(col("source_a"), col("source_b"), col("inter"),
+        (col("inter").cast("double") /
+          (col("na") + col("nb") - col("inter")).cast("double")).as("jaccard"))
+  }
+
+  val q221Sql: String =
+    """WITH st AS (SELECT DISTINCT source, w FROM
+      |    (SELECT source, unnest(string_split(text, ' ')) AS w FROM documents)
+      |  WHERE w <> ''),
+      |sz AS (SELECT source, count(*) AS n FROM st GROUP BY 1),
+      |iv AS (SELECT a.source AS source_a, b.source AS source_b, count(*) AS inter
+      |  FROM st a JOIN st b ON a.w = b.w AND a.source < b.source GROUP BY 1, 2)
+      |SELECT iv.source_a, iv.source_b, CAST(iv.inter AS BIGINT) AS inter,
+      |  CAST(iv.inter AS DOUBLE) / CAST(za.n + zb.n - iv.inter AS DOUBLE) AS jaccard
+      |FROM iv JOIN sz za ON iv.source_a = za.source
+      |        JOIN sz zb ON iv.source_b = zb.source""".stripMargin
+
+  // ---------------------------------------------------------------- q222
+  /** CONCENTRATION INDEX (HHI / Gini-style impurity, integer-exact):
+    * per user, how concentrated their activity is across event types
+    * — HHI = sum(cnt_t^2) / total^2, the Herfindahl index (1 =
+    * single-type, 1/k = uniform over k). The entropy-free
+    * concentration measure: sums of integer squares are
+    * order-independent and exact on any partitioning, and the single
+    * final division is the only float op (the q222 analog of the
+    * repo's no-transcendentals rule — true entropy needs logs, which
+    * don't hash cross-engine). Two chained hash aggregates on the
+    * same key prefix — the second groupBy reuses the first's
+    * partitioning.
+    */
+  def q222Concentration(s: SparkSession, d: String): DataFrame = {
+    Tables.events(s, d)
+      .groupBy(col("user_id"), col("event_type")).agg(count(lit(1)).as("cnt"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_types"), sum(col("cnt")).as("total"),
+        sum(col("cnt") * col("cnt")).as("ss"))
+      .select(col("user_id"), col("n_types"), col("total"),
+        (col("ss").cast("double") / (col("total") * col("total")).cast("double")).as("hhi"))
+  }
+
+  val q222Sql: String =
+    """WITH c AS (SELECT user_id, event_type, count(*) AS cnt FROM events GROUP BY 1, 2)
+      |SELECT user_id, CAST(count(*) AS BIGINT) AS n_types,
+      |  CAST(sum(cnt) AS BIGINT) AS total,
+      |  CAST(sum(cnt * cnt) AS DOUBLE) / CAST(CAST(sum(cnt) AS BIGINT) * CAST(sum(cnt) AS BIGINT) AS DOUBLE) AS hhi
+      |FROM c GROUP BY user_id""".stripMargin
+
+  // ---------------------------------------------------------------- q223
+  /** INVERTED-INDEX BUILD: per term (df >= 3), document frequency,
+    * total term frequency, and a capped postings list (first 10
+    * doc_ids ascending, comma-joined — a STRING, because the driver
+    * harness cannot sort nested cells). The search-side complement
+    * of the BM25 scorer (q81): that gate SCORES against an implicit
+    * index, this one MATERIALIZES the index structure itself. Scale
+    * shape: (term, doc) term frequencies are one map-side-combinable
+    * aggregate; the postings cap is a rank window per term — bounded
+    * streaming state, applied BEFORE the listagg so a Zipf-hot term
+    * aggregates 10 rows, not its full millions-long postings chain;
+    * df/ttf come from the uncapped frame joined back on term.
+    */
+  def q223InvertedIndex(s: SparkSession, d: String): DataFrame = {
+    val tf = Tables.documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("w"), col("doc_id")).agg(count(lit(1)).as("tf"))
+    val stats = tf.groupBy(col("w"))
+      .agg(count(lit(1)).as("df"), sum(col("tf")).as("ttf"))
+      .filter(col("df") >= 3)
+    val posts = tf
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("w")).orderBy(col("doc_id"))))
+      .filter(col("rn") <= 10)
+      .groupBy(col("w"))
+      .agg(expr("listagg(CAST(doc_id AS STRING), ',') WITHIN GROUP (ORDER BY doc_id)")
+        .as("postings"))
+    stats.join(posts, "w")
+      .select(col("w").as("term"), col("df"), col("ttf"), col("postings"))
+  }
+
+  val q223Sql: String =
+    """WITH tf AS (SELECT w, doc_id, count(*) AS tf FROM
+      |    (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+      |  WHERE w <> '' GROUP BY 1, 2),
+      |st AS (SELECT w, count(*) AS df, sum(tf) AS ttf FROM tf GROUP BY 1 HAVING count(*) >= 3),
+      |po AS (SELECT w, string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
+      |  FROM (SELECT w, doc_id, row_number() OVER (PARTITION BY w ORDER BY doc_id) AS rn FROM tf)
+      |  WHERE rn <= 10 GROUP BY w)
+      |SELECT st.w AS term, CAST(st.df AS BIGINT) AS df, CAST(st.ttf AS BIGINT) AS ttf, po.postings
+      |FROM st JOIN po USING (w)""".stripMargin
+
   val entries: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "q212_zorder" -> (q212ZOrder _, q212Sql),
     "q213_exact_substr" -> (q213ExactSubstr _, q213Sql),
@@ -369,5 +575,10 @@ object CurationQueries {
     "q216_bootstrap_ci" -> (q216BootstrapCi _, q216Sql),
     "q217_join_size_cms" -> (q217JoinSizeCms _, q217Sql),
     "q218_table_stats" -> (q218TableStats _, q218Sql),
+    "q219_item_item_cf" -> (q219ItemItemCf _, q219Sql),
+    "q220_ohlc_bars" -> (q220OhlcBars _, q220Sql),
+    "q221_vocab_jaccard" -> (q221VocabJaccard _, q221Sql),
+    "q222_concentration" -> (q222Concentration _, q222Sql),
+    "q223_inverted_index" -> (q223InvertedIndex _, q223Sql),
   )
 }

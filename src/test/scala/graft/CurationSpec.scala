@@ -108,6 +108,61 @@ class CurationSpec extends SparkSpec {
     assert(r.getAs[Boolean]("est_ge_exact"))
   }
 
+  test("MortonInterleave: native codegen expression == unrolled arithmetic twin, both eval paths") {
+    val li = graft.core.Tables.lineitem(spark, sfDir)
+      .select((col("l_partkey") % 256).as("xb"), (col("l_suppkey") % 256).as("yb"))
+    val z = (0 until 8).map { i =>
+      s"((xb div ${1L << i}) % 2) * ${1L << (2 * i)} + ((yb div ${1L << i}) % 2) * ${1L << (2 * i + 1)}"
+    }.mkString(" + ")
+    val both = li.withColumn("zn", graft.functions.MortonInterleave.morton(col("xb"), col("yb"), 8))
+      .withColumn("zu", expr(z))
+    assert(both.filter(col("zn") =!= col("zu")).count() == 0,
+      "native interleave diverges from the unrolled arithmetic")
+    // interpreted path (codegen off) agrees too
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    try assert(both.filter(col("zn") =!= col("zu")).count() == 0, "interpreted eval diverges")
+    finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
+    // known bit pattern: x=0b1010, y=0b0101 -> z alternates = 0b01100110
+    assert(graft.functions.MortonInterleave.interleave(10L, 5L, 8) == 0x66L)
+    // and the expression stays inside whole-stage codegen (no fallback)
+    // formatted explain prefixes codegen'd operators with '*'
+    val p = both.queryExecution.explainString(FormattedMode)
+    assert(p.contains("* Project"), "projection fell out of whole-stage codegen")
+  }
+
+  test("q219/q220/q221/q222/q223 structural invariants") {
+    val cf = SparkEntry.queries("q219_item_item_cf")(spark, sfDir).collect()
+    assert(cf.nonEmpty)
+    cf.foreach { r =>
+      assert(r.getAs[Long]("rank") >= 1 && r.getAs[Long]("rank") <= 3)
+      assert(r.getAs[Long]("item") != r.getAs[Long]("partner"))
+      val c = r.getAs[Double]("cos")
+      assert(c > 0.0 && c <= 1.0, s"cosine $c outside (0, 1]")
+    }
+    val bars = SparkEntry.queries("q220_ohlc_bars")(spark, sfDir).collect()
+    bars.foreach { r =>
+      val (o, h, l, c) = (r.getAs[Double]("open"), r.getAs[Double]("high"),
+        r.getAs[Double]("low"), r.getAs[Double]("close"))
+      assert(l <= o && o <= h && l <= c && c <= h, s"OHLC order violated: $l $o $c $h")
+    }
+    val jac = SparkEntry.queries("q221_vocab_jaccard")(spark, sfDir).collect()
+    assert(jac.nonEmpty)
+    jac.foreach { r =>
+      val j = r.getAs[Double]("jaccard")
+      assert(j > 0.0 && j <= 1.0 && r.getAs[String]("source_a") < r.getAs[String]("source_b"))
+    }
+    SparkEntry.queries("q222_concentration")(spark, sfDir).collect().foreach { r =>
+      val (h, k) = (r.getAs[Double]("hhi"), r.getAs[Long]("n_types"))
+      assert(h >= 1.0 / k - 1e-12 && h <= 1.0, s"HHI $h outside [1/$k, 1]")
+    }
+    SparkEntry.queries("q223_inverted_index")(spark, sfDir).collect().foreach { r =>
+      val ids = r.getAs[String]("postings").split(",").map(_.toLong)
+      assert(ids.length <= 10 && (ids sameElements ids.sorted),
+        s"postings not a sorted <=10 cap: ${ids.toSeq}")
+      assert(r.getAs[Long]("df") >= ids.length)
+    }
+  }
+
   test("q218 percentile_disc aggregates with map-side partials — no pre-aggregate global sort") {
     val df = SparkEntry.queries("q218_table_stats")(spark, sfDir)
     df.collect()
