@@ -567,6 +567,164 @@ object CurationQueries {
       |SELECT st.w AS term, CAST(st.df AS BIGINT) AS df, CAST(st.ttf AS BIGINT) AS ttf, po.postings
       |FROM st JOIN po USING (w)""".stripMargin
 
+  // ---------------------------------------------------------------- q224
+  /** SCD2 RUN-LENGTH STATE HISTORY: collapse each user's event-type
+    * timeline into validity intervals — a new row only when the
+    * tracked attribute CHANGES (the slowly-changing-dimension type-2
+    * build, and the value-change complement of the time-gap
+    * sessionizer q78): chg = (type != lag(type)), run_id = running
+    * sum of chg, one aggregate per (user, run), then eff_to = the
+    * next run's start via lead (NULL = current row, the open
+    * interval). Three window passes + one aggregate, all on the
+    * user_id partitioning — one shuffle total; run state is O(1).
+    * Integer micros + strings end-to-end, nothing float.
+    */
+  def q224Scd2Runs(s: SparkSession, d: String): DataFrame = {
+    val byEvent = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+    val byRun = Window.partitionBy(col("user_id")).orderBy(col("run_id"))
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"),
+        col("event_type"))
+      .withColumn("chg",
+        when(lag(col("event_type"), 1).over(byEvent).isNull ||
+             lag(col("event_type"), 1).over(byEvent) =!= col("event_type"), 1L)
+          .otherwise(0L))
+      .withColumn("run_id", sum(col("chg")).over(
+        byEvent.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("run_id"))
+      .agg(first(col("event_type")).as("state"), min(col("us")).as("eff_from_us"),
+        count(lit(1)).as("n_events"))
+      .withColumn("eff_to_us", lead(col("eff_from_us"), 1).over(byRun))
+      .select(col("user_id"), col("run_id"), col("state"),
+        col("eff_from_us"), col("eff_to_us"), col("n_events"))
+  }
+
+  val q224Sql: String =
+    """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us, event_type,
+      |    CASE WHEN lag(event_type) OVER w IS NULL
+      |           OR lag(event_type) OVER w <> event_type THEN 1 ELSE 0 END AS chg
+      |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
+      |r AS (SELECT user_id, event_id, us, event_type,
+      |    sum(chg) OVER (PARTITION BY user_id ORDER BY us, event_id
+      |      ROWS UNBOUNDED PRECEDING) AS run_id
+      |  FROM e),
+      |g AS (SELECT user_id, CAST(run_id AS BIGINT) AS run_id,
+      |    min(event_type) AS state, min(us) AS eff_from_us,
+      |    CAST(count(*) AS BIGINT) AS n_events
+      |  FROM r GROUP BY user_id, run_id)
+      |SELECT user_id, run_id, state, eff_from_us,
+      |  lead(eff_from_us) OVER (PARTITION BY user_id ORDER BY run_id) AS eff_to_us,
+      |  n_events
+      |FROM g""".stripMargin
+
+  // ---------------------------------------------------------------- q225
+  /** GREEDY MAX-COVERAGE SOURCE SELECTION (submodular corpus
+    * curation): pick 5 document sources, each round the source whose
+    * vocabulary adds the most tokens not yet covered (ties: min
+    * source name) — the greedy (1 - 1/e)-approximation every
+    * coverage-based data-selection pipeline runs. Per round: one
+    * left-anti join against the covered set + one count per source;
+    * the ONLY driver-side value is the single argmax row (the
+    * k-means/codebook metadata idiom), and the covered set is
+    * lineage-checkpointed per round with superseded blocks freed.
+    * The oracle replays the same 5 rounds as generated chained CTEs
+    * (the q209 fixed-round discipline; selection is deterministic,
+    * so replay is exact).
+    */
+  def q225GreedyCoverage(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val st = Tables.documents(s, d)
+      .select(col("source"), explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "").distinct()
+    var covered = s.emptyDataset[String].toDF("w")
+    var free: () => Unit = () => ()
+    val picks = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Long, Long)]
+    (1 to 5).foreach { round =>
+      val done = picks.map(_._2)
+      // left join + conditional count (NOT an anti-join): a fully
+      // covered source must stay present with gain 0, or the argmax
+      // frame goes empty once coverage saturates
+      val gain = st
+        .filter(if (done.isEmpty) lit(true) else !col("source").isin(done.toSeq: _*))
+        .join(covered.withColumn("cov", lit(1)), Seq("w"), "left")
+        .groupBy(col("source"))
+        .agg(sum(when(col("cov").isNull, 1L).otherwise(0L)).as("g"))
+      val pick = gain.orderBy(col("g").desc, col("source").asc).limit(1).head()
+      val (src, g) = (pick.getString(0), pick.getLong(1))
+      val (ck, freeCk) = graft.ext.Lineage.checkpoint(
+        covered.unionByName(st.filter(col("source") === src).select(col("w"))).distinct())
+      free(); free = freeCk
+      covered = ck
+      picks += ((round.toLong, src, g, covered.count()))
+    }
+    picks.toSeq.toDF("round", "source", "gain", "cum_covered")
+  }
+
+  val q225Sql: String = {
+    val base =
+      """WITH st AS MATERIALIZED (SELECT DISTINCT source, w FROM
+        |    (SELECT source, unnest(string_split(text, ' ')) AS w FROM documents)
+        |  WHERE w <> '')""".stripMargin
+    val rounds = (1 to 5).map { k =>
+      val prevCov = if (k == 1) "" else s" LEFT JOIN c${k - 1} cv ON s.w = cv.w"
+      val gainExpr = if (k == 1) "count(*)"
+        else "sum(CASE WHEN cv.w IS NULL THEN 1 ELSE 0 END)"
+      val selFilter = if (k == 1) "" else
+        (1 until k).map(i => s"SELECT source FROM p$i").mkString(" WHERE s.source NOT IN (", " UNION ALL ", ")")
+      val cov = if (k == 1) s"SELECT DISTINCT w FROM st JOIN p1 USING (source)"
+        else s"SELECT w FROM c${k - 1} UNION SELECT w FROM st JOIN p$k USING (source)"
+      s"""g$k AS (SELECT s.source, $gainExpr AS g FROM st s$prevCov$selFilter GROUP BY s.source),
+         |p$k AS MATERIALIZED (SELECT source, g FROM g$k ORDER BY g DESC, source LIMIT 1),
+         |c$k AS MATERIALIZED ($cov)""".stripMargin
+    }.mkString(",\n")
+    val out = (1 to 5).map { k =>
+      s"SELECT $k AS round, source, CAST(g AS BIGINT) AS gain, (SELECT CAST(count(*) AS BIGINT) FROM c$k) AS cum_covered FROM p$k"
+    }.mkString("\nUNION ALL\n")
+    s"$base,\n$rounds\n$out"
+  }
+
+  // ---------------------------------------------------------------- q226
+  /** FUNCTIONAL-DEPENDENCY PROFILER — the data-profiling pass behind
+    * normalization and quality audits: for each candidate A -> B,
+    * how many A-groups exist, how many VIOLATE (more than one
+    * distinct B), and the worst group's distinct-B count. Candidates
+    * span held FDs (nation key -> region key; customer key -> nation
+    * key) and violated ones (part -> supplier in lineitem; user ->
+    * event type) so both paths are exercised. Per candidate: one
+    * two-level hash aggregate (groupBy A with countDistinct B, then
+    * one summary row) — map-side combinable, no joins; candidates
+    * union into a profile report. 100 TB note: countDistinct
+    * re-shuffles per candidate, but each candidate touches only its
+    * two columns (column pruning) and candidates run independently.
+    */
+  def q226FdProfiler(s: SparkSession, d: String): DataFrame = {
+    def profile(df: DataFrame, fd: String, a: String, b: String): DataFrame =
+      df.groupBy(col(a)).agg(countDistinct(col(b)).as("ndv_b"))
+        .agg(count(lit(1)).as("n_groups"),
+          sum(when(col("ndv_b") > 1, 1L).otherwise(0L)).as("n_violating"),
+          max(col("ndv_b")).as("max_ndv_b"))
+        .select(lit(fd).as("fd"), col("n_groups"), col("n_violating"),
+          col("max_ndv_b"), (col("n_violating") === 0).as("held"))
+    profile(Tables.nation(s, d), "nation.n_nationkey->n_regionkey", "n_nationkey", "n_regionkey")
+      .unionByName(profile(Tables.customer(s, d), "customer.c_custkey->c_nationkey", "c_custkey", "c_nationkey"))
+      .unionByName(profile(Tables.lineitem(s, d), "lineitem.l_partkey->l_suppkey", "l_partkey", "l_suppkey"))
+      .unionByName(profile(Tables.events(s, d), "events.user_id->event_type", "user_id", "event_type"))
+  }
+
+  val q226Sql: String = {
+    def one(tbl: String, a: String, b: String): String =
+      s"""SELECT '$tbl.$a->$b' AS fd, CAST(count(*) AS BIGINT) AS n_groups,
+         |  CAST(sum(CASE WHEN ndv_b > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating,
+         |  CAST(max(ndv_b) AS BIGINT) AS max_ndv_b,
+         |  sum(CASE WHEN ndv_b > 1 THEN 1 ELSE 0 END) = 0 AS held
+         |FROM (SELECT $a, count(DISTINCT $b) AS ndv_b FROM $tbl GROUP BY $a)""".stripMargin
+    Seq(("nation", "n_nationkey", "n_regionkey"),
+        ("customer", "c_custkey", "c_nationkey"),
+        ("lineitem", "l_partkey", "l_suppkey"),
+        ("events", "user_id", "event_type"))
+      .map { case (t, a, b) => one(t, a, b) }.mkString("\nUNION ALL\n")
+  }
+
   val entries: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "q212_zorder" -> (q212ZOrder _, q212Sql),
     "q213_exact_substr" -> (q213ExactSubstr _, q213Sql),
@@ -580,5 +738,8 @@ object CurationQueries {
     "q221_vocab_jaccard" -> (q221VocabJaccard _, q221Sql),
     "q222_concentration" -> (q222Concentration _, q222Sql),
     "q223_inverted_index" -> (q223InvertedIndex _, q223Sql),
+    "q224_scd2_runs" -> (q224Scd2Runs _, q224Sql),
+    "q225_greedy_coverage" -> (q225GreedyCoverage _, q225Sql),
+    "q226_fd_profiler" -> (q226FdProfiler _, q226Sql),
   )
 }

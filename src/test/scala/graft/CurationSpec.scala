@@ -163,6 +163,49 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("q224 runs partition the timeline: contiguous, state-alternating, counts add up") {
+    val runs = SparkEntry.queries("q224_scd2_runs")(spark, sfDir).collect()
+      .groupBy(_.getAs[Long]("user_id"))
+    val totalEvents = graft.core.Tables.events(spark, sfDir).count()
+    assert(runs.values.map(_.map(_.getAs[Long]("n_events")).sum).sum == totalEvents,
+      "run n_events don't partition the event count")
+    runs.values.foreach { rs =>
+      val sorted = rs.sortBy(_.getAs[Long]("run_id"))
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getAs[String]("state") != b.getAs[String]("state"),
+            "adjacent runs share a state — the collapse missed a merge")
+          assert(a.getAs[Long]("eff_to_us") == b.getAs[Long]("eff_from_us"),
+            "validity intervals not contiguous")
+        case _ =>
+      }
+      assert(sorted.last.isNullAt(sorted.last.fieldIndex("eff_to_us")),
+        "current (last) run must be the open interval")
+    }
+  }
+
+  test("q225 greedy coverage: gains non-increasing, cumulative coverage consistent") {
+    val picks = SparkEntry.queries("q225_greedy_coverage")(spark, sfDir)
+      .collect().sortBy(_.getAs[Long]("round"))
+    assert(picks.length == 5)
+    assert(picks.map(_.getAs[String]("source")).distinct.length == 5, "a source was re-picked")
+    val gains = picks.map(_.getAs[Long]("gain"))
+    assert(gains.sliding(2).forall(w => w(0) >= w(1)),
+      s"greedy gains increased: ${gains.toSeq} — submodularity violated")
+    val cums = picks.map(_.getAs[Long]("cum_covered"))
+    assert(cums.head == gains.head && cums.sliding(2).forall(w => w(0) <= w(1)))
+    assert((1 until 5).forall(i => cums(i) == cums(i - 1) + gains(i)),
+      "cum_covered != running sum of gains")
+  }
+
+  test("q226 FD profiler agrees with hand-checked dependencies") {
+    val fds = SparkEntry.queries("q226_fd_profiler")(spark, sfDir).collect()
+      .map(r => r.getAs[String]("fd") -> r.getAs[Boolean]("held")).toMap
+    assert(fds("nation.n_nationkey->n_regionkey"), "keyed nation FD must hold")
+    assert(fds("customer.c_custkey->c_nationkey"), "customer key FD must hold")
+    assert(!fds("lineitem.l_partkey->l_suppkey"), "part->supplier should be violated")
+  }
+
   test("q218 percentile_disc aggregates with map-side partials — no pre-aggregate global sort") {
     val df = SparkEntry.queries("q218_table_stats")(spark, sfDir)
     df.collect()
