@@ -216,13 +216,19 @@ object CurationQueries {
     * each replica is a per-row weight column, and all 16 replicas
     * ride one shuffle (explode x16, window per (type, replica)). The
     * weighted median is the engine-free kind: min value whose
-    * running weight (over the (value, event_id) total order) reaches
-    * half the replica's total — integer weights, exact on both
-    * engines.
+    * running weight reaches half the replica's total — integer
+    * weights, exact on both engines. The ordered pass runs over the
+    * per-(type, replica, value) weight HISTOGRAM, not the raw rows:
+    * weights first aggregate by distinct value (map-side combinable,
+    * high-cardinality key — full parallelism at 100 TB), and only
+    * the compacted histogram flows into the low-cardinality
+    * 80-partition window — rows with equal value merge, and the
+    * crossing value is identical, so the two formulations agree
+    * exactly.
     */
   def q216BootstrapCi(s: SparkSession, d: String): DataFrame = {
     val w = Window.partitionBy(col("event_type"), col("b"))
-      .orderBy(col("value"), col("event_id"))
+      .orderBy(col("value"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val all = Window.partitionBy(col("event_type"), col("b"))
     Tables.events(s, d)
@@ -232,8 +238,10 @@ object CurationQueries {
         """CASE CAST(conv(substring(md5(concat(CAST(event_id AS STRING), '#',
           |  CAST(b AS STRING))), 1, 7), 16, 10) AS BIGINT) % 4
           |  WHEN 0 THEN 0L WHEN 3 THEN 2L ELSE 1L END""".stripMargin))
-      .withColumn("cum", sum(col("wt")).over(w))
-      .withColumn("tot", sum(col("wt")).over(all))
+      .groupBy(col("event_type"), col("b"), col("value"))
+      .agg(sum(col("wt")).as("wv"))
+      .withColumn("cum", sum(col("wv")).over(w))
+      .withColumn("tot", sum(col("wv")).over(all))
       .groupBy(col("event_type"), col("b"))
       .agg(min(when(col("cum") * 2 >= col("tot"), col("value"))).as("med"))
       .groupBy(col("event_type"))
@@ -242,16 +250,17 @@ object CurationQueries {
   }
 
   val q216Sql: String =
-    """WITH r AS (SELECT e.event_type, e.event_id, e.value, g.b,
+    """WITH r AS (SELECT e.event_type, e.value, g.b,
       |    CASE CAST(('0x' || substr(md5(CAST(e.event_id AS VARCHAR) || '#' ||
       |      CAST(g.b AS VARCHAR)), 1, 7)) AS BIGINT) % 4
       |      WHEN 0 THEN 0 WHEN 3 THEN 2 ELSE 1 END AS wt
       |  FROM events e, (SELECT unnest(generate_series(0, 15)) AS b) g),
+      |h AS (SELECT event_type, b, value, sum(wt) AS wv FROM r GROUP BY 1, 2, 3),
       |c AS (SELECT event_type, b, value,
-      |    sum(wt) OVER (PARTITION BY event_type, b ORDER BY value, event_id
+      |    sum(wv) OVER (PARTITION BY event_type, b ORDER BY value
       |      ROWS UNBOUNDED PRECEDING) AS cum,
-      |    sum(wt) OVER (PARTITION BY event_type, b) AS tot
-      |  FROM r),
+      |    sum(wv) OVER (PARTITION BY event_type, b) AS tot
+      |  FROM h),
       |m AS (SELECT event_type, b, min(CASE WHEN cum * 2 >= tot THEN value END) AS med
       |  FROM c GROUP BY event_type, b)
       |SELECT event_type, CAST(count(*) AS BIGINT) AS n_replicas,
