@@ -734,6 +734,121 @@ object CurationQueries {
       .map { case (t, a, b) => one(t, a, b) }.mkString("\nUNION ALL\n")
   }
 
+  // ---------------------------------------------------------------- q227
+  /** INCREMENTAL VIEW MAINTENANCE (delta join-aggregate): maintain a
+    * per-nation revenue view as new order batches arrive WITHOUT
+    * rescanning the base — dV = agg(dOrders JOIN dim), merged into
+    * the standing view by a co-partitioned outer merge with coalesced
+    * partials. The arriving batch is simulated by a deterministic
+    * md5 split of orders (10% "new"); the gate's claim is the IVM
+    * ALGEBRA: base-view + delta-view must equal the full recompute
+    * the oracle states, exactly — DECIMAL sums make the regrouping
+    * exact, so insert-only delta maintenance is associative. Scale
+    * shape: the delta path touches O(|delta|) rows + the broadcast
+    * dim; the merge is view-cardinality (nations), metadata-scale.
+    */
+  def q227IncrementalView(s: SparkSession, d: String): DataFrame = {
+    val cust = Tables.customer(s, d).select(col("c_custkey"), col("c_nationkey"))
+    val orders = Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .withColumn("is_delta",
+        expr("CAST(conv(substring(md5(CAST(o_orderkey AS STRING)), 1, 7), 16, 10) AS BIGINT) % 10 = 0"))
+    def view(of: DataFrame): DataFrame = of
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(expr("CAST(o_totalprice AS DECIMAL(18,2))")).as("rev"))
+    val v0 = view(orders.filter(!col("is_delta")))
+    val dv = view(orders.filter(col("is_delta")))
+    v0.select(col("c_nationkey"), col("n_orders").as("n0"), col("rev").as("r0"))
+      .join(dv.select(col("c_nationkey"), col("n_orders").as("nd"), col("rev").as("rd")),
+        Seq("c_nationkey"), "full_outer")
+      .select(col("c_nationkey").as("nationkey"),
+        (coalesce(col("n0"), lit(0L)) + coalesce(col("nd"), lit(0L))).as("n_orders"),
+        expr("CAST(round(coalesce(r0, 0) + coalesce(rd, 0), 2) AS DOUBLE)").as("rev"))
+  }
+
+  val q227Sql: String =
+    """SELECT c.c_nationkey AS nationkey, CAST(count(*) AS BIGINT) AS n_orders,
+      |  CAST(round(sum(CAST(o.o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS rev
+      |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      |GROUP BY c.c_nationkey""".stripMargin
+
+  // ---------------------------------------------------------------- q228
+  /** TOKENIZER VOCABULARY COVERAGE AUDIT: fix the vocabulary at the
+    * corpus's top-256 words (ties broken by word — the deterministic
+    * top-k), then report each document's out-of-vocabulary token
+    * count and ratio — the pre-training sanity check that catches a
+    * tokenizer mismatched to its corpus. The vocab is a global
+    * ordered TOP-K (TakeOrdered over the word-count aggregate — never
+    * a full global sort) broadcast to the scoring join; scoring is
+    * one per-doc aggregate over a broadcast-hash lookup. The OOV
+    * ratio is one raw quotient of exact integers.
+    */
+  def q228VocabCoverage(s: SparkSession, d: String): DataFrame = {
+    val words = Tables.documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "")
+    val vocab = words.groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("w").asc).limit(256)
+      .select(col("w"), lit(1).as("in_vocab"))
+    words.join(broadcast(vocab), Seq("w"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .withColumn("oov_ratio", col("n_oov").cast("double") / col("n_tokens").cast("double"))
+  }
+
+  val q228Sql: String =
+    """WITH words AS (SELECT doc_id, w FROM
+      |    (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+      |  WHERE w <> ''),
+      |vocab AS (SELECT w FROM (SELECT w, count(*) AS cnt FROM words GROUP BY w)
+      |  ORDER BY cnt DESC, w LIMIT 256)
+      |SELECT wo.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+      |  CAST(sum(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+      |  CAST(sum(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+      |    / CAST(count(*) AS DOUBLE) AS oov_ratio
+      |FROM words wo LEFT JOIN vocab v ON wo.w = v.w
+      |GROUP BY wo.doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q229
+  /** DECILE LIFT ANALYSIS (equi-depth rate table): bucket events by
+    * the octile boundaries of `value` (percentile_disc at 1/8..7/8 —
+    * the q218 histogram APPLIED), and report each bucket's purchase
+    * rate vs the global rate — the campaign-targeting lift table.
+    * Bucketing is a sum of boundary-indicator integers against a
+    * broadcast 1-row boundary frame (no rank window over the corpus,
+    * no per-row percentile), counts are exact, and the only floats
+    * are two raw quotients of integers. Order statistics are
+    * tie-order-independent, so both engines bucket identically.
+    */
+  def q229DecileLift(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).select(col("event_type"), col("value"))
+    val qs = (1 to 7).map { i =>
+      expr(s"percentile_disc(0.${i * 125}) WITHIN GROUP (ORDER BY value)").as(s"p$i")
+    }
+    val bounds = ev.agg(qs.head, qs.tail: _*)
+    val bucket = (1 to 7).map(i => s"(CASE WHEN value > p$i THEN 1 ELSE 0 END)").mkString(" + ")
+    ev.crossJoin(broadcast(bounds))
+      .withColumn("bucket", expr(s"CAST($bucket AS BIGINT)"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("n_purchase"))
+      .withColumn("purchase_rate", col("n_purchase").cast("double") / col("n").cast("double"))
+  }
+
+  val q229Sql: String = {
+    val qs = (1 to 7).map(i => s"quantile_disc(value, 0.${i * 125}) AS p$i").mkString(", ")
+    val bucket = (1 to 7).map(i => s"(CASE WHEN value > p$i THEN 1 ELSE 0 END)").mkString(" + ")
+    s"""WITH b AS (SELECT $qs FROM events)
+       |SELECT CAST($bucket AS BIGINT) AS bucket, CAST(count(*) AS BIGINT) AS n,
+       |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+       |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / CAST(count(*) AS DOUBLE) AS purchase_rate
+       |FROM events, b GROUP BY 1""".stripMargin
+  }
+
   val entries: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "q212_zorder" -> (q212ZOrder _, q212Sql),
     "q213_exact_substr" -> (q213ExactSubstr _, q213Sql),
@@ -750,5 +865,8 @@ object CurationQueries {
     "q224_scd2_runs" -> (q224Scd2Runs _, q224Sql),
     "q225_greedy_coverage" -> (q225GreedyCoverage _, q225Sql),
     "q226_fd_profiler" -> (q226FdProfiler _, q226Sql),
+    "q227_incremental_view" -> (q227IncrementalView _, q227Sql),
+    "q228_vocab_coverage" -> (q228VocabCoverage _, q228Sql),
+    "q229_decile_lift" -> (q229DecileLift _, q229Sql),
   )
 }

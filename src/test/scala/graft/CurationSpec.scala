@@ -206,6 +206,52 @@ class CurationSpec extends SparkSpec {
     assert(!fds("lineitem.l_partkey->l_suppkey"), "part->supplier should be violated")
   }
 
+  test("q227 IVM: both split sides contribute and the merged view equals a direct recompute") {
+    val orders = graft.core.Tables.orders(spark, sfDir)
+      .withColumn("is_delta",
+        expr("CAST(conv(substring(md5(CAST(o_orderkey AS STRING)), 1, 7), 16, 10) AS BIGINT) % 10 = 0"))
+    val nDelta = orders.filter(col("is_delta")).count()
+    val nBase = orders.filter(!col("is_delta")).count()
+    assert(nDelta > 0 && nBase > 0,
+      s"degenerate split (delta=$nDelta, base=$nBase) — the IVM merge would be vacuous")
+    val merged = SparkEntry.queries("q227_incremental_view")(spark, sfDir)
+      .collect().map(r => r.getAs[Long]("nationkey") ->
+        (r.getAs[Long]("n_orders"), r.getAs[Double]("rev"))).toMap
+    val direct = graft.core.Tables.orders(spark, sfDir)
+      .join(graft.core.Tables.customer(spark, sfDir),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n"),
+        expr("CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)").as("rev"))
+      .collect().map(r => r.getAs[Long]("c_nationkey") ->
+        (r.getAs[Long]("n"), r.getAs[Double]("rev"))).toMap
+    assert(merged == direct, "incrementally maintained view diverges from full recompute")
+  }
+
+  test("q228/q229 coverage and lift invariants") {
+    val cov = SparkEntry.queries("q228_vocab_coverage")(spark, sfDir).collect()
+    cov.foreach { r =>
+      val ratio = r.getAs[Double]("oov_ratio")
+      assert(ratio >= 0.0 && ratio <= 1.0)
+      assert(r.getAs[Long]("n_oov") <= r.getAs[Long]("n_tokens"))
+    }
+    // any corpus word outside the top-256 must surface as OOV somewhere;
+    // a corpus whose whole vocabulary fits in 256 legitimately has none
+    val vocabSize = graft.core.Tables.documents(spark, sfDir)
+      .select(explode(split(col("text"), " ")).as("w")).filter(col("w") =!= "")
+      .select(countDistinct(col("w"))).head().getLong(0)
+    assert(cov.exists(_.getAs[Long]("n_oov") > 0) == (vocabSize > 256),
+      s"OOV presence must track vocab size ($vocabSize words)")
+    val lift = SparkEntry.queries("q229_decile_lift")(spark, sfDir).collect()
+    assert(lift.map(_.getAs[Long]("bucket")).sorted.toSeq == (0L to 7L),
+      "equi-depth bucketing must populate all 8 octiles")
+    val total = lift.map(_.getAs[Long]("n")).sum
+    assert(total == graft.core.Tables.events(spark, sfDir).count())
+    // equi-depth: no bucket holds more than ~2x its fair share
+    lift.foreach(r => assert(r.getAs[Long]("n") <= total / 4,
+      s"bucket ${r.getAs[Long]("bucket")} holds ${r.getAs[Long]("n")} of $total — not equi-depth"))
+  }
+
   test("q218 percentile_disc aggregates with map-side partials — no pre-aggregate global sort") {
     val df = SparkEntry.queries("q218_table_stats")(spark, sfDir)
     df.collect()
