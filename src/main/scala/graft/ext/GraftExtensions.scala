@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import graft.functions.{CosineSimilarity, DotProduct, JaccardSimilarity, NfcNormalize, SimHash48, WordShingles}
+import graft.functions.{CosineSimilarity, DotProduct, JaccardSimilarity, MortonInterleave, NfcNormalize, SimHash48, WordShingles}
 
 /** SparkSessionExtensions entry point: registers the engine's native
   * Catalyst expressions as SQL functions, so the `spark.sql(...)` path
@@ -59,6 +59,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("jaccard_sim"),
       info("jaccard_sim", "jaccard_sim(array<string>, array<string>) - exact Jaccard over distinct elements"),
       (args: Seq[Expression]) => JaccardSimilarity(args(0), args(1))))
+
+    ext.injectFunction((
+      FunctionIdentifier("morton_interleave"),
+      info("morton_interleave", "morton_interleave(bigint, bigint, bits) - Z-order bit interleave of the low `bits` bits"),
+      (args: Seq[Expression]) =>
+        MortonInterleave(args(0), args(1), intArg(args(2), "morton_interleave"))))
   }
 }
 
@@ -82,5 +88,7 @@ object GraftExtensions {
     add("word_shingles", args => WordShingles(args(0), self.intArg(args(1), "word_shingles")))
     add("jaccard_sim", args => JaccardSimilarity(args(0), args(1)))
     add("nfc_normalize", args => NfcNormalize(args(0)))
+    add("morton_interleave",
+      args => MortonInterleave(args(0), args(1), self.intArg(args(2), "morton_interleave")))
   }
 }

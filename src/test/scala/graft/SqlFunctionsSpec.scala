@@ -81,6 +81,15 @@ class SqlFunctionsSpec extends SparkSpec {
     assert(via == "naïve")
   }
 
+  test("morton_interleave via SQL matches the Column API and rejects a non-literal bits") {
+    val z = s.sql("SELECT morton_interleave(10L, 5L, 8) AS z").head().getLong(0)
+    assert(z == 0x66L, s"expected 0x66, got $z")
+    assert(z == graft.functions.MortonInterleave.interleave(10L, 5L, 8))
+    intercept[Exception] {
+      s.sql("SELECT morton_interleave(1L, 1L, CAST(rand() * 8 AS INT))").collect()
+    }
+  }
+
   test("word_shingles rejects a non-literal n") {
     import s.implicits._
     Seq(("x y z", 2)).toDF("txt", "n").createOrReplaceTempView("bad")
