@@ -849,6 +849,85 @@ object CurationQueries {
        |FROM events, b GROUP BY 1""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q230
+  /** A-PRIORI FREQUENT TRIPLES: itemsets of 3 parts co-purchased in
+    * >= 2 orders, mined with the A-priori prune — only items that
+    * appear in a FREQUENT PAIR enter the triple join, and candidate
+    * triples must have all three sub-pairs frequent (downward
+    * closure: any frequent triple's sub-pairs are frequent, so the
+    * prune loses nothing and the brute-force oracle states the same
+    * set). Scale shape: basket shrink is a semi-join against the
+    * frequent-item dim BEFORE the cubic within-order expansion, the
+    * three pair-prunes are semi-joins against the (small) frequent-
+    * pair frame, and every count is a map-side-combinable hash
+    * aggregate. The within-order triple fan-out is basket-bounded
+    * (C(|basket|, 3)), never corpus-bounded — the q219 pair shape one
+    * order higher.
+    */
+  def q230AprioriTriples(s: SparkSession, d: String): DataFrame = {
+    val oi = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val fp = oi.select(col("l_orderkey"), col("l_partkey").as("x"))
+      .join(oi.select(col("l_orderkey"), col("l_partkey").as("y")), "l_orderkey")
+      .filter(col("x") < col("y"))
+      .groupBy(col("x"), col("y")).agg(count(lit(1)).as("n"))
+      .filter(col("n") >= 2)
+      .select(col("x"), col("y"))
+    val fi = fp.select(col("x").as("i")).unionByName(fp.select(col("y").as("i"))).distinct()
+    val poi = oi.join(fi.select(col("i").as("l_partkey")), Seq("l_partkey"), "left_semi")
+    val triples = poi.select(col("l_orderkey"), col("l_partkey").as("x"))
+      .join(poi.select(col("l_orderkey"), col("l_partkey").as("y")), "l_orderkey")
+      .filter(col("x") < col("y"))
+      .join(poi.select(col("l_orderkey"), col("l_partkey").as("z")), "l_orderkey")
+      .filter(col("y") < col("z"))
+      .join(fp, Seq("x", "y"), "left_semi")
+      .join(fp.select(col("x"), col("y").as("z")), Seq("x", "z"), "left_semi")
+      .join(fp.select(col("x").as("y"), col("y").as("z")), Seq("y", "z"), "left_semi")
+    triples.groupBy(col("x"), col("y"), col("z")).agg(count(lit(1)).as("support"))
+      .filter(col("support") >= 2)
+  }
+
+  val q230Sql: String =
+    """WITH oi AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+      |SELECT a.l_partkey AS x, b.l_partkey AS y, c.l_partkey AS z,
+      |  CAST(count(*) AS BIGINT) AS support
+      |FROM oi a
+      |JOIN oi b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      |JOIN oi c ON a.l_orderkey = c.l_orderkey AND b.l_partkey < c.l_partkey
+      |GROUP BY 1, 2, 3 HAVING count(*) >= 2""".stripMargin
+
+  // ---------------------------------------------------------------- q231
+  /** RENDEZVOUS (HIGHEST-RANDOM-WEIGHT) SHARD ASSIGNMENT: each doc
+    * lands on the shard s in 0..15 maximizing hash(doc, s) — the
+    * consistent-placement scheme whose property is that removing one
+    * shard remaps ONLY that shard's keys (unlike mod-N, which remaps
+    * nearly everything). Assignment is a 16-way explode + packed
+    * argmax (max over struct(hash, s) — one hash aggregate keyed by
+    * doc), hashes are the engine-free md5 idiom, and the report is
+    * shard occupancy counts. The spec locks the HRW property itself:
+    * dropping shard 15 and re-running the argmax over 0..14 moves
+    * only shard 15's docs.
+    */
+  def q231RendezvousShards(s: SparkSession, d: String): DataFrame = {
+    Tables.documents(s, d).select(col("doc_id"))
+      .withColumn("sh", explode(sequence(lit(0), lit(15))))
+      .withColumn("h", expr(
+        "CAST(conv(substring(md5(concat(CAST(doc_id AS STRING), '@', CAST(sh AS STRING))), 1, 7), 16, 10) AS BIGINT)"))
+      .groupBy(col("doc_id"))
+      .agg(max(struct(col("h"), col("sh"))).getField("sh").as("shard"))
+      .groupBy(col("shard")).agg(count(lit(1)).as("n_docs"))
+  }
+
+  val q231Sql: String =
+    """WITH a AS (SELECT doc_id, g.sh,
+      |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '@' ||
+      |      CAST(g.sh AS VARCHAR)), 1, 7)) AS BIGINT) AS h
+      |  FROM documents, (SELECT unnest(generate_series(0, 15)) AS sh) g),
+      |r AS (SELECT doc_id, sh, row_number() OVER (PARTITION BY doc_id ORDER BY h DESC, sh DESC) AS rk
+      |  FROM a)
+      |SELECT CAST(sh AS BIGINT) AS shard, CAST(count(*) AS BIGINT) AS n_docs
+      |FROM r WHERE rk = 1 GROUP BY sh""".stripMargin
+
   val entries: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "q212_zorder" -> (q212ZOrder _, q212Sql),
     "q213_exact_substr" -> (q213ExactSubstr _, q213Sql),
@@ -868,5 +947,7 @@ object CurationQueries {
     "q227_incremental_view" -> (q227IncrementalView _, q227Sql),
     "q228_vocab_coverage" -> (q228VocabCoverage _, q228Sql),
     "q229_decile_lift" -> (q229DecileLift _, q229Sql),
+    "q230_apriori_triples" -> (q230AprioriTriples _, q230Sql),
+    "q231_rendezvous_shards" -> (q231RendezvousShards _, q231Sql),
   )
 }

@@ -252,6 +252,48 @@ class CurationSpec extends SparkSpec {
       s"bucket ${r.getAs[Long]("bucket")} holds ${r.getAs[Long]("n")} of $total — not equi-depth"))
   }
 
+  test("q230 frequent triples satisfy downward closure against independently counted pairs") {
+    val li = graft.core.Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val pairCounts = li.select(col("l_orderkey"), col("l_partkey").as("a"))
+      .join(li.select(col("l_orderkey"), col("l_partkey").as("b")), "l_orderkey")
+      .filter(col("a") < col("b"))
+      .groupBy(col("a"), col("b")).count()
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val triples = SparkEntry.queries("q230_apriori_triples")(spark, sfDir).collect()
+    assert(triples.nonEmpty)
+    triples.foreach { r =>
+      val (x, y, z, sup) = (r.getAs[Long]("x"), r.getAs[Long]("y"),
+        r.getAs[Long]("z"), r.getAs[Long]("support"))
+      assert(sup >= 2)
+      Seq((x, y), (x, z), (y, z)).foreach { p =>
+        assert(pairCounts.getOrElse(p, 0L) >= sup,
+          s"sub-pair $p of ($x,$y,$z) has support below the triple's $sup — closure violated")
+      }
+    }
+  }
+
+  test("q231 rendezvous property: dropping a shard moves only that shard's keys") {
+    def assign(nShards: Int) = graft.core.Tables.documents(spark, sfDir).select(col("doc_id"))
+      .withColumn("sh", explode(sequence(lit(0), lit(nShards - 1))))
+      .withColumn("h", expr(
+        "CAST(conv(substring(md5(concat(CAST(doc_id AS STRING), '@', CAST(sh AS STRING))), 1, 7), 16, 10) AS BIGINT)"))
+      .groupBy(col("doc_id"))
+      .agg(max(struct(col("h"), col("sh"))).getField("sh").as("shard"))
+      .collect().map(r => r.getLong(0) -> r.getAs[Int]("shard")).toMap
+    val with16 = assign(16)
+    val with15 = assign(15)
+    with16.foreach { case (doc, s16) =>
+      if (s16 != 15)
+        assert(with15(doc) == s16,
+          s"doc $doc moved from shard $s16 to ${with15(doc)} when shard 15 was dropped")
+    }
+    assert(with16.values.toSet.contains(15), "shard 15 owned no docs — the property check is vacuous")
+    val counts = SparkEntry.queries("q231_rendezvous_shards")(spark, sfDir)
+      .collect().map(r => r.getAs[Long]("shard") -> r.getAs[Long]("n_docs")).toMap
+    assert(counts.values.sum == with16.size)
+  }
+
   test("q218 percentile_disc aggregates with map-side partials — no pre-aggregate global sort") {
     val df = SparkEntry.queries("q218_table_stats")(spark, sfDir)
     df.collect()
