@@ -867,14 +867,20 @@ object CurationQueries {
   def q230AprioriTriples(s: SparkSession, d: String): DataFrame = {
     val oi = Tables.lineitem(s, d)
       .select(col("l_orderkey"), col("l_partkey")).distinct()
+    // fp feeds FOUR consumers (fi + three sub-pair prunes) and poi
+    // THREE (the triple self-join) — cache both or the pair-count
+    // job re-runs per consumer (the q206 one-scan discipline; the
+    // harness clears the cache after each query)
     val fp = oi.select(col("l_orderkey"), col("l_partkey").as("x"))
       .join(oi.select(col("l_orderkey"), col("l_partkey").as("y")), "l_orderkey")
       .filter(col("x") < col("y"))
       .groupBy(col("x"), col("y")).agg(count(lit(1)).as("n"))
       .filter(col("n") >= 2)
       .select(col("x"), col("y"))
+      .cache()
     val fi = fp.select(col("x").as("i")).unionByName(fp.select(col("y").as("i"))).distinct()
     val poi = oi.join(fi.select(col("i").as("l_partkey")), Seq("l_partkey"), "left_semi")
+      .cache()
     val triples = poi.select(col("l_orderkey"), col("l_partkey").as("x"))
       .join(poi.select(col("l_orderkey"), col("l_partkey").as("y")), "l_orderkey")
       .filter(col("x") < col("y"))

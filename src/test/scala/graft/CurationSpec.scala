@@ -273,6 +273,17 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("q230 pair-count and pruned-basket frames are cached, not recomputed per consumer") {
+    val df = SparkEntry.queries("q230_apriori_triples")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.explainString(FormattedMode)
+    val inMem = "InMemoryTableScan".r.findAllIn(p).size
+    // fp has 3 semi-join probes + fi; poi has 3 triple-join sides
+    assert(inMem >= 6,
+      s"expected >=6 cached reads (3 fp probes + fi + 3 poi sides), saw $inMem")
+    spark.catalog.clearCache()
+  }
+
   test("q231 rendezvous property: dropping a shard moves only that shard's keys") {
     def assign(nShards: Int) = graft.core.Tables.documents(spark, sfDir).select(col("doc_id"))
       .withColumn("sh", explode(sequence(lit(0), lit(nShards - 1))))
