@@ -934,6 +934,81 @@ object CurationQueries {
       |SELECT CAST(sh AS BIGINT) AS shard, CAST(count(*) AS BIGINT) AS n_docs
       |FROM r WHERE rk = 1 GROUP BY sh""".stripMargin
 
+  // ---------------------------------------------------------------- q232
+  /** LINEAR-INTERPOLATION REGRIDDING: resample each user's irregular
+    * value series onto a regular 6-hour grid, interpolating between
+    * the bracketing observations — the time-series alignment step
+    * before any cross-series join or model feature build (the
+    * straight-line complement of LOCF gap-fill q59/q190). Shape: the
+    * grid is generated per user from its own [min, max] span
+    * (integer 6h cells), grid points UNION into the event timeline
+    * tagged, and TWO window passes attach the bracketing
+    * observations — last-non-null ascending for the previous, the
+    * same trick on the reversed order for the next; at an exact
+    * event timestamp the tag order makes prev INCLUDE the
+    * coincident event and next stay strictly later, so interp
+    * degenerates to the observed value. One shuffle (user), no
+    * joins, no per-row search. The interpolation itself is the only
+    * float math — identical parenthesization both engines:
+    * vp + ((vn - vp) * (t - up)) / (un - up).
+    */
+  def q232LinearInterp(s: SparkSession, d: String): DataFrame = {
+    val gridUs = 21600000000L // 6 h
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"), col("value"))
+    val span = ev.groupBy(col("user_id"))
+      .agg(min(col("us")).as("lo"), max(col("us")).as("hi"))
+    val grid = span.select(col("user_id"), explode(expr(
+        s"sequence(((lo div $gridUs) + 1) * $gridUs, hi, $gridUs)")).as("us"))
+      .select(col("user_id"), col("us"), lit(1L).as("tag"),
+        lit(0L).as("event_id"), lit(null).cast("double").as("value"))
+    val tagged = ev.select(col("user_id"), col("us"), lit(0L).as("tag"),
+        col("event_id"), col("value"))
+      .unionByName(grid)
+    val asc = Window.partitionBy(col("user_id"))
+      .orderBy(col("us").asc, col("tag").asc, col("event_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val desc = Window.partitionBy(col("user_id"))
+      .orderBy(col("us").desc, col("tag").desc, col("event_id").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    tagged
+      .withColumn("up", last(when(col("tag") === 0, col("us")), ignoreNulls = true).over(asc))
+      .withColumn("vp", last(when(col("tag") === 0, col("value")), ignoreNulls = true).over(asc))
+      .withColumn("un", last(when(col("tag") === 0, col("us")), ignoreNulls = true).over(desc))
+      .withColumn("vn", last(when(col("tag") === 0, col("value")), ignoreNulls = true).over(desc))
+      .filter(col("tag") === 1 && col("up").isNotNull && col("un").isNotNull)
+      .select(col("user_id"), col("us").as("grid_us"),
+        expr("vp + ((vn - vp) * (us - up)) / (un - up)").as("v_interp"))
+  }
+
+  val q232Sql: String =
+    """WITH span AS (SELECT user_id, min(epoch_us(ts)) AS lo, max(epoch_us(ts)) AS hi
+      |  FROM events GROUP BY user_id),
+      |grid AS (SELECT user_id, unnest(generate_series(
+      |    ((lo // 21600000000) + 1) * 21600000000, hi, 21600000000)) AS us
+      |  FROM span),
+      |tagged AS (
+      |  SELECT user_id, epoch_us(ts) AS us, 0 AS tag, event_id, value FROM events
+      |  UNION ALL
+      |  SELECT user_id, us, 1 AS tag, 0 AS event_id, NULL AS value FROM grid),
+      |br AS (SELECT user_id, us, tag,
+      |    last_value(CASE WHEN tag = 0 THEN us END IGNORE NULLS) OVER
+      |      (PARTITION BY user_id ORDER BY us, tag, event_id
+      |       ROWS UNBOUNDED PRECEDING) AS up,
+      |    last_value(CASE WHEN tag = 0 THEN value END IGNORE NULLS) OVER
+      |      (PARTITION BY user_id ORDER BY us, tag, event_id
+      |       ROWS UNBOUNDED PRECEDING) AS vp,
+      |    last_value(CASE WHEN tag = 0 THEN us END IGNORE NULLS) OVER
+      |      (PARTITION BY user_id ORDER BY us DESC, tag DESC, event_id DESC
+      |       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS un,
+      |    last_value(CASE WHEN tag = 0 THEN value END IGNORE NULLS) OVER
+      |      (PARTITION BY user_id ORDER BY us DESC, tag DESC, event_id DESC
+      |       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS vn
+      |  FROM tagged)
+      |SELECT user_id, us AS grid_us,
+      |  vp + ((vn - vp) * (us - up)) / (un - up) AS v_interp
+      |FROM br WHERE tag = 1 AND up IS NOT NULL AND un IS NOT NULL""".stripMargin
+
   val entries: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "q212_zorder" -> (q212ZOrder _, q212Sql),
     "q213_exact_substr" -> (q213ExactSubstr _, q213Sql),
@@ -955,5 +1030,6 @@ object CurationQueries {
     "q229_decile_lift" -> (q229DecileLift _, q229Sql),
     "q230_apriori_triples" -> (q230AprioriTriples _, q230Sql),
     "q231_rendezvous_shards" -> (q231RendezvousShards _, q231Sql),
+    "q232_linear_interp" -> (q232LinearInterp _, q232Sql),
   )
 }

@@ -305,6 +305,21 @@ class CurationSpec extends SparkSpec {
     assert(counts.values.sum == with16.size)
   }
 
+  test("q232 interpolation stays on-grid and inside each user's observed envelope") {
+    val rows = SparkEntry.queries("q232_linear_interp")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getAs[Long]("grid_us") % 21600000000L == 0L, "off-grid point"))
+    val env = graft.core.Tables.events(spark, sfDir)
+      .groupBy(col("user_id")).agg(min(col("value")).as("lo"), max(col("value")).as("hi"))
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    rows.foreach { r =>
+      val (lo, hi) = env(r.getAs[Long]("user_id"))
+      val v = r.getAs[Double]("v_interp")
+      assert(v >= lo - 1e-9 && v <= hi + 1e-9,
+        s"interpolated $v escapes the user's observed [$lo, $hi] — not a convex combination")
+    }
+  }
+
   test("q218 percentile_disc aggregates with map-side partials — no pre-aggregate global sort") {
     val df = SparkEntry.queries("q218_table_stats")(spark, sfDir)
     df.collect()
