@@ -1009,6 +1009,97 @@ object CurationQueries {
       |  vp + ((vn - vp) * (us - up)) / (un - up) AS v_interp
       |FROM br WHERE tag = 1 AND up IS NOT NULL AND un IS NOT NULL""".stripMargin
 
+  // ---------------------------------------------------------------- q233
+  /** CUSUM CHANGEPOINT LOCALIZATION: per user, the index along the
+    * (ts, event_id)-ordered value series where the cumulative
+    * deviation from the user's mean peaks — argmax |S_t| with
+    * S_t = sum_{i<=t}(x_i - mean). Localizes WHERE a level shift
+    * happened, the complement of the detect-only drift gates (KS
+    * q150, chi-square). Everything is exact integers: with cents
+    * and the scaled form S'_t = cum_t * N - t * T (N rows, T total
+    * cents), no mean quotient is ever materialized, and sign/argmax
+    * are integer comparisons — the q73 order-independent-moments
+    * rule applied to a sequential statistic. One window pass + one
+    * packed argmax aggregate, both keyed user_id (ties: earliest
+    * index, pinned via -idx in the struct order).
+    */
+  def q233CusumChangepoint(s: SparkSession, d: String): DataFrame = {
+    val byEvent = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      .withColumn("idx", row_number().over(byEvent).cast("long"))
+      .withColumn("cum", sum(col("cents")).over(
+        byEvent.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("user_id"))))
+      .withColumn("t", sum(col("cents")).over(Window.partitionBy(col("user_id"))))
+      .withColumn("s", col("cum") * col("n") - col("idx") * col("t"))
+      .groupBy(col("user_id"))
+      .agg(max(struct(abs(col("s")).as("a"), (-col("idx")).as("ni"),
+        col("s").as("s"), col("us").as("us"), col("idx").as("idx"))).as("m"))
+      .select(col("user_id"), col("m.idx").as("cp_index"), col("m.us").as("cp_us"),
+        col("m.s").as("s_scaled"),
+        when(col("m.s") > 0, lit("up_then_down")).otherwise(lit("down_then_up")).as("shape"))
+  }
+
+  val q233Sql: String =
+    """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us,
+      |    CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+      |r AS (SELECT user_id, us,
+      |    CAST(row_number() OVER w AS BIGINT) AS idx,
+      |    sum(cents) OVER (PARTITION BY user_id ORDER BY us, event_id
+      |      ROWS UNBOUNDED PRECEDING) AS cum,
+      |    count(*) OVER (PARTITION BY user_id) AS n,
+      |    sum(cents) OVER (PARTITION BY user_id) AS t
+      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+      |s AS (SELECT user_id, us, idx, cum * n - idx * t AS s FROM r),
+      |rk AS (SELECT user_id, us, idx, s,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY abs(s) DESC, idx) AS rk
+      |  FROM s)
+      |SELECT user_id, idx AS cp_index, us AS cp_us, CAST(s AS BIGINT) AS s_scaled,
+      |  CASE WHEN s > 0 THEN 'up_then_down' ELSE 'down_then_up' END AS shape
+      |FROM rk WHERE rk = 1""".stripMargin
+
+  // ---------------------------------------------------------------- q234
+  /** SKYLINE (PARETO FRONTIER): the parts no other part dominates
+    * under (minimize p_retailprice, maximize p_size) — the
+    * multi-objective shortlist operator. Two-phase, the q216
+    * histogram discipline: a corpus-parallel per-price aggregate
+    * (max size + count at that (price, size)) compacts the input to
+    * DOMAIN cardinality, then the frontier is one running-strict-max
+    * pass over the compacted frame ordered by price — a single-
+    * partition window over price-domain rows (metadata-scale), never
+    * over the corpus. Dominance needs one strict inequality, so
+    * same-price smaller-size rows are dominated within their price
+    * group (the max-size aggregate handles them) and equal (price,
+    * size) duplicates all survive (counted, not listed). Prices are
+    * exact-2-decimal — compared as cents.
+    */
+  def q234Skyline(s: SparkSession, d: String): DataFrame = {
+    val byPrice = Window.orderBy(col("price_cents").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.part(s, d)
+      .select(expr("CAST(round(p_retailprice * 100) AS BIGINT)").as("price_cents"),
+        col("p_size"))
+      .groupBy(col("price_cents"))
+      .agg(max(col("p_size")).as("best_size"))
+      .withColumn("prev_best", max(col("best_size")).over(byPrice))
+      .filter(col("prev_best").isNull || col("best_size") > col("prev_best"))
+      .select((col("price_cents").cast("double") / 100.0).as("price"),
+        col("best_size").as("size"))
+  }
+
+  val q234Sql: String =
+    """WITH p AS (SELECT CAST(round(p_retailprice * 100) AS BIGINT) AS price_cents,
+      |    max(p_size) AS best_size
+      |  FROM part GROUP BY 1),
+      |f AS (SELECT price_cents, best_size,
+      |    max(best_size) OVER (ORDER BY price_cents
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_best
+      |  FROM p)
+      |SELECT CAST(price_cents AS DOUBLE) / 100.0 AS price, best_size AS size
+      |FROM f WHERE prev_best IS NULL OR best_size > prev_best""".stripMargin
+
   val entries: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "q212_zorder" -> (q212ZOrder _, q212Sql),
     "q213_exact_substr" -> (q213ExactSubstr _, q213Sql),
@@ -1031,5 +1122,7 @@ object CurationQueries {
     "q230_apriori_triples" -> (q230AprioriTriples _, q230Sql),
     "q231_rendezvous_shards" -> (q231RendezvousShards _, q231Sql),
     "q232_linear_interp" -> (q232LinearInterp _, q232Sql),
+    "q233_cusum_changepoint" -> (q233CusumChangepoint _, q233Sql),
+    "q234_skyline" -> (q234Skyline _, q234Sql),
   )
 }

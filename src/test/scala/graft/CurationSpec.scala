@@ -320,6 +320,46 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("q233 CUSUM argmax matches a driver-side brute recomputation") {
+    val cps = SparkEntry.queries("q233_cusum_changepoint")(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("user_id") -> (r.getAs[Long]("cp_index"), r.getAs[Long]("s_scaled"))).toMap
+    val byUser = graft.core.Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      .collect()
+      .groupBy(_.getAs[Long]("user_id"))
+    byUser.take(5).foreach { case (uid, rows) =>
+      val xs = rows.sortBy(r => (r.getAs[Long]("us"), r.getAs[Long]("event_id")))
+        .map(_.getAs[Long]("cents"))
+      val (n, t) = (xs.length.toLong, xs.sum)
+      val series = xs.scanLeft(0L)(_ + _).drop(1).zipWithIndex
+        .map { case (cum, i) => (i + 1L, cum * n - (i + 1L) * t) }
+      val best = series.maxBy { case (idx, sv) => (math.abs(sv), -idx) }
+      assert(cps(uid) == ((best._1, best._2)),
+        s"user $uid: spark cp ${cps(uid)} != brute $best")
+    }
+  }
+
+  test("q234 skyline is exactly the non-dominated set (brute dominance check)") {
+    val sky = SparkEntry.queries("q234_skyline")(spark, sfDir).collect()
+      .map(r => (math.round(r.getAs[Double]("price") * 100),
+        r.getAs[Number]("size").longValue))
+    val pts = graft.core.Tables.part(spark, sfDir)
+      .select(expr("CAST(round(p_retailprice * 100) AS BIGINT)").as("pc"),
+        col("p_size").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    def dominates(a: (Long, Long), b: (Long, Long)): Boolean =
+      a._1 <= b._1 && a._2 >= b._2 && (a._1 < b._1 || a._2 > b._2)
+    sky.foreach { p =>
+      assert(!pts.exists(q => dominates(q, p)), s"skyline point $p is dominated")
+    }
+    val skySet = sky.toSet
+    pts.foreach { p =>
+      if (!pts.exists(q => dominates(q, p)))
+        assert(skySet.contains(p), s"non-dominated part $p missing from the skyline")
+    }
+  }
+
   test("q218 percentile_disc aggregates with map-side partials — no pre-aggregate global sort") {
     val df = SparkEntry.queries("q218_table_stats")(spark, sfDir)
     df.collect()
