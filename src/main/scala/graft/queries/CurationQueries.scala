@@ -1111,6 +1111,114 @@ object CurationQueries {
       |SELECT CAST(price_cents AS DOUBLE) / 100.0 AS price, best_size AS size
       |FROM f WHERE prev_best IS NULL OR best_size > prev_best""".stripMargin
 
+  /** Leading digit of a positive integer via CASE over power-of-ten
+    * ranges — no per-row log10, no double->string round-trip (both
+    * would be engine-dependent). Shared by the Spark and DuckDB
+    * sides of q235 (`div` vs `//`). */
+  private def firstDigitCase(col0: String, divOp: String): String = {
+    val cases = (0 to 9).map { k =>
+      val p = math.pow(10, k).toLong
+      s"WHEN $col0 < ${p * 10} THEN $col0 $divOp $p"
+    }.mkString(" ")
+    s"CASE $cases END"
+  }
+
+  /** round(log10(1 + 1/d) * 1e6) for d = 1..9 — Benford expected
+    * frequencies as FIXED integer ppm literals, identical on both
+    * engines (per-row transcendentals would not hash cross-engine;
+    * constants do). */
+  private val benfordPpm =
+    Map(1 -> 301030L, 2 -> 176091L, 3 -> 124939L, 4 -> 96910L, 5 -> 79181L,
+        6 -> 66947L, 7 -> 57992L, 8 -> 51153L, 9 -> 45757L)
+
+  // ---------------------------------------------------------------- q235
+  /** BENFORD FIRST-DIGIT AUDIT: the leading-digit distribution of
+    * order totals vs Benford's law — the fraud/synthetic-data screen
+    * run over any financial column spanning magnitudes. Everything
+    * that could diverge cross-engine is pinned: the leading digit is
+    * extracted by integer CASE ranges (never log10 or a double
+    * format), and the Benford expectation is a table of fixed
+    * integer-ppm literals, so observed-vs-expected deviations are
+    * exact integer arithmetic. One hash aggregate on a 9-value key.
+    */
+  def q235BenfordAudit(s: SparkSession, d: String): DataFrame = {
+    val expected = benfordPpm.map { case (k, v) => s"WHEN $k THEN ${v}L" }
+      .mkString("CASE d ", " ", " END")
+    Tables.orders(s, d)
+      .select(expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("c"))
+      .filter(col("c") > 0)
+      .withColumn("d", expr(firstDigitCase("c", "div")))
+      .groupBy(col("d")).agg(count(lit(1)).as("n"))
+      .withColumn("total", sum(col("n")).over(Window.partitionBy()))
+      .select(col("d").as("digit"), col("n"),
+        expr("(n * 1000000) div total").as("obs_ppm"),
+        expr(expected).as("benford_ppm"))
+      .withColumn("dev_ppm", abs(col("obs_ppm") - col("benford_ppm")))
+  }
+
+  val q235Sql: String = {
+    val expected = benfordPpm.map { case (k, v) => s"WHEN $k THEN $v" }
+      .mkString("CASE d ", " ", " END")
+    s"""WITH c0 AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS c FROM orders),
+       |c AS (SELECT c FROM c0 WHERE c > 0),
+       |g AS (SELECT ${firstDigitCase("c", "//")} AS d, count(*) AS n FROM c GROUP BY 1),
+       |t AS (SELECT d, n, sum(n) OVER () AS total FROM g)
+       |SELECT d AS digit, CAST(n AS BIGINT) AS n,
+       |  CAST((n * 1000000) // total AS BIGINT) AS obs_ppm,
+       |  CAST($expected AS BIGINT) AS benford_ppm,
+       |  CAST(abs((n * 1000000) // total - ($expected)) AS BIGINT) AS dev_ppm
+       |FROM t""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q236
+  /** COLLOCATION / PHRASE DETECTION via LIFT: adjacent token pairs
+    * whose co-occurrence beats independence — lift = (n_xy * N) /
+    * (n_x * n_y), the word2vec-phrases criterion with the PMI log
+    * dropped (monotone in it, so the ranking is identical and the
+    * score is a single quotient of exact integer products). Bigrams
+    * come from the zip_with sliding idiom (never sequence-indexed —
+    * the descending-sequence trap), unigram counts broadcast, min
+    * support 5, and the report is the global top-100 by (lift, pair)
+    * — a TakeOrdered top-k with a total tie-break, not a full sort.
+    */
+  def q236Collocations(s: SparkSession, d: String): DataFrame = {
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("ts"))
+    val uni = toks.select(explode(col("ts")).as("w")).filter(col("w") =!= "")
+      .groupBy(col("w")).agg(count(lit(1)).as("n1"))
+    val nTotal = uni.agg(sum(col("n1")).as("nt"))
+    val bi = toks.select(explode(expr(
+        """zip_with(slice(ts, 1, greatest(size(ts) - 1, 0)),
+          |         slice(ts, 2, greatest(size(ts) - 1, 0)),
+          |         (a, b) -> struct(a AS x, b AS y))""".stripMargin)).as("p"))
+      .select(col("p.x").as("x"), col("p.y").as("y"))
+      .filter(col("x") =!= "" && col("y") =!= "")
+      .groupBy(col("x"), col("y")).agg(count(lit(1)).as("nxy"))
+      .filter(col("nxy") >= 5)
+    bi.join(broadcast(uni.select(col("w").as("x"), col("n1").as("nx"))), "x")
+      .join(broadcast(uni.select(col("w").as("y"), col("n1").as("ny"))), "y")
+      .crossJoin(broadcast(nTotal))
+      .withColumn("lift",
+        (col("nxy") * col("nt")).cast("double") / (col("nx") * col("ny")).cast("double"))
+      .orderBy(col("lift").desc, col("x").asc, col("y").asc)
+      .limit(100)
+      .select(col("x"), col("y"), col("nxy"), col("lift"))
+  }
+
+  val q236Sql: String =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+      |uni AS (SELECT w, count(*) AS n1 FROM
+      |  (SELECT unnest(ts) AS w FROM t) WHERE w <> '' GROUP BY w),
+      |nt AS (SELECT sum(n1) AS nt FROM uni),
+      |bi AS (SELECT pr[1] AS x, pr[2] AS y, count(*) AS nxy FROM
+      |    (SELECT unnest(list_transform(generate_series(1, len(ts) - 1),
+      |       i -> [ts[i], ts[i+1]])) AS pr FROM t)
+      |  WHERE pr[1] <> '' AND pr[2] <> '' GROUP BY 1, 2 HAVING count(*) >= 5)
+      |SELECT bi.x, bi.y, CAST(bi.nxy AS BIGINT) AS nxy,
+      |  CAST(bi.nxy * nt.nt AS DOUBLE) / CAST(ux.n1 * uy.n1 AS DOUBLE) AS lift
+      |FROM bi JOIN uni ux ON bi.x = ux.w JOIN uni uy ON bi.y = uy.w, nt
+      |ORDER BY lift DESC, bi.x, bi.y LIMIT 100""".stripMargin
+
   val entries: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "q212_zorder" -> (q212ZOrder _, q212Sql),
     "q213_exact_substr" -> (q213ExactSubstr _, q213Sql),
@@ -1135,5 +1243,7 @@ object CurationQueries {
     "q232_linear_interp" -> (q232LinearInterp _, q232Sql),
     "q233_cusum_changepoint" -> (q233CusumChangepoint _, q233Sql),
     "q234_skyline" -> (q234Skyline _, q234Sql),
+    "q235_benford_audit" -> (q235BenfordAudit _, q235Sql),
+    "q236_collocations" -> (q236Collocations _, q236Sql),
   )
 }

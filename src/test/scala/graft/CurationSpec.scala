@@ -360,6 +360,21 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("q235/q236 invariants: ppm budgets close, digits exhaustive; lift ranked with support") {
+    val ben = SparkEntry.queries("q235_benford_audit")(spark, sfDir).collect()
+    assert(ben.map(_.getAs[Long]("digit")).sorted.toSeq == (1L to 9L),
+      "all nine leading digits must appear")
+    val obsSum = ben.map(_.getAs[Long]("obs_ppm")).sum
+    assert(obsSum >= 999991L && obsSum <= 1000000L,
+      s"observed ppm sums to $obsSum — floor-div should lose < 9 ppm")
+    assert(ben.map(_.getAs[Long]("benford_ppm")).sum == 1000000L)
+    val coll = SparkEntry.queries("q236_collocations")(spark, sfDir).collect()
+    assert(coll.nonEmpty && coll.length <= 100)
+    coll.foreach(r => assert(r.getAs[Long]("nxy") >= 5))
+    val lifts = coll.map(_.getAs[Double]("lift"))
+    assert(lifts.sliding(2).forall(w => w(0) >= w(1)), "top-100 not ordered by lift")
+  }
+
   test("q218 percentile_disc aggregates with map-side partials — no pre-aggregate global sort") {
     val df = SparkEntry.queries("q218_table_stats")(spark, sfDir)
     df.collect()
