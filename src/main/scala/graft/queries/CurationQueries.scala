@@ -1219,6 +1219,49 @@ object CurationQueries {
       |FROM bi JOIN uni ux ON bi.x = ux.w JOIN uni uy ON bi.y = uy.w, nt
       |ORDER BY lift DESC, bi.x, bi.y LIMIT 100""".stripMargin
 
+  // ---------------------------------------------------------------- q237
+  /** PERCENT-OF-PARENT HIERARCHICAL SHARES: each nation's revenue as
+    * a share of its region, and each region's as a share of the
+    * total — the ratio-to-report OLAP staple (complements the
+    * rollup/cube gates, which emit LEVELS, not ratios BETWEEN
+    * levels). One corpus-scale aggregate to (region, nation) —
+    * map-side combinable, DECIMAL-exact — then the parent ratios are
+    * windows over that 25-row frame (metadata-scale: the window
+    * partitions are the hierarchy, not the corpus). Shares are raw
+    * IEEE quotients of exact DECIMAL sums cast once.
+    */
+  def q237PercentOfParent(s: SparkSession, d: String): DataFrame = {
+    val rev = Tables.orders(s, d)
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(sum(expr("CAST(o_totalprice AS DECIMAL(18,2))")).as("rev"))
+    rev
+      .withColumn("region_rev", sum(col("rev")).over(Window.partitionBy(col("r_name"))))
+      .withColumn("total_rev", sum(col("rev")).over(Window.partitionBy()))
+      .select(col("r_name"), col("n_name"),
+        expr("CAST(round(rev, 2) AS DOUBLE)").as("nation_rev"),
+        (col("rev").cast("double") / col("region_rev").cast("double")).as("share_of_region"),
+        (col("region_rev").cast("double") / col("total_rev").cast("double")).as("region_share_of_total"))
+  }
+
+  val q237Sql: String =
+    """WITH rev AS (SELECT r.r_name, n.n_name,
+      |    sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS rev
+      |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      |  JOIN nation n ON c.c_nationkey = n.n_nationkey
+      |  JOIN region r ON n.n_regionkey = r.r_regionkey
+      |  GROUP BY r.r_name, n.n_name),
+      |w AS (SELECT r_name, n_name, rev,
+      |    sum(rev) OVER (PARTITION BY r_name) AS region_rev,
+      |    sum(rev) OVER () AS total_rev
+      |  FROM rev)
+      |SELECT r_name, n_name, CAST(round(rev, 2) AS DOUBLE) AS nation_rev,
+      |  CAST(rev AS DOUBLE) / CAST(region_rev AS DOUBLE) AS share_of_region,
+      |  CAST(region_rev AS DOUBLE) / CAST(total_rev AS DOUBLE) AS region_share_of_total
+      |FROM w""".stripMargin
+
   val entries: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "q212_zorder" -> (q212ZOrder _, q212Sql),
     "q213_exact_substr" -> (q213ExactSubstr _, q213Sql),
@@ -1245,5 +1288,6 @@ object CurationQueries {
     "q234_skyline" -> (q234Skyline _, q234Sql),
     "q235_benford_audit" -> (q235BenfordAudit _, q235Sql),
     "q236_collocations" -> (q236Collocations _, q236Sql),
+    "q237_percent_of_parent" -> (q237PercentOfParent _, q237Sql),
   )
 }

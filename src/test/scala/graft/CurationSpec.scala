@@ -375,6 +375,17 @@ class CurationSpec extends SparkSpec {
     assert(lifts.sliding(2).forall(w => w(0) >= w(1)), "top-100 not ordered by lift")
   }
 
+  test("q237 shares close to 1 within each parent") {
+    val rows = SparkEntry.queries("q237_percent_of_parent")(spark, sfDir).collect()
+    rows.groupBy(_.getAs[String]("r_name")).foreach { case (r, ns) =>
+      val sum = ns.map(_.getAs[Double]("share_of_region")).sum
+      assert(math.abs(sum - 1.0) < 1e-9, s"region $r nation shares sum to $sum")
+    }
+    val regionShares = rows.groupBy(_.getAs[String]("r_name"))
+      .map(_._2.head.getAs[Double]("region_share_of_total")).sum
+    assert(math.abs(regionShares - 1.0) < 1e-9, s"region shares sum to $regionShares")
+  }
+
   test("q218 percentile_disc aggregates with map-side partials — no pre-aggregate global sort") {
     val df = SparkEntry.queries("q218_table_stats")(spark, sfDir)
     df.collect()
