@@ -336,36 +336,48 @@ object CurationQueries {
     * a 12-number table-stats record.
     */
   def q218TableStats(s: SparkSession, d: String): DataFrame = {
-    // TWO corpus scans for the whole stats record (the ANALYZE shape;
-    // 6 separate per-column aggregates benched ~17 s at sf0.1): scan 1
-    // carries every column's counters AND percentiles in one
-    // aggregate; scan 2 carries the three exact NDVs. They must stay
-    // separate — mixing multiple DISTINCT aggregates with the
-    // imperative percentile aggregates makes Catalyst Expand the scan
-    // per distinct column, multiplying rows 4x and dragging the
-    // percentile state through SortAggregate (measured 2x SLOWER than
-    // even the 6-scan shape).
+    // ONE corpus scan via the value-HISTOGRAM form (the q216/q234
+    // discipline, and the fastest of three shapes measured at sf0.1:
+    // 6 per-column aggregates ~17 s; counters+imperative-percentile
+    // pass + NDV pass ~11 s — dominated by merging 585k-entry
+    // percentile_disc state maps; this histogram form ~3 s): melt the
+    // three columns to (col_name, value) rows in one scan, hash-
+    // aggregate to per-value counts (map-side combinable, the ONLY
+    // corpus-scale step), then every statistic falls out of the
+    // compacted domain-cardinality frame — NDV is the histogram row
+    // count, nulls are the null-value bucket, and each
+    // percentile_disc boundary is an integer running-count crossing
+    // (cum * 8 >= i * n — the exact cume_dist >= q rational, no
+    // ceil, no floats). The oracle still states quantile_disc, so
+    // the crossing semantics are gate-checked, not assumed. A
+    // DISTINCT aggregate never meets an imperative aggregate here,
+    // dodging the Catalyst Expand trap the previous shape measured.
     val cols = Seq("l_quantity", "l_extendedprice", "l_discount")
-    val aggs = Seq(count(lit(1)).as("n_rows")) ++ cols.flatMap { c =>
-      Seq((count(lit(1)) - count(col(c))).as(s"${c}_null"),
-        min(col(c)).cast("double").as(s"${c}_min"),
-        max(col(c)).cast("double").as(s"${c}_max")) ++
-      (1 to 7).map(i =>
-        expr(s"CAST(percentile_disc(0.${i * 125}) WITHIN GROUP (ORDER BY $c) AS DOUBLE)")
-          .as(s"${c}_p$i"))
-    }
-    val ndvAggs = cols.map(c => countDistinct(col(c)).as(s"${c}_ndv"))
-    val one = Tables.lineitem(s, d).agg(aggs.head, aggs.tail: _*)
-      .crossJoin(Tables.lineitem(s, d).agg(ndvAggs.head, ndvAggs.tail: _*))
-      .cache()
-    cols.map { c =>
-      one.select(lit(c).as("col_name"), col("n_rows"),
-        col(s"${c}_null").as("n_null"), col(s"${c}_ndv").as("ndv"),
-        col(s"${c}_min").as("min_v"), col(s"${c}_max").as("max_v"),
-        col(s"${c}_p1").as("p1"), col(s"${c}_p2").as("p2"), col(s"${c}_p3").as("p3"),
-        col(s"${c}_p4").as("p4"), col(s"${c}_p5").as("p5"), col(s"${c}_p6").as("p6"),
-        col(s"${c}_p7").as("p7"))
-    }.reduce(_ unionByName _)
+    val melt = cols.map(c =>
+      s"struct('$c' AS col_name, CAST($c AS DOUBLE) AS v)").mkString(", ")
+    val hist = Tables.lineitem(s, d)
+      .select(explode(expr(s"array($melt)")).as("m"))
+      .select(col("m.col_name").as("col_name"), col("m.v").as("v"))
+      .groupBy(col("col_name"), col("v")).agg(count(lit(1)).as("cnt"))
+    val byVal = Window.partitionBy(col("col_name")).orderBy(col("v").asc_nulls_last)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val all = Window.partitionBy(col("col_name"))
+    val crossed = hist
+      .withColumn("cum", sum(when(col("v").isNotNull, col("cnt"))).over(byVal))
+      .withColumn("n", sum(when(col("v").isNotNull, col("cnt"))).over(all))
+    val ps = (1 to 7).map(i =>
+      min(when(col("v").isNotNull && col("cum") * 8 >= lit(i.toLong) * col("n"),
+        col("v"))).as(s"p$i"))
+    val aggExprs = Seq(
+      sum(col("cnt")).as("n_rows"),
+      sum(when(col("v").isNull, col("cnt")).otherwise(lit(0L))).as("n_null"),
+      count(when(col("v").isNotNull, 1)).as("ndv"),
+      min(col("v")).as("min_v"), max(col("v")).as("max_v")) ++ ps
+    crossed.groupBy(col("col_name"))
+      .agg(aggExprs.head, aggExprs.tail: _*)
+      .select(col("col_name"), col("n_rows"), col("n_null"), col("ndv"),
+        col("min_v"), col("max_v"), col("p1"), col("p2"), col("p3"), col("p4"),
+        col("p5"), col("p6"), col("p7"))
   }
 
   val q218Sql: String = {

@@ -386,12 +386,16 @@ class CurationSpec extends SparkSpec {
     assert(math.abs(regionShares - 1.0) < 1e-9, s"region shares sum to $regionShares")
   }
 
-  test("q218 percentile_disc aggregates with map-side partials — no pre-aggregate global sort") {
+  test("q218 histogram form: partial hash-agg, no imperative percentile state") {
     val df = SparkEntry.queries("q218_table_stats")(spark, sfDir)
     df.collect()
     val p = df.queryExecution.explainString(FormattedMode)
-    assert(p.contains("partial_percentile_disc") || p.contains("Partial"),
-      "percentile_disc lost its partial (map-side) aggregation level")
+    // the corpus-scale step must be the map-side-combinable value
+    // histogram; the old imperative percentile_disc aggregate (585k-
+    // entry state maps merged at one reducer) must be gone
+    assert(p.contains("HashAggregate"), "value histogram lost its hash aggregation")
+    assert(!p.contains("percentile_disc"),
+      "imperative percentile state is back — boundaries must come from histogram crossings")
     val stats = df.collect().map(r => r.getAs[String]("col_name") -> r).toMap
     val li = graft.core.Tables.lineitem(spark, sfDir)
     val qty = stats("l_quantity")
