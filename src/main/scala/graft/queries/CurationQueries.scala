@@ -1274,6 +1274,48 @@ object CurationQueries {
       |  CAST(region_rev AS DOUBLE) / CAST(total_rev AS DOUBLE) AS region_share_of_total
       |FROM w""".stripMargin
 
+  // ---------------------------------------------------------------- q238
+  /** DISTRIBUTED PREFIX SUM (two-phase scan): the global running
+    * revenue total in o_orderkey order WITHOUT a single-partition
+    * corpus window — the MPP scan primitive. Phase 1: per-bucket
+    * sums (orderkey div 512 — fixed integer boundaries, so the
+    * bucketing is deterministic, unlike repartitionByRange's sampled
+    * boundaries). Phase 2: the exclusive bucket-offset cumsum runs
+    * over the BUCKET frame (domain cardinality — metadata, the
+    * q216/q234 compaction discipline) and broadcasts back. Phase 3:
+    * within-bucket running sums under full parallelism, plus the
+    * offset. The oracle states the same totals with the naive global
+    * window — the single-reducer shape this operator exists to
+    * avoid. Output thinned to every 128th key to keep the gate's
+    * dump bounded; sums are exact integer cents.
+    */
+  def q238PrefixSum(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+      .select(col("o_orderkey"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+      .withColumn("b", expr("o_orderkey div 512"))
+    val offsets = o.groupBy(col("b")).agg(sum(col("cents")).as("bsum"))
+      .withColumn("boffset",
+        coalesce(sum(col("bsum")).over(
+          Window.orderBy(col("b").asc).rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .select(col("b"), col("boffset"))
+    val inBucket = Window.partitionBy(col("b")).orderBy(col("o_orderkey").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    o.join(broadcast(offsets), "b")
+      .withColumn("running_cents", col("boffset") + sum(col("cents")).over(inBucket))
+      .filter(col("o_orderkey") % 128 === 0)
+      .select(col("o_orderkey"), col("running_cents"))
+  }
+
+  val q238Sql: String =
+    """SELECT o_orderkey, CAST(running AS BIGINT) AS running_cents FROM (
+      |  SELECT o_orderkey,
+      |    sum(CAST(round(o_totalprice * 100) AS BIGINT)) OVER
+      |      (ORDER BY o_orderkey ROWS UNBOUNDED PRECEDING) AS running
+      |  FROM orders)
+      |WHERE o_orderkey % 128 = 0""".stripMargin
+
   val entries: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "q212_zorder" -> (q212ZOrder _, q212Sql),
     "q213_exact_substr" -> (q213ExactSubstr _, q213Sql),
@@ -1301,5 +1343,6 @@ object CurationQueries {
     "q235_benford_audit" -> (q235BenfordAudit _, q235Sql),
     "q236_collocations" -> (q236Collocations _, q236Sql),
     "q237_percent_of_parent" -> (q237PercentOfParent _, q237Sql),
+    "q238_prefix_sum" -> (q238PrefixSum _, q238Sql),
   )
 }

@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.execution.FormattedMode
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Locks for the round-7 curation/statistics tier: q212's Z-order
@@ -384,6 +385,22 @@ class CurationSpec extends SparkSpec {
     val regionShares = rows.groupBy(_.getAs[String]("r_name"))
       .map(_._2.head.getAs[Double]("region_share_of_total")).sum
     assert(math.abs(regionShares - 1.0) < 1e-9, s"region shares sum to $regionShares")
+  }
+
+  test("q238 two-phase prefix sum: multiple buckets exercised, equals the naive global window") {
+    val nBuckets = graft.core.Tables.orders(spark, sfDir)
+      .select(expr("o_orderkey div 512").as("b")).distinct().count()
+    assert(nBuckets > 1, s"only $nBuckets bucket — the two-phase path is vacuous at this sf")
+    val twoPhase = SparkEntry.queries("q238_prefix_sum")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val w = Window.orderBy(col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val naive = graft.core.Tables.orders(spark, sfDir)
+      .withColumn("running",
+        sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).over(w))
+      .filter(col("o_orderkey") % 128 === 0)
+      .collect().map(r => r.getAs[Long]("o_orderkey") -> r.getAs[Long]("running")).toMap
+    assert(twoPhase == naive, "two-phase scan diverges from the single-partition window")
   }
 
   test("q218 histogram form: partial hash-agg, no imperative percentile state") {
