@@ -1316,6 +1316,45 @@ object CurationQueries {
       |  FROM orders)
       |WHERE o_orderkey % 128 = 0""".stripMargin
 
+  // ---------------------------------------------------------------- q239
+  /** HEAVY-HITTER CHANGE DETECTION (deltoids, Cormode-Muthukrishnan):
+    * the items whose frequency changed most between the first and
+    * second half of the event timeline — the "what changed" monitor
+    * behind every drift alert, where the per-window sketch tier
+    * (Misra-Gries q198, trending top-k q129) answers "what's big"
+    * and this answers "what MOVED". Exact form: ONE conditional
+    * aggregate per item (counts for both halves in the same pass —
+    * no per-half scans, no join), split at the integer midpoint
+    * timestamp from a 1-row broadcast stats frame, then a top-20
+    * TakeOrdered by (|delta| desc, item) with a total tie-break. All
+    * integers; the item key is the q204 floor(value) bucket.
+    */
+  def q239Deltoids(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(unix_micros(col("ts")).as("us"),
+        floor(col("value")).cast("long").as("item"))
+    val mid = ev.agg(expr("(min(us) + max(us)) div 2").as("mid"))
+    ev.crossJoin(broadcast(mid))
+      .groupBy(col("item"))
+      .agg(count(when(col("us") < col("mid"), 1)).as("c1"),
+        count(when(col("us") >= col("mid"), 1)).as("c2"))
+      .withColumn("delta", col("c2") - col("c1"))
+      .orderBy(abs(col("delta")).desc, col("item").asc)
+      .limit(20)
+      .select(col("item"), col("c1"), col("c2"), col("delta"))
+  }
+
+  val q239Sql: String =
+    """WITH e AS (SELECT epoch_us(ts) AS us, CAST(floor(value) AS BIGINT) AS item FROM events),
+      |m AS (SELECT (min(us) + max(us)) // 2 AS mid FROM e),
+      |g AS (SELECT item,
+      |    count(*) FILTER (us < mid) AS c1,
+      |    count(*) FILTER (us >= mid) AS c2
+      |  FROM e, m GROUP BY item)
+      |SELECT item, CAST(c1 AS BIGINT) AS c1, CAST(c2 AS BIGINT) AS c2,
+      |  CAST(c2 - c1 AS BIGINT) AS delta
+      |FROM g ORDER BY abs(c2 - c1) DESC, item LIMIT 20""".stripMargin
+
   val entries: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "q212_zorder" -> (q212ZOrder _, q212Sql),
     "q213_exact_substr" -> (q213ExactSubstr _, q213Sql),
@@ -1344,5 +1383,6 @@ object CurationQueries {
     "q236_collocations" -> (q236Collocations _, q236Sql),
     "q237_percent_of_parent" -> (q237PercentOfParent _, q237Sql),
     "q238_prefix_sum" -> (q238PrefixSum _, q238Sql),
+    "q239_deltoids" -> (q239Deltoids _, q239Sql),
   )
 }

@@ -403,6 +403,17 @@ class CurationSpec extends SparkSpec {
     assert(twoPhase == naive, "two-phase scan diverges from the single-partition window")
   }
 
+  test("q239 deltoids: top-20 by |delta| with halves partitioning the timeline") {
+    val rows = SparkEntry.queries("q239_deltoids")(spark, sfDir).collect()
+    assert(rows.length == 20)
+    val deltas = rows.map(r => math.abs(r.getAs[Long]("delta")))
+    assert(deltas.sliding(2).forall(w => w(0) >= w(1)), "not ordered by |delta|")
+    rows.foreach(r => assert(r.getAs[Long]("delta") ==
+      r.getAs[Long]("c2") - r.getAs[Long]("c1")))
+    // both halves carry events — a degenerate split would gut the gate
+    assert(rows.map(_.getAs[Long]("c1")).sum > 0 && rows.map(_.getAs[Long]("c2")).sum > 0)
+  }
+
   test("q218 histogram form: partial hash-agg, no imperative percentile state") {
     val df = SparkEntry.queries("q218_table_stats")(spark, sfDir)
     df.collect()
