@@ -35,7 +35,11 @@ object PlanAudit {
         df.collect()
         val p = df.queryExecution.explainString(FormattedMode)
         def c(pat: String) = pat.r.findAllIn(p).size
-        println(f"$n%-28s exch=${c("Exchange")}%2d reused=${c("ReusedExchange")}%2d inmem=${c("InMemoryTableScan")}%2d bhj=${c("BroadcastHashJoin")}%2d smj=${c("SortMergeJoin")}%2d bnlj=${c("BroadcastNestedLoopJoin")}%2d cart=${c("CartesianProduct")}%2d sortAgg=${c("SortAggregate")}%2d")
+        // the gate form of this audit is FullPlanSpec (same lint over
+        // every query with the reviewed whitelist); here it annotates
+        val lint = graft.core.PlanLint.lint(n, df)
+        val flag = if (lint.isEmpty) "" else lint.map(_.kind).distinct.mkString("  !", ",", "")
+        println(f"$n%-28s exch=${c("Exchange")}%2d reused=${c("ReusedExchange")}%2d inmem=${c("InMemoryTableScan")}%2d bhj=${c("BroadcastHashJoin")}%2d smj=${c("SortMergeJoin")}%2d bnlj=${c("BroadcastNestedLoopJoin")}%2d cart=${c("CartesianProduct")}%2d sortAgg=${c("SortAggregate")}%2d$flag")
       } catch {
         case e: Exception => println(s"$n AUDIT-ERROR: ${e.getMessage.take(120)}")
       }

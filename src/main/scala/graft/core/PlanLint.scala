@@ -1,0 +1,109 @@
+package graft.core
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.{CoalesceExec, SortExec, SparkPlan}
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+import org.apache.spark.sql.execution.window.WindowExec
+
+/** Executed-plan anti-pattern lint: the failure modes that are
+  * invisible at test scale but fatal on a 1000-executor cluster,
+  * detected on the FINAL (post-AQE) physical plan so a refactor or a
+  * new operator cannot silently reintroduce one. Used by the PlanSpec
+  * full-surface sweep (every SparkEntry query) and by the PlanAudit
+  * dev main.
+  *
+  * Why each kind is on the list:
+  *  - `cartesian`: CartesianProductExec is an all-pairs shuffle-less
+  *    NxM loop over two UNbroadcast inputs — O(corpus^2) at scale.
+  *  - `global-window`: a Window with an empty PARTITION BY moves the
+  *    entire input through ONE task (Spark plans it as an Exchange
+  *    SinglePartition); fine over a 9-row digit table, fatal over a
+  *    corpus frame.
+  *  - `single-partition-sort`: a SortExec fed by a SinglePartition
+  *    exchange (coalesce(1)/repartition(1) upstream) — a global
+  *    range sort is distributed and fine; a one-task sort is not.
+  *  - `coalesce-1`: CoalesceExec(1) in a RETURNED frame funnels the
+  *    result through one task (single-file writes inside query
+  *    bodies never appear in the returned plan, so any hit here is a
+  *    real result-path funnel).
+  *  - `bnlj`: BroadcastNestedLoopJoin is an O(|left| x |broadcast|)
+  *    per-row loop — sound only when the broadcast side is bounded
+  *    metadata (theta-join gates, <=128-row constant frames), so
+  *    every use must be declared.
+  *
+  * The traversal unwraps what TreeNode.collect cannot see: the AQE
+  * wrapper's final plan, materialized query stages (LeafExecNodes
+  * holding the real stage under `plan`), reused exchanges, cached
+  * relations, and subquery plans.
+  */
+object PlanLint {
+  final case class Violation(query: String, kind: String, node: String) {
+    override def toString = s"$query: $kind [$node]"
+  }
+
+  /** Final physical plan, AQE-resolved. The frame must already be
+    * materialized (collect/write) or AQE returns the initial plan.
+    */
+  def finalPlan(df: DataFrame): SparkPlan =
+    df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p                        => p
+    }
+
+  /** Every node reachable from `p`, descending through AQE/stage/
+    * reuse/cache wrappers and subqueries (dedup'd by identity to cut
+    * reused-exchange cycles).
+    */
+  def allNodes(p: SparkPlan): Seq[SparkPlan] = {
+    val seen = java.util.Collections.newSetFromMap(
+      new java.util.IdentityHashMap[SparkPlan, java.lang.Boolean]())
+    val out = scala.collection.mutable.ArrayBuffer.empty[SparkPlan]
+    def walk(n: SparkPlan): Unit = if (seen.add(n)) {
+      out += n
+      val extra: Seq[SparkPlan] = n match {
+        case a: AdaptiveSparkPlanExec  => Seq(a.executedPlan)
+        case s: QueryStageExec         => Seq(s.plan)
+        case r: ReusedExchangeExec     => Seq(r.child)
+        case c: InMemoryTableScanExec  => Seq(c.relation.cachedPlan)
+        case _                         => Seq.empty
+      }
+      (n.children ++ extra ++ n.subqueries).foreach(walk)
+    }
+    walk(p)
+    out.toSeq
+  }
+
+  /** STRUCTURAL single-partition only — the plan REQUIRED all rows on
+    * one task (global window/limit funnel, coalesce(1)). AQE
+    * coalescing a tiny test-scale shuffle down to one partition shows
+    * up as numPartitions == 1 too, but its partitioning is NOT the
+    * SinglePartition distribution and it disappears at real scale, so
+    * testing numPartitions would flood the lint with scale artifacts
+    * (observed: ~90 false hits at sf0.001).
+    */
+  private def isSinglePartition(p: SparkPlan): Boolean =
+    p.outputPartitioning == org.apache.spark.sql.catalyst.plans.physical.SinglePartition
+
+  /** Lint one ALREADY-EXECUTED frame. Returns every violation; the
+    * caller subtracts its reviewed whitelist.
+    */
+  def lint(query: String, df: DataFrame): Seq[Violation] = {
+    val nodes = allNodes(finalPlan(df))
+    nodes.flatMap {
+      case n: CartesianProductExec =>
+        Some(Violation(query, "cartesian", n.nodeName))
+      case w: WindowExec if w.partitionSpec.isEmpty =>
+        Some(Violation(query, "global-window", w.nodeName))
+      case s: SortExec if isSinglePartition(s.child) =>
+        Some(Violation(query, "single-partition-sort", s.nodeName))
+      case c: CoalesceExec if c.numPartitions == 1 =>
+        Some(Violation(query, "coalesce-1", c.nodeName))
+      case j: BroadcastNestedLoopJoinExec =>
+        Some(Violation(query, "bnlj", j.nodeName))
+      case _ => None
+    }
+  }
+}

@@ -97,7 +97,38 @@ object Preflight {
             " — likely a ts unit drift (seconds-vs-micros) in this testdata drop")
         else None
       }
-      empties ++ tsRange
+      // q204's tracked_ok witness equals the oracle's constant TRUE
+      // only if (a) distinct floor(value) buckets fit the sketch's
+      // maxItemsTracked=4096 (counts then exact) and (b) no tie group
+      // spans the top-20 boundary (no exact-top-10 item can be pushed
+      // off the 20-entry list by tie ordering). AdvancedSpec pins this
+      // on sf0.001; this pins it for WHATEVER sfDir a gated run uses
+      // (driver sf0.01, bench sf0.1, synthesized sf1) — an unlucky
+      // regeneration fails in one line here, not as a q204 hash diff.
+      val q204Witness = {
+        import org.apache.spark.sql.functions.{col, count, floor, lit}
+        val counts = Tables.events(spark, sfDir)
+          .filter(col("value").isNotNull)
+          .groupBy(floor(col("value")).cast("long").as("item"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("item").asc)
+          .limit(4097).collect()
+        val overflow =
+          if (counts.length > 4096)
+            Some(s"events: > 4096 distinct floor(value) buckets — q204's sketch no longer exact")
+          else None
+        val tieSpan =
+          if (counts.length > 20) {
+            val rank10 = counts(math.min(9, counts.length - 1)).getLong(1)
+            val atOrAbove = counts.count(_.getLong(1) >= rank10)
+            if (atOrAbove > 20)
+              Some(s"events: $atOrAbove floor(value) buckets tie at-or-above the rank-10 count" +
+                " — q204's top-20 sketch list could drop an exact-top-10 item")
+            else None
+          } else None
+        overflow ++ tieSpan
+      }
+      empties ++ tsRange ++ q204Witness
     }
     if (valueProblems.nonEmpty)
       throw new IllegalStateException(

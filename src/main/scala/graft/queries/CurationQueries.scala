@@ -81,25 +81,64 @@ object CurationQueries {
     * tokens) rows — one hash aggregate keyed by gram for the
     * >= 2-doc set, one flag join back, one per-doc rollup. At 100 TB
     * the gram key is the skew hazard (boilerplate grams are
-    * Zipfian-hot): the aggregate is map-side combinable, and the flag
-    * join's hot keys take the q127 salting treatment if profiling
-    * shows them — the per-doc rollup itself is never keyed by gram.
-    * Spark's sequence(1, n) DESCENDS for n < 1 (the verify-skill
-    * gotcha), so the window list is guarded by a size >= 8 CASE;
-    * DuckDB's generate_series is naturally empty there.
+    * Zipfian-hot): the aggregates are map-side combinable (partial
+    * counts per task, never raw hot-key rows through one reducer),
+    * and the flag join carries the q206-style ADAPTIVE salt — see
+    * `spanDedupCoverage`. Spark's sequence(1, n) DESCENDS for n < 1
+    * (the verify-skill gotcha), so the window list is guarded by a
+    * size >= 8 CASE; DuckDB's generate_series is naturally empty
+    * there.
     */
-  def q213ExactSubstr(s: SparkSession, d: String): DataFrame = {
-    val grams = Tables.documents(s, d)
+  def q213ExactSubstr(s: SparkSession, d: String): DataFrame =
+    spanDedupCoverage(
+      Tables.documents(s, d).select(col("doc_id"), col("text")),
+      hotThreshold = 4096L, S = 8)
+
+  /** Span-dedup coverage over a (doc_id, text) frame — exposed so the
+    * adaptive gram-salt can be stress-tested on a synthetic Zipf-gram
+    * corpus (CurationSpec) at thresholds the shipped data never hits.
+    *
+    * ADAPTIVE hot-gram guard (the bandedOverlapCounts discipline): a
+    * boilerplate gram present in millions of documents funnels every
+    * one of its positions through ONE task of the flag join's shuffle.
+    * Grams whose POSITION count exceeds `hotThreshold` are collected
+    * by a map-side-combinable count into a BROADCAST frame (bounded by
+    * total_tokens/hotThreshold rows, so always broadcastable); only
+    * rows carrying those grams salt S ways (position side by doc_id
+    * hash, dup-flag side — at most ONE row per gram — replicated to
+    * all S salts). Cold grams keep salt = 0 on both sides:
+    * bit-identical to the plain join, no fan-out. The extra cost when
+    * the corpus is calm is one more O(tokens) map-side-combined
+    * aggregate (grams are a pure map off the scan — recomputed, never
+    * cached: O(total tokens) does not persist at the target scale).
+    * The >= 2-doc aggregate itself is safe unsalted: Catalyst plans
+    * the single countDistinct as a two-stage distinct-then-count, so
+    * the first shuffle is keyed (gram, doc_id) — spread across tasks
+    * — and the second sees one row per distinct pair.
+    */
+  def spanDedupCoverage(docs: DataFrame, hotThreshold: Long, S: Int): DataFrame = {
+    val grams = docs
       .select(col("doc_id"), split(col("text"), " ").as("ts"))
       .select(col("doc_id"), explode(expr(
         """CASE WHEN size(ts) >= 8
           |  THEN transform(sequence(1, size(ts) - 7), i -> array_join(slice(ts, i, 8), ' '))
           |  ELSE array() END""".stripMargin)).as("gram"))
+    val hot = grams.groupBy(col("gram")).agg(count(lit(1)).as("n"))
+      .filter(col("n") > hotThreshold)
+      .select(col("gram"), lit(true).as("is_hot"))
     val dup = grams.groupBy(col("gram"))
       .agg(countDistinct(col("doc_id")).as("nd"))
       .filter(col("nd") >= 2)
       .select(col("gram"), lit(1L).as("is_dup"))
-    grams.join(dup, Seq("gram"), "left")
+    val posSide = grams.join(broadcast(hot), Seq("gram"), "left")
+      .withColumn("salt",
+        when(col("is_hot"), pmod(hash(col("doc_id")), lit(S))).otherwise(lit(0)))
+      .drop("is_hot")
+    val dupSide = dup.join(broadcast(hot), Seq("gram"), "left")
+      .withColumn("salt", explode(
+        when(col("is_hot"), sequence(lit(0), lit(S - 1))).otherwise(array(lit(0)))))
+      .drop("is_hot")
+    posSide.join(dupSide, Seq("gram", "salt"), "left")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_pos"),
         sum(coalesce(col("is_dup"), lit(0L))).as("n_dup_pos"))
@@ -671,7 +710,9 @@ object CurationQueries {
     var covered = s.emptyDataset[String].toDF("w")
     var free: () => Unit = () => ()
     val picks = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Long, Long)]
-    (1 to 5).foreach { round =>
+    var round = 1
+    var exhausted = false
+    while (round <= 5 && !exhausted) {
       val done = picks.map(_._2)
       // left join + conditional count (NOT an anti-join): a fully
       // covered source must stay present with gain 0, or the argmax
@@ -681,13 +722,19 @@ object CurationQueries {
         .join(covered.withColumn("cov", lit(1)), Seq("w"), "left")
         .groupBy(col("source"))
         .agg(sum(when(col("cov").isNull, 1L).otherwise(0L)).as("g"))
-      val pick = gain.orderBy(col("g").desc, col("source").asc).limit(1).head()
-      val (src, g) = (pick.getString(0), pick.getLong(1))
-      val (ck, freeCk) = graft.ext.Lineage.checkpoint(
-        covered.unionByName(st.filter(col("source") === src).select(col("w"))).distinct())
-      free(); free = freeCk
-      covered = ck
-      picks += ((round.toLong, src, g, covered.count()))
+      // the isin filter empties the frame once every distinct source is
+      // picked (corpora with < 5 sources): stop early, emit fewer rounds
+      gain.orderBy(col("g").desc, col("source").asc).limit(1).collect().headOption match {
+        case None => exhausted = true
+        case Some(pick) =>
+          val (src, g) = (pick.getString(0), pick.getLong(1))
+          val (ck, freeCk) = graft.ext.Lineage.checkpoint(
+            covered.unionByName(st.filter(col("source") === src).select(col("w"))).distinct())
+          free(); free = freeCk
+          covered = ck
+          picks += ((round.toLong, src, g, covered.count()))
+          round += 1
+      }
     }
     picks.toSeq.toDF("round", "source", "gain", "cum_covered")
   }
@@ -981,8 +1028,13 @@ object CurationQueries {
       .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"), col("value"))
     val span = ev.groupBy(col("user_id"))
       .agg(min(col("us")).as("lo"), max(col("us")).as("hi"))
+    // A user whose whole span fits inside one grid cell has grid-start
+    // > hi; Spark's sequence() throws on that (DuckDB's generate_series
+    // returns empty), so the degenerate case must be guarded to array().
     val grid = span.select(col("user_id"), explode(expr(
-        s"sequence(((lo div $gridUs) + 1) * $gridUs, hi, $gridUs)")).as("us"))
+        s"""CASE WHEN ((lo div $gridUs) + 1) * $gridUs <= hi
+           |THEN sequence(((lo div $gridUs) + 1) * $gridUs, hi, $gridUs)
+           |ELSE CAST(array() AS ARRAY<BIGINT>) END""".stripMargin.replace('\n', ' '))).as("us"))
       .select(col("user_id"), col("us"), lit(1L).as("tag"),
         lit(0L).as("event_id"), lit(null).cast("double").as("value"))
     val tagged = ev.select(col("user_id"), col("us"), lit(0L).as("tag"),
@@ -1128,11 +1180,15 @@ object CurationQueries {
     * would be engine-dependent). Shared by the Spark and DuckDB
     * sides of q235 (`div` vs `//`). */
   private def firstDigitCase(col0: String, divOp: String): String = {
-    val cases = (0 to 9).map { k =>
-      val p = math.pow(10, k).toLong
-      s"WHEN $col0 < ${p * 10} THEN $col0 $divOp $p"
+    // Long-exact powers of ten (math.pow doubles drift past 2^53)
+    def p10(k: Int): Long = (1 to k).foldLeft(1L)((a, _) => a * 10)
+    // arms for magnitudes 10^0..10^17; the ELSE catches [10^18,
+    // Long.MaxValue] (10^19 overflows Long, so no WHEN arm can bound
+    // it) — every positive value maps to its true digit 1..9
+    val cases = (0 to 17).map { k =>
+      s"WHEN $col0 < ${p10(k + 1)} THEN $col0 $divOp ${p10(k)}"
     }.mkString(" ")
-    s"CASE $cases END"
+    s"CASE $cases ELSE $col0 $divOp ${p10(18)} END"
   }
 
   /** round(log10(1 + 1/d) * 1e6) for d = 1..9 — Benford expected

