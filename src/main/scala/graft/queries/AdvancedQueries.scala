@@ -399,7 +399,7 @@ object AdvancedQueries {
     * broadcast metadata, data-derived (stride-25 vec_ids) so ANY
     * engine recomputes it exactly. Shared with the incremental PQ
     * index gate (q211, StreamingQueries). */
-  private[queries] def pqCodebook(s: SparkSession, emb: DataFrame): DataFrame = {
+  private[graft] def pqCodebook(s: SparkSession, emb: DataFrame): DataFrame = {
     val subs = s.range(1, PqSubspaces + 1).select(col("id").cast("int").as("s"))
     emb.filter(col("vec_id") % 25 === 0 && col("vec_id") < (25 * PqCents))
       .select(expr("vec_id div 25").as("cent_idx"), col("embedding").as("ce"))
@@ -409,7 +409,7 @@ object AdvancedQueries {
   /** Corpus PQ codes (vid, s, cent_idx): argmin per subspace via the
     * packed-long min (round-6 snap + idx tie-break) inside a
     * HashAggregate over a broadcast codebook — no sort, no window. */
-  private[queries] def pqEncode(emb: DataFrame, cents: DataFrame): DataFrame = {
+  private[graft] def pqEncode(emb: DataFrame, cents: DataFrame): DataFrame = {
     val m = lit(PqCents.toLong)
     val dist6i = round(round(pqSubDist(col("embedding"), col("ce"), col("s")), 6) * 1e6, 0)
       .cast("long")

@@ -374,30 +374,42 @@ object CurationQueries {
     * ordering. One aggregate per column, unioned; each output row is
     * a 12-number table-stats record.
     */
-  def q218TableStats(s: SparkSession, d: String): DataFrame = {
-    // ONE corpus scan via the value-HISTOGRAM form (the q216/q234
-    // discipline, and the fastest of three shapes measured at sf0.1:
-    // 6 per-column aggregates ~17 s; counters+imperative-percentile
-    // pass + NDV pass ~11 s — dominated by merging 585k-entry
-    // percentile_disc state maps; this histogram form ~3 s): melt the
-    // three columns to (col_name, value) rows in one scan, hash-
-    // aggregate to per-value counts (map-side combinable, the ONLY
-    // corpus-scale step), then every statistic falls out of the
-    // compacted domain-cardinality frame — NDV is the histogram row
-    // count, nulls are the null-value bucket, and each
-    // percentile_disc boundary is an integer running-count crossing
-    // (cum * 8 >= i * n — the exact cume_dist >= q rational, no
-    // ceil, no floats). The oracle still states quantile_disc, so
-    // the crossing semantics are gate-checked, not assumed. A
-    // DISTINCT aggregate never meets an imperative aggregate here,
-    // dodging the Catalyst Expand trap the previous shape measured.
-    val cols = Seq("l_quantity", "l_extendedprice", "l_discount")
-    val melt = cols.map(c =>
+  def q218TableStats(s: SparkSession, d: String): DataFrame =
+    exactStatsFromHist(statsHist(meltVals(s, d)))
+
+  private val statsCols = Seq("l_quantity", "l_extendedprice", "l_discount")
+
+  /** The three profiled lineitem columns melted to (col_name, v) rows
+    * — ONE corpus scan per consumer. */
+  private def meltVals(s: SparkSession, d: String): DataFrame = {
+    val melt = statsCols.map(c =>
       s"struct('$c' AS col_name, CAST($c AS DOUBLE) AS v)").mkString(", ")
-    val hist = Tables.lineitem(s, d)
+    Tables.lineitem(s, d)
       .select(explode(expr(s"array($melt)")).as("m"))
       .select(col("m.col_name").as("col_name"), col("m.v").as("v"))
-      .groupBy(col("col_name"), col("v")).agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Per-value counts — the ONLY corpus-scale aggregate of the exact
+    * stats path (map-side combinable); everything downstream runs on
+    * this domain-cardinality frame. */
+  private def statsHist(vals: DataFrame): DataFrame =
+    vals.groupBy(col("col_name"), col("v")).agg(count(lit(1)).as("cnt"))
+
+  /** The 13-column exact stats record from the value histogram — the
+    * q216/q234 discipline, and the fastest of three shapes measured
+    * at sf0.1 (6 per-column aggregates ~17 s; counters+imperative-
+    * percentile pass + NDV pass ~11 s — dominated by merging
+    * 585k-entry percentile_disc state maps; this histogram form
+    * ~3 s): NDV is the histogram row count, nulls are the null-value
+    * bucket, and each percentile_disc boundary is an integer
+    * running-count crossing (cum * 8 >= i * n — the exact
+    * cume_dist >= q rational, no ceil, no floats). The oracle still
+    * states quantile_disc, so the crossing semantics are
+    * gate-checked, not assumed. A DISTINCT aggregate never meets an
+    * imperative aggregate here, dodging the Catalyst Expand trap the
+    * previous shape measured.
+    */
+  private def exactStatsFromHist(hist: DataFrame): DataFrame = {
     val byVal = Window.partitionBy(col("col_name")).orderBy(col("v").asc_nulls_last)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val all = Window.partitionBy(col("col_name"))
@@ -934,9 +946,16 @@ object CurationQueries {
     * (C(|basket|, 3)), never corpus-bounded — the q219 pair shape one
     * order higher.
     */
-  def q230AprioriTriples(s: SparkSession, d: String): DataFrame = {
-    val oi = Tables.lineitem(s, d)
-      .select(col("l_orderkey"), col("l_partkey")).distinct()
+  def q230AprioriTriples(s: SparkSession, d: String): DataFrame =
+    aprioriPipeline(Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_partkey")).distinct())._2
+
+  /** The A-priori mining pipeline over an (l_orderkey, l_partkey)
+    * basket frame. Returns (frequent-pair frame [cached], frequent
+    * triples) — the pair frame is exposed so q242's downward-closure
+    * witness can flag against it without a second pair-count pass.
+    */
+  private def aprioriPipeline(oi: DataFrame): (DataFrame, DataFrame) = {
     // fp feeds FOUR consumers (fi + three sub-pair prunes) and poi
     // THREE (the triple self-join) — cache both or the pair-count
     // job re-runs per consumer (the q206 one-scan discipline; the
@@ -959,8 +978,8 @@ object CurationQueries {
       .join(fp, Seq("x", "y"), "left_semi")
       .join(fp.select(col("x"), col("y").as("z")), Seq("x", "z"), "left_semi")
       .join(fp.select(col("x").as("y"), col("y").as("z")), Seq("y", "z"), "left_semi")
-    triples.groupBy(col("x"), col("y"), col("z")).agg(count(lit(1)).as("support"))
-      .filter(col("support") >= 2)
+    (fp, triples.groupBy(col("x"), col("y"), col("z")).agg(count(lit(1)).as("support"))
+      .filter(col("support") >= 2))
   }
 
   val q230Sql: String =
@@ -1411,6 +1430,126 @@ object CurationQueries {
       |  CAST(c2 - c1 AS BIGINT) AS delta
       |FROM g ORDER BY abs(c2 - c1) DESC, item LIMIT 20""".stripMargin
 
+  // ---------------------------------------------------------------- q240
+  /** SKETCH-TIER TABLE STATISTICS — the 100 TB form of q218's
+    * ANALYZE, previously prose-only in q218's scaladoc, now a gate of
+    * its own: q218's exact-histogram path carries a known NDV ceiling
+    * (its per-column window sorts the full value DOMAIN — 585k rows
+    * at sf0.1, unbounded for continuous columns), so the production
+    * pass at scale is ONE corpus scan of mergeable sketches —
+    * approx_percentile (quantile summaries, O(accuracy) state) +
+    * approx_count_distinct (HLL) — whose state never grows with the
+    * domain. Witness discipline (q116/q95): the gate EMITS q218's
+    * 13 exact columns (oracle-matched bit-for-bit) plus one in-band
+    * `sketch_ok` ANDing every sketch guarantee — each
+    * approx_percentile's exact rank interval [count(<est),
+    * count(<=est)] intersects q +- (1/accuracy + 2/n) (the interval
+    * form: with tied values the endpoints differ, and checking only
+    * one end would flag a correct sketch whenever a duplicated value
+    * straddles the probe), and the HLL estimate lands within
+    * 5% + 5 of exact NDV. The rank audit runs on the
+    * domain-cardinality histogram, not a third corpus scan; at
+    * 100 TB only the sketch pass runs — the exact path exists here
+    * BECAUSE the gate audits the sketch against it.
+    */
+  def q240TableStatsSketch(s: SparkSession, d: String): DataFrame = {
+    val accuracy = 1000
+    val octiles = "array(0.125D, 0.25D, 0.375D, 0.5D, 0.625D, 0.75D, 0.875D)"
+    val vals = meltVals(s, d)
+    // the actual 100 TB ANALYZE pass: one scan, mergeable state only
+    val sk = vals.groupBy(col("col_name")).agg(
+      approx_count_distinct(col("v")).as("ndv_est"),
+      expr(s"approx_percentile(v, $octiles, $accuracy)").as("ests"))
+    val hist = statsHist(vals)
+    val exact = exactStatsFromHist(hist)
+    // 3 cols x 7 octiles = 21 broadcast probe rows
+    val probes = sk.select(col("col_name"), col("ndv_est"),
+        posexplode(col("ests")).as(Seq("i", "est")))
+    val ranks = hist.filter(col("v").isNotNull)
+      .join(broadcast(probes), Seq("col_name"))
+      .groupBy(col("col_name"), col("i"), col("est"), col("ndv_est"))
+      .agg(sum(when(col("v") < col("est"), col("cnt")).otherwise(0L)).as("rk_lo"),
+           sum(when(col("v") <= col("est"), col("cnt")).otherwise(0L)).as("rk_hi"))
+    val witness = ranks
+      .join(exact.select(col("col_name"),
+        (col("n_rows") - col("n_null")).as("n"), col("ndv")), Seq("col_name"))
+      .withColumn("q", (col("i") + 1).cast("double") / lit(8.0))
+      .withColumn("band", lit(1.0 / accuracy) + lit(2.0) / col("n"))
+      .withColumn("pct_ok",
+        col("rk_lo").cast("double") / col("n") <= col("q") + col("band") &&
+        col("rk_hi").cast("double") / col("n") >= col("q") - col("band"))
+      .withColumn("ndv_ok",
+        abs(col("ndv_est").cast("double") - col("ndv")) <= col("ndv") * 0.05 + 5.0)
+      .groupBy(col("col_name"))
+      .agg((min(col("pct_ok")) && min(col("ndv_ok"))).as("sketch_ok"))
+    exact.join(witness, Seq("col_name"))
+      .select(col("col_name"), col("n_rows"), col("n_null"), col("ndv"),
+        col("min_v"), col("max_v"), col("p1"), col("p2"), col("p3"), col("p4"),
+        col("p5"), col("p6"), col("p7"), col("sketch_ok"))
+  }
+
+  val q240Sql: String = {
+    def one(c: String): String = {
+      val qs = Seq(1, 2, 3, 4, 5, 6, 7)
+        .map(i => s"CAST(quantile_disc($c, 0.${i * 125}) AS DOUBLE) AS p$i").mkString(", ")
+      s"""SELECT '$c' AS col_name, CAST(count(*) AS BIGINT) AS n_rows,
+         |  CAST(count(*) - count($c) AS BIGINT) AS n_null,
+         |  CAST(count(DISTINCT $c) AS BIGINT) AS ndv,
+         |  CAST(min($c) AS DOUBLE) AS min_v, CAST(max($c) AS DOUBLE) AS max_v, $qs,
+         |  TRUE AS sketch_ok
+         |FROM lineitem""".stripMargin
+    }
+    statsCols.map(one).mkString("\nUNION ALL\n")
+  }
+
+  // ---------------------------------------------------------------- q242
+  /** A-PRIORI SLICE WITNESS — q230's sf1-tractable correctness gate.
+    * q230's own oracle is the deliberately-cubic brute triple join,
+    * which times out at synthesized sf1 (>1200 s), structurally
+    * capping the scale at which that gate can be checked. This gate
+    * restricts BOTH sides to the deterministic leading-item slice
+    * x % 7 == 0 (x is the triple's smallest part, so the oracle
+    * pushes the filter into the first join leg and its cubic cost
+    * drops ~7x — under the sweep's 600 s budget at sf1) while
+    * supports stay CORPUS-WIDE (identical semantics to q230, not a
+    * sparser sliced support). Two properties per emitted triple:
+    * slice-equality (the pruned pipeline's slice triples hash-equal
+    * the brute form's) and the downward-closure invariant
+    * (`closure_ok`: all three sub-pairs frequent corpus-wide —
+    * flagged against the SAME cached pair frame the prune used, and
+    * recomputed independently by the oracle's quadratic-only pair
+    * counts). 22 slice triples at sf0.001 — non-vacuous at every sf.
+    */
+  def q242AprioriSliceWitness(s: SparkSession, d: String): DataFrame = {
+    val (fp, triples) = aprioriPipeline(Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_partkey")).distinct())
+    triples.filter(col("x") % 7 === 0)
+      .join(fp.withColumn("c_xy", lit(true)), Seq("x", "y"), "left")
+      .join(fp.select(col("x"), col("y").as("z"), lit(true).as("c_xz")), Seq("x", "z"), "left")
+      .join(fp.select(col("x").as("y"), col("y").as("z"), lit(true).as("c_yz")), Seq("y", "z"), "left")
+      .select(col("x"), col("y"), col("z"), col("support"),
+        (coalesce(col("c_xy"), lit(false)) && coalesce(col("c_xz"), lit(false)) &&
+         coalesce(col("c_yz"), lit(false))).as("closure_ok"))
+  }
+
+  val q242Sql: String =
+    """WITH oi AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      |sl AS (SELECT * FROM oi WHERE l_partkey % 7 = 0),
+      |tr AS (SELECT a.l_partkey AS x, b.l_partkey AS y, c.l_partkey AS z,
+      |    CAST(count(*) AS BIGINT) AS support
+      |  FROM sl a
+      |  JOIN oi b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      |  JOIN oi c ON a.l_orderkey = c.l_orderkey AND b.l_partkey < c.l_partkey
+      |  GROUP BY 1, 2, 3 HAVING count(*) >= 2),
+      |fp AS (SELECT a.l_partkey AS x, b.l_partkey AS y
+      |  FROM oi a JOIN oi b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      |  GROUP BY 1, 2 HAVING count(*) >= 2)
+      |SELECT tr.x, tr.y, tr.z, tr.support,
+      |  (EXISTS(SELECT 1 FROM fp WHERE fp.x = tr.x AND fp.y = tr.y)
+      |   AND EXISTS(SELECT 1 FROM fp WHERE fp.x = tr.x AND fp.y = tr.z)
+      |   AND EXISTS(SELECT 1 FROM fp WHERE fp.x = tr.y AND fp.y = tr.z)) AS closure_ok
+      |FROM tr""".stripMargin
+
   val entries: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "q212_zorder" -> (q212ZOrder _, q212Sql),
     "q213_exact_substr" -> (q213ExactSubstr _, q213Sql),
@@ -1440,5 +1579,7 @@ object CurationQueries {
     "q237_percent_of_parent" -> (q237PercentOfParent _, q237Sql),
     "q238_prefix_sum" -> (q238PrefixSum _, q238Sql),
     "q239_deltoids" -> (q239Deltoids _, q239Sql),
+    "q240_table_stats_sketch" -> (q240TableStatsSketch _, q240Sql),
+    "q242_apriori_slice_witness" -> (q242AprioriSliceWitness _, q242Sql),
   )
 }

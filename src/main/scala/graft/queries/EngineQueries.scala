@@ -86,6 +86,73 @@ object EngineQueries {
        |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
        |    / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5""".stripMargin
 
+  // ---------------------------------------------------------------- q241
+  /** PLANTED-PAIR COMPLETENESS for the PPJoin (q145's sf1-tractable
+    * witness): q145's oracle is the deliberately-quadratic all-pairs
+    * twin, killed after 2h20m at synthesized sf1 — "the anti-baseline
+    * is the oracle" structurally caps the scale that gate can ever be
+    * checked at. This gate turns PPJoin's zero-false-negative
+    * guarantee into a LINEAR oracle: a deterministic twin is planted
+    * for every 97th document (>= 12 tokens; one middle token replaced
+    * with a sentinel, so the pair exercises the non-identical prefix
+    * path with Jaccard ~ (t-5)/(t+1), comfortably >= tau for t >= 12
+    * but never 1.0), the FULL corpus + twins goes through the real
+    * [[graft.ext.SetSimJoin]], and each qualifying planted pair is
+    * looked up in the join output. The oracle recomputes only the
+    * planted pairs' Jaccard — one row per plant, no all-pairs join —
+    * and states found = TRUE; any plant the prefix filter drops
+    * arrives found = FALSE and hash-fails. Twin ids live at
+    * +10^12 — above every SynthScale copy stride (copy * 10^9) — so
+    * the construction survives synthesized scale factors.
+    */
+  def q241PlantedPairCompleteness(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.JaccardFunctions.jaccardSim
+    val offset = 1000000000000L
+    val base = Tables.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("ts"))
+    val planted = base
+      .filter(col("doc_id") % 97 === 0 && size(col("ts")) >= 12)
+      .withColumn("m", expr("size(ts) div 2 + 1"))
+      .select(col("doc_id").as("orig_id"), (col("doc_id") + offset).as("twin_id"),
+        expr("concat(slice(ts, 1, m - 1), array('plantedx'), " +
+             "slice(ts, m + 1, size(ts) - m))").as("ts"))
+    val corpus = base.select(col("doc_id"), col("ts"))
+      .unionByName(planted.select(col("twin_id").as("doc_id"), col("ts")))
+    val docs = corpus.select(col("doc_id"), wordShingles(col("ts"), 3).as("sh"))
+    val pairs = SetSimJoin.pairs(docs, "doc_id", "sh", 0.5)
+    // qualifying plants: twins whose ACTUAL Jaccard reaches tau (a
+    // pathological shingle multiset could fall short; both engines
+    // apply the identical cutoff, so the gate set is well-defined)
+    val qual = planted.select(col("orig_id"), col("twin_id"))
+      .join(docs.select(col("doc_id").as("orig_id"), col("sh").as("sh_a")), "orig_id")
+      .join(docs.select(col("doc_id").as("twin_id"), col("sh").as("sh_b")), "twin_id")
+      .withColumn("jaccard", jaccardSim(col("sh_a"), col("sh_b")))
+      .filter(col("jaccard") >= 0.5)
+    qual.join(pairs
+        .select(col("id_a").as("orig_id"), col("id_b").as("twin_id"), lit(true).as("f")),
+        Seq("orig_id", "twin_id"), "left")
+      .select(col("orig_id"), col("twin_id"), col("jaccard"),
+        coalesce(col("f"), lit(false)).as("found"))
+  }
+
+  val q241Sql: String =
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+       |    WHERE doc_id % 97 = 0 AND len(string_split(text, ' ')) >= 12),
+       |p AS (SELECT doc_id AS orig_id, doc_id + 1000000000000 AS twin_id, ts,
+       |    len(ts) // 2 + 1 AS m FROM t),
+       |tw AS (SELECT orig_id, twin_id, ts,
+       |    list_slice(ts, 1, m - 1) || ['plantedx'] || list_slice(ts, m + 1, len(ts)) AS ts2
+       |  FROM p),
+       |j AS (SELECT orig_id, twin_id, ${T.shinglesOf("ts")} AS sa,
+       |    ${T.shinglesOf("ts2")} AS sb FROM tw)
+       |SELECT orig_id, twin_id,
+       |  CAST(len(list_intersect(sa, sb)) AS DOUBLE)
+       |    / (len(sa) + len(sb) - len(list_intersect(sa, sb))) AS jaccard,
+       |  TRUE AS found
+       |FROM j
+       |WHERE CAST(len(list_intersect(sa, sb)) AS DOUBLE)
+       |    / (len(sa) + len(sb) - len(list_intersect(sa, sb))) >= 0.5""".stripMargin
+
   // ---------------------------------------------------------------- q146
   /** INVERTED-INDEX phrase search: postings (token -> sorted positions
     * per doc) built declaratively, probed for the phrase "hash join"
@@ -1818,6 +1885,7 @@ object EngineQueries {
   val entries: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "q144_bloom_pruned_join" -> (q144BloomPrunedJoin _, q144Sql),
     "q145_setsim_join" -> (q145SetSimJoin _, q145Sql),
+    "q241_planted_pair_completeness" -> (q241PlantedPairCompleteness _, q241Sql),
     "q146_phrase_search" -> (q146PhraseSearch _, q146Sql),
     "q147_column_profile" -> (q147ColumnProfile _, q147Sql),
     "q148_bfs_hops" -> (q148BfsHops _, q148Sql),

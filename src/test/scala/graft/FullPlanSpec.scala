@@ -36,6 +36,7 @@ class FullPlanSpec extends SparkSpec {
       "q122_sample_packing" -> "DOCUMENTED-SWAP: token prefix-sum layout; scaladoc names the per-range-partition offset form",
       "q123_negative_sampling" -> "DOCUMENTED-SWAP: dense doc rank for hash draws; distributed form is ops/Rank per-partition offsets",
       "q145_setsim_join" -> "DOMAIN: rarest-first token rank — vocabulary-cardinality df frame (SetSimJoin.scala:52)",
+      "q241_planted_pair_completeness" -> "DOMAIN: same SetSimJoin vocabulary-rank window as q145 (corpus + planted twins)",
       "q159_autocorr" -> "DOMAIN: lag-1 pairs over the per-DAY aggregate — day-cardinality frame",
       "q161_stratified_split" -> "METADATA: largest-remainder rounding over the 5-row stratum frame",
       "q169_chisq_cells" -> "METADATA: expected-count window over the 35-cell contingency frame",

@@ -649,4 +649,69 @@ class StreamingSpec extends SparkSpec {
       }
     }
   }
+
+  test("q211 index: crash between data write and manifest swap mid-stream, restart from checkpoint") {
+    // The streaming analogue of PipelineSpec's batch crash-injection:
+    // the incremental PQ index's effectively-once claim is TESTED, not
+    // inferred from the sink protocol. Micro-batch 2's generation data
+    // is written, then the manifest swap throws; the stream dies; a
+    // restart from the same checkpoint must replay exactly that batch
+    // and converge to the uninterrupted run's index.
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.functions.{col, lit, pmod}
+    import org.apache.spark.sql.streaming.Trigger
+    import org.apache.spark.sql.types.{ArrayType, FloatType, LongType, StructField, StructType}
+    val base = java.nio.file.Files.createTempDirectory("graft_q211_crash_").toString
+    val inDir = s"$base/in"; val ckpt = s"$base/ckpt"; val idxDir = s"$base/codes"
+    val emb = graft.core.Tables.embeddings(spark, sfDir)
+    val cents = graft.queries.AdvancedQueries.pqCodebook(spark, emb)
+    (0 until 4).foreach(i => emb.select(col("vec_id"), col("embedding"))
+      .filter(pmod(col("vec_id"), lit(4)) === lit(i))
+      .coalesce(1).write.mode("append").parquet(inDir))
+    val wire = StructType(Seq(StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType))))
+    def newSink() = new graft.sink.MergeSink(spark, idxDir,
+      keys = Seq("vid", "s"), orderCols = Seq("code"), nBuckets = 8)
+    def runStream(sink: graft.sink.MergeSink): Unit = {
+      val q = spark.readStream.schema(wire)
+        .option("maxFilesPerTrigger", "1").parquet(inDir)
+        .writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          sink.merge(graft.queries.AdvancedQueries.pqEncode(batch, cents)
+            .withColumnRenamed("cent_idx", "code"))
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    val sink1 = newSink()
+    var commits = 0
+    sink1.manifest.beforeCommit = () =>
+      { commits += 1; if (commits == 2) throw new RuntimeException("injected crash") }
+    val e = intercept[Exception](runStream(sink1))
+    assert(causeChainContains(e, "injected crash"), "stream must die on the injected crash")
+    assert(sink1.versions().size == 1,
+      s"the crashed batch must publish nothing: versions = ${sink1.versions()}")
+
+    val sink2 = newSink() // restart: fresh JVM-state analogue, same disk
+    runStream(sink2)
+    val got = sink2.read().select(col("vid"), col("s").cast("long").as("s"), col("code"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val ref = SparkEntry.queries("q211_streaming_pq_index")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == ref, "restarted index diverges from the uninterrupted run")
+    // effectively-once: 4 slices -> exactly 4 published versions even
+    // though batch 2 executed twice (crashed attempt + replay)
+    assert(sink2.versions().size == 4,
+      s"expected 4 committed versions after replay, got ${sink2.versions()}")
+  }
+
+  private def causeChainContains(e: Throwable, msg: String): Boolean = {
+    var t: Throwable = e
+    while (t != null) {
+      if (t.getMessage != null && t.getMessage.contains(msg)) return true
+      t = t.getCause
+    }
+    false
+  }
 }
