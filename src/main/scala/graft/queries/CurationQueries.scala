@@ -982,8 +982,14 @@ object CurationQueries {
       .filter(col("support") >= 2))
   }
 
+  // MATERIALIZED is load-bearing: DuckDB inlines plain CTEs, and the
+  // triply-referenced `oi` re-plans into a pathological join order —
+  // measured 500 s inline vs 1.0 s materialized at sf0.1, and >1200 s
+  // (the round-7 "intractable oracle" verdict) vs 9.3 s at sf1. The
+  // brute twin is genuinely cubic-bounded only by basket size; the
+  // timeout was a planner artifact, not the operator's cost.
   val q230Sql: String =
-    """WITH oi AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+    """WITH oi AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
       |SELECT a.l_partkey AS x, b.l_partkey AS y, c.l_partkey AS z,
       |  CAST(count(*) AS BIGINT) AS support
       |FROM oi a
@@ -1503,22 +1509,23 @@ object CurationQueries {
   }
 
   // ---------------------------------------------------------------- q242
-  /** A-PRIORI SLICE WITNESS — q230's sf1-tractable correctness gate.
-    * q230's own oracle is the deliberately-cubic brute triple join,
-    * which times out at synthesized sf1 (>1200 s), structurally
-    * capping the scale at which that gate can be checked. This gate
-    * restricts BOTH sides to the deterministic leading-item slice
-    * x % 7 == 0 (x is the triple's smallest part, so the oracle
-    * pushes the filter into the first join leg and its cubic cost
-    * drops ~7x — under the sweep's 600 s budget at sf1) while
-    * supports stay CORPUS-WIDE (identical semantics to q230, not a
-    * sparser sliced support). Two properties per emitted triple:
-    * slice-equality (the pruned pipeline's slice triples hash-equal
-    * the brute form's) and the downward-closure invariant
-    * (`closure_ok`: all three sub-pairs frequent corpus-wide —
-    * flagged against the SAME cached pair frame the prune used, and
-    * recomputed independently by the oracle's quadratic-only pair
-    * counts). 22 slice triples at sf0.001 — non-vacuous at every sf.
+  /** A-PRIORI SLICE WITNESS — q230's scale-headroom correctness gate.
+    * Round-7 adjudicated q230's brute oracle "intractable at sf1"
+    * (>1200 s); building this gate exposed that as the DuckDB
+    * CTE-inlining pathology (see q230Sql's MATERIALIZED note — the
+    * fixed full oracle runs sf1 in 9.3 s, and q230 is now verified at
+    * sf1 DIRECTLY). The slice gate stays for the scales past that:
+    * brute cost grows with corpus x basket^3 while the slice divides
+    * it ~7x and, more importantly, adds a property the full gate
+    * never checks — the per-triple corpus-wide DOWNWARD-CLOSURE flag
+    * (`closure_ok`: all three sub-pairs frequent, flagged against the
+    * SAME cached pair frame the prune used, recomputed independently
+    * by the oracle's quadratic-only pair counts). The slice is on the
+    * LEADING item (x % 7 == 0, x the triple's smallest part) so the
+    * oracle pushes the filter into the brute join's first leg while
+    * supports stay CORPUS-WIDE — order-sliced supports were measured
+    * vacuous (0 triples at sf0.01 even at mod 5). 22 slice triples at
+    * sf0.001, 3 at sf0.01 — non-vacuous at every sf.
     */
   def q242AprioriSliceWitness(s: SparkSession, d: String): DataFrame = {
     val (fp, triples) = aprioriPipeline(Tables.lineitem(s, d)
@@ -1533,7 +1540,7 @@ object CurationQueries {
   }
 
   val q242Sql: String =
-    """WITH oi AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    """WITH oi AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
       |sl AS (SELECT * FROM oi WHERE l_partkey % 7 = 0),
       |tr AS (SELECT a.l_partkey AS x, b.l_partkey AS y, c.l_partkey AS z,
       |    CAST(count(*) AS BIGINT) AS support
@@ -1549,6 +1556,191 @@ object CurationQueries {
       |   AND EXISTS(SELECT 1 FROM fp WHERE fp.x = tr.x AND fp.y = tr.z)
       |   AND EXISTS(SELECT 1 FROM fp WHERE fp.x = tr.y AND fp.y = tr.z)) AS closure_ok
       |FROM tr""".stripMargin
+
+  // ---------------------------------------------------------------- q243
+  /** SPEARMAN RANK CORRELATION (tie-corrected) per group — the
+    * nonparametric complement of q176's OLS and q159's autocorrelation
+    * (monotone association robust to outliers and nonlinearity; the
+    * drift screen when a metric's SCALE shifts but its ordering
+    * shouldn't). Tie handling is the average-rank form — Pearson over
+    * mid-ranks IS the tie-corrected Spearman — kept exact by DOUBLED
+    * ranks: 2*rank(v) = 2*cum_below(v) + cnt(v) + 1 is always an
+    * integer (the halves cancel in the correlation, which is
+    * scale-invariant). Scale shape: ONE corpus-scale hash aggregate
+    * (the joint (group, x, y) value histogram, map-side combinable);
+    * marginal ranks, the rank joins, and the moment sums all run on
+    * the domain-cardinality cell frame (<= |X|x|Y| cells per group —
+    * both columns discrete by construction, the q218 ceiling dodged).
+    * Moments are exact integers (Spark DECIMAL(38,0) / DuckDB
+    * HUGEINT — per-cell cnt*2rx*2ry <= 4n^3 ~ 8.6e20 at sf1, far
+    * inside both); rho is the only float, one pinned-parenthesization
+    * expression over exact integer moments — the q159 discipline.
+    */
+  def q243SpearmanRho(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val dec = DecimalType(38, 0)
+    val joint = Tables.lineitem(s, d)
+      .select(col("l_returnflag").as("g"),
+        expr("CAST(round(l_quantity) AS BIGINT)").as("x"),
+        expr("CAST(round(l_discount * 100) AS BIGINT)").as("y"))
+      .groupBy(col("g"), col("x"), col("y")).agg(count(lit(1)).as("cnt"))
+    def midRanks(cn: String, out: String) = {
+      val w = Window.partitionBy(col("g")).orderBy(col(cn).asc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      joint.groupBy(col("g"), col(cn)).agg(sum(col("cnt")).as("c"))
+        .withColumn(out,
+          lit(2L) * coalesce(sum(col("c")).over(w), lit(0L)) + col("c") + lit(1L))
+        .select(col("g"), col(cn), col(out))
+    }
+    val cells = joint
+      .join(midRanks("x", "r2x"), Seq("g", "x"))
+      .join(midRanks("y", "r2y"), Seq("g", "y"))
+    val m = cells.groupBy(col("g")).agg(
+      sum(col("cnt")).as("n"),
+      sum(col("cnt").cast(dec) * col("r2x").cast(dec)).as("sx"),
+      sum(col("cnt").cast(dec) * col("r2y").cast(dec)).as("sy"),
+      sum(col("cnt").cast(dec) * col("r2x").cast(dec) * col("r2x").cast(dec)).as("sxx"),
+      sum(col("cnt").cast(dec) * col("r2y").cast(dec) * col("r2y").cast(dec)).as("syy"),
+      sum(col("cnt").cast(dec) * col("r2x").cast(dec) * col("r2y").cast(dec)).as("sxy"))
+    val n = col("n").cast("double")
+    def d_(c: String) = col(c).cast("double")
+    val num = n * d_("sxy") - d_("sx") * d_("sy")
+    val vx = n * d_("sxx") - d_("sx") * d_("sx")
+    val vy = n * d_("syy") - d_("sy") * d_("sy")
+    m.select(col("g").as("l_returnflag"), col("n"),
+      when(vx > 0 && vy > 0, num / (sqrt(vx) * sqrt(vy))).as("rho"))
+  }
+
+  val q243Sql: String =
+    """WITH joint AS (SELECT l_returnflag AS g,
+      |    CAST(round(l_quantity) AS BIGINT) AS x,
+      |    CAST(round(l_discount * 100) AS BIGINT) AS y, count(*) AS cnt
+      |  FROM lineitem GROUP BY 1, 2, 3),
+      |mx AS (SELECT g, x, sum(cnt) AS c FROM joint GROUP BY 1, 2),
+      |rx AS (SELECT g, x, 2 * coalesce(sum(c) OVER (PARTITION BY g ORDER BY x
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + c + 1 AS r2x
+      |  FROM mx),
+      |my AS (SELECT g, y, sum(cnt) AS c FROM joint GROUP BY 1, 2),
+      |ry AS (SELECT g, y, 2 * coalesce(sum(c) OVER (PARTITION BY g ORDER BY y
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + c + 1 AS r2y
+      |  FROM my),
+      |cells AS (SELECT j.g, j.cnt, rx.r2x, ry.r2y FROM joint j
+      |  JOIN rx ON j.g = rx.g AND j.x = rx.x
+      |  JOIN ry ON j.g = ry.g AND j.y = ry.y),
+      |m AS (SELECT g, CAST(sum(cnt) AS BIGINT) AS n,
+      |    sum(CAST(cnt AS HUGEINT) * r2x) AS sx,
+      |    sum(CAST(cnt AS HUGEINT) * r2y) AS sy,
+      |    sum(CAST(cnt AS HUGEINT) * r2x * r2x) AS sxx,
+      |    sum(CAST(cnt AS HUGEINT) * r2y * r2y) AS syy,
+      |    sum(CAST(cnt AS HUGEINT) * r2x * r2y) AS sxy
+      |  FROM cells GROUP BY 1),
+      |m2 AS (SELECT g, n,
+      |    CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+      |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS num,
+      |    CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+      |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS vx,
+      |    CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+      |      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS vy
+      |  FROM m)
+      |SELECT g AS l_returnflag, n,
+      |  CASE WHEN vx > 0 AND vy > 0 THEN num / (sqrt(vx) * sqrt(vy)) END AS rho
+      |FROM m2""".stripMargin
+
+  // ---------------------------------------------------------------- q245
+  /** THEIL-SEN ROBUST TREND — the median of all pairwise slopes of
+    * the daily-revenue series: the breakdown-resistant complement of
+    * q176's OLS (one wild day shifts an OLS slope arbitrarily;
+    * Theil-Sen tolerates ~29% contamination). Scale shape: the
+    * corpus collapses to the DAY-cardinality frame first (one hash
+    * aggregate), so the quadratic pair expansion is days^2/2 —
+    * domain-scale metadata, never corpus pairs (the q216/q234
+    * histogram discipline applied to a regression). Each slope is
+    * one IEEE division of exact integers (identical both engines);
+    * the median is the lower-median order statistic with a pinned
+    * (slope, d1, d2) total order — no interpolation, no
+    * percentile-state merge.
+    */
+  def q245TheilSen(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.events(s, d)
+      .groupBy(expr("unix_date(to_date(ts))").cast("long").as("day"))
+      .agg(sum(round(col("value") * 100).cast("long")).as("yc"))
+    val slopes = daily.select(col("day").as("d1"), col("yc").as("y1"))
+      .join(daily.select(col("day").as("d2"), col("yc").as("y2")),
+        col("d1") < col("d2"))
+      .select(col("d1"), col("d2"),
+        ((col("y2") - col("y1")).cast("double") /
+         (col("d2") - col("d1")).cast("double")).as("slope"))
+    val nf = slopes.agg(count(lit(1)).as("n_pairs"))
+    val w = Window.orderBy(col("slope").asc, col("d1").asc, col("d2").asc)
+    slopes.crossJoin(broadcast(nf))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") === expr("(n_pairs + 1) div 2"))
+      .select(col("n_pairs"), col("slope").as("slope_cents_per_day"))
+  }
+
+  val q245Sql: String =
+    """WITH daily AS MATERIALIZED (SELECT
+      |    CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS day,
+      |    sum(CAST(round(value * 100) AS BIGINT)) AS yc
+      |  FROM events GROUP BY 1),
+      |p AS (SELECT a.day AS d1, b.day AS d2,
+      |    CAST(b.yc - a.yc AS DOUBLE) / CAST(b.day - a.day AS DOUBLE) AS slope
+      |  FROM daily a JOIN daily b ON a.day < b.day),
+      |r AS (SELECT d1, d2, slope,
+      |    row_number() OVER (ORDER BY slope, d1, d2) AS rn,
+      |    count(*) OVER () AS nt
+      |  FROM p)
+      |SELECT CAST(nt AS BIGINT) AS n_pairs, slope AS slope_cents_per_day
+      |FROM r WHERE rn = (nt + 1) // 2""".stripMargin
+
+  // ---------------------------------------------------------------- q246
+  /** HLL SET-OPERATION ESTIMATES — intersection cardinality via
+    * inclusion-exclusion over stored sketches (|A n B| ~ est(A) +
+    * est(B) - est(A u B)), the audience-overlap / join-planning
+    * estimate that q95's union-mergeability enables but never
+    * exercises: at 100 TB the per-segment sketches are PERSISTED
+    * index metadata, and any pairwise overlap question is answered
+    * from sketch algebra without rescanning either segment. Gate
+    * discipline (q95/q116): exact pairwise overlap (oracle-matched;
+    * computed corpus-side as per-user C(k,2) type-pair expansion —
+    * one hash aggregate, fan-out bounded by the 5-type universe,
+    * never a per-pair semi-join cascade) + an in-band est_ok bound
+    * of 5% of the involved cardinalities + 15 (inclusion-exclusion
+    * compounds three estimator errors).
+    */
+  def q246HllIntersect(s: SparkSession, d: String): DataFrame = {
+    val ut = Tables.events(s, d)
+      .select(col("event_type").as("t"), col("user_id")).distinct()
+    val exact = ut.groupBy(col("user_id")).agg(sort_array(collect_set(col("t"))).as("ts"))
+      .select(explode(expr(
+        """flatten(transform(ts, (a, i) ->
+          |  transform(slice(ts, i + 2, size(ts)), b -> struct(a AS ta, b AS tb))))"""
+          .stripMargin.replace('\n', ' '))).as("p"))
+      .groupBy(col("p.ta").as("ta"), col("p.tb").as("tb"))
+      .agg(count(lit(1)).as("nx"))
+    val sk = ut.groupBy(col("t"))
+      .agg(hll_sketch_agg(col("user_id")).as("sk"), count(lit(1)).as("n"))
+    val pairs = sk.as("a").join(sk.as("b"), col("a.t") < col("b.t"))
+      .select(col("a.t").as("ta"), col("b.t").as("tb"),
+        col("a.n").as("na"), col("b.n").as("nb"),
+        (hll_sketch_estimate(col("a.sk")) + hll_sketch_estimate(col("b.sk")) -
+         hll_sketch_estimate(hll_union(col("a.sk"), col("b.sk")))).as("est"))
+    pairs.join(exact, Seq("ta", "tb"), "left")
+      .select(col("ta"), col("tb"),
+        coalesce(col("nx"), lit(0L)).as("n_exact"),
+        (abs(col("est") - coalesce(col("nx"), lit(0L))) <=
+          (col("na") + col("nb")) * 0.05 + lit(15.0)).as("est_ok"))
+  }
+
+  val q246Sql: String =
+    """WITH ut AS MATERIALIZED (SELECT DISTINCT event_type AS t, user_id FROM events),
+      |ty AS (SELECT DISTINCT t FROM ut),
+      |tp AS (SELECT a.t AS ta, b.t AS tb FROM ty a JOIN ty b ON a.t < b.t),
+      |ix AS (SELECT x.t AS ta, y.t AS tb, count(*) AS n FROM ut x
+      |  JOIN ut y ON x.user_id = y.user_id AND x.t < y.t GROUP BY 1, 2)
+      |SELECT tp.ta, tp.tb, CAST(coalesce(ix.n, 0) AS BIGINT) AS n_exact,
+      |  TRUE AS est_ok
+      |FROM tp LEFT JOIN ix ON tp.ta = ix.ta AND tp.tb = ix.tb""".stripMargin
 
   val entries: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "q212_zorder" -> (q212ZOrder _, q212Sql),
@@ -1581,5 +1773,8 @@ object CurationQueries {
     "q239_deltoids" -> (q239Deltoids _, q239Sql),
     "q240_table_stats_sketch" -> (q240TableStatsSketch _, q240Sql),
     "q242_apriori_slice_witness" -> (q242AprioriSliceWitness _, q242Sql),
+    "q243_spearman_rho" -> (q243SpearmanRho _, q243Sql),
+    "q245_theil_sen" -> (q245TheilSen _, q245Sql),
+    "q246_hll_intersect" -> (q246HllIntersect _, q246Sql),
   )
 }

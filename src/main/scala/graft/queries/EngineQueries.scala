@@ -76,9 +76,14 @@ object EngineQueries {
     SetSimJoin.pairs(docs, "doc_id", "sh", 0.5)
   }
 
+  // MATERIALIZED: the twice-referenced `s` CTE would otherwise inline
+  // and recompute shingles per join side AND risk the q230-class
+  // DuckDB re-planning pathology; the brute twin stays O(n^2) pairs
+  // by design, but each pair must cost one list_intersect, not a
+  // re-derivation.
   val q145Sql: String =
     s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
-       |  s AS (SELECT doc_id, ${T.shinglesOf("ts")} AS sh FROM t)
+       |  s AS MATERIALIZED (SELECT doc_id, ${T.shinglesOf("ts")} AS sh FROM t)
        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
        |  CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
        |    / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard

@@ -947,6 +947,148 @@ object StreamingQueries {
       |      FROM events WHERE event_id % 4 <= 1))
       |WHERE rn = 1""".stripMargin
 
+  // ---------------------------------------------------------------- q244
+  /** SNAPSHOT DIFF — the warehouse maintenance twin of q104's time
+    * travel: not "read the state that fed run N" but "what CHANGED
+    * between run N and now", the primitive behind incremental
+    * retraining triggers, audit trails, and CDC re-derivation from a
+    * versioned table (Delta/Iceberg's table_changes, rebuilt on
+    * [[graft.sink.TableManifest]]'s version log). Same 4-commit CDC
+    * history as q104; the gate diffs version 2 against version 4 and
+    * classifies each key: `added` (absent at v2) or `changed` (LWW
+    * winner tuple (ts_us, document_id) moved). Removal is impossible
+    * under LWW upsert (deletes are soft states), so the diff is a
+    * LEFT join from the newer snapshot — and both snapshots come from
+    * the SAME MergeSink, so their generation files share one
+    * hash-bucket layout: at 100 TB the diff join is co-partitioned by
+    * construction, bucket i against bucket i, never a cross-layout
+    * reshuffle. The oracle recomputes both prefix LWW states (event_id
+    * % 4 <= 1 vs all) and diffs them in SQL — a diff that leaked an
+    * unchanged key, missed a change, or misclassified an addition
+    * hash-mismatches.
+    */
+  def q244SnapshotDiff(s: SparkSession, d: String): DataFrame = {
+    val base = graft.core.TempDirs.scoped("graft_q244_")
+    val stateDir = s"$base/state"
+    val env = CdcQueries.envelope(s, d)
+      .withColumn("ts_us", unix_micros(col("ts"))).drop("ts")
+    val flat = Cdc.enrichWatchedRatio(
+      Cdc.flattenEnvelope(env), "watched", "duration", rounded = false)
+    val sink = new MergeSink(s, stateDir,
+      keys = Seq("user_id"), orderCols = Seq("ts_us", "document_id"), nBuckets = 16)
+    (0 until 4).foreach(i =>
+      sink.merge(flat.filter(pmod(col("document_id"), lit(4)) === lit(i))))
+    val v2 = sink.readAt(2L).select(col("user_id"),
+      col("document_id").as("d_old"), col("ts_us").as("t_old"))
+    val v4 = sink.readAt(4L).select(col("user_id"),
+      col("document_id").as("d_new"), col("ts_us").as("t_new"))
+    v4.join(v2, Seq("user_id"), "left")
+      .filter(col("d_old").isNull ||
+        col("d_old") =!= col("d_new") || col("t_old") =!= col("t_new"))
+      .select(col("user_id"),
+        when(col("d_old").isNull, "added").otherwise("changed").as("change"),
+        col("d_old").as("old_document_id"), expr("t_old div 1000").as("old_ms"),
+        col("d_new").as("new_document_id"), expr("t_new div 1000").as("new_ms"))
+  }
+
+  val q244Sql: String =
+    """WITH src AS (SELECT event_id AS document_id, user_id, ts
+      |  FROM events),
+      |v2 AS (SELECT user_id, document_id, ts FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY user_id
+      |      ORDER BY ts DESC, document_id DESC) AS rn
+      |    FROM src WHERE document_id % 4 <= 1) WHERE rn = 1),
+      |v4 AS (SELECT user_id, document_id, ts FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY user_id
+      |      ORDER BY ts DESC, document_id DESC) AS rn
+      |    FROM src) WHERE rn = 1)
+      |SELECT v4.user_id,
+      |  CASE WHEN v2.document_id IS NULL THEN 'added' ELSE 'changed' END AS change,
+      |  v2.document_id AS old_document_id, epoch_ms(v2.ts) AS old_ms,
+      |  v4.document_id AS new_document_id, epoch_ms(v4.ts) AS new_ms
+      |FROM v4 LEFT JOIN v2 ON v4.user_id = v2.user_id
+      |WHERE v2.document_id IS NULL OR v2.document_id <> v4.document_id
+      |   OR v2.ts <> v4.ts""".stripMargin
+
+  // ---------------------------------------------------------------- q247
+  /** STREAMING INCREMENTAL ANALYZE — q240's sketch-tier statistics
+    * MAINTAINED under arrivals instead of recomputed: each micro-batch
+    * contributes one PARTIAL-STATS row per event_type (counts, null
+    * counts, exact integer-cents sum, min/max, and a stored HLL
+    * sketch — every one a mergeable aggregate), LWW-upserted into a
+    * MergeSink keyed (event_type, part). Refresh cost is O(batch),
+    * the history is never rescanned, and current table stats are an
+    * aggregate over the tiny partials frame — sums of sums, min of
+    * mins, hll_union_agg of the stored sketches. This is the
+    * statistics half of the incremental-index tier (q103/q107/q119/
+    * q211): the optimizer's stats stay fresh at the same O(new) cost
+    * as the indexes. Witness discipline: every emitted stat is exact
+    * and oracle-matched except NDV, which is emitted EXACT (the
+    * gate's one-shot audit recompute, q240's pattern) next to an
+    * in-band ndv_ok holding the unioned sketch inside the q95
+    * 5% + 5 bound — proving the sketch survived partial/merge
+    * round-trips through the sink. The REQUIRE pins incrementality:
+    * 4 slices -> 4 versioned commits.
+    */
+  def q247StreamingAnalyze(s: SparkSession, d: String): DataFrame = {
+    val base = graft.core.TempDirs.scoped("graft_q247_")
+    val inDir = s"$base/in"; val ckpt = s"$base/ckpt"; val statsDir = s"$base/stats"
+    val ev = graft.core.Tables.events(s, d)
+      .select(col("event_id"), col("event_type"), col("value"))
+    (0 until 4).foreach(i => ev
+      .filter(pmod(col("event_id"), lit(4)) === lit(i))
+      .coalesce(1).write.mode("append").parquet(inDir))
+    val wire = StructType(Seq(
+      StructField("event_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType)))
+    val sink = new MergeSink(s, statsDir,
+      keys = Seq("event_type", "part"), orderCols = Seq("n"), nBuckets = 4)
+    val q = s.readStream.schema(wire)
+      .option("maxFilesPerTrigger", "1").parquet(inDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        sink.merge(batch
+          .withColumn("cents", round(col("value") * 100).cast("long"))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            sum(when(col("value").isNull, 1L).otherwise(0L)).as("n_null"),
+            coalesce(sum(col("cents")), lit(0L)).as("s1"),
+            min(col("cents")).as("mn"), max(col("cents")).as("mx"),
+            hll_sketch_agg(col("cents")).as("sk"))
+          .withColumn("part", lit(id)))
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    require(sink.versions().size == 4,
+      s"expected 4 incremental stats commits, got ${sink.versions()}")
+    val merged = sink.read().groupBy(col("event_type")).agg(
+      sum(col("n")).as("n"), sum(col("n_null")).as("n_null"),
+      sum(col("s1")).as("sum_cents"),
+      min(col("mn")).as("min_cents"), max(col("mx")).as("max_cents"),
+      hll_sketch_estimate(hll_union_agg(col("sk"))).as("ndv_est"))
+    // the gate's one-shot audit recompute (q240 pattern): exact NDV to
+    // emit, the maintained sketch only has to land inside the bound
+    val exact = ev.withColumn("cents", round(col("value") * 100).cast("long"))
+      .groupBy(col("event_type"))
+      .agg(count_distinct(col("cents")).cast("long").as("ndv"))
+    merged.join(exact, Seq("event_type"))
+      .select(col("event_type"), col("n"), col("n_null"), col("sum_cents"),
+        col("min_cents"), col("max_cents"), col("ndv"),
+        (abs(col("ndv_est") - col("ndv")) <= col("ndv") * 0.05 + 5.0).as("ndv_ok"))
+  }
+
+  val q247Sql: String =
+    """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(coalesce(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_null,
+      |  CAST(coalesce(sum(CAST(round(value * 100) AS BIGINT)), 0) AS BIGINT) AS sum_cents,
+      |  min(CAST(round(value * 100) AS BIGINT)) AS min_cents,
+      |  max(CAST(round(value * 100) AS BIGINT)) AS max_cents,
+      |  CAST(count(DISTINCT CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS ndv,
+      |  TRUE AS ndv_ok
+      |FROM events GROUP BY event_type""".stripMargin
+
   // ---------------------------------------------------------------- q105
   /** ZONE-MAP data skipping at the gate: the state table is
     * RANGE-bucketed on user_id (contiguous 64-wide key ranges per
@@ -1955,6 +2097,8 @@ object StreamingQueries {
     "q202_stream_stream_full_outer" -> (q202StreamStreamFullOuter _, q202Sql),
     "q103_streaming_minhash_index" -> (q103StreamingMinhashIndex _, ExtQueries.q26Sql),
     "q104_time_travel" -> (q104TimeTravel _, q104Sql),
+    "q244_snapshot_diff" -> (q244SnapshotDiff _, q244Sql),
+    "q247_streaming_analyze" -> (q247StreamingAnalyze _, q247Sql),
     "q105_stats_prune" -> (q105StatsPrune _, q105Sql),
     "q106_purge_compliance" -> (q106PurgeCompliance _, q106Sql),
     "q107_streaming_embedding_index" -> (q107StreamingEmbeddingIndex _, ExtQueries.q32Sql),

@@ -468,6 +468,36 @@ class CurationSpec extends SparkSpec {
     dir
   }
 
+  test("q243 Spearman matches a driver-side average-rank brute recomputation") {
+    val rows = SparkEntry.queries("q243_spearman_rho")(spark, sfDir).collect()
+      .map(r => r.getAs[String]("l_returnflag") -> r.getAs[Double]("rho")).toMap
+    val data = graft.core.Tables.lineitem(spark, sfDir)
+      .select(col("l_returnflag"),
+        expr("CAST(round(l_quantity) AS BIGINT)"),
+        expr("CAST(round(l_discount * 100) AS BIGINT)"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    def midRanks(vs: Seq[Long]): Map[Long, Double] = {
+      val sorted = vs.sorted
+      vs.distinct.map { v =>
+        val lo = sorted.count(_ < v); val c = sorted.count(_ == v)
+        v -> (lo + (c + 1) / 2.0)
+      }.toMap
+    }
+    data.groupBy(_._1).foreach { case (g, rs) =>
+      val (xs, ys) = (rs.map(_._2).toSeq, rs.map(_._3).toSeq)
+      val (rx, ry) = (midRanks(xs), midRanks(ys))
+      val n = rs.length.toDouble
+      val px = xs.map(rx); val py = ys.map(ry)
+      val (mx, my) = (px.sum / n, py.sum / n)
+      val num = px.zip(py).map { case (a, b) => (a - mx) * (b - my) }.sum
+      val den = math.sqrt(px.map(a => (a - mx) * (a - mx)).sum) *
+                math.sqrt(py.map(b => (b - my) * (b - my)).sum)
+      val expected = num / den
+      assert(math.abs(rows(g) - expected) < 1e-9,
+        s"group $g: rho ${rows(g)} vs brute $expected")
+    }
+  }
+
   test("q213 adaptive gram salt: parity with unsalted form on a Zipf-hot corpus") {
     // 40 docs all sharing one boilerplate 8-gram (position count 40,
     // far past hotThreshold = 8) + unique framing tokens per doc, plus

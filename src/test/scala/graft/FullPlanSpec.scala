@@ -43,7 +43,8 @@ class FullPlanSpec extends SparkSpec {
       "q180_mann_whitney_u" -> "DOMAIN: cumulative rank over the per-CENTS value histogram (q216 discipline)",
       "q234_skyline" -> "DOMAIN: running max over the per-PRICE-CENTS aggregate of part",
       "q237_percent_of_parent" -> "DOMAIN: level totals over the rollup's group-cardinality output",
-      "q238_prefix_sum" -> "DOCUMENTED-SWAP: the two-phase prefix sum's BUCKET-offset window — bucket-count rows by construction")
+      "q238_prefix_sum" -> "DOCUMENTED-SWAP: the two-phase prefix sum's BUCKET-offset window — bucket-count rows by construction",
+      "q245_theil_sen" -> "DOMAIN: median rank over the day-pair slope frame (days^2/2 — domain-scale by construction)")
     val gwOnly = Seq(
       "q204_approx_top_k" -> "METADATA: rank window over the 10-row exact-top frame (TakeOrderedAndProject upstream)",
       "q235_benford_audit" -> "METADATA: grand-total window over the 9-row digit frame")
@@ -79,7 +80,9 @@ class FullPlanSpec extends SparkSpec {
       "q77_freq_items" -> "corpus total (1 row) for support threshold",
       "q81_bm25" -> "corpus stats frame (1 row: N, avgdl) for the BM25 denominator",
       "q91_curation_funnel" -> "stage-threshold metadata frame",
-      "q95_hll_sketch" -> "exact-distinct frame (1 row) the HLL estimate is audited against")
+      "q95_hll_sketch" -> "exact-distinct frame (1 row) the HLL estimate is audited against",
+      "q245_theil_sen" -> "pair count (1 row) broadcast for the median rank threshold; day-frame theta self-join",
+      "q246_hll_intersect" -> "theta self-join of the 5-row per-type sketch frame")
     (gwSort.flatMap { case (q, why) => Seq(
         (q, "global-window") -> why, (q, "single-partition-sort") -> why) } ++
       gwOnly.map { case (q, why) => (q, "global-window") -> why } ++

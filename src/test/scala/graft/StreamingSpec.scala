@@ -706,6 +706,28 @@ class StreamingSpec extends SparkSpec {
       s"expected 4 committed versions after replay, got ${sink2.versions()}")
   }
 
+  test("q244 snapshot diff: LWW winners only move forward, adds have no old state") {
+    val rows = SparkEntry.queries("q244_snapshot_diff")(spark, sfDir).collect()
+    assert(rows.nonEmpty, "diff is vacuous on this data")
+    val changes = rows.map(_.getAs[String]("change")).toSet
+    assert(changes.subsetOf(Set("added", "changed")),
+      s"LWW upsert admits no removals, got $changes")
+    rows.foreach { r =>
+      if (r.getAs[String]("change") == "added") {
+        assert(r.isNullAt(r.fieldIndex("old_document_id")) && r.isNullAt(r.fieldIndex("old_ms")))
+      } else {
+        // a changed key's winner must STRICTLY advance in the LWW
+        // order (ts, document_id) — v4 merges a superset of v2's
+        // history, so the winner can only move up
+        val (oldMs, newMs) = (r.getAs[Long]("old_ms"), r.getAs[Long]("new_ms"))
+        val (oldDoc, newDoc) =
+          (r.getAs[Long]("old_document_id"), r.getAs[Long]("new_document_id"))
+        assert(newMs > oldMs || (newMs == oldMs && newDoc > oldDoc),
+          s"winner regressed: ($oldMs,$oldDoc) -> ($newMs,$newDoc)")
+      }
+    }
+  }
+
   private def causeChainContains(e: Throwable, msg: String): Boolean = {
     var t: Throwable = e
     while (t != null) {
