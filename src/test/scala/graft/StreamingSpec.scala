@@ -728,6 +728,32 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("incremental CC: new-node, merge-absorption, and label-lowering paths") {
+    import graft.ext.IncrementalCc
+    def edges(ps: (Long, Long)*) = ps.toSeq.toDF("id_a", "id_b")
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("cluster_id")).toMap
+    // batch 1: two fresh components
+    val up1 = asMap(IncrementalCc.applyBatch(spark,
+      IncrementalCc.emptyLabels(spark), edges(1L -> 2L, 5L -> 6L)))
+    assert(up1 == Map(1L -> 1L, 2L -> 1L, 5L -> 5L, 6L -> 5L))
+    val lab1 = up1.toSeq.toDF("id", "cluster_id")
+    // batch 2: an edge BETWEEN the components — every member of the
+    // larger-labeled one must be rewritten, nothing else
+    val up2 = asMap(IncrementalCc.applyBatch(spark, lab1, edges(2L -> 6L)))
+    assert(up2 == Map(5L -> 1L, 6L -> 1L), s"absorption upserts wrong: $up2")
+    val lab2 = (up1 ++ up2).toSeq.toDF("id", "cluster_id")
+    // batch 3: a NEW node with a SMALLER id than the existing label —
+    // the whole merged component must relabel down to it
+    val up3 = asMap(IncrementalCc.applyBatch(spark, lab2, edges(0L -> 6L)))
+    assert(up3 == Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 5L -> 0L, 6L -> 0L))
+    // final state equals the one-shot batch CC on the full edge set
+    val batch = graft.ext.Dedup.connectedComponents(
+      edges(1L -> 2L, 5L -> 6L, 2L -> 6L, 0L -> 6L), "id_a", "id_b")
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("cluster_id")).toMap
+    assert((up1 ++ up2 ++ up3) == batch)
+  }
+
   private def causeChainContains(e: Throwable, msg: String): Boolean = {
     var t: Throwable = e
     while (t != null) {
