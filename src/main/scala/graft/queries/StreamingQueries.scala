@@ -1153,6 +1153,149 @@ object StreamingQueries {
 
   val q249Sql: String = ExtQueries.q71Sql
 
+  // ---------------------------------------------------------------- q250
+  /** UPDATE-AWARE POSTINGS MAINTENANCE — the inverted index (q223)
+    * kept correct under DOCUMENT REWRITES, which the append-only
+    * incremental indexes (q103/q107/q119/q211) never face: when a
+    * document's text changes, postings for tokens it NO LONGER
+    * contains must disappear, so the per-batch delta is computed
+    * AGAINST THE INDEX'S OWN CURRENT STATE — live postings for the
+    * arriving doc ids (a bucket-pruned point lookup at scale, the
+    * sink is keyed (tok, doc)) minus the new token sets = tombstones
+    * (the S7 soft-delete discipline), plus LWW upserts for the new
+    * sets. Cost is O(changed docs x tokens), the corpus is never
+    * re-indexed. The feed: batch 0 carries every document, batch 1
+    * carries rewrites for doc_id % 10 == 0 (text truncated to its
+    * first half — DETERMINISTIC, so the oracle recomputes the final
+    * corpus directly and never sees the index machinery). The same
+    * uniform delta logic handles both batches (batch 0 simply finds
+    * no prior state). REQUIREs 2 versioned commits AND a non-empty
+    * tombstone set — the delete path cannot silently be vacuous.
+    */
+  def q250PostingsMaintenance(s: SparkSession, d: String): DataFrame = {
+    val base = graft.core.TempDirs.scoped("graft_q250_")
+    val inDir = s"$base/in"; val ckpt = s"$base/ckpt"; val idxDir = s"$base/postings"
+    val docs = graft.core.Tables.documents(s, d).select(col("doc_id"), col("text"))
+    docs.coalesce(1).write.mode("append").parquet(inDir)
+    // the rewrite batch: keep only the first half of each doc's tokens
+    docs.filter(col("doc_id") % 10 === 0)
+      .select(col("doc_id"), expr(
+        "array_join(slice(split(text, ' '), 1, greatest(size(split(text, ' ')) div 2, 1)), ' ')")
+        .as("text"))
+      .coalesce(1).write.mode("append").parquet(inDir)
+    val wire = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val sink = new MergeSink(s, idxDir,
+      keys = Seq("tok", "doc_id"), orderCols = Seq("upd"), nBuckets = 8)
+    val q = s.readStream.schema(wire)
+      .option("maxFilesPerTrigger", "1").parquet(inDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
+        val fresh = batch
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+          .filter(col("tok") =!= "").distinct()
+        val stale =
+          if (sink.versions().isEmpty) fresh.limit(0)
+          else sink.read().filter(!col("is_deleted"))
+            .join(batch.select(col("doc_id")), Seq("doc_id"), "left_semi")
+            .join(fresh, Seq("doc_id", "tok"), "left_anti")
+            .select(col("doc_id"), col("tok"))
+        sink.merge(
+          fresh.withColumn("is_deleted", lit(false))
+            .unionByName(stale.withColumn("is_deleted", lit(true)))
+            .withColumn("upd", lit(bid)))
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    require(sink.versions().size == 2,
+      s"expected 2 postings commits, got ${sink.versions()}")
+    val tombs = sink.read().filter(col("is_deleted")).limit(1).count()
+    require(tombs > 0, "rewrite batch produced no tombstones — delete path vacuous")
+    sink.read().filter(!col("is_deleted")).select(col("tok"), col("doc_id"))
+  }
+
+  val q250Sql: String =
+    """WITH t AS (SELECT doc_id,
+      |    CASE WHEN doc_id % 10 = 0
+      |      THEN list_slice(string_split(text, ' '), 1,
+      |             greatest(len(string_split(text, ' ')) // 2, 1))
+      |      ELSE string_split(text, ' ') END AS ts
+      |  FROM documents)
+      |, p AS (SELECT doc_id, unnest(ts) AS tok FROM t)
+      |SELECT DISTINCT tok, doc_id FROM p WHERE tok <> ''""".stripMargin
+
+  // ---------------------------------------------------------------- q251
+  /** STREAMING WEIGHTED RESERVOIR — q200's A-ES size-weighted sample
+    * MAINTAINED under document arrivals: the per-language top-10
+    * priority reservoir (priority = u^(1/weight), u the md5-derived
+    * uniform — deterministic, so a maintained sample and a one-shot
+    * batch sample must agree EXACTLY) upserts per micro-batch at
+    * O(batch + langs x k) cost: union the stored reservoir rows with
+    * the batch's scored arrivals, re-take the bounded TopK per
+    * language, rewrite the k rows per touched language. This is the
+    * sampling half of the incremental-curation tier: a fresh,
+    * correctly-weighted training sample at arrival cost, never a
+    * corpus rescan. The A-ES exchangeability property (a reservoir
+    * of the prefix + the next batch re-topped = the reservoir of the
+    * whole) is what the gate proves, batch-for-batch, against q200's
+    * one-shot oracle. REQUIREs 4 versioned commits.
+    */
+  def q251StreamingReservoir(s: SparkSession, d: String): DataFrame = {
+    val base = graft.core.TempDirs.scoped("graft_q251_")
+    val inDir = s"$base/in"; val ckpt = s"$base/ckpt"; val resDir = s"$base/reservoir"
+    val docs = graft.core.Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .filter(col("n_chars") > 0)
+    (0 until 4).foreach(i => docs
+      .filter(pmod(col("doc_id"), lit(4)) === lit(i))
+      .coalesce(1).write.mode("append").parquet(inDir))
+    val wire = StructType(Seq(
+      StructField("doc_id", LongType), StructField("lang", StringType),
+      StructField("n_chars", LongType)))
+    val twoTo52 = 4503599627370496.0
+    def scoreOf(df: DataFrame): DataFrame = {
+      val u = conv(substring(md5(col("doc_id").cast("string")), 1, 13), 16, 10)
+        .cast("double") / lit(twoTo52)
+      df.withColumn("priority", pow(u, lit(1.0) / col("n_chars").cast("double")))
+    }
+    val topk = udaf(graft.functions.TopK(10))
+    val sink = new MergeSink(s, resDir,
+      keys = Seq("lang", "rk"), orderCols = Seq("upd"), nBuckets = 4)
+    val q = s.readStream.schema(wire)
+      .option("maxFilesPerTrigger", "1").parquet(inDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
+        val arrivals = scoreOf(batch)
+          .select(col("lang"), col("priority"), col("doc_id"), col("n_chars"))
+        val pool =
+          if (sink.versions().isEmpty) arrivals
+          else arrivals.unionByName(sink.read()
+            .select(col("lang"), col("priority"), col("doc_id"), col("n_chars")))
+        sink.merge(pool
+          .groupBy(col("lang"))
+          .agg(topk(col("priority"), col("doc_id")).as("top"))
+          .select(col("lang"), posexplode(col("top")))
+          .select(col("lang"), (col("pos") + 1).cast("long").as("rk"),
+            col("col._1").as("priority"), col("col._2").as("doc_id"))
+          .join(pool.select(col("doc_id"), col("n_chars")).distinct(), Seq("doc_id"))
+          .select(col("lang"), col("rk"), col("priority"), col("doc_id"), col("n_chars"))
+          .withColumn("upd", lit(bid)))
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    require(sink.versions().size == 4,
+      s"expected 4 reservoir commits, got ${sink.versions()}")
+    sink.read().select(col("lang"), col("rk"), col("doc_id"), col("n_chars"))
+  }
+
+  /** Oracle: q200's one-shot batch form — the maintained reservoir
+    * must equal it exactly. */
+  val q251Sql: String = AdvancedQueries.q200Sql
+
   // ---------------------------------------------------------------- q105
   /** ZONE-MAP data skipping at the gate: the state table is
     * RANGE-bucketed on user_id (contiguous 64-wide key ranges per
@@ -2164,6 +2307,8 @@ object StreamingQueries {
     "q244_snapshot_diff" -> (q244SnapshotDiff _, q244Sql),
     "q247_streaming_analyze" -> (q247StreamingAnalyze _, q247Sql),
     "q249_streaming_cc" -> (q249StreamingCc _, q249Sql),
+    "q250_postings_maintenance" -> (q250PostingsMaintenance _, q250Sql),
+    "q251_streaming_reservoir" -> (q251StreamingReservoir _, q251Sql),
     "q105_stats_prune" -> (q105StatsPrune _, q105Sql),
     "q106_purge_compliance" -> (q106PurgeCompliance _, q106Sql),
     "q107_streaming_embedding_index" -> (q107StreamingEmbeddingIndex _, ExtQueries.q32Sql),
