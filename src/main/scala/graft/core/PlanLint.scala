@@ -87,6 +87,43 @@ object PlanLint {
   private def isSinglePartition(p: SparkPlan): Boolean =
     p.outputPartitioning == org.apache.spark.sql.catalyst.plans.physical.SinglePartition
 
+  /** Plan-SHAPE fingerprint of an already-executed frame: exchange
+    * counts, join-strategy multiset (with join type), aggregate-node
+    * multiset, and sort count. [[lint]] checks anti-pattern ABSENCE;
+    * this locks the intended shape — a refactor that silently flips a
+    * broadcast join to sort-merge, or adds an Exchange to a bucketed
+    * path, changes the fingerprint and fails FullPlanSpec's golden
+    * diff even though no lint rule trips.
+    *
+    * Cache-invariant by construction: [[allNodes]] descends THROUGH
+    * InMemoryTableScan wrappers into the cached plan and the wrapper
+    * itself is not counted, so whether a deterministic fragment
+    * happened to be served from cache does not move the fingerprint.
+    */
+  def fingerprint(df: DataFrame): String = {
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.execution.exchange.{BroadcastExchangeExec, ShuffleExchangeExec}
+    import org.apache.spark.sql.execution.joins.BaseJoinExec
+    val nodes = allNodes(finalPlan(df))
+    var shuffle = 0; var bcast = 0; var sort = 0
+    val joins = scala.collection.mutable.ArrayBuffer.empty[String]
+    val aggs = scala.collection.mutable.ArrayBuffer.empty[String]
+    nodes.foreach {
+      case _: ShuffleExchangeExec   => shuffle += 1
+      case _: BroadcastExchangeExec => bcast += 1
+      case _: SortExec              => sort += 1
+      case _: CartesianProductExec  => joins += "CartesianProduct"
+      case j: BaseJoinExec          => joins += s"${j.nodeName}:${j.joinType}"
+      case a: BaseAggregateExec     => aggs += a.nodeName
+      case _                        => ()
+    }
+    def ms(xs: Seq[String]) =
+      if (xs.isEmpty) "-"
+      else xs.groupBy(identity).toSeq.sortBy(_._1)
+        .map { case (k, v) => s"$k*${v.size}" }.mkString(",")
+    s"shuffle=$shuffle broadcast=$bcast sort=$sort joins=${ms(joins.toSeq)} aggs=${ms(aggs.toSeq)}"
+  }
+
   /** Lint one ALREADY-EXECUTED frame. Returns every violation; the
     * caller subtracts its reviewed whitelist.
     */

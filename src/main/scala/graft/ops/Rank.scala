@@ -42,7 +42,38 @@ object Rank {
     * `order` must be a total order for a deterministic result.
     */
   def globalRowNumber(df: DataFrame, order: Seq[Column], rnCol: String,
-                      numPartitions: Int = 0): DataFrame = {
+                      numPartitions: Int = 0): DataFrame =
+    twoPhase(df, order, numPartitions, count(lit(1))) { (parted, w) =>
+      parted.withColumn(rnCol, row_number().over(w).cast("long") + col("__off"))
+    }
+
+  /** Adds `outCol` (INCLUSIVE running sum of `valueCol` under the
+    * global total order `order`) to `df` — the distributed prefix sum
+    * behind token-budget sample packing (q122) and equi-width layout
+    * assignment, with the same two-pass shape as [[globalRowNumber]]:
+    * pass 2 collects one per-partition TOTAL of `valueCol` (metadata-
+    * scale), pass 3 runs the cumsum window PARTITIONED by partition id
+    * plus the partition's cumulative offset. `valueCol` must be an
+    * integral column (offsets are exact longs).
+    */
+  def globalRunningSum(df: DataFrame, order: Seq[Column], valueCol: String,
+                       outCol: String, numPartitions: Int = 0): DataFrame =
+    twoPhase(df, order, numPartitions,
+      coalesce(sum(col(valueCol)), lit(0L)).cast("long")) { (parted, w) =>
+      parted.withColumn(outCol,
+        sum(col(valueCol)).over(w.rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)).cast("long") + col("__off"))
+    }
+
+  /** Shared two-pass skeleton: range-repartition + in-partition sort
+    * (checkpointed — see class doc), per-partition aggregate `perPart`
+    * collected to the driver (one long per partition), exclusive
+    * prefix-sum offsets broadcast back on `__pid`, then `build` runs
+    * the parallel per-partition window with `__off` in scope.
+    */
+  private def twoPhase(df: DataFrame, order: Seq[Column], numPartitions: Int,
+                       perPart: Column)(
+      build: (DataFrame, org.apache.spark.sql.expressions.WindowSpec) => DataFrame): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val parts =
@@ -52,18 +83,15 @@ object Rank {
       df.repartitionByRange(parts, order: _*)
         .sortWithinPartitions(order: _*)
         .withColumn("__pid", spark_partition_id()))
-    // pass 2: per-partition counts — metadata-scale collect
-    val counts: Map[Int, Long] = parted.groupBy(col("__pid")).count()
-      .as[(Int, Long)].collect().toMap
+    // pass 2: one long per partition — metadata-scale collect
+    val totals: Map[Int, Long] = parted.groupBy(col("__pid"))
+      .agg(perPart.as("t")).as[(Int, Long)].collect().toMap
     val offsets = (0 until parts).scanLeft(0L) {
-      case (acc, pid) => acc + counts.getOrElse(pid, 0L)
+      case (acc, pid) => acc + totals.getOrElse(pid, 0L)
     }.dropRight(1).zipWithIndex.map { case (off, pid) => (pid, off) }
     val offDf = broadcast(offsets.toDF("__pid", "__off"))
-    // pass 3: parallel per-partition row_number + offset
+    // pass 3: parallel per-partition window + offset
     val w = Window.partitionBy(col("__pid")).orderBy(order: _*)
-    parted
-      .join(offDf, "__pid")
-      .withColumn(rnCol, row_number().over(w).cast("long") + col("__off"))
-      .drop("__pid", "__off")
+    build(parted.join(offDf, "__pid"), w).drop("__pid", "__off")
   }
 }

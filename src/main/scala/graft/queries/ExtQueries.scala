@@ -1218,21 +1218,24 @@ object ExtQueries {
     * pack_id = floor(tokens-before-me / budget); a document whose span
     * crosses the boundary STRADDLES two packs (recorded in-band), the
     * standard concat-then-slice pretraining layout rather than
-    * first-fit bin packing. One window cumsum over the ordered corpus,
-    * one hash aggregate per pack.
+    * first-fit bin packing. One distributed cumsum over the ordered
+    * corpus, one hash aggregate per pack.
     *
-    * Scale note: the ORDER BY doc_id window is a total order — at
-    * 100 TB the same layout runs per range-partition (pack ids offset
-    * by per-partition token totals, computed from a partition-level
-    * prefix sum), keeping the sort distributed; semantics identical.
+    * Scale shape (round 9: the former single-task ORDER BY doc_id
+    * window IS now the distributed form, not a documented swap): the
+    * inclusive token prefix sum runs through
+    * [[graft.ops.Rank.globalRunningSum]] — range-repartition on
+    * doc_id, one per-partition token total collected (metadata), the
+    * cumsum window PARTITIONED by partition id plus the broadcast
+    * offset. No corpus-scale single-partition exchange anywhere;
+    * semantics bit-identical to the global window (oracle unchanged).
     */
   def q122SamplePacking(s: SparkSession, d: String): DataFrame = {
     val budget = 2048L
-    val w = Window.orderBy(col("doc_id"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val laid = docs(s, d)
-      .select(col("doc_id"), size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tok"))
-      .withColumn("cum_end", sum(col("n_tok")).over(w))
+    val laid = graft.ops.Rank.globalRunningSum(
+        docs(s, d).select(col("doc_id"),
+          size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tok")),
+        Seq(col("doc_id")), "n_tok", "cum_end")
       .withColumn("cum_start", col("cum_end") - col("n_tok"))
       .withColumn("pack_id", (col("cum_start") / budget).cast("long"))
       .withColumn("straddles",
@@ -1539,15 +1542,19 @@ object ExtQueries {
     * training and must be visible, not silently emitted. Everything is
     * recomputable by the oracle, so the gate is exact.
     *
-    * Scale shape: the dense rank is a global row_number (same
-    * total-order note as q122 — per-range-partition offsets at 100 TB);
-    * partner resolution is an equi-join on the computed rank.
+    * Scale shape (round 9: the dense rank now RUNS the distributed
+    * form, not a documented swap): [[graft.ops.Rank.globalRowNumber]]
+    * — range-repartition + per-partition row_number + broadcast
+    * offsets, no single-task window; partner resolution is an
+    * equi-join on the computed rank. Oracle unchanged.
     */
   def q123NegativeSampling(s: SparkSession, d: String): DataFrame = {
     val k = 3
-    val ranked = docs(s, d)
-      .select(col("doc_id"), md5(col("text").cast("binary")).as("content_hash"))
-      .withColumn("rnk", row_number().over(Window.orderBy(col("doc_id"))).cast("long") - 1)
+    val ranked = graft.ops.Rank.globalRowNumber(
+        docs(s, d).select(col("doc_id"),
+          md5(col("text").cast("binary")).as("content_hash")),
+        Seq(col("doc_id")), "rn")
+      .withColumn("rnk", col("rn") - 1).drop("rn")
     val n = ranked.agg(count(lit(1)).as("n"))
     val draws = ranked.crossJoin(broadcast(n))
       .select(col("doc_id"), col("content_hash"), col("rnk"), col("n"),

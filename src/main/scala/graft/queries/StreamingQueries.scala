@@ -1172,17 +1172,47 @@ object StreamingQueries {
     * no prior state). REQUIREs 2 versioned commits AND a non-empty
     * tombstone set — the delete path cannot silently be vacuous.
     */
-  def q250PostingsMaintenance(s: SparkSession, d: String): DataFrame = {
+  def q250PostingsMaintenance(s: SparkSession, d: String): DataFrame =
+    runPostingsPipeline(s, d)
+      .read().filter(!col("is_deleted")).select(col("tok"), col("doc_id"))
+
+  /** FileStreamSource orders input files by MODIFICATION TIME; two
+    * appends written back-to-back can tie on coarse mtime granularity
+    * and flip batch order (ADVICE round 8 — q250's rewrite batch MUST
+    * arrive after the full corpus or the tombstone REQUIRE fails
+    * flakily). Stamp every not-yet-stamped part file in `dir` with a
+    * strictly increasing per-batch mtime, making arrival order
+    * explicit instead of a filesystem accident. Batch `i`'s stamp is
+    * below every later batch's and below "now", so already-stamped
+    * earlier batches (mtime < this stamp) are never touched.
+    */
+  private[graft] def stampBatchMtime(dir: String, batch: Int): Unit = {
+    val t = 1700000000000L + batch * 60000L
+    Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.getName.startsWith("part-") && f.lastModified() > t)
+      .foreach(f => require(f.setLastModified(t), s"cannot set mtime on $f"))
+  }
+
+  /** The q250 pipeline body, shared with q252 (which runs REORG-PURGE
+    * compaction on the result): feeds the full corpus then the
+    * deterministic rewrite batch through the update-aware delta logic
+    * into a tombstone-carrying postings sink, REQUIREs 2 versioned
+    * commits and a non-empty tombstone set, and returns the committed
+    * sink.
+    */
+  private[graft] def runPostingsPipeline(s: SparkSession, d: String): MergeSink = {
     val base = graft.core.TempDirs.scoped("graft_q250_")
     val inDir = s"$base/in"; val ckpt = s"$base/ckpt"; val idxDir = s"$base/postings"
     val docs = graft.core.Tables.documents(s, d).select(col("doc_id"), col("text"))
     docs.coalesce(1).write.mode("append").parquet(inDir)
+    stampBatchMtime(inDir, 0)
     // the rewrite batch: keep only the first half of each doc's tokens
     docs.filter(col("doc_id") % 10 === 0)
       .select(col("doc_id"), expr(
         "array_join(slice(split(text, ' '), 1, greatest(size(split(text, ' ')) div 2, 1)), ' ')")
         .as("text"))
       .coalesce(1).write.mode("append").parquet(inDir)
+    stampBatchMtime(inDir, 1)
     val wire = StructType(Seq(
       StructField("doc_id", LongType), StructField("text", StringType)))
     val sink = new MergeSink(s, idxDir,
@@ -1213,8 +1243,65 @@ object StreamingQueries {
       s"expected 2 postings commits, got ${sink.versions()}")
     val tombs = sink.read().filter(col("is_deleted")).limit(1).count()
     require(tombs > 0, "rewrite batch produced no tombstones — delete path vacuous")
+    sink
+  }
+
+  // ---------------------------------------------------------------- q252
+  /** INDEX COMPACTION UNDER TOMBSTONE ACCUMULATION — the maintenance
+    * step q250 leaves open: an update-aware index accretes soft-delete
+    * tombstones forever (every rewrite adds them; no merge ever
+    * removes a row), so scan cost and file counts only grow. This
+    * gate runs q250's exact pipeline, then
+    * [[graft.sink.MergeSink.compact]] in its REORG-PURGE form
+    * (`dropDeleted = is_deleted`) and proves the three maintenance
+    * invariants in-band before emitting the live postings (same
+    * oracle as q250 — compaction must be invisible to readers):
+    *
+    *  1. LIVE-ROW EQUALITY — the post-compact PHYSICAL state (read
+    *     with no filter) equals the pre-compact live set exactly,
+    *     both directions, via two distributed anti-joins;
+    *  2. PHYSICAL tombstone removal — zero `is_deleted` rows remain
+    *     in the files (not merely filtered at read), and every bucket
+    *     compacted to one file;
+    *  3. VERSION-LOG integrity — exactly one new strictly-increasing
+    *     version; time travel to the pre-compact version still shows
+    *     the tombstones (history is retained until expireVersions,
+    *     never silently destroyed by layout maintenance).
+    */
+  def q252PostingsCompaction(s: SparkSession, d: String): DataFrame = {
+    val sink = runPostingsPipeline(s, d)
+    val preLive = sink.read().filter(!col("is_deleted"))
+      .select(col("tok"), col("doc_id")).persist()
+    require(preLive.count() > 0, "pre-compact live set empty") // materialize BEFORE compact
+    val preVersions = sink.versions()
+    val preTop = preVersions.max
+    sink.compact(maxFilesPerBucket = 1, dropDeleted = Some("is_deleted"))
+    // (3) version log: one new version, strictly increasing, history readable
+    val postVersions = sink.versions()
+    require(postVersions.size == preVersions.size + 1 &&
+        postVersions.init == preVersions && postVersions.last > preTop,
+      s"compact broke the version log: $preVersions -> $postVersions")
+    require(sink.readAt(preTop).filter(col("is_deleted")).limit(1).count() == 1,
+      "pre-compact version lost its tombstones — layout maintenance destroyed history")
+    // (2) physical removal + layout: no tombstone row survives in the
+    // files, and every bucket is one file after the rewrite
+    val post = sink.read()
+    require(post.filter(col("is_deleted")).limit(1).count() == 0,
+      "compact(dropDeleted) left physical tombstone rows")
+    val oversized = sink.bucketFileCounts().filter(_._2 > 1)
+    require(oversized.isEmpty, s"buckets not compacted to one file: $oversized")
+    // (1) live-row equality, both directions
+    val postKeys = post.select(col("tok"), col("doc_id"))
+    require(postKeys.except(preLive).limit(1).count() == 0 &&
+        preLive.except(postKeys).limit(1).count() == 0,
+      "compaction changed the live row set")
+    preLive.unpersist()
     sink.read().filter(!col("is_deleted")).select(col("tok"), col("doc_id"))
   }
+
+  /** Oracle: q250's — compaction is invisible to readers. (lazy:
+    * q250Sql is initialized later in this object) */
+  lazy val q252Sql: String = q250Sql
 
   val q250Sql: String =
     """WITH t AS (SELECT doc_id,
@@ -2309,6 +2396,7 @@ object StreamingQueries {
     "q249_streaming_cc" -> (q249StreamingCc _, q249Sql),
     "q250_postings_maintenance" -> (q250PostingsMaintenance _, q250Sql),
     "q251_streaming_reservoir" -> (q251StreamingReservoir _, q251Sql),
+    "q252_postings_compaction" -> (q252PostingsCompaction _, q252Sql),
     "q105_stats_prune" -> (q105StatsPrune _, q105Sql),
     "q106_purge_compliance" -> (q106PurgeCompliance _, q106Sql),
     "q107_streaming_embedding_index" -> (q107StreamingEmbeddingIndex _, ExtQueries.q32Sql),

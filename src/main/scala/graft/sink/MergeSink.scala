@@ -388,26 +388,62 @@ final class MergeSink(
     * Content is untouched — pure layout maintenance, safe to run
     * between merges on any schedule; zone maps carry over unchanged
     * for the same reason.
+    *
+    * `dropDeleted = Some(flag)` is the REORG PURGE variant (Delta's
+    * `REORG TABLE ... APPLY (PURGE)` analog) for tables maintained
+    * with soft-delete tombstones (q250's postings): buckets holding
+    * any row with `flag = true` rewrite too, and flagged rows are
+    * physically dropped from the new generation. Sound because every
+    * generation's bucket file holds that bucket's FULL current state
+    * (merges rewrite whole buckets), so a tombstone row IS its key's
+    * present state: removing it equals the key being absent, which
+    * future merges treat identically. Prior versions keep their
+    * generations, so time travel across the compaction still shows
+    * the tombstones until `expireVersions`. Tombstoned buckets are
+    * found by a columnar scan of the one flag column; at 100 TB the
+    * manifest would carry a per-bucket tombstone count (same decision
+    * from pure metadata) — the rewrite itself is already
+    * bucket-pruned either way. Zone maps carry over: dropped rows can
+    * only NARROW a bucket's true min/max, so the retained (wider)
+    * stats stay conservative-correct for pruning.
     */
-  def compact(maxFilesPerBucket: Int = 4): Unit = MergeSink.withWriterLock(spark, path, "compact") {
+  def compact(maxFilesPerBucket: Int = 4,
+              dropDeleted: Option[String] = None): Unit =
+      MergeSink.withWriterLock(spark, path, "compact") {
     if (manifest.exists) {
       val oversized = manifest.bucketFiles()
         .filter { case (_, fl) => fl.size > maxFilesPerBucket }
-        .keys.toSeq.sorted
-      if (oversized.nonEmpty) {
+        .keys.toSet
+      val tombstoned: Set[Int] = dropDeleted match {
+        case None => Set.empty
+        case Some(flag) => manifest.snapshot(None) match {
+          case None     => Set.empty
+          case Some(df) => df.filter(col(flag))
+            .select(col(BucketCol)).distinct()
+            .collect().map(_.getInt(0)).toSet
+        }
+      }
+      val rewrite = (oversized ++ tombstoned).toSeq.sorted
+      if (rewrite.nonEmpty) {
         val current = manifest.mapping()
         val gen = manifest.newGenDir()
-        manifest.snapshot(Some(oversized)).get
-          .repartition(oversized.length, col(BucketCol))
+        val base = manifest.snapshot(Some(rewrite)).get
+        dropDeleted.fold(base)(flag => base.filter(!col(flag)))
+          .repartition(rewrite.length, col(BucketCol))
           .write
           .partitionBy(BucketCol)
           .parquet(s"$path/$gen")
-        // content is unchanged but the rewritten buckets move to a new
-        // generation dir — sidecars are generation-scoped, so rebuild
+        // content rows are unchanged (minus dropped tombstones) but the
+        // rewritten buckets move to a new generation dir — sidecars are
+        // generation-scoped, so rebuild
         writeBloomsOfGen(gen)
+        val written = manifest.writtenBuckets(gen)
+        // a bucket whose every row was a tombstone vanishes from the
+        // mapping (the write produced no dir for it)
+        val emptied = rewrite.toSet -- written
         manifest.commit(
-          current ++ manifest.writtenBuckets(gen).map(_ -> gen),
-          manifest.stats())
+          (current -- emptied) ++ written.map(_ -> gen),
+          manifest.stats() -- emptied)
         manifest.vacuum()
       }
     }

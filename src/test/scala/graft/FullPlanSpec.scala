@@ -2,18 +2,36 @@ package graft
 
 import graft.core.PlanLint
 
-/** Full-surface physical-plan lint: executes EVERY SparkEntry query
-  * and asserts the global anti-pattern absence list on each final
-  * (post-AQE) plan — the scale audit the judge previously did by
-  * hand, promoted to CI. A new operator that sneaks in a cartesian
-  * product, a corpus-frame global window, a one-task sort funnel, or
-  * an undeclared nested-loop join fails HERE, not in a review.
+/** Full-surface physical-plan lint + shape lock: executes EVERY
+  * SparkEntry query and asserts (a) the global anti-pattern absence
+  * list on each final (post-AQE) plan — the scale audit the judge
+  * previously did by hand, promoted to CI — and (b) a per-query plan
+  * FINGERPRINT (exchange counts, join-strategy multiset, aggregate
+  * nodes, sort count) against the committed golden file, so a
+  * refactor that silently flips a broadcast join to sort-merge or
+  * adds an Exchange to a bucketed path fails HERE even though no
+  * absence rule trips.
+  *
+  * Golden workflow: `src/test/resources/plan_golden.txt` holds one
+  * `name<TAB>fingerprint` line per query. An INTENTIONAL shape change
+  * (new operator, deliberate plan improvement) is recorded by
+  * regenerating: `GRAFT_REGEN_PLAN_GOLDEN=1 sbt "testOnly
+  * graft.FullPlanSpec"` rewrites the file; the diff then shows the
+  * reviewer exactly which queries' shapes moved. A mismatch in a
+  * normal run is re-checked SOLO (cleared cache, sequential) before
+  * failing, so a cross-query cache-timing artifact of the concurrent
+  * sweep can never produce a flaky failure — only a real, reproducible
+  * shape change fails.
   *
   * The whitelist is the explicit, reviewed set of (query, kind)
   * pairs where the flagged shape is correct BY CONSTRUCTION —
   * every entry carries its justification, and a whitelist entry that
   * stops tripping fails the suite as stale, so the list can only
-  * shrink or be consciously re-reviewed.
+  * shrink or be consciously re-reviewed. As of round 9 every entry is
+  * METADATA- or DOMAIN-bounded: the two DOCUMENTED-SWAP global
+  * windows (q122/q123) were replaced by the distributed
+  * ops/Rank.globalRowNumber / globalRunningSum forms in the gated
+  * queries themselves.
   */
 class FullPlanSpec extends SparkSpec {
 
@@ -26,15 +44,9 @@ class FullPlanSpec extends SparkSpec {
     *  - DOMAIN: frame is the per-VALUE aggregate of a bounded value
     *    domain (cents histograms, day counts, bucket offsets) — the
     *    q218/q238 discipline; grows with the domain, not the corpus.
-    *  - DOCUMENTED-SWAP: the gate's sf-test form uses a global
-    *    window/sort whose distributed replacement (per-partition
-    *    offsets, ops/Rank.scala / q238 two-phase prefix sum) is
-    *    documented in the query's scaladoc; semantics identical.
     */
   private val whitelist: Map[(String, String), String] = {
     val gwSort = Seq(
-      "q122_sample_packing" -> "DOCUMENTED-SWAP: token prefix-sum layout; scaladoc names the per-range-partition offset form",
-      "q123_negative_sampling" -> "DOCUMENTED-SWAP: dense doc rank for hash draws; distributed form is ops/Rank per-partition offsets",
       "q145_setsim_join" -> "DOMAIN: rarest-first token rank — vocabulary-cardinality df frame (SetSimJoin.scala:52)",
       "q241_planted_pair_completeness" -> "DOMAIN: same SetSimJoin vocabulary-rank window as q145 (corpus + planted twins)",
       "q159_autocorr" -> "DOMAIN: lag-1 pairs over the per-DAY aggregate — day-cardinality frame",
@@ -43,7 +55,7 @@ class FullPlanSpec extends SparkSpec {
       "q180_mann_whitney_u" -> "DOMAIN: cumulative rank over the per-CENTS value histogram (q216 discipline)",
       "q234_skyline" -> "DOMAIN: running max over the per-PRICE-CENTS aggregate of part",
       "q237_percent_of_parent" -> "DOMAIN: level totals over the rollup's group-cardinality output",
-      "q238_prefix_sum" -> "DOCUMENTED-SWAP: the two-phase prefix sum's BUCKET-offset window — bucket-count rows by construction",
+      "q238_prefix_sum" -> "DOMAIN: the two-phase prefix sum's BUCKET-offset window — bucket-count rows by construction",
       "q245_theil_sen" -> "DOMAIN: median rank over the day-pair slope frame (days^2/2 — domain-scale by construction)")
     val gwOnly = Seq(
       "q204_approx_top_k" -> "METADATA: rank window over the 10-row exact-top frame (TakeOrderedAndProject upstream)",
@@ -89,15 +101,21 @@ class FullPlanSpec extends SparkSpec {
       bnlj.map { case (q, why) => (q, "bnlj") -> why }).toMap
   }
 
-  test("all queries: no cartesian / global window / 1-task sort / undeclared BNLJ") {
+  private val goldenPath =
+    java.nio.file.Paths.get("src/test/resources/plan_golden.txt")
+
+  test("all queries: plan lint + golden shape fingerprints") {
     val names = SparkEntry.queries.keys.toSeq.sorted
     val violations = new java.util.concurrent.ConcurrentLinkedQueue[PlanLint.Violation]()
     val errors = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val prints = new java.util.concurrent.ConcurrentHashMap[String, String]()
     // 4-way worker pool: one Spark session runs queries from several
     // threads fine (TempDirs keys per thread; localCheckpoints live
-    // outside the CacheManager, so a concurrent clearCache can only
-    // force a recompute, never a wrong answer). Sequential, this
-    // sweep dominated the whole suite's wall time.
+    // outside the CacheManager). Sequential, this sweep dominated the
+    // whole suite's wall time. Cache cleanup happens ONCE after the
+    // pool drains — a per-worker clearCache unpersisted OTHER queries'
+    // cached frames mid-execution (correct but wasteful recomputation;
+    // ADVICE round 8).
     val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
     try {
       names.map { n =>
@@ -107,12 +125,16 @@ class FullPlanSpec extends SparkSpec {
               val df = SparkEntry.queries(n)(spark, sfDir)
               df.collect() // AQE must finalize before the plan is inspected
               PlanLint.lint(n, df).foreach(violations.add)
+              prints.put(n, PlanLint.fingerprint(df))
             } catch {
               case e: Exception => errors.add(s"$n: ${e.getMessage}")
-            } finally spark.catalog.clearCache()
+            }
         })
       }.foreach(_.get())
-    } finally pool.shutdown()
+    } finally {
+      pool.shutdown()
+      spark.catalog.clearCache()
+    }
     import scala.jdk.CollectionConverters._
     val errs = errors.asScala.toSeq.sorted
     val viols = violations.asScala.toSeq.sortBy(v => (v.query, v.kind))
@@ -125,5 +147,62 @@ class FullPlanSpec extends SparkSpec {
     val stale = whitelist.keySet -- tripped
     assert(stale.isEmpty,
       s"stale whitelist entries (shape no longer present — remove): $stale")
+
+    // ---- golden shape fingerprints ----
+    def lines(m: Map[String, String]): String =
+      m.toSeq.sortBy(_._1).map { case (k, v) => s"$k\t$v" }.mkString("", "\n", "\n")
+    // The canonical fingerprint environment is SOLO: cleared cache,
+    // sequential. The concurrent sweep's fingerprints can differ for a
+    // handful of iterative queries (q88/q207 observed) when another
+    // query's cached fragment changes which AQE decisions fire, so the
+    // golden is recorded solo and a concurrent mismatch re-checks solo
+    // before failing.
+    def soloFingerprint(n: String): String = {
+      spark.catalog.clearCache()
+      val df = SparkEntry.queries(n)(spark, sfDir)
+      df.collect()
+      val fp = PlanLint.fingerprint(df)
+      spark.catalog.clearCache()
+      fp
+    }
+    val current = prints.asScala.toMap
+    if (sys.env.contains("GRAFT_REGEN_PLAN_GOLDEN")) {
+      // solo re-execution per query — slower than the concurrent sweep
+      // but regen is rare and the result is reproducible by definition
+      val solo = names.map(n => n -> soloFingerprint(n)).toMap
+      val unstable = names.filter(n => current.get(n).exists(_ != solo(n)))
+      if (unstable.nonEmpty)
+        info(s"concurrent-vs-solo fingerprint drift (golden records solo): $unstable")
+      java.nio.file.Files.createDirectories(goldenPath.getParent)
+      java.nio.file.Files.writeString(goldenPath, lines(solo))
+      info(s"regenerated $goldenPath with ${solo.size} fingerprints")
+    } else {
+      assert(java.nio.file.Files.exists(goldenPath),
+        s"$goldenPath missing — generate it once with GRAFT_REGEN_PLAN_GOLDEN=1")
+      val golden: Map[String, String] =
+        java.nio.file.Files.readAllLines(goldenPath).asScala
+          .filter(_.contains("\t"))
+          .map { l => val Array(k, v) = l.split("\t", 2); k -> v }.toMap
+      val missing = current.keySet -- golden.keySet
+      val gone = golden.keySet -- current.keySet
+      assert(gone.isEmpty,
+        s"golden has fingerprints for queries no longer registered (regen): $gone")
+      // First-pass mismatches are re-checked SOLO with a cleared cache
+      // (fully deterministic environment) before failing: only a
+      // reproducible shape change fails; a concurrent-sweep artifact
+      // passes the recheck silently.
+      val firstPass = current.collect {
+        case (n, fp) if golden.contains(n) && golden(n) != fp => n
+      }.toSeq.sorted
+      val confirmed = firstPass.flatMap { n =>
+        val fp = soloFingerprint(n)
+        if (fp == golden(n)) None else Some(s"$n:\n    golden : ${golden(n)}\n    actual : $fp")
+      }
+      assert(confirmed.isEmpty,
+        s"""plan shape changed vs golden (intentional? GRAFT_REGEN_PLAN_GOLDEN=1 to re-record):
+           |  ${confirmed.mkString("\n  ")}""".stripMargin)
+      assert(missing.isEmpty,
+        s"new queries lack golden fingerprints (regen to record): $missing")
+    }
   }
 }
