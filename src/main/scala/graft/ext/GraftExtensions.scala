@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import graft.functions.{CosineSimilarity, DotProduct, JaccardSimilarity, MortonInterleave, NfcNormalize, SimHash48, WordShingles}
+import graft.functions.{CosineSimilarity, DamerauLevenshtein, DotProduct, JaccardSimilarity, JaroWinkler, MortonInterleave, NfcNormalize, SimHash48, WordShingles}
 
 /** SparkSessionExtensions entry point: registers the engine's native
   * Catalyst expressions as SQL functions, so the `spark.sql(...)` path
@@ -65,6 +65,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("morton_interleave", "morton_interleave(bigint, bigint, bits) - Z-order bit interleave of the low `bits` bits"),
       (args: Seq[Expression]) =>
         MortonInterleave(args(0), args(1), intArg(args(2), "morton_interleave"))))
+
+    ext.injectFunction((
+      FunctionIdentifier("jaro_winkler_sim"),
+      info("jaro_winkler_sim", "jaro_winkler_sim(string, string) - Jaro-Winkler similarity over UTF-8 bytes (p=0.1, prefix<=4, boost above 0.7)"),
+      (args: Seq[Expression]) => JaroWinkler(args(0), args(1))))
+
+    ext.injectFunction((
+      FunctionIdentifier("damerau_levenshtein"),
+      info("damerau_levenshtein", "damerau_levenshtein(string, string) - true (unrestricted) Damerau-Levenshtein distance over UTF-8 bytes"),
+      (args: Seq[Expression]) => DamerauLevenshtein(args(0), args(1))))
   }
 }
 
@@ -90,5 +100,7 @@ object GraftExtensions {
     add("nfc_normalize", args => NfcNormalize(args(0)))
     add("morton_interleave",
       args => MortonInterleave(args(0), args(1), self.intArg(args(2), "morton_interleave")))
+    add("jaro_winkler_sim", args => JaroWinkler(args(0), args(1)))
+    add("damerau_levenshtein", args => DamerauLevenshtein(args(0), args(1)))
   }
 }

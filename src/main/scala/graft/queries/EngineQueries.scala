@@ -1887,7 +1887,224 @@ object EngineQueries {
       |  frame[CAST((len(frame) + 1) // 2 AS INT)] AS med
       |FROM t""".stripMargin
 
+  // ---------------------------------------------------------------- q253
+  /** JARO-WINKLER fuzzy match — the name-matching verifier of the
+    * entity-resolution tier, as a native codegen expression
+    * ([[graft.functions.JaroWinkler]]: p=0.1, prefix cap 4, boost only
+    * above 0.7, UTF-8 BYTE semantics — measured to be exactly DuckDB's
+    * jaro_winkler_similarity). Same blocked-candidate discipline as
+    * q120: probes are deterministic interior-char drops of the part
+    * catalog, candidates come from a first-char block + length band
+    * EQUI-join, and the scorer only ever runs on candidates — never
+    * all pairs. Scores rounded to 6 decimals like every similarity
+    * gate; the filter is on the rounded value so both engines cut on
+    * the same number.
+    */
+  def q253JaroWinkler(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.StringSimilarityFunctions.jaroWinkler
+    val names = Tables.part(s, d).select(col("p_name")).distinct()
+    val dropAt = (length(col("p_name")) / 2).cast("int")
+    val probes = names.select(concat(
+      substring(col("p_name"), lit(1), dropAt - 1),
+      col("p_name").substr(dropAt + 1, length(col("p_name")))).as("probe"))
+    probes.withColumn("bk", substring(col("probe"), 1, 1))
+      .join(names.withColumn("bk", substring(col("p_name"), 1, 1)), "bk")
+      .filter(abs(length(col("probe")) - length(col("p_name"))) <= 1)
+      .withColumn("jw", round(jaroWinkler(col("probe"), col("p_name")), 6))
+      .filter(col("jw") >= 0.9)
+      .select(col("probe"), col("p_name").as("matched"), col("jw"))
+  }
+
+  val q253Sql: String =
+    """WITH names AS (SELECT DISTINCT p_name FROM part),
+      |probes AS (SELECT substr(p_name, 1, CAST(length(p_name) // 2 AS INT) - 1) ||
+      |                  substr(p_name, CAST(length(p_name) // 2 AS INT) + 1) AS probe
+      |           FROM names)
+      |SELECT probe, n.p_name AS matched,
+      |  round(jaro_winkler_similarity(probe, n.p_name), 6) AS jw
+      |FROM probes p JOIN names n ON substr(p.probe, 1, 1) = substr(n.p_name, 1, 1)
+      |WHERE abs(length(p.probe) - length(n.p_name)) <= 1
+      |  AND round(jaro_winkler_similarity(probe, n.p_name), 6) >= 0.9""".stripMargin
+
+  // ---------------------------------------------------------------- q254
+  /** TRUE Damerau-Levenshtein match — the transposition-aware edit
+    * distance ([[graft.functions.DamerauLevenshtein]], UNRESTRICTED:
+    * dl("ca","abc") = 2, matching DuckDB's damerau_levenshtein, where
+    * optimal-string-alignment says 3). Probes swap the two middle
+    * characters of each part name — plain levenshtein scores that
+    * corruption 2 and is emitted in-band for contrast, so the gate
+    * PROVES the transposition path (dl < lev on every genuinely
+    * swapped pair). Candidates come from the same first-char block,
+    * restricted to equal length (a transposition preserves length);
+    * the O(|a|*|b|) DP runs on candidates only.
+    */
+  def q254DamerauLevenshtein(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.StringSimilarityFunctions.damerauLevenshtein
+    val names = Tables.part(s, d).select(col("p_name")).distinct()
+    val m = (length(col("p_name")) / 2).cast("int")
+    val probes = names.select(concat(
+      substring(col("p_name"), lit(1), m - 1),
+      substring(col("p_name"), m + 1, lit(1)),
+      substring(col("p_name"), m, lit(1)),
+      col("p_name").substr(m + 2, length(col("p_name")))).as("probe"))
+    probes.withColumn("bk", substring(col("probe"), 1, 1))
+      .join(names.withColumn("bk", substring(col("p_name"), 1, 1)), "bk")
+      .filter(length(col("probe")) === length(col("p_name")))
+      .withColumn("dl", damerauLevenshtein(col("probe"), col("p_name")).cast("long"))
+      .filter(col("dl") <= 1)
+      .withColumn("lev", levenshtein(col("probe"), col("p_name")).cast("long"))
+      .select(col("probe"), col("p_name").as("matched"), col("dl"), col("lev"))
+  }
+
+  val q254Sql: String =
+    """WITH names AS (SELECT DISTINCT p_name FROM part),
+      |probes AS (SELECT substr(p_name, 1, CAST(length(p_name) // 2 AS INT) - 1) ||
+      |                  substr(p_name, CAST(length(p_name) // 2 AS INT) + 1, 1) ||
+      |                  substr(p_name, CAST(length(p_name) // 2 AS INT), 1) ||
+      |                  substr(p_name, CAST(length(p_name) // 2 AS INT) + 2) AS probe
+      |           FROM names)
+      |SELECT probe, n.p_name AS matched,
+      |  CAST(damerau_levenshtein(probe, n.p_name) AS BIGINT) AS dl,
+      |  CAST(levenshtein(probe, n.p_name) AS BIGINT) AS lev
+      |FROM probes p JOIN names n ON substr(p.probe, 1, 1) = substr(n.p_name, 1, 1)
+      |WHERE length(p.probe) = length(n.p_name)
+      |  AND damerau_levenshtein(probe, n.p_name) <= 1""".stripMargin
+
+  // ---------------------------------------------------------------- q255
+  /** READABILITY SCORING (Flesch-style) — the classic text-quality
+    * signal a curation pipeline computes per document: whitespace
+    * word count, sentence count (runs of [.!?], floored at 1), and a
+    * syllable proxy (runs of vowels incl. y — the standard regex
+    * heuristic), folded into the Flesch reading-ease formula. Pure
+    * per-row regexp/arithmetic — scan + project, no exchange; the
+    * integer counts are oracle-exact, the double score follows the
+    * same operation order on both engines and is rounded to 6.
+    */
+  def q255Readability(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(
+        col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_words"),
+        greatest(size(expr("regexp_extract_all(text, '[.!?]+', 0)")), lit(1))
+          .cast("long").as("n_sents"),
+        size(expr("regexp_extract_all(lower(text), '[aeiouy]+', 0)"))
+          .cast("long").as("n_syll"))
+      .withColumn("flesch", round(
+        lit(206.835)
+          - lit(1.015) * (col("n_words").cast("double") / col("n_sents").cast("double"))
+          - lit(84.6) * (col("n_syll").cast("double") / col("n_words").cast("double")), 6))
+
+  val q255Sql: String =
+    """WITH c AS (SELECT doc_id,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+      |    CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS BIGINT) AS n_sents,
+      |    CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT) AS n_syll
+      |  FROM documents)
+      |SELECT doc_id, n_words, n_sents, n_syll,
+      |  round(206.835 - 1.015 * (CAST(n_words AS DOUBLE) / CAST(n_sents AS DOUBLE))
+      |    - 84.6 * (CAST(n_syll AS DOUBLE) / CAST(n_words AS DOUBLE)), 6) AS flesch
+      |FROM c""".stripMargin
+
+  // ---------------------------------------------------------------- q256
+  /** ZIPF EXPONENT — does the corpus's token frequency distribution
+    * follow the power law a natural-language corpus should? (The
+    * curation signal: synthetic/boilerplate-heavy corpora flatten the
+    * log-log line.) OLS of ln(freq) on ln(rank) over the top-100
+    * tokens: the corpus-scale work is ONE hash-aggregate token count;
+    * ranking and regression run on the bounded top-100 frame
+    * (TakeOrderedAndProject -> METADATA-scale window, the q204
+    * pattern). Slope is the negated Zipf exponent; sums of 100
+    * O(10)-magnitude doubles agree across engines far inside the
+    * 6-decimal rounding.
+    */
+  def q256ZipfExponent(s: SparkSession, d: String): DataFrame = {
+    val tf = Tables.documents(s, d)
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy(col("tok")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("tok").asc).limit(100)
+    val ranked = tf.withColumn("rank",
+        row_number().over(Window.orderBy(col("n").desc, col("tok").asc)))
+      .select(log(col("rank").cast("double")).as("x"),
+              log(col("n").cast("double")).as("y"))
+    ranked.agg(count(lit(1)).as("k"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
+      .select(col("k"),
+        round((col("k") * col("sxy") - col("sx") * col("sy")) /
+              (col("k") * col("sxx") - col("sx") * col("sx")), 6).as("slope"),
+        round((col("sy") - ((col("k") * col("sxy") - col("sx") * col("sy")) /
+              (col("k") * col("sxx") - col("sx") * col("sx"))) * col("sx")) / col("k"), 6)
+          .as("intercept"))
+  }
+
+  val q256Sql: String =
+    """WITH tf AS (SELECT tok, CAST(count(*) AS BIGINT) AS n
+      |  FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+      |  WHERE tok <> '' GROUP BY tok ORDER BY n DESC, tok LIMIT 100),
+      |r AS (SELECT ln(CAST(row_number() OVER (ORDER BY n DESC, tok) AS DOUBLE)) AS x,
+      |             ln(CAST(n AS DOUBLE)) AS y FROM tf),
+      |m AS (SELECT CAST(count(*) AS BIGINT) AS k, sum(x) AS sx, sum(y) AS sy,
+      |             sum(x * y) AS sxy, sum(x * x) AS sxx FROM r)
+      |SELECT k,
+      |  round((k * sxy - sx * sy) / (k * sxx - sx * sx), 6) AS slope,
+      |  round((sy - ((k * sxy - sx * sy) / (k * sxx - sx * sx)) * sx) / k, 6) AS intercept
+      |FROM m""".stripMargin
+
+  // ---------------------------------------------------------------- q257
+  /** MATRYOSHKA RECALL — the ANN evaluation a truncated-dimension
+    * deployment needs: for each probe, top-5 cosine neighbors on the
+    * FULL 64-dim embedding vs top-5 on the 16-dim prefix; recall@5 =
+    * overlap/5. (q126 measures the truncation's L2 mass; this measures
+    * what actually matters — retrieved-set agreement.) The corpus is
+    * scanned once against the broadcast 20-probe set (the q30 brute
+    * baseline shape, declared BNLJ); ranking windows partition per
+    * probe. Cosines round to 6 with (cos DESC, cid) tie-break —
+    * deterministic on both engines.
+    */
+  def q257MatryoshkaRecall(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.VectorFunctions.cosineSim
+    val emb = Tables.embeddings(s, d)
+    val q = emb.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val c = emb.select(col("vec_id").as("cid"), col("embedding").as("ce"))
+    val sc = c.crossJoin(broadcast(q)).filter(col("cid") =!= col("qid"))
+      .select(col("qid"), col("cid"),
+        round(cosineSim(col("qe"), col("ce")), 6).as("cos_full"),
+        round(cosineSim(slice(col("qe"), 1, 16), slice(col("ce"), 1, 16)), 6).as("cos_trunc"))
+    def top5(score: String) = sc
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col(score).desc, col("cid").asc)))
+      .filter(col("rk") <= 5).select(col("qid"), col("cid"))
+    top5("cos_full").join(top5("cos_trunc"), Seq("qid", "cid"), "left_semi")
+      .groupBy(col("qid")).agg(count(lit(1)).as("n_overlap"))
+      .select(col("qid"), col("n_overlap"),
+        (col("n_overlap").cast("double") / 5.0).as("recall_at_5"))
+  }
+
+  val q257Sql: String = {
+    val cosFull = graft.functions.VectorFunctions.cosineSqlDuck("qe", "ce")
+    val cosTrunc = graft.functions.VectorFunctions.cosineSqlDuck("qet", "cet")
+    s"""WITH q AS (SELECT vec_id AS qid, embedding AS qe, embedding[1:16] AS qet
+       |  FROM embeddings WHERE vec_id < 20),
+       |c AS (SELECT vec_id AS cid, embedding AS ce, embedding[1:16] AS cet FROM embeddings),
+       |sc AS (SELECT qid, cid, round($cosFull, 6) AS cos_full,
+       |         round($cosTrunc, 6) AS cos_trunc
+       |       FROM q, c WHERE cid <> qid),
+       |tf AS (SELECT qid, cid FROM (SELECT qid, cid, row_number() OVER
+       |    (PARTITION BY qid ORDER BY cos_full DESC, cid) AS rk FROM sc) WHERE rk <= 5),
+       |tt AS (SELECT qid, cid FROM (SELECT qid, cid, row_number() OVER
+       |    (PARTITION BY qid ORDER BY cos_trunc DESC, cid) AS rk FROM sc) WHERE rk <= 5)
+       |SELECT qid, CAST(count(*) AS BIGINT) AS n_overlap,
+       |  CAST(count(*) AS DOUBLE) / 5.0 AS recall_at_5
+       |FROM tf WHERE EXISTS (SELECT 1 FROM tt WHERE tt.qid = tf.qid AND tt.cid = tf.cid)
+       |GROUP BY qid""".stripMargin
+  }
+
   val entries: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "q253_jaro_winkler" -> (q253JaroWinkler _, q253Sql),
+    "q254_damerau_levenshtein" -> (q254DamerauLevenshtein _, q254Sql),
+    "q255_readability" -> (q255Readability _, q255Sql),
+    "q256_zipf_exponent" -> (q256ZipfExponent _, q256Sql),
+    "q257_matryoshka_recall" -> (q257MatryoshkaRecall _, q257Sql),
     "q144_bloom_pruned_join" -> (q144BloomPrunedJoin _, q144Sql),
     "q145_setsim_join" -> (q145SetSimJoin _, q145Sql),
     "q241_planted_pair_completeness" -> (q241PlantedPairCompleteness _, q241Sql),

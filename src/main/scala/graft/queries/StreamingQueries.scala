@@ -1303,6 +1303,140 @@ object StreamingQueries {
     * q250Sql is initialized later in this object) */
   lazy val q252Sql: String = q250Sql
 
+  // ---------------------------------------------------------------- q258
+  /** TWO-SIDED JOIN VIEW MAINTENANCE — the join half of the IVM
+    * algebra (q227 maintains an agg over ONE delta side; this
+    * maintains a join-aggregate view under interleaved arrivals on
+    * BOTH base relations): orders and lineitem each arrive in two
+    * batches (O0, L0, O1, L1), base states persist in MergeSinks, and
+    * on every arrival the delta joins the OTHER side's CURRENT state
+    * — dV = dO |x| L_now, then dV = O_now |x| dL — so each (Oi, Lj)
+    * pair lands in the view exactly once, when the LATER of the two
+    * arrives (the classic delta-join decomposition dO|x|L + O|x|dL +
+    * dO|x|dL, with the cross term absorbed by sequencing). Partials
+    * fold into an [[graft.sink.AggSink]] view (integral cents — exact,
+    * replay-fenced). Cost per arrival is O(|delta| x match) + the
+    * view merge; the base history is never re-joined. At 100 TB both
+    * base states bucket on the join key's leading column, so the
+    * delta-side state read prunes to the delta's buckets (the gate
+    * reads the full small state and lets AQE broadcast the delta —
+    * same join, pruning is the documented scale lever). The first
+    * arrival (O0, no L state yet) can produce no pairs and commits
+    * nothing; REQUIREs pin 3 view folds + 2 commits per base state,
+    * and the final view must equal the oracle's one-shot join —
+    * exactly.
+    */
+  def q258JoinIvm(s: SparkSession, d: String): DataFrame = {
+    import graft.sink.AggSink
+    val base = graft.core.TempDirs.scoped("graft_q258_")
+    val orders = graft.core.Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_orderpriority"))
+    // (o_orderkey, l_linenumber) is NOT unique in this testdata
+    // generation (measured: 60k rows, 45.8k distinct pairs at sf0.01)
+    // — an LWW state keyed on it would collapse duplicates and lose
+    // join rows. A deterministic per-group sequence (window PARTITIONED
+    // by the pair — parallel) completes the key.
+    val line = graft.core.Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("o_orderkey"), col("l_linenumber"),
+        round(col("l_extendedprice") * 100).cast("long").as("cents"))
+      .withColumn("seq", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("o_orderkey"), col("l_linenumber"))
+          .orderBy(col("cents"))).cast("long"))
+    val oSink = new MergeSink(s, s"$base/ostate",
+      keys = Seq("o_orderkey"), orderCols = Seq("upd"), nBuckets = 8)
+    val lSink = new MergeSink(s, s"$base/lstate",
+      keys = Seq("o_orderkey", "l_linenumber", "seq"), orderCols = Seq("upd"), nBuckets = 8)
+    val view = new AggSink(s, s"$base/view",
+      keys = Seq("o_orderpriority"), sumCols = Seq("cents"), nBuckets = 4)
+    def oState = oSink.read().select(col("o_orderkey"), col("o_orderpriority"))
+    def lState = lSink.read().select(col("o_orderkey"), col("cents"))
+    def arriveO(i: Int): Unit = {
+      val dO = orders.filter(pmod(col("o_orderkey"), lit(2)) === lit(i))
+      if (lSink.versions().nonEmpty)
+        view.merge(dO.join(lState, "o_orderkey")
+          .select(col("o_orderpriority"), col("cents")))
+      oSink.merge(dO.withColumn("upd", lit(i.toLong)))
+    }
+    def arriveL(i: Int): Unit = {
+      // sliced on linenumber, NOT the join key: an order-key slice
+      // would correlate with the O side's slices and make the
+      // dO1 |x| L0 cross term vacuously empty
+      val dL = line.filter(pmod(col("l_linenumber"), lit(2)) === lit(i))
+      if (oSink.versions().nonEmpty)
+        view.merge(oState.join(dL.select(col("o_orderkey"), col("cents")), "o_orderkey")
+          .select(col("o_orderpriority"), col("cents")))
+      lSink.merge(dL.withColumn("upd", lit(i.toLong)))
+    }
+    arriveO(0); arriveL(0); arriveO(1); arriveL(1)
+    require(oSink.versions().size == 2 && lSink.versions().size == 2,
+      s"expected 2 commits per base state, got ${oSink.versions()} / ${lSink.versions()}")
+    require(view.manifest.versions().size == 3,
+      s"expected 3 view folds (first O arrival has no L state), got ${view.manifest.versions()}")
+    view.read().select(col("o_orderpriority"),
+      col("n_rows").as("n_lines"), col("cents").as("rev_cents"))
+  }
+
+  val q258Sql: String =
+    """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_lines,
+      |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS rev_cents
+      |FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      |GROUP BY o_orderpriority""".stripMargin
+
+  // ---------------------------------------------------------------- q259
+  /** BUCKET-LAYOUT EVOLUTION under live maintenance (Iceberg
+    * partition-spec evolution analog): a state table created with 8
+    * hash buckets absorbs two LWW merge batches, is re-bucketed to 16
+    * via [[graft.sink.MergeSink.rebucket]] — one atomic full-layout
+    * rewrite commit; readers see old or new layout, never a mix —
+    * and then CONTINUES merging through the new handle. The
+    * operational story this gates: a table sized for 1 TB that grew
+    * 100x pays ever-larger bucket rewrites per merge; re-bucketing
+    * restores O(batch)-proportional maintenance without downtime.
+    * In-band REQUIREs: the layout actually widened (> 8 populated
+    * buckets, ids reaching the new range), the rebucket commit is
+    * exactly one version ahead, and its content is IDENTICAL to the
+    * pre-rebucket version (distributed except, both directions) —
+    * layout maintenance must be invisible to readers, with prior
+    * versions still time-travelable. The final state (all three
+    * batches, merged across the layout change) must equal the
+    * oracle's one-shot LWW — proving merge routing stays correct
+    * under the evolved bucket arithmetic.
+    */
+  def q259Rebucket(s: SparkSession, d: String): DataFrame = {
+    val base = graft.core.TempDirs.scoped("graft_q259_")
+    val env = CdcQueries.envelope(s, d)
+      .withColumn("ts_us", unix_micros(col("ts"))).drop("ts")
+    val flat = Cdc.enrichWatchedRatio(
+      Cdc.flattenEnvelope(env), "watched", "duration", rounded = false)
+    val sink8 = new MergeSink(s, s"$base/state",
+      keys = Seq("user_id"), orderCols = Seq("ts_us", "document_id"), nBuckets = 8)
+    (0 until 2).foreach(i =>
+      sink8.merge(flat.filter(pmod(col("document_id"), lit(3)) === lit(i))))
+    val vPre = sink8.versions().max
+    val sink16 = sink8.rebucket(16)
+    val buckets = sink16.bucketFileCounts()
+    require(buckets.size > 8 && buckets.keys.max >= 8,
+      s"rebucket did not widen the layout: $buckets")
+    val vPost = sink16.versions().max
+    require(vPost == vPre + 1,
+      s"rebucket must commit exactly one version: $vPre -> ${sink16.versions()}")
+    val pre = sink16.readAt(vPre).select(col("user_id"), col("document_id"), col("ts_us"))
+    val post = sink16.readAt(vPost).select(col("user_id"), col("document_id"), col("ts_us"))
+    require(post.except(pre).isEmpty && pre.except(post).isEmpty,
+      "rebucket changed table content — layout maintenance must be invisible")
+    sink16.merge(flat.filter(pmod(col("document_id"), lit(3)) === lit(2)))
+    sink16.read().select(col("user_id"), col("document_id"),
+      expr("ts_us div 1000").as("ms"))
+  }
+
+  val q259Sql: String =
+    """SELECT user_id, document_id, ms FROM (
+      |  SELECT user_id, event_id AS document_id, epoch_ms(ts) AS ms,
+      |    row_number() OVER (PARTITION BY user_id
+      |      ORDER BY ts DESC, event_id DESC) AS rn
+      |  FROM events) WHERE rn = 1""".stripMargin
+
   val q250Sql: String =
     """WITH t AS (SELECT doc_id,
       |    CASE WHEN doc_id % 10 = 0
@@ -2397,6 +2531,8 @@ object StreamingQueries {
     "q250_postings_maintenance" -> (q250PostingsMaintenance _, q250Sql),
     "q251_streaming_reservoir" -> (q251StreamingReservoir _, q251Sql),
     "q252_postings_compaction" -> (q252PostingsCompaction _, q252Sql),
+    "q258_join_ivm" -> (q258JoinIvm _, q258Sql),
+    "q259_rebucket" -> (q259Rebucket _, q259Sql),
     "q105_stats_prune" -> (q105StatsPrune _, q105Sql),
     "q106_purge_compliance" -> (q106PurgeCompliance _, q106Sql),
     "q107_streaming_embedding_index" -> (q107StreamingEmbeddingIndex _, ExtQueries.q32Sql),

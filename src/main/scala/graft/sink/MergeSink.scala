@@ -448,6 +448,47 @@ final class MergeSink(
       }
     }
   }
+
+  /** BUCKET-LAYOUT EVOLUTION (Iceberg partition-spec evolution
+    * analog): rewrite the whole table into `newNBuckets` hash/range
+    * buckets in ONE generation and publish atomically — readers see
+    * either the old layout or the new, never a mix, and the version
+    * log keeps prior layouts time-travelable. The operational need:
+    * a table sized at creation for 1 TB (say 64 buckets) that has
+    * grown 100x merges ever-larger bucket rewrites per batch;
+    * re-bucketing restores O(batch)-proportional merges without
+    * downtime. Content is byte-invariant (pure layout, like
+    * [[compact]]); zone maps and bloom sidecars are rebuilt for the
+    * new buckets. Returns a NEW handle bound to the new layout — the
+    * old handle's bucket arithmetic (merge routing, point pruning) is
+    * stale after this call and must not be used (the returned sink is
+    * the table; same path, same manifest, same version log).
+    */
+  def rebucket(newNBuckets: Int): MergeSink =
+      MergeSink.withWriterLock(spark, path, "rebucket") {
+    require(newNBuckets >= 1, s"newNBuckets must be >= 1, got $newNBuckets")
+    val target = new MergeSink(spark, path, keys, orderCols, newNBuckets,
+      statsCols, rangeBucketWidth, bloomCols, bloomBits)
+    manifest.snapshot(None) match {
+      case None => target // empty table: nothing to rewrite, layout applies forward
+      case Some(snap) =>
+        val gen = manifest.newGenDir()
+        snap.drop(BucketCol)
+          .withColumn(BucketCol, target.bucketOf)
+          .repartition(newNBuckets, col(BucketCol))
+          .sortWithinPartitions(keys.map(col): _*)
+          .write
+          .partitionBy(BucketCol)
+          .parquet(s"$path/$gen")
+        target.writeBloomsOfGen(gen)
+        val written = manifest.writtenBuckets(gen)
+        // FULL mapping replacement: every old bucket id retires with
+        // this commit (prior versions still resolve them)
+        manifest.commit(written.map(_ -> gen).toMap, target.statsOfGen(gen))
+        manifest.vacuum()
+        target
+    }
+  }
 }
 
 object MergeSink {

@@ -97,4 +97,52 @@ class SqlFunctionsSpec extends SparkSpec {
       s.sql("SELECT word_shingles(split(txt, ' '), n) FROM bad").collect()
     }
   }
+
+  test("jaro_winkler_sim matches DuckDB's measured byte-level semantics") {
+    import graft.functions.StringSimilarity.jaroWinkler
+    import org.apache.spark.unsafe.types.UTF8String.{fromString => u}
+    def jw(a: String, b: String) = jaroWinkler(u(a), u(b))
+    // reference values measured from DuckDB v1.0 jaro_winkler_similarity
+    val cases = Seq(
+      ("martha", "marhta") -> 0.9611111111111111,  // classic transposition
+      ("DWAYNE", "DUANE") -> 0.8400000000000001,
+      ("DIXON", "DICKSONX") -> 0.8133333333333332,
+      ("abc", "abc") -> 1.0,
+      ("", "abc") -> 0.0,
+      ("", "") -> 0.0,                              // DuckDB convention
+      ("abc", "xyz") -> 0.0,
+      ("a", "ab") -> 0.8500000000000001,            // boost with prefix 1
+      ("crate", "trace") -> 0.7333333333333334,     // jaro > 0.7 but prefix 0
+      ("abcdef", "abwxyz") -> 0.5555555555555555,   // below boost threshold
+      ("abcdefgh", "abcdefxy") -> 0.9,              // prefix capped at 4
+      ("héllo", "hello") -> 0.8400000000000001,     // BYTE semantics (é = 2 bytes)
+      ("blu gear", "blue gear") -> 0.9449074074074074) // odd mismatch count: t = floor(3/2)
+    cases.foreach { case ((a, b), want) =>
+      assert(math.abs(jw(a, b) - want) < 1e-12, s"jw($a, $b) = ${jw(a, b)}, want $want")
+      assert(jw(a, b) == jw(b, a), s"jw not symmetric on ($a, $b)")
+    }
+    // SQL registration path evaluates the same expression
+    val viaSql = s.sql("SELECT jaro_winkler_sim('martha', 'marhta') AS j").head().getDouble(0)
+    assert(math.abs(viaSql - 0.9611111111111111) < 1e-12)
+  }
+
+  test("damerau_levenshtein is the TRUE (unrestricted) distance, matching DuckDB") {
+    import graft.functions.StringSimilarity.damerauLevenshtein
+    import org.apache.spark.unsafe.types.UTF8String.{fromString => u}
+    def dl(a: String, b: String) = damerauLevenshtein(u(a), u(b))
+    // dl("ca","abc") = 2 is THE unrestricted-vs-OSA discriminator
+    // (OSA says 3); all values measured from DuckDB v1.0
+    val cases = Seq(
+      ("ca", "abc") -> 2, ("abc", "ca") -> 2,
+      ("ab", "ba") -> 1, ("abcd", "acbd") -> 1,
+      ("", "abc") -> 3, ("abc", "") -> 3, ("", "") -> 0,
+      ("abc", "abc") -> 0, ("kitten", "sitting") -> 3,
+      ("martha", "marhta") -> 1)
+    cases.foreach { case ((a, b), want) =>
+      assert(dl(a, b) == want, s"dl($a, $b) = ${dl(a, b)}, want $want")
+      assert(dl(a, b) == dl(b, a), s"dl not symmetric on ($a, $b)")
+    }
+    val viaSql = s.sql("SELECT damerau_levenshtein('ca', 'abc') AS d").head().getInt(0)
+    assert(viaSql == 2)
+  }
 }
