@@ -872,7 +872,41 @@ object Breadth {
       |FROM a LEFT JOIN b ON a.user_id = b.user_id
       |       LEFT JOIN c ON a.user_id = c.user_id""".stripMargin
 
+  // ---------------------------------------------------------------- q260
+  /** The remaining ranking-function surface — ntile / percent_rank /
+    * cume_dist (q07/q46 cover rank/dense_rank/row_number and frames):
+    * per event_type over the exact-cents total order (event_id
+    * tiebreak). Definitions agree across engines: percent_rank =
+    * (rank-1)/(n-1), cume_dist = peers-at-or-below/n, ntile fills
+    * larger tiles first. All windows PARTITIONED by event_type —
+    * parallel at any corpus size. The quotients divide exact
+    * integers, so even the doubles hash cross-engine.
+    */
+  def q260RankSurface(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("cents").asc, col("event_id").asc)
+    Tables.events(s, d)
+      .filter(col("value").isNotNull)
+      .select(col("event_id"), col("event_type"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .select(col("event_id"), col("event_type"), col("cents"),
+        ntile(4).over(w).cast("long").as("tile"),
+        percent_rank().over(w).as("pr"),
+        cume_dist().over(w).as("cd"))
+  }
+
+  val q260Sql: String =
+    """SELECT event_id, event_type,
+      |  CAST(round(value * 100) AS BIGINT) AS cents,
+      |  CAST(ntile(4) OVER w AS BIGINT) AS tile,
+      |  percent_rank() OVER w AS pr,
+      |  cume_dist() OVER w AS cd
+      |FROM events WHERE value IS NOT NULL
+      |WINDOW w AS (PARTITION BY event_type
+      |  ORDER BY CAST(round(value * 100) AS BIGINT), event_id)""".stripMargin
+
   val entries: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "q260_rank_surface" -> (q260RankSurface _, q260Sql),
     "q109_retention_cohorts" -> (q109RetentionCohorts _, q109Sql),
     "q142_event_funnel" -> (q142EventFunnel _, q142Sql),
     "q43_percentiles" -> (q43Percentiles _, q43Sql),
