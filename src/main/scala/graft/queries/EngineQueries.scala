@@ -2099,7 +2099,164 @@ object EngineQueries {
        |GROUP BY qid""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q261
+  /** GROUP-AWARE K-FOLD SPLIT — the leakage-safe cross-validation
+    * assignment a training pipeline needs: fold = md5-hash of the
+    * GROUP key (user_id), so every event of a user lands in one fold
+    * and evaluation never sees a training user's other rows (the
+    * classic CV leak). The q153/q90 hash-gate idiom: deterministic,
+    * RNG-free, identical in any engine, and a pure per-row projection
+    * — assignment costs zero shuffles at any corpus size; the fold
+    * stats are one hash-aggregate over the 5-fold frame. The emitted
+    * leakage_free witness is NOT tautological: it recomputes
+    * folds-per-user from the row-level assignment (max must be 1),
+    * which would fail for any per-ROW assignment scheme.
+    */
+  def q261GroupKfold(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).select(
+      col("user_id"), col("event_type"),
+      round(col("value") * 100).cast("long").as("cents"),
+      (conv(substring(md5(concat(lit("fold#"), col("user_id").cast("string"))), 1, 7), 16, 10)
+        .cast("long") % 5).as("fold"))
+    val folds = ev.groupBy(col("fold")).agg(
+      count(lit(1)).as("n_events"),
+      count_distinct(col("user_id")).cast("long").as("n_users"),
+      coalesce(sum(when(col("event_type") === lit("purchase"), col("cents"))), lit(0L))
+        .as("purchase_cents"))
+    val spread = ev.groupBy(col("user_id"))
+      .agg(count_distinct(col("fold")).as("nf"))
+      .agg(max(col("nf")).cast("long").as("mx")) // 1-row witness frame
+    folds.crossJoin(spread)
+      .select(col("fold"), col("n_events"), col("n_users"), col("purchase_cents"),
+        (col("mx") === lit(1L)).as("leakage_free"))
+  }
+
+  val q261Sql: String =
+    """WITH e AS (SELECT user_id, event_type, CAST(round(value*100) AS BIGINT) AS cents,
+      |    ('0x' || substr(md5('fold#' || CAST(user_id AS VARCHAR)), 1, 7))::BIGINT % 5 AS fold
+      |  FROM events),
+      |f AS (SELECT fold, CAST(count(*) AS BIGINT) AS n_events,
+      |    CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+      |    CAST(coalesce(sum(CASE WHEN event_type='purchase' THEN cents END),0) AS BIGINT)
+      |      AS purchase_cents
+      |  FROM e GROUP BY 1),
+      |s AS (SELECT CAST(max(nf) AS BIGINT) AS mx FROM (
+      |  SELECT user_id, count(DISTINCT fold) AS nf FROM e GROUP BY 1))
+      |SELECT fold, n_events, n_users, purchase_cents, s.mx = 1 AS leakage_free
+      |FROM f, s""".stripMargin
+
+  // ---------------------------------------------------------------- q262
+  /** INFORMATION-THEORETIC DRIFT — Shannon entropies, both KL
+    * divergences, and the Jensen-Shannon divergence between two
+    * corpus slices' event-type distributions (weekday-class vs
+    * weekend-class days, q169's engine-neutral epoch-day mod 7). The
+    * measure the drift-monitoring tier was missing: chi-sq (q169)
+    * tests significance, KS (q150) compares continuous ECDFs — JS is
+    * the bounded symmetric divergence training-data mixture work
+    * quotes. Corpus-scale work is ONE hash aggregate; every ln/
+    * product runs on the TYPE-cardinality frame (5 rows, metadata).
+    * Float discipline: probabilities are divisions of exact longs,
+    * per-term expression shapes identical in both SQL strings, and
+    * round-6 absorbs the 1e-16 summation-order noise (q256
+    * precedent). Types missing from either slice are excluded (KL
+    * support rule) — the exact na/nb counts ride in-band.
+    */
+  def q262JsDrift(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).select(col("event_type").as("etype"),
+      (pmod(datediff(to_date(col("ts")), lit("1970-01-01").cast("date")), lit(7)) < 2)
+        .as("is_a"))
+    val w = ev.groupBy(col("etype")).agg(
+        sum(when(col("is_a"), 1L).otherwise(0L)).as("na"),
+        sum(when(!col("is_a"), 1L).otherwise(0L)).as("nb"))
+      .filter(col("na") > 0 && col("nb") > 0)
+    val wAll = Window.partitionBy() // 5-row type frame: metadata
+    val p = w
+      .withColumn("pa", col("na").cast("double") / sum(col("na")).over(wAll).cast("double"))
+      .withColumn("pb", col("nb").cast("double") / sum(col("nb")).over(wAll).cast("double"))
+    val m = (col("pa") + col("pb")) / lit(2)
+    val js = sum(col("pa") * log(col("pa") / m)) / lit(2) +
+      sum(col("pb") * log(col("pb") / m)) / lit(2)
+    p.agg(
+        count(lit(1)).as("k_types"),
+        sum(col("na")).as("n_a"), sum(col("nb")).as("n_b"),
+        round(-sum(col("pa") * log(col("pa"))), 6).as("entropy_a"),
+        round(-sum(col("pb") * log(col("pb"))), 6).as("entropy_b"),
+        round(sum(col("pa") * log(col("pa") / col("pb"))), 6).as("kl_ab"),
+        round(sum(col("pb") * log(col("pb") / col("pa"))), 6).as("kl_ba"),
+        round(js, 6).as("js"))
+      .withColumn("js_bounded", col("js") >= lit(0.0) && col("js") <= lit(0.693148))
+  }
+
+  val q262Sql: String =
+    """WITH e AS (SELECT event_type AS etype,
+      |    CAST(datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) % 7 AS BIGINT) < 2 AS is_a
+      |  FROM events),
+      |w AS (SELECT etype,
+      |    CAST(coalesce(sum(CASE WHEN is_a THEN 1 ELSE 0 END),0) AS BIGINT) AS na,
+      |    CAST(coalesce(sum(CASE WHEN NOT is_a THEN 1 ELSE 0 END),0) AS BIGINT) AS nb
+      |  FROM e GROUP BY 1),
+      |c AS (SELECT * FROM w WHERE na > 0 AND nb > 0),
+      |p AS (SELECT etype, na, nb,
+      |    CAST(na AS DOUBLE)/CAST(sum(na) OVER () AS DOUBLE) AS pa,
+      |    CAST(nb AS DOUBLE)/CAST(sum(nb) OVER () AS DOUBLE) AS pb
+      |  FROM c)
+      |SELECT CAST(count(*) AS BIGINT) AS k_types,
+      |  CAST(sum(na) AS BIGINT) AS n_a, CAST(sum(nb) AS BIGINT) AS n_b,
+      |  round(-sum(pa*ln(pa)), 6) AS entropy_a,
+      |  round(-sum(pb*ln(pb)), 6) AS entropy_b,
+      |  round(sum(pa*ln(pa/pb)), 6) AS kl_ab,
+      |  round(sum(pb*ln(pb/pa)), 6) AS kl_ba,
+      |  round(sum(pa*ln(pa/((pa+pb)/2)))/2 + sum(pb*ln(pb/((pa+pb)/2)))/2, 6) AS js,
+      |  round(sum(pa*ln(pa/((pa+pb)/2)))/2 + sum(pb*ln(pb/((pa+pb)/2)))/2, 6) >= 0
+      |    AND round(sum(pa*ln(pa/((pa+pb)/2)))/2 + sum(pb*ln(pb/((pa+pb)/2)))/2, 6) <= 0.693148
+      |    AS js_bounded
+      |FROM p""".stripMargin
+
+  // ---------------------------------------------------------------- q263
+  /** GAP-CONSTRAINED SEQUENTIAL PATTERN COUNTS — q158's Markov
+    * bigrams extended to the constrained sequence-mining primitive:
+    * per-user event-type TRIGRAMS where each step follows within 6
+    * hours (a GSP/cSPADE-style max-gap constraint — "X then Y then Z
+    * in one engagement arc", not merely ever-after). Two lead()
+    * passes over ONE per-user window (a single user-partitioned
+    * exchange, parallel at any corpus size); counts in one hash
+    * aggregate; shares normalized over the TYPE^3-cardinality frame
+    * (<=125 rows, metadata). All-integer until the final long/long
+    * division.
+    */
+  def q263SeqTrigrams(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("t1"), col("event_id"))
+    val gapUs = 21600000000L // 6 h in micros
+    val o = Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), col("event_type").as("e1"),
+        unix_micros(col("ts")).as("t1"))
+      .withColumn("e2", lead(col("e1"), 1).over(w))
+      .withColumn("t2", lead(col("t1"), 1).over(w))
+      .withColumn("e3", lead(col("e1"), 2).over(w))
+      .withColumn("t3", lead(col("t1"), 2).over(w))
+      .filter(col("e3").isNotNull &&
+        (col("t2") - col("t1")) <= gapUs && (col("t3") - col("t2")) <= gapUs)
+    o.groupBy(col("e1"), col("e2"), col("e3")).agg(count(lit(1)).as("n"))
+      .withColumn("share",
+        col("n").cast("double") / sum(col("n")).over(Window.partitionBy()).cast("double"))
+  }
+
+  val q263Sql: String =
+    """WITH o AS (SELECT user_id, event_type AS e1, epoch_us(ts) AS t1,
+      |    lead(event_type,1) OVER w AS e2, lead(epoch_us(ts),1) OVER w AS t2,
+      |    lead(event_type,2) OVER w AS e3, lead(epoch_us(ts),2) OVER w AS t3
+      |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
+      |t AS (SELECT e1, e2, e3, CAST(count(*) AS BIGINT) AS n FROM o
+      |  WHERE e3 IS NOT NULL AND t2-t1 <= 21600000000 AND t3-t2 <= 21600000000
+      |  GROUP BY 1,2,3)
+      |SELECT e1, e2, e3, n,
+      |  CAST(n AS DOUBLE)/CAST(sum(n) OVER () AS DOUBLE) AS share
+      |FROM t""".stripMargin
+
   val entries: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "q261_group_kfold" -> (q261GroupKfold _, q261Sql),
+    "q262_js_drift" -> (q262JsDrift _, q262Sql),
+    "q263_seq_trigrams" -> (q263SeqTrigrams _, q263Sql),
     "q253_jaro_winkler" -> (q253JaroWinkler _, q253Sql),
     "q254_damerau_levenshtein" -> (q254DamerauLevenshtein _, q254Sql),
     "q255_readability" -> (q255Readability _, q255Sql),

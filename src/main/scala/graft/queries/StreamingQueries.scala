@@ -1089,6 +1089,81 @@ object StreamingQueries {
       |  TRUE AS ndv_ok
       |FROM events GROUP BY event_type""".stripMargin
 
+  // ---------------------------------------------------------------- q264
+  /** STREAMING DISTRIBUTION-DRIFT MONITOR — the online data-quality
+    * check a training-data intake pipeline runs at the door: each
+    * arriving micro-batch's event-type distribution is compared
+    * against the broadcast REFERENCE distribution (the accepted
+    * corpus) via the Jensen-Shannon divergence (q262's measure,
+    * computed per batch at O(batch) cost on the TYPE-cardinality
+    * frame), and the per-slice drift rows are upserted into a
+    * MergeSink keyed by slice — the monitor's durable alert table.
+    * The reference is 5 rows of broadcast metadata built once before
+    * the stream; no batch ever rescans the corpus. Slice identity
+    * rides IN the data (not the batch id), so the result is
+    * arrival-order-independent. REQUIREs one versioned commit per
+    * slice. Oracle: the same JS per pmod-4 slice one-shot in SQL,
+    * identical per-term float shapes (q262 discipline).
+    */
+  def q264StreamingDrift(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = graft.core.TempDirs.scoped("graft_q264_")
+    val inDir = s"$base/in"; val ckpt = s"$base/ckpt"; val driftDir = s"$base/drift"
+    val ev = graft.core.Tables.events(s, d).select(col("event_id"), col("event_type"))
+    (0 until 4).foreach(i => ev
+      .filter(pmod(col("event_id"), lit(4)) === lit(i))
+      .withColumn("slice", lit(i.toLong))
+      .coalesce(1).write.mode("append").parquet(inDir))
+    val refP = ev.groupBy(col("event_type")).agg(count(lit(1)).as("nr"))
+      .crossJoin(ev.agg(count(lit(1)).as("tr")))
+      .withColumn("pr", col("nr").cast("double") / col("tr").cast("double"))
+      .select(col("event_type"), col("pr"))
+      .cache()
+    refP.count() // materialize once; every batch reuses the 5 cached rows
+    val wire = StructType(Seq(
+      StructField("event_id", LongType), StructField("event_type", StringType),
+      StructField("slice", LongType)))
+    val sink = new MergeSink(s, driftDir,
+      keys = Seq("slice"), orderCols = Seq("n_slice"), nBuckets = 2)
+    val q = s.readStream.schema(wire)
+      .option("maxFilesPerTrigger", "1").parquet(inDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val bc = batch.groupBy(col("slice"), col("event_type")).agg(count(lit(1)).as("nb"))
+          .withColumn("pb", col("nb").cast("double") /
+            sum(col("nb")).over(Window.partitionBy(col("slice"))).cast("double"))
+          .join(broadcast(refP), Seq("event_type"))
+        val m = (col("pb") + col("pr")) / lit(2)
+        sink.merge(bc.groupBy(col("slice")).agg(
+          sum(col("nb")).as("n_slice"),
+          round(sum(col("pb") * log(col("pb") / m)) / lit(2) +
+            sum(col("pr") * log(col("pr") / m)) / lit(2), 6).as("js")))
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    refP.unpersist()
+    require(sink.versions().size == 4,
+      s"expected 4 per-slice drift commits, got ${sink.versions()}")
+    sink.read().select(col("slice"), col("n_slice"), col("js"),
+      (col("js") > lit(0.01)).as("drifted"))
+  }
+
+  val q264Sql: String =
+    """WITH r AS (SELECT event_type, CAST(count(*) AS BIGINT) AS nr FROM events GROUP BY 1),
+      |rt AS (SELECT CAST(sum(nr) AS BIGINT) AS tr FROM r),
+      |b AS (SELECT event_id % 4 AS slice, event_type, CAST(count(*) AS BIGINT) AS nb
+      |  FROM events GROUP BY 1, 2),
+      |p AS (SELECT b.slice, b.nb,
+      |    CAST(b.nb AS DOUBLE)/CAST(sum(b.nb) OVER (PARTITION BY b.slice) AS DOUBLE) AS pb,
+      |    CAST(r.nr AS DOUBLE)/CAST(rt.tr AS DOUBLE) AS pr
+      |  FROM b JOIN r USING (event_type), rt)
+      |SELECT CAST(slice AS BIGINT) AS slice, CAST(sum(nb) AS BIGINT) AS n_slice,
+      |  round(sum(pb*ln(pb/((pb+pr)/2)))/2 + sum(pr*ln(pr/((pb+pr)/2)))/2, 6) AS js,
+      |  round(sum(pb*ln(pb/((pb+pr)/2)))/2 + sum(pr*ln(pr/((pb+pr)/2)))/2, 6) > 0.01 AS drifted
+      |FROM p GROUP BY slice""".stripMargin
+
   // ---------------------------------------------------------------- q249
   /** STREAMING INCREMENTAL CONNECTED COMPONENTS — dedup clusters
     * MAINTAINED under edge arrivals, completing the incremental-index
@@ -2527,6 +2602,7 @@ object StreamingQueries {
     "q104_time_travel" -> (q104TimeTravel _, q104Sql),
     "q244_snapshot_diff" -> (q244SnapshotDiff _, q244Sql),
     "q247_streaming_analyze" -> (q247StreamingAnalyze _, q247Sql),
+    "q264_streaming_drift" -> (q264StreamingDrift _, q264Sql),
     "q249_streaming_cc" -> (q249StreamingCc _, q249Sql),
     "q250_postings_maintenance" -> (q250PostingsMaintenance _, q250Sql),
     "q251_streaming_reservoir" -> (q251StreamingReservoir _, q251Sql),

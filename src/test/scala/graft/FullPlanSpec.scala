@@ -60,7 +60,9 @@ class FullPlanSpec extends SparkSpec {
     val gwOnly = Seq(
       "q204_approx_top_k" -> "METADATA: rank window over the 10-row exact-top frame (TakeOrderedAndProject upstream)",
       "q235_benford_audit" -> "METADATA: grand-total window over the 9-row digit frame",
-      "q256_zipf_exponent" -> "METADATA: rank window over the 100-row top-frequency frame (TakeOrderedAndProject upstream)")
+      "q256_zipf_exponent" -> "METADATA: rank window over the 100-row top-frequency frame (TakeOrderedAndProject upstream)",
+      "q262_js_drift" -> "METADATA: probability-normalizing window over the 5-row event-type frame",
+      "q263_seq_trigrams" -> "METADATA: share-normalizing window over the TYPE^3 trigram frame (<=125 rows)")
     // Every BroadcastNestedLoopJoin in the surface is a crossJoin
     // against an explicitly broadcast bounded frame; the per-query
     // bound is what the reviewer checks when adding an entry here.
@@ -96,7 +98,8 @@ class FullPlanSpec extends SparkSpec {
       "q95_hll_sketch" -> "exact-distinct frame (1 row) the HLL estimate is audited against",
       "q245_theil_sen" -> "pair count (1 row) broadcast for the median rank threshold; day-frame theta self-join",
       "q246_hll_intersect" -> "theta self-join of the 5-row per-type sketch frame",
-      "q257_matryoshka_recall" -> "query probe set (fixed 20 vectors) vs corpus — the q30 brute-baseline shape for the recall audit")
+      "q257_matryoshka_recall" -> "query probe set (fixed 20 vectors) vs corpus — the q30 brute-baseline shape for the recall audit",
+      "q261_group_kfold" -> "per-user fold-spread witness (1 row) joined to the 5-row fold-stats frame")
     (gwSort.flatMap { case (q, why) => Seq(
         (q, "global-window") -> why, (q, "single-partition-sort") -> why) } ++
       gwOnly.map { case (q, why) => (q, "global-window") -> why } ++
