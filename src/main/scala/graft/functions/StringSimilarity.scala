@@ -37,6 +37,33 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object StringSimilarity {
 
+  /** Inputs up to this many BYTES per side run on per-thread scratch
+    * buffers (zero allocation on the per-row hot path — tasks are
+    * single-threaded, so a ThreadLocal is race-free); longer inputs
+    * fall back to per-call allocation. 512 covers every identifier /
+    * name / title column these verifiers are for with room to spare;
+    * the per-thread cost is one (514x514)-int DP matrix (~1 MB).
+    */
+  val ScratchLen = 512
+
+  /** Hard ceiling on the Damerau-Levenshtein DP size: (|a|+2)*(|b|+2)
+    * cells, computed in Long so it cannot overflow Int first. 2^24
+    * cells (64 MB of ints, ~4k x 4k bytes) is already far beyond any
+    * sane candidate-pair verification; above it the expression FAILS
+    * with a clear message instead of OOM-ing or throwing
+    * NegativeArraySizeException from silent int overflow (the old
+    * behavior when someone pointed it at document text).
+    */
+  val MaxDpCells: Long = 1L << 24
+
+  private final class DlScratch {
+    val d = new Array[Int]((ScratchLen + 2) * (ScratchLen + 2))
+    val da = new Array[Int](256)
+  }
+  private val dlScratch = ThreadLocal.withInitial[DlScratch](() => new DlScratch)
+  private val jwScratch = ThreadLocal.withInitial[(Array[Boolean], Array[Boolean])](() =>
+    (new Array[Boolean](ScratchLen), new Array[Boolean](ScratchLen)))
+
   /** Jaro-Winkler similarity over UTF-8 bytes. 0.0 when either input
     * is empty (DuckDB convention, including both-empty).
     */
@@ -45,8 +72,15 @@ object StringSimilarity {
     val la = x.length; val lb = y.length
     if (la == 0 || lb == 0) return 0.0
     val window = math.max(math.max(la, lb) / 2 - 1, 0)
-    val xm = new Array[Boolean](la)
-    val ym = new Array[Boolean](lb)
+    // match flags come from per-thread scratch for short inputs; the
+    // algorithm only reads indices < la / < lb, which are re-zeroed here
+    val (xm, ym) =
+      if (la <= ScratchLen && lb <= ScratchLen) {
+        val (sx, sy) = jwScratch.get()
+        java.util.Arrays.fill(sx, 0, la, false)
+        java.util.Arrays.fill(sy, 0, lb, false)
+        (sx, sy)
+      } else (new Array[Boolean](la), new Array[Boolean](lb))
     var m = 0
     var i = 0
     while (i < la) {
@@ -98,11 +132,22 @@ object StringSimilarity {
     val la = x.length; val lb = y.length
     if (la == 0) return lb
     if (lb == 0) return la
+    val cells = (la + 2L) * (lb + 2L)
+    if (cells > MaxDpCells) throw new IllegalArgumentException(
+      s"damerau_levenshtein inputs too long (|a|=$la, |b|=$lb bytes -> $cells DP cells, " +
+        s"cap $MaxDpCells): this is an O(|a|*|b|) candidate-pair verifier — block or " +
+        "truncate inputs before scoring, never apply it to document text")
     val inf = la + lb
-    val da = new Array[Int](256)
+    // short inputs run on per-thread scratch: the DP initializes every
+    // cell of its (la+2) x (lb+2) logical window before reading it, so
+    // only the alphabet-index array needs re-zeroing between rows
+    val scratch = if (la <= ScratchLen && lb <= ScratchLen) dlScratch.get() else null
+    val da =
+      if (scratch != null) { java.util.Arrays.fill(scratch.da, 0); scratch.da }
+      else new Array[Int](256)
     // d is (la+2) x (lb+2), flattened row-major
     val w = lb + 2
-    val d = new Array[Int]((la + 2) * w)
+    val d = if (scratch != null) scratch.d else new Array[Int](cells.toInt)
     d(0) = inf
     var i = 0
     while (i <= la) { d((i + 1) * w) = inf; d((i + 1) * w + 1) = i; i += 1 }

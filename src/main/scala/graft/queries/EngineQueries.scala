@@ -1904,8 +1904,11 @@ object EngineQueries {
     import graft.functions.StringSimilarityFunctions.jaroWinkler
     val names = Tables.part(s, d).select(col("p_name")).distinct()
     val dropAt = (length(col("p_name")) / 2).cast("int")
+    // greatest(.., 0): 1-char names would give the prefix a length of
+    // -1, which Spark treats as '' but DuckDB's substr REJECTS — clamp
+    // in BOTH forms so the oracle twin can never error on short names
     val probes = names.select(concat(
-      substring(col("p_name"), lit(1), dropAt - 1),
+      substring(col("p_name"), lit(1), greatest(dropAt - 1, lit(0))),
       col("p_name").substr(dropAt + 1, length(col("p_name")))).as("probe"))
     probes.withColumn("bk", substring(col("probe"), 1, 1))
       .join(names.withColumn("bk", substring(col("p_name"), 1, 1)), "bk")
@@ -1917,7 +1920,7 @@ object EngineQueries {
 
   val q253Sql: String =
     """WITH names AS (SELECT DISTINCT p_name FROM part),
-      |probes AS (SELECT substr(p_name, 1, CAST(length(p_name) // 2 AS INT) - 1) ||
+      |probes AS (SELECT substr(p_name, 1, greatest(CAST(length(p_name) // 2 AS INT) - 1, 0)) ||
       |                  substr(p_name, CAST(length(p_name) // 2 AS INT) + 1) AS probe
       |           FROM names)
       |SELECT probe, n.p_name AS matched,
@@ -1942,8 +1945,10 @@ object EngineQueries {
     import graft.functions.StringSimilarityFunctions.damerauLevenshtein
     val names = Tables.part(s, d).select(col("p_name")).distinct()
     val m = (length(col("p_name")) / 2).cast("int")
+    // same short-name clamp as q253: Spark tolerates a negative prefix
+    // length, DuckDB's substr does not
     val probes = names.select(concat(
-      substring(col("p_name"), lit(1), m - 1),
+      substring(col("p_name"), lit(1), greatest(m - 1, lit(0))),
       substring(col("p_name"), m + 1, lit(1)),
       substring(col("p_name"), m, lit(1)),
       col("p_name").substr(m + 2, length(col("p_name")))).as("probe"))
@@ -1958,7 +1963,7 @@ object EngineQueries {
 
   val q254Sql: String =
     """WITH names AS (SELECT DISTINCT p_name FROM part),
-      |probes AS (SELECT substr(p_name, 1, CAST(length(p_name) // 2 AS INT) - 1) ||
+      |probes AS (SELECT substr(p_name, 1, greatest(CAST(length(p_name) // 2 AS INT) - 1, 0)) ||
       |                  substr(p_name, CAST(length(p_name) // 2 AS INT) + 1, 1) ||
       |                  substr(p_name, CAST(length(p_name) // 2 AS INT), 1) ||
       |                  substr(p_name, CAST(length(p_name) // 2 AS INT) + 2) AS probe

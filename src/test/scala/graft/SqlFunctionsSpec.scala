@@ -145,4 +145,31 @@ class SqlFunctionsSpec extends SparkSpec {
     val viaSql = s.sql("SELECT damerau_levenshtein('ca', 'abc') AS d").head().getInt(0)
     assert(viaSql == 2)
   }
+
+  test("string-similarity scratch reuse: repeated calls, fallback path, and the DP cap") {
+    import graft.functions.StringSimilarity.{damerauLevenshtein, jaroWinkler, MaxDpCells, ScratchLen}
+    import org.apache.spark.unsafe.types.UTF8String.{fromString => u}
+    // repeated same-thread calls must not bleed scratch state between
+    // rows (the da alphabet index and the jw match flags are re-zeroed)
+    val pairs = Seq(("martha", "marhta"), ("kitten", "sitting"), ("ab", "ba"), ("abc", "xyz"))
+    val first = pairs.map { case (a, b) => (damerauLevenshtein(u(a), u(b)), jaroWinkler(u(a), u(b))) }
+    (1 to 3).foreach { _ =>
+      val again = pairs.map { case (a, b) => (damerauLevenshtein(u(a), u(b)), jaroWinkler(u(a), u(b))) }
+      assert(again == first, "scratch reuse changed results across calls")
+    }
+    // inputs past ScratchLen take the allocation fallback and must agree
+    // with a scratch-sized computation of the same logical edit
+    val long1 = "x" * (ScratchLen + 10)
+    val long2 = "x" * (ScratchLen + 10 - 3)
+    assert(damerauLevenshtein(u(long1), u(long2)) == 3)
+    assert(jaroWinkler(u(long1), u(long1)) == 1.0)
+    // past the DP-cell cap the expression fails with a clear message,
+    // never an overflow or a giant allocation
+    val huge = "y" * 8000
+    val e = intercept[IllegalArgumentException] {
+      damerauLevenshtein(u(huge), u(huge))
+    }
+    assert(e.getMessage.contains("candidate-pair verifier"))
+    assert((8000L + 2) * (8000L + 2) > MaxDpCells) // the case genuinely exceeds the cap
+  }
 }
