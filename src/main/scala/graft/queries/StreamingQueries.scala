@@ -1426,24 +1426,30 @@ object StreamingQueries {
       keys = Seq("o_orderpriority"), sumCols = Seq("cents"), nBuckets = 4)
     def oState = oSink.read().select(col("o_orderkey"), col("o_orderpriority"))
     def lState = lSink.read().select(col("o_orderkey"), col("cents"))
-    def arriveO(i: Int): Unit = {
+    // every view fold carries the GLOBAL arrival sequence as its fence
+    // id: a crash between the view fold and the base-state merge
+    // replays the arrival, and the fence makes the re-fold a no-op —
+    // the two-sided exactly-once story StreamingSpec's q258
+    // crash-injection case proves (the base merge itself is LWW,
+    // idempotent by algebra, so replay order cannot tear the pair)
+    def arriveO(i: Int, seq: Long): Unit = {
       val dO = orders.filter(pmod(col("o_orderkey"), lit(2)) === lit(i))
       if (lSink.versions().nonEmpty)
         view.merge(dO.join(lState, "o_orderkey")
-          .select(col("o_orderpriority"), col("cents")))
+          .select(col("o_orderpriority"), col("cents")), seq)
       oSink.merge(dO.withColumn("upd", lit(i.toLong)))
     }
-    def arriveL(i: Int): Unit = {
+    def arriveL(i: Int, seq: Long): Unit = {
       // sliced on linenumber, NOT the join key: an order-key slice
       // would correlate with the O side's slices and make the
       // dO1 |x| L0 cross term vacuously empty
       val dL = line.filter(pmod(col("l_linenumber"), lit(2)) === lit(i))
       if (oSink.versions().nonEmpty)
         view.merge(oState.join(dL.select(col("o_orderkey"), col("cents")), "o_orderkey")
-          .select(col("o_orderpriority"), col("cents")))
+          .select(col("o_orderpriority"), col("cents")), seq)
       lSink.merge(dL.withColumn("upd", lit(i.toLong)))
     }
-    arriveO(0); arriveL(0); arriveO(1); arriveL(1)
+    arriveO(0, 0); arriveL(0, 1); arriveO(1, 2); arriveL(1, 3)
     require(oSink.versions().size == 2 && lSink.versions().size == 2,
       s"expected 2 commits per base state, got ${oSink.versions()} / ${lSink.versions()}")
     require(view.manifest.versions().size == 3,
@@ -1511,6 +1517,94 @@ object StreamingQueries {
       |    row_number() OVER (PARTITION BY user_id
       |      ORDER BY ts DESC, event_id DESC) AS rn
       |  FROM events) WHERE rn = 1""".stripMargin
+
+  // ---------------------------------------------------------------- q265
+  /** PROGRESSIVE bucket-layout migration (the lazy, per-bucket
+    * evolution q259's one-shot rebucket is the stop-the-world version
+    * of — Iceberg partition-spec-evolution semantics): the manifest
+    * records (old layout, target layout, migrated-bucket set);
+    * [[graft.sink.MergeSink.migrateStep]] rewrites k old buckets per
+    * commit; every writer routes each key by its old bucket's
+    * migration state, so LIVE MERGES CONTINUE THROUGHOUT — the
+    * operational property a 100 TB table needs (a monolithic rewrite
+    * of 100 TB is days of downtime; k-buckets-per-commit is a
+    * background job).
+    *
+    * The gate: an 8-bucket LWW table migrates to 16 in exactly 3
+    * steps of k=3 with a live merge interleaved between each pair of
+    * steps. In-band REQUIREs at every commit: (1) table content
+    * equals the one-shot LWW oracle of everything merged so far —
+    * migration commits are invisible to readers, merge commits land
+    * exactly their batch; (2) mid-migration the live buckets span
+    * BOTH layout generations (the coexistence the physical-id
+    * namespacing exists for); (3) the final commit promotes the
+    * target layout, clears the migration, leaves every live bucket in
+    * the target namespace, and the result is bit-identical to q259's
+    * one-shot rebucket of the same merges; (4) pre-migration versions
+    * stay time-travelable across the whole evolution.
+    */
+  def q265ProgressiveRebucket(s: SparkSession, d: String): DataFrame = {
+    val base = graft.core.TempDirs.scoped("graft_q265_")
+    val env = CdcQueries.envelope(s, d)
+      .withColumn("ts_us", unix_micros(col("ts"))).drop("ts")
+    val flat = Cdc.enrichWatchedRatio(
+      Cdc.flattenEnvelope(env), "watched", "duration", rounded = false)
+    def slice(i: Int) = flat.filter(pmod(col("document_id"), lit(3)) === lit(i))
+    val cols = Seq("user_id", "document_id", "ts_us").map(col)
+    // the in-band oracle: one-shot LWW over everything merged so far
+    def lww(upTo: Int) = Cdc.latestByKey(
+      flat.filter(pmod(col("document_id"), lit(3)) <= lit(upTo)),
+      Seq("user_id"), Seq("ts_us", "document_id")).select(cols: _*)
+    def assertEq(a: DataFrame, b: DataFrame, what: String): Unit =
+      require(a.except(b).isEmpty && b.except(a).isEmpty,
+        s"$what: table content diverged from the one-shot oracle")
+
+    val sink = new MergeSink(s, s"$base/state",
+      keys = Seq("user_id"), orderCols = Seq("ts_us", "document_id"), nBuckets = 8)
+    sink.merge(slice(0))
+    val vPre = sink.versions().max
+    sink.beginMigration(16)
+    assertEq(sink.read().select(cols: _*), lww(0), "beginMigration (metadata-only)")
+
+    var remaining = sink.migrateStep(3)
+    require(remaining == 5, s"expected 5 of 8 buckets left after step 1, got $remaining")
+    assertEq(sink.read().select(cols: _*), lww(0), "migrate step 1")
+    val midIds = sink.bucketFileCounts().keys.toSeq
+    require(midIds.exists(_ < 8) && midIds.exists(_ >= MergeSink.LayoutStride),
+      s"mid-migration snapshot must span both layout generations: $midIds")
+
+    sink.merge(slice(1)) // live merge with the migration in flight
+    assertEq(sink.read().select(cols: _*), lww(1), "merge during migration")
+
+    remaining = sink.migrateStep(3)
+    require(remaining == 2, s"expected 2 buckets left after step 2, got $remaining")
+    assertEq(sink.read().select(cols: _*), lww(1), "migrate step 2")
+
+    sink.merge(slice(2))
+    remaining = sink.migrateStep(3)
+    require(remaining == 0, s"migration must complete at step 3, got $remaining left")
+    val (layout, migration) = sink.layoutInfo
+    require(migration.isEmpty && layout.gen == 1 && layout.n == 16,
+      s"final commit must promote the target layout: $layout / $migration")
+    val finalIds = sink.bucketFileCounts().keys.toSeq
+    require(finalIds.nonEmpty && finalIds.forall(b =>
+        b >= MergeSink.LayoutStride && b < MergeSink.LayoutStride + 16),
+      s"live buckets must all be in the target namespace after promotion: $finalIds")
+    assertEq(sink.read().select(cols: _*), lww(2), "final state")
+    assertEq(sink.readAt(vPre).select(cols: _*), lww(0),
+      "time travel to the pre-migration version")
+
+    // the whole point: progressive == one-shot, bit for bit
+    val oneShot = new MergeSink(s, s"$base/oneshot",
+      keys = Seq("user_id"), orderCols = Seq("ts_us", "document_id"), nBuckets = 8)
+    (0 to 2).foreach(i => oneShot.merge(slice(i)))
+    val re16 = oneShot.rebucket(16)
+    assertEq(sink.read().select(cols: _*), re16.read().select(cols: _*),
+      "progressive migration vs one-shot rebucket")
+
+    sink.read().select(col("user_id"), col("document_id"),
+      expr("ts_us div 1000").as("ms"))
+  }
 
   val q250Sql: String =
     """WITH t AS (SELECT doc_id,
@@ -2609,6 +2703,7 @@ object StreamingQueries {
     "q252_postings_compaction" -> (q252PostingsCompaction _, q252Sql),
     "q258_join_ivm" -> (q258JoinIvm _, q258Sql),
     "q259_rebucket" -> (q259Rebucket _, q259Sql),
+    "q265_progressive_rebucket" -> (q265ProgressiveRebucket _, q259Sql),
     "q105_stats_prune" -> (q105StatsPrune _, q105Sql),
     "q106_purge_compliance" -> (q106PurgeCompliance _, q106Sql),
     "q107_streaming_embedding_index" -> (q107StreamingEmbeddingIndex _, ExtQueries.q32Sql),

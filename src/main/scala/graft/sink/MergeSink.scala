@@ -88,15 +88,60 @@ final class MergeSink(
     bloomCols: Seq[String] = Seq.empty,
     bloomBits: Int = BucketBloom.DefaultBits) {
 
-  import MergeSink.BucketCol
-  import TableManifest.{ColStats, Stats}
+  import MergeSink.{BucketCol, LayoutStride, MaxLayoutGen}
+  import TableManifest.{ColStats, Layout, Migration, Stats}
 
   private[graft] val manifest = new TableManifest(spark, path)
 
-  private def bucketOf: Column = rangeBucketWidth match {
-    case Some(w) => pmod(expr(s"${keys.head} div $w"), lit(nBuckets.toLong)).cast("int")
-    case None    => pmod(hash(keys.map(col): _*), lit(nBuckets))
+  /** LAYOUT IS MANIFEST-AUTHORITATIVE: the constructor's
+    * nBuckets/rangeBucketWidth only name the layout a NEW table is
+    * created with; once any commit has recorded a layout header, every
+    * handle — including one constructed with stale parameters, or one
+    * held from before a [[rebucket]]/[[beginMigration]] — routes by
+    * the COMMITTED layout. This closes the silent-wrong-modulus hazard
+    * of handle-owned bucket arithmetic: there is nothing on the handle
+    * left to go stale.
+    */
+  private def currentLayout: Layout =
+    manifest.layout().getOrElse(Layout(0, nBuckets, rangeBucketWidth))
+
+  private def logicalOf(l: Layout): Column = l.rangeWidth match {
+    case Some(w) => pmod(expr(s"${keys.head} div $w"), lit(l.n.toLong)).cast("int")
+    case None    => pmod(hash(keys.map(col): _*), lit(l.n))
   }
+
+  /** Physical bucket id of layout `l`: generation-namespaced so two
+    * layouts' buckets can coexist in one snapshot mid-migration
+    * (gen 0 keeps bare ids — byte-compatible with every pre-layout
+    * table).
+    */
+  private def physOf(l: Layout): Column =
+    if (l.gen == 0) logicalOf(l)
+    else (lit(l.gen * LayoutStride) + logicalOf(l)).cast("int")
+
+  /** Migration-aware routing: a key whose OLD-layout bucket has been
+    * migrated routes to its target-layout bucket; everything else
+    * stays put. Deterministic per key at every committed version, so
+    * the one-bucket-per-key LWW invariant holds THROUGHOUT a
+    * progressive migration — that is the whole design. The migrated
+    * set compiles to an InSet over at most `l.n` small ints (bucket
+    * metadata, not data; at 16k buckets that is a 64 KB broadcast-free
+    * hash probe inside codegen).
+    */
+  private def routing(l: Layout, mig: Option[Migration]): Column = mig match {
+    case Some(Migration(target, done)) if done.nonEmpty =>
+      when(logicalOf(l).isin(done.toSeq: _*), physOf(target)).otherwise(physOf(l))
+    case _ => physOf(l)
+  }
+
+  private def bucketOf: Column = routing(currentLayout, manifest.migration())
+
+  /** The layout state every data commit must carry forward (captured
+    * under the writer lock, published in the same atomic commit as the
+    * data it routes).
+    */
+  private def layoutState: Option[(Layout, Option[Migration])] =
+    Some((currentLayout, manifest.migration()))
 
   /** Current committed state (bucket column dropped — callers see the
     * logical schema they wrote).
@@ -268,7 +313,8 @@ final class MergeSink(
       // all-or-nothing publish; crashed attempts' files stay invisible
       manifest.commit(
         current ++ manifest.writtenBuckets(gen).map(_ -> gen),
-        manifest.stats() ++ statsOfGen(gen))
+        manifest.stats() ++ statsOfGen(gen),
+        layoutState)
       manifest.vacuum()
     }
   }
@@ -370,7 +416,8 @@ final class MergeSink(
       manifest.commit(
         (current -- emptied) ++ written.map(_ -> gen),
         (manifest.stats() -- rewrite) ++
-          (if (statsCols.isEmpty) Map.empty else statsOfGen(gen)))
+          (if (statsCols.isEmpty) Map.empty else statsOfGen(gen)),
+        layoutState)
     }
     // history carries the purged rows — for a compliance purge destroy
     // it even when no bucket matched (the request may target data
@@ -416,9 +463,14 @@ final class MergeSink(
         .keys.toSet
       val tombstoned: Set[Int] = dropDeleted match {
         case None => Set.empty
+        // NULL flag means LIVE on both sides of this operation: a NULL
+        // never marks a bucket for rewrite here, and the keep-filter
+        // below coalesces to false so NULL-flag rows survive the
+        // rewrite — compact is layout maintenance and must never
+        // hard-delete a row whose tombstone state is merely unknown.
         case Some(flag) => manifest.snapshot(None) match {
           case None     => Set.empty
-          case Some(df) => df.filter(col(flag))
+          case Some(df) => df.filter(coalesce(col(flag), lit(false)))
             .select(col(BucketCol)).distinct()
             .collect().map(_.getInt(0)).toSet
         }
@@ -428,7 +480,7 @@ final class MergeSink(
         val current = manifest.mapping()
         val gen = manifest.newGenDir()
         val base = manifest.snapshot(Some(rewrite)).get
-        dropDeleted.fold(base)(flag => base.filter(!col(flag)))
+        dropDeleted.fold(base)(flag => base.filter(!coalesce(col(flag), lit(false))))
           .repartition(rewrite.length, col(BucketCol))
           .write
           .partitionBy(BucketCol)
@@ -443,63 +495,206 @@ final class MergeSink(
         val emptied = rewrite.toSet -- written
         manifest.commit(
           (current -- emptied) ++ written.map(_ -> gen),
-          manifest.stats() -- emptied)
+          manifest.stats() -- emptied,
+          layoutState)
         manifest.vacuum()
       }
     }
   }
 
-  /** BUCKET-LAYOUT EVOLUTION (Iceberg partition-spec evolution
-    * analog): rewrite the whole table into `newNBuckets` hash/range
-    * buckets in ONE generation and publish atomically — readers see
-    * either the old layout or the new, never a mix, and the version
-    * log keeps prior layouts time-travelable. The operational need:
-    * a table sized at creation for 1 TB (say 64 buckets) that has
-    * grown 100x merges ever-larger bucket rewrites per batch;
-    * re-bucketing restores O(batch)-proportional merges without
-    * downtime. Content is byte-invariant (pure layout, like
+  private def nextLayout(newNBuckets: Int): Layout = {
+    require(newNBuckets >= 1 && newNBuckets <= LayoutStride,
+      s"newNBuckets must be in [1, $LayoutStride], got $newNBuckets")
+    val l = currentLayout
+    require(l.gen + 1 <= MaxLayoutGen,
+      s"layout generation ${l.gen + 1} exceeds $MaxLayoutGen at $path")
+    require(manifest.migration().isEmpty,
+      s"a migration to ${manifest.migration().get.target.n} buckets is already " +
+        s"in flight at $path — finish it (migrateStep) before starting another")
+    Layout(l.gen + 1, newNBuckets, l.rangeWidth)
+  }
+
+  /** BUCKET-LAYOUT EVOLUTION, one-shot (Iceberg partition-spec
+    * evolution analog): rewrite the whole table into `newNBuckets`
+    * hash/range buckets in ONE generation and publish atomically —
+    * readers see either the old layout or the new, never a mix, and
+    * the version log keeps prior layouts time-travelable. The
+    * operational need: a table sized at creation for 1 TB (say 64
+    * buckets) that has grown 100x merges ever-larger bucket rewrites
+    * per batch; re-bucketing restores O(batch)-proportional merges
+    * without downtime. Content is byte-invariant (pure layout, like
     * [[compact]]); zone maps and bloom sidecars are rebuilt for the
-    * new buckets. Returns a NEW handle bound to the new layout — the
-    * old handle's bucket arithmetic (merge routing, point pruning) is
-    * stale after this call and must not be used (the returned sink is
-    * the table; same path, same manifest, same version log).
+    * new buckets. The new layout commits IN the manifest, so every
+    * handle — including this one — routes by it from the next call;
+    * the returned handle is a convenience whose constructor parameters
+    * match the new layout, not a correctness requirement.
+    *
+    * The monolithic rewrite stops the world for O(|table|) — at
+    * 100 TB that is the wrong tool; [[beginMigration]] +
+    * [[migrateStep]] is the same evolution as an incremental
+    * background job with merges running throughout.
     */
   def rebucket(newNBuckets: Int): MergeSink =
       MergeSink.withWriterLock(spark, path, "rebucket") {
-    require(newNBuckets >= 1, s"newNBuckets must be >= 1, got $newNBuckets")
-    val target = new MergeSink(spark, path, keys, orderCols, newNBuckets,
+    val target = nextLayout(newNBuckets)
+    val handle = new MergeSink(spark, path, keys, orderCols, newNBuckets,
       statsCols, rangeBucketWidth, bloomCols, bloomBits)
     manifest.snapshot(None) match {
-      case None => target // empty table: nothing to rewrite, layout applies forward
+      case None =>
+        // empty table: the layout change is metadata-only but still a
+        // real commit — a stale-parameter handle must see it
+        manifest.commit(Map.empty, Map.empty, Some((target, None)))
+        handle
       case Some(snap) =>
         val gen = manifest.newGenDir()
         snap.drop(BucketCol)
-          .withColumn(BucketCol, target.bucketOf)
+          .withColumn(BucketCol, physOf(target))
           .repartition(newNBuckets, col(BucketCol))
           .sortWithinPartitions(keys.map(col): _*)
           .write
           .partitionBy(BucketCol)
           .parquet(s"$path/$gen")
-        target.writeBloomsOfGen(gen)
+        writeBloomsOfGen(gen)
         val written = manifest.writtenBuckets(gen)
         // FULL mapping replacement: every old bucket id retires with
         // this commit (prior versions still resolve them)
-        manifest.commit(written.map(_ -> gen).toMap, target.statsOfGen(gen))
+        manifest.commit(written.map(_ -> gen).toMap, statsOfGen(gen),
+          Some((target, None)))
         manifest.vacuum()
-        target
+        handle
     }
   }
+
+  /** PROGRESSIVE bucket-layout migration, step 1 of 2 (the actual
+    * Iceberg partition-spec-evolution operational shape): declare the
+    * target layout in a metadata-only commit; no data moves. From this
+    * commit on, the manifest carries (old layout, target layout,
+    * migrated-bucket set) and EVERY writer routes each key by its OLD
+    * bucket's migration state — merges continue throughout the whole
+    * migration, which [[migrateStep]] advances k old buckets at a
+    * time. Readers are oblivious: a snapshot mid-migration is simply a
+    * table whose physical buckets span two layout generations, each
+    * key living in exactly one of them.
+    */
+  def beginMigration(newNBuckets: Int): Unit =
+      MergeSink.withWriterLock(spark, path, "begin-migration") {
+    val target = nextLayout(newNBuckets)
+    manifest.commit(manifest.mapping(), manifest.stats(),
+      Some((currentLayout, Some(Migration(target, Set.empty)))))
+  }
+
+  /** PROGRESSIVE migration, step 2: rewrite the next `k` unmigrated
+    * OLD-layout buckets into their target-layout buckets and commit —
+    * data movement is O(k buckets + affected target buckets), never
+    * O(|table|), so maintenance interleaves with live merges at any
+    * cadence. Each step: (1) the k old buckets' rows re-route to
+    * target physical ids; (2) target buckets that ALREADY hold rows
+    * (from earlier steps, or merges that arrived for already-migrated
+    * keys) are unioned in and rewritten whole — key sets are disjoint
+    * by the routing invariant, so this is concatenation, not conflict
+    * resolution; (3) one atomic commit retires the old buckets,
+    * publishes the rewritten targets, and advances the migrated set.
+    * A crash between steps leaves a valid mid-migration table; the
+    * step is idempotent from the committed state. When the last old
+    * bucket migrates, the SAME commit promotes the target to the
+    * committed layout and clears the migration — [[rebucket]]'s final
+    * state, reached without ever stopping the world.
+    *
+    * Returns the number of old buckets still unmigrated (0 = done).
+    */
+  def migrateStep(k: Int): Int =
+      MergeSink.withWriterLock(spark, path, "migrate-step") {
+    require(k >= 1, s"migrateStep needs k >= 1, got $k")
+    val l = currentLayout
+    val mig = manifest.migration().getOrElse(throw new IllegalStateException(
+      s"no migration in flight at $path — beginMigration first"))
+    val todo = (0 until l.n).filterNot(mig.migrated)
+    val pick = todo.take(k)
+    val remaining = todo.size - pick.size
+    val complete = remaining == 0
+    val nextState: Option[(Layout, Option[Migration])] =
+      if (complete) Some((mig.target, None))
+      else Some((l, Some(Migration(mig.target, mig.migrated ++ pick))))
+    val current = manifest.mapping()
+    val physPick = pick.map(b => if (l.gen == 0) b else l.gen * LayoutStride + b)
+    val held = physPick.filter(current.contains)
+    if (held.isEmpty) {
+      // nothing stored under these old buckets: marking them migrated
+      // is pure metadata (still a real commit — routing changes)
+      manifest.commit(current, manifest.stats(), nextState)
+    } else {
+      val moving = manifest.snapshot(Some(held)).get.drop(BucketCol)
+        .withColumn(BucketCol, physOf(mig.target))
+      // which target buckets these keys land in: at most k * spread
+      // small ints reach the driver — the same metadata-not-data
+      // pruning decision merge() makes
+      val targets = moving.select(col(BucketCol)).distinct()
+        .collect().map(_.getInt(0)).toSeq
+      val out = manifest.snapshot(Some(targets.filter(current.contains))) match {
+        case Some(existing) => existing.unionByName(moving)
+        case None           => moving
+      }
+      val gen = manifest.newGenDir()
+      out
+        .repartition(math.max(targets.size, 1), col(BucketCol))
+        .sortWithinPartitions(keys.map(col): _*)
+        .write
+        .partitionBy(BucketCol)
+        .parquet(s"$path/$gen")
+      writeBloomsOfGen(gen)
+      val written = manifest.writtenBuckets(gen)
+      manifest.commit(
+        (current -- physPick) ++ written.map(_ -> gen),
+        (manifest.stats() -- physPick) ++ statsOfGen(gen),
+        nextState)
+      manifest.vacuum()
+    }
+    remaining
+  }
+
+  /** (current layout, in-flight migration) as committed — layout
+    * audits and gates read this, never handle fields.
+    */
+  def layoutInfo: (Layout, Option[Migration]) =
+    (currentLayout, manifest.migration())
 }
 
 object MergeSink {
   /** Partition column of the state table layout. */
   val BucketCol = "__bucket"
 
+  /** Physical-bucket-id namespace width per layout generation:
+    * `phys = gen * LayoutStride + logical` (gen 0 stays bare for
+    * byte-compatibility with pre-layout tables). 2^20 logical buckets
+    * per layout is ~100 GB/bucket headroom past 100 TB; generations
+    * are capped so the physical id can never overflow Int.
+    */
+  val LayoutStride: Int = 1 << 20
+  val MaxLayoutGen: Int = Int.MaxValue / LayoutStride - 1 // 2046
+
   /** Thrown when a second writer attempts to mutate a sink table while
     * another merge/compact holds the lock.
     */
   final class ConcurrentWriterException(msg: String)
     extends IllegalStateException(msg)
+
+  /** Lease TTL for the writer lock: a holder HEARTBEATS the lock's
+    * mtime every ttl/4; a contender may break a lock whose mtime is
+    * older than the TTL (no heartbeat for >= 4 missed intervals =
+    * crashed holder), never a live one. Package-visible so specs can
+    * shrink the lease; production default 60 s — far above any GC
+    * pause, far below "page an operator". The classic lease caveat
+    * applies and is accepted: a holder frozen LONGER than the TTL
+    * (stop-the-world pause measured in minutes) could be broken while
+    * still alive; the commit itself stays untorn either way because
+    * publishing is one atomic manifest rename, so the failure mode is
+    * a lost-update race identical to the pre-lock world — which is why
+    * the TTL is 60 s and the heartbeat 15 s, not seconds. A
+    * transactional table format's optimistic commit protocol
+    * (Delta/Iceberg) is the production answer past that.
+    */
+  private[graft] var lockTtlMs: Long =
+    sys.env.get("GRAFT_LOCK_TTL_MS").map(_.toLong).getOrElse(60000L)
 
   /** SINGLE-WRITER contract, enforced: dynamic partition overwrite is
     * per-partition-atomic but has no cross-writer commit protocol —
@@ -517,75 +712,155 @@ object MergeSink {
     * table format (Delta/Iceberg) replaces this with optimistic commit
     * protocols without changing callers.
     *
-    * A crashed writer leaves its lock behind (it names owner + epoch
-    * for diagnosis); `breakLock` is the documented operator override.
+    * CRASHED holders no longer need an operator: the lock is a LEASE
+    * (see [[lockTtlMs]]) — holders heartbeat its mtime, and a
+    * contender that finds the heartbeat stale breaks the lock and
+    * proceeds. The break is guarded against racing a FRESH holder:
+    * the breaker RENAMES the lock aside (one atomic winner among
+    * concurrent breakers), re-reads the renamed file, and only
+    * proceeds if it holds exactly the stale owner it observed —
+    * anything else is restored and reported as live contention.
+    * `breakLock` remains as the manual override.
     */
   def withWriterLock[T](spark: SparkSession, table: String, op: String)(body: => T): T = {
     val lock = new Path(table + "_lock")
     val fs = lock.getFileSystem(spark.sessionState.newHadoopConf())
-    val owner = s"$op pid=${ProcessHandle.current().pid()} epochMs=${System.currentTimeMillis()}"
-    def contention(): Nothing = {
-      val holder =
-        try {
-          val in = fs.open(lock)
-          try scala.io.Source.fromInputStream(in).mkString.trim finally in.close()
-        } catch { case _: java.io.IOException => "<unreadable>" }
+    val owner = s"$op pid=${ProcessHandle.current().pid()} " +
+      s"epochMs=${System.currentTimeMillis()} uuid=${java.util.UUID.randomUUID()}"
+    val isLocal = lock.toUri.getScheme == null || lock.toUri.getScheme == "file"
+
+    def readLock(): Option[(String, Long)] =
+      try {
+        val st = fs.getFileStatus(lock)
+        val in = fs.open(lock)
+        val text = try scala.io.Source.fromInputStream(in).mkString.trim finally in.close()
+        Some((text, st.getModificationTime))
+      } catch { case _: java.io.IOException => None } // vanished or unreadable
+
+    def contention(holder: String): Nothing =
       throw new ConcurrentWriterException(
         s"$table is locked by [$holder]; refusing concurrent $op " +
-          "(single-writer contract; breakLock() overrides a crashed holder)")
-    }
-    val isLocal = lock.toUri.getScheme == null || lock.toUri.getScheme == "file"
-    if (isLocal) {
-      val p = java.nio.file.Paths.get(lock.toUri.getPath)
-      if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)
-      try java.nio.file.Files.write(p, owner.getBytes("UTF-8"),
-        java.nio.file.StandardOpenOption.CREATE_NEW,
-        java.nio.file.StandardOpenOption.WRITE)
-      catch { case _: java.nio.file.FileAlreadyExistsException => contention() }
-    } else {
-      // rename is the atomic namespace op on HDFS-like stores, so the
-      // CLAIM is the rename of a fully-written temp file — a contender
-      // can never observe a claimed-but-empty lock (create-then-write
-      // had that window). On S3-like object stores neither
-      // create-exclusive nor rename is atomic: the lock is ADVISORY
-      // there; a table format with a real commit protocol
-      // (Delta/Iceberg — see class doc) is the production answer.
-      val tmp = new Path(table + s"_lock.tmp.${java.util.UUID.randomUUID()}")
-      val out = fs.create(tmp, false)
-      out.write(owner.getBytes("UTF-8")); out.close()
-      val claimed =
-        try fs.rename(tmp, lock)
-        catch {
-          case e: java.io.IOException =>
-            // the rename may have landed despite the error — if the lock
-            // now carries OUR owner string we hold it; otherwise this is
-            // a genuine I/O failure and must be rethrown, not
-            // misreported as contention (class-doc contract)
-            val ours =
-              try {
-                val in = fs.open(lock)
-                try scala.io.Source.fromInputStream(in).mkString == owner
-                finally in.close()
-              } catch { case _: java.io.IOException => false }
-            if (!ours) { fs.delete(tmp, false); throw e }
-            true
+          s"(single-writer contract; lease expires ${lockTtlMs} ms after its " +
+          "last heartbeat; breakLock() is the manual override)")
+
+    /** One create-exclusive claim attempt; false = someone holds it. */
+    def tryClaim(): Boolean =
+      if (isLocal) {
+        val p = java.nio.file.Paths.get(lock.toUri.getPath)
+        if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)
+        try {
+          java.nio.file.Files.write(p, owner.getBytes("UTF-8"),
+            java.nio.file.StandardOpenOption.CREATE_NEW,
+            java.nio.file.StandardOpenOption.WRITE)
+          true
+        } catch { case _: java.nio.file.FileAlreadyExistsException => false }
+      } else {
+        // rename is the atomic namespace op on HDFS-like stores, so the
+        // CLAIM is the rename of a fully-written temp file — a contender
+        // can never observe a claimed-but-empty lock (create-then-write
+        // had that window). On S3-like object stores neither
+        // create-exclusive nor rename is atomic: the lock is ADVISORY
+        // there; a table format with a real commit protocol
+        // (Delta/Iceberg — see class doc) is the production answer.
+        val tmp = new Path(table + s"_lock.tmp.${java.util.UUID.randomUUID()}")
+        val out = fs.create(tmp, false)
+        out.write(owner.getBytes("UTF-8")); out.close()
+        val claimed =
+          try fs.rename(tmp, lock)
+          catch {
+            case e: java.io.IOException =>
+              // the rename may have landed despite the error — if the lock
+              // now carries OUR owner string we hold it; otherwise this is
+              // a genuine I/O failure and must be rethrown, not
+              // misreported as contention (class-doc contract)
+              val ours = readLock().exists(_._1 == owner)
+              if (!ours) { fs.delete(tmp, false); throw e }
+              true
+          }
+        if (!claimed) fs.delete(tmp, false)
+        else {
+          // holder-side hygiene: sweep lock temp files from CRASHED
+          // claimers (mtime-guarded so a live claimer mid-write is never
+          // raced; a live one is about to fail on rename and delete its
+          // own tmp anyway)
+          try {
+            val dir = lock.getParent
+            val prefix = lock.getName + ".tmp."
+            val cutoff = System.currentTimeMillis() - 10 * 60 * 1000
+            fs.listStatus(dir).foreach { st =>
+              if (st.getPath.getName.startsWith(prefix) &&
+                  st.getModificationTime < cutoff)
+                fs.delete(st.getPath, false)
+            }
+          } catch { case _: java.io.IOException => () } // best-effort
         }
-      if (!claimed) { fs.delete(tmp, false); contention() }
-      // holder-side hygiene: sweep lock temp files from CRASHED claimers
-      // (mtime-guarded so a live claimer mid-write is never raced; a live
-      // one is about to fail on rename and delete its own tmp anyway)
+        claimed
+      }
+
+    /** Break a lock whose heartbeat is stale. Atomic among concurrent
+      * breakers (exactly one rename wins); guarded against a fresh
+      * holder appearing between the staleness read and the rename by
+      * re-reading the renamed file — if it is not the observed stale
+      * owner, it is restored and treated as live. Returns true if the
+      * stale lock is gone and a claim may be retried.
+      */
+    def breakStale(staleOwner: String): Boolean = {
+      val aside = new Path(table + s"_lock.stale.${java.util.UUID.randomUUID()}")
+      val renamed =
+        try fs.rename(lock, aside)
+        catch { case _: java.io.IOException => false }
+      if (!renamed) true // another breaker won the rename; retry the claim
+      else {
+        val moved =
+          try {
+            val in = fs.open(aside)
+            try scala.io.Source.fromInputStream(in).mkString.trim finally in.close()
+          } catch { case _: java.io.IOException => "" }
+        if (moved == staleOwner) { fs.delete(aside, false); true }
+        else {
+          // we grabbed a FRESH holder's lock — put it back and report
+          // live contention (a release racing the restore leaves a
+          // zombie lock that the TTL itself will break: self-healing)
+          try fs.rename(aside, lock)
+          catch { case _: java.io.IOException => fs.delete(aside, false) }
+          false
+        }
+      }
+    }
+
+    // claim loop: exclusive-create; on contention, break only a lock
+    // whose lease has expired. Bounded — never spins on live holders.
+    var acquired = false
+    var attempts = 0
+    while (!acquired && attempts < 3) {
+      attempts += 1
+      acquired = tryClaim()
+      if (!acquired) readLock() match {
+        case None => () // holder released between claim and read; retry
+        case Some((holder, mtime)) =>
+          val age = System.currentTimeMillis() - mtime
+          if (age <= lockTtlMs) contention(holder)
+          else if (!breakStale(holder)) contention(holder)
+      }
+    }
+    if (!acquired) contention(readLock().map(_._1).getOrElse("<unknown>"))
+
+    // the lease heartbeat: refresh the lock's mtime every ttl/4 while
+    // the body runs — a contender reading an mtime older than the TTL
+    // can only be seeing a crashed (or frozen-past-the-lease) holder
+    val hb = new Thread(() => {
       try {
-        val dir = lock.getParent
-        val prefix = lock.getName + ".tmp."
-        val cutoff = System.currentTimeMillis() - 10 * 60 * 1000
-        fs.listStatus(dir).foreach { st =>
-          if (st.getPath.getName.startsWith(prefix) &&
-              st.getModificationTime < cutoff)
-            fs.delete(st.getPath, false)
+        while (!Thread.interrupted()) {
+          Thread.sleep(math.max(lockTtlMs / 4, 10))
+          try fs.setTimes(lock, System.currentTimeMillis(), -1)
+          catch { case _: java.io.IOException => () } // missed beat; TTL = 4 beats
         }
-      } catch { case _: java.io.IOException => () } // hygiene is best-effort
-    }
-    try body finally fs.delete(lock, false)
+      } catch { case _: InterruptedException => () }
+    })
+    hb.setDaemon(true)
+    hb.setName(s"graft-lock-heartbeat-$op")
+    hb.start()
+    try body finally { hb.interrupt(); fs.delete(lock, false) }
   }
 
   /** Operator override: remove a lock left by a crashed writer. */

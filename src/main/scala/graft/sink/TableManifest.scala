@@ -68,7 +68,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 final class TableManifest(spark: SparkSession, val root: String) {
   import MergeSink.BucketCol
-  import TableManifest.{ColStats, Stats}
+  import TableManifest.{ColStats, Layout, Migration, Stats}
 
   private def conf = spark.sessionState.newHadoopConf()
   private val rootPath = new Path(root)
@@ -127,16 +127,27 @@ final class TableManifest(spark: SparkSession, val root: String) {
     finally in.close()
   }
 
-  /** (version, bucket -> (gen, stats)) parsed from one manifest body.
-    * A body without a `#version` header predates the version log and
+  import TableManifest.Parsed
+
+  private def parseLayout(s: String): Layout = {
+    val Array(g, n, w) = s.split(",", 3)
+    Layout(g.toInt, n.toInt, if (w == "-") None else Some(w.toLong))
+  }
+
+  /** A body without a `#version` header predates the version log and
     * reads as version 1 with no history.
     */
-  private def parse(text: String): (Long, Map[Int, (String, Stats)]) = {
+  private def parse(text: String): Parsed = {
     val lines = text.linesIterator.filter(_.nonEmpty).toSeq
-    val (version, dataLines) = lines.headOption match {
-      case Some(h) if h.startsWith("#version=") =>
-        (h.stripPrefix("#version=").toLong, lines.tail)
-      case _ => (1L, lines)
+    val (headers, dataLines) = lines.span(_.startsWith("#"))
+    def header(k: String): Option[String] =
+      headers.collectFirst { case h if h.startsWith(s"#$k=") => h.stripPrefix(s"#$k=") }
+    val version = header("version").map(_.toLong).getOrElse(1L)
+    val layout = header("layout").map(parseLayout)
+    val migration = header("target").map(parseLayout).map { t =>
+      val migrated = header("migrated").filter(_.nonEmpty)
+        .map(_.split(",").map(_.toInt).toSet).getOrElse(Set.empty[Int])
+      Migration(t, migrated)
     }
     val m = dataLines.map { line =>
       val fields = line.split("\t", -1)
@@ -148,23 +159,33 @@ final class TableManifest(spark: SparkSession, val root: String) {
         }.toMap
       fields(0).toInt -> (fields(1), stats)
     }.toMap
-    (version, m)
+    Parsed(version, m, layout, migration)
   }
 
-  private def full(): (Long, Map[Int, (String, Stats)]) =
-    if (!exists) { requireNotLegacy(); (0L, Map.empty) }
+  private def full(): Parsed =
+    if (!exists) { requireNotLegacy(); Parsed(0L, Map.empty, None, None) }
     else parse(readText(manifestPath))
 
   /** Current snapshot: bucket -> root-relative generation dir. */
-  def mapping(): Map[Int, String] = full()._2.map { case (b, (g, _)) => b -> g }
+  def mapping(): Map[Int, String] = full().m.map { case (b, (g, _)) => b -> g }
 
   /** Current per-bucket zone-map stats (empty map per bucket when the
     * writer declared no stats columns).
     */
-  def stats(): Map[Int, Stats] = full()._2.map { case (b, (_, s)) => b -> s }
+  def stats(): Map[Int, Stats] = full().m.map { case (b, (_, s)) => b -> s }
 
   /** Published snapshot version (0 = never committed). */
-  def currentVersion(): Long = full()._1
+  def currentVersion(): Long = full().version
+
+  /** Committed bucket layout, when the writing sink records one —
+    * manifests written before the layout header (or by layout-less
+    * sinks like AggSink) return None and the owning sink's constructor
+    * parameters apply, exactly as before the header existed.
+    */
+  def layout(): Option[Layout] = full().layout
+
+  /** In-flight progressive bucket migration, if any. */
+  def migration(): Option[Migration] = full().migration
 
   /** Retained, published versions, ascending. Version files above the
     * published `#version` are crashed-commit orphans, not snapshots.
@@ -187,7 +208,7 @@ final class TableManifest(spark: SparkSession, val root: String) {
     val p = versionPath(v)
     if (!fs.exists(p)) throw new IllegalStateException(
       s"version $v at $root has been expired (expireVersions) — retained: ${versions().mkString(",")}")
-    parse(readText(p))._2.map { case (b, (g, _)) => b -> g }
+    parse(readText(p)).m.map { case (b, (g, _)) => b -> g }
   }
 
   /** Fresh, never-reused generation dir for one commit's data files. */
@@ -199,22 +220,40 @@ final class TableManifest(spark: SparkSession, val root: String) {
     */
   private[graft] var beforeCommit: () => Unit = () => ()
 
-  private def render(version: Long, m: Map[Int, String], stats: Map[Int, Stats]): String = {
+  private def renderLayout(l: Layout): String =
+    s"${l.gen},${l.n},${l.rangeWidth.getOrElse("-")}"
+
+  private def render(version: Long, m: Map[Int, String], stats: Map[Int, Stats],
+                     layout: Option[Layout], migration: Option[Migration]): String = {
     val body = m.toSeq.sortBy(_._1).map { case (b, g) =>
       val st = stats.getOrElse(b, Map.empty)
         .toSeq.sortBy(_._1)
         .map { case (c, cs) => s"$c,${cs.min},${cs.max}" }.mkString(";")
       s"$b\t$g\t$st"
     }.mkString("", "\n", "\n")
-    s"#version=$version\n$body"
+    val lh = layout.map(l => s"#layout=${renderLayout(l)}\n").getOrElse("")
+    val mh = migration.map(mg =>
+      s"#target=${renderLayout(mg.target)}\n#migrated=${mg.migrated.toSeq.sorted.mkString(",")}\n")
+      .getOrElse("")
+    s"#version=$version\n$lh$mh$body"
   }
 
   /** Publish a snapshot atomically (see class doc). `stats` carries
     * the per-bucket zone maps; omit for stat-less tables.
+    * `layoutState`: None carries the current layout headers forward
+    * unchanged (stat-less and layout-less writers never think about
+    * them); Some((layout, migration)) sets them exactly — how
+    * [[MergeSink]] records layout evolution and migration progress in
+    * the SAME atomic commit as the data it describes.
     */
-  def commit(m: Map[Int, String], stats: Map[Int, Stats] = Map.empty): Unit = {
+  def commit(m: Map[Int, String], stats: Map[Int, Stats] = Map.empty,
+             layoutState: Option[(Layout, Option[Migration])] = None): Unit = {
     val next = currentVersion() + 1
-    val body = render(next, m, stats)
+    val (lay, mig) = layoutState match {
+      case Some((l, mg)) => (Some(l), mg)
+      case None          => val f = full(); (f.layout, f.migration)
+    }
+    val body = render(next, m, stats, lay, mig)
     // immutable history copy first (overwrite: a crashed prior attempt
     // at this same unpublished version is dead by single-writer rule)
     fs.mkdirs(versionsDir)
@@ -426,4 +465,33 @@ object TableManifest {
 
   /** Column name -> zone map, for one bucket. */
   type Stats = Map[String, ColStats]
+
+  /** One bucket-layout generation of a [[MergeSink]] table: `n`
+    * hash (rangeWidth = None) or range buckets, living in the physical
+    * bucket-id namespace `[gen * MergeSink.LayoutStride, ... + n)`.
+    * Recording the layout IN the manifest (same atomic commit as the
+    * data) is what makes stale handles harmless: every sink routes by
+    * the committed layout, never by whatever its constructor said.
+    */
+  final case class Layout(gen: Int, n: Int, rangeWidth: Option[Long])
+
+  /** Progressive-migration state: the layout being migrated TO and the
+    * OLD-layout logical bucket ids whose keys already route to it.
+    * Absent = no migration in flight.
+    */
+  final case class Migration(target: Layout, migrated: Set[Int])
+
+  /** One parsed manifest body: version, bucket mapping (+ zone maps),
+    * and the BUCKET-LAYOUT state — the committed layout plus, while a
+    * progressive migration is in flight, the target layout and the set
+    * of old-layout buckets already rewritten into it. A body without
+    * the optional headers (pre-round-10 manifests) reads as
+    * `layout = None`: the owning sink falls back to its constructor
+    * parameters, which is exactly the pre-header behavior.
+    */
+  private final case class Parsed(
+      version: Long,
+      m: Map[Int, (String, Stats)],
+      layout: Option[Layout],
+      migration: Option[Migration])
 }

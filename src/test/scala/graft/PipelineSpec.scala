@@ -404,6 +404,58 @@ class PipelineSpec extends SparkSpec {
     MergeSink.breakLock(spark, adir)
   }
 
+  test("writer-lock lease: a killed holder's stale lock breaks after TTL; a live holder is never broken") {
+    import graft.sink.MergeSink
+    val dir = freshDir() + "/leased"
+    val rows = Warehouse.toWarehouseRows(env)
+    val sink = new MergeSink(spark, dir, Warehouse.DedupKeys, Warehouse.VersionCols, 4)
+    val b1 = rows.filter(pmod($"ingestion_seq", lit(2)) === 0)
+    val b2 = rows.filter(pmod($"ingestion_seq", lit(2)) === 1)
+    sink.merge(b1)
+    def state() = sink.read().select($"original_id", $"ingestion_seq")
+      .as[(String, Long)].collect().toSet
+
+    val ttl0 = MergeSink.lockTtlMs
+    MergeSink.lockTtlMs = 1500
+    try {
+      // a KILLED mid-merge holder: lock left behind (finally never ran),
+      // heartbeat dead, mtime frozen in the past
+      val lockPath = java.nio.file.Paths.get(dir + "_lock")
+      java.nio.file.Files.writeString(lockPath, "merge pid=4242 epochMs=0 uuid=dead")
+      java.nio.file.Files.setLastModifiedTime(lockPath,
+        java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() - 60000))
+      // the second writer breaks the expired lease and commits normally —
+      // no operator intervention, no torn state
+      sink.merge(b2)
+      assert(!java.nio.file.Files.exists(lockPath), "lease break must not leave the stale lock")
+      assert(state() == Cdc.latestByKey(b1.unionByName(b2),
+        Warehouse.DedupKeys, Warehouse.VersionCols)
+        .select($"original_id", $"ingestion_seq").as[(String, Long)].collect().toSet)
+
+      // a LIVE holder heartbeats the lease: a contender fails fast even
+      // when the holder runs far longer than the TTL
+      val entered = new java.util.concurrent.CountDownLatch(1)
+      val release = new java.util.concurrent.CountDownLatch(1)
+      val holder = new Thread(() =>
+        MergeSink.withWriterLock(spark, dir, "slow-merge") {
+          entered.countDown()
+          release.await()
+        })
+      holder.start()
+      assert(entered.await(10, java.util.concurrent.TimeUnit.SECONDS))
+      Thread.sleep(2 * MergeSink.lockTtlMs) // well past the TTL
+      val before = state()
+      val e = intercept[MergeSink.ConcurrentWriterException](sink.merge(b1))
+      assert(e.getMessage.contains("slow-merge"), s"must name the live holder: ${e.getMessage}")
+      assert(state() == before, "locked-out writer must not mutate state")
+      release.countDown()
+      holder.join(10000)
+      // clean release: the contender proceeds immediately
+      sink.merge(b1)
+      assert(!java.nio.file.Files.exists(lockPath))
+    } finally MergeSink.lockTtlMs = ttl0
+  }
+
   test("tombstone wins when it is the latest record for a key") {
     val dir = freshDir()
     Warehouse.append(Warehouse.toWarehouseRows(env), dir)
@@ -603,5 +655,76 @@ class PipelineSpec extends SparkSpec {
     // unchanged table diffs to empty
     sink.merge(df.filter($"k" === 50))                          // idempotent re-merge, v5
     assert(sink.changesBetween(4L, 5L).isEmpty)
+  }
+
+  test("progressive migration: stale handles route by the committed layout; purge and range reads work mid-migration") {
+    import graft.sink.MergeSink
+    val dir = freshDir() + "/state"
+    val rows = Warehouse.toWarehouseRows(env).cache()
+    def b(i: Int) = rows.filter(pmod($"ingestion_seq", lit(3)) === i)
+    def lww(df: org.apache.spark.sql.DataFrame) =
+      Cdc.latestByKey(df, Warehouse.DedupKeys, Warehouse.VersionCols)
+        .select($"original_id", $"ingestion_seq").as[(String, Long)].collect().toSet
+    val sink = new MergeSink(spark, dir, Warehouse.DedupKeys, Warehouse.VersionCols,
+      nBuckets = 8, statsCols = Seq("ingestion_seq"))
+    def state(s: MergeSink) = s.read().select($"original_id", $"ingestion_seq")
+      .as[(String, Long)].collect().toSet
+
+    sink.merge(b(0))
+    sink.beginMigration(16)
+    // a second migration cannot start while one is in flight
+    intercept[IllegalArgumentException] { sink.beginMigration(32) }
+    intercept[IllegalArgumentException] { sink.rebucket(32) }
+    assert(sink.migrateStep(3) == 5)
+
+    // THE STALE-HANDLE HAZARD, closed: a handle constructed with the
+    // wrong bucket count (4 — matching neither layout) routes by the
+    // manifest's committed layout state, so its merge lands every key
+    // in the bucket the table's own routing owns
+    val stale = new MergeSink(spark, dir, Warehouse.DedupKeys, Warehouse.VersionCols,
+      nBuckets = 4, statsCols = Seq("ingestion_seq"))
+    stale.merge(b(1))
+    assert(state(stale) == lww(b(0).unionByName(b(1))))
+
+    // zone-map range read mid-migration: same answer as the full-scan
+    // filter even with live buckets spanning two layout generations
+    val (lo, hi) = (5.0, 60.0)
+    val viaRange = sink.readRange("ingestion_seq", lo, hi)
+      .select($"original_id", $"ingestion_seq").as[(String, Long)].collect().toSet
+    val viaScan = sink.read()
+      .filter($"ingestion_seq" >= lo && $"ingestion_seq" <= hi)
+      .select($"original_id", $"ingestion_seq").as[(String, Long)].collect().toSet
+    assert(viaRange == viaScan)
+
+    // compliance purge mid-migration: the key list spans migrated and
+    // unmigrated buckets; routing prunes to exactly the right ones
+    val victims = sink.read().select($"original_id").distinct().limit(5).cache()
+    val victimSet = victims.as[String].collect().toSet
+    assert(victimSet.size == 5)
+    sink.purgeKeys(victims, destroyHistory = false)
+    val afterPurge = state(sink)
+    assert(afterPurge == lww(b(0).unionByName(b(1))).filterNot(r => victimSet(r._1)))
+    assert(sink.layoutInfo._2.nonEmpty, "purge must carry the migration state forward")
+
+    // finish the migration THROUGH the stale handle — layout is table
+    // state, not handle state
+    var remaining = stale.migrateStep(2)
+    while (remaining > 0) remaining = stale.migrateStep(2)
+    val (layout, migration) = stale.layoutInfo
+    assert(migration.isEmpty && layout.gen == 1 && layout.n == 16)
+    assert(sink.bucketFileCounts().keys.forall(_ >= MergeSink.LayoutStride))
+    assert(state(sink) == afterPurge, "completing the migration changed content")
+
+    // misuse fails loudly once no migration is in flight
+    intercept[IllegalStateException] { stale.migrateStep(1) }
+
+    // merges after promotion route by the new layout alone; a purged
+    // key that reappears in a later batch re-enters with that batch's
+    // rows only (purge deletes state, it is not a filter on the future)
+    sink.merge(b(2))
+    val expectedFinal = lww(
+      b(0).unionByName(b(1)).filter(!$"original_id".isin(victimSet.toSeq: _*))
+        .unionByName(b(2)))
+    assert(state(sink) == expectedFinal)
   }
 }
