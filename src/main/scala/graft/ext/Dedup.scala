@@ -260,6 +260,98 @@ object Dedup {
     }
   }
 
+  /** CONTRACTIVE connected components — label contraction with
+    * geometric work shrinkage, the batch twin of
+    * [[graft.ext.IncrementalCc]]'s per-batch contraction step. Where
+    * min-label PROPAGATION ([[connectedComponents]]) re-shuffles the
+    * full O(|V| + |E|) frame every round for O(diameter) rounds,
+    * contraction shrinks the graph itself: each round every label
+    * takes the min of its closed neighborhood, node labels compose
+    * through that mapping, and the edge set CONTRACTS to the
+    * distinct-label component graph — a dense near-dup cluster (the
+    * planted-copy corpora that dominate dedup inputs are cliques per
+    * copy group) collapses to its single min label in ONE round, so
+    * round 2 runs on the tiny inter-cluster remainder, not the corpus.
+    *
+    * The min-of-neighborhood map only guarantees CONSTANT shrinkage on
+    * adversarial path graphs, so after `contractRounds` rounds the
+    * (by-then small) remainder escalates to [[starComponents]]
+    * (O(log diameter) guaranteed) and the final mapping composes back.
+    * Labels are min-member ids at every step — the component min maps
+    * to itself in every round, every other label strictly decreases —
+    * so the output is BIT-IDENTICAL to the propagation tier's
+    * (ExtSpec proves equality on cliques, paths, crossings, and
+    * self-loop singletons).
+    *
+    * Returns (id, cluster_id = min reachable id); nodes not in any
+    * edge are absent, self-loop-only nodes label themselves — the
+    * exact [[connectedComponents]] contract. Same [[Lineage]] cache
+    * discipline: superseded rounds free deterministically, only the
+    * escaping frame is left to the ContextCleaner.
+    */
+  def contractiveComponents(edges: DataFrame, idA: String = "id_a",
+                            idB: String = "id_b", contractRounds: Int = 4): DataFrame = {
+    // canonical undirected edges BETWEEN CURRENT LABELS (self-loops out)
+    var (e, freeE) = Lineage.checkpoint(
+      edges.select(greatest(col(idA), col(idB)).as("a"),
+                   least(col(idA), col(idB)).as("b"))
+        .filter(col("a") =!= col("b")).distinct())
+    // composed id -> current-label mapping over ALL ids seen in the
+    // input (self-loop-only nodes stay their own singleton labels)
+    var (labels, freeLabels) = Lineage.checkpoint(
+      edges.select(col(idA).as("id")).unionByName(edges.select(col(idB).as("id")))
+        .distinct().withColumn("cluster_id", col("id")))
+    var round = 0
+    var done = e.isEmpty
+    while (!done && round < contractRounds) {
+      val sym = e.unionByName(e.select(col("b").as("a"), col("a").as("b")))
+      // m(l) = min(N(l) ∪ {l}) — one map-side-combinable aggregate over
+      // the CURRENT (already contracted) edge set
+      val m = sym.groupBy(col("a"))
+        .agg(least(min(col("b")), col("a")).as("m"))
+        .select(col("a").as("old"), col("m"))
+      // compose: labels whose component already collapsed are absent
+      // from m (no edges left) and keep themselves
+      val (labelsN, freeLabelsN) = Lineage.checkpoint(
+        labels.join(m, labels("cluster_id") === m("old"), "left")
+          .select(col("id"), coalesce(col("m"), col("cluster_id")).as("cluster_id")))
+      // contract: edges between distinct mapped labels form the next
+      // (component) graph — within-star edges vanish here, which is
+      // where the geometric shrinkage comes from
+      val mA = m.select(col("old").as("a"), col("m").as("ma"))
+      val mB = m.select(col("old").as("b"), col("m").as("mb"))
+      val (eN, freeEN) = Lineage.checkpoint(
+        e.join(mA, "a").join(mB, "b")
+          .select(greatest(col("ma"), col("mb")).as("a"),
+                  least(col("ma"), col("mb")).as("b"))
+          .filter(col("a") =!= col("b")).distinct())
+      freeLabels(); freeE()
+      labels = labelsN; freeLabels = freeLabelsN
+      e = eN; freeE = freeEN
+      done = e.isEmpty
+      round += 1
+    }
+    if (done) { freeE(); labels }
+    else {
+      // adversarially deep remainder: hand the (contracted, small)
+      // label graph to the log-round tier and compose once more. The
+      // composed result is CHECKPOINTED BEFORE the inputs are freed —
+      // starComponents' output is lazy in our edge frame (its self-loop
+      // recovery re-reads the symmetric input), so freeing first would
+      // unpersist blocks the result still needs.
+      val comp = starComponents(
+        e.select(col("a").as("src"), col("b").as("dst"))
+          .unionByName(e.select(col("b").as("src"), col("a").as("dst"))))
+      val (out, _) = Lineage.checkpoint(
+        labels.join(
+            comp.select(col("id").as("old"), col("cluster_id").as("cid")),
+            labels("cluster_id") === col("old"), "left")
+          .select(labels("id"), coalesce(col("cid"), labels("cluster_id")).as("cluster_id")))
+      freeE(); freeLabels()
+      out // escapes to the caller — its blocks are the ContextCleaner's
+    }
+  }
+
   /** Alternating large-star/small-star connected components — the
     * log-diameter escalation for adversarially deep graphs (algorithm
     * from the public "Connected Components in MapReduce and Beyond"

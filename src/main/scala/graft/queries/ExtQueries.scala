@@ -135,14 +135,20 @@ object ExtQueries {
 
   // ---------------------------------------------------------------- q71
   /** Dedup CLUSTERS: q26's near-dup pairs folded into connected
-    * components (iterative min-label propagation — the action step of
-    * dedup at scale: keep `cluster_id`, drop the rest). The oracle
-    * computes the same components with a recursive CTE over the same
-    * pair SQL — tiny closed components keep the closure bounded.
+    * components via LABEL CONTRACTION ([[graft.ext.Dedup
+    * .contractiveComponents]] — each round contracts the graph to its
+    * component graph, so the copy-group cliques that dominate dedup
+    * inputs collapse in one round and later rounds run on the
+    * inter-cluster remainder, not the corpus; min-label PROPAGATION
+    * re-shuffled the full frame per round and scaled with rounds x
+    * corpus). Labels are min-member ids in both tiers, so this swap is
+    * bit-invisible to the oracle. The oracle computes the same
+    * components with a recursive CTE over the same pair SQL — tiny
+    * closed components keep the closure bounded.
     */
   def q71DedupClusters(s: SparkSession, d: String): DataFrame = {
     val pairs = Dedup.minhashNearDups(docs(s, d), k = 12, bands = 4, threshold = 0.5)
-    Dedup.connectedComponents(pairs)
+    Dedup.contractiveComponents(pairs)
       .groupBy(col("cluster_id"))
       .agg(count(lit(1)).as("n_docs"), max(col("id")).as("max_doc_id"))
   }

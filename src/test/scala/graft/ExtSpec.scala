@@ -240,6 +240,45 @@ class ExtSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("contractiveComponents: bit-identical to propagation on cliques, deep paths, crossings, self-loops; cliques collapse in one round") {
+    import graft.ext.Dedup
+    // the shapes that matter: copy-group CLIQUES (the dedup-dominant
+    // case contraction exists for), a PATH deeper than the contraction
+    // budget (forces the starComponents escalation), a bridge edge
+    // CROSSING two cliques mid-contraction, a self-loop-only node, and
+    // a plain pair
+    val cliques = for {
+      c <- 0L until 3L; members = (0L until 5L).map(c * 100 + 50 + _)
+      i <- members; j <- members if i < j
+    } yield (i, j)
+    val path = (0L until 30L).map(i => (1000L + i, 1000L + i + 1))
+    val edges = (cliques ++ path ++
+      Seq((50L, 150L),          // bridge: clique 0 and clique 1 are ONE component
+          (2000L, 2000L),       // self-loop singleton
+          (3000L, 3001L)))
+      .toDF("id_a", "id_b")
+    val viaContraction = Dedup.contractiveComponents(edges, contractRounds = 3)
+      .as[(Long, Long)].collect().toMap
+    val viaPropagation = Dedup.connectedComponents(edges)
+      .as[(Long, Long)].collect().toMap
+    assert(viaContraction == viaPropagation,
+      s"tiers diverged: ${(viaContraction.toSet -- viaPropagation.toSet).take(5)}")
+    // semantic spot checks, independent of the propagation tier
+    assert((0L until 10L).map(i => viaContraction(50L + (i / 5) * 100 + i % 5)).toSet == Set(50L),
+      "bridged cliques must share the min label")
+    assert((1000L to 1030L).forall(viaContraction(_) == 1000L), "escalated path mislabeled")
+    assert(viaContraction(2000L) == 2000L && viaContraction(3000L) == 3000L)
+    // geometric shrinkage where it is claimed: ONE round collapses a
+    // clique-only graph to nothing (contractRounds = 1 must suffice —
+    // no escalation means no starComponents fixed point was needed)
+    val cliqueOnly = cliques.toDF("id_a", "id_b")
+    val oneRound = Dedup.contractiveComponents(cliqueOnly, contractRounds = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(oneRound.values.toSet == Set(50L, 150L, 250L))
+    assert(oneRound.size == 15)
+    spark.catalog.clearCache()
+  }
+
   test("codecs: BMP/PPM/WAV round-trip dimensions and pixels exactly") {
     import graft.ext.Multimodal._
     // BMP with a width whose 3-byte rows need padding (w=3 -> rowSize 12)
