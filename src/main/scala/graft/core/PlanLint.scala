@@ -100,17 +100,30 @@ object PlanLint {
     * itself is not counted, so whether a deterministic fragment
     * happened to be served from cache does not move the fingerprint.
     */
+  /** Exchange counts are DISTINCT CANONICALIZED exchanges, not node
+    * instances: AQE's exchange reuse is timing-dependent for two
+    * identical stages submitted in parallel (whichever materializes
+    * first gets reused by the other — or neither, if both were already
+    * running), so instance counts flap run-to-run on self-joining
+    * plans (q257's twin window branches measured 2 vs 4 across solo
+    * runs of identical code). Distinct-canonical counts are what the
+    * plan COMPUTES — reuse only changes how often the same computation
+    * is paid, and that is AQE's racy business, not the plan shape this
+    * golden locks.
+    */
   def fingerprint(df: DataFrame): String = {
     import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
     import org.apache.spark.sql.execution.exchange.{BroadcastExchangeExec, ShuffleExchangeExec}
     import org.apache.spark.sql.execution.joins.BaseJoinExec
     val nodes = allNodes(finalPlan(df))
-    var shuffle = 0; var bcast = 0; var sort = 0
+    val shuffles = scala.collection.mutable.Set.empty[SparkPlan]
+    val bcasts = scala.collection.mutable.Set.empty[SparkPlan]
+    var sort = 0
     val joins = scala.collection.mutable.ArrayBuffer.empty[String]
     val aggs = scala.collection.mutable.ArrayBuffer.empty[String]
     nodes.foreach {
-      case _: ShuffleExchangeExec   => shuffle += 1
-      case _: BroadcastExchangeExec => bcast += 1
+      case s: ShuffleExchangeExec   => shuffles += s.canonicalized
+      case b: BroadcastExchangeExec => bcasts += b.canonicalized
       case _: SortExec              => sort += 1
       case _: CartesianProductExec  => joins += "CartesianProduct"
       case j: BaseJoinExec          => joins += s"${j.nodeName}:${j.joinType}"
@@ -121,7 +134,8 @@ object PlanLint {
       if (xs.isEmpty) "-"
       else xs.groupBy(identity).toSeq.sortBy(_._1)
         .map { case (k, v) => s"$k*${v.size}" }.mkString(",")
-    s"shuffle=$shuffle broadcast=$bcast sort=$sort joins=${ms(joins.toSeq)} aggs=${ms(aggs.toSeq)}"
+    s"shuffle=${shuffles.size} broadcast=${bcasts.size} sort=$sort " +
+      s"joins=${ms(joins.toSeq)} aggs=${ms(aggs.toSeq)}"
   }
 
   /** Lint one ALREADY-EXECUTED frame. Returns every violation; the

@@ -2079,7 +2079,12 @@ object EngineQueries {
       .withColumn("rk", row_number().over(
         Window.partitionBy(col("qid")).orderBy(col(score).desc, col("cid").asc)))
       .filter(col("rk") <= 5).select(col("qid"), col("cid"))
-    top5("cos_full").join(top5("cos_trunc"), Seq("qid", "cid"), "left_semi")
+    // the semi-join's right side is <= |queries| x 5 rows — declare the
+    // broadcast instead of letting AQE discover it: the runtime SMJ->BHJ
+    // conversion is timing-dependent (already-materialized shuffle
+    // stages survive as local-read exchanges on some runs), which made
+    // this plan's shuffle count flap 2<->4 across identical solo runs
+    top5("cos_full").join(broadcast(top5("cos_trunc")), Seq("qid", "cid"), "left_semi")
       .groupBy(col("qid")).agg(count(lit(1)).as("n_overlap"))
       .select(col("qid"), col("n_overlap"),
         (col("n_overlap").cast("double") / 5.0).as("recall_at_5"))
