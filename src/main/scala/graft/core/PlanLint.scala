@@ -100,42 +100,71 @@ object PlanLint {
     * itself is not counted, so whether a deterministic fragment
     * happened to be served from cache does not move the fingerprint.
     */
-  /** Exchange counts are DISTINCT CANONICALIZED exchanges, not node
+  /** ALL fingerprint counts are DISTINCT CANONICALIZED nodes, not node
     * instances: AQE's exchange reuse is timing-dependent for two
     * identical stages submitted in parallel (whichever materializes
     * first gets reused by the other — or neither, if both were already
     * running), so instance counts flap run-to-run on self-joining
-    * plans (q257's twin window branches measured 2 vs 4 across solo
-    * runs of identical code). Distinct-canonical counts are what the
-    * plan COMPUTES — reuse only changes how often the same computation
-    * is paid, and that is AQE's racy business, not the plan shape this
-    * golden locks.
+    * plans (q257's twin window branches measured 2 vs 4 exchanges
+    * across solo runs of identical code). And reuse replaces the
+    * duplicate stage's WHOLE subtree, so every operator below a
+    * racily-reused exchange — partial aggregates, sorts, joins —
+    * flaps with it (q88 references its `nodes.distinct()` frame five
+    * times and measured HashAggregate*17 vs *20 across solo runs).
+    * Distinct-canonical counts are what the plan COMPUTES — reuse only
+    * changes how often the same computation is paid, and that is AQE's
+    * racy business, not the plan shape this golden locks.
     */
   def fingerprint(df: DataFrame): String = {
     import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
     import org.apache.spark.sql.execution.exchange.{BroadcastExchangeExec, ShuffleExchangeExec}
     import org.apache.spark.sql.execution.joins.BaseJoinExec
     val nodes = allNodes(finalPlan(df))
+    // Dedup must be blind to AQE's stage structure: whether a subtree
+    // was materialized as its own stage, reused from a twin stage, or
+    // inlined is a RUNTIME race (parallel stage submission), and a
+    // node's canonical form differs across those shapes (a
+    // ReusedExchange child canonicalizes unlike the original exchange
+    // it references — q88 measured BroadcastHashJoin:Inner*7 vs *8
+    // across solo JVMs from exactly this). Unwrap every stage/reuse
+    // wrapper to the plan it stands for BEFORE canonicalizing, so two
+    // occurrences of one computation always canonicalize equal.
+    def unwrap(p: SparkPlan): SparkPlan = p.transformUp {
+      case s: QueryStageExec        => unwrap(s.plan)
+      case r: ReusedExchangeExec    => unwrap(r.child)
+      case a: AdaptiveSparkPlanExec => unwrap(a.executedPlan)
+    }
+    // some canonicalized copies detach from the session and NPE on
+    // lazy state (observed: OneRowRelationExec under a canonicalized
+    // parent) — fall back to instance identity for that node, which
+    // only ever OVER-counts back to the pre-dedup behavior
+    def canon(p: SparkPlan): SparkPlan =
+      try unwrap(p).canonicalized catch { case _: Throwable => p }
     val shuffles = scala.collection.mutable.Set.empty[SparkPlan]
     val bcasts = scala.collection.mutable.Set.empty[SparkPlan]
-    var sort = 0
-    val joins = scala.collection.mutable.ArrayBuffer.empty[String]
-    val aggs = scala.collection.mutable.ArrayBuffer.empty[String]
+    val sorts = scala.collection.mutable.Set.empty[SparkPlan]
+    val joinNodes = scala.collection.mutable.Set.empty[SparkPlan]
+    val aggNodes = scala.collection.mutable.Set.empty[SparkPlan]
     nodes.foreach {
-      case s: ShuffleExchangeExec   => shuffles += s.canonicalized
-      case b: BroadcastExchangeExec => bcasts += b.canonicalized
-      case _: SortExec              => sort += 1
-      case _: CartesianProductExec  => joins += "CartesianProduct"
-      case j: BaseJoinExec          => joins += s"${j.nodeName}:${j.joinType}"
-      case a: BaseAggregateExec     => aggs += a.nodeName
+      case s: ShuffleExchangeExec   => shuffles += canon(s)
+      case b: BroadcastExchangeExec => bcasts += canon(b)
+      case s: SortExec              => sorts += canon(s)
+      case c: CartesianProductExec  => joinNodes += canon(c)
+      case j: BaseJoinExec          => joinNodes += canon(j)
+      case a: BaseAggregateExec     => aggNodes += canon(a)
       case _                        => ()
     }
+    val joins = joinNodes.toSeq.map {
+      case j: BaseJoinExec => s"${j.nodeName}:${j.joinType}"
+      case _               => "CartesianProduct"
+    }
+    val aggs = aggNodes.toSeq.map(_.nodeName)
     def ms(xs: Seq[String]) =
       if (xs.isEmpty) "-"
       else xs.groupBy(identity).toSeq.sortBy(_._1)
         .map { case (k, v) => s"$k*${v.size}" }.mkString(",")
-    s"shuffle=${shuffles.size} broadcast=${bcasts.size} sort=$sort " +
-      s"joins=${ms(joins.toSeq)} aggs=${ms(aggs.toSeq)}"
+    s"shuffle=${shuffles.size} broadcast=${bcasts.size} sort=${sorts.size} " +
+      s"joins=${ms(joins)} aggs=${ms(aggs)}"
   }
 
   /** Lint one ALREADY-EXECUTED frame. Returns every violation; the

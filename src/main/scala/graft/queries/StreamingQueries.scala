@@ -1518,6 +1518,318 @@ object StreamingQueries {
       |      ORDER BY ts DESC, event_id DESC) AS rn
       |  FROM events) WHERE rn = 1""".stripMargin
 
+  // ---------------------------------------------------------------- q266
+  /** RETRACTABLE join-view maintenance — the DELETE half of the IVM
+    * algebra (q258 maintains the view under two-sided INSERTS; this
+    * adds retraction, Flink's retract-stream semantics): when a batch
+    * of orders is deleted, the view subtracts exactly the (deleted
+    * order x current line-state) pairs — negative partials folded
+    * through [[graft.sink.AggSink.foldPartials]] (sums+counts form a
+    * group, not just a monoid), and the base state hard-deletes via
+    * the TTL-eviction purge. Cost is O(|deleted| x match), the base
+    * history is never re-joined — same delta discipline as the insert
+    * path. In-band REQUIREs: (1) replaying the SAME retraction fold
+    * (its arrival-sequence fence id) is a no-op — the crash-replay
+    * story of the q258 spec extended to deletes, where a
+    * double-subtraction would corrupt silently; (2) no zero-count
+    * group surfaces in the view read. Oracle: the one-shot join over
+    * SURVIVING orders only.
+    */
+  def q266RetractIvm(s: SparkSession, d: String): DataFrame = {
+    import graft.sink.AggSink
+    val base = graft.core.TempDirs.scoped("graft_q266_")
+    val orders = graft.core.Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_orderpriority"))
+    val line = graft.core.Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("o_orderkey"), col("l_linenumber"),
+        round(col("l_extendedprice") * 100).cast("long").as("cents"))
+      .withColumn("seq", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("o_orderkey"), col("l_linenumber"))
+          .orderBy(col("cents"))).cast("long"))
+    val oSink = new MergeSink(s, s"$base/ostate",
+      keys = Seq("o_orderkey"), orderCols = Seq("upd"), nBuckets = 8)
+    val lSink = new MergeSink(s, s"$base/lstate",
+      keys = Seq("o_orderkey", "l_linenumber", "seq"), orderCols = Seq("upd"), nBuckets = 8)
+    val view = new AggSink(s, s"$base/view",
+      keys = Seq("o_orderpriority"), sumCols = Seq("cents"), nBuckets = 4)
+    def oState = oSink.read().select(col("o_orderkey"), col("o_orderpriority"))
+    def lState = lSink.read().select(col("o_orderkey"), col("cents"))
+    // inserts, q258 discipline (fenced folds, delta joins current state)
+    oSink.merge(orders.filter(pmod(col("o_orderkey"), lit(2)) === 0).withColumn("upd", lit(0L)))
+    view.merge(oState.join(line.select(col("o_orderkey"), col("cents")), "o_orderkey")
+      .select(col("o_orderpriority"), col("cents")), 1)
+    lSink.merge(line.withColumn("upd", lit(1L)))
+    val dO1 = orders.filter(pmod(col("o_orderkey"), lit(2)) === 1)
+    view.merge(dO1.join(lState, "o_orderkey")
+      .select(col("o_orderpriority"), col("cents")), 2)
+    oSink.merge(dO1.withColumn("upd", lit(2L)))
+    // RETRACTION: delete every order with o_orderkey % 7 == 0 — the
+    // view subtracts (deleted order x current L-state), the base purges
+    val dDel = oState.filter(pmod(col("o_orderkey"), lit(7)) === 0)
+    val negPartials = dDel.join(lState, "o_orderkey")
+      .groupBy(col("o_orderpriority"))
+      .agg((-sum(col("cents"))).as("cents"),
+           (-count(lit(1))).cast("long").as("n_rows"))
+    view.foldPartials(negPartials, 3)
+    val vAfterRetract = view.manifest.versions().size
+    // replaying the retraction (crash-recovery path) must be fenced out
+    view.foldPartials(negPartials, 3)
+    require(view.manifest.versions().size == vAfterRetract,
+      "replayed retraction fold must be a fenced no-op")
+    oSink.purgeKeys(dDel.select(col("o_orderkey")), destroyHistory = false)
+    val out = view.read().select(col("o_orderpriority"),
+      col("n_rows").as("n_lines"), col("cents").as("rev_cents"))
+    require(out.filter(col("n_lines") <= 0).isEmpty,
+      "zero- or negative-count groups must never surface from the view")
+    out
+  }
+
+  val q266Sql: String =
+    """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_lines,
+      |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS rev_cents
+      |FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      |WHERE o.o_orderkey % 7 <> 0
+      |GROUP BY o_orderpriority""".stripMargin
+
+  // ---------------------------------------------------------------- q267
+  /** COVERING PROJECTION INDEX (ClickHouse PROJECTION / covering
+    * secondary-index analog): a second MergeSink keyed by
+    * (type_id, event_id), RANGE-bucketed on the leading type_id with
+    * width 1 and zone-mapped, maintained in LOCKSTEP with the primary
+    * (same batches, both sinks) — so a by-type query routes through
+    * the index and touches ONLY the bucket(s) whose zone map admits
+    * that type, never the primary's full layout. The type dictionary
+    * is 5 literal entries (metadata; at 100 TB a broadcast dim). The
+    * gate REQUIREs real pruning (the resolved bucket set is a strict
+    * subset of the index's populated buckets) and the oracle is the
+    * full-scan predicate over the raw table — the index must be
+    * CONTENT-INVISIBLE, like every other layout structure here.
+    */
+  def q267ProjectionIndex(s: SparkSession, d: String): DataFrame = {
+    val base = graft.core.TempDirs.scoped("graft_q267_")
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    val typeId = types.zipWithIndex
+      .foldLeft(lit(-1L)) { case (acc, (t, i)) =>
+        when(col("event_type") === t, lit(i.toLong)).otherwise(acc) }
+    val ev = graft.core.Tables.events(s, d)
+      .select(col("event_id"), col("event_type"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .withColumn("type_id", typeId)
+    val primary = new MergeSink(s, s"$base/primary",
+      keys = Seq("event_id"), orderCols = Seq("upd"), nBuckets = 16)
+    val index = new MergeSink(s, s"$base/index",
+      keys = Seq("type_id", "event_id"), orderCols = Seq("upd"),
+      nBuckets = 8, statsCols = Seq("type_id"), rangeBucketWidth = Some(1L))
+    (0 to 1).foreach { i =>
+      val batch = ev.filter(pmod(col("event_id"), lit(2)) === i).withColumn("upd", lit(i.toLong))
+      primary.merge(batch.drop("type_id"))
+      index.merge(batch.select(col("type_id"), col("event_id"), col("cents"), col("upd")))
+    }
+    val t = types.indexOf("purchase").toLong
+    val pruned = index.bucketsForRange("type_id", t.toDouble, t.toDouble)
+    require(pruned.nonEmpty && pruned.size < index.bucketFileCounts().size,
+      s"projection index must prune to a strict bucket subset: $pruned of ${index.bucketFileCounts().keys}")
+    index.readRange("type_id", t.toDouble, t.toDouble)
+      .select(col("event_id"), col("cents"))
+  }
+
+  val q267Sql: String =
+    """SELECT event_id, CAST(round(value * 100) AS BIGINT) AS cents
+      |FROM events WHERE event_type = 'purchase'""".stripMargin
+
+  // ---------------------------------------------------------------- q268
+  /** UPDATE-stream IVM — the third leg of the retract algebra (q258
+    * inserts, q266 deletes): an in-place update of a base attribute is
+    * retract-old + insert-new folded as ONE pre-aggregated partial
+    * frame under ONE fence id, so the view can never expose (or, on
+    * crash replay, double-apply) a half-moved group. Updated orders'
+    * line contributions MOVE from the old o_orderpriority group to the
+    * new one in a single atomic commit; the base state then absorbs
+    * the new attribute by plain LWW merge (idempotent — replay-safe by
+    * algebra, like q258's base side). Cost is O(|updated| x match):
+    * the matched L-state join is computed ONCE and both signed
+    * partials derive from it. In-band REQUIREs: replaying the update
+    * fold is a fenced no-op, and no zero-count group surfaces. Oracle:
+    * the one-shot join with the update applied via CASE.
+    */
+  def q268UpdateIvm(s: SparkSession, d: String): DataFrame = {
+    import graft.sink.AggSink
+    val base = graft.core.TempDirs.scoped("graft_q268_")
+    val orders = graft.core.Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_orderpriority"))
+    val line = graft.core.Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("o_orderkey"), col("l_linenumber"),
+        round(col("l_extendedprice") * 100).cast("long").as("cents"))
+      .withColumn("seq", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("o_orderkey"), col("l_linenumber"))
+          .orderBy(col("cents"))).cast("long"))
+    val oSink = new MergeSink(s, s"$base/ostate",
+      keys = Seq("o_orderkey"), orderCols = Seq("upd"), nBuckets = 8)
+    val lSink = new MergeSink(s, s"$base/lstate",
+      keys = Seq("o_orderkey", "l_linenumber", "seq"), orderCols = Seq("upd"), nBuckets = 8)
+    val view = new AggSink(s, s"$base/view",
+      keys = Seq("o_orderpriority"), sumCols = Seq("cents"), nBuckets = 4)
+    def oState = oSink.read().select(col("o_orderkey"), col("o_orderpriority"))
+    def lState = lSink.read().select(col("o_orderkey"), col("cents"))
+    // inserts: O first (no L state yet -> no fold), then L (one fold)
+    oSink.merge(orders.withColumn("upd", lit(0L)))
+    view.merge(oState.join(line.select(col("o_orderkey"), col("cents")), "o_orderkey")
+      .select(col("o_orderpriority"), col("cents")), 1)
+    lSink.merge(line.withColumn("upd", lit(1L)))
+    // UPDATE: every order with o_orderkey % 5 == 0 moves to priority
+    // '0-HOT' — retract-old + insert-new as one signed partial frame
+    val updated = oState.filter(pmod(col("o_orderkey"), lit(5)) === 0)
+    val matched = updated.join(lState, "o_orderkey")
+    val oldPart = matched.groupBy(col("o_orderpriority"))
+      .agg((-sum(col("cents"))).as("cents"),
+           (-count(lit(1))).cast("long").as("n_rows"))
+    val newPart = matched.groupBy(lit("0-HOT").as("o_orderpriority"))
+      .agg(sum(col("cents")).as("cents"),
+           count(lit(1)).cast("long").as("n_rows"))
+    val movePartials = oldPart.unionByName(newPart)
+      .groupBy(col("o_orderpriority"))
+      .agg(sum(col("cents")).as("cents"), sum(col("n_rows")).as("n_rows"))
+    view.foldPartials(movePartials, 2)
+    val vAfterMove = view.manifest.versions().size
+    // crash-replay of the SAME update arrival must be fenced out — a
+    // re-applied move would both double-subtract and double-add
+    view.foldPartials(movePartials, 2)
+    require(view.manifest.versions().size == vAfterMove,
+      "replayed update fold must be a fenced no-op")
+    oSink.merge(updated.withColumn("o_orderpriority", lit("0-HOT"))
+      .withColumn("upd", lit(2L)))
+    val out = view.read().select(col("o_orderpriority"),
+      col("n_rows").as("n_lines"), col("cents").as("rev_cents"))
+    require(out.filter(col("n_lines") <= 0).isEmpty,
+      "zero- or negative-count groups must never surface from the view")
+    out
+  }
+
+  val q268Sql: String =
+    """SELECT CASE WHEN o_orderkey % 5 = 0 THEN '0-HOT' ELSE o_orderpriority END
+      |    AS o_orderpriority,
+      |  CAST(count(*) AS BIGINT) AS n_lines,
+      |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS rev_cents
+      |FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      |GROUP BY 1""".stripMargin
+
+  // ---------------------------------------------------------------- q269
+  /** PROJECTION-INDEX maintenance under DELETES (q267 ∘ q266's delete
+    * discipline): the covering index must stay consistent with the
+    * primary through hard deletes — both sinks purge the same key set
+    * in lockstep (the index purge routes through its OWN
+    * (type_id, event_id) layout, touching only the buckets holding
+    * deleted keys), and a post-delete compaction pass proves layout
+    * maintenance stays content-invisible on an index that has seen
+    * deletes. In-band REQUIREs: zone-map pruning still resolves a
+    * strict bucket subset after the purge, and the compaction leaves
+    * the pruned read unchanged (bidirectional except). Oracle: the
+    * full-scan predicate over SURVIVING events only.
+    */
+  def q269IndexDeletes(s: SparkSession, d: String): DataFrame = {
+    val base = graft.core.TempDirs.scoped("graft_q269_")
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    val typeId = types.zipWithIndex
+      .foldLeft(lit(-1L)) { case (acc, (t, i)) =>
+        when(col("event_type") === t, lit(i.toLong)).otherwise(acc) }
+    val ev = graft.core.Tables.events(s, d)
+      .select(col("event_id"), col("event_type"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .withColumn("type_id", typeId)
+    val primary = new MergeSink(s, s"$base/primary",
+      keys = Seq("event_id"), orderCols = Seq("upd"), nBuckets = 16)
+    val index = new MergeSink(s, s"$base/index",
+      keys = Seq("type_id", "event_id"), orderCols = Seq("upd"),
+      nBuckets = 8, statsCols = Seq("type_id"), rangeBucketWidth = Some(1L))
+    (0 to 1).foreach { i =>
+      val batch = ev.filter(pmod(col("event_id"), lit(2)) === i).withColumn("upd", lit(i.toLong))
+      primary.merge(batch.drop("type_id"))
+      index.merge(batch.select(col("type_id"), col("event_id"), col("cents"), col("upd")))
+    }
+    // lockstep hard delete: every third event leaves BOTH structures
+    val doomed = ev.filter(pmod(col("event_id"), lit(3)) === 0)
+    primary.purgeKeys(doomed.select(col("event_id")), destroyHistory = false)
+    index.purgeKeys(doomed.select(col("type_id"), col("event_id")), destroyHistory = false)
+    val t = types.indexOf("purchase").toLong
+    val pruned = index.bucketsForRange("type_id", t.toDouble, t.toDouble)
+    require(pruned.nonEmpty && pruned.size < index.bucketFileCounts().size,
+      s"post-delete pruning must stay a strict bucket subset: $pruned of ${index.bucketFileCounts().keys}")
+    def byType = index.readRange("type_id", t.toDouble, t.toDouble)
+      .select(col("event_id"), col("cents"))
+    val before = byType
+    index.compact(maxFilesPerBucket = 1)
+    require(before.exceptAll(byType).isEmpty && byType.exceptAll(before).isEmpty,
+      "post-delete compaction must be content-invisible to the pruned read")
+    byType
+  }
+
+  val q269Sql: String =
+    """SELECT event_id, CAST(round(value * 100) AS BIGINT) AS cents
+      |FROM events WHERE event_type = 'purchase' AND event_id % 3 <> 0""".stripMargin
+
+  // ---------------------------------------------------------------- q270
+  /** MERGE-ON-READ deletion vectors (Iceberg v2 delete files / Delta
+    * deletion vectors): a scattered delete under hash layout touches
+    * nearly every bucket, so [[graft.sink.MergeSink.purgeKeys]]'
+    * copy-on-write rewrite approaches O(|table|) even for a tiny key
+    * set — the wrong cost shape at 100 TB. `deleteVector` commits the
+    * keys as per-bucket sidecars in O(|deleted|) bytes touching ZERO
+    * data files (REQUIREd in-band: the bucket->generation mapping is
+    * bit-identical across the delete commit). Reads anti-join the
+    * vectors; a later LWW re-insert of a deleted key survives because
+    * the merge's own bucket rewrite consumes the vector; `compact`
+    * applies the remaining vectors physically (REQUIREd: no vector
+    * outstanding after, content unchanged). Time travel shows the
+    * pre-delete rows at the pre-delete version (REQUIREd). Oracle:
+    * surviving rows plus the re-inserted subset with its updated
+    * value.
+    */
+  def q270DeletionVectors(s: SparkSession, d: String): DataFrame = {
+    val base = graft.core.TempDirs.scoped("graft_q270_")
+    val ev = graft.core.Tables.events(s, d)
+      .select(col("event_id"), round(col("value") * 100).cast("long").as("cents"))
+    val sink = new MergeSink(s, s"$base/state",
+      keys = Seq("event_id"), orderCols = Seq("upd"), nBuckets = 16)
+    (0 to 1).foreach { i =>
+      sink.merge(ev.filter(pmod(col("event_id"), lit(2)) === i).withColumn("upd", lit(i.toLong)))
+    }
+    val vBefore = sink.versions().max
+    val mapBefore = sink.manifest.mapping()
+    // scattered merge-on-read delete: every 13th event, zero rewrite
+    sink.deleteVector(ev.filter(pmod(col("event_id"), lit(13)) === 0)
+      .select(col("event_id")))
+    require(sink.manifest.mapping() == mapBefore,
+      "a deletion-vector commit must not rewrite or remap any data bucket")
+    require(sink.deleteVectors().nonEmpty, "expected outstanding deletion vectors")
+    require(sink.read().filter(pmod(col("event_id"), lit(13)) === 0).isEmpty,
+      "deleted keys must be invisible merge-on-read")
+    require(!sink.readAt(vBefore).filter(pmod(col("event_id"), lit(13)) === 0).isEmpty,
+      "time travel before the delete must still show the rows")
+    // LWW re-insert of a subset of the deleted keys: the merge's bucket
+    // rewrite consumes those buckets' vectors, so the new rows survive
+    sink.merge(ev.filter(pmod(col("event_id"), lit(26)) === 0)
+      .withColumn("cents", col("cents") + 1).withColumn("upd", lit(2L)))
+    require(!sink.read().filter(pmod(col("event_id"), lit(26)) === 0).isEmpty,
+      "re-inserted keys must survive their bucket's consumed vector")
+    // physical apply: compaction rewrites every DV-holding bucket
+    val beforeCompact = sink.read()
+    sink.compact(maxFilesPerBucket = 64)
+    require(sink.deleteVectors().isEmpty,
+      "compaction must consume every outstanding deletion vector")
+    require(beforeCompact.exceptAll(sink.read()).isEmpty &&
+            sink.read().exceptAll(beforeCompact).isEmpty,
+      "physical DV application must be content-invisible")
+    sink.read().select(col("event_id"), col("cents"))
+  }
+
+  val q270Sql: String =
+    """SELECT event_id,
+      |  CAST(round(value * 100) AS BIGINT)
+      |    + CASE WHEN event_id % 26 = 0 THEN 1 ELSE 0 END AS cents
+      |FROM events WHERE event_id % 13 <> 0 OR event_id % 26 = 0""".stripMargin
+
   // ---------------------------------------------------------------- q265
   /** PROGRESSIVE bucket-layout migration (the lazy, per-bucket
     * evolution q259's one-shot rebucket is the stop-the-world version
@@ -2704,6 +3016,11 @@ object StreamingQueries {
     "q258_join_ivm" -> (q258JoinIvm _, q258Sql),
     "q259_rebucket" -> (q259Rebucket _, q259Sql),
     "q265_progressive_rebucket" -> (q265ProgressiveRebucket _, q259Sql),
+    "q266_retract_ivm" -> (q266RetractIvm _, q266Sql),
+    "q267_projection_index" -> (q267ProjectionIndex _, q267Sql),
+    "q268_update_ivm" -> (q268UpdateIvm _, q268Sql),
+    "q269_index_deletes" -> (q269IndexDeletes _, q269Sql),
+    "q270_deletion_vectors" -> (q270DeletionVectors _, q270Sql),
     "q105_stats_prune" -> (q105StatsPrune _, q105Sql),
     "q106_purge_compliance" -> (q106PurgeCompliance _, q106Sql),
     "q107_streaming_embedding_index" -> (q107StreamingEmbeddingIndex _, ExtQueries.q32Sql),

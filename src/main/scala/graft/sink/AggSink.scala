@@ -71,8 +71,9 @@ final class AggSink(
     * log is shared with MergeSink — every fold is a numbered snapshot).
     */
   def readAt(v: Long): DataFrame =
-    manifest.snapshotAt(v).map(_.drop(BucketCol, FenceCol)).getOrElse(
-      throw new IllegalStateException(s"version $v at $path holds no buckets"))
+    manifest.snapshotAt(v).map(_.drop(BucketCol, FenceCol).filter(col(CountCol) =!= 0L))
+      .getOrElse(
+        throw new IllegalStateException(s"version $v at $path holds no buckets"))
 
   /** Retention knob bounding version-log storage — see
     * [[graft.sink.TableManifest.expireVersions]].
@@ -80,10 +81,17 @@ final class AggSink(
   def expireVersions(keepLast: Int): Unit =
     withWriterLock(spark, path, "expire")(manifest.expireVersions(keepLast))
 
-  /** Current aggregate state: keys ++ sumCols ++ n_rows. */
+  /** Current aggregate state: keys ++ sumCols ++ n_rows. Keys whose
+    * count has been RETRACTED to zero ([[foldPartials]]) are excluded:
+    * their zero-count rows persist physically only to carry the
+    * per-bucket replay fence (dropping them at fold time would lose
+    * the fence with them, and a replayed retraction would then
+    * re-apply into negative state). Insert-only views never hold a
+    * zero row, so this filter is invisible to them.
+    */
   def read(): DataFrame =
-    manifest.snapshot().map(_.drop(BucketCol, FenceCol)).getOrElse(
-      throw new IllegalStateException(s"no committed state at $path"))
+    manifest.snapshot().map(_.drop(BucketCol, FenceCol).filter(col(CountCol) =!= 0L))
+      .getOrElse(throw new IllegalStateException(s"no committed state at $path"))
 
   private def aggregate(df: DataFrame): DataFrame =
     df.groupBy(keys.map(col): _*)
@@ -98,11 +106,32 @@ final class AggSink(
     * carrying existing fences forward.
     */
   def merge(batch: DataFrame, batchId: Long = -1L): Unit = withWriterLock(spark, path, "merge") {
-    val partial = batch.groupBy(keys.map(col): _*)
+    foldLocked(batch.groupBy(keys.map(col): _*)
       .agg(sum(col(sumCols.head)).as(sumCols.head),
            (sumCols.tail.map(c => sum(col(c)).as(c)) :+
-             count(lit(1)).cast("long").as(CountCol)): _*)
-      .withColumn(BucketCol, bucketOf)
+             count(lit(1)).cast("long").as(CountCol)): _*), batchId)
+  }
+
+  /** RETRACTION fold (the delete half of the IVM algebra — Flink's
+    * retract-stream analog): `partials` arrives PRE-AGGREGATED as
+    * keys ++ sumCols ++ n_rows, with retractions carrying NEGATIVE
+    * sums and negative n_rows. Addition is the same commutative monoid
+    * fold as [[merge]] — negation makes it a group, so any interleave
+    * of inserts and retractions converges to the surviving-row
+    * aggregate. A key retracted to count zero disappears from
+    * [[read]]; its zero row persists physically to keep the bucket's
+    * replay fence (see read's doc — the q266 gate and PipelineSpec
+    * prove replayed retractions are fenced no-ops, not
+    * double-subtractions). Same fence, same atomic commit, same
+    * bucket pruning as merge.
+    */
+  def foldPartials(partials: DataFrame, batchId: Long = -1L): Unit =
+    withWriterLock(spark, path, "merge") {
+      foldLocked(partials.select((keys ++ sumCols :+ CountCol).map(col): _*), batchId)
+    }
+
+  private def foldLocked(partial0: DataFrame, batchId: Long): Unit = {
+    val partial = partial0.withColumn(BucketCol, bucketOf)
     val touched = partial.select(col(BucketCol)).distinct()
       .collect().map(_.getInt(0)).toSeq
     // per-bucket applied fences — at most |touched| (id, fence) ints

@@ -143,17 +143,44 @@ final class MergeSink(
   private def layoutState: Option[(Layout, Option[Migration])] =
     Some((currentLayout, manifest.migration()))
 
+  /** Anti-join `df` against the outstanding DELETION VECTORS of the
+    * requested buckets (None = all): DV parquet dirs hold key rows of
+    * merge-on-read deletes ([[deleteVector]]); a key in a DV is
+    * invisible until some rewrite of its bucket physically drops it
+    * and consumes the vector. DVs are small by design (O(deleted
+    * keys) per delete commit), so the key list broadcasts.
+    */
+  private def applyDv(df: DataFrame, dvm: Map[Int, Seq[String]],
+                      buckets: Option[Seq[Int]]): DataFrame = {
+    val rel = buckets match {
+      case Some(bs) => dvm.filter { case (b, _) => bs.contains(b) }
+      case None     => dvm
+    }
+    val paths = rel.values.flatten.toSeq.distinct.sorted
+    if (paths.isEmpty) df
+    else {
+      val dvKeys = paths.map(p => spark.read.parquet(s"$path/$p"))
+        .reduce(_ unionByName _)
+        .select(keys.map(col): _*).distinct()
+      df.join(broadcast(dvKeys), keys, "left_anti")
+    }
+  }
+
   /** Current committed state (bucket column dropped — callers see the
-    * logical schema they wrote).
+    * logical schema they wrote). Keys deleted merge-on-read
+    * ([[deleteVector]]) are excluded.
     */
   def read(): DataFrame =
-    manifest.snapshot().map(_.drop(BucketCol)).getOrElse(
-      throw new IllegalStateException(s"no committed state at $path"))
+    manifest.snapshot().map(df => applyDv(df.drop(BucketCol), manifest.dv(), None))
+      .getOrElse(throw new IllegalStateException(s"no committed state at $path"))
 
-  /** State as of retained version `v` — see class doc (TIME TRAVEL). */
+  /** State as of retained version `v` — see class doc (TIME TRAVEL).
+    * Applies the deletion vectors as of THAT version: a DV delete is a
+    * real commit, so versions before it still show the rows.
+    */
   def readAt(v: Long): DataFrame =
-    manifest.snapshotAt(v).map(_.drop(BucketCol)).getOrElse(
-      throw new IllegalStateException(s"version $v at $path holds no buckets"))
+    manifest.snapshotAt(v).map(df => applyDv(df.drop(BucketCol), manifest.dvAt(v), None))
+      .getOrElse(throw new IllegalStateException(s"version $v at $path holds no buckets"))
 
   /** Retained snapshot versions, ascending. */
   def versions(): Seq[Long] = manifest.versions()
@@ -180,7 +207,7 @@ final class MergeSink(
     val bs = bucketsForRange(c, lo, hi)
     val resolved =
       if (bs.isEmpty) read().filter(lit(false)) // schema-preserving empty; optimizes to zero scans
-      else manifest.snapshot(Some(bs)).map(_.drop(BucketCol)).getOrElse(read().filter(lit(false)))
+      else readBuckets(bs).getOrElse(read().filter(lit(false)))
     resolved.filter(col(c) >= lit(lo) && col(c) <= lit(hi))
   }
 
@@ -189,7 +216,8 @@ final class MergeSink(
     * scanned.
     */
   private[graft] def readBuckets(buckets: Seq[Int]): Option[DataFrame] =
-    manifest.snapshot(Some(buckets)).map(_.drop(BucketCol))
+    manifest.snapshot(Some(buckets))
+      .map(df => applyDv(df.drop(BucketCol), manifest.dv(), Some(buckets)))
 
   /** One-time adoption of a table written by the pre-manifest code
     * (bucket dirs at the root, no `_MANIFEST`) — reads fail loudly on
@@ -280,8 +308,7 @@ final class MergeSink(
     val bs = vs.flatMap(v => bucketsForPoint(c, v)).distinct.sorted
     val resolved =
       if (bs.isEmpty) read().filter(lit(false))
-      else manifest.snapshot(Some(bs)).map(_.drop(BucketCol))
-        .getOrElse(read().filter(lit(false)))
+      else readBuckets(bs).getOrElse(read().filter(lit(false)))
     resolved.filter(col(c).isin(vs: _*))
   }
 
@@ -425,6 +452,71 @@ final class MergeSink(
     if (destroyHistory) manifest.expireVersions(1)
   }
 
+  /** MERGE-ON-READ delete (Iceberg v2 delete-file / Delta deletion-
+    * vector analog): record the keys as a per-bucket DELETION VECTOR
+    * sidecar instead of rewriting any data bucket. [[purgeKeys]]'
+    * copy-on-write rewrite costs O(|every bucket holding a deleted
+    * key|) — for a scattered delete under hash layout that approaches
+    * O(|table|) even when |keys| is tiny; this commit writes
+    * O(|keys|) bytes and touches NO data file, which is the only
+    * delete shape that stays cheap at 100 TB.
+    *
+    * Semantics: every read path anti-joins the outstanding vectors
+    * (reads, range/point lookups, time travel at the vector's
+    * version, and the state that merges/compactions/migrations
+    * rebuild from). The delete is logical until some rewrite of the
+    * bucket materializes it: that rewrite reads DV-applied state and
+    * its commit CONSUMES the bucket's vectors atomically
+    * ([[TableManifest.commit]]'s consumption rule) — so a key
+    * re-inserted by a LATER merge survives (the merge's own rewrite
+    * dropped the vector), and [[compact]] treats DV-holding buckets
+    * as rewrite candidates, making compaction the physical-apply
+    * step. History keeps the deleted rows (versions before the DV
+    * commit still show them) — for erasure obligations use
+    * [[purgeKeys]], which is physical by contract.
+    *
+    * Vectors are written into a fresh generation dir (under
+    * `dv_<bucket>` (NOT underscore-prefixed: `_`-led path segments are
+    * hidden to Spark file discovery)) BEFORE the manifest rename, sharing the
+    * data files' atomic-publish story; vacuum treats DV references as
+    * liveness.
+    */
+  def deleteVector(keyRows: DataFrame): Unit =
+      MergeSink.withWriterLock(spark, path, "delete-vector") {
+    val keyList = keyRows.select(keys.map(col): _*).distinct()
+      .withColumn(BucketCol, bucketOf)
+    val held = manifest.mapping().keySet
+    // only buckets that exist can hold rows to delete — a key routed
+    // to an absent bucket has no row, and recording a vector for it
+    // would wrongly delete a FUTURE insert of that key
+    val touched = keyList.select(col(BucketCol)).distinct()
+      .collect().map(_.getInt(0)).filter(held.contains).toSeq.sorted
+    if (touched.nonEmpty) {
+      val gen = manifest.newGenDir()
+      // one distributed write, then per-bucket renames out of the
+      // partition layout (DV dirs must NOT look like `__bucket=` data dirs, and must NOT be
+      // `_`-prefixed — Spark file discovery hides such segments)
+      keyList.filter(col(BucketCol).isin(touched: _*))
+        .write.partitionBy(BucketCol).parquet(s"$path/$gen/dvtmp")
+      val fs = new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
+      touched.foreach { b =>
+        fs.rename(new Path(s"$path/$gen/dvtmp/$BucketCol=$b"),
+                  new Path(s"$path/$gen/dv_$b"))
+      }
+      fs.delete(new Path(s"$path/$gen/dvtmp"), true)
+      val dv = manifest.dv()
+      val appended = dv ++ touched.map(b =>
+        b -> (dv.getOrElse(b, Seq.empty) :+ s"$gen/dv_$b"))
+      manifest.commit(manifest.mapping(), manifest.stats(), layoutState,
+        dvState = Some(appended))
+    }
+  }
+
+  /** Outstanding deletion vectors per bucket — maintenance metadata
+    * (what [[compact]] will consume; layout gates audit this).
+    */
+  def deleteVectors(): Map[Int, Seq[String]] = manifest.dv()
+
   /** Compact buckets that have accumulated more than
     * `maxFilesPerBucket` parquet files — the classic streaming-sink
     * pathology: every micro-batch writes at least one file per bucket
@@ -475,11 +567,16 @@ final class MergeSink(
             .collect().map(_.getInt(0)).toSet
         }
       }
-      val rewrite = (oversized ++ tombstoned).toSeq.sorted
+      // buckets with outstanding deletion vectors are compaction
+      // candidates too: the rewrite is what applies a DV physically
+      // and consumes it (commit's DV-consumption rule)
+      val dvHeld = manifest.dv().keySet
+      val rewrite = (oversized ++ tombstoned ++ dvHeld).toSeq.sorted
       if (rewrite.nonEmpty) {
         val current = manifest.mapping()
         val gen = manifest.newGenDir()
-        val base = manifest.snapshot(Some(rewrite)).get
+        val base = applyDv(manifest.snapshot(Some(rewrite)).get,
+          manifest.dv(), Some(rewrite))
         dropDeleted.fold(base)(flag => base.filter(!coalesce(col(flag), lit(false))))
           .repartition(rewrite.length, col(BucketCol))
           .write
@@ -547,7 +644,7 @@ final class MergeSink(
         handle
       case Some(snap) =>
         val gen = manifest.newGenDir()
-        snap.drop(BucketCol)
+        applyDv(snap.drop(BucketCol), manifest.dv(), None)
           .withColumn(BucketCol, physOf(target))
           .repartition(newNBuckets, col(BucketCol))
           .sortWithinPartitions(keys.map(col): _*)
@@ -623,14 +720,17 @@ final class MergeSink(
       // is pure metadata (still a real commit — routing changes)
       manifest.commit(current, manifest.stats(), nextState)
     } else {
-      val moving = manifest.snapshot(Some(held)).get.drop(BucketCol)
+      val moving = applyDv(manifest.snapshot(Some(held)).get.drop(BucketCol),
+          manifest.dv(), Some(held))
         .withColumn(BucketCol, physOf(mig.target))
       // which target buckets these keys land in: at most k * spread
       // small ints reach the driver — the same metadata-not-data
       // pruning decision merge() makes
       val targets = moving.select(col(BucketCol)).distinct()
         .collect().map(_.getInt(0)).toSeq
-      val out = manifest.snapshot(Some(targets.filter(current.contains))) match {
+      val affected = targets.filter(current.contains)
+      val out = manifest.snapshot(Some(affected))
+          .map(df => applyDv(df, manifest.dv(), Some(affected))) match {
         case Some(existing) => existing.unionByName(moving)
         case None           => moving
       }

@@ -157,7 +157,10 @@ final class TableManifest(spark: SparkSession, val root: String) {
           val Array(c, lo, hi) = triple.split(",", 3)
           c -> ColStats(lo.toDouble, hi.toDouble)
         }.toMap
-      fields(0).toInt -> (fields(1), stats)
+      val dvs: Seq[String] =
+        if (fields.length < 4 || fields(3).isEmpty) Seq.empty
+        else fields(3).split(";").toSeq
+      fields(0).toInt -> (fields(1), stats, dvs)
     }.toMap
     Parsed(version, m, layout, migration)
   }
@@ -167,12 +170,24 @@ final class TableManifest(spark: SparkSession, val root: String) {
     else parse(readText(manifestPath))
 
   /** Current snapshot: bucket -> root-relative generation dir. */
-  def mapping(): Map[Int, String] = full().m.map { case (b, (g, _)) => b -> g }
+  def mapping(): Map[Int, String] = full().m.map { case (b, (g, _, _)) => b -> g }
 
   /** Current per-bucket zone-map stats (empty map per bucket when the
     * writer declared no stats columns).
     */
-  def stats(): Map[Int, Stats] = full().m.map { case (b, (_, s)) => b -> s }
+  def stats(): Map[Int, Stats] = full().m.map { case (b, (_, s, _)) => b -> s }
+
+  /** Current per-bucket DELETION VECTORS: bucket -> root-relative
+    * parquet dirs of key rows deleted merge-on-read (only buckets with
+    * at least one outstanding DV appear). Readers anti-join these
+    * keys; a rewrite of the bucket consumes them (see [[commit]]).
+    */
+  def dv(): Map[Int, Seq[String]] =
+    full().m.collect { case (b, (_, _, d)) if d.nonEmpty => b -> d }
+
+  /** [[dv]] as of retained version `v`. */
+  def dvAt(v: Long): Map[Int, Seq[String]] =
+    parsedAt(v).m.collect { case (b, (_, _, d)) if d.nonEmpty => b -> d }
 
   /** Published snapshot version (0 = never committed). */
   def currentVersion(): Long = full().version
@@ -202,13 +217,16 @@ final class TableManifest(spark: SparkSession, val root: String) {
   /** Historical snapshot `v`'s bucket -> generation dir. Fails loudly
     * on an expired or never-published version.
     */
-  def mappingAt(v: Long): Map[Int, String] = {
+  def mappingAt(v: Long): Map[Int, String] =
+    parsedAt(v).m.map { case (b, (g, _, _)) => b -> g }
+
+  private def parsedAt(v: Long): Parsed = {
     require(v >= 1 && v <= currentVersion(),
       s"version $v is not published at $root (current=${currentVersion()})")
     val p = versionPath(v)
     if (!fs.exists(p)) throw new IllegalStateException(
       s"version $v at $root has been expired (expireVersions) — retained: ${versions().mkString(",")}")
-    parse(readText(p)).m.map { case (b, (g, _)) => b -> g }
+    parse(readText(p))
   }
 
   /** Fresh, never-reused generation dir for one commit's data files. */
@@ -224,12 +242,14 @@ final class TableManifest(spark: SparkSession, val root: String) {
     s"${l.gen},${l.n},${l.rangeWidth.getOrElse("-")}"
 
   private def render(version: Long, m: Map[Int, String], stats: Map[Int, Stats],
-                     layout: Option[Layout], migration: Option[Migration]): String = {
+                     layout: Option[Layout], migration: Option[Migration],
+                     dv: Map[Int, Seq[String]]): String = {
     val body = m.toSeq.sortBy(_._1).map { case (b, g) =>
       val st = stats.getOrElse(b, Map.empty)
         .toSeq.sortBy(_._1)
         .map { case (c, cs) => s"$c,${cs.min},${cs.max}" }.mkString(";")
-      s"$b\t$g\t$st"
+      val d = dv.getOrElse(b, Seq.empty).mkString(";")
+      if (d.isEmpty) s"$b\t$g\t$st" else s"$b\t$g\t$st\t$d"
     }.mkString("", "\n", "\n")
     val lh = layout.map(l => s"#layout=${renderLayout(l)}\n").getOrElse("")
     val mh = migration.map(mg =>
@@ -245,15 +265,30 @@ final class TableManifest(spark: SparkSession, val root: String) {
     * them); Some((layout, migration)) sets them exactly — how
     * [[MergeSink]] records layout evolution and migration progress in
     * the SAME atomic commit as the data it describes.
+    * `dvState`: None applies the CONSUMPTION rule — a bucket keeps its
+    * deletion vectors iff this commit maps it to the SAME generation
+    * as before (an unchanged bucket's DVs still apply; a rewritten
+    * bucket was rebuilt from a DV-applied read, so its DVs are
+    * consumed and dropped in the same atomic commit). Every
+    * data-rewriting caller gets correct DV semantics for free;
+    * Some(dv) sets the map exactly (how [[MergeSink.deleteVector]]
+    * appends new vectors).
     */
   def commit(m: Map[Int, String], stats: Map[Int, Stats] = Map.empty,
-             layoutState: Option[(Layout, Option[Migration])] = None): Unit = {
+             layoutState: Option[(Layout, Option[Migration])] = None,
+             dvState: Option[Map[Int, Seq[String]]] = None): Unit = {
     val next = currentVersion() + 1
+    val f = full()
     val (lay, mig) = layoutState match {
       case Some((l, mg)) => (Some(l), mg)
-      case None          => val f = full(); (f.layout, f.migration)
+      case None          => (f.layout, f.migration)
     }
-    val body = render(next, m, stats, lay, mig)
+    val dv = dvState.getOrElse {
+      f.m.collect {
+        case (b, (g, _, d)) if d.nonEmpty && m.get(b).contains(g) => b -> d
+      }
+    }
+    val body = render(next, m, stats, lay, mig, dv)
     // immutable history copy first (overwrite: a crashed prior attempt
     // at this same unpublished version is dead by single-writer rule)
     fs.mkdirs(versionsDir)
@@ -292,10 +327,19 @@ final class TableManifest(spark: SparkSession, val root: String) {
   def vacuum(): Unit = {
     val cur = currentVersion()
     // gen -> buckets any retained snapshot still resolves from it
-    val liveRefs: Map[String, Set[Int]] =
+    val dataRefs: Map[String, Set[Int]] =
       (mapping().toSeq ++ versions().flatMap(v => mappingAt(v).toSeq))
         .groupMap { case (_, g) => g } { case (b, _) => b }
         .map { case (g, bs) => g -> bs.toSet }
+    // deletion-vector dirs keep their generation alive too: a DV path
+    // is `data/g-*/dv_<bucket>`, so its first two segments name the
+    // gen; referenced-with-no-data-buckets keeps the dir but sweeps
+    // nothing inside (DV subdirs are not `__bucket=` dirs)
+    val dvGens: Set[String] =
+      (dv().values.flatten ++ versions().flatMap(v => dvAt(v).values.flatten))
+        .map(_.split("/").take(2).mkString("/")).toSet
+    val liveRefs: Map[String, Set[Int]] =
+      dataRefs ++ (dvGens -- dataRefs.keySet).map(_ -> Set.empty[Int])
     val dataDir = new Path(root, "data")
     if (fs.exists(dataDir))
       fs.listStatus(dataDir).foreach { st =>
@@ -491,7 +535,7 @@ object TableManifest {
     */
   private final case class Parsed(
       version: Long,
-      m: Map[Int, (String, Stats)],
+      m: Map[Int, (String, Stats, Seq[String])],
       layout: Option[Layout],
       migration: Option[Migration])
 }

@@ -178,6 +178,100 @@ class PipelineSpec extends SparkSpec {
     assert(sink.lastBatchId == 10L)
   }
 
+  test("deletion vectors: zero-rewrite delete, re-insert revival, compaction apply, vacuum liveness") {
+    import graft.sink.MergeSink
+    val dir = freshDir() + "/dv"
+    val sink = new MergeSink(spark, dir, Seq("k"), Seq("upd"), nBuckets = 4)
+    def state() = sink.read().select($"k", $"v").as[(Long, String)].collect().toSet
+    sink.merge((1L to 20L).map(k => (k, s"v$k", 0L)).toDF("k", "v", "upd"))
+    val vBefore = sink.versions().max
+    val mapBefore = sink.manifest.mapping()
+    // merge-on-read delete of a scattered key set: no data file moves
+    sink.deleteVector(Seq(3L, 7L, 11L, 19L).toDF("k"))
+    assert(sink.manifest.mapping() == mapBefore, "DV commit must not remap data buckets")
+    assert(sink.deleteVectors().nonEmpty)
+    assert(state().map(_._1) == (1L to 20L).toSet -- Set(3L, 7L, 11L, 19L))
+    // time travel BEFORE the DV still shows the rows; at the DV it doesn't
+    assert(sink.readAt(vBefore).select($"k").as[Long].collect().toSet == (1L to 20L).toSet)
+    // a second DV accumulates; range of applicability is per-bucket
+    sink.deleteVector(Seq(4L).toDF("k"))
+    assert(state().map(_._1) == (1L to 20L).toSet -- Set(3L, 4L, 7L, 11L, 19L))
+    // LWW re-insert of a deleted key: its bucket's rewrite consumes the
+    // vector, so the NEW row survives while other deletes stay deleted
+    sink.merge(Seq((7L, "v7new", 1L)).toDF("k", "v", "upd"))
+    assert(state().contains((7L, "v7new")))
+    assert(!state().map(_._1).contains(3L) && !state().map(_._1).contains(4L))
+    // point/range entry paths see DVs too (they route through readBuckets)
+    assert(sink.read().filter($"k" === 11L).isEmpty)
+    // compaction applies every remaining vector physically
+    val before = state()
+    sink.compact(maxFilesPerBucket = 64)
+    assert(sink.deleteVectors().isEmpty, "compact must consume all DVs")
+    assert(state() == before, "physical apply must be content-invisible")
+    // expiry + vacuum after consumption: stale DV gens are reclaimable,
+    // content unchanged
+    sink.expireVersions(1)
+    assert(state() == before)
+  }
+
+  test("deletion vector crash-injection: a crash before the manifest rename publishes nothing") {
+    import graft.sink.MergeSink
+    val dir = freshDir() + "/dv_crash"
+    val sink = new MergeSink(spark, dir, Seq("k"), Seq("upd"), nBuckets = 2)
+    sink.merge(Seq((1L, "a", 0L), (2L, "b", 0L), (3L, "c", 0L)).toDF("k", "v", "upd"))
+    def keys() = sink.read().select($"k").as[Long].collect().toSet
+    sink.manifest.beforeCommit = () => throw new RuntimeException("injected crash")
+    val e = intercept[RuntimeException](sink.deleteVector(Seq(2L).toDF("k")))
+    assert(e.getMessage == "injected crash")
+    assert(keys() == Set(1L, 2L, 3L),
+      "a crashed DV commit must leave every row visible (files written, nothing published)")
+    assert(sink.deleteVectors().isEmpty)
+    // replay after restart: the delete lands exactly once
+    sink.manifest.beforeCommit = () => ()
+    sink.deleteVector(Seq(2L).toDF("k"))
+    assert(keys() == Set(1L, 3L))
+    // the next data commit's vacuum sweeps the crashed attempt's orphan
+    // gen (it is referenced by no version's mapping and no version's DV)
+    sink.merge(Seq((4L, "d", 1L)).toDF("k", "v", "upd"))
+    assert(keys() == Set(1L, 3L, 4L))
+  }
+
+  test("deletion vector survives vacuum while outstanding (gen referenced only by the DV)") {
+    import graft.sink.MergeSink
+    val dir = freshDir() + "/dv2"
+    val sink = new MergeSink(spark, dir, Seq("k"), Seq("upd"), nBuckets = 2)
+    sink.merge(Seq((1L, "a", 0L), (2L, "b", 0L)).toDF("k", "v", "upd"))
+    sink.deleteVector(Seq(2L).toDF("k"))
+    // vacuum runs inside merge/compact; run it directly too — the DV's
+    // generation dir is referenced by no bucket mapping, only by the DV
+    sink.manifest.vacuum()
+    assert(sink.read().select($"k").as[Long].collect().toSet == Set(1L))
+    // a merge into the OTHER bucket must not disturb the outstanding DV
+    sink.merge(Seq((1L, "a2", 1L)).toDF("k", "v", "upd"))
+    assert(sink.read().select($"k").as[Long].collect().toSet == Set(1L))
+  }
+
+  test("AggSink retraction: fold to zero hides the key, keeps the fence, re-insert revives") {
+    import graft.sink.AggSink
+    val dir = freshDir() + "/retract"
+    val sink = new AggSink(spark, dir, Seq("k"), Seq("w"), 2)
+    def state() = sink.read().as[(String, Long, Long)].collect().toSet
+    sink.merge(Seq(("a", 10L), ("a", 5L), ("b", 7L)).toDF("k", "w"), 0)
+    assert(state() == Set(("a", 15L, 2L), ("b", 7L, 1L)))
+    // retract ALL of a's contribution — a pre-aggregated negative partial
+    sink.foldPartials(Seq(("a", -15L, -2L)).toDF("k", "w", "n_rows"), 1)
+    assert(state() == Set(("b", 7L, 1L)), "zero-count key must leave the view")
+    // the zero row still carries the bucket fence: a replayed retraction
+    // is a no-op, NOT a second subtraction into negative state
+    val v = sink.manifest.versions().size
+    sink.foldPartials(Seq(("a", -15L, -2L)).toDF("k", "w", "n_rows"), 1)
+    assert(sink.manifest.versions().size == v, "replayed retraction must be fenced out")
+    assert(state() == Set(("b", 7L, 1L)))
+    // a later insert revives the key from zero
+    sink.merge(Seq(("a", 3L)).toDF("k", "w"), 2)
+    assert(state() == Set(("a", 3L, 1L), ("b", 7L, 1L)))
+  }
+
   test("AggSink.lastBatchId is -1 on an existing-but-empty state table") {
     // a committed snapshot can hold zero rows (retention sweep wrote an
     // empty bucket); max(fence) over it is NULL and must read as "no
