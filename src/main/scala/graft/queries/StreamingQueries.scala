@@ -1830,6 +1830,67 @@ object StreamingQueries {
       |    + CASE WHEN event_id % 26 = 0 THEN 1 ELSE 0 END AS cents
       |FROM events WHERE event_id % 13 <> 0 OR event_id % 26 = 0""".stripMargin
 
+  // ---------------------------------------------------------------- q271
+  /** WRITE-AUDIT-PUBLISH (Iceberg WAP analog): a suspect upstream
+    * batch merges into a STAGED snapshot no reader resolves; the audit
+    * queries the staged state — the REAL merged candidate, so
+    * cross-batch invariants hold, not just per-batch ones — and either
+    * publishes (atomic, exactly one new version, a rename not a
+    * rewrite) or discards (staged generation swept). A base-version
+    * fence makes stale publishes fail fast: a stage computed before an
+    * intervening commit would silently drop that commit's rows from
+    * the staged buckets. In-band REQUIREs: (1) the poisoned stage is
+    * audit-detected, never reader-visible, and its discard sweeps the
+    * staged generation from disk; (2) the corrected stage publishes as
+    * exactly one version; (3) a stage straddling an intervening commit
+    * throws on publish. Oracle: the final state equals the plain
+    * full-table transform — the WAP machinery must be content-neutral.
+    */
+  def q271WriteAuditPublish(s: SparkSession, d: String): DataFrame = {
+    val base = graft.core.TempDirs.scoped("graft_q271_")
+    val ev = graft.core.Tables.events(s, d)
+      .select(col("event_id"), round(col("value") * 100).cast("long").as("cents"))
+    val sink = new MergeSink(s, s"$base/state",
+      keys = Seq("event_id"), orderCols = Seq("upd"), nBuckets = 8)
+    sink.merge(ev.filter(pmod(col("event_id"), lit(2)) === 0).withColumn("upd", lit(0L)))
+    val vAfterBase = sink.versions().max
+    // STAGE a poisoned odd-half (negated cents on every 7th event)
+    val odd = ev.filter(pmod(col("event_id"), lit(2)) === 1)
+    val poisoned = odd.withColumn("cents",
+      when(pmod(col("event_id"), lit(7)) === 0, -col("cents")).otherwise(col("cents")))
+      .withColumn("upd", lit(1L))
+    val bad = sink.stageMerge(poisoned)
+    // AUDIT over the staged candidate state; readers still see only evens
+    require(!sink.readStaged(bad).filter(col("cents") < 0).isEmpty,
+      "audit must see the poison in the staged candidate state")
+    require(sink.read().filter(pmod(col("event_id"), lit(2)) === 1).isEmpty,
+      "a staged merge must be invisible to readers")
+    require(sink.versions().max == vAfterBase,
+      "staging must not consume a version")
+    sink.discardStaged(bad)
+    require(sink.stagedTokens().isEmpty, "discarded stage must vanish")
+    // corrected stage -> audit green -> atomic publish
+    val good = sink.stageMerge(odd.withColumn("upd", lit(1L)))
+    require(sink.readStaged(good).filter(col("cents") < 0).isEmpty,
+      "corrected stage must pass the audit")
+    sink.publishStaged(good)
+    require(sink.versions().max == vAfterBase + 1,
+      "publish must be exactly one new version")
+    // stale-base fence: a stage straddling an intervening commit fails
+    val stale = sink.stageMerge(ev.filter(pmod(col("event_id"), lit(5)) === 0)
+      .withColumn("cents", col("cents") + 5).withColumn("upd", lit(9L)))
+    sink.merge(ev.filter(pmod(col("event_id"), lit(3)) === 0).withColumn("upd", lit(2L)))
+    val fenced = try { sink.publishStaged(stale); false }
+      catch { case _: IllegalStateException => true }
+    require(fenced, "publishing a stale stage must fail fast")
+    sink.discardStaged(stale)
+    sink.read().select(col("event_id"), col("cents"))
+  }
+
+  val q271Sql: String =
+    """SELECT event_id, CAST(round(value * 100) AS BIGINT) AS cents
+      |FROM events""".stripMargin
+
   // ---------------------------------------------------------------- q265
   /** PROGRESSIVE bucket-layout migration (the lazy, per-bucket
     * evolution q259's one-shot rebucket is the stop-the-world version
@@ -3021,6 +3082,7 @@ object StreamingQueries {
     "q268_update_ivm" -> (q268UpdateIvm _, q268Sql),
     "q269_index_deletes" -> (q269IndexDeletes _, q269Sql),
     "q270_deletion_vectors" -> (q270DeletionVectors _, q270Sql),
+    "q271_write_audit_publish" -> (q271WriteAuditPublish _, q271Sql),
     "q105_stats_prune" -> (q105StatsPrune _, q105Sql),
     "q106_purge_compliance" -> (q106PurgeCompliance _, q106Sql),
     "q107_streaming_embedding_index" -> (q107StreamingEmbeddingIndex _, ExtQueries.q32Sql),

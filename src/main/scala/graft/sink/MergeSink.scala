@@ -349,6 +349,69 @@ final class MergeSink(
   /** foreachBatch adapter: `stream.writeStream.foreachBatch(sink.forEachBatch)`. */
   def forEachBatch: (DataFrame, Long) => Unit = (batch, _) => merge(batch)
 
+  /** WRITE-AUDIT-PUBLISH, stage step (Iceberg WAP analog): compute the
+    * merge EXACTLY like [[merge]] — same touched-bucket pruning, same
+    * LWW, same sorted write, blooms, stats — but persist the result as
+    * a STAGED snapshot no reader resolves. The returned token feeds an
+    * audit ([[readStaged]]), then [[publishStaged]] (atomic, exactly
+    * one new version) or [[discardStaged]] (staged generation swept).
+    * The stage carries a base-version fence: publishing after ANY
+    * intervening commit fails fast, because the staged LWW was
+    * computed against state that commit replaced. This is the
+    * bad-batch quarantine shape at 100 TB: an upstream feed suspected
+    * of poison stages in, invariant checks run against the REAL merged
+    * candidate state (not just the batch — cross-batch invariants
+    * need the merge), and visibility is a rename, not a rewrite.
+    */
+  def stageMerge(batch: DataFrame): String = MergeSink.withWriterLock(spark, path, "stage") {
+    val touched = batch.select(bucketOf.as(BucketCol)).distinct()
+      .collect().map(_.getInt(0)).toSeq
+    require(touched.nonEmpty, "stageMerge of an empty batch has nothing to audit")
+    val current = manifest.mapping()
+    val base = readBuckets(touched) match {
+      case Some(state) => state.unionByName(batch)
+      case None        => batch
+    }
+    val merged = Cdc.latestByKey(base, keys, orderCols)
+    val gen = manifest.newGenDir()
+    merged
+      .withColumn(BucketCol, bucketOf)
+      .sortWithinPartitions(keys.map(col): _*)
+      .write
+      .partitionBy(BucketCol)
+      .parquet(s"$path/$gen")
+    writeBloomsOfGen(gen)
+    manifest.stage(
+      current ++ manifest.writtenBuckets(gen).map(_ -> gen),
+      manifest.stats() ++ statsOfGen(gen))
+  }
+
+  /** The staged snapshot (state as it WOULD be after publish) — what
+    * the audit step queries. DV application matches publish semantics:
+    * staged rewritten buckets carry no vectors; untouched buckets keep
+    * theirs.
+    */
+  def readStaged(token: String): DataFrame =
+    manifest.stagedSnapshot(token)
+      .map(df => applyDv(df.drop(BucketCol), manifest.stagedDv(token), None))
+      .getOrElse(throw new IllegalStateException(s"stage $token resolves no buckets"))
+
+  /** Publish a staged merge atomically (one new version; fails fast if
+    * the table committed past the stage's base version).
+    */
+  def publishStaged(token: String): Unit =
+      MergeSink.withWriterLock(spark, path, "publish") {
+    manifest.publish(token)
+    manifest.vacuum()
+  }
+
+  /** Reject a staged merge; its generation is swept immediately. */
+  def discardStaged(token: String): Unit =
+      MergeSink.withWriterLock(spark, path, "discard")(manifest.discard(token))
+
+  /** Outstanding stage tokens. */
+  def stagedTokens(): Seq[String] = manifest.staged()
+
   /** COMPLIANCE PURGE — hard-delete every row whose merge key appears
     * in `keyRows` (a frame of the key columns), then DESTROY history so
     * the data is physically unrecoverable (the GDPR / takedown-request

@@ -310,6 +310,92 @@ final class TableManifest(spark: SparkSession, val root: String) {
         .rename(tmp, manifestPath, Options.Rename.OVERWRITE)
   }
 
+  // ------------------------------------------------- staged snapshots
+
+  private def stagedDir = new Path(root, TableManifest.StagedDir)
+  private def stagedPath(token: String) = new Path(stagedDir, token)
+
+  /** WRITE-AUDIT-PUBLISH, stage step: persist a fully-rendered
+    * snapshot body under `_staged/<token>` WITHOUT publishing — no
+    * reader resolves it, no version is consumed. The body carries a
+    * `#base=<version>` fence: [[publish]] refuses when the table has
+    * committed past that version, because the staged mapping was
+    * computed against state that no longer exists (publishing it would
+    * silently drop the intervening commits' rows from the staged
+    * buckets). Staged generations count as LIVE for [[vacuum]] until
+    * the stage is published or [[discard]]ed.
+    */
+  def stage(m: Map[Int, String], stats: Map[Int, Stats] = Map.empty,
+            dvState: Option[Map[Int, Seq[String]]] = None): String = {
+    val f = full()
+    val dv = dvState.getOrElse {
+      f.m.collect {
+        case (b, (g, _, d)) if d.nonEmpty && m.get(b).contains(g) => b -> d
+      }
+    }
+    val body = s"#base=${f.version}\n" +
+      render(f.version + 1, m, stats, f.layout, f.migration, dv)
+    val token = s"s-${java.util.UUID.randomUUID()}"
+    fs.mkdirs(stagedDir)
+    val out = fs.create(stagedPath(token), false)
+    try out.write(body.getBytes("UTF-8")) finally out.close()
+    token
+  }
+
+  /** Outstanding stage tokens (audit/maintenance metadata). */
+  def staged(): Seq[String] =
+    if (!fs.exists(stagedDir)) Seq.empty
+    else fs.listStatus(stagedDir).toSeq.map(_.getPath.getName).filter(_.startsWith("s-")).sorted
+
+  private def parseStaged(token: String): (Long, Parsed) = {
+    val p = stagedPath(token)
+    if (!fs.exists(p)) throw new IllegalStateException(
+      s"stage $token at $root does not exist (published or discarded?)")
+    val text = readText(p)
+    val base = text.linesIterator.collectFirst {
+      case l if l.startsWith("#base=") => l.stripPrefix("#base=").toLong
+    }.getOrElse(throw new IllegalStateException(s"stage $token has no #base fence"))
+    (base, parse(text))
+  }
+
+  /** The staged snapshot as a readable frame (bucket column included,
+    * like [[snapshot]]) — what the AUDIT step inspects. Returns None
+    * for an empty staged mapping.
+    */
+  def stagedSnapshot(token: String, buckets: Option[Seq[Int]] = None): Option[DataFrame] =
+    resolve(parseStaged(token)._2.m.map { case (b, (g, _, _)) => b -> g }, buckets)
+
+  /** Staged deletion-vector map (the audit may need to see deletes). */
+  def stagedDv(token: String): Map[Int, Seq[String]] =
+    parseStaged(token)._2.m.collect { case (b, (_, _, d)) if d.nonEmpty => b -> d }
+
+  /** WRITE-AUDIT-PUBLISH, publish step: commit the staged snapshot
+    * atomically — the normal [[commit]] path, so history, time travel,
+    * and crash atomicity are identical to a direct commit. Fails fast
+    * when the table committed past the stage's `#base` fence.
+    */
+  def publish(token: String): Unit = {
+    val (base, p) = parseStaged(token)
+    val cur = currentVersion()
+    if (cur != base) throw new IllegalStateException(
+      s"stage $token was computed against version $base but the table is at $cur — " +
+        "the staged merge is stale; discard and re-stage")
+    commit(
+      p.m.map { case (b, (g, _, _)) => b -> g },
+      p.m.map { case (b, (_, s, _)) => b -> s },
+      layoutState = p.layout.map(l => (l, p.migration)),
+      dvState = Some(p.m.collect { case (b, (_, _, d)) if d.nonEmpty => b -> d }))
+    fs.delete(stagedPath(token), false)
+  }
+
+  /** WRITE-AUDIT-PUBLISH, reject step: drop the staged snapshot; the
+    * next [[vacuum]] sweeps generations only it referenced.
+    */
+  def discard(token: String): Unit = {
+    fs.delete(stagedPath(token), false)
+    vacuum()
+  }
+
   /** Sweep everything no longer reachable at (generation, bucket)
     * granularity: a generation dir is shared by every bucket its
     * commit wrote, so whole-dir liveness is not enough — a bucket
@@ -338,8 +424,19 @@ final class TableManifest(spark: SparkSession, val root: String) {
     val dvGens: Set[String] =
       (dv().values.flatten ++ versions().flatMap(v => dvAt(v).values.flatten))
         .map(_.split("/").take(2).mkString("/")).toSet
+    // staged (write-audit-publish) snapshots keep their generations —
+    // both data mappings and DV refs — alive until published/discarded
+    val stagedParsed = staged().map(t => parseStaged(t)._2)
+    val stagedDataRefs: Map[String, Set[Int]] = stagedParsed
+      .flatMap(_.m.toSeq.map { case (b, (g, _, _)) => (b, g) })
+      .groupMap(_._2)(_._1).map { case (g, bs) => g -> bs.toSet }
+    val stagedDvGens: Set[String] = stagedParsed
+      .flatMap(_.m.values.flatMap(_._3))
+      .map(_.split("/").take(2).mkString("/")).toSet
+    val merged = (dataRefs.toSeq ++ stagedDataRefs.toSeq)
+      .groupMapReduce(_._1)(_._2)(_ ++ _)
     val liveRefs: Map[String, Set[Int]] =
-      dataRefs ++ (dvGens -- dataRefs.keySet).map(_ -> Set.empty[Int])
+      merged ++ ((dvGens ++ stagedDvGens) -- merged.keySet).map(_ -> Set.empty[Int])
     val dataDir = new Path(root, "data")
     if (fs.exists(dataDir))
       fs.listStatus(dataDir).foreach { st =>
@@ -500,6 +597,7 @@ final class TableManifest(spark: SparkSession, val root: String) {
 object TableManifest {
   val ManifestFile = "_MANIFEST"
   val VersionsDir = "_versions"
+  val StagedDir = "_staged"
 
   /** Inclusive min/max zone map of one column within one bucket.
     * Doubles: exact for integral values up to 2^53 (ids, epoch

@@ -251,6 +251,46 @@ class PipelineSpec extends SparkSpec {
     assert(sink.read().select($"k").as[Long].collect().toSet == Set(1L))
   }
 
+  test("write-audit-publish: staged gens live through vacuum, swept on discard, crash-safe publish") {
+    import graft.sink.MergeSink
+    val dir = freshDir() + "/wap"
+    val sink = new MergeSink(spark, dir, Seq("k"), Seq("upd"), nBuckets = 2)
+    sink.merge(Seq((1L, 10L, 0L), (2L, 20L, 0L)).toDF("k", "v", "upd"))
+    def state() = sink.read().select($"k", $"v").as[(Long, Long)].collect().toSet
+    def gensOnDisk() = Option(new java.io.File(dir + "/data").listFiles()).toSeq.flatten
+      .filter(_.isDirectory).map(_.getName).toSet
+    val before = gensOnDisk()
+    val t = sink.stageMerge(Seq((3L, 30L, 1L)).toDF("k", "v", "upd"))
+    val stagedGens = gensOnDisk() -- before
+    assert(stagedGens.nonEmpty)
+    // vacuum (ridden by any maintenance) must NOT sweep a staged gen
+    sink.manifest.vacuum()
+    assert((gensOnDisk() -- before) == stagedGens, "staged generation must survive vacuum")
+    assert(state() == Set((1L, 10L), (2L, 20L)), "staged rows invisible")
+    // audit sees the candidate state
+    assert(sink.readStaged(t).select($"k").as[Long].collect().toSet == Set(1L, 2L, 3L))
+    // crash injected INSIDE publish (before the manifest rename):
+    // nothing published, stage still outstanding, retry succeeds
+    sink.manifest.beforeCommit = () => throw new RuntimeException("boom")
+    intercept[RuntimeException](sink.publishStaged(t))
+    sink.manifest.beforeCommit = () => ()
+    assert(state() == Set((1L, 10L), (2L, 20L)))
+    assert(sink.stagedTokens() == Seq(t), "crashed publish must leave the stage outstanding")
+    sink.publishStaged(t)
+    assert(state() == Set((1L, 10L), (2L, 20L), (3L, 30L)))
+    assert(sink.stagedTokens().isEmpty)
+    // discard path: the staged gen is swept from disk immediately
+    val before2 = gensOnDisk()
+    val t2 = sink.stageMerge(Seq((4L, 40L, 2L)).toDF("k", "v", "upd"))
+    val staged2 = gensOnDisk() -- before2
+    assert(staged2.nonEmpty)
+    sink.discardStaged(t2)
+    assert((gensOnDisk() -- before2).isEmpty, "discard must sweep the staged generation")
+    assert(state() == Set((1L, 10L), (2L, 20L), (3L, 30L)))
+    // double-publish / publish-after-discard fail loudly
+    intercept[IllegalStateException](sink.publishStaged(t2))
+  }
+
   test("AggSink retraction: fold to zero hides the key, keeps the fence, re-insert revives") {
     import graft.sink.AggSink
     val dir = freshDir() + "/retract"
