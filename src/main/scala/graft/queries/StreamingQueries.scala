@@ -1891,6 +1891,71 @@ object StreamingQueries {
     """SELECT event_id, CAST(round(value * 100) AS BIGINT) AS cents
       |FROM events""".stripMargin
 
+  // ---------------------------------------------------------------- q272
+  /** END-TO-END RETRACTION PIPELINE — the round-10 primitives composed
+    * (and proven to interoperate, not just pass their own gates):
+    * a merge-on-read DV delete on the base table ([[q270]]'s shape) is
+    * consumed DOWNSTREAM via the change feed — `changesBetween` must
+    * classify DV-hidden keys as `delete` rows (time travel applies
+    * vectors as of each version, so the diff sees them leave) — and
+    * the deletes drive [[q266]]'s retraction fold into the aggregate
+    * view. No hand-built negatives: the feed IS the retraction source,
+    * which is exactly how a downstream IVM consumes an upstream table
+    * it does not own. In-band REQUIREs: the feed's delete set is
+    * non-empty and exactly the DV'd keys; the replayed fold is a
+    * fenced no-op. Oracle: the one-shot join over surviving orders.
+    */
+  def q272DvRetractionFeed(s: SparkSession, d: String): DataFrame = {
+    import graft.sink.AggSink
+    val base = graft.core.TempDirs.scoped("graft_q272_")
+    val orders = graft.core.Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_orderpriority"))
+    val line = graft.core.Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("o_orderkey"),
+        round(col("l_extendedprice") * 100).cast("long").as("cents"))
+    val oSink = new MergeSink(s, s"$base/ostate",
+      keys = Seq("o_orderkey"), orderCols = Seq("upd"), nBuckets = 8)
+    val view = new AggSink(s, s"$base/view",
+      keys = Seq("o_orderpriority"), sumCols = Seq("cents"), nBuckets = 4)
+    oSink.merge(orders.withColumn("upd", lit(0L)))
+    view.merge(oSink.read().select(col("o_orderkey"), col("o_orderpriority"))
+      .join(line, "o_orderkey")
+      .select(col("o_orderpriority"), col("cents")), 1)
+    // upstream owner deletes every 7th order merge-on-read
+    val v1 = oSink.versions().max
+    oSink.deleteVector(orders.filter(pmod(col("o_orderkey"), lit(7)) === 0)
+      .select(col("o_orderkey")))
+    val v2 = oSink.versions().max
+    // downstream consumer: the change feed is the retraction source
+    val feed = oSink.changesBetween(v1, v2)
+      .filter(col("_change_type") === "delete")
+      .select(col("o_orderkey"))
+    require(!feed.isEmpty, "the change feed must surface DV deletes")
+    require(feed.filter(pmod(col("o_orderkey"), lit(7)) =!= 0).isEmpty,
+      "the feed's delete set must be exactly the DV'd keys")
+    // recover the deleted rows' attributes from the pre-delete version
+    val negPartials = feed
+      .join(oSink.readAt(v1), "o_orderkey")
+      .join(line, "o_orderkey")
+      .groupBy(col("o_orderpriority"))
+      .agg((-sum(col("cents"))).as("cents"),
+           (-count(lit(1))).cast("long").as("n_rows"))
+    view.foldPartials(negPartials, 2)
+    val vAfter = view.manifest.versions().size
+    view.foldPartials(negPartials, 2)
+    require(view.manifest.versions().size == vAfter,
+      "replayed feed-driven retraction must be a fenced no-op")
+    view.read().select(col("o_orderpriority"),
+      col("n_rows").as("n_lines"), col("cents").as("rev_cents"))
+  }
+
+  val q272Sql: String =
+    """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_lines,
+      |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS rev_cents
+      |FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      |WHERE o.o_orderkey % 7 <> 0
+      |GROUP BY o_orderpriority""".stripMargin
+
   // ---------------------------------------------------------------- q265
   /** PROGRESSIVE bucket-layout migration (the lazy, per-bucket
     * evolution q259's one-shot rebucket is the stop-the-world version
@@ -3083,6 +3148,7 @@ object StreamingQueries {
     "q269_index_deletes" -> (q269IndexDeletes _, q269Sql),
     "q270_deletion_vectors" -> (q270DeletionVectors _, q270Sql),
     "q271_write_audit_publish" -> (q271WriteAuditPublish _, q271Sql),
+    "q272_dv_retraction_feed" -> (q272DvRetractionFeed _, q272Sql),
     "q105_stats_prune" -> (q105StatsPrune _, q105Sql),
     "q106_purge_compliance" -> (q106PurgeCompliance _, q106Sql),
     "q107_streaming_embedding_index" -> (q107StreamingEmbeddingIndex _, ExtQueries.q32Sql),
