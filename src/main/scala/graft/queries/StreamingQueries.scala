@@ -1956,6 +1956,102 @@ object StreamingQueries {
       |WHERE o.o_orderkey % 7 <> 0
       |GROUP BY o_orderpriority""".stripMargin
 
+  // ---------------------------------------------------------------- q273
+  /** ANN INDEX MAINTENANCE UNDER DELETES — the pain point most vector
+    * stores solve with tombstones: removing vectors from an IVF
+    * inverted-list index without rebuilding it. The cell table
+    * (q37's assignment, computed once — deletion removes VECTORS, not
+    * centroids, so assignments never re-derive) lives in a MergeSink
+    * RANGE-bucketed on cent_id (width = the centroid id stride, one
+    * cell per bucket); doomed vectors leave MERGE-ON-READ via
+    * [[graft.sink.MergeSink.deleteVector]] — O(deleted) bytes, zero
+    * data files touched (mapping REQUIREd bit-identical). The probe
+    * routes through zone-map pruning to ONLY its nprobe cells' buckets
+    * (strict-subset REQUIREd) and the DV anti-join excludes deleted
+    * vectors from top-k — no deleted cid can surface (REQUIREd).
+    * Oracle: the same IVF query over SURVIVING vectors (assignment
+    * over all centroids, survivors filtered after).
+    */
+  def q273AnnIndexDeletes(s: SparkSession, d: String): DataFrame = {
+    import graft.queries.Extended
+    import org.apache.spark.sql.expressions.Window
+    val base = graft.core.TempDirs.scoped("graft_q273_")
+    val emb = graft.core.Tables.embeddings(s, d)
+    val cents = emb.filter(col("vec_id") % 25 === 0 && col("vec_id") < 400)
+      .select(expr("vec_id div 25").as("cent_idx"),
+              col("vec_id").as("cent_id"), col("embedding").as("cent"))
+    val cells = Extended.ivfAssignCells(
+      emb.select(col("vec_id").as("cid"), col("embedding").as("ce")), cents, nCents = 16)
+    val index = new MergeSink(s, s"$base/cells",
+      keys = Seq("cent_id", "cid"), orderCols = Seq("upd"),
+      nBuckets = 16, statsCols = Seq("cent_id"), rangeBucketWidth = Some(25L))
+    (0 to 1).foreach { i =>
+      index.merge(cells.filter(pmod(col("cid"), lit(2)) === i).withColumn("upd", lit(i.toLong)))
+    }
+    // merge-on-read delete of every 9th vector: zero data-file rewrite
+    val mapBefore = index.manifest.mapping()
+    index.deleteVector(cells.filter(pmod(col("cid"), lit(9)) === 0)
+      .select(col("cent_id"), col("cid")))
+    require(index.manifest.mapping() == mapBefore,
+      "ANN delete must not rewrite or remap any index bucket")
+    // probe: nprobe=4 cells per query, routed through zone-map pruning
+    val probes = {
+      val w = Window.partitionBy(col("qid")).orderBy(col("cent_cos").desc, col("cent_id").asc)
+      emb.filter(col("vec_id") < 5).select(col("vec_id").as("qid"), col("embedding").as("qe"))
+        .crossJoin(broadcast(cents))
+        .withColumn("cent_cos",
+          round(graft.functions.VectorFunctions.cosineSim(col("qe"), col("cent")), 6))
+        .withColumn("crank", row_number().over(w))
+        .filter(col("crank") <= 4)
+        .select(col("qid"), col("qe"), col("cent_id"))
+    }
+    val probedCents = probes.select(col("cent_id")).distinct()
+      .collect().map(_.getLong(0)).toSeq.sorted
+    val bs = probedCents.flatMap(t =>
+      index.bucketsForRange("cent_id", t.toDouble, t.toDouble)).distinct.sorted
+    require(bs.nonEmpty && bs.size < index.bucketFileCounts().size,
+      s"probe must prune to a strict bucket subset: $bs of ${index.bucketFileCounts().keys}")
+    val probedCells = index.readBuckets(bs).get
+      .filter(col("cent_id").isin(probedCents: _*))
+      .select(col("cent_id"), col("cid"), col("ce"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos6").desc, col("cid").asc)
+    val out = probes.join(probedCells, Seq("cent_id")).filter(col("cid") =!= col("qid"))
+      .withColumn("cos6",
+        round(graft.functions.VectorFunctions.cosineSim(col("qe"), col("ce")), 6))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 3)
+      .select(col("qid"), col("rank"), col("cid"), col("cos6"))
+    require(out.filter(pmod(col("cid"), lit(9)) === 0).isEmpty,
+      "no deleted vector may surface in top-k")
+    out
+  }
+
+  val q273Sql: String = {
+    val cosEC = graft.functions.VectorFunctions.cosineSqlDuck("e", "cent")
+    val cosQC = graft.functions.VectorFunctions.cosineSqlDuck("qe", "ce")
+    s"""WITH cents AS (SELECT vec_id AS cent_id, embedding AS cent FROM embeddings
+       |    WHERE vec_id % 25 = 0 AND vec_id < 400),
+       |  cells AS (SELECT cid, ce, cent_id FROM
+       |    (SELECT v.vec_id AS cid, v.embedding AS ce, c.cent_id,
+       |       row_number() OVER (PARTITION BY v.vec_id
+       |         ORDER BY round($cosEC, 6) DESC, c.cent_id) AS crank
+       |     FROM (SELECT vec_id, embedding, embedding AS e FROM embeddings) v, cents c)
+       |    WHERE crank = 1 AND cid % 9 <> 0),
+       |  probes AS (SELECT qid, qe, cent_id FROM
+       |    (SELECT v.vec_id AS qid, v.embedding AS qe, c.cent_id,
+       |       row_number() OVER (PARTITION BY v.vec_id
+       |         ORDER BY round($cosEC, 6) DESC, c.cent_id) AS crank
+       |     FROM (SELECT vec_id, embedding, embedding AS e FROM embeddings
+       |           WHERE vec_id < 5) v, cents c)
+       |    WHERE crank <= 4),
+       |  sc AS (SELECT qid, cid, round($cosQC, 6) AS cos6
+       |         FROM probes JOIN cells USING (cent_id) WHERE cid <> qid)
+       |SELECT qid, rank, cid, cos6 FROM
+       |  (SELECT qid, cid, cos6, row_number() OVER
+       |     (PARTITION BY qid ORDER BY cos6 DESC, cid) AS rank FROM sc)
+       |WHERE rank <= 3""".stripMargin
+  }
+
   // ---------------------------------------------------------------- q265
   /** PROGRESSIVE bucket-layout migration (the lazy, per-bucket
     * evolution q259's one-shot rebucket is the stop-the-world version
@@ -3149,6 +3245,7 @@ object StreamingQueries {
     "q270_deletion_vectors" -> (q270DeletionVectors _, q270Sql),
     "q271_write_audit_publish" -> (q271WriteAuditPublish _, q271Sql),
     "q272_dv_retraction_feed" -> (q272DvRetractionFeed _, q272Sql),
+    "q273_ann_index_deletes" -> (q273AnnIndexDeletes _, q273Sql),
     "q105_stats_prune" -> (q105StatsPrune _, q105Sql),
     "q106_purge_compliance" -> (q106PurgeCompliance _, q106Sql),
     "q107_streaming_embedding_index" -> (q107StreamingEmbeddingIndex _, ExtQueries.q32Sql),

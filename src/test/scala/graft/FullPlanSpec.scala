@@ -89,6 +89,7 @@ class FullPlanSpec extends SparkSpec {
       "q30_knn_brute" -> "query probe set (fixed 5 vectors) vs corpus — the declared brute baseline",
       "q32_embedding_neardup" -> "within-bucket candidate pairs; broadcast side is the bucket probe set",
       "q37_ivf_ann" -> "IVF centroid table (16 rows) + probe set",
+      "q273_ann_index_deletes" -> "IVF centroid table (16 rows) x 5-query probe set (q37's shape over the maintained index)",
       "q47_range_join" -> "theta join probing the broadcast 5-row band table",
       "q72_tfidf" -> "corpus doc-count frame (1 row) for idf",
       "q75_ivf_trained" -> "trained centroid table (16 rows) + probe set",
@@ -108,6 +109,21 @@ class FullPlanSpec extends SparkSpec {
 
   private val goldenPath =
     java.nio.file.Paths.get("src/test/resources/plan_golden.txt")
+
+  /** Queries whose EXACT shape fingerprint is AQE-unstable and exempt
+    * from the golden diff (the anti-pattern lint still applies in
+    * full). Justified per entry; measured evidence required. Keep this
+    * list at one entry if at all possible — exemption is a last
+    * resort after canonical dedup + stage-unwrap (PlanLint) failed to
+    * stabilize the query.
+    */
+  private val aqeUnstable: Map[String, String] = Map(
+    "q88_pagerank" -> ("4 chained self-referential iterations: AQE re-optimizes each " +
+      "query stage against whatever runtime stats snapshots its racy stage scheduling " +
+      "produced, flipping individual join strategies run-to-run (measured across solo " +
+      "JVMs on identical code+data: BHJ:Inner*7/*8/*9 with HashAggregate*14/*15/*16 " +
+      "moving in opposition). Canonical dedup + reuse-unwrap stabilized every other " +
+      "query; q88's variance is strategy choice, not node duplication."))
 
   test("all queries: plan lint + golden shape fingerprints") {
     val names = SparkEntry.queries.keys.toSeq.sorted
@@ -197,7 +213,8 @@ class FullPlanSpec extends SparkSpec {
       // reproducible shape change fails; a concurrent-sweep artifact
       // passes the recheck silently.
       val firstPass = current.collect {
-        case (n, fp) if golden.contains(n) && golden(n) != fp => n
+        case (n, fp) if golden.contains(n) && golden(n) != fp &&
+          !aqeUnstable.contains(n) => n
       }.toSeq.sorted
       val confirmed = firstPass.flatMap { n =>
         val fp = soloFingerprint(n)
