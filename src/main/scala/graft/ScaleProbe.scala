@@ -48,7 +48,10 @@ object ScaleProbe {
     "q213_exact_substr" -> "batch",
     "q249_streaming_cc" -> "streaming",
     "q251_streaming_reservoir" -> "streaming",
+    "q258_join_ivm" -> "sink-maintenance",
     "q25_minhash_sig" -> "batch",
+    "q265_progressive_rebucket" -> "sink-maintenance",
+    "q270_deletion_vectors" -> "sink-maintenance",
     "q66_streaming_cdc" -> "streaming",
     "q71_dedup_clusters" -> "batch",
     "q86_contamination" -> "batch",
