@@ -1956,6 +1956,66 @@ object StreamingQueries {
       |WHERE o.o_orderkey % 7 <> 0
       |GROUP BY o_orderpriority""".stripMargin
 
+  // ---------------------------------------------------------------- q274
+  /** REPEATED retraction waves — q272's DV -> change-feed -> retract
+    * cycle iterated with OVERLAPPING delete sets (every 5th, then
+    * every 7th, then every 11th order key; a key divisible by 35 is
+    * "deleted" twice). The correctness load-bearing parts: the feed
+    * between consecutive versions reports only keys that ACTUALLY
+    * left (an idempotent re-delete of an absent key produces no feed
+    * row, hence no double retraction), each wave folds under its own
+    * fence, and the view converges to the three-way-survivor
+    * aggregate. This is the steady-state shape of a downstream IVM
+    * under a continuously-deleting upstream.
+    */
+  def q274RetractionWaves(s: SparkSession, d: String): DataFrame = {
+    import graft.sink.AggSink
+    val base = graft.core.TempDirs.scoped("graft_q274_")
+    val orders = graft.core.Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_orderpriority"))
+    val line = graft.core.Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("o_orderkey"),
+        round(col("l_extendedprice") * 100).cast("long").as("cents"))
+    val oSink = new MergeSink(s, s"$base/ostate",
+      keys = Seq("o_orderkey"), orderCols = Seq("upd"), nBuckets = 8)
+    val view = new AggSink(s, s"$base/view",
+      keys = Seq("o_orderpriority"), sumCols = Seq("cents"), nBuckets = 4)
+    oSink.merge(orders.withColumn("upd", lit(0L)))
+    view.merge(oSink.read().join(line, "o_orderkey")
+      .select(col("o_orderpriority"), col("cents")), 1)
+    Seq(5L, 7L, 11L).zipWithIndex.foreach { case (k, i) =>
+      val vPrev = oSink.versions().max
+      // the upstream deletes blindly — including keys earlier waves
+      // already removed (divisible-by-35 overlap on wave 2, etc.)
+      oSink.deleteVector(orders.filter(pmod(col("o_orderkey"), lit(k)) === 0)
+        .select(col("o_orderkey")))
+      val vNow = oSink.versions().max
+      val leavers = oSink.changesBetween(vPrev, vNow)
+        .filter(col("_change_type") === "delete").select(col("o_orderkey"))
+      require(leavers.filter(pmod(col("o_orderkey"), lit(k)) =!= 0).isEmpty,
+        s"wave $k feed must contain only this wave's keys")
+      if (i > 0) require(
+        leavers.filter(pmod(col("o_orderkey"), lit(5)) === 0).isEmpty,
+        s"wave $k feed must not re-report keys wave 5 already removed")
+      val neg = leavers.join(oSink.readAt(vPrev), "o_orderkey")
+        .join(line, "o_orderkey")
+        .groupBy(col("o_orderpriority"))
+        .agg((-sum(col("cents"))).as("cents"),
+             (-count(lit(1))).cast("long").as("n_rows"))
+      view.foldPartials(neg, 2 + i)
+    }
+    view.read().select(col("o_orderpriority"),
+      col("n_rows").as("n_lines"), col("cents").as("rev_cents"))
+  }
+
+  val q274Sql: String =
+    """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_lines,
+      |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS rev_cents
+      |FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      |WHERE o.o_orderkey % 5 <> 0 AND o.o_orderkey % 7 <> 0
+      |  AND o.o_orderkey % 11 <> 0
+      |GROUP BY o_orderpriority""".stripMargin
+
   // ---------------------------------------------------------------- q273
   /** ANN INDEX MAINTENANCE UNDER DELETES — the pain point most vector
     * stores solve with tombstones: removing vectors from an IVF
@@ -3246,6 +3306,7 @@ object StreamingQueries {
     "q271_write_audit_publish" -> (q271WriteAuditPublish _, q271Sql),
     "q272_dv_retraction_feed" -> (q272DvRetractionFeed _, q272Sql),
     "q273_ann_index_deletes" -> (q273AnnIndexDeletes _, q273Sql),
+    "q274_retraction_waves" -> (q274RetractionWaves _, q274Sql),
     "q105_stats_prune" -> (q105StatsPrune _, q105Sql),
     "q106_purge_compliance" -> (q106PurgeCompliance _, q106Sql),
     "q107_streaming_embedding_index" -> (q107StreamingEmbeddingIndex _, ExtQueries.q32Sql),
