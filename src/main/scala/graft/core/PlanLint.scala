@@ -139,7 +139,8 @@ object PlanLint {
     // parent) — fall back to instance identity for that node, which
     // only ever OVER-counts back to the pre-dedup behavior
     def canon(p: SparkPlan): SparkPlan =
-      try unwrap(p).canonicalized catch { case _: Throwable => p }
+      try unwrap(p).canonicalized
+      catch { case scala.util.control.NonFatal(_) => p }
     val shuffles = scala.collection.mutable.Set.empty[SparkPlan]
     val bcasts = scala.collection.mutable.Set.empty[SparkPlan]
     val sorts = scala.collection.mutable.Set.empty[SparkPlan]

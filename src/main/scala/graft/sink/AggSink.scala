@@ -158,8 +158,24 @@ final class AggSink(
       val fenceOf: Column = greatest(lit(batchId),
         coalesce(element_at(typedlit(fences), col(BucketCol)), lit(-1L)))
       val gen = manifest.newGenDir()
+      // fence-row reclamation: a key retracted to count zero exists
+      // only to carry its bucket's replay fence — once the bucket
+      // holds ANY nonzero row (which carries the same per-bucket
+      // fence in this write), zero rows are dead state that would
+      // otherwise grow with every key ever retracted. Keep zero rows
+      // only in buckets that would otherwise lose their fence, and
+      // then exactly one (deterministic: first in key order — keys
+      // are unique post-aggregate). One window shuffle on the bucket
+      // column, the same partitioning the write needs anyway.
+      val wAll = org.apache.spark.sql.expressions.Window.partitionBy(col(BucketCol))
+      val wOrd = wAll.orderBy(keys.map(col): _*)
       aggregate(base)
         .withColumn(BucketCol, bucketOf)
+        .withColumn("__nz",
+          max(when(col(CountCol) =!= 0L, 1).otherwise(0)).over(wAll))
+        .withColumn("__rk", row_number().over(wOrd))
+        .filter(col(CountCol) =!= 0L || (col("__nz") === 0 && col("__rk") === 1))
+        .drop("__nz", "__rk")
         .withColumn(FenceCol, fenceOf)
         .write
         .partitionBy(BucketCol).parquet(s"$path/$gen")

@@ -153,8 +153,10 @@ final class MergeSink(
   private def applyDv(df: DataFrame, dvm: Map[Int, Seq[String]],
                       buckets: Option[Seq[Int]]): DataFrame = {
     val rel = buckets match {
-      case Some(bs) => dvm.filter { case (b, _) => bs.contains(b) }
-      case None     => dvm
+      case Some(bs) =>
+        val s = bs.toSet // O(dv + requested), not O(dv × requested)
+        dvm.filter { case (b, _) => s(b) }
+      case None => dvm
     }
     val paths = rel.values.flatten.toSeq.distinct.sorted
     if (paths.isEmpty) df
@@ -859,6 +861,35 @@ object MergeSink {
   private[graft] var lockTtlMs: Long =
     sys.env.get("GRAFT_LOCK_TTL_MS").map(_.toLong).getOrElse(60000L)
 
+  /** Lease capability per filesystem: can this store refresh a file's
+    * mtime (`setTimes`)? Without it a holder cannot heartbeat, so an
+    * old mtime says NOTHING about holder liveness — the lock must
+    * degrade to a pure advisory lock there (never auto-broken;
+    * [[breakLock]] is the only override) instead of letting a
+    * contender break a LIVE long-running writer after the TTL.
+    * Probed once per filesystem URI with a throwaway file; transient
+    * probe failures count as capable (individual missed beats are
+    * already tolerated — TTL = 4 beats).
+    */
+  private val leaseCapable =
+    new java.util.concurrent.ConcurrentHashMap[java.net.URI, java.lang.Boolean]()
+
+  private def canHeartbeat(fs: org.apache.hadoop.fs.FileSystem, lock: Path): Boolean =
+    leaseCapable.computeIfAbsent(fs.getUri, _ => {
+      val probe = new Path(lock.toString + s".probe.${java.util.UUID.randomUUID()}")
+      try {
+        val out = fs.create(probe, false); out.close()
+        fs.setTimes(probe, System.currentTimeMillis(), -1)
+        true
+      } catch {
+        case _: UnsupportedOperationException      => false
+        case scala.util.control.NonFatal(_)        => true
+      } finally {
+        try fs.delete(probe, false)
+        catch { case scala.util.control.NonFatal(_) => () }
+      }
+    })
+
   /** SINGLE-WRITER contract, enforced: dynamic partition overwrite is
     * per-partition-atomic but has no cross-writer commit protocol —
     * two interleaved merges (or a merge racing a compact) could each
@@ -1003,6 +1034,9 @@ object MergeSink {
         case Some((holder, mtime)) =>
           val age = System.currentTimeMillis() - mtime
           if (age <= lockTtlMs) contention(holder)
+          // no heartbeat support on this FS → mtime age proves nothing
+          // about liveness; advisory posture, never auto-break
+          else if (!canHeartbeat(fs, lock)) contention(holder)
           else if (!breakStale(holder)) contention(holder)
       }
     }
@@ -1011,19 +1045,29 @@ object MergeSink {
     // the lease heartbeat: refresh the lock's mtime every ttl/4 while
     // the body runs — a contender reading an mtime older than the TTL
     // can only be seeing a crashed (or frozen-past-the-lease) holder
-    val hb = new Thread(() => {
-      try {
-        while (!Thread.interrupted()) {
-          Thread.sleep(math.max(lockTtlMs / 4, 10))
-          try fs.setTimes(lock, System.currentTimeMillis(), -1)
-          catch { case _: java.io.IOException => () } // missed beat; TTL = 4 beats
-        }
-      } catch { case _: InterruptedException => () }
-    })
-    hb.setDaemon(true)
-    hb.setName(s"graft-lock-heartbeat-$op")
-    hb.start()
-    try body finally { hb.interrupt(); fs.delete(lock, false) }
+    val hb: Option[Thread] =
+      if (!canHeartbeat(fs, lock)) None // advisory posture: no lease on this FS
+      else {
+        val t = new Thread(() => {
+          try {
+            while (!Thread.interrupted()) {
+              Thread.sleep(math.max(lockTtlMs / 4, 10))
+              try fs.setTimes(lock, System.currentTimeMillis(), -1)
+              // NonFatal (not just IOException): any one missed beat is
+              // tolerated (TTL = 4 beats), but an uncaught throw would
+              // kill the daemon silently and let a contender break a
+              // LIVE holder after the TTL. NonFatal leaves interrupts
+              // and JVM-fatal errors alone.
+              catch { case scala.util.control.NonFatal(_) => () }
+            }
+          } catch { case _: InterruptedException => () }
+        })
+        t.setDaemon(true)
+        t.setName(s"graft-lock-heartbeat-$op")
+        t.start()
+        Some(t)
+      }
+    try body finally { hb.foreach(_.interrupt()); fs.delete(lock, false) }
   }
 
   /** Operator override: remove a lock left by a crashed writer. */
