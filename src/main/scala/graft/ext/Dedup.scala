@@ -180,6 +180,71 @@ object Dedup {
     withJaccardFrom(cands, shingled).filter(col("jaccard") >= threshold)
   }
 
+  /** Near-dup COMPONENTS with EXACT-COPY PRE-COLLAPSE — the scale fix
+    * for duplicate-dense corpora (the realistic 100 TB shape: crawl
+    * snapshots carry c exact copies per document): identical texts
+    * have identical shingle sets, so a c-copy group is a CLIQUE in the
+    * near-dup graph and [[minhashNearDups]] materializes C(c,2)
+    * candidate pairs for it — the measured superlinear term in the
+    * sf10 scale probe (exponent 1.40 round 10). Collapsing each
+    * exact-content group to ONE representative (its min doc_id)
+    * BEFORE pair generation turns that into O(c) rows, and is
+    * BIT-INVISIBLE to the result:
+    *
+    *  - within-group: identical nonempty shingle sets verify at
+    *    jaccard 1.0 >= any threshold <= 1, so the group is connected
+    *    through its representative regardless;
+    *  - across groups: jaccard depends only on the shingle SETS, so an
+    *    (a, b) edge exists iff the (rep_a, rep_b) edge exists — and
+    *    LSH finds the rep pair iff it finds the member pair (identical
+    *    signatures band identically);
+    *  - labels: every rep is its group's min id, so min-reachable-rep
+    *    = min-reachable-id over the full component;
+    *  - a multi-copy group whose rep gains no LSH edge is STILL its
+    *    own clique component (its members edge each other: identical
+    *    signatures band together, identical sets verify at 1.0),
+    *    re-added as a self-clique after CC. [[graft.functions
+    *    .WordShingles]] clamps sub-n texts to a whole-suffix shingle,
+    *    so shingle sets are never empty in practice; the nonempty
+    *    guard below is defensive (a truly empty set would minhash to
+    *    NULL, never band-join, and self-verify at NaN — no edges).
+    *
+    * Returns (id, cluster_id = min reachable doc_id) — the exact
+    * [[contractiveComponents]]-over-[[minhashNearDups]] contract,
+    * proven hash-identical by the unchanged q71 recursive-CTE oracle.
+    */
+  def nearDupComponents(docs: DataFrame, k: Int, bands: Int,
+                        threshold: Double): DataFrame = {
+    require(threshold <= 1.0, s"threshold $threshold > 1 would break the copy-clique argument")
+    val withFp = docs.select(col("doc_id"),
+      md5(col("text").cast("binary")).as("__fp"))
+    // one row per distinct content: representative id + copy count +
+    // whether the shingle set is nonempty (computed ONCE per group via
+    // any member — texts are identical within a group)
+    val groups = withFp.groupBy(col("__fp"))
+      .agg(min(col("doc_id")).as("__rep"), count(lit(1)).as("__n"))
+    val repDocs = docs.join(
+        groups.select(col("__rep").as("doc_id")), Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), col("text"))
+    val pairs = minhashNearDups(repDocs, k, bands, threshold)
+    val repCc = contractiveComponents(pairs) // (id, cluster_id) over reps
+    // copy groups (n >= 2, nonempty shingles) whose rep got no LSH
+    // edge: their members still edge each other — self-clique labeled
+    // by the rep. Metadata-sized: one row per unmatched multi-copy rep.
+    val selfCliques = repDocs
+      .join(groups.filter(col("__n") >= 2).select(col("__rep").as("doc_id")),
+        Seq("doc_id"), "left_semi")
+      .join(repCc.select(col("id").as("doc_id")), Seq("doc_id"), "left_anti")
+      .filter(size(shingles(tokens(col("text")), 3)) > 0)
+      .select(col("doc_id").as("id"), col("doc_id").as("cluster_id"))
+    val repLabels = repCc.unionByName(selfCliques)
+    // expand membership: every member of a labeled rep's group takes
+    // the rep's component label
+    withFp.join(groups.select(col("__fp"), col("__rep")), "__fp")
+      .join(repLabels, col("__rep") === repLabels("id"), "inner")
+      .select(col("doc_id").as("id"), col("cluster_id"))
+  }
+
   /** Connected components over near-dup pairs: pair lists become
     * DEDUP CLUSTERS (the step a 100 TB pipeline actually acts on —
     * keep one canonical doc per component, drop the rest).

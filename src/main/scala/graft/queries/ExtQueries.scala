@@ -142,16 +142,18 @@ object ExtQueries {
     * inter-cluster remainder, not the corpus; min-label PROPAGATION
     * re-shuffled the full frame per round and scaled with rounds x
     * corpus). Labels are min-member ids in both tiers, so this swap is
-    * bit-invisible to the oracle. The oracle computes the same
-    * components with a recursive CTE over the same pair SQL — tiny
-    * closed components keep the closure bounded.
+    * bit-invisible to the oracle. Round 11 adds the EXACT-COPY
+    * PRE-COLLAPSE ([[graft.ext.Dedup.nearDupComponents]]): identical
+    * texts collapse to one representative before pair generation, so a
+    * c-copy group costs O(c) rows instead of C(c,2) candidate edges —
+    * the round-10 scale probe's only superlinear term. The oracle
+    * computes the same components with a recursive CTE over the same
+    * pair SQL — tiny closed components keep the closure bounded.
     */
-  def q71DedupClusters(s: SparkSession, d: String): DataFrame = {
-    val pairs = Dedup.minhashNearDups(docs(s, d), k = 12, bands = 4, threshold = 0.5)
-    Dedup.contractiveComponents(pairs)
+  def q71DedupClusters(s: SparkSession, d: String): DataFrame =
+    Dedup.nearDupComponents(docs(s, d), k = 12, bands = 4, threshold = 0.5)
       .groupBy(col("cluster_id"))
       .agg(count(lit(1)).as("n_docs"), max(col("id")).as("max_doc_id"))
-  }
 
   /** Shared recursive-CTE prefix: near-dup pairs -> connected
     * components as `comp(id, cluster_id)` (q71 + q130 build on it).

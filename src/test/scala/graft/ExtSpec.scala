@@ -279,6 +279,47 @@ class ExtSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("nearDupComponents: exact-copy pre-collapse is bit-identical to the direct path, incl. isolated copy cliques and empty-shingle groups") {
+    import graft.ext.Dedup
+    // corpus shapes the collapse argument hinges on:
+    //  - 4 exact copies of text A, near-dup to NOTHING else -> the
+    //    rep gains no LSH edge; the self-clique re-add must label all
+    //    4 with the min copy id
+    //  - 3 exact copies of text B + a light edit of B -> component
+    //    reached THROUGH the representative
+    //  - 2 exact copies of a sub-3-token text: WordShingles clamps to
+    //    the whole-suffix shingle, so even these carry a nonempty
+    //    shingle set, verify at jaccard 1.0, and must form their own
+    //    pair component through the collapse
+    //  - unique unrelated docs -> absent both ways
+    val textA = (1 to 40).map(i => s"alpha$i").mkString(" ")
+    val textB = (1 to 40).map(i => s"beta$i").mkString(" ")
+    val textB2 = textB + " beta41 beta42"
+    val docs = (
+      Seq(10L, 11L, 12L, 13L).map((_, textA)) ++
+      Seq(20L, 21L, 22L).map((_, textB)) ++ Seq(23L -> textB2) ++
+      Seq(30L, 31L).map((_, "just two")) ++
+      Seq(40L -> (1 to 40).map(i => s"gamma$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val direct = Dedup.contractiveComponents(
+        Dedup.minhashNearDups(docs, k = 12, bands = 4, threshold = 0.5))
+      .as[(Long, Long)].collect().toMap
+    spark.catalog.clearCache()
+    val collapsed = Dedup.nearDupComponents(docs, k = 12, bands = 4, threshold = 0.5)
+      .as[(Long, Long)].collect().toMap
+    spark.catalog.clearCache()
+    assert(collapsed == direct,
+      s"pre-collapse diverged: ${(collapsed.toSet union direct.toSet) -- (collapsed.toSet intersect direct.toSet)}")
+    // independent semantic checks (not just tier agreement)
+    assert(Seq(10L, 11L, 12L, 13L).forall(collapsed.get(_).contains(10L)),
+      "isolated copy clique must survive via the self-clique re-add")
+    assert(Seq(20L, 21L, 22L, 23L).forall(collapsed.get(_).contains(20L)),
+      "copy group + near-dup edit must fuse through the representative")
+    assert(collapsed.get(30L).contains(30L) && collapsed.get(31L).contains(30L),
+      "short-text copy pair must form its own component (clamped shingle)")
+    assert(!collapsed.contains(40L), "singleton must stay absent")
+  }
+
   test("codecs: BMP/PPM/WAV round-trip dimensions and pixels exactly") {
     import graft.ext.Multimodal._
     // BMP with a width whose 3-byte rows need padding (w=3 -> rowSize 12)
