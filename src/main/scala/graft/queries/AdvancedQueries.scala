@@ -535,6 +535,17 @@ object AdvancedQueries {
       .agg(min(col("us")).as("st"), max(col("us")).as("en"))
       .withColumn("sid", col("user_id") * lit(1000000L) + col("isl"))
       .persist()
+    // EAGER fill pins the join strategy: lazily-filled, the cached
+    // session frame's size estimate depends on WHICH AQE stage
+    // materializes it first (the hot-band aggregate racing the join's
+    // own shuffle stages), and the band join flipped bimodally between
+    // a statically-planned broadcast (3.0 MB shuffle) and a shuffled
+    // join (22.6 MB) run-to-run — the round-10 unadjudicated volume
+    // flag, reproduced solo 3x (22.57/3.01/22.57). Materializing first
+    // means planning always sees ACTUAL cached stats: consistently
+    // broadcast at gate scale, consistently shuffled at 100 TB where
+    // the session frame is large — per-scale deterministic either way.
+    sess.count()
     bandedOverlapCounts(sess, bandUs, hotThreshold = 4096L, S = 8)
   }
 
@@ -569,21 +580,40 @@ object AdvancedQueries {
       call_function("div", c, lit(bandUs))
     val bands = sess.withColumn("band",
       explode(sequence(bandOf(col("st")), bandOf(col("en")))))
-    val hot = bands.groupBy(col("band")).agg(count(lit(1)).as("n"))
+    val bandStats = bands.groupBy(col("band")).agg(count(lit(1)).as("n"))
+    val hot = bandStats
       .filter(col("n") > hotThreshold)
       .select(col("band"), lit(true).as("is_hot"))
+    // MEASURED broadcast gate (round-10 q206 volume-flag adjudication):
+    // at gate scale AQE ALWAYS ends this join broadcast (final plan
+    // fingerprint identical across runs), but whether the SMJ's
+    // band-salt shuffles get WRITTEN before the conversion is a stage
+    // race — shuffle volume flipped bimodally 3.0/22.6 MB, solo-
+    // reproduced 3x. Deciding the build side here, from the same
+    // band-count aggregate the hot guard already needs, makes the
+    // choice deterministic per data: the b side (salt-replicated rows
+    // = total + (S-1) x hot rows) broadcasts iff its estimate fits the
+    // default 10 MB broadcast budget, and a 100 TB session frame blows
+    // the budget and keeps the shuffled band equi-join. Driver sees
+    // two LONGs — an aggregate, not a collect of data.
+    val row0 = bandStats.agg(
+      coalesce(sum(col("n")), lit(0L)),
+      coalesce(sum(when(col("n") > hotThreshold, col("n"))), lit(0L))).first()
+    val bRows = row0.getLong(0) + (S - 1).toLong * row0.getLong(1)
+    val broadcastB = bRows * 64L < 10L * 1024 * 1024
     val a = bands.select(col("sid").as("a_sid"), col("user_id").as("a_uid"),
       col("st").as("a_st"), col("en").as("a_en"), col("band"))
       .join(broadcast(hot), Seq("band"), "left")
       .withColumn("salt",
         when(col("is_hot"), pmod(hash(col("a_sid")), lit(S))).otherwise(lit(0)))
       .drop("is_hot")
-    val b = bands.select(col("sid").as("b_sid"), col("user_id").as("b_uid"),
+    val b0 = bands.select(col("sid").as("b_sid"), col("user_id").as("b_uid"),
       col("st").as("b_st"), col("en").as("b_en"), col("band"))
       .join(broadcast(hot), Seq("band"), "left")
       .withColumn("salt", explode(
         when(col("is_hot"), sequence(lit(0), lit(S - 1))).otherwise(array(lit(0)))))
       .drop("is_hot")
+    val b = if (broadcastB) broadcast(b0) else b0
     val overlaps = a.join(b, Seq("band", "salt"))
       .filter(col("a_uid") =!= col("b_uid") &&
         col("a_st") <= col("b_en") && col("b_st") <= col("a_en") &&
