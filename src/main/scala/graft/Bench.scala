@@ -33,6 +33,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    deterministic for a plan + data, so this catches the plan
   *    changes both wall time (sub-second noise) and shape
   *    fingerprints (same node multiset, more bytes) can miss.
+  *  - every flag SELF-ADJUDICATES: the flagged query re-measures solo
+  *    x3 post-sweep and the artifact records `rerun` + `reproduced`,
+  *    so only reproducible regressions demand a SEMANTICS entry.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -204,20 +207,59 @@ object Bench {
     // (2-7 s micro-batch/RocksDB fixed cost) and KB-scale volume jitter
     // out; a genuine plan change — an unpushed filter, a lost
     // broadcast — trips both conditions of its metric.
-    val regressions = results.flatMap { case (name, v, sh, err) =>
-      val timeReg = priorBest.get(name) match {
-        case Some(b) if err.isEmpty && v >= 0 && b > 0 &&
-          v > 2 * b && v - b > 0.5 =>
-          Some(s"""{"query":"$name","live":$v,"best":$b}""")
-        case _ => None
+    def timeRegressed(live: Double, b: Double): Boolean =
+      live > 2 * b && live - b > 0.5
+    def shuffleRegressed(live: Double, b: Double): Boolean =
+      mb(live) > 2 * b && mb(live) - b > 1.0
+    // (query, kind, live value, historical best)
+    val flags: Seq[(String, String, Double, Double)] =
+      results.flatMap { case (name, v, sh, err) =>
+        val t = priorBest.get(name) match {
+          case Some(b) if err.isEmpty && v >= 0 && b > 0 && timeRegressed(v, b) =>
+            Seq((name, "time", v, b))
+          case _ => Nil
+        }
+        val s = priorBestShuffle.get(name) match {
+          case Some(b) if err.isEmpty && sh >= 0 && b >= 0 && shuffleRegressed(sh, b) =>
+            Seq((name, "shuffle", mb(sh), b))
+          case _ => Nil
+        }
+        t ++ s
       }
-      val shuffleReg = priorBestShuffle.get(name) match {
-        case Some(b) if err.isEmpty && sh >= 0 && b >= 0 &&
-          mb(sh) > 2 * b && mb(sh) - b > 1.0 =>
-          Some(s"""{"query":"$name","shuffle_live_mb":${mb(sh)},"shuffle_best_mb":$b}""")
-        case _ => None
+    // SELF-ADJUDICATION (round-10 verdict #5): the repo's SEMANTICS
+    // rule for an in-band flag is "reproduce solo x3 before blaming
+    // the code" — two rounds running, a manual adjudication was burned
+    // on what turned out to be AQE/stage-race variance. Bench now
+    // applies the rule itself: each flagged query is re-measured solo
+    // x3 AFTER the sweep (quiet in-process environment, cleared
+    // cache), and the flag carries `rerun` (the re-measured min) and
+    // `reproduced` (does the regression condition still hold on it?).
+    // A non-reproduced flag needs no SEMANTICS entry; a reproduced one
+    // is a real plan change to fix or adjudicate.
+    val adjudicated = flags.map { case (name, kind, live, b) =>
+      val fn = SparkEntry.queries(name)
+      val reruns = (1 to 3).flatMap { _ =>
+        val s0 = shuffleNow()
+        val t0 = System.nanoTime()
+        try {
+          exec(fn(spark, sfDir))
+          Seq(((System.nanoTime() - t0) / 1e9, shuffleNow() - s0))
+        } catch { case _: Throwable => Nil }
+        finally spark.catalog.clearCache()
       }
-      timeReg.toSeq ++ shuffleReg.toSeq
+      val rerun =
+        if (reruns.isEmpty) -1.0
+        else if (kind == "time") reruns.map(_._1).min
+        else mb(reruns.map(_._2).min / 1e6)
+      val reproduced = rerun >= 0 &&
+        (if (kind == "time") timeRegressed(rerun, b) else shuffleRegressed(rerun, b))
+      (name, kind, live, b, rerun, reproduced)
+    }
+    val regressions = adjudicated.map {
+      case (name, "time", live, b, rerun, rep) =>
+        s"""{"query":"$name","live":$live,"best":$b,"rerun":$rerun,"reproduced":$rep}"""
+      case (name, _, live, b, rerun, rep) =>
+        s"""{"query":"$name","shuffle_live_mb":$live,"shuffle_best_mb":$b,"shuffle_rerun_mb":$rerun,"reproduced":$rep}"""
     }
     val regJson = regressions.mkString("[", ",", "]")
     val bestTotal = best.map(_._2).filter(_ > 0).sum
