@@ -2016,6 +2016,102 @@ object StreamingQueries {
       |  AND o.o_orderkey % 11 <> 0
       |GROUP BY o_orderpriority""".stripMargin
 
+  // ---------------------------------------------------------------- q275
+  /** COVERING INDEX x DELETION VECTORS (q267 ∘ q270 — the composition
+    * the round-10 verdict flagged as ungated): q269 proves the
+    * projection index stays consistent under HARD deletes
+    * (`purgeKeys` lockstep), q270 proves merge-on-read DVs on a
+    * primary — but a primary taking a MERGE-ON-READ delete would
+    * leave the covering index serving deleted keys unless the index
+    * participates. ClickHouse analog: lightweight DELETE propagating
+    * to PROJECTIONs. Design choice, mirrored from the write path: the
+    * index carries ITS OWN deletion vectors, committed in lockstep
+    * with the primary's (same doomed-key frame, each routed through
+    * its structure's own layout — the index's by its
+    * (type_id, event_id) range buckets). The alternative — anti-join
+    * the primary's DVs at index-read time — would re-couple every
+    * pruned index read to the primary's full DV set and forfeit the
+    * O(pruned buckets) read shape that justifies the index.
+    *
+    * In-band REQUIREs: (1) neither DV commit rewrites or remaps any
+    * data bucket (O(deleted) bytes, zero data files — both
+    * structures); (2) zone-map pruning still resolves a strict bucket
+    * subset; (3) the pruned merge-on-read index route answers
+    * IDENTICALLY to the primary full route (bidirectional except);
+    * (4) a lockstep LWW re-insert of a deleted-key subset survives
+    * via BOTH routes (each structure's own bucket rewrite consumes
+    * its vectors); (5) compacting the index physically applies its
+    * remaining vectors content-invisibly. Oracle: the full-scan
+    * predicate over survivors + re-inserts.
+    */
+  def q275IndexDvLockstep(s: SparkSession, d: String): DataFrame = {
+    val base = graft.core.TempDirs.scoped("graft_q275_")
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    val typeId = types.zipWithIndex
+      .foldLeft(lit(-1L)) { case (acc, (t, i)) =>
+        when(col("event_type") === t, lit(i.toLong)).otherwise(acc) }
+    val ev = graft.core.Tables.events(s, d)
+      .select(col("event_id"), col("event_type"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .withColumn("type_id", typeId)
+    val primary = new MergeSink(s, s"$base/primary",
+      keys = Seq("event_id"), orderCols = Seq("upd"), nBuckets = 16)
+    val index = new MergeSink(s, s"$base/index",
+      keys = Seq("type_id", "event_id"), orderCols = Seq("upd"),
+      nBuckets = 8, statsCols = Seq("type_id"), rangeBucketWidth = Some(1L))
+    (0 to 1).foreach { i =>
+      val batch = ev.filter(pmod(col("event_id"), lit(2)) === i)
+        .withColumn("upd", lit(i.toLong))
+      primary.merge(batch.drop("type_id"))
+      index.merge(batch.select(col("type_id"), col("event_id"), col("cents"), col("upd")))
+    }
+    // scattered merge-on-read delete, LOCKSTEP DVs on both structures
+    val doomed = ev.filter(pmod(col("event_id"), lit(11)) === 0)
+    val (pMap, iMap) = (primary.manifest.mapping(), index.manifest.mapping())
+    primary.deleteVector(doomed.select(col("event_id")))
+    index.deleteVector(doomed.select(col("type_id"), col("event_id")))
+    require(primary.manifest.mapping() == pMap && index.manifest.mapping() == iMap,
+      "lockstep DV commits must not rewrite or remap any data bucket")
+    require(primary.deleteVectors().nonEmpty && index.deleteVectors().nonEmpty,
+      "expected outstanding deletion vectors on both structures")
+    val t = types.indexOf("purchase").toLong
+    def pruned = index.bucketsForRange("type_id", t.toDouble, t.toDouble)
+    require(pruned.nonEmpty && pruned.size < index.bucketFileCounts().size,
+      s"pruning must stay a strict bucket subset under DVs: $pruned")
+    def viaIndex = index.readRange("type_id", t.toDouble, t.toDouble)
+      .select(col("event_id"), col("cents"))
+    def viaPrimary = primary.read().filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("cents"))
+    require(viaIndex.exceptAll(viaPrimary).isEmpty &&
+            viaPrimary.exceptAll(viaIndex).isEmpty,
+      "merge-on-read index route must agree with the primary route")
+    // lockstep LWW re-insert of a deleted-key subset: each structure's
+    // own bucket rewrite consumes its vectors, so the rows come back
+    val revived = ev.filter(pmod(col("event_id"), lit(22)) === 0)
+      .withColumn("cents", col("cents") + 1).withColumn("upd", lit(2L))
+    primary.merge(revived.drop("type_id"))
+    index.merge(revived.select(col("type_id"), col("event_id"), col("cents"), col("upd")))
+    require(!viaPrimary.filter(pmod(col("event_id"), lit(22)) === 0).isEmpty &&
+            !viaIndex.filter(pmod(col("event_id"), lit(22)) === 0).isEmpty,
+      "re-inserted keys must survive via both routes")
+    // physical apply on the index: content-invisible to the pruned read
+    val before = viaIndex
+    index.compact(maxFilesPerBucket = 1)
+    require(index.deleteVectors().isEmpty,
+      "index compaction must consume every outstanding index vector")
+    require(before.exceptAll(viaIndex).isEmpty && viaIndex.exceptAll(before).isEmpty,
+      "physical DV application on the index must be content-invisible")
+    viaIndex
+  }
+
+  val q275Sql: String =
+    """SELECT event_id,
+      |  CAST(round(value * 100) AS BIGINT)
+      |    + CASE WHEN event_id % 22 = 0 THEN 1 ELSE 0 END AS cents
+      |FROM events
+      |WHERE event_type = 'purchase'
+      |  AND (event_id % 11 <> 0 OR event_id % 22 = 0)""".stripMargin
+
   // ---------------------------------------------------------------- q273
   /** ANN INDEX MAINTENANCE UNDER DELETES — the pain point most vector
     * stores solve with tombstones: removing vectors from an IVF
@@ -3307,6 +3403,7 @@ object StreamingQueries {
     "q272_dv_retraction_feed" -> (q272DvRetractionFeed _, q272Sql),
     "q273_ann_index_deletes" -> (q273AnnIndexDeletes _, q273Sql),
     "q274_retraction_waves" -> (q274RetractionWaves _, q274Sql),
+    "q275_index_dv_lockstep" -> (q275IndexDvLockstep _, q275Sql),
     "q105_stats_prune" -> (q105StatsPrune _, q105Sql),
     "q106_purge_compliance" -> (q106PurgeCompliance _, q106Sql),
     "q107_streaming_embedding_index" -> (q107StreamingEmbeddingIndex _, ExtQueries.q32Sql),
