@@ -131,57 +131,66 @@ final class AggSink(
     }
 
   private def foldLocked(partial0: DataFrame, batchId: Long): Unit = {
+    // the partial frame is consumed twice (touched-bucket discovery,
+    // then the fold's write) and its upstream can be an arbitrarily
+    // expensive plan (q274's per-wave feed join) — persist it so the
+    // plan runs ONCE; the frame is pre-aggregated (one row per key x
+    // batch), so the cache is partial-sized, not batch-sized. The
+    // touched collect below materializes it eagerly.
     val partial = partial0.withColumn(BucketCol, bucketOf)
-    val touched = partial.select(col(BucketCol)).distinct()
-      .collect().map(_.getInt(0)).toSeq
-    // per-bucket applied fences — at most |touched| (id, fence) ints
-    // reach the driver; metadata, not data
-    val fences: Map[Int, Long] =
-      if (touched.nonEmpty)
-        manifest.snapshot(Some(touched)).map(
-          _.groupBy(col(BucketCol)).agg(max(col(FenceCol)).as("f"))
-            .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap)
-          .getOrElse(Map.empty)
-      else Map.empty
-    val fold = touched.filter(b => batchId < 0 || fences.getOrElse(b, -1L) < batchId)
-    if (fold.nonEmpty) {
-      val current = manifest.mapping()
-      val partialIn = partial.filter(col(BucketCol).isin(fold: _*)).drop(BucketCol)
-      val base = manifest.snapshot(Some(fold)) match {
-        case Some(state) =>
-          state.drop(BucketCol, FenceCol).unionByName(partialIn)
-        case None => partialIn
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val touched = partial.select(col(BucketCol)).distinct()
+        .collect().map(_.getInt(0)).toSeq
+      // per-bucket applied fences — at most |touched| (id, fence) ints
+      // reach the driver; metadata, not data
+      val fences: Map[Int, Long] =
+        if (touched.nonEmpty)
+          manifest.snapshot(Some(touched)).map(
+            _.groupBy(col(BucketCol)).agg(max(col(FenceCol)).as("f"))
+              .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap)
+            .getOrElse(Map.empty)
+        else Map.empty
+      val fold = touched.filter(b => batchId < 0 || fences.getOrElse(b, -1L) < batchId)
+      if (fold.nonEmpty) {
+        val current = manifest.mapping()
+        val partialIn = partial.filter(col(BucketCol).isin(fold: _*)).drop(BucketCol)
+        val base = manifest.snapshot(Some(fold)) match {
+          case Some(state) =>
+            state.drop(BucketCol, FenceCol).unionByName(partialIn)
+          case None => partialIn
+        }
+        // fence travels WITH the data: same files, same atomic manifest
+        // commit — never ahead of or behind the aggregate it certifies.
+        // Unfenced merges (batchId = -1) carry prior fences forward.
+        val fenceOf: Column = greatest(lit(batchId),
+          coalesce(element_at(typedlit(fences), col(BucketCol)), lit(-1L)))
+        val gen = manifest.newGenDir()
+        // fence-row reclamation: a key retracted to count zero exists
+        // only to carry its bucket's replay fence — once the bucket
+        // holds ANY nonzero row (which carries the same per-bucket
+        // fence in this write), zero rows are dead state that would
+        // otherwise grow with every key ever retracted. Keep zero rows
+        // only in buckets that would otherwise lose their fence, and
+        // then exactly one (deterministic: first in key order — keys
+        // are unique post-aggregate). One window shuffle on the bucket
+        // column, the same partitioning the write needs anyway.
+        val wAll = org.apache.spark.sql.expressions.Window.partitionBy(col(BucketCol))
+        val wOrd = wAll.orderBy(keys.map(col): _*)
+        aggregate(base)
+          .withColumn(BucketCol, bucketOf)
+          .withColumn("__nz",
+            max(when(col(CountCol) =!= 0L, 1).otherwise(0)).over(wAll))
+          .withColumn("__rk", row_number().over(wOrd))
+          .filter(col(CountCol) =!= 0L || (col("__nz") === 0 && col("__rk") === 1))
+          .drop("__nz", "__rk")
+          .withColumn(FenceCol, fenceOf)
+          .write
+          .partitionBy(BucketCol).parquet(s"$path/$gen")
+        manifest.commit(current ++ manifest.writtenBuckets(gen).map(_ -> gen))
+        manifest.vacuum()
       }
-      // fence travels WITH the data: same files, same atomic manifest
-      // commit — never ahead of or behind the aggregate it certifies.
-      // Unfenced merges (batchId = -1) carry prior fences forward.
-      val fenceOf: Column = greatest(lit(batchId),
-        coalesce(element_at(typedlit(fences), col(BucketCol)), lit(-1L)))
-      val gen = manifest.newGenDir()
-      // fence-row reclamation: a key retracted to count zero exists
-      // only to carry its bucket's replay fence — once the bucket
-      // holds ANY nonzero row (which carries the same per-bucket
-      // fence in this write), zero rows are dead state that would
-      // otherwise grow with every key ever retracted. Keep zero rows
-      // only in buckets that would otherwise lose their fence, and
-      // then exactly one (deterministic: first in key order — keys
-      // are unique post-aggregate). One window shuffle on the bucket
-      // column, the same partitioning the write needs anyway.
-      val wAll = org.apache.spark.sql.expressions.Window.partitionBy(col(BucketCol))
-      val wOrd = wAll.orderBy(keys.map(col): _*)
-      aggregate(base)
-        .withColumn(BucketCol, bucketOf)
-        .withColumn("__nz",
-          max(when(col(CountCol) =!= 0L, 1).otherwise(0)).over(wAll))
-        .withColumn("__rk", row_number().over(wOrd))
-        .filter(col(CountCol) =!= 0L || (col("__nz") === 0 && col("__rk") === 1))
-        .drop("__nz", "__rk")
-        .withColumn(FenceCol, fenceOf)
-        .write
-        .partitionBy(BucketCol).parquet(s"$path/$gen")
-      manifest.commit(current ++ manifest.writtenBuckets(gen).map(_ -> gen))
-      manifest.vacuum()
-    }
+    } finally partial.unpersist()
   }
 
   /** foreachBatch adapter: the fence rides inside the state write, so

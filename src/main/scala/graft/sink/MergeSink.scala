@@ -456,9 +456,45 @@ final class MergeSink(
     * for deletes). Scale shape: both sides share the bucket layout and
     * the join keys ARE the merge keys, so the join co-partitions; cost
     * is O(|v1| + |v2|) with no row inflation.
+    *
+    * DV-ONLY FAST PATH: when the step's commits changed NO data bucket
+    * (identical bucket->generation mapping — the [[deleteVector]]
+    * shape), the only possible changes are deletes, and they are
+    * exactly "rows alive at v1 whose key entered a NEW vector". The
+    * feed then reads the new vectors (O(deleted) bytes), restricts to
+    * their buckets' v1 state, and semi-joins — O(deleted keys +
+    * touched-bucket rows), never two full snapshot reads. This is the
+    * cost shape a continuously-deleting upstream demands at 100 TB
+    * (q274's steady state): the general full-outer diff would pay
+    * O(2 x table) per wave for an O(deleted)-sized answer.
     */
   def changesBetween(v1: Long, v2: Long): DataFrame = {
     require(v1 < v2, s"changesBetween needs v1 < v2, got ($v1, $v2)")
+    val (m1, m2) = (manifest.mappingAt(v1), manifest.mappingAt(v2))
+    val (d1, d2) = (manifest.dvAt(v1), manifest.dvAt(v2))
+    val dvOnly = m1 == m2 && d1.forall { case (b, ps) =>
+      d2.getOrElse(b, Seq.empty).startsWith(ps) }
+    val newDv = if (!dvOnly) Seq.empty else d2.toSeq.flatMap { case (b, ps) =>
+      ps.drop(d1.getOrElse(b, Seq.empty).size).map(b -> _) }
+    if (dvOnly && newDv.nonEmpty) {
+      val touched = newDv.map(_._1).distinct.sorted
+      val newKeys = newDv.map { case (_, p) => spark.read.parquet(s"$path/$p") }
+        .reduce(_ unionByName _).select(keys.map(col): _*).distinct()
+      // alive-at-v1 rows of ONLY the vectored buckets (a key in a new
+      // vector that an older vector already killed must NOT re-report)
+      val alive = applyDv(
+        manifest.snapshotAt(v1, Some(touched))
+          .getOrElse(throw new IllegalStateException(s"version $v1 missing at $path"))
+          .drop(BucketCol),
+        d1, Some(touched))
+      // deletes carry NULL data columns (the general path's contract:
+      // AFTER values, which for a delete do not exist)
+      val nulled = alive.columns.filterNot(keys.contains).toSeq
+        .map(c => lit(null).cast(alive.schema(c).dataType).as(c))
+      return alive.join(broadcast(newKeys), keys, "left_semi")
+        .withColumn("_change_type", lit("delete"))
+        .select(keys.map(col) ++ (col("_change_type") +: nulled): _*)
+    }
     val before = readAt(v1).withColumn("__in_b", lit(1))
     val after = readAt(v2).withColumn("__in_a", lit(1))
     val dataCols = readAt(v2).columns.filterNot(keys.contains).toSeq
