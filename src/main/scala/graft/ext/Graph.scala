@@ -42,10 +42,19 @@ object Graph {
     var ranks = nodes.withColumn("r", lit(1000000L))
     var freePrev: () => Unit = () => ()
     (0 until iters).foreach { i =>
-      val contrib = withDeg.join(ranks, withDeg("src") === ranks("node"))
+      // SHUFFLE_HASH hints pin both per-round joins: the rank/in-sum
+      // frames are node-sized — at 100 TB (billions of nodes) they
+      // must shuffle-join, never broadcast, so the hint is the
+      // scale-correct strategy stated explicitly. It also makes the
+      // plan DETERMINISTIC: unhinted, AQE re-optimized each chained
+      // stage against racy runtime-stat snapshots and flipped
+      // individual rounds between broadcast and shuffle run-to-run —
+      // the one exact-shape golden exemption of rounds 9-10.
+      val contrib = withDeg.join(ranks.hint("shuffle_hash"),
+          withDeg("src") === ranks("node"))
         .select(col("dst").as("node"), expr("r div outdeg").as("c"))
       val inSum = contrib.groupBy(col("node")).agg(sum(col("c")).as("s"))
-      ranks = nodes.join(inSum, Seq("node"), "left")
+      ranks = nodes.join(inSum.hint("shuffle_hash"), Seq("node"), "left")
         .select(col("node"),
           (lit(150000L) + expr("(85 * coalesce(s, 0L)) div 100")).as("r"))
       // `ranks` is referenced ONCE per round, so the Catalyst tree grows

@@ -117,13 +117,12 @@ class FullPlanSpec extends SparkSpec {
     * resort after canonical dedup + stage-unwrap (PlanLint) failed to
     * stabilize the query.
     */
-  private val aqeUnstable: Map[String, String] = Map(
-    "q88_pagerank" -> ("4 chained self-referential iterations: AQE re-optimizes each " +
-      "query stage against whatever runtime stats snapshots its racy stage scheduling " +
-      "produced, flipping individual join strategies run-to-run (measured across solo " +
-      "JVMs on identical code+data: BHJ:Inner*7/*8/*9 with HashAggregate*14/*15/*16 " +
-      "moving in opposition). Canonical dedup + reuse-unwrap stabilized every other " +
-      "query; q88's variance is strategy choice, not node duplication."))
+  private val aqeUnstable: Map[String, String] = Map.empty
+  // (q88, the rounds-9/10 sole entry, was re-pinned in round 11:
+  // SHUFFLE_HASH hints on both per-round iteration joins state the
+  // scale-correct strategy explicitly — node-sized rank frames must
+  // shuffle-join at 100 TB — and remove the AQE strategy choice the
+  // fingerprint was flapping on; measured stable across 5 solo runs.)
 
   test("all queries: plan lint + golden shape fingerprints") {
     val names = SparkEntry.queries.keys.toSeq.sorted
