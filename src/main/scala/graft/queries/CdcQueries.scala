@@ -128,6 +128,45 @@ object CdcQueries {
   val q19Sql: String =
     s"SELECT operation, count(*) AS n FROM ($envelopeSql) GROUP BY operation"
 
+  // ---------------------------------------------------------------- q276
+  /** NETWORK WAREHOUSE SINK roundtrip (S6 made real over the wire —
+    * the reference's ClickHouse HTTP insert,
+    * consumer/DoFns/load_data.py:52-60, against a REAL JDBC target):
+    * the enriched CDC stream is double-sent through
+    * [[graft.sink.Warehouse.appendJdbc]] (parallel foreachPartition
+    * batched inserts; the second send is the at-least-once replay a
+    * failed task or speculative attempt produces), read back over
+    * JDBC, and resolved by read-side LWW — the ReplacingMergeTree
+    * delivery contract (clickhouse/init.sql:22-24): duplicates
+    * collapse by algebra at read time, never by exactly-once
+    * machinery. Target: embedded Derby (in-memory, multi-connection,
+    * transactional — rides Spark's own classpath). Timestamps ship as
+    * epoch-micros BIGINTs: JDBC TIMESTAMP round-trips through the
+    * target's session-zone semantics, integers do not. Oracle: the
+    * same live state computed directly from the source (q18's SQL) —
+    * a sink that loses, duplicates-without-resolution, or mangles a
+    * row hash-mismatches.
+    */
+  def q276JdbcWarehouse(s: SparkSession, d: String): DataFrame = {
+    import graft.sink.Warehouse
+    val rows = enriched(s, d).select(
+      col("user_id"), col("document_id"), col("operation"),
+      unix_micros(col("ts")).as("ts_us"), col("etype"), col("watched_ratio"))
+    val url = "jdbc:derby:memory:graft_q276;create=true"
+    Warehouse.dropJdbcTable(url, "wh_rows") // JVM-lifetime target; re-runnable
+    Warehouse.createJdbcTable(url, "wh_rows", rows.schema)
+    Warehouse.appendJdbc(rows, url, "wh_rows")
+    Warehouse.appendJdbc(rows, url, "wh_rows") // at-least-once replay
+    val back = s.read.format("jdbc")
+      .option("url", url).option("dbtable", "wh_rows").load()
+      .toDF(rows.columns: _*) // Derby uppercases identifiers; order is DDL order
+    require(back.count() == 2 * rows.count(),
+      "both sends must land — the replay is part of the delivery contract")
+    Cdc.liveView(back, Seq("user_id"), Seq("ts_us", "document_id"))
+      .select(col("user_id"), col("document_id").as("last_document_id"),
+              col("etype").as("last_etype"), col("watched_ratio").as("last_ratio"))
+  }
+
   // ---------------------------------------------------------------- q20
   /** A2 flagship: the whole pipeline — envelope -> flatten -> enrich ->
     * LWW dedup -> tombstone filter -> per-"video" analytics. DECIMAL
@@ -262,6 +301,7 @@ object CdcQueries {
     "q18_cdc_live_state" -> (q18LiveState _, q18Sql),
     "q19_cdc_route_counts" -> (q19RouteCounts _, q19Sql),
     "q20_cdc_video_analytics" -> (q20VideoAnalytics _, q20Sql),
+    "q276_jdbc_warehouse" -> (q276JdbcWarehouse _, q18Sql),
     "q139_scd2_history" -> (q139Scd2History _, q139Sql),
     "q141_temporal_dim_join" -> (q141TemporalDimJoin _, q141Sql),
   )

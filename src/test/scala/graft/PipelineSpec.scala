@@ -54,6 +54,33 @@ class PipelineSpec extends SparkSpec {
     assert(analytics.count() > 0)
   }
 
+  test("JDBC warehouse sink: parallel foreachPartition inserts; at-least-once replay resolved by read-side LWW") {
+    // embedded Derby rides Spark's own classpath — a REAL JDBC target
+    // (multi-connection, transactional), no network needed
+    val url = "jdbc:derby:memory:graftwh;create=true"
+    val rows = Warehouse.toWarehouseRows(env)
+    Warehouse.createJdbcTable(url, "wh_rows", rows.schema)
+    Warehouse.appendJdbc(rows, url, "wh_rows", batchSize = 64)
+    // the reference's delivery contract: a replay (failed-task retry /
+    // speculative double-send) APPENDS — duplicates are resolved at
+    // read time by LWW, never by exactly-once machinery
+    Warehouse.appendJdbc(rows, url, "wh_rows", batchSize = 64)
+    // Derby uppercases unquoted identifiers; JDBC reads preserve DDL
+    // column ORDER, so rebind the original names positionally
+    val back = spark.read.format("jdbc")
+      .option("url", url).option("dbtable", "wh_rows").load()
+      .toDF(rows.columns: _*)
+    assert(back.count() == 2 * rows.count(), "both sends must have landed")
+    val live = Cdc.latestByKey(back, Warehouse.DedupKeys, Warehouse.VersionCols)
+      .filter(!$"is_deleted")
+      .select($"original_id", $"ingestion_seq").as[(String, Long)].collect().toSet
+    val direct = Cdc.latestByKey(rows, Warehouse.DedupKeys, Warehouse.VersionCols)
+      .filter(!$"is_deleted")
+      .select($"original_id", $"ingestion_seq").as[(String, Long)].collect().toSet
+    assert(live == direct && live.nonEmpty,
+      "double-sent JDBC state must LWW-resolve to the single-send live state")
+  }
+
   test("replaying the same batch is idempotent under dynamic partition overwrite") {
     val dir = freshDir()
     val rows = Warehouse.toWarehouseRows(env)
