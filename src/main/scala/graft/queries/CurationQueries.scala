@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -1829,6 +1829,297 @@ object CurationQueries {
       |    AS trimmed_mean_cents
       |FROM m""".stripMargin
 
+  // ---------------------------------------------------------------- q277
+  /** SEQUENCE PACKING audit (concat-and-chunk, the GPT-style batch
+    * prep): documents are concatenated in doc_id order within a
+    * deterministic md5 shard and cut into fixed 512-token training
+    * bins; a doc whose span crosses a bin boundary is split across
+    * sequences. Per shard the gate reports the packing efficiency a
+    * trainer cares about — docs, total tokens, bins produced,
+    * boundary-crossing docs, and tail waste (padding tokens in the
+    * final partial bin). Shape at 100 TB: packing is inherently
+    * sequential per shard, so the SHARD is the parallelism unit (16
+    * here, O(cluster cores) in production — the per-shard window is
+    * one sort + one linear cumulative sum, and shards are md5-balanced
+    * so no shard is hot). One shuffle by shard; no collect; all
+    * integer math (cum DIV 512), engine-free md5 shard idiom.
+    */
+  def q277SequencePacking(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(
+      col("doc_id"),
+      expr("CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 7), 16, 10) AS BIGINT) % 16")
+        .as("shard"),
+      size(split(col("text"), " ")).cast("long").as("tok"))
+    val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs.withColumn("cum", sum(col("tok")).over(w))
+      .withColumn("bin_first", expr("(cum - tok) DIV 512"))
+      .withColumn("bin_last", expr("(cum - 1) DIV 512"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("tok")).as("total_tokens"),
+        (max(col("bin_last")) + lit(1L)).as("n_bins"),
+        sum(when(col("bin_last") > col("bin_first"), 1L).otherwise(0L)).as("n_crossing"))
+      .withColumn("tail_waste", col("n_bins") * lit(512L) - col("total_tokens"))
+  }
+
+  val q277Sql: String =
+    """WITH t AS (SELECT doc_id,
+      |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7)) AS BIGINT) % 16 AS shard,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS tok
+      |  FROM documents),
+      |c AS (SELECT shard, tok,
+      |    sum(tok) OVER (PARTITION BY shard ORDER BY doc_id
+      |      ROWS UNBOUNDED PRECEDING) AS cum FROM t),
+      |b AS (SELECT shard, tok, cum,
+      |    (cum - tok) // 512 AS bin_first, (cum - 1) // 512 AS bin_last FROM c)
+      |SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(tok) AS BIGINT) AS total_tokens,
+      |  CAST(max(bin_last) + 1 AS BIGINT) AS n_bins,
+      |  CAST(sum(CASE WHEN bin_last > bin_first THEN 1 ELSE 0 END) AS BIGINT) AS n_crossing,
+      |  CAST((max(bin_last) + 1) * 512 - sum(tok) AS BIGINT) AS tail_waste
+      |FROM b GROUP BY shard""".stripMargin
+
+  // ---------------------------------------------------------------- q278
+  /** PII SCRUB + REDACTION AUDIT: the pre-release pass every public
+    * training corpus runs. The shipped tables carry no PII, so the
+    * gate PLANTS it deterministically — an in-query free-text column
+    * derived from customer integers embeds an email, a phone, and a
+    * 16-digit card number per row — then the scanner must find and
+    * redact exactly what was planted: per market segment it reports
+    * found counts per PII class, characters removed by redaction, and
+    * a residual sweep over the REDACTED text that must come back zero
+    * (the self-check that the replace order — email, then phone, then
+    * card — leaves nothing behind). Patterns are RE2-safe (no
+    * backrefs/lookarounds) so Java regex and the oracle's RE2 agree
+    * byte-for-byte. Shape at 100 TB: pure per-row regexp chains
+    * inside one codegen span over the scan, then a 5-group hash agg —
+    * no shuffle beyond the final map-side-combined rollup.
+    */
+  def q278PiiRedaction(s: SparkSession, d: String): DataFrame = {
+    val email = """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"""
+    val phone = """\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}"""
+    val card = """\b[0-9]{13,19}\b"""
+    def nHits(c: Column, p: String): Column =
+      size(regexp_extract_all(c, lit(p), lit(0))).cast("long")
+    val base = Tables.customer(s, d)
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+      .withColumn("txt", concat(
+        lit("user "), col("c_name"),
+        lit(" mail c"), col("c_custkey").cast("string"),
+        lit("@ex"), expr("CAST(c_custkey % 7 AS STRING)"), lit(".net tel +1-"),
+        expr("CAST((c_custkey * 7) % 900 + 100 AS STRING)"), lit("-"),
+        expr("CAST((c_custkey * 13) % 9000 + 1000 AS STRING)"),
+        lit(" card "), expr("CAST(4000000000000000 + c_custkey * 999 AS STRING)"),
+        lit(" ok")))
+      .withColumn("red", regexp_replace(regexp_replace(regexp_replace(col("txt"),
+        lit(email), lit("<EMAIL>")), lit(phone), lit("<PHONE>")), lit(card), lit("<CARD>")))
+    base
+      .withColumn("n_email", nHits(col("txt"), email))
+      .withColumn("n_phone", nHits(col("txt"), phone))
+      .withColumn("n_card", nHits(col("txt"), card))
+      .withColumn("n_residual",
+        nHits(col("red"), email) + nHits(col("red"), phone) + nHits(col("red"), card))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("n_email")).as("emails"),
+        sum(col("n_phone")).as("phones"),
+        sum(col("n_card")).as("cards"),
+        sum(length(col("txt")).cast("long") - length(col("red")).cast("long"))
+          .as("chars_removed"),
+        sum(col("n_residual")).as("residual_pii"))
+  }
+
+  val q278Sql: String =
+    """WITH base AS (SELECT c_mktsegment,
+      |    'user ' || c_name || ' mail c' || CAST(c_custkey AS VARCHAR) ||
+      |    '@ex' || CAST(c_custkey % 7 AS VARCHAR) || '.net tel +1-' ||
+      |    CAST((c_custkey * 7) % 900 + 100 AS VARCHAR) || '-' ||
+      |    CAST((c_custkey * 13) % 9000 + 1000 AS VARCHAR) ||
+      |    ' card ' || CAST(4000000000000000 + c_custkey * 999 AS VARCHAR) || ' ok' AS txt
+      |  FROM customer),
+      |red AS (SELECT c_mktsegment, txt,
+      |    regexp_replace(regexp_replace(regexp_replace(txt,
+      |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+      |      '\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g'),
+      |      '\b[0-9]{13,19}\b', '<CARD>', 'g') AS r
+      |  FROM base)
+      |SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_rows,
+      |  CAST(sum(len(regexp_extract_all(txt, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))) AS BIGINT) AS emails,
+      |  CAST(sum(len(regexp_extract_all(txt, '\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}'))) AS BIGINT) AS phones,
+      |  CAST(sum(len(regexp_extract_all(txt, '\b[0-9]{13,19}\b'))) AS BIGINT) AS cards,
+      |  CAST(sum(length(txt) - length(r)) AS BIGINT) AS chars_removed,
+      |  CAST(sum(len(regexp_extract_all(r, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+      |    + len(regexp_extract_all(r, '\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}'))
+      |    + len(regexp_extract_all(r, '\b[0-9]{13,19}\b'))) AS BIGINT) AS residual_pii
+      |FROM red GROUP BY c_mktsegment""".stripMargin
+
+  // ---------------------------------------------------------------- q279
+  /** REPETITION FILTERS (the Gopher/MassiveText repetition rules,
+    * token-quantized): per document, the fraction of tokens covered by
+    * the single most frequent 2-gram (top2_ppm — catches "the the the"
+    * boilerplate loops) and the fraction of 5-gram positions whose
+    * 5-gram repeats within the doc (dup5_ppm — catches paragraph-scale
+    * internal copy-paste); docs past the 2-gram threshold are flagged.
+    * Distinct from the cross-document tiers (q25-q29, q182, q213):
+    * those compare documents to EACH OTHER, this measures repetition
+    * INSIDE one document — the signature of low-quality generated or
+    * scraped text. All ratios are integer ppm (x * 1000000 DIV n), no
+    * cross-engine float division. Shape at 100 TB: two explode ->
+    * two-stage hash aggs keyed (doc, gram) then (doc) — map-side
+    * combinable, per-doc bounded, no window, no collect.
+    */
+  def q279RepetitionFilters(s: SparkSession, d: String): DataFrame = {
+    val t = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), split(col("text"), " ").as("ts"))
+      .withColumn("n", size(col("ts")).cast("long"))
+    val bg = t.select(col("doc_id"), explode(expr(
+      """CASE WHEN size(ts) >= 2
+        |  THEN transform(sequence(1, size(ts) - 1), i -> concat(ts[i-1], ' ', ts[i]))
+        |  ELSE array() END""".stripMargin)).as("g"))
+      .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id")).agg(max(col("c")).as("m2"))
+    val g5 = t.select(col("doc_id"), explode(expr(
+      """CASE WHEN size(ts) >= 5
+        |  THEN transform(sequence(1, size(ts) - 4), i -> array_join(slice(ts, i, 5), ' '))
+        |  ELSE array() END""".stripMargin)).as("g"))
+      .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(when(col("c") >= 2, col("c")).otherwise(lit(0L))).as("dup5"),
+        sum(col("c")).as("pos5"))
+    t.select(col("doc_id"), col("lang"), col("n"))
+      .join(bg, Seq("doc_id"), "left")
+      .join(g5, Seq("doc_id"), "left")
+      .withColumn("top2_ppm", expr("coalesce(m2, 0) * 2000000 DIV n"))
+      .withColumn("dup5_ppm", expr(
+        "CASE WHEN coalesce(pos5, 0) > 0 THEN coalesce(dup5, 0) * 1000000 DIV pos5 ELSE 0 END"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("docs"),
+        sum(when(col("top2_ppm") > 120000, 1L).otherwise(0L)).as("flagged"),
+        sum(col("top2_ppm")).as("sum_top2_ppm"),
+        sum(col("dup5_ppm")).as("sum_dup5_ppm"))
+  }
+
+  val q279Sql: String =
+    """WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS ts,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n FROM documents),
+      |bg AS (SELECT doc_id, max(c) AS m2 FROM (
+      |    SELECT doc_id, g, count(*) AS c FROM (
+      |      SELECT doc_id, unnest(list_transform(generate_series(1, len(ts) - 1),
+      |        i -> ts[i] || ' ' || ts[i+1])) AS g FROM t) GROUP BY 1, 2) GROUP BY 1),
+      |g5 AS (SELECT doc_id, sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS dup5,
+      |    sum(c) AS pos5 FROM (
+      |    SELECT doc_id, g, count(*) AS c FROM (
+      |      SELECT doc_id, unnest(list_transform(generate_series(1, len(ts) - 4),
+      |        i -> array_to_string(ts[i:i+4], ' '))) AS g FROM t) GROUP BY 1, 2) GROUP BY 1),
+      |m AS (SELECT t.doc_id, t.lang,
+      |    coalesce(bg.m2, 0) * 2000000 // t.n AS top2_ppm,
+      |    CASE WHEN coalesce(g5.pos5, 0) > 0
+      |      THEN coalesce(g5.dup5, 0) * 1000000 // g5.pos5 ELSE 0 END AS dup5_ppm
+      |  FROM t LEFT JOIN bg ON t.doc_id = bg.doc_id
+      |  LEFT JOIN g5 ON t.doc_id = g5.doc_id)
+      |SELECT lang, CAST(count(*) AS BIGINT) AS docs,
+      |  CAST(sum(CASE WHEN top2_ppm > 120000 THEN 1 ELSE 0 END) AS BIGINT) AS flagged,
+      |  CAST(sum(top2_ppm) AS BIGINT) AS sum_top2_ppm,
+      |  CAST(sum(dup5_ppm) AS BIGINT) AS sum_dup5_ppm
+      |FROM m GROUP BY lang""".stripMargin
+
+  // ---------------------------------------------------------------- q280
+  /** SLIDING CONTEXT CHUNKING (the long-document complement of q277's
+    * packing): documents longer than the 32-token training context are
+    * cut into overlapping windows — stride 24, overlap 8 — the
+    * standard prep for models whose context is shorter than the doc
+    * (each boundary token still sees 8 tokens of left context in the
+    * next chunk). Chunks are MATERIALIZED, not just counted: each
+    * chunk's text is rebuilt with slice + array_join and carried as an
+    * md5-derived integer whose per-doc sum is the gate's
+    * order-independent content checksum — a wrong boundary changes
+    * the hash even when the counts survive. Per doc: token count,
+    * chunk count, covered token-positions (n + (chunks-1) x overlap),
+    * redundancy, checksum. Shape at 100 TB: one explode of
+    * O(tokens/stride) chunk indexes per doc, slice is per-row
+    * compute inside codegen, one per-doc hash agg; no shuffle beyond
+    * the rollup, no window, no collect.
+    */
+  def q280ContextChunking(s: SparkSession, d: String): DataFrame = {
+    val t = Tables.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("ts"))
+      .withColumn("n", size(col("ts")).cast("long"))
+      .withColumn("k", expr("CASE WHEN n <= 32 THEN 1L ELSE (n - 32 + 23) DIV 24 + 1 END"))
+    t.select(col("doc_id"), col("ts"), col("n"), col("k"),
+        explode(expr("sequence(0L, k - 1)")).as("i"))
+      .withColumn("strt", expr("i * 24 + 1"))
+      .withColumn("len", expr("CASE WHEN i = k - 1 THEN n - i * 24 ELSE 32L END"))
+      .withColumn("h", expr(
+        "CAST(conv(substring(md5(array_join(slice(ts, CAST(strt AS INT), CAST(len AS INT)), ' ')), 1, 7), 16, 10) AS BIGINT)"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("n")).as("n_tok"), max(col("k")).as("n_chunks"),
+        sum(col("len")).as("covered"), sum(col("h")).as("chunk_sum"))
+      .withColumn("redundancy", col("covered") - col("n_tok"))
+  }
+
+  val q280Sql: String =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n FROM documents),
+      |tk AS (SELECT doc_id, ts, n,
+      |    CASE WHEN n <= 32 THEN 1 ELSE (n - 32 + 23) // 24 + 1 END AS k FROM t),
+      |ch AS (SELECT doc_id, ts, n, k, unnest(generate_series(0, k - 1)) AS i FROM tk),
+      |cc AS (SELECT doc_id, n, k, i * 24 + 1 AS strt,
+      |    CASE WHEN i = k - 1 THEN n - i * 24 ELSE 32 END AS len, ts FROM ch),
+      |hx AS (SELECT doc_id, n, k, len,
+      |    CAST(('0x' || substr(md5(array_to_string(ts[strt:strt+len-1], ' ')), 1, 7)) AS BIGINT) AS h
+      |  FROM cc)
+      |SELECT doc_id, max(n) AS n_tok, CAST(max(k) AS BIGINT) AS n_chunks,
+      |  CAST(sum(len) AS BIGINT) AS covered, CAST(sum(h) AS BIGINT) AS chunk_sum,
+      |  CAST(sum(len) - max(n) AS BIGINT) AS redundancy
+      |FROM hx GROUP BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q281
+  /** TEMPERATURE-SCALED MIXTURE QUOTAS (the multilingual-LM sampling
+    * rebalance, alpha = 0.5): per-language sampling quotas
+    * proportional to tokens^0.5 instead of tokens — upweighting
+    * low-resource strata the way multilingual pretraining corpora are
+    * rebalanced — allocated over a 100000-draw budget by the same
+    * exact largest-remainder apportionment as q161 (which allocates
+    * PROPORTIONALLY by doc count; this gate's capability is the
+    * temperature reweighting by token mass). sqrt is the one float op
+    * — IEEE-correctly-rounded in both engines — and is immediately
+    * quantized (floor(sqrt x 1000)) so every comparison and division
+    * after it is exact integer math. Shape at 100 TB: one map-side-
+    * combined token-count agg over the corpus; everything after runs
+    * on the 5-row stratum frame (metadata scale, q161's discipline).
+    */
+  def q281TemperatureMixture(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.documents(s, d)
+      .select(col("lang"), size(split(col("text"), " ")).cast("long").as("tok"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("tok")).as("tokens"))
+      .withColumn("w", expr("CAST(floor(sqrt(CAST(tokens AS DOUBLE)) * 1000) AS BIGINT)"))
+    val tot = Window.partitionBy() // 5-row stratum frame: metadata scale
+    base.withColumn("wsum", sum(col("w")).over(tot))
+      .withColumn("base_q", expr("(w * 100000) DIV wsum"))
+      .withColumn("rem", expr("(w * 100000) % wsum"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy().orderBy(col("rem").desc, col("lang"))))
+      .withColumn("left_over", lit(100000L) - sum(col("base_q")).over(tot))
+      .withColumn("quota", expr("base_q + CASE WHEN rk <= left_over THEN 1 ELSE 0 END"))
+      .select(col("lang"), col("n_docs"), col("tokens"), col("w"), col("quota"))
+  }
+
+  val q281Sql: String =
+    """WITH b AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+      |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tokens
+      |  FROM documents GROUP BY lang),
+      |w AS (SELECT lang, n_docs, tokens,
+      |    CAST(floor(sqrt(CAST(tokens AS DOUBLE)) * 1000) AS BIGINT) AS w FROM b),
+      |a AS (SELECT lang, n_docs, tokens, w, CAST(sum(w) OVER () AS BIGINT) AS wsum FROM w),
+      |q AS (SELECT *, (w * 100000) // wsum AS base_q, (w * 100000) % wsum AS rem,
+      |    row_number() OVER (ORDER BY (w * 100000) % wsum DESC, lang) AS rk FROM a),
+      |f AS (SELECT *, 100000 - CAST(sum(base_q) OVER () AS BIGINT) AS left_over FROM q)
+      |SELECT lang, n_docs, tokens, w,
+      |  CAST(base_q + CASE WHEN rk <= left_over THEN 1 ELSE 0 END AS BIGINT) AS quota
+      |FROM f""".stripMargin
+
   val entries: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "q212_zorder" -> (q212ZOrder _, q212Sql),
     "q213_exact_substr" -> (q213ExactSubstr _, q213Sql),
@@ -1864,5 +2155,10 @@ object CurationQueries {
     "q245_theil_sen" -> (q245TheilSen _, q245Sql),
     "q246_hll_intersect" -> (q246HllIntersect _, q246Sql),
     "q248_robust_means" -> (q248RobustMeans _, q248Sql),
+    "q277_sequence_packing" -> (q277SequencePacking _, q277Sql),
+    "q278_pii_redaction" -> (q278PiiRedaction _, q278Sql),
+    "q279_repetition_filters" -> (q279RepetitionFilters _, q279Sql),
+    "q280_context_chunking" -> (q280ContextChunking _, q280Sql),
+    "q281_temperature_mixture" -> (q281TemperatureMixture _, q281Sql),
   )
 }

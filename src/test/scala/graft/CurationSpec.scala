@@ -577,4 +577,73 @@ class CurationSpec extends SparkSpec {
     assert(byDigit == Map(1L -> 1L, 2L -> 1L, 7L -> 1L), s"got $byDigit")
     assert(rows.forall(r => !r.isNullAt(r.fieldIndex("digit"))), "NULL digit group leaked")
   }
+
+  test("q277 packing arithmetic closes per shard (bins = ceil, waste < bin)") {
+    val rows = SparkEntry.queries("q277_sequence_packing")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (tot, bins, waste) = (r.getAs[Long]("total_tokens"),
+        r.getAs[Long]("n_bins"), r.getAs[Long]("tail_waste"))
+      assert(bins == (tot + 511) / 512, s"shard ${r.get(0)}: bins $bins vs tokens $tot")
+      assert(waste == bins * 512 - tot && waste >= 0 && waste < 512,
+        s"shard ${r.get(0)}: waste $waste")
+      assert(r.getAs[Long]("n_crossing") <= r.getAs[Long]("n_docs"))
+    }
+  }
+
+  test("q278 finds every planted PII instance and redacts to zero residual") {
+    val rows = SparkEntry.queries("q278_pii_redaction")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_rows")
+      assert(r.getAs[Long]("emails") == n && r.getAs[Long]("phones") == n &&
+        r.getAs[Long]("cards") == n,
+        s"segment ${r.get(0)}: planted-one-per-class violated")
+      assert(r.getAs[Long]("residual_pii") == 0L, s"segment ${r.get(0)}: residual PII")
+      assert(r.getAs[Long]("chars_removed") > 0L)
+    }
+  }
+
+  test("q279 repetition ppms bounded, flags subset of docs") {
+    val rows = SparkEntry.queries("q279_repetition_filters")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val docs = r.getAs[Long]("docs")
+      assert(r.getAs[Long]("flagged") <= docs)
+      // top2_ppm <= 2e6 per doc (a bigram covers at most every token twice)
+      assert(r.getAs[Long]("sum_top2_ppm") <= 2000000L * docs)
+      assert(r.getAs[Long]("sum_dup5_ppm") >= 0L &&
+        r.getAs[Long]("sum_dup5_ppm") <= 1000000L * docs)
+    }
+  }
+
+  test("q280 chunk geometry: stride/overlap arithmetic and materialized checksums") {
+    val rows = SparkEntry.queries("q280_context_chunking")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    var multi = 0
+    rows.foreach { r =>
+      val (n, k) = (r.getAs[Long]("n_tok"), r.getAs[Long]("n_chunks"))
+      val expectK = if (n <= 32) 1L else (n - 32 + 23) / 24 + 1
+      assert(k == expectK, s"doc ${r.get(0)}: chunks $k != $expectK for n=$n")
+      assert(r.getAs[Long]("redundancy") == (k - 1) * 8,
+        s"doc ${r.get(0)}: overlap arithmetic broken")
+      assert(r.getAs[Long]("covered") == n + (k - 1) * 8)
+      assert(r.getAs[Long]("chunk_sum") > 0L, s"doc ${r.get(0)}: empty checksum")
+      if (k > 1) multi += 1
+    }
+    assert(multi > 0, "no multi-chunk docs — gate exercises nothing")
+  }
+
+  test("q281 temperature quotas: exact budget, flatter than proportional") {
+    val rows = SparkEntry.queries("q281_temperature_mixture")(spark, sfDir).collect()
+    assert(rows.length >= 2)
+    assert(rows.map(_.getAs[Long]("quota")).sum == 100000L, "largest-remainder budget broken")
+    // temperature flattening: the largest stratum's quota share must be
+    // strictly below its token share; the smallest strictly above
+    val byTok = rows.sortBy(_.getAs[Long]("tokens"))
+    val totTok = rows.map(_.getAs[Long]("tokens")).sum.toDouble
+    val big = byTok.last; val small = byTok.head
+    assert(big.getAs[Long]("quota") / 100000.0 < big.getAs[Long]("tokens") / totTok)
+    assert(small.getAs[Long]("quota") / 100000.0 > small.getAs[Long]("tokens") / totTok)
+  }
 }

@@ -51,6 +51,7 @@ class FullPlanSpec extends SparkSpec {
       "q241_planted_pair_completeness" -> "DOMAIN: same SetSimJoin vocabulary-rank window as q145 (corpus + planted twins)",
       "q159_autocorr" -> "DOMAIN: lag-1 pairs over the per-DAY aggregate — day-cardinality frame",
       "q161_stratified_split" -> "METADATA: largest-remainder rounding over the 5-row stratum frame",
+      "q281_temperature_mixture" -> "METADATA: largest-remainder rounding over the 5-row lang-stratum frame (q161's discipline, temperature weights)",
       "q169_chisq_cells" -> "METADATA: expected-count window over the 35-cell contingency frame",
       "q180_mann_whitney_u" -> "DOMAIN: cumulative rank over the per-CENTS value histogram (q216 discipline)",
       "q234_skyline" -> "DOMAIN: running max over the per-PRICE-CENTS aggregate of part",
