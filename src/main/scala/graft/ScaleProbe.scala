@@ -18,10 +18,17 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * < 1 sublinear (streaming micro-batch floors amortize), > 1
   * superlinear — the thing that sinks a 100 TB deployment. A worsening
   * of > [[FlagThreshold]] (= a 1.4x time-ratio drift at fixed scale
-  * step) on either decade flags the query into the artifact's
-  * `flagged` array, prints a SEMANTICS line, and exits nonzero.
-  * Exponents of the committed artifact ride along as `prior` with a
-  * per-query `delta`, so improvement and drift are both in-band.
+  * step) on either decade flags the query — but only when the
+  * END-TO-END (sf0.1 -> sf10) slope also worsened past
+  * `EndToEndThreshold`: per-decade exponents share the sf1 middle
+  * point, so one noisy sf1 measurement moves both decades in opposite
+  * directions (pure redistribution, logged as jitter). Every
+  * surviving flag then SELF-ADJUDICATES by a solo post-sweep
+  * re-measure (`rerun_*` + `reproduced` in the artifact, the Bench
+  * discipline); only reproduced flags print a SEMANTICS line and exit
+  * nonzero. Exponents of the committed artifact ride along as `prior`
+  * with a per-query `delta`, so improvement and drift are both
+  * in-band.
   *
   * Methodology matches Bench (noop sink, warm-up pass, min of
   * `SPARK_GRAFT_PROBE_REPEATS` (default 2) runs per sf — exponent
@@ -65,8 +72,14 @@ object ScaleProbe {
     val repeats = sys.env.getOrElse("SPARK_GRAFT_PROBE_REPEATS", "2").toInt
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       math.min(32, Runtime.getRuntime.availableProcessors()).toString)
+    // local[N,4]: allow up to 4 task attempts, matching a real cluster's
+    // spark.task.maxFailures default. The sf10 tier runs long enough to hit
+    // rare JVM-level transient faults (observed: a NativeThreadSet race in
+    // spill read-ahead under GCLocker retry, ArrayIndexOutOfBoundsException
+    // from sun.nio.ch — not query code); local's default of 1 attempt turns
+    // one such fault into a failed probe.
     val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
+      .master(s"local[$cpus,4]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
@@ -113,11 +126,21 @@ object ScaleProbe {
             s"(raise SPARK_DRIVER_MEM; 48g covers the sf10 tier); artifact NOT written")
           sys.exit(2)
         }
-        val t0 = System.nanoTime()
-        try { exec(SparkEntry.queries(n)(spark, d)); (System.nanoTime() - t0) / 1e9 }
-        catch { case t: Throwable =>
-          System.err.println(s"[probe] $n failed at $d: $t"); -1.0 }
-        finally spark.catalog.clearCache()
+        // one query-level retry on failure: with task retries on, anything
+        // that still aborts a whole attempt is either real (fails again) or
+        // a driver-side transient; the retried run's time is recorded as a
+        // normal repeat (we take the min anyway) and the retry is logged.
+        def once(): Double = {
+          val t0 = System.nanoTime()
+          try { exec(SparkEntry.queries(n)(spark, d)); (System.nanoTime() - t0) / 1e9 }
+          finally spark.catalog.clearCache()
+        }
+        try once() catch { case t: Throwable =>
+          System.err.println(s"[probe] $n failed at $d (retrying once): $t")
+          if (spark.sparkContext.isStopped) -1.0
+          else try once() catch { case t2: Throwable =>
+            System.err.println(s"[probe] $n failed at $d on retry: $t2"); -1.0 }
+        }
       }
       if (ts.exists(_ < 0)) -1.0 else ts.min
     }
@@ -146,19 +169,76 @@ object ScaleProbe {
       spark.stop()
       sys.exit(2)
     }
-    val flagged = rows.flatMap { case (n, _, _, exps) =>
+    // A per-decade exponent is a RATIO of two point measurements, so a
+    // single noisy middle point (sf1) moves BOTH decades in opposite
+    // directions — prior rounds burned manual adjudications on exactly
+    // that redistribution (worse e_sf1_to_sf10 with an equally better
+    // e_sf0.1_to_sf1). The end-to-end exponent (sf0.1 -> sf10 over two
+    // decades) cancels the middle point entirely; a flag now requires
+    // the per-decade worsening AND a worsened end-to-end slope — the
+    // machine form of the "endpoints stable = jitter" adjudication.
+    val EndToEndThreshold = 0.10
+    def e2e(exps: Seq[(String, Double)]): Double = {
+      val vs = exps.map(_._2)
+      if (vs.exists(_.isNaN)) Double.NaN else vs.sum / 2
+    }
+    case class Flag(q: String, key: String, old: Double, live: Double,
+                    e2ePrior: Double, e2eLive: Double)
+    val flagData: Seq[Flag] = rows.flatMap { case (n, _, _, exps) =>
+      val liveE2e = e2e(exps)
+      val priorE2e = prior.get(n) match {
+        case Some(p) if exps.forall { case (k, _) => p.contains(k) } =>
+          e2e(exps.map { case (k, _) => k -> p(k) })
+        case _ => Double.NaN
+      }
+      val e2eWorsened = priorE2e.isNaN || liveE2e.isNaN ||
+        liveE2e - priorE2e > EndToEndThreshold
       exps.flatMap { case (k, e) =>
         prior.get(n).flatMap(_.get(k)) match {
+          case Some(old) if !e.isNaN && e - old > FlagThreshold && e2eWorsened =>
+            Some(Flag(n, k, old, e, priorE2e, liveE2e))
           case Some(old) if !e.isNaN && e - old > FlagThreshold =>
-            Some(s"""{"query":"$n","exponent":"$k","prior":$old,"live":$e}""")
+            System.err.println(s"[probe] $n $k worsened ${r3(e - old)} but end-to-end " +
+              s"slope held (${r3(priorE2e)} -> ${r3(liveE2e)}): middle-point jitter, not flagged")
+            None
           case _ => None
         }
       }
     }
+    // SELF-ADJUDICATION (the Bench `rerun`/`reproduced` discipline):
+    // each flagged query re-measures solo post-sweep — a flag caused by
+    // in-sweep JVM state (heap pressure from 16 earlier queries' jobs;
+    // q208 measured 179 s in-sweep vs 116 s solo in round 11) does not
+    // reproduce and is recorded as machine-adjudicated noise; only a
+    // reproduced flag demands a SEMANTICS entry and fails the run.
+    val rerunTimes: Map[String, (Seq[(String, Double)], Seq[(String, Double)])] =
+      flagData.map(_.q).distinct.map { n =>
+        System.err.println(s"[probe] adjudicating $n: solo re-measure x$repeats per sf")
+        val ts2 = dirs.map { case (sf, dir) => sf -> r3(time(n, dir)) }
+        val es2 = Seq("exp_sf0.1_to_sf1" -> exp(ts2(0)._2, ts2(1)._2),
+                      "exp_sf1_to_sf10" -> exp(ts2(1)._2, ts2(2)._2))
+        n -> (ts2, es2)
+      }.toMap
+    val flagged = flagData.map { f =>
+      val (ts2, es2) = rerunTimes(f.q)
+      val e2e2 = e2e(es2)
+      val expAgain = es2.toMap.getOrElse(f.key, Double.NaN)
+      val reproduced = !expAgain.isNaN && expAgain - f.old > FlagThreshold &&
+        (f.e2ePrior.isNaN || e2e2.isNaN || e2e2 - f.e2ePrior > EndToEndThreshold)
+      val rr = ts2.map { case (sf, t) => s""""rerun_${sf}_sec":$t""" }.mkString(",")
+      (reproduced,
+        s"""{"query":"${f.q}","exponent":"${f.key}","prior":${f.old},"live":${f.live},""" +
+        s""""e2e_prior":${if (f.e2ePrior.isNaN) "null" else r3(f.e2ePrior)},""" +
+        s""""e2e_live":${if (f.e2eLive.isNaN) "null" else r3(f.e2eLive)},$rr,""" +
+        s""""rerun_${f.key}":${if (expAgain.isNaN) "null" else expAgain},""" +
+        s""""reproduced":$reproduced}""")
+    }
     val qJson = rows.map { case (n, cls, ts, exps) =>
       val secs = ts.map { case (sf, t) => s""""${sf}_sec":$t""" }.mkString(",")
-      val es = exps.map { case (k, e) =>
-        s""""$k":${if (e.isNaN) "null" else e}""" }.mkString(",")
+      val liveE2e = e2e(exps)
+      val es = (exps.map { case (k, e) =>
+        s""""$k":${if (e.isNaN) "null" else e}""" } :+
+        s""""exp_end_to_end":${if (liveE2e.isNaN) "null" else r3(liveE2e)}""").mkString(",")
       val pr = prior.get(n).map(_.map { case (k, v) =>
         s""""prior_$k":$v""" }.mkString(",")).filter(_.nonEmpty).map("," + _).getOrElse("")
       val dl = exps.flatMap { case (k, e) =>
@@ -171,16 +251,18 @@ object ScaleProbe {
       s"""{
          | "metric": "scale_envelope",
          | "sfs": ["sf0.1", "sf1 (synth x10)", "sf10 (synth x100)"],
-         | "method": "min-of-$repeats noop-sink runs per sf on local[$cpus]; exponents = log10 time ratio per 10x data; prior_*/delta_* diff the previously committed artifact; flagged = any exponent worsened by > $FlagThreshold",
-         | "flagged": [${flagged.mkString(",")}],
+         | "method": "min-of-$repeats noop-sink runs per sf on local[$cpus]; exponents = log10 time ratio per 10x data; prior_*/delta_* diff the previously committed artifact; flagged = a per-decade exponent worsened by > $FlagThreshold AND the end-to-end (sf0.1->sf10) slope worsened by > $EndToEndThreshold (a worse decade offset by an equally better other decade is middle-point measurement jitter, logged but not flagged); every flag then re-measures solo post-sweep (rerun_* fields) and carries machine adjudication in `reproduced` — only reproduced flags fail the run",
+         | "flagged": [${flagged.map(_._2).mkString(",")}],
          | "queries": {$qJson}
          |}""".stripMargin
     java.nio.file.Files.writeString(java.nio.file.Paths.get(out), json + "\n")
-    val summary = s"""{"metric":"scale_probe_summary","queries":${rows.size},"flagged":${flagged.size},"out":"$out"}"""
+    val reproducedFlags = flagged.collect { case (true, j) => j }
+    val summary = s"""{"metric":"scale_probe_summary","queries":${rows.size},"flagged":${flagged.size},"reproduced":${reproducedFlags.size},"out":"$out"}"""
     System.err.println(summary)
     println(summary)
-    if (flagged.nonEmpty) {
-      System.err.println("SEMANTICS: scale-envelope regression — " + flagged.mkString("; "))
+    if (reproducedFlags.nonEmpty) {
+      System.err.println("SEMANTICS: scale-envelope regression (reproduced solo) — " +
+        reproducedFlags.mkString("; "))
       spark.stop()
       sys.exit(1)
     }
