@@ -1583,6 +1583,15 @@ object CurationQueries {
       .select(col("l_returnflag").as("g"),
         expr("CAST(round(l_quantity) AS BIGINT)").as("x"),
         expr("CAST(round(l_discount * 100) AS BIGINT)").as("y"))
+      // explicit non-null filter (a data no-op: x/y are casts of
+      // non-null doubles) so ALL THREE references to `joint` below
+      // carry identical filters: otherwise InferFiltersFromConstraints
+      // adds isnotnull(x)/isnotnull(y) only to the cells branch's scan
+      // and the three joint exchanges canonicalize into 2 or 3 distinct
+      // nodes depending on AQE stage re-optimization — the 6<->7
+      // shuffle fingerprint flap. Identical branches = one canonical
+      // joint exchange, deterministically, and AQE reuses the stage.
+      .where(col("g").isNotNull && col("x").isNotNull && col("y").isNotNull)
       .groupBy(col("g"), col("x"), col("y")).agg(count(lit(1)).as("cnt"))
     def midRanks(cn: String, out: String) = {
       val w = Window.partitionBy(col("g")).orderBy(col(cn).asc)
@@ -1592,9 +1601,15 @@ object CurationQueries {
           lit(2L) * coalesce(sum(col("c")).over(w), lit(0L)) + col("c") + lit(1L))
         .select(col("g"), col(cn), col(out))
     }
+    // The rank frames are domain-cardinality-bounded by construction
+    // (<= |X| / |Y| distinct values per group — both columns discrete),
+    // so broadcast is the scale-correct join strategy at ANY sf; stating
+    // it explicitly also pins the fingerprint, which otherwise flapped
+    // 6<->7 shuffles when AQE's runtime SMJ->BHJ conversion left the
+    // probe-side exchange behind in some solo JVMs.
     val cells = joint
-      .join(midRanks("x", "r2x"), Seq("g", "x"))
-      .join(midRanks("y", "r2y"), Seq("g", "y"))
+      .join(broadcast(midRanks("x", "r2x")), Seq("g", "x"))
+      .join(broadcast(midRanks("y", "r2y")), Seq("g", "y"))
     val m = cells.groupBy(col("g")).agg(
       sum(col("cnt")).as("n"),
       sum(col("cnt").cast(dec) * col("r2x").cast(dec)).as("sx"),

@@ -185,6 +185,116 @@ object StreamingQueries {
       |      FROM events))
       |WHERE rn = 1""".stripMargin
 
+  // ---------------------------------------------------------------- q282
+  /** MESSAGE-BUS delivery semantics made REAL (S3/S4 — the reference's
+    * RabbitMQ hop: publish with confirm, producer/producer.py:48-73;
+    * consume with MANUAL basic.ack, consumer/consumer.py:12-19):
+    * distributed producer tasks publish the CDC envelope stream to a
+    * durable [[graft.streaming.FileBus]] — one confirmed segment per
+    * partition, segment id = task partition id (coordination-free) —
+    * plus one planted POISON message. The consumer leases deliveries,
+    * parses, LWW-merges into the warehouse, and acks ONLY after the
+    * sink commit. Crash injection: the first pass commits the merge
+    * then crashes BEFORE acking — every lease expires, every message
+    * REDELIVERS with the redelivered bit set (REQUIREd), and the LWW
+    * merge absorbs the full replay by algebra: at-least-once
+    * transport, effectively-once state, the reference's actual
+    * contract. The poison message nacks with requeue until
+    * maxDeliveries, then dead-letters — REQUIREd to land in the DLQ
+    * while the queue drains to depth 0 (poison cannot wedge the
+    * pipeline; the reference would crash-loop its consumer,
+    * consumer.py has no DLQ). Oracle: q66's whole-history LWW state —
+    * transport redelivery and batch slicing cannot show through.
+    */
+  def q282MessageBus(s: SparkSession, d: String): DataFrame = {
+    import graft.streaming.FileBus
+    val base = graft.core.TempDirs.scoped("graft_q282_")
+    val busDir = s"$base/bus"; val stateDir = s"$base/state"
+    val visMs = 60000L
+    val bus = new FileBus(busDir, visibilityMs = visMs, maxDeliveries = 3)
+
+    // 1. distributed producers: one confirmed segment per task
+    val wire = CdcQueries.envelope(s, d)
+      .withColumn("ts_us", unix_micros(col("ts"))).drop("ts")
+    val nMsgs = wire.count()
+    wire.toJSON.repartition(8).foreachPartition { it: Iterator[String] =>
+      val rows = it.toArray
+      if (rows.nonEmpty) {
+        new FileBus(busDir, visMs, 3)
+          .publish(rows.toSeq, org.apache.spark.TaskContext.getPartitionId().toLong)
+        ()
+      }
+    }
+    bus.publish(Seq("""{"operation": "insert", "user_id":"""), 999L) // truncated JSON
+    require(bus.published() == nMsgs + 1,
+      "publisher confirms must cover every message")
+
+    val sink = new MergeSink(s, stateDir,
+      keys = Seq("user_id"), orderCols = Seq("ts_us", "document_id"), nBuckets = 16)
+    val group = "warehouse"
+
+    /** One consumer wake-up: lease everything deliverable at `nowMs`,
+      * merge the parseable rows, and report (goodIds, poisonIds,
+      * redelivered count, total). Ack/nack is the CALLER's move — the
+      * crash window under test sits between merge and ack.
+      */
+    def pass(nowMs: Long): (Seq[(Long, Int)], Seq[(Long, Int)], Long, Long) = {
+      val ds = bus.consume(group, Int.MaxValue, nowMs)
+      if (ds.isEmpty) return (Nil, Nil, 0L, 0L)
+      import s.implicits._
+      val frame = ds.map(x => (x.segment, x.index, x.payload))
+        .toDF("seg", "idx", "payload")
+        .withColumn("r", from_json(col("payload"), wireSchema))
+      // poison = unparseable or missing the LWW key; bounded by the planted count
+      val badIds = frame.filter(col("r").isNull || col("r.user_id").isNull)
+        .select("seg", "idx").collect()
+        .map(r => (r.getLong(0), r.getInt(1))).toSeq
+      if (badIds.size < ds.size) {
+        val good = frame
+          .filter(col("r").isNotNull && col("r.user_id").isNotNull)
+          .select(col("r.*"))
+        val flat = Cdc.enrichWatchedRatio(Cdc.flattenEnvelope(good),
+          "watched", "duration", rounded = false)
+        sink.merge(flat)
+      }
+      val poison = badIds.toSet
+      val goodIds = ds.map(x => (x.segment, x.index)).filterNot(poison)
+      (goodIds, badIds, ds.count(_.redelivered).toLong, ds.size.toLong)
+    }
+
+    // pass 1: sink commit lands, then the consumer CRASHES before ack
+    val (_, b1, re1, n1) = pass(0L)
+    require(n1 == nMsgs + 1 && re1 == 0L,
+      "first delivery must cover the whole queue with nothing redelivered")
+    require(b1.size == 1, "exactly the planted poison fails to parse")
+
+    // pass 2: leases expired -> full redelivery; merge replays; then settle
+    val (g2, b2, re2, n2) = pass(visMs + 1L)
+    require(n2 == nMsgs + 1 && re2 == nMsgs + 1,
+      "expired leases must redeliver every message with the redelivered bit")
+    bus.ackAll(group, g2)
+    bus.nackAll(group, b2, requeue = true) // poison attempt 2 of 3 -> requeued
+
+    // pass 3: only the poison is deliverable; the third failure dead-letters
+    val (g3, b3, _, n3) = pass(visMs + 2L)
+    require(n3 == 1 && g3.isEmpty && b3.size == 1,
+      "after the acks only the poison survives")
+    bus.nackAll(group, b3, requeue = true) // attempt 3 == maxDeliveries -> DLQ
+
+    require(bus.consume(group, Int.MaxValue, visMs * 2).isEmpty &&
+            bus.depth(group) == 0L,
+      "queue must drain to zero — a poison message cannot wedge it")
+    require(bus.deadLetters(group).size == 1,
+      "the poison message lands in the dead-letter queue")
+
+    sink.read().select(
+      col("user_id"),
+      col("document_id").as("last_document_id"),
+      col("operation").as("last_operation"),
+      expr("ts_us div 1000").as("last_ms"),
+      col("watched_ratio").as("last_ratio"))
+  }
+
   // ---------------------------------------------------------------- q76
   /** Incremental aggregate maintenance as a real StreamingQuery: the
     * per-etype analytics table is FOLDED forward one micro-batch at a
@@ -3394,6 +3504,7 @@ object StreamingQueries {
     "q165_map_list_state" -> (q165MapListState _, q165Sql),
     "q166_bloom_point_lookup" -> (q166BloomPointLookup _, q166Sql),
     "q66_streaming_cdc" -> (q66StreamingCdc _, q66Sql),
+    "q282_message_bus" -> (q282MessageBus _, q66Sql),
     "q76_streaming_agg" -> (q76StreamingAgg _, q76Sql),
     "q82_merge_compact" -> (q82MergeCompact _, q66Sql),
     "q83_schema_evolution" -> (q83SchemaEvolution _, q83Sql),

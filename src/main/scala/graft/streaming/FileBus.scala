@@ -1,0 +1,317 @@
+package graft.streaming
+
+import java.nio.charset.StandardCharsets.UTF_8
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+
+import scala.collection.mutable
+import scala.jdk.CollectionConverters._
+
+/** Durable file-backed message bus with AMQP-style delivery semantics —
+  * the reference's RabbitMQ hop made REAL instead of modeled: publish
+  * with publisher confirm (producer/producer.py:48-73), consume with
+  * MANUAL per-message ack (consumer/consumer.py:12-19, auto_ack absent),
+  * nack-with-requeue, bounded redelivery, and a dead-letter queue for
+  * poison messages (the x-dead-letter-exchange contract).
+  *
+  * Storage model — segments, not file-per-message: publishers flush
+  * BATCHES as append-only segment files (`seg-<n>.jsonl`, written tmp
+  * then atomically renamed — the rename IS the publisher confirm: a
+  * crash mid-write leaves only an invisible tmp file, never a
+  * half-published batch). Per-message delivery state lives in ONE
+  * settle-map file per (consumer group, segment)
+  * (`state/<group>/seg-<n>.state`), also rewritten tmp+rename, holding
+  * each in-flight/settled message's attempt count, lease deadline and
+  * terminal status. This is the high-throughput broker shape: per-
+  * message acks amortized into a per-segment settle map, O(segments)
+  * files total rather than O(messages).
+  *
+  * Delivery contract (at-least-once, exactly the reference's):
+  *  - a consumed message is LEASED until `visibilityMs` elapses; ack
+  *    before the deadline settles it forever (idempotent);
+  *  - a consumer crash between downstream commit and ack leaves the
+  *    lease to expire, and the message REDELIVERS with `redelivered =
+  *    true` and a bumped attempt count — downstream must dedup by
+  *    algebra (LWW upsert), never by assuming exactly-once transport;
+  *  - `nack(requeue = true)` clears the lease for immediate
+  *    redelivery; after `maxDeliveries` attempts the message dead-
+  *    letters instead (status recorded in the settle map, payload
+  *    readable via [[deadLetters]]) so a poison message can never
+  *    wedge the queue.
+  *
+  * Time is a PARAMETER (`nowMs`) — the bus has no wall clock, so
+  * gates drive lease expiry deterministically and a production caller
+  * passes `System.currentTimeMillis`.
+  *
+  * Scale-out model: the SEGMENT is the parallelism unit. Concurrent
+  * consumers in one group partition segments by hash (the Kafka
+  * partition-ownership model) rather than contending on shared settle
+  * maps; within a segment, claims are single-writer. At 100 TB the
+  * bus is a thin durable buffer in front of the streaming engine —
+  * segment files are also directly readable as a Spark JSON-lines
+  * source for backfill, so the queue never becomes the only copy of
+  * history.
+  */
+final class FileBus(root: String, visibilityMs: Long, maxDeliveries: Int) {
+  require(visibilityMs > 0, "visibilityMs must be positive")
+  require(maxDeliveries >= 1, "maxDeliveries must be >= 1")
+
+  import FileBus.jvmLock
+
+  private val msgsDir = Paths.get(root, "msgs")
+  private val stateRoot = Paths.get(root, "state")
+  Files.createDirectories(msgsDir)
+  Files.createDirectories(stateRoot)
+
+  import FileBus.Delivery
+
+  // ------------------------------------------------------------ publish
+
+  private def segPath(n: Long): Path = msgsDir.resolve(f"seg-$n%06d.jsonl")
+
+  private def listSegments(): Seq[Long] =
+    Files.list(msgsDir).iterator().asScala
+      .map(_.getFileName.toString)
+      .collect { case s if s.startsWith("seg-") && s.endsWith(".jsonl") =>
+        s.stripPrefix("seg-").stripSuffix(".jsonl").toLong }
+      .toSeq.sorted
+
+  /** Publish a batch as one durable segment under a CALLER-CHOSEN id —
+    * the coordination-free path for distributed producers (segment id =
+    * a unique producer/task id, the Kafka producer-partition file
+    * model; Spark callers pass `TaskContext.getPartitionId`). The
+    * atomic rename is the publisher confirm — after this returns, the
+    * batch survives any crash; a crash mid-write leaves only an
+    * invisible tmp file. Publishing an already-existing segment id is
+    * an error, never a silent overwrite.
+    */
+  def publish(payloads: Seq[String], segId: Long): Long = jvmLock.synchronized {
+    require(payloads.nonEmpty, "empty publish batch")
+    require(payloads.forall(p => !p.contains('\n')),
+      "payloads are line-framed: embedded newlines must be escaped by the caller")
+    require(!Files.exists(segPath(segId)), s"segment $segId already published")
+    val tmp = msgsDir.resolve(f"seg-$segId%06d.tmp")
+    Files.write(tmp, payloads.mkString("\n").getBytes(UTF_8))
+    Files.move(tmp, segPath(segId), StandardCopyOption.ATOMIC_MOVE)
+    segId
+  }
+
+  /** Single-producer convenience: next sequential segment id. */
+  def publishNext(payloads: Seq[String]): Long = jvmLock.synchronized {
+    publish(payloads, listSegments().lastOption.map(_ + 1).getOrElse(0L))
+  }
+
+  // ------------------------------------------------------- settle maps
+
+  /** Per-message delivery state inside one (group, segment) settle map.
+    * status: 0 = open, 1 = acked, 2 = dead-lettered.
+    */
+  private final case class MsgState(status: Int, attempt: Int, deadlineMs: Long)
+
+  private def statePath(group: String, seg: Long): Path = {
+    require(group.matches("[A-Za-z0-9_-]+"), s"bad group name '$group'")
+    stateRoot.resolve(group).resolve(f"seg-$seg%06d.state")
+  }
+
+  private def readState(group: String, seg: Long): mutable.Map[Int, MsgState] = {
+    val p = statePath(group, seg)
+    val m = mutable.Map.empty[Int, MsgState]
+    if (Files.exists(p)) {
+      Files.readAllLines(p, UTF_8).asScala.filter(_.nonEmpty).foreach { ln =>
+        val Array(i, st, at, dl) = ln.split(' ')
+        m(i.toInt) = MsgState(st.toInt, at.toInt, dl.toLong)
+      }
+    }
+    m
+  }
+
+  private def writeState(group: String, seg: Long,
+                         m: mutable.Map[Int, MsgState]): Unit = {
+    val p = statePath(group, seg)
+    Files.createDirectories(p.getParent)
+    val tmp = p.getParent.resolve(p.getFileName.toString + ".tmp")
+    val body = m.toSeq.sortBy(_._1)
+      .map { case (i, s) => s"$i ${s.status} ${s.attempt} ${s.deadlineMs}" }
+      .mkString("\n")
+    Files.write(tmp, body.getBytes(UTF_8))
+    Files.move(tmp, p, StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  private def segLines(seg: Long): Seq[String] =
+    Files.readAllLines(segPath(seg), UTF_8).asScala.toSeq
+
+  // ------------------------------------------------------------ consume
+
+  /** Lease up to `max` deliverable messages for `group`, oldest segment
+    * first (FIFO per queue, the AMQP ordering contract for a single
+    * consumer). A message is deliverable iff unsettled and its lease is
+    * absent or expired at `nowMs`.
+    */
+  def consume(group: String, max: Int, nowMs: Long): Seq[Delivery] =
+    jvmLock.synchronized {
+      val out = mutable.ArrayBuffer.empty[Delivery]
+      val segs = listSegments().iterator
+      while (out.size < max && segs.hasNext) {
+        val seg = segs.next()
+        val st = readState(group, seg)
+        val lines = segLines(seg)
+        var dirty = false
+        var i = 0
+        while (i < lines.length && out.size < max) {
+          val cur = st.getOrElse(i, MsgState(0, 0, 0L))
+          if (cur.status == 0 && cur.deadlineMs <= nowMs) {
+            val attempt = cur.attempt + 1
+            st(i) = MsgState(0, attempt, nowMs + visibilityMs)
+            dirty = true
+            out += Delivery(seg, i, lines(i), attempt,
+                            redelivered = attempt > 1)
+          }
+          i += 1
+        }
+        if (dirty) writeState(group, seg, st)
+      }
+      out.toSeq
+    }
+
+  /** Settle delivered messages forever — the AMQP multiple-ack shape:
+    * one settle-map rewrite per TOUCHED SEGMENT regardless of how many
+    * messages settle, so a consumer acking a whole processed batch pays
+    * O(segments), not O(messages), in durable writes. Idempotent;
+    * acking a message that already dead-lettered is an error (the
+    * consumer processed a poison message some earlier delivery gave up
+    * on — a logic bug).
+    */
+  def ackAll(group: String, ids: Seq[(Long, Int)]): Unit = jvmLock.synchronized {
+    ids.groupBy(_._1).foreach { case (seg, segIds) =>
+      val st = readState(group, seg)
+      var dirty = false
+      segIds.foreach { case (_, idx) =>
+        val cur = st.getOrElse(idx,
+          throw new IllegalStateException(s"ack of never-delivered $seg/$idx"))
+        require(cur.status != 2, s"ack of dead-lettered message $seg/$idx")
+        if (cur.status != 1) { st(idx) = cur.copy(status = 1, deadlineMs = 0L); dirty = true }
+      }
+      if (dirty) writeState(group, seg, st)
+    }
+  }
+
+  /** Settle one delivered message. */
+  def ack(group: String, segment: Long, index: Int): Unit =
+    ackAll(group, Seq((segment, index)))
+
+  /** Reject deliveries, batched like [[ackAll]]. With `requeue` and
+    * attempts left, the lease clears for immediate redelivery;
+    * otherwise the message dead-letters (terminal, visible via
+    * [[deadLetters]]).
+    */
+  def nackAll(group: String, ids: Seq[(Long, Int)],
+              requeue: Boolean): Unit = jvmLock.synchronized {
+    ids.groupBy(_._1).foreach { case (seg, segIds) =>
+      val st = readState(group, seg)
+      segIds.foreach { case (_, idx) =>
+        val cur = st.getOrElse(idx,
+          throw new IllegalStateException(s"nack of never-delivered $seg/$idx"))
+        require(cur.status == 0, s"nack of settled message $seg/$idx")
+        val dead = !requeue || cur.attempt >= maxDeliveries
+        st(idx) =
+          if (dead) cur.copy(status = 2, deadlineMs = 0L)
+          else cur.copy(deadlineMs = 0L)
+      }
+      writeState(group, seg, st)
+    }
+  }
+
+  /** Reject one delivery. */
+  def nack(group: String, segment: Long, index: Int, requeue: Boolean): Unit =
+    nackAll(group, Seq((segment, index)), requeue)
+
+  /** Settle EVERY message of a segment for `group` in one durable
+    * write — the Kafka-style offset-commit path for LOG-READ consumers
+    * (the [[FileBusSource]] streaming connector reads segment files
+    * directly for replayability and settles whole segments when the
+    * engine's checkpoint commits, instead of leasing per message).
+    * Idempotent; dead-lettered messages keep their status (the DLQ is
+    * terminal — a log reader settling past a poison message does not
+    * un-dead-letter it).
+    */
+  def commitSegment(group: String, seg: Long): Unit = jvmLock.synchronized {
+    require(Files.exists(segPath(seg)), s"commit of unknown segment $seg")
+    val st = readState(group, seg)
+    var dirty = false
+    segLines(seg).indices.foreach { i =>
+      val cur = st.getOrElse(i, MsgState(0, 0, 0L))
+      if (cur.status == 0) {
+        st(i) = MsgState(1, math.max(cur.attempt, 1), 0L)
+        dirty = true
+      }
+    }
+    if (dirty) writeState(group, seg, st)
+  }
+
+  // ---------------------------------------------------------- inspect
+
+  /** Dead-lettered payloads for `group`, in (segment, index) order. */
+  def deadLetters(group: String): Seq[String] = jvmLock.synchronized {
+    listSegments().flatMap { seg =>
+      val st = readState(group, seg)
+      val dead = st.toSeq.filter(_._2.status == 2).map(_._1).sorted
+      if (dead.isEmpty) Nil
+      else { val lines = segLines(seg); dead.map(lines) }
+    }
+  }
+
+  /** Unsettled message count for `group` (leased messages included —
+    * they are still owed a terminal ack/dead-letter).
+    */
+  def depth(group: String): Long = jvmLock.synchronized {
+    listSegments().map { seg =>
+      val st = readState(group, seg)
+      val settled = st.valuesIterator.count(_.status != 0)
+      segLines(seg).length.toLong - settled
+    }.sum
+  }
+
+  /** Total published message count (all segments). */
+  def published(): Long = jvmLock.synchronized {
+    listSegments().map(segLines(_).length.toLong).sum
+  }
+}
+
+object FileBus {
+  /** One delivered message. `redelivered` is the AMQP redelivered bit:
+    * true iff some earlier delivery of this message was neither acked
+    * nor dead-lettered.
+    */
+  final case class Delivery(segment: Long, index: Int, payload: String,
+                            attempt: Int, redelivered: Boolean)
+
+  /** Static path of one segment file — the log-read surface used by
+    * executor-side partition readers ([[FileBusSource]]), which read
+    * confirmed segments directly and never touch settle maps.
+    */
+  def segFile(root: String, seg: Long): Path =
+    Paths.get(root, "msgs", f"seg-$seg%06d.jsonl")
+
+  /** Confirmed segment ids under `root`, ascending. Static twin of the
+    * instance listing for planner-side use (offset computation needs
+    * no bus instance or lock: renames are atomic, so a listing only
+    * ever sees fully-published segments).
+    */
+  def segments(root: String): Seq[Long] = {
+    val dir = Paths.get(root, "msgs")
+    if (!Files.exists(dir)) Nil
+    else Files.list(dir).iterator().asScala
+      .map(_.getFileName.toString)
+      .collect { case s if s.startsWith("seg-") && s.endsWith(".jsonl") =>
+        s.stripPrefix("seg-").stripSuffix(".jsonl").toLong }
+      .toSeq.sorted
+  }
+
+  /** One lock per JVM, shared by every instance: local-mode Spark runs
+    * all producer/consumer tasks in one JVM, where instances over the
+    * same root must serialize settle-map read-modify-write cycles.
+    * Cross-JVM deployments serialize by OWNERSHIP instead — unique
+    * producer segment ids and hash-partitioned segment ownership per
+    * consumer — never by file locking.
+    */
+  private val jvmLock = new Object
+}

@@ -1,0 +1,124 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.FileBus
+
+/** Broker delivery semantics in isolation (no Spark): publisher
+  * confirm atomicity, FIFO leasing, visibility-timeout redelivery with
+  * the redelivered bit, manual ack idempotence, nack requeue vs
+  * dead-letter after maxDeliveries, multi-group independence, and
+  * crash-shaped interleavings (settle maps survive re-instantiation —
+  * a new FileBus over the same root IS the restarted consumer).
+  */
+class FileBusSpec extends AnyFunSuite {
+
+  private def fresh(): (FileBus, String) = {
+    val dir = Files.createTempDirectory("filebus_spec_").toString
+    (new FileBus(dir, visibilityMs = 1000L, maxDeliveries = 3), dir)
+  }
+
+  test("publish confirms atomically; tmp debris is never a message") {
+    val (bus, dir) = fresh()
+    bus.publish(Seq("a", "b"), 0L)
+    // a crashed publisher's half-written batch: tmp file on disk
+    Files.write(Paths.get(dir, "msgs", "seg-000007.tmp"), "junk".getBytes)
+    assert(bus.published() === 2L)
+    assert(bus.consume("g", 10, 0L).map(_.payload) === Seq("a", "b"))
+  }
+
+  test("publishing an existing segment id errors instead of overwriting") {
+    val (bus, _) = fresh()
+    bus.publish(Seq("a"), 3L)
+    intercept[IllegalArgumentException] { bus.publish(Seq("b"), 3L) }
+    assert(bus.published() === 1L)
+  }
+
+  test("FIFO across segments, capped consume, and lease exclusion") {
+    val (bus, _) = fresh()
+    bus.publish(Seq("a", "b"), 0L)
+    bus.publish(Seq("c"), 1L)
+    val first = bus.consume("g", 2, 0L)
+    assert(first.map(_.payload) === Seq("a", "b"))
+    assert(first.forall(d => d.attempt == 1 && !d.redelivered))
+    // a/b are leased; only c is deliverable inside the visibility window
+    assert(bus.consume("g", 10, 500L).map(_.payload) === Seq("c"))
+    assert(bus.consume("g", 10, 999L).isEmpty)
+  }
+
+  test("crash before ack redelivers after the visibility timeout, redelivered bit set") {
+    val (bus, dir) = fresh()
+    bus.publish(Seq("a", "b"), 0L)
+    bus.consume("g", 10, 0L) // consumer crashes here: no ack
+    val restarted = new FileBus(dir, 1000L, 3) // settle map is durable
+    val again = restarted.consume("g", 10, 1001L)
+    assert(again.map(_.payload) === Seq("a", "b"))
+    assert(again.forall(d => d.attempt == 2 && d.redelivered))
+  }
+
+  test("ack settles forever and is idempotent; acked messages never redeliver") {
+    val (bus, _) = fresh()
+    bus.publish(Seq("a", "b"), 0L)
+    val ds = bus.consume("g", 10, 0L)
+    bus.ackAll("g", ds.map(d => (d.segment, d.index)))
+    bus.ack("g", ds.head.segment, ds.head.index) // idempotent re-ack
+    assert(bus.consume("g", 10, 5000L).isEmpty)
+    assert(bus.depth("g") === 0L)
+  }
+
+  test("nack with requeue redelivers immediately, attempt preserved") {
+    val (bus, _) = fresh()
+    bus.publish(Seq("a"), 0L)
+    val d1 = bus.consume("g", 10, 0L).head
+    bus.nack("g", d1.segment, d1.index, requeue = true)
+    val d2 = bus.consume("g", 10, 0L).head // same nowMs: lease was cleared
+    assert(d2.attempt === 2 && d2.redelivered)
+  }
+
+  test("maxDeliveries exhaustion dead-letters; DLQ holds the payload; queue drains") {
+    val (bus, _) = fresh()
+    bus.publish(Seq("poison", "fine"), 0L)
+    (1 to 3).foreach { attempt =>
+      val ds = bus.consume("g", 10, 0L)
+      val p = ds.find(_.payload == "poison").get
+      assert(p.attempt === attempt)
+      bus.nack("g", p.segment, p.index, requeue = true)
+      ds.filter(_.payload == "fine")
+        .foreach(d => if (attempt == 1) bus.ack("g", d.segment, d.index))
+    }
+    assert(bus.consume("g", 10, 0L).isEmpty)
+    assert(bus.deadLetters("g") === Seq("poison"))
+    assert(bus.depth("g") === 0L)
+    // acking a dead-lettered message is a consumer logic bug
+    intercept[IllegalArgumentException] { bus.ack("g", 0L, 0) }
+  }
+
+  test("nack without requeue dead-letters on the first rejection") {
+    val (bus, _) = fresh()
+    bus.publish(Seq("a"), 0L)
+    val d = bus.consume("g", 10, 0L).head
+    bus.nack("g", d.segment, d.index, requeue = false)
+    assert(bus.deadLetters("g") === Seq("a"))
+    assert(bus.consume("g", 10, 9999L).isEmpty)
+  }
+
+  test("consumer groups are independent fan-out subscriptions") {
+    val (bus, _) = fresh()
+    bus.publish(Seq("a"), 0L)
+    val d = bus.consume("g1", 10, 0L).head
+    bus.ack("g1", d.segment, d.index)
+    // g2 still sees the message, fresh attempt counter
+    val e = bus.consume("g2", 10, 0L).head
+    assert(e.attempt === 1 && !e.redelivered)
+    assert(bus.depth("g1") === 0L && bus.depth("g2") === 1L)
+  }
+
+  test("settling a never-delivered message errors") {
+    val (bus, _) = fresh()
+    bus.publish(Seq("a"), 0L)
+    intercept[IllegalStateException] { bus.ack("g", 0L, 0) }
+    intercept[IllegalStateException] { bus.nack("g", 0L, 0, requeue = true) }
+  }
+}
