@@ -295,6 +295,118 @@ object StreamingQueries {
       col("watched_ratio").as("last_ratio"))
   }
 
+  // ---------------------------------------------------------------- q283
+  /** The bus as a FIRST-CLASS Spark streaming source (DataSource V2
+    * `format("filebus")`, [[graft.streaming.FileBusSource]]) — the
+    * reference's RabbitMQ->consumer hop as a real connector instead of
+    * the hand-driven lease loop q282 proves the broker semantics with.
+    * The engine's own progress protocol carries the ack contract:
+    * offsets are SETS of segment ids, a micro-batch is bounded by
+    * `maxSegmentsPerTrigger` (admission control, REQUIREd to split the
+    * backlog into multiple batches), and when a batch's offset commits
+    * to the checkpoint the connector settles its segments for the
+    * consumer group — so the queue drains EXACTLY as far as durable
+    * progress (depth == 0 REQUIREd after the run). Restart phase: a
+    * second wave re-publishes a SUBSET of the history under fresh
+    * segment ids (transport-level duplicate replay — at-least-once);
+    * the restarted stream reads ONLY the new segments (set-difference
+    * offsets, REQUIREd row-exact) and the LWW merge absorbs the
+    * duplicates by algebra, leaving the oracle (q66's whole-history
+    * LWW SQL) untouched. A batch backfill over the same bus
+    * (`spark.read.format("filebus")`) REQUIREs full-history
+    * readability WITHOUT settling anything — a tap, not a consumer.
+    */
+  def q283BusSource(s: SparkSession, d: String): DataFrame = {
+    import graft.streaming.FileBus
+    val base = graft.core.TempDirs.scoped("graft_q283_")
+    val busDir = s"$base/bus"; val ckpt = s"$base/ckpt"; val stateDir = s"$base/state"
+    val bus = new FileBus(busDir, visibilityMs = 60000L, maxDeliveries = 3)
+
+    // wave 1: distributed producers — one confirmed segment per task
+    val wire = CdcQueries.envelope(s, d)
+      .withColumn("ts_us", unix_micros(col("ts"))).drop("ts")
+    val nMsgs = wire.count()
+    wire.toJSON.repartition(8).foreachPartition { it: Iterator[String] =>
+      val rows = it.toArray
+      if (rows.nonEmpty) {
+        new FileBus(busDir, 60000L, 3)
+          .publish(rows.toSeq, org.apache.spark.TaskContext.getPartitionId().toLong)
+        ()
+      }
+    }
+    val wave1Segs = FileBus.segments(busDir).size
+
+    val sink = new MergeSink(s, stateDir,
+      keys = Seq("user_id"), orderCols = Seq("ts_us", "document_id"), nBuckets = 16)
+    val group = "warehouse"
+    val batches = new java.util.concurrent.atomic.AtomicInteger(0)
+    val rowsSeen = new java.util.concurrent.atomic.AtomicLong(0L)
+
+    def runStream(): Unit = {
+      val src = s.readStream.format("filebus")
+        .option("path", busDir).option("group", group)
+        .option("maxSegmentsPerTrigger", "3")
+        .load()
+      val flat = Cdc.enrichWatchedRatio(
+        Cdc.flattenEnvelope(
+          src.select(from_json(col("value"), wireSchema).as("r")).select(col("r.*"))),
+        "watched", "duration", rounded = false)
+      val q = flat.writeStream
+        .foreachBatch { (df: DataFrame, _: Long) =>
+          batches.incrementAndGet()
+          rowsSeen.addAndGet(df.count())
+          sink.merge(df)
+          ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+
+    runStream()
+    require(batches.get() >= math.ceil(wave1Segs / 3.0).toInt,
+      "admission control must split the backlog into bounded micro-batches")
+    require(rowsSeen.get() == nMsgs, "wave 1 must deliver every message exactly once")
+    // the engine commits a batch's source offsets when the NEXT batch
+    // executes — the Kafka connector's exact one-batch commit lag — so
+    // only the FINAL batch's segments may still be unsettled here, and
+    // nothing settled beyond durable progress (never over-ack, the
+    // actual safety direction)
+    require(bus.depth(group) < nMsgs,
+      "every batch but the lagging final one settles during the run")
+    // shutdown settle: the checkpoint's commit log proves the tail
+    // batch durable, so its segments settle too — the queue drains to
+    // ZERO exactly as far as durable progress
+    graft.streaming.FileBusSource.settleCommitted(ckpt, busDir, group)
+    require(bus.depth(group) == 0L,
+      "ack = checkpoint commit: commit-log settle fully drains the queue")
+
+    // wave 2: transport-level duplicate replay under fresh segment ids
+    val replay = wire.toJSON.limit(40).collect().toSeq
+    bus.publish(replay.take(20), 500L)
+    bus.publish(replay.drop(20), 1000L)
+    rowsSeen.set(0L)
+    runStream()
+    require(rowsSeen.get() == replay.size,
+      "restart must read ONLY the new segments (set-difference offsets)")
+    graft.streaming.FileBusSource.settleCommitted(ckpt, busDir, group)
+    require(bus.depth(group) == 0L, "the replay wave settles on commit too")
+
+    // batch backfill: the full retained log, and a tap never settles
+    require(s.read.format("filebus").load(busDir).count() == nMsgs + replay.size,
+      "batch backfill reads the whole retained log")
+    require(bus.depth(group) == 0L && bus.published() == nMsgs + replay.size,
+      "a backfill is a tap: it settles nothing and the log is intact")
+
+    sink.read().select(
+      col("user_id"),
+      col("document_id").as("last_document_id"),
+      col("operation").as("last_operation"),
+      expr("ts_us div 1000").as("last_ms"),
+      col("watched_ratio").as("last_ratio"))
+  }
+
   // ---------------------------------------------------------------- q76
   /** Incremental aggregate maintenance as a real StreamingQuery: the
     * per-etype analytics table is FOLDED forward one micro-batch at a
@@ -3505,6 +3617,7 @@ object StreamingQueries {
     "q166_bloom_point_lookup" -> (q166BloomPointLookup _, q166Sql),
     "q66_streaming_cdc" -> (q66StreamingCdc _, q66Sql),
     "q282_message_bus" -> (q282MessageBus _, q66Sql),
+    "q283_bus_source" -> (q283BusSource _, q66Sql),
     "q76_streaming_agg" -> (q76StreamingAgg _, q76Sql),
     "q82_merge_compact" -> (q82MergeCompact _, q66Sql),
     "q83_schema_evolution" -> (q83SchemaEvolution _, q83Sql),

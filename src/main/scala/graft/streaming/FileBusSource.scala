@@ -1,0 +1,262 @@
+package graft.streaming
+
+import java.nio.charset.StandardCharsets.UTF_8
+import java.nio.file.Files
+import java.util.{Map => JMap}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadAllAvailable, ReadLimit, ReadMaxFiles, SupportsAdmissionControl, SupportsTriggerAvailableNow}
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructField, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** DataSource V2 connector over [[FileBus]] — the reference's RabbitMQ
+  * consume hop (`consumer/consumer.py:12-19`) as a FIRST-CLASS Spark
+  * source instead of a hand-driven lease loop: `spark.readStream
+  * .format("filebus")` (micro-batch streaming) and `spark.read
+  * .format("filebus")` (batch backfill over the full retained log).
+  *
+  * Design — the Kafka-connector model, not the AMQP lease model:
+  * streaming replay requires that a committed batch range re-read
+  * after a crash yields EXACTLY the same rows, which per-message
+  * leases cannot promise (leases expire and re-lease nondeterminis-
+  * tically). So the connector reads confirmed segment FILES directly
+  * (publish's atomic rename means a listed segment is always complete)
+  * and maps bus settlement onto the engine's own progress protocol:
+  * when Spark commits a micro-batch's offset, [[FileBusMicroBatch
+  * .commit]] settles every message of the batch's segments for the
+  * configured consumer group via [[FileBus.commitSegment]] — ack IS
+  * checkpoint commit, so `depth()` drains exactly as far as durable
+  * progress and an un-checkpointed batch redelivers after restart
+  * (at-least-once into an LWW/idempotent sink, the q66/q282
+  * contract). The AMQP per-message surface (nack, bounded
+  * redelivery, DLQ) remains available on the same bus for non-engine
+  * consumers; the DLQ stays terminal across both paths.
+  *
+  * Offsets: a micro-batch offset is the SET of consumed segment ids
+  * (sorted, JSON array). Segment ids are caller-chosen (distributed
+  * producers publish under task ids), so id order carries no arrival
+  * order — set difference, not a high-water mark, is what makes a
+  * late-arriving LOWER id still get picked up instead of silently
+  * skipped. At production retention the offset compacts naturally:
+  * committed segments can be pruned from the log (retention is the
+  * bus's business, not the connector's), keeping the set bounded by
+  * retained segments, exactly like a Kafka offset map is bounded by
+  * partitions.
+  *
+  * Scale shape: ONE InputPartition per segment — the bus's declared
+  * parallelism unit — so a 1000-executor cluster drains a busy topic
+  * segment-parallel with zero coordination (readers never touch
+  * settle maps). Admission control: `maxSegmentsPerTrigger` bounds a
+  * micro-batch (ReadMaxFiles), and Trigger.AvailableNow drains the
+  * backlog in bounded batches via [[SupportsTriggerAvailableNow]].
+  *
+  * Options: `path` (bus root, required), `group` (consumer group to
+  * settle on commit; omit for a side-effect-free tap — e.g. backfill
+  * or a second subscriber that must not drain the queue),
+  * `maxSegmentsPerTrigger` (admission bound, default all).
+  */
+final class FileBusSourceProvider extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "filebus"
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    FileBusSource.schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: JMap[String, String]): Table =
+    new FileBusTable(new CaseInsensitiveStringMap(properties))
+}
+
+object FileBusSource {
+  /** Settle every segment the ENGINE'S OWN commit log proves durable —
+    * the shutdown counterpart of the per-batch [[FileBusMicroBatch
+    * .commit]] path, which (like the Kafka connector) lags one batch:
+    * Spark invokes source.commit for batch N only when batch N+1
+    * executes, so a stopped stream leaves its final batch's segments
+    * leased-but-unsettled until the next nonempty run. This reads the
+    * checkpoint's `commits/` log (the engine's durable record of
+    * completed batches) and the matching `offsets/` entry, and settles
+    * exactly those segments — over-ack is impossible because an entry
+    * reaches `commits/` only after the batch's sink commit. On-disk
+    * formats are the stable structured-streaming checkpoint contract:
+    * one file per batch id, "v1" header, JSON body; offset entries
+    * carry one line per source (ours is the JSON segment array).
+    */
+  def settleCommitted(ckpt: String, busRoot: String, group: String): Unit = {
+    val commits = java.nio.file.Paths.get(ckpt, "commits")
+    val offsets = java.nio.file.Paths.get(ckpt, "offsets")
+    if (!Files.exists(commits) || !Files.exists(offsets)) return
+    val committed = Files.list(commits).iterator().asScala
+      .map(_.getFileName.toString).filter(_.forall(_.isDigit))
+      .map(_.toLong).toSeq
+    if (committed.isEmpty) return
+    val last = offsets.resolve(committed.max.toString)
+    if (!Files.exists(last)) return
+    val segs = Files.readAllLines(last, UTF_8).asScala
+      .map(_.trim).filter(s => s.startsWith("[") && s.endsWith("]"))
+      .flatMap(parseOffsetJson).toSet
+    if (segs.nonEmpty) {
+      val bus = new FileBus(busRoot, visibilityMs = 1L, maxDeliveries = 1)
+      segs.toSeq.sorted.foreach(bus.commitSegment(group, _))
+    }
+  }
+
+  /** Fixed wire schema — payload plus its stable bus coordinates
+    * (segment, idx) so downstream can fingerprint provenance or dedup
+    * by transport identity if its algebra ever needs to.
+    */
+  val schema: StructType = StructType(Seq(
+    StructField("segment", LongType, nullable = false),
+    StructField("idx", IntegerType, nullable = false),
+    StructField("value", StringType, nullable = false)))
+
+  def parseOffsetJson(json: String): Set[Long] = {
+    val body = json.trim.stripPrefix("[").stripSuffix("]").trim
+    if (body.isEmpty) Set.empty
+    else body.split(',').map(_.trim.toLong).toSet
+  }
+
+  def offsetJson(segs: Set[Long]): String =
+    segs.toSeq.sorted.mkString("[", ",", "]")
+}
+
+final class FileBusOffset(val segs: Set[Long]) extends Offset {
+  override def json(): String = FileBusSource.offsetJson(segs)
+  override def equals(o: Any): Boolean = o match {
+    case f: FileBusOffset => f.segs == segs
+    case _                => false
+  }
+  override def hashCode(): Int = segs.hashCode()
+}
+
+final class FileBusTable(options: CaseInsensitiveStringMap)
+    extends Table with SupportsRead {
+  private val root = {
+    val p = options.get("path")
+    require(p != null && p.nonEmpty, "filebus: 'path' option is required")
+    p
+  }
+  override def name(): String = s"filebus:$root"
+  override def schema(): StructType = FileBusSource.schema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ,
+                         TableCapability.MICRO_BATCH_READ)
+  override def newScanBuilder(opts: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new FileBusScan(root, opts)
+    }
+}
+
+final class FileBusScan(root: String, options: CaseInsensitiveStringMap)
+    extends Scan {
+  override def readSchema(): StructType = FileBusSource.schema
+  override def description(): String = s"FileBusScan(root=$root)"
+
+  /** Batch backfill: the whole retained log, one partition per
+    * segment — "the queue never becomes the only copy of history".
+    * Never settles anything (a backfill is a tap, not a consumer).
+    */
+  override def toBatch: Batch = new Batch {
+    override def planInputPartitions(): Array[InputPartition] =
+      FileBus.segments(root).map(s => FileBusPartition(root, s)).toArray
+    override def createReaderFactory(): PartitionReaderFactory =
+      new FileBusReaderFactory
+  }
+
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new FileBusMicroBatch(root,
+      Option(options.get("group")).filter(_.nonEmpty),
+      Option(options.get("maxSegmentsPerTrigger")).map(_.toInt))
+}
+
+final class FileBusMicroBatch(root: String, group: Option[String],
+                              maxSegsPerTrigger: Option[Int])
+    extends MicroBatchStream with SupportsAdmissionControl
+    with SupportsTriggerAvailableNow {
+  maxSegsPerTrigger.foreach(n =>
+    require(n > 0, s"maxSegmentsPerTrigger must be positive, got $n"))
+
+  // fixed at prepareForTriggerAvailableNow: AvailableNow must drain to
+  // the log as of stream START and then stop, even while producers
+  // keep publishing
+  @volatile private var availableNowTarget: Option[Set[Long]] = None
+
+  private def listed(): Set[Long] = {
+    val all = FileBus.segments(root).toSet
+    availableNowTarget.fold(all)(all.intersect)
+  }
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowTarget = Some(FileBus.segments(root).toSet)
+
+  override def getDefaultReadLimit: ReadLimit =
+    maxSegsPerTrigger.map(n => ReadLimit.maxFiles(n))
+      .getOrElse(ReadLimit.allAvailable())
+
+  override def initialOffset(): Offset = new FileBusOffset(Set.empty)
+
+  override def deserializeOffset(json: String): Offset =
+    new FileBusOffset(FileBusSource.parseOffsetJson(json))
+
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "latestOffset(Offset, ReadLimit) is the admission-controlled entry")
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val have = start.asInstanceOf[FileBusOffset].segs
+    val fresh = (listed() -- have).toSeq.sorted
+    val take = limit match {
+      case m: ReadMaxFiles    => fresh.take(m.maxFiles())
+      case _: ReadAllAvailable => fresh
+      case _                   => fresh
+    }
+    new FileBusOffset(have ++ take)
+  }
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[FileBusOffset].segs
+    val e = end.asInstanceOf[FileBusOffset].segs
+    (e -- s).toSeq.sorted.map(x => FileBusPartition(root, x)).toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new FileBusReaderFactory
+
+  /** Ack = checkpoint commit: the engine durably recorded `end`, so
+    * every segment in it settles for the consumer group. Idempotent
+    * (recommits after restart re-settle already-settled segments as
+    * no-ops), and a group-less tap settles nothing.
+    */
+  override def commit(end: Offset): Unit = group.foreach { g =>
+    val bus = busFor(root)
+    end.asInstanceOf[FileBusOffset].segs.toSeq.sorted
+      .foreach(bus.commitSegment(g, _))
+  }
+
+  // commitSegment needs an instance only for its settle-map I/O; the
+  // visibility/redelivery knobs are irrelevant to the log-read path
+  private def busFor(r: String) = new FileBus(r, visibilityMs = 1L, maxDeliveries = 1)
+
+  override def stop(): Unit = ()
+}
+
+final case class FileBusPartition(root: String, seg: Long) extends InputPartition
+
+final class FileBusReaderFactory extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val fp = p.asInstanceOf[FileBusPartition]
+    new PartitionReader[InternalRow] {
+      private val lines =
+        Files.readAllLines(FileBus.segFile(fp.root, fp.seg), UTF_8).asScala
+      private var i = -1
+      override def next(): Boolean = { i += 1; i < lines.length }
+      override def get(): InternalRow =
+        InternalRow(fp.seg, i, UTF8String.fromString(lines(i)))
+      override def close(): Unit = ()
+    }
+  }
+}

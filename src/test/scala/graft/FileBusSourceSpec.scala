@@ -1,0 +1,137 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.streaming.Trigger
+
+
+import graft.streaming.{FileBus, FileBusSource}
+
+/** The DSv2 connector's engine-facing contract: set-difference
+  * offsets, admission control, ack-on-commit (and its one-batch lag +
+  * commit-log shutdown settle), crash replay into an idempotent sink,
+  * and tap (group-less / batch) reads that never settle.
+  */
+class FileBusSourceSpec extends SparkSpec {
+
+  private def freshDirs(tag: String): (String, String) = {
+    val base = graft.core.TempDirs.scoped(s"graft_bussrc_${tag}_")
+    (s"$base/bus", s"$base/ckpt")
+  }
+
+  private def drain(busDir: String, ckpt: String, group: Option[String],
+                    maxPerTrigger: Option[Int] = None,
+                    onBatch: (DataFrame, Long) => Unit = (_, _) => ()): Long = {
+    var reader = spark.readStream.format("filebus").option("path", busDir)
+    group.foreach(g => reader = reader.option("group", g))
+    maxPerTrigger.foreach(n =>
+      reader = reader.option("maxSegmentsPerTrigger", n.toString))
+    val seen = new java.util.concurrent.atomic.AtomicLong(0L)
+    val q = reader.load().writeStream
+      .foreachBatch { (df: DataFrame, bid: Long) =>
+        seen.addAndGet(df.count()); onBatch(df, bid); ()
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    seen.get()
+  }
+
+  test("late-arriving LOWER segment id is still picked up (set offsets)") {
+    val (busDir, ckpt) = freshDirs("lateid")
+    val bus = new FileBus(busDir, 60000L, 3)
+    bus.publish(Seq("a", "b"), 0L)
+    bus.publish(Seq("c"), 7L)
+    assert(drain(busDir, ckpt, Some("g")) === 3L)
+    // a distributed producer lands a segment with a LOWER id than ones
+    // already consumed — a high-water-mark offset would silently skip it
+    bus.publish(Seq("d", "e"), 3L)
+    assert(drain(busDir, ckpt, Some("g")) === 2L)
+    FileBusSource.settleCommitted(ckpt, busDir, "g")
+    assert(bus.depth("g") === 0L)
+  }
+
+  test("admission control bounds each micro-batch by segments") {
+    val (busDir, ckpt) = freshDirs("admission")
+    val bus = new FileBus(busDir, 60000L, 3)
+    (0 until 7).foreach(i => bus.publish(Seq(s"m$i"), i.toLong))
+    var batchSegCounts = List.empty[Long]
+    val n = drain(busDir, ckpt, Some("g"), maxPerTrigger = Some(2),
+      onBatch = (df, _) => {
+        batchSegCounts :+= df.select("segment").distinct().count()
+      })
+    assert(n === 7L)
+    assert(batchSegCounts.size === 4) // ceil(7/2)
+    assert(batchSegCounts.forall(_ <= 2L))
+  }
+
+  test("crash between sink work and checkpoint commit replays the batch; " +
+       "settle never outruns durable progress") {
+    val (busDir, ckpt) = freshDirs("crash")
+    val bus = new FileBus(busDir, 60000L, 3)
+    (0 until 4).foreach(i => bus.publish(Seq(s"m$i-0", s"m$i-1"), i.toLong))
+    // first run: batch 0 (2 segments) succeeds, batch 1 CRASHES after
+    // counting — the foreachBatch work ran but the offset never commits
+    val crashed = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      drain(busDir, ckpt, Some("g"), maxPerTrigger = Some(2),
+        onBatch = (_, bid) => if (bid >= 1) {
+          crashed.set(true); sys.error("injected crash before commit")
+        })
+    }
+    assert(crashed.get() && ex.getMessage.contains("injected crash"))
+    // only batch 0's segments may be settled — never the crashed batch's
+    assert(bus.depth("g") >= 4L)
+    // restart: the crashed batch REDELIVERS (at-least-once), then the rest
+    val replayed = drain(busDir, ckpt, Some("g"), maxPerTrigger = Some(2))
+    assert(replayed === 4L) // segments 2,3 rerun + nothing duplicated from batch 0
+    FileBusSource.settleCommitted(ckpt, busDir, "g")
+    assert(bus.depth("g") === 0L)
+  }
+
+  test("group-less stream and batch backfill are taps: nothing settles") {
+    val (busDir, ckpt) = freshDirs("tap")
+    val bus = new FileBus(busDir, 60000L, 3)
+    bus.publish(Seq("x", "y", "z"), 0L)
+    assert(drain(busDir, ckpt, None) === 3L)
+    assert(spark.read.format("filebus").load(busDir).count() === 3L)
+    assert(bus.depth("anygroup") === 3L)
+  }
+
+  test("two consumer groups settle independently over one log") {
+    val (busDir, ckptA) = freshDirs("groups")
+    val ckptB = ckptA + "_b"
+    val bus = new FileBus(busDir, 60000L, 3)
+    bus.publish(Seq("p", "q"), 0L)
+    assert(drain(busDir, ckptA, Some("a")) === 2L)
+    FileBusSource.settleCommitted(ckptA, busDir, "a")
+    assert(bus.depth("a") === 0L && bus.depth("b") === 2L)
+    assert(drain(busDir, ckptB, Some("b")) === 2L)
+    FileBusSource.settleCommitted(ckptB, busDir, "b")
+    assert(bus.depth("b") === 0L)
+  }
+
+  test("commit-log settle is safe on fresh/empty checkpoints and never " +
+       "un-dead-letters a poison message") {
+    val (busDir, ckpt) = freshDirs("dlq")
+    FileBusSource.settleCommitted(s"$busDir/nonexistent", busDir, "g") // no-op
+    val bus = new FileBus(busDir, 1L, 1)
+    bus.publish(Seq("poison", "fine"), 0L)
+    val d = bus.consume("g", 10, nowMs = 5L)
+    bus.nack("g", 0L, 0, requeue = true) // attempt 1 == maxDeliveries -> DLQ
+    bus.ack("g", 0L, 1)
+    assert(bus.deadLetters("g") === Seq("poison"))
+    assert(drain(busDir, ckpt, Some("g")) === 2L) // log read sees everything
+    FileBusSource.settleCommitted(ckpt, busDir, "g")
+    assert(bus.deadLetters("g") === Seq("poison"), "DLQ stays terminal")
+    assert(bus.depth("g") === 0L)
+    assert(d.size === 2)
+  }
+
+  test("offset json roundtrip, sparse and empty") {
+    assert(FileBusSource.parseOffsetJson("[]") === Set.empty[Long])
+    assert(FileBusSource.parseOffsetJson("[7,0,500]") === Set(0L, 7L, 500L))
+    assert(FileBusSource.offsetJson(Set(500L, 0L, 7L)) === "[0,7,500]")
+  }
+}
