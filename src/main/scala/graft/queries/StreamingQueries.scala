@@ -407,6 +407,95 @@ object StreamingQueries {
       col("watched_ratio").as("last_ratio"))
   }
 
+  // ---------------------------------------------------------------- q284
+  /** The PRODUCER hop as a real DSv2 sink ([[graft.streaming
+    * .FileBusSink]], `writeStream.format("filebus")`) — the
+    * reference's publish-with-confirm (`producer/producer.py:48-73`)
+    * with a STRONGER contract: exactly-once publish under epoch
+    * replay. Two-phase: executors spill to invisible tmp files, the
+    * driver's epoch commit renames each into its confirmed segment
+    * under a DETERMINISTIC id ((epochId << 16) | partitionId) and
+    * SKIPS ids that already exist. Crash injection is a REAL replay:
+    * after the producer stream finishes, the gate deletes the
+    * checkpoint's LAST commit-log entry — precisely "crashed after
+    * writing offsets, before the commit log" — and restarts; the
+    * engine re-runs that epoch, the sink re-confirms the same ids,
+    * and published() is REQUIREd unchanged (no duplicates, nothing
+    * lost). Then the consumer side (q283's connector) LWW-merges the
+    * bus into the warehouse; oracle = q66's whole-history LWW SQL —
+    * the whole producer->bus->consumer->warehouse pipeline, both
+    * hops first-class connectors.
+    */
+  def q284BusSink(s: SparkSession, d: String): DataFrame = {
+    import graft.streaming.FileBus
+    val base = graft.core.TempDirs.scoped("graft_q284_")
+    val inDir = s"$base/in"; val busDir = s"$base/bus"
+    val wCkpt = s"$base/wckpt"; val rCkpt = s"$base/rckpt"
+    val stateDir = s"$base/state"
+
+    // wire format on disk -> 4 producer micro-batches
+    writeEnvelopeJson(s, d, inDir)
+    val nMsgs = CdcQueries.envelope(s, d).count()
+
+    def runProducer(): Unit = {
+      val q = s.readStream.schema(wireSchema)
+        .option("maxFilesPerTrigger", "1").json(inDir)
+        .select(to_json(struct(col("*"))).as("value"))
+        .writeStream.format("filebus").option("path", busDir)
+        .option("checkpointLocation", wCkpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    runProducer()
+    val bus = new FileBus(busDir, 60000L, 3)
+    require(bus.published() == nMsgs,
+      "publisher confirms must cover every message exactly once")
+    val segsAfterFirst = FileBus.segments(busDir)
+
+    // crash injection: the engine wrote offsets for the last epoch but
+    // died before its commit log -> restart REPLAYS that epoch
+    val commits = java.nio.file.Paths.get(wCkpt, "commits")
+    val last = {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.list(commits).iterator().asScala
+        .map(_.getFileName.toString).filter(_.forall(_.isDigit))
+        .map(_.toLong).max
+    }
+    java.nio.file.Files.delete(commits.resolve(last.toString))
+    // the Hadoop local FS keeps a sidecar checksum; a real HDFS crash
+    // loses both together
+    java.nio.file.Files.deleteIfExists(commits.resolve("." + last + ".crc"))
+    runProducer()
+    require(FileBus.segments(busDir) == segsAfterFirst &&
+            bus.published() == nMsgs,
+      "epoch replay must republish nothing: deterministic ids + skip-if-exists")
+
+    // consumer: the q283 connector, LWW merge, commit-log settle
+    val sink = new MergeSink(s, stateDir,
+      keys = Seq("user_id"), orderCols = Seq("ts_us", "document_id"), nBuckets = 16)
+    val group = "warehouse"
+    val q = s.readStream.format("filebus")
+      .option("path", busDir).option("group", group).load()
+      .select(from_json(col("value"), wireSchema).as("r"))
+      .select(col("r.*"))
+      .transform(df => Cdc.enrichWatchedRatio(Cdc.flattenEnvelope(df),
+        "watched", "duration", rounded = false))
+      .writeStream
+      .foreachBatch { (df: DataFrame, _: Long) => sink.merge(df); () }
+      .option("checkpointLocation", rCkpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    graft.streaming.FileBusSource.settleCommitted(rCkpt, busDir, group)
+    require(bus.depth(group) == 0L, "consumer drains the whole bus")
+
+    sink.read().select(
+      col("user_id"),
+      col("document_id").as("last_document_id"),
+      col("operation").as("last_operation"),
+      expr("ts_us div 1000").as("last_ms"),
+      col("watched_ratio").as("last_ratio"))
+  }
+
   // ---------------------------------------------------------------- q76
   /** Incremental aggregate maintenance as a real StreamingQuery: the
     * per-etype analytics table is FOLDED forward one micro-batch at a
@@ -3618,6 +3707,7 @@ object StreamingQueries {
     "q66_streaming_cdc" -> (q66StreamingCdc _, q66Sql),
     "q282_message_bus" -> (q282MessageBus _, q66Sql),
     "q283_bus_source" -> (q283BusSource _, q66Sql),
+    "q284_bus_sink" -> (q284BusSink _, q66Sql),
     "q76_streaming_agg" -> (q76StreamingAgg _, q76Sql),
     "q82_merge_compact" -> (q82MergeCompact _, q66Sql),
     "q83_schema_evolution" -> (q83SchemaEvolution _, q83Sql),

@@ -66,9 +66,12 @@ final class FileBusSourceProvider extends TableProvider with DataSourceRegister 
   override def shortName(): String = "filebus"
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     FileBusSource.schema
+  // writes present the QUERY's schema (one payload column) while reads
+  // infer the fixed source schema — external metadata lets both through
+  override def supportsExternalMetadata(): Boolean = true
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: JMap[String, String]): Table =
-    new FileBusTable(new CaseInsensitiveStringMap(properties))
+    new FileBusTable(schema, new CaseInsensitiveStringMap(properties))
 }
 
 object FileBusSource {
@@ -133,22 +136,29 @@ final class FileBusOffset(val segs: Set[Long]) extends Offset {
   override def hashCode(): Int = segs.hashCode()
 }
 
-final class FileBusTable(options: CaseInsensitiveStringMap)
-    extends Table with SupportsRead {
+final class FileBusTable(schemaIn: StructType, options: CaseInsensitiveStringMap)
+    extends Table with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
   private val root = {
     val p = options.get("path")
     require(p != null && p.nonEmpty, "filebus: 'path' option is required")
     p
   }
   override def name(): String = s"filebus:$root"
-  override def schema(): StructType = FileBusSource.schema
+  override def schema(): StructType = schemaIn
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
-                         TableCapability.MICRO_BATCH_READ)
+                         TableCapability.MICRO_BATCH_READ,
+                         TableCapability.BATCH_WRITE,
+                         TableCapability.STREAMING_WRITE)
   override def newScanBuilder(opts: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder {
       override def build(): Scan = new FileBusScan(root, opts)
     }
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder =
+    FileBusSink.newWriteBuilder(root, info)
 }
 
 final class FileBusScan(root: String, options: CaseInsensitiveStringMap)
