@@ -247,6 +247,52 @@ final class FileBus(root: String, visibilityMs: Long, maxDeliveries: Int) {
     if (dirty) writeState(group, seg, st)
   }
 
+  /** Retention: delete every segment that EVERY listed consumer group
+    * has fully settled — the compaction that keeps the log (and the
+    * [[FileBusSource]] connector's set-offsets) bounded by RETAINED
+    * segments at production scale. A segment with dead-lettered
+    * messages is retained unless `includeDlq` (the DLQ payload lives
+    * in the segment file; pruning it forfeits the poison evidence —
+    * an explicit operator decision, never a side effect). Deletion
+    * order is crash-safe in the at-most-once direction: the segment
+    * file (the visibility switch) goes first, so a crash mid-prune
+    * can never resurrect settled messages for redelivery; orphaned
+    * settle maps from such a crash are swept on the next prune.
+    * Returns the pruned segment ids.
+    */
+  def prune(groups: Seq[String], includeDlq: Boolean = false): Seq[Long] =
+    jvmLock.synchronized {
+      require(groups.nonEmpty, "prune needs the consumer groups that must have settled")
+      val pruned = listSegments().filter { seg =>
+        val n = segLines(seg).length
+        groups.forall { g =>
+          val st = readState(g, seg)
+          st.size >= n && st.valuesIterator.forall(s =>
+            s.status == 1 || (includeDlq && s.status == 2)) &&
+            (0 until n).forall(st.contains)
+        }
+      }
+      pruned.foreach { seg =>
+        Files.delete(segPath(seg))
+        groups.foreach(g => Files.deleteIfExists(statePath(g, seg)))
+      }
+      // sweep settle maps orphaned by any earlier crash mid-prune
+      val live = listSegments().toSet
+      if (Files.exists(stateRoot)) {
+        Files.list(stateRoot).iterator().asScala.filter(Files.isDirectory(_))
+          .foreach { gd =>
+            Files.list(gd).iterator().asScala
+              .filter { p =>
+                val n = p.getFileName.toString
+                n.startsWith("seg-") && n.endsWith(".state") &&
+                  !live.contains(
+                    n.stripPrefix("seg-").stripSuffix(".state").toLong)
+              }.foreach(Files.deleteIfExists(_))
+          }
+      }
+      pruned
+    }
+
   // ---------------------------------------------------------- inspect
 
   /** Dead-lettered payloads for `group`, in (segment, index) order. */

@@ -104,7 +104,8 @@ object FileBusSource {
       .flatMap(parseOffsetJson).toSet
     if (segs.nonEmpty) {
       val bus = new FileBus(busRoot, visibilityMs = 1L, maxDeliveries = 1)
-      segs.toSeq.sorted.foreach(bus.commitSegment(group, _))
+      val live = FileBus.segments(busRoot).toSet // pruned ids settle nothing
+      segs.toSeq.sorted.filter(live).foreach(bus.commitSegment(group, _))
     }
   }
 
@@ -243,8 +244,12 @@ final class FileBusMicroBatch(root: String, group: Option[String],
     */
   override def commit(end: Offset): Unit = group.foreach { g =>
     val bus = busFor(root)
+    // an offset may reference segments retention has already pruned
+    // (settled by an earlier commit, then compacted) — settle only
+    // what still exists
+    val live = FileBus.segments(root).toSet
     end.asInstanceOf[FileBusOffset].segs.toSeq.sorted
-      .foreach(bus.commitSegment(g, _))
+      .filter(live).foreach(bus.commitSegment(g, _))
   }
 
   // commitSegment needs an instance only for its settle-map I/O; the

@@ -129,6 +129,53 @@ class FileBusSourceSpec extends SparkSpec {
     assert(d.size === 2)
   }
 
+  test("retention prune: settled segments vanish, set offsets stay valid, " +
+       "a restarted stream re-reads nothing") {
+    val (busDir, ckpt) = freshDirs("prune")
+    val bus = new FileBus(busDir, 60000L, 3)
+    bus.publish(Seq("a", "b"), 0L)
+    bus.publish(Seq("c"), 1L)
+    assert(drain(busDir, ckpt, Some("g")) === 3L)
+    FileBusSource.settleCommitted(ckpt, busDir, "g")
+    assert(bus.prune(Seq("g")) === Seq(0L, 1L))
+    assert(bus.published() === 0L)
+    // the checkpoint's offset set still references pruned ids — the
+    // connector's set difference must treat them as consumed, not missing
+    assert(drain(busDir, ckpt, Some("g")) === 0L)
+    // and new traffic still flows
+    bus.publish(Seq("d"), 9L)
+    assert(drain(busDir, ckpt, Some("g")) === 1L)
+  }
+
+  test("prune refuses partially-settled segments and DLQ evidence by default") {
+    val base = graft.core.TempDirs.scoped("graft_bussrc_prune2_")
+    val busDir = s"$base/bus"
+    val bus = new FileBus(busDir, 1L, 1)
+    bus.publish(Seq("ok1", "poison"), 0L)
+    bus.publish(Seq("ok2"), 1L)
+    val ds = bus.consume("g", 10, nowMs = 5L)
+    assert(ds.size === 3)
+    bus.ack("g", 0L, 0)
+    assert(bus.prune(Seq("g")) === Nil) // 0 has an open msg, 1 unsettled? no: 1's msg leased-open
+    bus.ack("g", 1L, 0)
+    bus.nack("g", 0L, 1, requeue = true) // maxDeliveries=1 -> DLQ
+    assert(bus.prune(Seq("g")) === Seq(1L), "DLQ evidence retains segment 0")
+    assert(bus.deadLetters("g") === Seq("poison"))
+    assert(bus.prune(Seq("g"), includeDlq = true) === Seq(0L))
+    assert(bus.published() === 0L)
+  }
+
+  test("prune requires ALL listed groups to have settled") {
+    val base = graft.core.TempDirs.scoped("graft_bussrc_prune3_")
+    val busDir = s"$base/bus"
+    val bus = new FileBus(busDir, 60000L, 3)
+    bus.publish(Seq("m"), 0L)
+    bus.consume("a", 10, 0L); bus.ack("a", 0L, 0)
+    assert(bus.prune(Seq("a", "b")) === Nil, "group b never settled")
+    bus.consume("b", 10, 0L); bus.ack("b", 0L, 0)
+    assert(bus.prune(Seq("a", "b")) === Seq(0L))
+  }
+
   test("offset json roundtrip, sparse and empty") {
     assert(FileBusSource.parseOffsetJson("[]") === Set.empty[Long])
     assert(FileBusSource.parseOffsetJson("[7,0,500]") === Set(0L, 7L, 500L))
