@@ -152,10 +152,16 @@ final class FileBusTable(schemaIn: StructType, options: CaseInsensitiveStringMap
                          TableCapability.MICRO_BATCH_READ,
                          TableCapability.BATCH_WRITE,
                          TableCapability.STREAMING_WRITE)
-  override def newScanBuilder(opts: CaseInsensitiveStringMap): ScanBuilder =
+  override def newScanBuilder(opts: CaseInsensitiveStringMap): ScanBuilder = {
+    // the wire schema is fixed; a user-supplied read schema would
+    // silently misinterpret the reader's rows — reject it up front
+    require(schemaIn == FileBusSource.schema,
+      s"filebus reads have a fixed schema ${FileBusSource.schema.toDDL}; " +
+        "drop the .schema(...) call and parse `value` downstream")
     new ScanBuilder {
       override def build(): Scan = new FileBusScan(root, opts)
     }
+  }
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder =

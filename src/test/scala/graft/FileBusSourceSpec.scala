@@ -3,6 +3,7 @@ package graft
 import java.nio.file.{Files, Paths}
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 
 
@@ -174,6 +175,36 @@ class FileBusSourceSpec extends SparkSpec {
     assert(bus.prune(Seq("a", "b")) === Nil, "group b never settled")
     bus.consume("b", 10, 0L); bus.ack("b", 0L, 0)
     assert(bus.prune(Seq("a", "b")) === Seq(0L))
+  }
+
+  test("composes with event-time watermarks and windowed aggregation") {
+    val (busDir, ckpt) = freshDirs("wm")
+    val bus = new FileBus(busDir, 60000L, 3)
+    // minute-bucketed events across two windows, one late arrival
+    bus.publish(Seq(
+      """{"k":"a","ts":"2026-01-01 00:00:10"}""",
+      """{"k":"a","ts":"2026-01-01 00:00:40"}""",
+      """{"k":"b","ts":"2026-01-01 00:01:20"}"""), 0L)
+    bus.publish(Seq("""{"k":"a","ts":"2026-01-01 00:00:55"}"""), 1L)
+    val agg = spark.readStream.format("filebus")
+      .option("path", busDir).option("group", "wm").load()
+      .select(from_json(col("value"),
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "k STRING, ts TIMESTAMP")).as("r"))
+      .select(col("r.k"), col("r.ts"))
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 minute"), col("k"))
+      .count()
+    val out = new java.util.concurrent.atomic.AtomicReference[Seq[(String, Long)]](Nil)
+    val q = agg.writeStream.outputMode("complete")
+      .foreachBatch { (df: DataFrame, _: Long) =>
+        out.set(df.select("k", "count").collect().toSeq
+          .map(r => (r.getString(0), r.getLong(1)))); ()
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(out.get().sorted === Seq(("a", 3L), ("b", 1L)))
   }
 
   test("offset json roundtrip, sparse and empty") {
