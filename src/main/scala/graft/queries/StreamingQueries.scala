@@ -1258,6 +1258,77 @@ object StreamingQueries {
       |      FROM events WHERE event_id % 4 <= 1))
       |WHERE rn = 1""".stripMargin
 
+  // ---------------------------------------------------------------- q285
+  /** ROLLBACK / RESTORE — the undo button q104's time travel only
+    * reads: restore the table to a prior version as a NEW commit
+    * (Delta RESTORE / Iceberg rollback; the reference's warehouse has
+    * no undo at all — a bad ClickHouse batch is permanent). The gate
+    * takes q104's 4-slice CDC history three commits in, declares the
+    * third (slice-2) commit bad, and rolls back to version 2:
+    * REQUIREd metadata-only (version 4's bucket mapping and deletion
+    * vectors are verbatim version 2's — the restore re-points at old
+    * generation dirs, moving zero data bytes), REQUIREd state-exact
+    * (read() equals readAt(2) row-for-row), and REQUIREd
+    * history-preserving (the bad version 3 stays time-travelable — an
+    * audit can still see what was rolled back). Forward writes then
+    * continue on the restored base: merging slice 3 yields the LWW
+    * state over slices {0,1,3} — the oracle recomputes exactly that
+    * (event_id % 4 <> 2), so a rollback that leaked any slice-2 row,
+    * or dropped a restored row, hash-mismatches.
+    */
+  def q285Rollback(s: SparkSession, d: String): DataFrame = {
+    val base = graft.core.TempDirs.scoped("graft_q285_")
+    val stateDir = s"$base/state"
+    val env = CdcQueries.envelope(s, d)
+      .withColumn("ts_us", unix_micros(col("ts"))).drop("ts")
+    val flat = Cdc.enrichWatchedRatio(
+      Cdc.flattenEnvelope(env), "watched", "duration", rounded = false)
+    val sink = new MergeSink(s, stateDir,
+      keys = Seq("user_id"), orderCols = Seq("ts_us", "document_id"), nBuckets = 16)
+    def slice(i: Int) = flat.filter(pmod(col("document_id"), lit(4)) === lit(i))
+    (0 until 3).foreach(i => sink.merge(slice(i))) // v1, v2, v3(bad)
+
+    sink.rollback(2L) // v4 = restore of v2
+    require(sink.versions() == Seq(1L, 2L, 3L, 4L),
+      "rollback is a new version; nothing is erased")
+    require(sink.manifest.mappingAt(4L) == sink.manifest.mappingAt(2L) &&
+            sink.manifest.dvAt(4L) == sink.manifest.dvAt(2L),
+      "rollback is metadata-only: v4 re-points at v2's generations verbatim")
+    require(sink.read().exceptAll(sink.readAt(2L)).isEmpty &&
+            sink.readAt(2L).exceptAll(sink.read()).isEmpty,
+      "restored state must equal the target version row-for-row")
+    require(sink.readAt(3L).count() >= sink.readAt(2L).count(),
+      "the rolled-back-over version stays time-travelable for audit")
+
+    sink.merge(slice(3)) // v5: forward write on the restored base
+    sink.read().select(
+      col("user_id"),
+      col("document_id").as("last_document_id"),
+      col("operation").as("last_operation"),
+      expr("ts_us div 1000").as("last_ms"),
+      col("watched_ratio").as("last_ratio"))
+  }
+
+  /** LWW over slices {0,1,3} — slice 2's history was rolled back. */
+  val q285Sql: String =
+    """SELECT user_id, document_id AS last_document_id,
+      |  operation AS last_operation, epoch_ms(ts) AS last_ms,
+      |  (CASE WHEN coalesce(duration, 1) > 0
+      |        THEN coalesce(watched, 0.0) / coalesce(duration, 1)
+      |        ELSE 0.0 END) AS last_ratio
+      |FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+      |        ORDER BY ts DESC, document_id DESC) AS rn
+      |      FROM (SELECT
+      |        CASE WHEN event_type = 'signup' THEN 'insert'
+      |             WHEN event_type = 'error' THEN 'delete'
+      |             ELSE 'update' END AS operation,
+      |        event_id AS document_id, user_id, ts,
+      |        CASE WHEN event_type = 'error' THEN NULL ELSE value END AS watched,
+      |        CASE WHEN event_type = 'error' THEN NULL
+      |             ELSE CAST(json_extract_string(props, '$.k') AS INT) END AS duration
+      |      FROM events WHERE event_id % 4 <> 2))
+      |WHERE rn = 1""".stripMargin
+
   // ---------------------------------------------------------------- q244
   /** SNAPSHOT DIFF — the warehouse maintenance twin of q104's time
     * travel: not "read the state that fed run N" but "what CHANGED
@@ -3708,6 +3779,7 @@ object StreamingQueries {
     "q282_message_bus" -> (q282MessageBus _, q66Sql),
     "q283_bus_source" -> (q283BusSource _, q66Sql),
     "q284_bus_sink" -> (q284BusSink _, q66Sql),
+    "q285_rollback" -> (q285Rollback _, q285Sql),
     "q76_streaming_agg" -> (q76StreamingAgg _, q76Sql),
     "q82_merge_compact" -> (q82MergeCompact _, q66Sql),
     "q83_schema_evolution" -> (q83SchemaEvolution _, q83Sql),

@@ -193,6 +193,14 @@ final class MergeSink(
   def expireVersions(keepLast: Int): Unit =
     MergeSink.withWriterLock(spark, path, "expire")(manifest.expireVersions(keepLast))
 
+  /** Restore the table to `toVersion` as a new commit (Delta RESTORE /
+    * Iceberg rollback) — metadata-only, history preserved; see
+    * [[TableManifest.rollback]]. Takes the writer lock: a rollback IS
+    * a write and must serialize with concurrent merges.
+    */
+  def rollback(toVersion: Long): Unit =
+    MergeSink.withWriterLock(spark, path, "rollback")(manifest.rollback(toVersion))
+
   /** Metadata-level data-skipping decision for `col` in `[lo, hi]` —
     * exposed for layout audits and tests.
     */

@@ -277,7 +277,6 @@ final class TableManifest(spark: SparkSession, val root: String) {
   def commit(m: Map[Int, String], stats: Map[Int, Stats] = Map.empty,
              layoutState: Option[(Layout, Option[Migration])] = None,
              dvState: Option[Map[Int, Seq[String]]] = None): Unit = {
-    val next = currentVersion() + 1
     val f = full()
     val (lay, mig) = layoutState match {
       case Some((l, mg)) => (Some(l), mg)
@@ -288,6 +287,36 @@ final class TableManifest(spark: SparkSession, val root: String) {
         case (b, (g, _, d)) if d.nonEmpty && m.get(b).contains(g) => b -> d
       }
     }
+    commitExact(m, stats, lay, mig, dv)
+  }
+
+  /** Restore the table to `toVersion`'s EXACT snapshot as a NEW
+    * version — the Delta RESTORE / Iceberg rollback primitive.
+    * Metadata-only and O(1): the rollback commit re-points at
+    * `toVersion`'s generation dirs (mapping, zone maps, layout,
+    * migration headers AND deletion vectors all restored verbatim,
+    * including a None layout — a plain `commit` cannot clear headers,
+    * rollback must). History is preserved: the rolled-back-over
+    * versions stay time-travelable until [[expireVersions]], and
+    * [[vacuum]] keeps their generations live for the same reason.
+    * Forward writes continue normally on top of the restored state.
+    */
+  def rollback(toVersion: Long): Unit = {
+    val cur = currentVersion()
+    require(toVersion < cur,
+      s"rollback target $toVersion is not in the past (current=$cur)")
+    val p = parsedAt(toVersion)
+    commitExact(
+      p.m.map { case (b, (g, _, _)) => b -> g },
+      p.m.map { case (b, (_, st, _)) => b -> st }.filter(_._2.nonEmpty),
+      p.layout, p.migration,
+      p.m.collect { case (b, (_, _, d)) if d.nonEmpty => b -> d })
+  }
+
+  private def commitExact(m: Map[Int, String], stats: Map[Int, Stats],
+                          lay: Option[Layout], mig: Option[Migration],
+                          dv: Map[Int, Seq[String]]): Unit = {
+    val next = currentVersion() + 1
     val body = render(next, m, stats, lay, mig, dv)
     // immutable history copy first (overwrite: a crashed prior attempt
     // at this same unpublished version is dead by single-writer rule)

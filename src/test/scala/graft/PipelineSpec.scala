@@ -673,6 +673,44 @@ class PipelineSpec extends SparkSpec {
     assert(stateAt(3) == lww(rows))
   }
 
+  test("rollback: vacuum keeps restored generations live; expired targets fail loudly; " +
+       "compaction after rollback preserves the restored state") {
+    import graft.sink.MergeSink
+    val dir = freshDir() + "/rb"
+    val rows = Warehouse.toWarehouseRows(env).cache()
+    val sink = new MergeSink(spark, dir, Warehouse.DedupKeys, Warehouse.VersionCols, 4)
+    val slices = (0 until 3).map(i => rows.filter(pmod($"ingestion_seq", lit(3)) === i))
+    slices.foreach(sink.merge) // v1..v3
+    def state(df: org.apache.spark.sql.DataFrame) =
+      df.select($"original_id", $"ingestion_seq").as[(String, Long)].collect().toSet
+
+    sink.rollback(1L) // v4
+    assert(sink.versions() == Seq(1L, 2L, 3L, 4L))
+    assert(state(sink.read()) == state(sink.readAt(1L)))
+
+    // vacuum (runs inside merge) must keep v4's restored generations
+    // even though v2/v3 wrote newer gens for the same buckets; the
+    // forward merge is then a normal LWW step on the restored base
+    sink.merge(slices(1)) // v5 + vacuum
+    val expect01 = state(
+      Cdc.latestByKey(slices(0).unionByName(slices(1)),
+        Warehouse.DedupKeys, Warehouse.VersionCols)
+        .select($"original_id", $"ingestion_seq"))
+    assert(state(sink.read()) == expect01,
+      "forward merge on the restored base is a normal LWW step")
+
+    // compaction must not resurrect rolled-back-over (slice 2) data
+    sink.compact(1)
+    assert(state(sink.read()) == expect01)
+
+    // rollback to an EXPIRED version fails loudly, table intact
+    sink.expireVersions(2)
+    val e = intercept[IllegalStateException](sink.rollback(1L))
+    assert(e.getMessage.contains("expired"))
+    // and a future/current target is rejected up front
+    intercept[IllegalArgumentException](sink.rollback(sink.versions().max))
+  }
+
   test("zone maps: range-bucketed sink prunes buckets at the metadata level; readRange equals full-scan filter") {
     import graft.sink.MergeSink
     val dir = freshDir() + "/zm"
