@@ -1329,6 +1329,66 @@ object StreamingQueries {
       |      FROM events WHERE event_id % 4 <> 2))
       |WHERE rn = 1""".stripMargin
 
+  // ---------------------------------------------------------------- q286
+  /** OPTIMISTIC CONCURRENCY CONTROL — multi-writer commits without
+    * holding the writer lock for the O(data) merge (the Delta/Iceberg
+    * commit-retry protocol; the reference serializes everything
+    * through one single-threaded consumer, `README.md:219,325`).
+    * Writer A and writer B race: B stages its merge LOCK-FREE, and in
+    * the window between B's stage and publish, A commits — injected
+    * deterministically through the `beforePublish` seam, so the gate
+    * exercises the EXACT interleaving instead of hoping a thread race
+    * hits it. B's first publish fails the base fence (its staged LWW
+    * was computed against state A replaced), and [[graft.sink
+    * .MergeSink.mergeOptimistic]] discards, RE-STAGES against A's
+    * commit, and publishes — REQUIREd to succeed on exactly attempt 2,
+    * REQUIREd to leave A's rows intact (the lost-update the protocol
+    * exists to prevent), and REQUIREd to have paid the conflict as a
+    * version: history shows A's commit then B's rebased commit. The
+    * final state is the LWW over BOTH writers' batches regardless of
+    * interleaving — q66's whole-history oracle, which a lost update
+    * or a double-applied rebase hash-mismatches.
+    */
+  def q286Occ(s: SparkSession, d: String): DataFrame = {
+    val base = graft.core.TempDirs.scoped("graft_q286_")
+    val stateDir = s"$base/state"
+    val env = CdcQueries.envelope(s, d)
+      .withColumn("ts_us", unix_micros(col("ts"))).drop("ts")
+    val flat = Cdc.enrichWatchedRatio(
+      Cdc.flattenEnvelope(env), "watched", "duration", rounded = false)
+    val sink = new MergeSink(s, stateDir,
+      keys = Seq("user_id"), orderCols = Seq("ts_us", "document_id"), nBuckets = 16)
+    val a = flat.filter(pmod(col("document_id"), lit(2)) === lit(0))
+    val b = flat.filter(pmod(col("document_id"), lit(2)) === lit(1))
+
+    // writer A lands a first batch so the race is against real state
+    sink.merge(a.filter(pmod(col("document_id"), lit(4)) === lit(0))) // v1
+
+    // writer B's optimistic merge; A commits INSIDE B's stage->publish
+    // window on the first attempt only
+    val aRemainder = a.filter(pmod(col("document_id"), lit(4)) === lit(2))
+    val injected = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val attempts = sink.mergeOptimistic(b, beforePublish = () =>
+      if (injected.compareAndSet(false, true)) sink.merge(aRemainder)) // v2
+    require(attempts == 2,
+      s"B must lose the race once and win the rebase, got $attempts attempts")
+    require(sink.versions() == Seq(1L, 2L, 3L),
+      "history carries A's commit and B's rebased commit as separate versions")
+
+    // the lost-update check: A's remainder rows survived B's rebase
+    val aKeys = aRemainder.select("user_id").distinct()
+    val missing = aKeys.join(sink.read().select("user_id").distinct(),
+      Seq("user_id"), "left_anti").count()
+    require(missing == 0L, "the rebase must not drop the intervening commit's keys")
+
+    sink.read().select(
+      col("user_id"),
+      col("document_id").as("last_document_id"),
+      col("operation").as("last_operation"),
+      expr("ts_us div 1000").as("last_ms"),
+      col("watched_ratio").as("last_ratio"))
+  }
+
   // ---------------------------------------------------------------- q244
   /** SNAPSHOT DIFF — the warehouse maintenance twin of q104's time
     * travel: not "read the state that fed run N" but "what CHANGED
@@ -3780,6 +3840,7 @@ object StreamingQueries {
     "q283_bus_source" -> (q283BusSource _, q66Sql),
     "q284_bus_sink" -> (q284BusSink _, q66Sql),
     "q285_rollback" -> (q285Rollback _, q285Sql),
+    "q286_occ" -> (q286Occ _, q66Sql),
     "q76_streaming_agg" -> (q76StreamingAgg _, q76Sql),
     "q82_merge_compact" -> (q82MergeCompact _, q66Sql),
     "q83_schema_evolution" -> (q83SchemaEvolution _, q83Sql),

@@ -373,7 +373,21 @@ final class MergeSink(
     * candidate state (not just the batch — cross-batch invariants
     * need the merge), and visibility is a rename, not a rewrite.
     */
-  def stageMerge(batch: DataFrame): String = MergeSink.withWriterLock(spark, path, "stage") {
+  def stageMerge(batch: DataFrame): String =
+    MergeSink.withWriterLock(spark, path, "stage")(stageImpl(batch))
+
+  /** [[stageMerge]] WITHOUT the writer lock — the staging half of the
+    * optimistic-concurrency path. Safe lock-free because every write
+    * lands under this stage's own fresh generation dir and unique
+    * token, and reads resolve only immutable published generations;
+    * the one genuine race — a concurrent publisher's vacuum sweeping
+    * the half-written, not-yet-referenced generation — is closed by
+    * pre-registering the generation ([[TableManifest.preStage]])
+    * BEFORE the first data byte.
+    */
+  def stageMergeConcurrent(batch: DataFrame): String = stageImpl(batch)
+
+  private def stageImpl(batch: DataFrame): String = {
     val touched = batch.select(bucketOf.as(BucketCol)).distinct()
       .collect().map(_.getInt(0)).toSeq
     require(touched.nonEmpty, "stageMerge of an empty batch has nothing to audit")
@@ -384,16 +398,56 @@ final class MergeSink(
     }
     val merged = Cdc.latestByKey(base, keys, orderCols)
     val gen = manifest.newGenDir()
-    merged
-      .withColumn(BucketCol, bucketOf)
-      .sortWithinPartitions(keys.map(col): _*)
-      .write
-      .partitionBy(BucketCol)
-      .parquet(s"$path/$gen")
-    writeBloomsOfGen(gen)
-    manifest.stage(
-      current ++ manifest.writtenBuckets(gen).map(_ -> gen),
-      manifest.stats() ++ statsOfGen(gen))
+    val pending = manifest.preStage(gen)
+    try {
+      merged
+        .withColumn(BucketCol, bucketOf)
+        .sortWithinPartitions(keys.map(col): _*)
+        .write
+        .partitionBy(BucketCol)
+        .parquet(s"$path/$gen")
+      writeBloomsOfGen(gen)
+      manifest.finalizeStage(pending,
+        current ++ manifest.writtenBuckets(gen).map(_ -> gen),
+        manifest.stats() ++ statsOfGen(gen))
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        try manifest.discardPending(pending)
+        catch { case scala.util.control.NonFatal(_) => () }
+        throw e
+    }
+  }
+
+  /** OPTIMISTIC CONCURRENCY — the Delta/Iceberg commit-retry loop,
+    * replacing "hold the writer lock for the whole merge" with "hold
+    * it only for the O(1) publish": stage LOCK-FREE (the O(data)
+    * compute runs with zero mutual exclusion, so N writers overlap
+    * their heavy work), then publish under the short critical
+    * section; when an intervening commit moved the base — the staged
+    * LWW was computed against replaced state — the stale stage is
+    * discarded and the merge RE-STAGES against the new base.
+    * Returns the attempt count that succeeded. `beforePublish` is a
+    * test seam (contention injection); production leaves it default.
+    */
+  def mergeOptimistic(batch: DataFrame, maxAttempts: Int = 5,
+                      beforePublish: () => Unit = () => ()): Int = {
+    require(maxAttempts >= 1, "need at least one attempt")
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      attempt += 1
+      val token = stageMergeConcurrent(batch)
+      beforePublish()
+      try { publishStaged(token); return attempt }
+      catch {
+        case e: IllegalStateException if e.getMessage.contains("stale") =>
+          discardStaged(token)
+          if (attempt >= maxAttempts)
+            throw new IllegalStateException(
+              s"mergeOptimistic lost the commit race $attempt times at $path — " +
+                "live contention; raise maxAttempts or fall back to merge()", e)
+      }
+    }
+    attempt // unreachable: the loop either returns or throws
   }
 
   /** The staged snapshot (state as it WOULD be after publish) — what

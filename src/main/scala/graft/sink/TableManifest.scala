@@ -376,6 +376,55 @@ final class TableManifest(spark: SparkSession, val root: String) {
     if (!fs.exists(stagedDir)) Seq.empty
     else fs.listStatus(stagedDir).toSeq.map(_.getPath.getName).filter(_.startsWith("s-")).sorted
 
+  // ------------------------------------------- lock-free stage support
+
+  /** Pre-register a generation a LOCK-FREE stager is about to write
+    * (`_staged/p-<token>`, body = the gen name). A concurrent
+    * publisher's [[vacuum]] counts pre-registered generations fully
+    * live, closing the race where the half-written generation of an
+    * optimistic stager is referenced by nothing yet. Written BEFORE
+    * any data byte, so there is no unprotected window. A crashed
+    * stager leaves its marker until [[discardPending]] — the same
+    * manual-reclaim posture as an unaudited staged snapshot.
+    */
+  def preStage(gen: String): String = {
+    val token = s"p-${java.util.UUID.randomUUID()}"
+    fs.mkdirs(stagedDir)
+    val out = fs.create(stagedPath(token), false)
+    try out.write(gen.getBytes("UTF-8")) finally out.close()
+    token
+  }
+
+  /** Promote a pre-registered stage to a full staged snapshot (the
+    * normal `s-` token [[publish]]/[[discard]] operate on); the
+    * pending marker is consumed. The staged file itself now holds the
+    * generation references, so liveness never lapses between the two.
+    */
+  def finalizeStage(pending: String, m: Map[Int, String],
+                    stats: Map[Int, Stats] = Map.empty,
+                    dvState: Option[Map[Int, Seq[String]]] = None): String = {
+    val token = stage(m, stats, dvState)
+    fs.delete(stagedPath(pending), false)
+    token
+  }
+
+  /** Drop a pending pre-registration (failed or crashed stager) and
+    * reclaim its generation.
+    */
+  def discardPending(pending: String): Unit = {
+    fs.delete(stagedPath(pending), false)
+    vacuum()
+  }
+
+  /** Outstanding pre-registrations. */
+  def pendingStages(): Seq[String] =
+    if (!fs.exists(stagedDir)) Seq.empty
+    else fs.listStatus(stagedDir).toSeq.map(_.getPath.getName)
+      .filter(_.startsWith("p-")).sorted
+
+  private def pendingGens(): Set[String] =
+    pendingStages().map(t => readText(stagedPath(t)).trim).toSet
+
   private def parseStaged(token: String): (Long, Parsed) = {
     val p = stagedPath(token)
     if (!fs.exists(p)) throw new IllegalStateException(
@@ -466,11 +515,15 @@ final class TableManifest(spark: SparkSession, val root: String) {
       .groupMapReduce(_._1)(_._2)(_ ++ _)
     val liveRefs: Map[String, Set[Int]] =
       merged ++ ((dvGens ++ stagedDvGens) -- merged.keySet).map(_ -> Set.empty[Int])
+    // generations pre-registered by in-flight lock-free stagers are
+    // fully live — their bucket layout is still being written
+    val pending = pendingGens()
     val dataDir = new Path(root, "data")
     if (fs.exists(dataDir))
       fs.listStatus(dataDir).foreach { st =>
         val rel = s"data/${st.getPath.getName}"
-        liveRefs.get(rel) match {
+        if (pending.contains(rel)) ()
+        else liveRefs.get(rel) match {
           case None => fs.delete(st.getPath, true)
           case Some(liveBuckets) =>
             fs.listStatus(st.getPath).foreach { sub =>

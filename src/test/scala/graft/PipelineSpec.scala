@@ -673,6 +673,45 @@ class PipelineSpec extends SparkSpec {
     assert(stateAt(3) == lww(rows))
   }
 
+  test("OCC: pending pre-registration shields a half-written generation from " +
+       "a concurrent publisher's vacuum; give-up after maxAttempts; crash discards pending") {
+    import graft.sink.MergeSink
+    val dir = freshDir() + "/occ"
+    val rows = Warehouse.toWarehouseRows(env).cache()
+    val sink = new MergeSink(spark, dir, Warehouse.DedupKeys, Warehouse.VersionCols, 4)
+    sink.merge(rows.limit(40))
+
+    // a lock-free stager has pre-registered its gen and written half a file
+    val gen = sink.manifest.newGenDir()
+    val pending = sink.manifest.preStage(gen)
+    val genPath = new java.io.File(s"$dir/$gen/__bucket=0")
+    genPath.mkdirs()
+    java.nio.file.Files.write(genPath.toPath.resolve("part-half.parquet"),
+      "partial".getBytes)
+    sink.manifest.vacuum()
+    assert(genPath.exists, "vacuum must not sweep a pre-registered generation")
+    sink.manifest.discardPending(pending)
+    assert(!new java.io.File(s"$dir/$gen").exists,
+      "discardPending reclaims the abandoned generation")
+    assert(sink.manifest.pendingStages().isEmpty)
+
+    // persistent contention: every attempt loses the race -> bounded give-up
+    val e = intercept[IllegalStateException] {
+      sink.mergeOptimistic(rows.limit(10), maxAttempts = 2, beforePublish = () =>
+        sink.merge(rows.limit(5)
+          .withColumn("ingestion_seq", $"ingestion_seq" + 70000L)))
+    }
+    assert(e.getMessage.contains("lost the commit race 2 times"))
+    assert(sink.stagedTokens().isEmpty, "losing stages are discarded, not leaked")
+
+    // a crashing stage discards its pending marker and generation
+    intercept[Exception] {
+      sink.stageMergeConcurrent(rows.limit(5).drop("watched_ratio"))
+    }
+    assert(sink.manifest.pendingStages().isEmpty,
+      "a failed lock-free stage must not leak its pre-registration")
+  }
+
   test("rollback: vacuum keeps restored generations live; expired targets fail loudly; " +
        "compaction after rollback preserves the restored state") {
     import graft.sink.MergeSink
