@@ -10,7 +10,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadAllAvailable, ReadLimit, ReadMaxFiles, SupportsAdmissionControl, SupportsTriggerAvailableNow}
+import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit, MicroBatchStream, Offset, ReadAllAvailable, ReadLimit, ReadMaxBytes, ReadMaxFiles, ReportsSourceMetrics, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -60,7 +60,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * Options: `path` (bus root, required), `group` (consumer group to
   * settle on commit; omit for a side-effect-free tap — e.g. backfill
   * or a second subscriber that must not drain the queue),
-  * `maxSegmentsPerTrigger` (admission bound, default all).
+  * `maxSegmentsPerTrigger` / `maxBytesPerTrigger` (admission bounds,
+  * composable; bytes is a soft cap with an at-least-one floor so an
+  * oversized segment flows alone instead of wedging the stream).
+  * The stream reports per-progress source metrics (published /
+  * consumed / backlog segment counts, unsettled group depth).
   */
 final class FileBusSourceProvider extends TableProvider with DataSourceRegister {
   override def shortName(): String = "filebus"
@@ -117,6 +121,15 @@ object FileBusSource {
     StructField("segment", LongType, nullable = false),
     StructField("idx", IntegerType, nullable = false),
     StructField("value", StringType, nullable = false)))
+
+  /** Tolerant offset conversion: the engine replays checkpointed
+    * offsets as SerializedOffset (raw JSON) on restart/metrics paths,
+    * not as the source's own class — always go through json().
+    */
+  def segsOf(o: Offset): Set[Long] = o match {
+    case f: FileBusOffset => f.segs
+    case other            => parseOffsetJson(other.json())
+  }
 
   def parseOffsetJson(json: String): Set[Long] = {
     val body = json.trim.stripPrefix("[").stripSuffix("]").trim
@@ -187,15 +200,19 @@ final class FileBusScan(root: String, options: CaseInsensitiveStringMap)
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new FileBusMicroBatch(root,
       Option(options.get("group")).filter(_.nonEmpty),
-      Option(options.get("maxSegmentsPerTrigger")).map(_.toInt))
+      Option(options.get("maxSegmentsPerTrigger")).map(_.toInt),
+      Option(options.get("maxBytesPerTrigger")).map(_.toLong))
 }
 
 final class FileBusMicroBatch(root: String, group: Option[String],
-                              maxSegsPerTrigger: Option[Int])
+                              maxSegsPerTrigger: Option[Int],
+                              maxBytesPerTrigger: Option[Long])
     extends MicroBatchStream with SupportsAdmissionControl
-    with SupportsTriggerAvailableNow {
+    with SupportsTriggerAvailableNow with ReportsSourceMetrics {
   maxSegsPerTrigger.foreach(n =>
     require(n > 0, s"maxSegmentsPerTrigger must be positive, got $n"))
+  maxBytesPerTrigger.foreach(n =>
+    require(n > 0, s"maxBytesPerTrigger must be positive, got $n"))
 
   // fixed at prepareForTriggerAvailableNow: AvailableNow must drain to
   // the log as of stream START and then stop, even while producers
@@ -210,9 +227,15 @@ final class FileBusMicroBatch(root: String, group: Option[String],
   override def prepareForTriggerAvailableNow(): Unit =
     availableNowTarget = Some(FileBus.segments(root).toSet)
 
-  override def getDefaultReadLimit: ReadLimit =
-    maxSegsPerTrigger.map(n => ReadLimit.maxFiles(n))
-      .getOrElse(ReadLimit.allAvailable())
+  override def getDefaultReadLimit: ReadLimit = {
+    val limits = maxSegsPerTrigger.map(n => ReadLimit.maxFiles(n)).toSeq ++
+      maxBytesPerTrigger.map(n => ReadLimit.maxBytes(n)).toSeq
+    limits match {
+      case Seq()  => ReadLimit.allAvailable()
+      case Seq(l) => l
+      case many   => ReadLimit.compositeLimit(many.toArray)
+    }
+  }
 
   override def initialOffset(): Offset = new FileBusOffset(Set.empty)
 
@@ -224,19 +247,41 @@ final class FileBusMicroBatch(root: String, group: Option[String],
       "latestOffset(Offset, ReadLimit) is the admission-controlled entry")
 
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
-    val have = start.asInstanceOf[FileBusOffset].segs
+    val have = FileBusSource.segsOf(start)
     val fresh = (listed() -- have).toSeq.sorted
-    val take = limit match {
-      case m: ReadMaxFiles    => fresh.take(m.maxFiles())
-      case _: ReadAllAvailable => fresh
-      case _                   => fresh
-    }
-    new FileBusOffset(have ++ take)
+    new FileBusOffset(have ++ admit(fresh, limit))
+  }
+
+  /** Apply an admission bound. ReadMaxBytes is a SOFT cap with an
+    * at-least-one floor (the file-source convention: an oversized
+    * segment must still flow, alone in its own batch, or it would
+    * wedge the stream forever). Composite limits intersect.
+    */
+  private def admit(fresh: Seq[Long], limit: ReadLimit): Seq[Long] = limit match {
+    case m: ReadMaxFiles => fresh.take(m.maxFiles())
+    case b: ReadMaxBytes =>
+      // stop at the first over-budget segment (no skip-ahead: a later
+      // small segment must not jump a blocked earlier one — keeps
+      // per-run admission sequential even though offsets are sets)
+      val out = Seq.newBuilder[Long]
+      var budget = b.maxBytes(); var n = 0; var blocked = false
+      fresh.foreach { s =>
+        if (!blocked) {
+          val sz = Files.size(FileBus.segFile(root, s))
+          if (n == 0 || sz <= budget) { out += s; budget -= sz; n += 1 }
+          else blocked = true
+        }
+      }
+      out.result()
+    case c: CompositeReadLimit =>
+      c.getReadLimits.foldLeft(fresh)((acc, l) => admit(acc, l))
+    case _: ReadAllAvailable => fresh
+    case _                   => fresh
   }
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
-    val s = start.asInstanceOf[FileBusOffset].segs
-    val e = end.asInstanceOf[FileBusOffset].segs
+    val s = FileBusSource.segsOf(start)
+    val e = FileBusSource.segsOf(end)
     (e -- s).toSeq.sorted.map(x => FileBusPartition(root, x)).toArray
   }
 
@@ -254,13 +299,30 @@ final class FileBusMicroBatch(root: String, group: Option[String],
     // (settled by an earlier commit, then compacted) — settle only
     // what still exists
     val live = FileBus.segments(root).toSet
-    end.asInstanceOf[FileBusOffset].segs.toSeq.sorted
+    FileBusSource.segsOf(end).toSeq.sorted
       .filter(live).foreach(bus.commitSegment(g, _))
   }
 
   // commitSegment needs an instance only for its settle-map I/O; the
   // visibility/redelivery knobs are irrelevant to the log-read path
   private def busFor(r: String) = new FileBus(r, visibilityMs = 1L, maxDeliveries = 1)
+
+  /** Progress-report observability (StreamingQueryProgress.sources[i]
+    * .metrics): published/consumed/backlog segment counts, plus the
+    * group's unsettled depth — the lag signal an operator alerts on.
+    */
+  override def metrics(latestConsumed: java.util.Optional[Offset]): JMap[String, String] = {
+    val all = FileBus.segments(root).toSet
+    val consumed =
+      if (latestConsumed.isPresent) FileBusSource.segsOf(latestConsumed.get)
+      else Set.empty[Long]
+    val m = new java.util.HashMap[String, String]()
+    m.put("publishedSegments", all.size.toString)
+    m.put("consumedSegments", (all & consumed).size.toString)
+    m.put("backlogSegments", (all -- consumed).size.toString)
+    group.foreach(g => m.put("unsettledDepth", busFor(root).depth(g).toString))
+    m
+  }
 
   override def stop(): Unit = ()
 }

@@ -2,6 +2,8 @@ package graft
 
 import java.nio.file.{Files, Paths}
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
@@ -205,6 +207,54 @@ class FileBusSourceSpec extends SparkSpec {
       .trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
     assert(out.get().sorted === Seq(("a", 3L), ("b", 1L)))
+  }
+
+  test("maxBytesPerTrigger: soft byte cap with an at-least-one floor") {
+    val (busDir, ckpt) = freshDirs("bytes")
+    val bus = new FileBus(busDir, 60000L, 3)
+    bus.publish(Seq("x" * 100), 0L)          // ~101 B
+    bus.publish(Seq("y" * 100), 1L)
+    bus.publish(Seq("z" * 5000), 2L)          // oversized vs the cap
+    bus.publish(Seq("w" * 100), 3L)
+    var batches = List.empty[Set[Long]]
+    var reader = spark.readStream.format("filebus").option("path", busDir)
+      .option("maxBytesPerTrigger", "250")
+    val q = reader.load().writeStream
+      .foreachBatch { (df: DataFrame, _: Long) =>
+        batches :+= df.select("segment").distinct()
+          .collect().map(_.getLong(0)).toSet; ()
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(batches.flatten.toSet === Set(0L, 1L, 2L, 3L))
+    // two small segments fit one batch; the oversized one flows ALONE
+    // (at-least-one floor — it must not wedge the stream)
+    assert(batches.contains(Set(0L, 1L)))
+    assert(batches.contains(Set(2L)))
+    assert(batches.contains(Set(3L)))
+  }
+
+  test("source metrics: backlog and depth reported in query progress") {
+    val (busDir, ckpt) = freshDirs("metrics")
+    val bus = new FileBus(busDir, 60000L, 3)
+    (0 until 4).foreach(i => bus.publish(Seq(s"m$i"), i.toLong))
+    val q = spark.readStream.format("filebus")
+      .option("path", busDir).option("group", "g")
+      .option("maxSegmentsPerTrigger", "2").load()
+      .writeStream.foreachBatch { (_: DataFrame, _: Long) => () }
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val progs = q.recentProgress.toSeq
+    val withMetrics = progs.flatMap(p => p.sources.toSeq)
+      .flatMap(s => Option(s.metrics).map(_.asScala.toMap))
+      .filter(_.contains("publishedSegments"))
+    assert(withMetrics.nonEmpty, "source metrics must surface in progress")
+    assert(withMetrics.forall(_("publishedSegments") == "4"))
+    assert(withMetrics.exists(m => m("backlogSegments").toInt > 0),
+      "mid-drain progress shows a backlog")
+    assert(withMetrics.forall(_.contains("unsettledDepth")))
   }
 
   test("offset json roundtrip, sparse and empty") {
