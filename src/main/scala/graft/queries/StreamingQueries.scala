@@ -242,9 +242,13 @@ object StreamingQueries {
       val ds = bus.consume(group, Int.MaxValue, nowMs)
       if (ds.isEmpty) return (Nil, Nil, 0L, 0L)
       import s.implicits._
+      // persist: the frame feeds TWO jobs (poison split + merge) and
+      // re-shipping + re-parsing the driver-local batch per job doubles
+      // the pass cost at gate scale
       val frame = ds.map(x => (x.segment, x.index, x.payload))
         .toDF("seg", "idx", "payload")
         .withColumn("r", from_json(col("payload"), wireSchema))
+        .persist()
       // poison = unparseable or missing the LWW key; bounded by the planted count
       val badIds = frame.filter(col("r").isNull || col("r.user_id").isNull)
         .select("seg", "idx").collect()
@@ -257,6 +261,7 @@ object StreamingQueries {
           "watched", "duration", rounded = false)
         sink.merge(flat)
       }
+      frame.unpersist()
       val poison = badIds.toSet
       val goodIds = ds.map(x => (x.segment, x.index)).filterNot(poison)
       (goodIds, badIds, ds.count(_.redelivered).toLong, ds.size.toLong)

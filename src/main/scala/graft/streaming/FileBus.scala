@@ -112,27 +112,42 @@ final class FileBus(root: String, visibilityMs: Long, maxDeliveries: Int) {
     stateRoot.resolve(group).resolve(f"seg-$seg%06d.state")
   }
 
-  private def readState(group: String, seg: Long): mutable.Map[Int, MsgState] = {
+  /** Settle map + the segment's total line count (the `#n=` header,
+    * recorded on first write so [[depth]] and deliverability scans
+    * never have to re-read the payload file just to count it).
+    */
+  private def readStateN(group: String, seg: Long): (Option[Int], mutable.Map[Int, MsgState]) = {
     val p = statePath(group, seg)
     val m = mutable.Map.empty[Int, MsgState]
+    var n: Option[Int] = None
     if (Files.exists(p)) {
       Files.readAllLines(p, UTF_8).asScala.filter(_.nonEmpty).foreach { ln =>
-        val Array(i, st, at, dl) = ln.split(' ')
-        m(i.toInt) = MsgState(st.toInt, at.toInt, dl.toLong)
+        if (ln.startsWith("#n=")) n = Some(ln.stripPrefix("#n=").toInt)
+        else {
+          val Array(i, st, at, dl) = ln.split(' ')
+          m(i.toInt) = MsgState(st.toInt, at.toInt, dl.toLong)
+        }
       }
     }
-    m
+    (n, m)
   }
 
+  private def readState(group: String, seg: Long): mutable.Map[Int, MsgState] =
+    readStateN(group, seg)._2
+
   private def writeState(group: String, seg: Long,
-                         m: mutable.Map[Int, MsgState]): Unit = {
+                         m: mutable.Map[Int, MsgState],
+                         nLines: Option[Int] = None): Unit = {
     val p = statePath(group, seg)
     Files.createDirectories(p.getParent)
     val tmp = p.getParent.resolve(p.getFileName.toString + ".tmp")
-    val body = m.toSeq.sortBy(_._1)
-      .map { case (i, s) => s"$i ${s.status} ${s.attempt} ${s.deadlineMs}" }
-      .mkString("\n")
-    Files.write(tmp, body.getBytes(UTF_8))
+    val sb = new java.lang.StringBuilder(m.size * 24 + 16)
+    nLines.foreach(n => sb.append("#n=").append(n).append('\n'))
+    m.toSeq.sortBy(_._1).foreach { case (i, s) =>
+      sb.append(i).append(' ').append(s.status).append(' ')
+        .append(s.attempt).append(' ').append(s.deadlineMs).append('\n')
+    }
+    Files.write(tmp, sb.toString.getBytes(UTF_8))
     Files.move(tmp, p, StandardCopyOption.ATOMIC_MOVE)
   }
 
@@ -152,22 +167,32 @@ final class FileBus(root: String, visibilityMs: Long, maxDeliveries: Int) {
       val segs = listSegments().iterator
       while (out.size < max && segs.hasNext) {
         val seg = segs.next()
-        val st = readState(group, seg)
-        val lines = segLines(seg)
-        var dirty = false
-        var i = 0
-        while (i < lines.length && out.size < max) {
-          val cur = st.getOrElse(i, MsgState(0, 0, 0L))
-          if (cur.status == 0 && cur.deadlineMs <= nowMs) {
-            val attempt = cur.attempt + 1
-            st(i) = MsgState(0, attempt, nowMs + visibilityMs)
-            dirty = true
-            out += Delivery(seg, i, lines(i), attempt,
-                            redelivered = attempt > 1)
-          }
-          i += 1
+        val (nOpt, st) = readStateN(group, seg)
+        // header fast path: when every message is tracked and none is
+        // deliverable at nowMs, skip reading the payload file entirely
+        // (a drained or fully-leased segment costs O(state), not
+        // O(payload bytes))
+        val nothingDeliverable = nOpt.exists { n =>
+          st.size >= n && st.valuesIterator.forall(ms =>
+            ms.status != 0 || ms.deadlineMs > nowMs)
         }
-        if (dirty) writeState(group, seg, st)
+        if (!nothingDeliverable) {
+          val lines = segLines(seg)
+          var dirty = false
+          var i = 0
+          while (i < lines.length && out.size < max) {
+            val cur = st.getOrElse(i, MsgState(0, 0, 0L))
+            if (cur.status == 0 && cur.deadlineMs <= nowMs) {
+              val attempt = cur.attempt + 1
+              st(i) = MsgState(0, attempt, nowMs + visibilityMs)
+              dirty = true
+              out += Delivery(seg, i, lines(i), attempt,
+                              redelivered = attempt > 1)
+            }
+            i += 1
+          }
+          if (dirty) writeState(group, seg, st, Some(lines.length))
+        }
       }
       out.toSeq
     }
@@ -182,7 +207,7 @@ final class FileBus(root: String, visibilityMs: Long, maxDeliveries: Int) {
     */
   def ackAll(group: String, ids: Seq[(Long, Int)]): Unit = jvmLock.synchronized {
     ids.groupBy(_._1).foreach { case (seg, segIds) =>
-      val st = readState(group, seg)
+      val (n, st) = readStateN(group, seg)
       var dirty = false
       segIds.foreach { case (_, idx) =>
         val cur = st.getOrElse(idx,
@@ -190,7 +215,7 @@ final class FileBus(root: String, visibilityMs: Long, maxDeliveries: Int) {
         require(cur.status != 2, s"ack of dead-lettered message $seg/$idx")
         if (cur.status != 1) { st(idx) = cur.copy(status = 1, deadlineMs = 0L); dirty = true }
       }
-      if (dirty) writeState(group, seg, st)
+      if (dirty) writeState(group, seg, st, n)
     }
   }
 
@@ -206,7 +231,7 @@ final class FileBus(root: String, visibilityMs: Long, maxDeliveries: Int) {
   def nackAll(group: String, ids: Seq[(Long, Int)],
               requeue: Boolean): Unit = jvmLock.synchronized {
     ids.groupBy(_._1).foreach { case (seg, segIds) =>
-      val st = readState(group, seg)
+      val (n, st) = readStateN(group, seg)
       segIds.foreach { case (_, idx) =>
         val cur = st.getOrElse(idx,
           throw new IllegalStateException(s"nack of never-delivered $seg/$idx"))
@@ -216,7 +241,7 @@ final class FileBus(root: String, visibilityMs: Long, maxDeliveries: Int) {
           if (dead) cur.copy(status = 2, deadlineMs = 0L)
           else cur.copy(deadlineMs = 0L)
       }
-      writeState(group, seg, st)
+      writeState(group, seg, st, n)
     }
   }
 
@@ -235,16 +260,17 @@ final class FileBus(root: String, visibilityMs: Long, maxDeliveries: Int) {
     */
   def commitSegment(group: String, seg: Long): Unit = jvmLock.synchronized {
     require(Files.exists(segPath(seg)), s"commit of unknown segment $seg")
-    val st = readState(group, seg)
+    val (nOpt, st) = readStateN(group, seg)
+    val n = nOpt.getOrElse(segLines(seg).length)
     var dirty = false
-    segLines(seg).indices.foreach { i =>
+    (0 until n).foreach { i =>
       val cur = st.getOrElse(i, MsgState(0, 0, 0L))
       if (cur.status == 0) {
         st(i) = MsgState(1, math.max(cur.attempt, 1), 0L)
         dirty = true
       }
     }
-    if (dirty) writeState(group, seg, st)
+    if (dirty) writeState(group, seg, st, Some(n))
   }
 
   /** Retention: delete every segment that EVERY listed consumer group
@@ -310,9 +336,9 @@ final class FileBus(root: String, visibilityMs: Long, maxDeliveries: Int) {
     */
   def depth(group: String): Long = jvmLock.synchronized {
     listSegments().map { seg =>
-      val st = readState(group, seg)
+      val (n, st) = readStateN(group, seg)
       val settled = st.valuesIterator.count(_.status != 0)
-      segLines(seg).length.toLong - settled
+      n.map(_.toLong).getOrElse(segLines(seg).length.toLong) - settled
     }.sum
   }
 
