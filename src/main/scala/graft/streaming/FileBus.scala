@@ -162,40 +162,7 @@ final class FileBus(root: String, visibilityMs: Long, maxDeliveries: Int) {
     * absent or expired at `nowMs`.
     */
   def consume(group: String, max: Int, nowMs: Long): Seq[Delivery] =
-    jvmLock.synchronized {
-      val out = mutable.ArrayBuffer.empty[Delivery]
-      val segs = listSegments().iterator
-      while (out.size < max && segs.hasNext) {
-        val seg = segs.next()
-        val (nOpt, st) = readStateN(group, seg)
-        // header fast path: when every message is tracked and none is
-        // deliverable at nowMs, skip reading the payload file entirely
-        // (a drained or fully-leased segment costs O(state), not
-        // O(payload bytes))
-        val nothingDeliverable = nOpt.exists { n =>
-          st.size >= n && st.valuesIterator.forall(ms =>
-            ms.status != 0 || ms.deadlineMs > nowMs)
-        }
-        if (!nothingDeliverable) {
-          val lines = segLines(seg)
-          var dirty = false
-          var i = 0
-          while (i < lines.length && out.size < max) {
-            val cur = st.getOrElse(i, MsgState(0, 0, 0L))
-            if (cur.status == 0 && cur.deadlineMs <= nowMs) {
-              val attempt = cur.attempt + 1
-              st(i) = MsgState(0, attempt, nowMs + visibilityMs)
-              dirty = true
-              out += Delivery(seg, i, lines(i), attempt,
-                              redelivered = attempt > 1)
-            }
-            i += 1
-          }
-          if (dirty) writeState(group, seg, st, Some(lines.length))
-        }
-      }
-      out.toSeq
-    }
+    consumeFiltered(group, max, nowMs, _ => true)
 
   /** Settle delivered messages forever — the AMQP multiple-ack shape:
     * one settle-map rewrite per TOUCHED SEGMENT regardless of how many
@@ -272,6 +239,58 @@ final class FileBus(root: String, visibilityMs: Long, maxDeliveries: Int) {
     }
     if (dirty) writeState(group, seg, st, Some(n))
   }
+
+  /** Consumer scale-out: the deterministic hash-partitioned segment
+    * ownership the class doc promises — consumer `consumerId` of
+    * `nConsumers` in a group owns exactly the segments hashing to its
+    * slot, so N concurrent consumers drain one queue with ZERO
+    * coordination (no shared settle-map writes, no lock contention
+    * across JVMs; within a segment, claims stay single-writer by
+    * construction). Same contract as Kafka partition assignment with
+    * a fixed group size; resizing the group is a coordinated
+    * operation (drain, then restart consumers with the new size),
+    * exactly like a Kafka consumer-group rebalance generation.
+    */
+  def consumeOwned(group: String, consumerId: Int, nConsumers: Int,
+                   max: Int, nowMs: Long): Seq[Delivery] = {
+    require(nConsumers >= 1 && consumerId >= 0 && consumerId < nConsumers,
+      s"consumerId $consumerId out of range for $nConsumers consumers")
+    consumeFiltered(group, max, nowMs,
+      seg => FileBus.owner(seg, nConsumers) == consumerId)
+  }
+
+  private def consumeFiltered(group: String, max: Int, nowMs: Long,
+                              owns: Long => Boolean): Seq[Delivery] =
+    jvmLock.synchronized {
+      val out = mutable.ArrayBuffer.empty[Delivery]
+      val segs = listSegments().iterator.filter(owns)
+      while (out.size < max && segs.hasNext) {
+        val seg = segs.next()
+        val (nOpt, st) = readStateN(group, seg)
+        val nothingDeliverable = nOpt.exists { n =>
+          st.size >= n && st.valuesIterator.forall(ms =>
+            ms.status != 0 || ms.deadlineMs > nowMs)
+        }
+        if (!nothingDeliverable) {
+          val lines = segLines(seg)
+          var dirty = false
+          var i = 0
+          while (i < lines.length && out.size < max) {
+            val cur = st.getOrElse(i, MsgState(0, 0, 0L))
+            if (cur.status == 0 && cur.deadlineMs <= nowMs) {
+              val attempt = cur.attempt + 1
+              st(i) = MsgState(0, attempt, nowMs + visibilityMs)
+              dirty = true
+              out += Delivery(seg, i, lines(i), attempt,
+                              redelivered = attempt > 1)
+            }
+            i += 1
+          }
+          if (dirty) writeState(group, seg, st, Some(lines.length))
+        }
+      }
+      out.toSeq
+    }
 
   /** Retention: delete every segment that EVERY listed consumer group
     * has fully settled — the compaction that keeps the log (and the
@@ -376,6 +395,18 @@ object FileBus {
       .collect { case s if s.startsWith("seg-") && s.endsWith(".jsonl") =>
         s.stripPrefix("seg-").stripSuffix(".jsonl").toLong }
       .toSeq.sorted
+  }
+
+  /** Deterministic segment-ownership slot (spread-stable for
+    * sequential AND task-id segment ids: a finalizer over the mixed
+    * bits, not a plain modulo that would stripe correlated ids).
+    */
+  def owner(seg: Long, nConsumers: Int): Int = {
+    var x = seg
+    x = (x ^ (x >>> 33)) * 0xff51afd7ed558ccdL
+    x = (x ^ (x >>> 33)) * 0xc4ceb9fe1a85ec53L
+    x ^= (x >>> 33)
+    (((x % nConsumers) + nConsumers) % nConsumers).toInt
   }
 
   /** One lock per JVM, shared by every instance: local-mode Spark runs

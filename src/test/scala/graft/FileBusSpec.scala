@@ -121,4 +121,33 @@ class FileBusSpec extends AnyFunSuite {
     intercept[IllegalStateException] { bus.ack("g", 0L, 0) }
     intercept[IllegalStateException] { bus.nack("g", 0L, 0, requeue = true) }
   }
+
+  test("consumer scale-out: disjoint hash ownership drains the whole queue " +
+       "with zero cross-consumer contention") {
+    val (bus, _) = fresh()
+    (0 until 10).foreach(i => bus.publish(Seq(s"m$i-a", s"m$i-b"), i.toLong))
+    val n = 3
+    val perConsumer = (0 until n).map(c =>
+      bus.consumeOwned("g", c, n, Int.MaxValue, 0L))
+    // partition: disjoint, and together exactly the whole queue
+    val segsByConsumer = perConsumer.map(_.map(_.segment).toSet)
+    for (a <- 0 until n; b <- (a + 1) until n)
+      assert((segsByConsumer(a) & segsByConsumer(b)).isEmpty)
+    assert(perConsumer.map(_.size).sum === 20)
+    // ownership is deterministic: a re-consume after expiry sees the same slots
+    perConsumer.zipWithIndex.foreach { case (ds, c) =>
+      assert(ds.forall(d => FileBus.owner(d.segment, n) === c))
+      bus.ackAll("g", ds.map(d => (d.segment, d.index)))
+    }
+    assert(bus.depth("g") === 0L)
+    // out-of-range consumer ids are rejected
+    intercept[IllegalArgumentException](bus.consumeOwned("g", 3, 3, 1, 0L))
+  }
+
+  test("owner() spreads sequential task ids evenly (no modulo striping)") {
+    val n = 4
+    val counts = (0L until 1000L).groupBy(FileBus.owner(_, n)).view.mapValues(_.size)
+    assert(counts.size === n)
+    assert(counts.values.forall(c => c > 150 && c < 350), counts.toMap.toString)
+  }
 }
