@@ -341,6 +341,32 @@ final class FileBus(root: String, visibilityMs: Long, maxDeliveries: Int) {
   // ---------------------------------------------------------- inspect
 
   /** Dead-lettered payloads for `group`, in (segment, index) order. */
+  /** DLQ REDRIVE — the SQS/RabbitMQ redrive-policy operation: after an
+    * operator fixes the downstream defect that poisoned the messages,
+    * re-open every dead-lettered message for `group` with a FULL
+    * retry budget (attempt count reset, the SQS receive-count-reset
+    * semantics — keeping the old count would re-dead-letter on the
+    * first failure and defeat the redrive; like a queue shoveled back
+    * from an AMQP DLX, the delivery lifecycle restarts, so the next
+    * delivery's redelivered bit reads false by design). Returns the
+    * number of messages redriven.
+    */
+  def redrive(group: String): Long = jvmLock.synchronized {
+    var n = 0L
+    listSegments().foreach { seg =>
+      val (nOpt, st) = readStateN(group, seg)
+      var dirty = false
+      st.foreach { case (i, ms) =>
+        if (ms.status == 2) {
+          st(i) = MsgState(0, 0, 0L)
+          dirty = true; n += 1
+        }
+      }
+      if (dirty) writeState(group, seg, st, nOpt)
+    }
+    n
+  }
+
   def deadLetters(group: String): Seq[String] = jvmLock.synchronized {
     listSegments().flatMap { seg =>
       val st = readState(group, seg)

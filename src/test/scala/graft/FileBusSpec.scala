@@ -150,4 +150,26 @@ class FileBusSpec extends AnyFunSuite {
     assert(counts.size === n)
     assert(counts.values.forall(c => c > 150 && c < 350), counts.toMap.toString)
   }
+
+  test("DLQ redrive re-opens poison with a full retry budget") {
+    val (bus, _) = fresh() // maxDeliveries = 3
+    bus.publish(Seq("poison", "fine"), 0L)
+    // burn all three attempts on the poison message
+    (1 to 3).foreach { k =>
+      val d = bus.consume("g", 10, 0L)
+      if (k == 1) bus.ack("g", 0L, 1)
+      bus.nack("g", 0L, 0, requeue = true)
+    }
+    assert(bus.deadLetters("g") === Seq("poison"))
+    assert(bus.depth("g") === 0L)
+    // operator fixes downstream, redrives: full budget again
+    assert(bus.redrive("g") === 1L)
+    assert(bus.deadLetters("g").isEmpty)
+    assert(bus.depth("g") === 1L)
+    val d = bus.consume("g", 10, 0L)
+    assert(d.size === 1 && d.head.attempt === 1 && !d.head.redelivered)
+    bus.ack("g", d.head.segment, d.head.index)
+    assert(bus.depth("g") === 0L)
+    assert(bus.redrive("g") === 0L, "nothing dead -> nothing redriven")
+  }
 }
