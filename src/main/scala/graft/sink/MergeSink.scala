@@ -387,11 +387,23 @@ final class MergeSink(
     */
   def stageMergeConcurrent(batch: DataFrame): String = stageImpl(batch)
 
+  /** Test seam: fires right after the stage's base (version+mapping)
+    * is read, BEFORE the O(data) merge write — the window where a
+    * concurrent commit must trip the stale fence, not be overwritten.
+    * Production leaves it default.
+    */
+  private[graft] var onStageBaseRead: () => Unit = () => ()
+
   private def stageImpl(batch: DataFrame): String = {
     val touched = batch.select(bucketOf.as(BucketCol)).distinct()
       .collect().map(_.getInt(0)).toSeq
     require(touched.nonEmpty, "stageMerge of an empty batch has nothing to audit")
-    val current = manifest.mapping()
+    // ONE atomic manifest read: the #base fence must be the version
+    // this mapping (the merge input) was read at. Reading the fence
+    // later — after the long parquet write — would let a concurrent
+    // commit land unseen and be silently overwritten at publish.
+    val (baseVersion, current, curStats) = manifest.versionedState()
+    onStageBaseRead()
     val base = readBuckets(touched) match {
       case Some(state) => state.unionByName(batch)
       case None        => batch
@@ -409,7 +421,8 @@ final class MergeSink(
       writeBloomsOfGen(gen)
       manifest.finalizeStage(pending,
         current ++ manifest.writtenBuckets(gen).map(_ -> gen),
-        manifest.stats() ++ statsOfGen(gen))
+        curStats ++ statsOfGen(gen),
+        baseVersion = Some(baseVersion))
     } catch {
       case scala.util.control.NonFatal(e) =>
         try manifest.discardPending(pending)

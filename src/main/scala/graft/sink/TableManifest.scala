@@ -192,6 +192,22 @@ final class TableManifest(spark: SparkSession, val root: String) {
   /** Published snapshot version (0 = never committed). */
   def currentVersion(): Long = full().version
 
+  /** Atomic read of (version, mapping, stats) from ONE manifest parse.
+    * An optimistic stager MUST fence against the version its merge
+    * input was actually read at: reading version and mapping in two
+    * calls lets a concurrent commit land between them, and reading the
+    * version only at stage-finalization time (after the O(data)
+    * parquet write) lets the fence record a version NEWER than the
+    * merge base — publish would then pass its stale check and silently
+    * overwrite the intervening commit's rows (lost update).
+    */
+  def versionedState(): (Long, Map[Int, String], Map[Int, Stats]) = {
+    val f = full()
+    (f.version,
+      f.m.map { case (b, (g, _, _)) => b -> g },
+      f.m.map { case (b, (_, s, _)) => b -> s })
+  }
+
   /** Committed bucket layout, when the writing sink records one —
     * manifests written before the layout header (or by layout-less
     * sinks like AggSink) return None and the owning sink's constructor
@@ -355,14 +371,18 @@ final class TableManifest(spark: SparkSession, val root: String) {
     * the stage is published or [[discard]]ed.
     */
   def stage(m: Map[Int, String], stats: Map[Int, Stats] = Map.empty,
-            dvState: Option[Map[Int, Seq[String]]] = None): String = {
+            dvState: Option[Map[Int, Seq[String]]] = None,
+            baseVersion: Option[Long] = None): String = {
     val f = full()
     val dv = dvState.getOrElse {
       f.m.collect {
         case (b, (g, _, d)) if d.nonEmpty && m.get(b).contains(g) => b -> d
       }
     }
-    val body = s"#base=${f.version}\n" +
+    // The fence must be the version the stager's merge input was READ
+    // at (threaded in by lock-free stagers), not the version observed
+    // here after the O(data) write — see [[versionedState]].
+    val body = s"#base=${baseVersion.getOrElse(f.version)}\n" +
       render(f.version + 1, m, stats, f.layout, f.migration, dv)
     val token = s"s-${java.util.UUID.randomUUID()}"
     fs.mkdirs(stagedDir)
@@ -402,8 +422,9 @@ final class TableManifest(spark: SparkSession, val root: String) {
     */
   def finalizeStage(pending: String, m: Map[Int, String],
                     stats: Map[Int, Stats] = Map.empty,
-                    dvState: Option[Map[Int, Seq[String]]] = None): String = {
-    val token = stage(m, stats, dvState)
+                    dvState: Option[Map[Int, Seq[String]]] = None,
+                    baseVersion: Option[Long] = None): String = {
+    val token = stage(m, stats, dvState, baseVersion)
     fs.delete(stagedPath(pending), false)
     token
   }

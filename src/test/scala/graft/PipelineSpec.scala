@@ -712,6 +712,37 @@ class PipelineSpec extends SparkSpec {
       "a failed lock-free stage must not leak its pre-registration")
   }
 
+  test("OCC: a commit landing DURING the stage — after the base read, before the " +
+       "O(data) write finalizes — trips the stale fence; no lost update") {
+    import graft.sink.MergeSink
+    val dir = freshDir() + "/toctou"
+    val rows = Warehouse.toWarehouseRows(env).cache()
+    val sink = new MergeSink(spark, dir, Warehouse.DedupKeys, Warehouse.VersionCols, 4)
+    sink.merge(rows.limit(40)) // v1
+
+    // an intervening writer's rows: fresh keys, recognizable
+    val intervening = rows.limit(8)
+      .withColumn("original_id", concat($"original_id", lit("-mid")))
+      .withColumn("ingestion_seq", $"ingestion_seq" + 200000L)
+    // inject exactly in the TOCTOU window: the stager has read its merge
+    // base but not yet written/fenced — the window the beforePublish seam
+    // (post-staging) cannot reach
+    var injected = false
+    sink.onStageBaseRead = () =>
+      if (!injected) { injected = true; sink.merge(intervening) }
+    val attempts = sink.mergeOptimistic(
+      rows.limit(10).withColumn("ingestion_seq", $"ingestion_seq" + 90000L),
+      maxAttempts = 3)
+    sink.onStageBaseRead = () => ()
+    assert(attempts == 2,
+      "the first stage was computed against a replaced base and MUST lose; " +
+        "the re-stage (which sees the intervening commit) wins")
+    val midKeys = intervening.select($"original_id").as[String].collect().toSet
+    val live = sink.read().select($"original_id").as[String].collect().toSet
+    assert(midKeys.subsetOf(live),
+      "rows committed during a concurrent stage must not be silently overwritten")
+  }
+
   test("rollback: vacuum keeps restored generations live; expired targets fail loudly; " +
        "compaction after rollback preserves the restored state") {
     import graft.sink.MergeSink
