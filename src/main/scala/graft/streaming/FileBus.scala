@@ -86,18 +86,27 @@ final class FileBus(root: String, visibilityMs: Long, maxDeliveries: Int) {
     */
   def publish(payloads: Seq[String], segId: Long): Long = jvmLock.synchronized {
     require(payloads.nonEmpty, "empty publish batch")
-    require(payloads.forall(p => !p.contains('\n')),
-      "payloads are line-framed: embedded newlines must be escaped by the caller")
+    // readback splits on \n, \r and \r\n (readAllLines semantics): a
+    // bare carriage return would silently become two messages and
+    // shift every later index's ack/settle coordinates
+    require(payloads.forall(p => !p.contains('\n') && !p.contains('\r')),
+      "payloads are line-framed: embedded newlines/carriage returns must be escaped by the caller")
     require(!Files.exists(segPath(segId)), s"segment $segId already published")
     val tmp = msgsDir.resolve(f"seg-$segId%06d.tmp")
     Files.write(tmp, payloads.mkString("\n").getBytes(UTF_8))
     Files.move(tmp, segPath(segId), StandardCopyOption.ATOMIC_MOVE)
+    FileBus.bumpHighWater(root, segId + 1)
     segId
   }
 
-  /** Single-producer convenience: next sequential segment id. */
+  /** Single-producer convenience: next sequential segment id — drawn
+    * from the persistent allocator, so an id is NEVER reused after
+    * retention pruned the highest segments (a reused id would sit in a
+    * connector's committed offset set and its new messages would
+    * silently never deliver).
+    */
   def publishNext(payloads: Seq[String]): Long = jvmLock.synchronized {
-    publish(payloads, listSegments().lastOption.map(_ + 1).getOrElse(0L))
+    publish(payloads, FileBus.allocate(root, 1))
   }
 
   // ------------------------------------------------------- settle maps
@@ -423,6 +432,53 @@ object FileBus {
       .toSeq.sorted
   }
 
+  /** Persistent segment-id allocator (`msgs/_next_seg`): the next id
+    * [[allocate]] may hand out. Monotonic and NEVER reset by
+    * retention — prune deletes the highest live segments, but an
+    * allocated id must not regress past a pruned one: connectors'
+    * committed offset sets remember consumed ids, so a reused id's
+    * new messages would silently never deliver (and the sink's replay
+    * detection would misread the collision as an idempotent replay).
+    * Written tmp+atomic-rename like everything else on the bus.
+    * Multi-driver appends to one root should prefer caller-chosen
+    * unique ids ([[FileBus.publish]]); a lost allocator race between
+    * two driver JVMs fails loudly at publish/confirm, never silently.
+    */
+  private def hwmPath(root: String): Path = Paths.get(root, "msgs", "_next_seg")
+
+  private def readHighWater(root: String): Long = {
+    val p = hwmPath(root)
+    if (Files.exists(p)) new String(Files.readAllBytes(p), UTF_8).trim.toLong else 0L
+  }
+
+  private def writeHighWater(root: String, v: Long): Unit = {
+    val p = hwmPath(root)
+    Files.createDirectories(p.getParent)
+    val tmp = p.getParent.resolve("_next_seg.tmp")
+    Files.write(tmp, v.toString.getBytes(UTF_8))
+    Files.move(tmp, p, StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  /** Record that ids below `atLeast` are spoken for (every publish and
+    * every confirmed sink segment passes through here, so allocation
+    * can never collide with a caller-chosen or streaming-epoch id —
+    * even after the segment itself is pruned).
+    */
+  private[streaming] def bumpHighWater(root: String, atLeast: Long): Unit =
+    if (readHighWater(root) < atLeast) writeHighWater(root, atLeast)
+
+  /** Allocate `n` fresh sequential segment ids (driver-side single
+    * point: [[FileBus.publishNext]] and the batch sink's driver
+    * commit). Returns the first id; never reuses a live OR pruned id.
+    */
+  private[streaming] def allocate(root: String, n: Int): Long = {
+    require(n >= 1, s"allocate needs n >= 1, got $n")
+    val base = math.max(readHighWater(root),
+      segments(root).lastOption.map(_ + 1).getOrElse(0L))
+    writeHighWater(root, base + n)
+    base
+  }
+
   /** Deterministic segment-ownership slot (spread-stable for
     * sequential AND task-id segment ids: a finalizer over the mixed
     * bits, not a plain modulo that would stripe correlated ids).
@@ -441,6 +497,16 @@ object FileBus {
     * Cross-JVM deployments serialize by OWNERSHIP instead — unique
     * producer segment ids and hash-partitioned segment ownership per
     * consumer — never by file locking.
+    *
+    * HARD CONTRACT: consumers of ONE group in DIFFERENT JVMs MUST
+    * partition segments by ownership ([[FileBus!.consumeOwned]]); the
+    * lock cannot reach across processes, so two JVMs touching the same
+    * (group, segment) settle map interleave its tmp+rename rewrite
+    * last-writer-wins. The failure mode is bounded — a lost lease/ack
+    * record means EXTRA REDELIVERY, never message loss (at-least-once
+    * holds; LWW/idempotent downstreams absorb it; a lost dead-letter
+    * record re-runs the delivery lifecycle) — but it burns attempts
+    * and redelivers settled work, so it is a misuse, not a mode.
     */
   private val jvmLock = new Object
 }

@@ -63,14 +63,38 @@ object FileBusSink {
     d
   }
 
-  /** Driver-side: rename a tmp into `seg`; skip (and drop the tmp) if
-    * the segment already exists — the idempotent-replay path.
+  /** Driver-side: rename a tmp into `seg`. A pre-existing segment is
+    * accepted as an idempotent replay ONLY when its bytes match the
+    * tmp's — a content MISMATCH means a genuine collision (two
+    * streaming queries sharing one bus root land on the same
+    * `(epochId << 16) | partitionId`, or a non-deterministic query
+    * replayed an epoch with different rows) and MUST fail loudly:
+    * silently dropping the tmp would discard the loser's batch.
+    * Confirmed ids also advance the bus's persistent high-water mark
+    * so batch-append allocation can never collide with a streaming
+    * epoch id, live or pruned.
     */
   private[streaming] def confirm(root: String, tmp: String, seg: Long): Boolean = {
     val target = FileBus.segFile(root, seg)
     val src = Paths.get(tmp)
-    if (Files.exists(target)) { Files.deleteIfExists(src); false }
-    else { Files.move(src, target, StandardCopyOption.ATOMIC_MOVE); true }
+    val fresh =
+      if (Files.exists(target)) {
+        val same = Files.size(target) == Files.size(src) &&
+          java.util.Arrays.equals(Files.readAllBytes(target), Files.readAllBytes(src))
+        if (!same) throw new IllegalStateException(
+          s"filebus segment $seg at $root already exists with DIFFERENT content — " +
+            "either two queries share one bus root (give each its own root or " +
+            "distinct epoch namespaces) or a replayed epoch recomputed different " +
+            "rows (the exactly-once contract requires a deterministic query); " +
+            "refusing to silently discard the new batch")
+        Files.deleteIfExists(src)
+        false
+      } else {
+        Files.move(src, target, StandardCopyOption.ATOMIC_MOVE)
+        true
+      }
+    FileBus.bumpHighWater(root, seg + 1)
+    fresh
   }
 
   private[streaming] def dropTmps(msgs: Array[WriterCommitMessage]): Unit =
@@ -126,12 +150,16 @@ final class FileBusBatchWrite(root: String) extends BatchWrite {
     FileBusBatchWriterFactory(root)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
-    // fresh ids past the current max, assigned at the single driver
-    // commit point; partition order kept for read-back determinism
-    val base = FileBus.segments(root).lastOption.map(_ + 1).getOrElse(0L)
-    messages.collect { case m: FileBusCommit if m.rows > 0 => m }
-      .sortBy(_.partitionId).zipWithIndex
-      .foreach { case (m, i) => FileBusSink.confirm(root, m.tmp, base + i) }
+    // fresh ids from the persistent allocator at the single driver
+    // commit point (never reuses a pruned id — max(live)+1 would);
+    // partition order kept for read-back determinism
+    val toConfirm = messages.collect { case m: FileBusCommit if m.rows > 0 => m }
+      .sortBy(_.partitionId)
+    if (toConfirm.nonEmpty) {
+      val base = FileBus.allocate(root, toConfirm.length)
+      toConfirm.zipWithIndex
+        .foreach { case (m, i) => FileBusSink.confirm(root, m.tmp, base + i) }
+    }
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =
@@ -152,8 +180,11 @@ final class FileBusDataWriter(root: String, partitionId: Int, attemptTag: String
     val payload = row.getUTF8String(0)
     require(payload != null, "filebus payload must not be null")
     val s = payload.toString
-    require(!s.contains('\n'),
-      "payloads are line-framed: embedded newlines must be escaped by the caller")
+    // readback splits on \n, \r and \r\n (readAllLines semantics): a
+    // bare carriage return would become two messages and shift every
+    // later ack/settle coordinate in the segment
+    require(!s.contains('\n') && !s.contains('\r'),
+      "payloads are line-framed: embedded newlines/carriage returns must be escaped by the caller")
     if (out == null)
       out = Files.newBufferedWriter(tmp, UTF_8)
     if (rows > 0) out.write('\n')

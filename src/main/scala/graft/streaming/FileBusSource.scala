@@ -44,11 +44,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * producers publish under task ids), so id order carries no arrival
   * order — set difference, not a high-water mark, is what makes a
   * late-arriving LOWER id still get picked up instead of silently
-  * skipped. At production retention the offset compacts naturally:
-  * committed segments can be pruned from the log (retention is the
-  * bus's business, not the connector's), keeping the set bounded by
-  * retained segments, exactly like a Kafka offset map is bounded by
-  * partitions.
+  * skipped. [[FileBusMicroBatch.latestOffset]] COMPACTS the set each
+  * trigger by intersecting with the live log, so segments retention
+  * has pruned leave the checkpointed offset and the set stays bounded
+  * by retained segments (sound because the bus's persistent allocator
+  * never reuses a pruned segment id).
   *
   * Scale shape: ONE InputPartition per segment — the bus's declared
   * parallelism unit — so a 1000-executor cluster drains a busy topic
@@ -93,7 +93,9 @@ object FileBusSource {
     * one file per batch id, "v1" header, JSON body; offset entries
     * carry one line per source (ours is the JSON segment array).
     */
-  def settleCommitted(ckpt: String, busRoot: String, group: String): Unit = {
+  def settleCommitted(ckpt: String, busRoot: String, group: String,
+                      sourceIndex: Int = 0): Unit = {
+    require(sourceIndex >= 0, s"sourceIndex must be >= 0, got $sourceIndex")
     val commits = java.nio.file.Paths.get(ckpt, "commits")
     val offsets = java.nio.file.Paths.get(ckpt, "offsets")
     if (!Files.exists(commits) || !Files.exists(offsets)) return
@@ -103,9 +105,26 @@ object FileBusSource {
     if (committed.isEmpty) return
     val last = offsets.resolve(committed.max.toString)
     if (!Files.exists(last)) return
-    val segs = Files.readAllLines(last, UTF_8).asScala
-      .map(_.trim).filter(s => s.startsWith("[") && s.endsWith("]"))
-      .flatMap(parseOffsetJson).toSet
+    // offset-log layout (the stable checkpoint contract): line 0 = the
+    // "v1" header, line 1 = batch metadata JSON, lines 2+ = ONE offset
+    // line per source, POSITIONAL. Select this source's line by index —
+    // pattern-matching on "looks like a JSON array" would, in a
+    // multi-source query, settle ANOTHER source's segment ids into this
+    // bus's group: over-acking messages never processed, which prune()
+    // could then permanently delete.
+    val lines = Files.readAllLines(last, UTF_8).asScala
+    require(lines.nonEmpty && lines.head.trim.startsWith("v"),
+      s"unrecognized offset log format at $last (missing version header)")
+    val idx = 2 + sourceIndex
+    require(idx < lines.length,
+      s"offset log $last has ${lines.length - 2} source line(s); " +
+        s"sourceIndex $sourceIndex is out of range")
+    val line = lines(idx).trim
+    if (line == "-" || line.isEmpty) return // source reported no offset
+    require(line.startsWith("[") && line.endsWith("]"),
+      s"offset line $idx at $last is not a filebus segment array ('$line') — " +
+        "wrong sourceIndex for this source?")
+    val segs = parseOffsetJson(line)
     if (segs.nonEmpty) {
       val bus = new FileBus(busRoot, visibilityMs = 1L, maxDeliveries = 1)
       val live = FileBus.segments(busRoot).toSet // pruned ids settle nothing
@@ -219,11 +238,6 @@ final class FileBusMicroBatch(root: String, group: Option[String],
   // keep publishing
   @volatile private var availableNowTarget: Option[Set[Long]] = None
 
-  private def listed(): Set[Long] = {
-    val all = FileBus.segments(root).toSet
-    availableNowTarget.fold(all)(all.intersect)
-  }
-
   override def prepareForTriggerAvailableNow(): Unit =
     availableNowTarget = Some(FileBus.segments(root).toSet)
 
@@ -248,8 +262,15 @@ final class FileBusMicroBatch(root: String, group: Option[String],
 
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val have = FileBusSource.segsOf(start)
-    val fresh = (listed() -- have).toSeq.sorted
-    new FileBusOffset(have ++ admit(fresh, limit))
+    val all = FileBus.segments(root).toSet
+    val fresh = (availableNowTarget.fold(all)(all.intersect) -- have).toSeq.sorted
+    // OFFSET COMPACTION: segments retention has pruned leave the set,
+    // keeping the checkpointed offset bounded by RETAINED segments (the
+    // class-doc promise). Safe only because the bus's persistent
+    // allocator never reuses a pruned id — with max(live)+1 allocation
+    // a reused id would re-enter `have` and its new messages would
+    // silently never deliver.
+    new FileBusOffset((have & all) ++ admit(fresh, limit))
   }
 
   /** Apply an admission bound. ReadMaxBytes is a SOFT cap with an
@@ -316,10 +337,18 @@ final class FileBusMicroBatch(root: String, group: Option[String],
     val consumed =
       if (latestConsumed.isPresent) FileBusSource.segsOf(latestConsumed.get)
       else Set.empty[Long]
+    // byte counters ride the progress report because bus payloads move
+    // OUTSIDE Spark's shuffle metrics — without them a connector-side
+    // volume regression (e.g. settle-map rewrite growth) is invisible
+    // to the bench's shuffle-MB regression net
+    def bytesOf(segs: Set[Long]): Long =
+      segs.iterator.map(s => Files.size(FileBus.segFile(root, s))).sum
     val m = new java.util.HashMap[String, String]()
     m.put("publishedSegments", all.size.toString)
     m.put("consumedSegments", (all & consumed).size.toString)
     m.put("backlogSegments", (all -- consumed).size.toString)
+    m.put("publishedBytes", bytesOf(all).toString)
+    m.put("consumedBytes", bytesOf(all & consumed).toString)
     group.foreach(g => m.put("unsettledDepth", busFor(root).depth(g).toString))
     m
   }

@@ -65,6 +65,46 @@ class FileBusSinkSpec extends SparkSpec {
       .exists(_.getFileName.toString.endsWith(".tmp")))
   }
 
+  test("replayed epoch with DIFFERENT content fails loudly instead of " +
+       "silently dropping the new batch") {
+    val busDir = freshBus("collide")
+    Files.createDirectories(Paths.get(busDir, "msgs"))
+    val w = new graft.streaming.FileBusStreamingWrite(busDir)
+    def tmpWith(body: String, tag: String): FileBusCommit = {
+      val p = Paths.get(busDir, "msgs", s"pending-$tag.tmp")
+      Files.write(p, body.getBytes)
+      FileBusCommit(p.toString, tag.takeRight(1).toInt, body.count(_ == '\n') + 1L)
+    }
+    w.commit(7L, Array(tmpWith("a", "x0")))
+    // two queries sharing one bus root land on the same (epoch, pid) id
+    // with different rows — the loser must NOT be silently discarded
+    val e = intercept[IllegalStateException] {
+      w.commit(7L, Array(tmpWith("OTHER QUERY", "y0")))
+    }
+    assert(e.getMessage.contains("DIFFERENT content"))
+    // the established segment is untouched; the colliding tmp remains on
+    // disk as evidence (commit failed — abort hygiene is the engine's)
+    val seg = FileBus.segFile(busDir, (7L << 16) | 0L)
+    assert(Files.readAllLines(seg).asScala.toSeq === Seq("a"))
+    assert(new FileBus(busDir, 1000L, 3).published() === 1L)
+  }
+
+  test("batch append never reuses a pruned id (DSv2 path, persistent allocator)") {
+    val busDir = freshBus("bprune")
+    val bus = new FileBus(busDir, 1000L, 3)
+    import spark.implicits._
+    Seq("a").toDF("value").coalesce(1)
+      .write.format("filebus").mode("append").save(busDir)
+    val first = FileBus.segments(busDir)
+    assert(first.size === 1)
+    bus.consume("g", 10, 0L).foreach(d => bus.ack("g", d.segment, d.index))
+    assert(bus.prune(Seq("g")) === first)
+    Seq("b").toDF("value").coalesce(1)
+      .write.format("filebus").mode("append").save(busDir)
+    assert(FileBus.segments(busDir) === Seq(first.max + 1),
+      "a recycled id would sit in connectors' committed offsets and never deliver")
+  }
+
   test("batch append takes fresh ids past the current max; abort leaves no debris") {
     val busDir = freshBus("batch")
     val bus = new FileBus(busDir, 1000L, 3)

@@ -257,6 +257,59 @@ class FileBusSourceSpec extends SparkSpec {
     assert(withMetrics.forall(_.contains("unsettledDepth")))
   }
 
+  test("checkpointed offset compacts to retained segments after prune") {
+    val (busDir, ckpt) = freshDirs("compact")
+    val bus = new FileBus(busDir, 60000L, 3)
+    (0 until 5).foreach(i => bus.publish(Seq(s"m$i"), i.toLong))
+    assert(drain(busDir, ckpt, Some("g")) === 5L)
+    FileBusSource.settleCommitted(ckpt, busDir, "g")
+    assert(bus.prune(Seq("g")) === Seq(0L, 1L, 2L, 3L, 4L))
+    assert(bus.publishNext(Seq("new")) === 5L, "allocator never recycles pruned ids")
+    assert(drain(busDir, ckpt, Some("g")) === 1L)
+    // the newest checkpointed offset line holds ONLY retained ids — the
+    // set is bounded by retained segments, not by all segments ever
+    val offsets = Paths.get(ckpt, "offsets")
+    val lastBatch = Files.list(offsets).iterator().asScala
+      .map(_.getFileName.toString).filter(_.forall(_.isDigit)).map(_.toLong).max
+    val line = Files.readAllLines(offsets.resolve(lastBatch.toString))
+      .asScala.drop(2).head.trim
+    assert(FileBusSource.parseOffsetJson(line) === Set(5L))
+  }
+
+  test("settleCommitted selects THIS source's offset line positionally " +
+       "(a multi-source query must not over-ack another source's ids)") {
+    val (busA, ckpt) = freshDirs("multisrc")
+    val busB = busA + "_b"
+    val a = new FileBus(busA, 60000L, 3)
+    val b = new FileBus(busB, 60000L, 3)
+    a.publish(Seq("a0"), 0L); a.publish(Seq("a1"), 1L)
+    b.publish(Seq("b5"), 5L)
+    val seen = new java.util.concurrent.atomic.AtomicLong(0L)
+    val left = spark.readStream.format("filebus").option("path", busA).load()
+    val right = spark.readStream.format("filebus").option("path", busB).load()
+    val q = left.unionByName(right).writeStream
+      .foreachBatch { (df: DataFrame, _: Long) => seen.addAndGet(df.count()); () }
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(seen.get() === 3L)
+    // AFTER the drain, bus B gains segments whose ids overlap bus A's
+    // consumed ids — they were never processed by anyone
+    b.publish(Seq("late0"), 0L); b.publish(Seq("late1"), 1L)
+    FileBusSource.settleCommitted(ckpt, busB, "gb", sourceIndex = 1)
+    assert(b.depth("gb") === 2L,
+      "only segment 5 settles; shape-matching on '[' would settle bus A's " +
+        "ids 0/1 into bus B's group — over-acking messages never processed, " +
+        "which prune() would then permanently delete")
+    assert(b.prune(Seq("gb")) === Seq(5L))
+    FileBusSource.settleCommitted(ckpt, busA, "ga", sourceIndex = 0)
+    assert(a.depth("ga") === 0L)
+    // an out-of-range index fails loudly instead of settling blind
+    intercept[IllegalArgumentException] {
+      FileBusSource.settleCommitted(ckpt, busA, "ga", sourceIndex = 7)
+    }
+  }
+
   test("offset json roundtrip, sparse and empty") {
     assert(FileBusSource.parseOffsetJson("[]") === Set.empty[Long])
     assert(FileBusSource.parseOffsetJson("[7,0,500]") === Set(0L, 7L, 500L))

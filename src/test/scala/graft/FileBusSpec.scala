@@ -172,4 +172,55 @@ class FileBusSpec extends AnyFunSuite {
     assert(bus.depth("g") === 0L)
     assert(bus.redrive("g") === 0L, "nothing dead -> nothing redriven")
   }
+
+  test("allocator never reuses a pruned segment id (persistent high-water mark)") {
+    val (bus, dir) = fresh()
+    assert(bus.publishNext(Seq("a")) === 0L)
+    assert(bus.publishNext(Seq("b")) === 1L)
+    bus.consume("g", 10, 0L).foreach(d => bus.ack("g", d.segment, d.index))
+    assert(bus.prune(Seq("g")) === Seq(0L, 1L))
+    // pre-fix: max(live)+1 restarts at 0 — a reused id sits in any
+    // connector's committed offset set and silently never delivers
+    assert(bus.publishNext(Seq("c")) === 2L)
+    // a restarted producer JVM (fresh instance) keeps the mark too
+    val restarted = new FileBus(dir, 1000L, 3)
+    restarted.consume("g", 10, 0L).foreach(d => restarted.ack("g", d.segment, d.index))
+    restarted.prune(Seq("g"))
+    assert(restarted.publishNext(Seq("d")) === 3L)
+    // caller-chosen ids advance the mark as well
+    restarted.publish(Seq("e"), 90L)
+    assert(restarted.publishNext(Seq("f")) === 91L)
+  }
+
+  test("carriage returns are rejected at publish (readback splits on them)") {
+    val (bus, _) = fresh()
+    intercept[IllegalArgumentException] { bus.publish(Seq("a\rb"), 0L) }
+    intercept[IllegalArgumentException] { bus.publish(Seq("a\nb"), 0L) }
+    assert(bus.published() === 0L)
+  }
+
+  test("cross-JVM same-group settle-map interleave: last-writer-wins loses an ack " +
+       "-> extra redelivery, never message loss (at-least-once holds)") {
+    val (bus, dir) = fresh()
+    bus.publish(Seq("m0", "m1"), 0L)
+    val statePath = Paths.get(dir, "state", "g", "seg-000000.state")
+    // consumer A (JVM 1) leases both messages...
+    bus.consume("g", 10, 0L)
+    // ...JVM 2 snapshots the settle map here (its stale read)
+    val stale = Files.readAllBytes(statePath)
+    // JVM 1 acks m0 durably
+    bus.ack("g", 0L, 0)
+    // JVM 2 rewrites the map from its stale snapshot with ITS ack of m1
+    // (tmp+rename last-writer-wins clobbers JVM 1's ack of m0)
+    Files.write(statePath, stale)
+    bus.ack("g", 0L, 1)
+    // m0's ack is lost -> its lease eventually expires and it REDELIVERS
+    // (bounded degradation); m1 stays settled; nothing is ever lost
+    val re = bus.consume("g", 10, 2000L)
+    assert(re.map(_.payload) === Seq("m0"), "the un-acked message redelivers")
+    assert(re.head.redelivered && re.head.attempt === 2)
+    bus.ack("g", re.head.segment, re.head.index)
+    assert(bus.depth("g") === 0L)
+    assert(bus.deadLetters("g").isEmpty, "a lost ack must never dead-letter anything")
+  }
 }
