@@ -292,6 +292,27 @@ object StreamingQueries {
     require(bus.deadLetters(group).size == 1,
       "the poison message lands in the dead-letter queue")
 
+    // OPERATOR REDRIVE (the SQS/AMQP-shovel loop): the downstream
+    // defect is "fixed" — the consumer now QUARANTINES an unparseable
+    // row and acks it instead of rejecting — and the DLQ redrives with
+    // a full retry budget. The redriven delivery starts a FRESH
+    // lifecycle (attempt 1, redelivered bit false, by redrive-policy
+    // semantics), the fixed consumer settles it, and the queue drains
+    // for good. The oracle stays q66's whole-history LWW SQL: a
+    // redrive re-delivers transport frames, it must NEVER change
+    // durable state.
+    require(bus.redrive(group) == 1L, "exactly the poison message redrives")
+    require(bus.deadLetters(group).isEmpty && bus.depth(group) == 1L,
+      "redrive re-opens the message: DLQ empties, the message is owed again")
+    val (g4, b4, re4, n4) = pass(visMs * 2 + 10L)
+    require(n4 == 1 && g4.isEmpty && b4.size == 1 && re4 == 0L,
+      "the redriven message delivers with a fresh lifecycle (attempt 1, " +
+        "redelivered=false) and still fails to parse")
+    bus.ackAll(group, b4) // the FIXED consumer quarantined it -> ack
+    require(bus.depth(group) == 0L && bus.deadLetters(group).isEmpty &&
+            bus.consume(group, Int.MaxValue, visMs * 3).isEmpty,
+      "redrive + fixed consumer drains the queue terminally")
+
     sink.read().select(
       col("user_id"),
       col("document_id").as("last_document_id"),
