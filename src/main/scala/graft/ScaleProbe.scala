@@ -69,6 +69,14 @@ object ScaleProbe {
       "usage: ScaleProbe <sf0.1Dir> <sf1Dir> <sf10Dir> [outJson]")
     val dirs = Seq("sf0.1" -> args(0), "sf1" -> args(1), "sf10" -> args(2))
     val out = if (args.length > 3) args(3) else "BENCH_sf10.json"
+    // The sf10 tier needs driver heap: two refresh attempts at the 8g
+    // default died mid-sweep with Java-heap OOM (round 11, q208's sf10
+    // point), wasting the whole probe run. Fail FAST at startup instead
+    // of 40 minutes in — 16g is the documented floor (48g is generous).
+    val heapGb = Runtime.getRuntime.maxMemory().toDouble / (1L << 30)
+    require(heapGb >= 15.0,
+      f"ScaleProbe needs a >=16g driver heap (current -Xmx ~ $heapGb%.1fg) — " +
+        "run with SPARK_DRIVER_MEM=16g (build.sbt forwards it to -Xmx)")
     val repeats = sys.env.getOrElse("SPARK_GRAFT_PROBE_REPEATS", "2").toInt
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       math.min(32, Runtime.getRuntime.availableProcessors()).toString)

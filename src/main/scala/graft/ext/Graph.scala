@@ -198,9 +198,27 @@ object Graph {
     * oracle state the result without replaying rounds.
     *
     * Returns (vx, lbl) for every vertex in `vertices` (column `vx`).
+    *
+    * `symmetricContract = true` (ONLY valid when the edge frame is
+    * SYMMETRIC — both directions present) prepends one CONTRACTION
+    * round before the synchronous loop: every endpoint maps to the min
+    * of its closed neighborhood `m(v) = min(N(v) ∪ {v})` and the loop
+    * then runs on the CONTRACTED label graph, with vertex labels
+    * composed back through the map at the end. This is q71's
+    * copy-clique discipline applied to community labels: a k-clique
+    * (one order's same-brand parts in the co-purchase substrate)
+    * collapses to its single min in the contraction, so the fixpoint
+    * loop propagates over the small inter-clique remainder instead of
+    * re-shuffling the full O(|V|+|E|) frame every round. Exact because
+    * on a symmetric frame the fixpoint label IS the component minimum,
+    * and contraction preserves components and their minima (the min
+    * vertex maps to itself; every m(v) is 1-hop reachable from v).
     */
   def labelPropagateToFixpoint(vertices: DataFrame, edgesIn: DataFrame,
-                               maxRounds: Int = 200): DataFrame = {
+                               maxRounds: Int = 200,
+                               symmetricContract: Boolean = false): DataFrame = {
+    if (symmetricContract)
+      return labelPropContracted(vertices, edgesIn, maxRounds)
     val edges = edgesIn.select(col("src"), col("dst"))
     val (ck0, free0) = Lineage.checkpoint(
       vertices.select(col("vx")).distinct().withColumn("lbl", col("vx")))
@@ -231,6 +249,46 @@ object Graph {
       converged = changed == 0L
     }
     labels
+  }
+
+  /** The `symmetricContract` path of [[labelPropagateToFixpoint]]:
+    * contract once, run the plain fixpoint loop on the contracted
+    * label graph, compose labels back over every input vertex
+    * (edgeless vertices keep themselves). The contraction map is
+    * referenced by the edge rewrite (twice) and the final compose, so
+    * it is lineage-checkpointed and freed only after the composed
+    * result materializes.
+    */
+  private def labelPropContracted(vertices: DataFrame, edgesIn: DataFrame,
+                                  maxRounds: Int): DataFrame = {
+    // canonical undirected edges, self-loops out
+    val eC = edgesIn.select(greatest(col("src"), col("dst")).as("a"),
+                            least(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+    // m(v) = min(N(v) ∪ {v}) — one map-side-combinable aggregate
+    val (m, freeM) = Lineage.checkpoint(
+      eC.unionByName(eC.select(col("b").as("a"), col("a").as("b")))
+        .groupBy(col("a"))
+        .agg(least(min(col("b")), col("a")).as("m"))
+        .select(col("a").as("v0"), col("m")))
+    // contracted edge graph, re-symmetrized for the propagation loop
+    val mA = m.select(col("v0").as("a"), col("m").as("ma"))
+    val mB = m.select(col("v0").as("b"), col("m").as("mb"))
+    val half = eC.join(mA, "a").join(mB, "b")
+      .select(col("ma").as("src"), col("mb").as("dst"))
+      .filter(col("src") =!= col("dst")).distinct()
+    val eInner = half.unionByName(
+      half.select(col("dst").as("src"), col("src").as("dst")))
+    val innerV = m.select(col("m").as("vx")).distinct()
+    val inner = labelPropagateToFixpoint(innerV, eInner, maxRounds)
+    // compose: vx -> m(vx) -> inner label; edgeless vertices stay put
+    val (out, _) = Lineage.checkpoint(
+      vertices.select(col("vx")).distinct()
+        .join(m.select(col("v0").as("vx"), col("m")), Seq("vx"), "left")
+        .join(inner.select(col("vx").as("m"), col("lbl").as("il")), Seq("m"), "left")
+        .select(col("vx"), coalesce(col("il"), col("m"), col("vx")).as("lbl")))
+    freeM()
+    out // escapes to the caller — its blocks are the ContextCleaner's
   }
 
   /** K-core peeling TO STABILITY (capped at `maxRounds`) over a

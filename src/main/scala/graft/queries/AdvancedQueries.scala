@@ -789,7 +789,11 @@ object AdvancedQueries {
       .filter(col("src") =!= col("dst"))
       .distinct()
     val v = lib.select(col("p").as("vx")).distinct()
-    graft.ext.Graph.labelPropagateToFixpoint(v, e)
+    // the co-purchase edge frame is symmetric (the self-join emits both
+    // directions), so the clique-collapsing contraction prefix applies:
+    // each order's same-brand clique contracts to its min in one round
+    // and the fixpoint loop runs on the small inter-clique remainder
+    graft.ext.Graph.labelPropagateToFixpoint(v, e, symmetricContract = true)
       .select(col("vx").as("part"), col("lbl").as("community"))
   }
 

@@ -98,6 +98,28 @@ class AdvancedSpec extends SparkSpec {
       s"fixpoint labels wrong: $out")
   }
 
+  test("symmetricContract label propagation is bit-identical to the plain loop " +
+       "(chain, cliques, crossings, edgeless vertices)") {
+    // two 4-cliques bridged by a path, one isolated vertex, one
+    // self-contained pair — the shapes the contraction must preserve
+    val cliqueA = for (i <- 1L to 4L; j <- 1L to 4L if i != j) yield (i, j)
+    val cliqueB = for (i <- 10L to 13L; j <- 10L to 13L if i != j) yield (i, j)
+    val bridge = Seq((4L, 7L), (7L, 10L)).flatMap { case (a, b) => Seq((a, b), (b, a)) }
+    val pair = Seq((20L, 21L), (21L, 20L))
+    val edges = (cliqueA ++ cliqueB ++ bridge ++ pair).toDF("src", "dst")
+    val verts = ((1L to 4L) ++ Seq(7L) ++ (10L to 13L) ++ Seq(20L, 21L, 99L))
+      .map(Tuple1(_)).toDF("vx")
+    def lbls(sym: Boolean) =
+      graft.ext.Graph.labelPropagateToFixpoint(verts, edges, symmetricContract = sym)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val plain = lbls(sym = false)
+    val contracted = lbls(sym = true)
+    assert(contracted == plain, s"contracted path diverges: $contracted vs $plain")
+    assert(contracted(99L) == 99L, "edgeless vertex labels itself")
+    assert(contracted(13L) == 1L, "bridged cliques share the global min")
+    assert(contracted(21L) == 20L)
+  }
+
   test("k-core peeling: early-exit stability, full peel, and cap prefix on hand graphs") {
     // chain of 6 at k=2 peels endpoint pairs round by round to empty
     val chain = (1L to 5L).flatMap(i => Seq((i, i + 1), (i + 1, i))).toDF("src", "dst")
