@@ -1246,12 +1246,16 @@ object StreamingQueries {
     val stateDir = s"$base/state"
     val env = CdcQueries.envelope(s, d)
       .withColumn("ts_us", unix_micros(col("ts"))).drop("ts")
+    // persist: the envelope (a JSON parse of the full events table)
+    // feeds FOUR slice merges — re-parsing it per commit quadruples the
+    // gate's scan cost without exercising anything time-travel tests
     val flat = Cdc.enrichWatchedRatio(
-      Cdc.flattenEnvelope(env), "watched", "duration", rounded = false)
+      Cdc.flattenEnvelope(env), "watched", "duration", rounded = false).persist()
     val sink = new MergeSink(s, stateDir,
       keys = Seq("user_id"), orderCols = Seq("ts_us", "document_id"), nBuckets = 16)
     (0 until 4).foreach(i =>
       sink.merge(flat.filter(pmod(col("document_id"), lit(4)) === lit(i))))
+    flat.unpersist()
     require(sink.versions() == Seq(1L, 2L, 3L, 4L),
       s"expected retained versions 1..4, got ${sink.versions()}")
     sink.readAt(2L).select(
@@ -1309,6 +1313,7 @@ object StreamingQueries {
       .withColumn("ts_us", unix_micros(col("ts"))).drop("ts")
     val flat = Cdc.enrichWatchedRatio(
       Cdc.flattenEnvelope(env), "watched", "duration", rounded = false)
+      .persist() // k slice merges would re-run the full-events JSON parse k times
     val sink = new MergeSink(s, stateDir,
       keys = Seq("user_id"), orderCols = Seq("ts_us", "document_id"), nBuckets = 16)
     def slice(i: Int) = flat.filter(pmod(col("document_id"), lit(4)) === lit(i))
@@ -1327,6 +1332,7 @@ object StreamingQueries {
       "the rolled-back-over version stays time-travelable for audit")
 
     sink.merge(slice(3)) // v5: forward write on the restored base
+    flat.unpersist()
     sink.read().select(
       col("user_id"),
       col("document_id").as("last_document_id"),
@@ -1382,6 +1388,7 @@ object StreamingQueries {
       .withColumn("ts_us", unix_micros(col("ts"))).drop("ts")
     val flat = Cdc.enrichWatchedRatio(
       Cdc.flattenEnvelope(env), "watched", "duration", rounded = false)
+      .persist() // k slice merges would re-run the full-events JSON parse k times
     val sink = new MergeSink(s, stateDir,
       keys = Seq("user_id"), orderCols = Seq("ts_us", "document_id"), nBuckets = 16)
     val a = flat.filter(pmod(col("document_id"), lit(2)) === lit(0))
@@ -1406,6 +1413,7 @@ object StreamingQueries {
     val missing = aKeys.join(sink.read().select("user_id").distinct(),
       Seq("user_id"), "left_anti").count()
     require(missing == 0L, "the rebase must not drop the intervening commit's keys")
+    flat.unpersist()
 
     sink.read().select(
       col("user_id"),
@@ -1442,10 +1450,12 @@ object StreamingQueries {
       .withColumn("ts_us", unix_micros(col("ts"))).drop("ts")
     val flat = Cdc.enrichWatchedRatio(
       Cdc.flattenEnvelope(env), "watched", "duration", rounded = false)
+      .persist() // k slice merges would re-run the full-events JSON parse k times
     val sink = new MergeSink(s, stateDir,
       keys = Seq("user_id"), orderCols = Seq("ts_us", "document_id"), nBuckets = 16)
     (0 until 4).foreach(i =>
       sink.merge(flat.filter(pmod(col("document_id"), lit(4)) === lit(i))))
+    flat.unpersist()
     val v2 = sink.readAt(2L).select(col("user_id"),
       col("document_id").as("d_old"), col("ts_us").as("t_old"))
     val v4 = sink.readAt(4L).select(col("user_id"),
@@ -1958,6 +1968,7 @@ object StreamingQueries {
       .withColumn("ts_us", unix_micros(col("ts"))).drop("ts")
     val flat = Cdc.enrichWatchedRatio(
       Cdc.flattenEnvelope(env), "watched", "duration", rounded = false)
+      .persist() // k slice merges would re-run the full-events JSON parse k times
     val sink8 = new MergeSink(s, s"$base/state",
       keys = Seq("user_id"), orderCols = Seq("ts_us", "document_id"), nBuckets = 8)
     (0 until 2).foreach(i =>
@@ -1975,6 +1986,7 @@ object StreamingQueries {
     require(post.except(pre).isEmpty && pre.except(post).isEmpty,
       "rebucket changed table content — layout maintenance must be invisible")
     sink16.merge(flat.filter(pmod(col("document_id"), lit(3)) === lit(2)))
+    flat.unpersist()
     sink16.read().select(col("user_id"), col("document_id"),
       expr("ts_us div 1000").as("ms"))
   }
@@ -2466,7 +2478,7 @@ object StreamingQueries {
     // of the probe-job count. The FOLDS stay strictly per-wave, each
     // under its own fence: that sequencing IS the gated capability.
     val waves = Seq(5L, 7L, 11L)
-    val feeds = waves.zipWithIndex.map { case (k, i) =>
+    val wavesOut = waves.zipWithIndex.map { case (k, i) =>
       val vPrev = oSink.versions().max
       // the upstream deletes blindly — including keys earlier waves
       // already removed (divisible-by-35 overlap on wave 2, etc.)
@@ -2475,14 +2487,20 @@ object StreamingQueries {
       val vNow = oSink.versions().max
       val leavers = oSink.changesBetween(vPrev, vNow)
         .filter(col("_change_type") === "delete").select(col("o_orderkey"))
-      val neg = leavers.join(oSink.readAt(vPrev), "o_orderkey")
+      // the retraction delta joins the DIMENSION for the group key:
+      // o_orderpriority is immutable per order and leavers are a subset
+      // of alive-at-vPrev keys, so orders (cached) supplies identical
+      // rows without re-reading the versioned snapshot through its
+      // accumulated deletion vectors every wave
+      val neg = leavers.join(orders, "o_orderkey")
         .join(line, "o_orderkey")
         .groupBy(col("o_orderpriority"))
         .agg((-sum(col("cents"))).as("cents"),
              (-count(lit(1))).cast("long").as("n_rows"))
       view.foldPartials(neg, 2 + i)
-      leavers.withColumn("wave", lit(k))
+      (leavers, leavers.withColumn("wave", lit(k)))
     }
+    val feeds = wavesOut.map(_._2)
     // one probe over all waves: a feed row violates the discipline if
     // it is not this wave's key, or if any EARLIER wave already
     // removed it (an idempotent re-delete must produce no feed row)
@@ -2492,6 +2510,8 @@ object StreamingQueries {
       .filter(pmod(col("o_orderkey"), col("wave")) =!= 0 || earlierWave)
     require(bad.isEmpty,
       "every wave's feed must hold exactly its own first-time leavers")
+    wavesOut.foreach(_._1.unpersist())
+    orders.unpersist()
     line.unpersist()
     view.read().select(col("o_orderpriority"),
       col("n_rows").as("n_lines"), col("cents").as("rev_cents"))
@@ -2535,6 +2555,18 @@ object StreamingQueries {
     */
   def q275IndexDvLockstep(s: SparkSession, d: String): DataFrame = {
     val base = graft.core.TempDirs.scoped("graft_q275_")
+    // LOCKSTEP means both structures commit the same logical change —
+    // not that they serialize: primary and index are independent tables
+    // (own paths, own writer locks), so each lockstep step runs their
+    // commits as two CONCURRENT Spark job groups, the way a real
+    // table+projection maintenance transaction would overlap its I/O
+    def lockstep(f: => Unit, g: => Unit): Unit = {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val (a, b) = (Future(f), Future(g))
+      Await.result(a, scala.concurrent.duration.Duration.Inf)
+      Await.result(b, scala.concurrent.duration.Duration.Inf)
+    }
     val types = Seq("click", "error", "purchase", "signup", "view")
     val typeId = types.zipWithIndex
       .foldLeft(lit(-1L)) { case (acc, (t, i)) =>
@@ -2543,6 +2575,9 @@ object StreamingQueries {
       .select(col("event_id"), col("event_type"),
         round(col("value") * 100).cast("long").as("cents"))
       .withColumn("type_id", typeId)
+      // persist: ev feeds the 2x2 build merges, the doomed-key frame,
+      // and the revival batch — six scans of events otherwise
+      .persist()
     val primary = new MergeSink(s, s"$base/primary",
       keys = Seq("event_id"), orderCols = Seq("upd"), nBuckets = 16)
     val index = new MergeSink(s, s"$base/index",
@@ -2551,14 +2586,16 @@ object StreamingQueries {
     (0 to 1).foreach { i =>
       val batch = ev.filter(pmod(col("event_id"), lit(2)) === i)
         .withColumn("upd", lit(i.toLong))
-      primary.merge(batch.drop("type_id"))
-      index.merge(batch.select(col("type_id"), col("event_id"), col("cents"), col("upd")))
+      lockstep(
+        primary.merge(batch.drop("type_id")),
+        index.merge(batch.select(col("type_id"), col("event_id"), col("cents"), col("upd"))))
     }
     // scattered merge-on-read delete, LOCKSTEP DVs on both structures
     val doomed = ev.filter(pmod(col("event_id"), lit(11)) === 0)
     val (pMap, iMap) = (primary.manifest.mapping(), index.manifest.mapping())
-    primary.deleteVector(doomed.select(col("event_id")))
-    index.deleteVector(doomed.select(col("type_id"), col("event_id")))
+    lockstep(
+      primary.deleteVector(doomed.select(col("event_id"))),
+      index.deleteVector(doomed.select(col("type_id"), col("event_id"))))
     require(primary.manifest.mapping() == pMap && index.manifest.mapping() == iMap,
       "lockstep DV commits must not rewrite or remap any data bucket")
     require(primary.deleteVectors().nonEmpty && index.deleteVectors().nonEmpty,
@@ -2571,15 +2608,20 @@ object StreamingQueries {
       .select(col("event_id"), col("cents"))
     def viaPrimary = primary.read().filter(col("event_type") === "purchase")
       .select(col("event_id"), col("cents"))
-    require(viaIndex.exceptAll(viaPrimary).isEmpty &&
-            viaPrimary.exceptAll(viaIndex).isEmpty,
-      "merge-on-read index route must agree with the primary route")
+    locally {
+      val vi = viaIndex.persist()
+      val vp = viaPrimary.persist()
+      require(vi.exceptAll(vp).unionAll(vp.exceptAll(vi)).isEmpty,
+        "merge-on-read index route must agree with the primary route")
+      vi.unpersist(); vp.unpersist()
+    }
     // lockstep LWW re-insert of a deleted-key subset: each structure's
     // own bucket rewrite consumes its vectors, so the rows come back
     val revived = ev.filter(pmod(col("event_id"), lit(22)) === 0)
       .withColumn("cents", col("cents") + 1).withColumn("upd", lit(2L))
-    primary.merge(revived.drop("type_id"))
-    index.merge(revived.select(col("type_id"), col("event_id"), col("cents"), col("upd")))
+    lockstep(
+      primary.merge(revived.drop("type_id")),
+      index.merge(revived.select(col("type_id"), col("event_id"), col("cents"), col("upd"))))
     require(!viaPrimary.filter(pmod(col("event_id"), lit(22)) === 0).isEmpty &&
             !viaIndex.filter(pmod(col("event_id"), lit(22)) === 0).isEmpty,
       "re-inserted keys must survive via both routes")
@@ -2588,8 +2630,9 @@ object StreamingQueries {
     index.compact(maxFilesPerBucket = 1)
     require(index.deleteVectors().isEmpty,
       "index compaction must consume every outstanding index vector")
-    require(before.exceptAll(viaIndex).isEmpty && viaIndex.exceptAll(before).isEmpty,
+    require(before.exceptAll(viaIndex).unionAll(viaIndex.exceptAll(before)).isEmpty,
       "physical DV application on the index must be content-invisible")
+    ev.unpersist()
     viaIndex
   }
 
@@ -2728,6 +2771,7 @@ object StreamingQueries {
       .withColumn("ts_us", unix_micros(col("ts"))).drop("ts")
     val flat = Cdc.enrichWatchedRatio(
       Cdc.flattenEnvelope(env), "watched", "duration", rounded = false)
+      .persist() // k slice merges would re-run the full-events JSON parse k times
     def slice(i: Int) = flat.filter(pmod(col("document_id"), lit(3)) === lit(i))
     val cols = Seq("user_id", "document_id", "ts_us").map(col)
     // the in-band oracle: one-shot LWW over everything merged so far
@@ -2777,6 +2821,7 @@ object StreamingQueries {
     val oneShot = new MergeSink(s, s"$base/oneshot",
       keys = Seq("user_id"), orderCols = Seq("ts_us", "document_id"), nBuckets = 8)
     (0 to 2).foreach(i => oneShot.merge(slice(i)))
+    flat.unpersist()
     val re16 = oneShot.rebucket(16)
     assertEq(sink.read().select(cols: _*), re16.read().select(cols: _*),
       "progressive migration vs one-shot rebucket")
@@ -2885,6 +2930,7 @@ object StreamingQueries {
       .withColumn("ts_us", unix_micros(col("ts"))).drop("ts")
     val flat = Cdc.enrichWatchedRatio(
       Cdc.flattenEnvelope(env), "watched", "duration", rounded = false)
+      .persist() // k slice merges would re-run the full-events JSON parse k times
     val nBuckets = 64
     val width = 64L
     val sink = new MergeSink(s, stateDir,
@@ -2895,6 +2941,7 @@ object StreamingQueries {
     val resolved = sink.bucketsForRange("user_id", 40.0, 79.0)
     val held = sink.bucketFileCounts().keySet
     val maxUser = flat.agg(max(col("user_id"))).first().getLong(0)
+    flat.unpersist()
     if (maxUser < width * nBuckets) // unwrapped domain -> skipping MUST engage
       require(resolved.size < held.size,
         s"zone maps resolved ${resolved.size} of ${held.size} buckets — no skipping")
@@ -2998,6 +3045,7 @@ object StreamingQueries {
       .withColumn("ts_us", unix_micros(col("ts"))).drop("ts")
     val flat = Cdc.enrichWatchedRatio(
       Cdc.flattenEnvelope(env), "watched", "duration", rounded = false)
+      .persist() // k slice merges would re-run the full-events JSON parse k times
     val sink = new MergeSink(s, stateDir,
       keys = Seq("user_id"), orderCols = Seq("ts_us", "document_id"), nBuckets = 16)
     (0 until 3).foreach(i =>
@@ -3005,6 +3053,7 @@ object StreamingQueries {
     val takedown = flat.select(col("user_id")).distinct()
       .filter(pmod(col("user_id"), lit(7)) === lit(3))
     sink.purgeKeys(takedown)
+    flat.unpersist()
     require(sink.versions().size == 1,
       s"purge must destroy history; retained: ${sink.versions()}")
     val residual = s.read.option("recursiveFileLookup", "true")
@@ -3061,10 +3110,12 @@ object StreamingQueries {
       .withColumn("ts_us", unix_micros(col("ts"))).drop("ts")
     val flat = Cdc.enrichWatchedRatio(
       Cdc.flattenEnvelope(env), "watched", "duration", rounded = false)
+      .persist() // k slice merges would re-run the full-events JSON parse k times
     val sink = new MergeSink(s, stateDir,
       keys = Seq("user_id"), orderCols = Seq("ts_us", "document_id"), nBuckets = 16)
     (0 until 4).foreach(i =>
       sink.merge(flat.filter(pmod(col("document_id"), lit(4)) === lit(i))))
+    flat.unpersist()
     sink.changesBetween(2L, 4L).select(
       col("user_id"), col("_change_type"),
       col("document_id").as("last_document_id"),
