@@ -95,6 +95,7 @@ final class FileBus(root: String, visibilityMs: Long, maxDeliveries: Int) {
     val tmp = msgsDir.resolve(f"seg-$segId%06d.tmp")
     Files.write(tmp, payloads.mkString("\n").getBytes(UTF_8))
     Files.move(tmp, segPath(segId), StandardCopyOption.ATOMIC_MOVE)
+    FileBus.bytesPublished.addAndGet(Files.size(segPath(segId)))
     FileBus.bumpHighWater(root, segId + 1)
     segId
   }
@@ -282,6 +283,7 @@ final class FileBus(root: String, visibilityMs: Long, maxDeliveries: Int) {
         }
         if (!nothingDeliverable) {
           val lines = segLines(seg)
+          FileBus.bytesConsumed.addAndGet(Files.size(segPath(seg)))
           var dirty = false
           var i = 0
           while (i < lines.length && out.size < max) {
@@ -431,6 +433,21 @@ object FileBus {
         s.stripPrefix("seg-").stripSuffix(".jsonl").toLong }
       .toSeq.sorted
   }
+
+  /** JVM-local bus VOLUME counters (bench instrumentation): payload
+    * bytes move OUTSIDE Spark's shuffle metrics, so the bench's
+    * shuffle-MB regression net cannot see a connector-side volume
+    * regression (e.g. a gate suddenly re-reading segments per wave).
+    * `published` counts confirmed segment bytes (publish + sink
+    * confirm, fresh renames only); `consumed` counts segment bytes
+    * read for delivery (lease reads + DSv2 partition readers). In
+    * local mode every task shares this JVM, so the counters are
+    * complete; on a real cluster the per-query aggregation is the
+    * DSv2 source's ReportsSourceMetrics — these statics exist for the
+    * bench artifact, not as the production metric path.
+    */
+  val bytesPublished = new java.util.concurrent.atomic.AtomicLong(0L)
+  val bytesConsumed = new java.util.concurrent.atomic.AtomicLong(0L)
 
   /** Persistent segment-id allocator (`msgs/_next_seg`): the next id
     * [[allocate]] may hand out. Monotonic and NEVER reset by

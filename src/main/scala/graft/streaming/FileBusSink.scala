@@ -91,6 +91,7 @@ object FileBusSink {
         false
       } else {
         Files.move(src, target, StandardCopyOption.ATOMIC_MOVE)
+        FileBus.bytesPublished.addAndGet(Files.size(target))
         true
       }
     FileBus.bumpHighWater(root, seg + 1)

@@ -362,8 +362,10 @@ final class FileBusReaderFactory extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val fp = p.asInstanceOf[FileBusPartition]
     new PartitionReader[InternalRow] {
-      private val lines =
+      private val lines = {
+        FileBus.bytesConsumed.addAndGet(Files.size(FileBus.segFile(fp.root, fp.seg)))
         Files.readAllLines(FileBus.segFile(fp.root, fp.seg), UTF_8).asScala
+      }
       private var i = -1
       override def next(): Boolean = { i += 1; i < lines.length }
       override def get(): InternalRow =
