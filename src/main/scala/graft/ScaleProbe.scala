@@ -86,14 +86,18 @@ object ScaleProbe {
     // spill read-ahead under GCLocker retry, ArrayIndexOutOfBoundsException
     // from sun.nio.ch — not query code); local's default of 1 attempt turns
     // one such fault into a failed probe.
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus,4]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    def build(): SparkSession = {
+      val s = SparkSession.builder()
+        .master(s"local[$cpus,4]")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      s.sparkContext.setLogLevel("WARN")
+      s
+    }
+    var spark = build()
     dirs.foreach { case (_, d) => graft.core.Preflight.check(spark, d) }
 
     def exec(df: DataFrame): Unit =
@@ -127,12 +131,18 @@ object ScaleProbe {
 
     def time(n: String, d: String): Double = {
       val ts = (1 to repeats).map { _ =>
-        // a dead context (an OOM kills it) fails every later query too —
-        // abort the whole probe instead of recording a wall of -1s
+        // a dead context (a JVM-fatal fault kills it) would fail every
+        // later measurement too — REBUILD a fresh session and keep
+        // going (round 12: the q249 adjudication rerun died with the
+        // context and the artifact recorded rerun=-1/reproduced=false
+        // instead of an actual re-measure; a restart measures, an
+        // abort loses the sweep)
         if (spark.sparkContext.isStopped) {
-          System.err.println("SEMANTICS: scale probe ABORTED — SparkContext died " +
-            s"(raise SPARK_DRIVER_MEM; 48g covers the sf10 tier); artifact NOT written")
-          sys.exit(2)
+          System.err.println("[probe] SparkContext died — rebuilding a fresh session " +
+            "for the remaining measurements (check driver heap if this repeats)")
+          SparkSession.clearActiveSession()
+          SparkSession.clearDefaultSession()
+          spark = build()
         }
         // one query-level retry on failure: with task retries on, anything
         // that still aborts a whole attempt is either real (fails again) or
@@ -145,8 +155,14 @@ object ScaleProbe {
         }
         try once() catch { case t: Throwable =>
           System.err.println(s"[probe] $n failed at $d (retrying once): $t")
-          if (spark.sparkContext.isStopped) -1.0
-          else try once() catch { case t2: Throwable =>
+          if (spark.sparkContext.isStopped) {
+            System.err.println("[probe] SparkContext died with the failure — " +
+              "rebuilding before the retry")
+            SparkSession.clearActiveSession()
+            SparkSession.clearDefaultSession()
+            spark = build()
+          }
+          try once() catch { case t2: Throwable =>
             System.err.println(s"[probe] $n failed at $d on retry: $t2"); -1.0 }
         }
       }
