@@ -156,7 +156,11 @@ object CdcQueries {
     Warehouse.dropJdbcTable(url, "wh_rows") // JVM-lifetime target; re-runnable
     Warehouse.createJdbcTable(url, "wh_rows", rows.schema)
     Warehouse.appendJdbc(rows, url, "wh_rows")
-    Warehouse.appendJdbc(rows, url, "wh_rows") // at-least-once replay
+    // the at-least-once replay routes through the DSv2 wrapper
+    // (`format("jdbc-lww")`, graft.sink.JdbcLwwProvider) so BOTH write
+    // surfaces of the network sink sit under this oracle
+    rows.write.format("jdbc-lww").option("url", url)
+      .option("dbtable", "wh_rows").mode("append").save()
     val back = s.read.format("jdbc")
       .option("url", url).option("dbtable", "wh_rows").load()
       .toDF(rows.columns: _*) // Derby uppercases identifiers; order is DDL order

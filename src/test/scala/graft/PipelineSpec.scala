@@ -81,6 +81,45 @@ class PipelineSpec extends SparkSpec {
       "double-sent JDBC state must LWW-resolve to the single-send live state")
   }
 
+  test("jdbc-lww DSv2 write: df.write.format reaches the network sink; " +
+       "per-partition transactions; replay LWW-resolves; bad types fail at plan time") {
+    val url = "jdbc:derby:memory:graftwh_dsv2;create=true"
+    val rows = Warehouse.toWarehouseRows(env)
+    Warehouse.createJdbcTable(url, "wh_rows", rows.schema)
+    def send(): Unit = rows.repartition(4).write.format("jdbc-lww")
+      .option("url", url).option("dbtable", "wh_rows")
+      .option("batchSize", "64").mode("append").save()
+    send()
+    send() // at-least-once replay — the LWW read side absorbs it
+    val back = spark.read.format("jdbc")
+      .option("url", url).option("dbtable", "wh_rows").load()
+      .toDF(rows.columns: _*)
+    assert(back.count() == 2 * rows.count(), "both sends must have landed")
+    val live = Cdc.latestByKey(back, Warehouse.DedupKeys, Warehouse.VersionCols)
+      .filter(!$"is_deleted")
+      .select($"original_id", $"ingestion_seq").as[(String, Long)].collect().toSet
+    val direct = Cdc.latestByKey(rows, Warehouse.DedupKeys, Warehouse.VersionCols)
+      .filter(!$"is_deleted")
+      .select($"original_id", $"ingestion_seq").as[(String, Long)].collect().toSet
+    assert(live == direct && live.nonEmpty,
+      "DSv2 double-send state must LWW-resolve to the single-send live state")
+    // an unmappable column type fails at PLAN time, not task time
+    val bad = rows.withColumn("nested", struct($"original_id"))
+    val e = intercept[Exception] {
+      bad.write.format("jdbc-lww").option("url", url)
+        .option("dbtable", "wh_rows").mode("append").save()
+    }
+    assert(e.getMessage.contains("cannot bind column") ||
+           Option(e.getCause).exists(_.getMessage.contains("cannot bind column")))
+    // reads through the write-only provider fail loudly
+    val r = intercept[Exception] {
+      spark.read.format("jdbc-lww").option("url", url)
+        .option("dbtable", "wh_rows").load()
+    }
+    assert(r.getMessage.contains("write-only") ||
+           Option(r.getCause).exists(_.getMessage.contains("write-only")))
+  }
+
   test("replaying the same batch is idempotent under dynamic partition overwrite") {
     val dir = freshDir()
     val rows = Warehouse.toWarehouseRows(env)
