@@ -260,34 +260,63 @@ object Graph {
     * result materializes.
     */
   private def labelPropContracted(vertices: DataFrame, edgesIn: DataFrame,
-                                  maxRounds: Int): DataFrame = {
-    // canonical undirected edges, self-loops out
-    val eC = edgesIn.select(greatest(col("src"), col("dst")).as("a"),
-                            least(col("src"), col("dst")).as("b"))
-      .filter(col("a") =!= col("b")).distinct()
-    // m(v) = min(N(v) ∪ {v}) — one map-side-combinable aggregate
-    val (m, freeM) = Lineage.checkpoint(
-      eC.unionByName(eC.select(col("b").as("a"), col("a").as("b")))
-        .groupBy(col("a"))
-        .agg(least(min(col("b")), col("a")).as("m"))
-        .select(col("a").as("v0"), col("m")))
-    // contracted edge graph, re-symmetrized for the propagation loop
-    val mA = m.select(col("v0").as("a"), col("m").as("ma"))
-    val mB = m.select(col("v0").as("b"), col("m").as("mb"))
-    val half = eC.join(mA, "a").join(mB, "b")
-      .select(col("ma").as("src"), col("mb").as("dst"))
-      .filter(col("src") =!= col("dst")).distinct()
-    val eInner = half.unionByName(
-      half.select(col("dst").as("src"), col("src").as("dst")))
-    val innerV = m.select(col("m").as("vx")).distinct()
+                                  maxRounds: Int,
+                                  contractRounds: Int = 2): DataFrame = {
+    // canonical undirected edges (self-loops out), and the composed
+    // original-id -> current-label map, both rolled forward per round
+    var (e, freeE) = Lineage.checkpoint(
+      edgesIn.select(greatest(col("src"), col("dst")).as("a"),
+                     least(col("src"), col("dst")).as("b"))
+        .filter(col("a") =!= col("b")).distinct())
+    var mapped: Option[(DataFrame, () => Unit)] = None // vx -> label
+    var round = 0
+    while (round < contractRounds && !e.isEmpty) {
+      // m(l) = min(N(l) ∪ {l}) over the CURRENT label graph
+      val (m, freeM) = Lineage.checkpoint(
+        e.unionByName(e.select(col("b").as("a"), col("a").as("b")))
+          .groupBy(col("a"))
+          .agg(least(min(col("b")), col("a")).as("m"))
+          .select(col("a").as("v0"), col("m")))
+      val (mappedN, freeMappedN) = Lineage.checkpoint(mapped match {
+        case None =>
+          m.select(col("v0").as("vx"), col("m").as("lbl"))
+        case Some((prev, _)) =>
+          prev.join(m, prev("lbl") === m("v0"), "left")
+            .select(prev("vx"), coalesce(col("m"), prev("lbl")).as("lbl"))
+      })
+      val mA = m.select(col("v0").as("a"), col("m").as("ma"))
+      val mB = m.select(col("v0").as("b"), col("m").as("mb"))
+      val (eN, freeEN) = Lineage.checkpoint(
+        e.join(mA, "a").join(mB, "b")
+          .select(greatest(col("ma"), col("mb")).as("a"),
+                  least(col("ma"), col("mb")).as("b"))
+          .filter(col("a") =!= col("b")).distinct())
+      mapped.foreach(_._2())
+      freeM(); freeE()
+      mapped = Some((mappedN, freeMappedN))
+      e = eN; freeE = freeEN
+      round += 1
+    }
+    val (map, freeMap) = mapped.getOrElse(
+      (vertices.sparkSession.emptyDataFrame, () => ()))
+    // the genuine data-dependent fixpoint loop runs on the (small)
+    // contracted remainder graph
+    val eInner = e.select(col("a").as("src"), col("b").as("dst"))
+      .unionByName(e.select(col("b").as("src"), col("a").as("dst")))
+    val innerV = (if (mapped.isEmpty) vertices.limit(0)
+                  else map.select(col("lbl").as("vx"))).distinct()
     val inner = labelPropagateToFixpoint(innerV, eInner, maxRounds)
-    // compose: vx -> m(vx) -> inner label; edgeless vertices stay put
-    val (out, _) = Lineage.checkpoint(
-      vertices.select(col("vx")).distinct()
-        .join(m.select(col("v0").as("vx"), col("m")), Seq("vx"), "left")
+    // compose: vx -> contracted label -> inner label; edgeless
+    // vertices (absent from the map) keep themselves
+    val composed =
+      if (mapped.isEmpty) vertices.select(col("vx")).distinct()
+        .withColumn("lbl", col("vx"))
+      else vertices.select(col("vx")).distinct()
+        .join(map.withColumnRenamed("lbl", "m"), Seq("vx"), "left")
         .join(inner.select(col("vx").as("m"), col("lbl").as("il")), Seq("m"), "left")
-        .select(col("vx"), coalesce(col("il"), col("m"), col("vx")).as("lbl")))
-    freeM()
+        .select(col("vx"), coalesce(col("il"), col("m"), col("vx")).as("lbl"))
+    val (out, _) = Lineage.checkpoint(composed)
+    freeMap(); freeE()
     out // escapes to the caller — its blocks are the ContextCleaner's
   }
 
