@@ -20,7 +20,7 @@ object ExtQueries {
   private def emb(s: SparkSession, d: String) = Tables.embeddings(s, d)
 
   /** Shared CTE prologue: tokens and shingles per document. */
-  private val docCte =
+  private[queries] val docCte =
     s"""WITH t AS (SELECT doc_id, text, lang, string_split(text, ' ') AS ts FROM documents),
        |  s AS (SELECT doc_id, ${T.shinglesOf("ts")} AS sh FROM t)""".stripMargin
 
@@ -795,6 +795,79 @@ object ExtQueries {
        |FROM k tr JOIN k ev ON tr.g = ev.g
        |WHERE tr.doc_id >= 100 AND ev.doc_id < 100
        |GROUP BY 1, 2 HAVING count(*) >= 5""".stripMargin
+
+  // ---------------------------------------------------------------- q288
+  /** Contamination SPAN EXCISION — the cleaning ACTION behind q86's
+    * screen: instead of flagging whole training documents, locate the
+    * token positions whose word-3-gram appears anywhere in the eval
+    * benchmark, merge OVERLAPPING hit spans ([p, p+2] windows; gaps-
+    * and-islands on start positions, new island when the next start is
+    * > 2 past the previous), and account the excision per document —
+    * the GPT-3/Pile-style "remove the contaminated span, keep the
+    * document" discipline, where dropping whole docs would forfeit the
+    * clean 99% of a long document over one quoted benchmark sentence.
+    * Scale shape: the benchmark's distinct shingle set is the SMALL
+    * side (eval sets are ~1e5 docs at 100 TB) — broadcast semi-join
+    * against the corpus's positional grams, so the corpus is touched
+    * by ONE linear pass with no shuffle of corpus text; the island
+    * merge then windows over HIT positions only (a few rows per
+    * contaminated doc, not per token). Returns one row per CONTAMINATED
+    * training doc: token count, merged span count, tokens excised.
+    */
+  def q288DecontamSpanExcise(s: SparkSession, d: String): DataFrame = {
+    import TextAnalysis._
+    val evalCap = 100L // doc_id < evalCap plays the benchmark set
+    val base = docs(s, d).select(col("doc_id"), tokens(col("text")).as("ts"))
+    // positional 3-grams, 1-based starts, whole-suffix clamp for short
+    // docs (same convention as WordShingles / DuckDB ts[i:i+2])
+    val grams = base
+      .withColumn("n_tok", size(col("ts")).cast("long"))
+      .select(col("doc_id"), col("n_tok"), explode(expr(
+        "transform(sequence(1, greatest(size(ts) - 2, 1)), " +
+          "i -> named_struct('p', CAST(i AS BIGINT), " +
+          "'w', array_join(slice(ts, i, 3), ' ')))")).as("u"))
+      .select(col("doc_id"), col("n_tok"),
+        col("u.p").as("p"), col("u.w").as("w"))
+    val bench = grams.filter(col("doc_id") < evalCap).select(col("w")).distinct()
+    val hits = grams.filter(col("doc_id") >= evalCap)
+      .join(broadcast(bench), Seq("w"), "left_semi")
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("p"))
+    // islands: a hit whose span [p, p+2] overlaps the previous hit's
+    // span continues the island; starts are distinct per doc
+    val islands = hits
+      .withColumn("brk",
+        when(col("p") - lag(col("p"), 1).over(byDoc) <= 2, lit(0L)).otherwise(lit(1L)))
+      .withColumn("island", sum(col("brk")).over(byDoc))
+    val spans = islands.groupBy(col("doc_id"), col("n_tok"), col("island"))
+      .agg(min(col("p")).as("p0"),
+           least(max(col("p")) + 2, col("n_tok")).as("p1"))
+    spans.groupBy(col("doc_id").as("train_id"), col("n_tok").as("n_tokens"))
+      .agg(count(lit(1)).as("n_spans"),
+           sum(col("p1") - col("p0") + 1).as("n_removed"))
+  }
+
+  val q288Sql: String =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+      |  pg0 AS (SELECT doc_id, CAST(len(ts) AS BIGINT) AS n_tok,
+      |      unnest(list_transform(generate_series(1, greatest(len(ts) - 2, 1)),
+      |        i -> struct_pack(p := i, w := array_to_string(ts[i:i+2], ' ')))) AS u
+      |    FROM t),
+      |  pg AS (SELECT doc_id, n_tok, u.p AS p, u.w AS w FROM pg0),
+      |  b AS (SELECT DISTINCT w FROM pg WHERE doc_id < 100),
+      |  h AS (SELECT doc_id, n_tok, p FROM pg
+      |    WHERE doc_id >= 100 AND w IN (SELECT w FROM b)),
+      |  i AS (SELECT doc_id, n_tok, p,
+      |      CASE WHEN p - lag(p) OVER (PARTITION BY doc_id ORDER BY p) <= 2
+      |           THEN 0 ELSE 1 END AS brk FROM h),
+      |  j AS (SELECT doc_id, n_tok, p,
+      |      sum(brk) OVER (PARTITION BY doc_id ORDER BY p) AS island FROM i),
+      |  sp AS (SELECT doc_id, n_tok, island, min(p) AS p0,
+      |      least(max(p) + 2, n_tok) AS p1
+      |    FROM j GROUP BY doc_id, n_tok, island)
+      |SELECT doc_id AS train_id, n_tok AS n_tokens,
+      |  CAST(count(*) AS BIGINT) AS n_spans,
+      |  CAST(sum(p1 - p0 + 1) AS BIGINT) AS n_removed
+      |FROM sp GROUP BY 1, 2""".stripMargin
 
   // ---------------------------------------------------------------- q90
   /** Deterministic mixture sampling — corpus mixing WITHOUT an RNG:
@@ -2076,6 +2149,7 @@ object ExtQueries {
     "q100_codec_headers" -> (q100CodecHeaders _, q100Sql),
     "q101_boilerplate_strip" -> (q101BoilerplateStrip _, q101Sql),
     "q86_contamination" -> (q86Contamination _, q86Sql),
+    "q288_decontam_span_excise" -> (q288DecontamSpanExcise _, q288Sql),
     "q90_mixture_sample" -> (q90MixtureSample _, q90Sql),
     "q95_hll_sketch" -> (q95HllSketch _, q95Sql),
     "q108_cms_heavy_hitters" -> (q108CmsHeavyHitters _, q108Sql),

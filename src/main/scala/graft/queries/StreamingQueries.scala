@@ -3196,6 +3196,75 @@ object StreamingQueries {
       col("top_bigram_frac"), col("dup_trigram_frac"), col("keep"))
   }
 
+  // ---------------------------------------------------------------- q287
+  /** Incremental DECONTAMINATION — q103/q119's maintained-index
+    * discipline applied to q86's benchmark-contamination screen, for
+    * the case the batch screen cannot serve at 100 TB: a NEW eval
+    * benchmark arrives AFTER the corpus index is built, and re-running
+    * the whole-corpus screen per benchmark drop would re-shingle
+    * petabytes to answer a kilobyte-scale question. Instead the corpus
+    * pays ONE build pass — a shingle POSTINGS index (g, train_id) with
+    * each shingle's corpus document-frequency stored on the row, LWW-
+    * upserted into a MergeSink keyed (g, train_id) — and every arriving
+    * benchmark wave is screened by shingling ONLY the wave (O(|wave|)),
+    * broadcasting it against the maintained index (df <= dfCap filter
+    * pushed to the index scan; the hot-boilerplate guard is index-side
+    * data, so the cap can change per probe without touching the
+    * corpus), and LWW-upserting the verdicts keyed (train_id, eval_id).
+    * REQUIREs pin the shape: exactly ONE index commit (the corpus is
+    * never re-scanned) and one verdict commit PER WAVE. The oracle is
+    * the one-shot SQL over the union of both waves: maintained-index
+    * answers must equal the batch screen exactly.
+    */
+  def q287IncrementalDecontamination(s: SparkSession, d: String): DataFrame = {
+    import graft.ext.TextAnalysis._
+    val base = graft.core.TempDirs.scoped("graft_q287_")
+    val evalCap = 100L; val dfCap = 50L; val minShared = 5L
+    val sh = graft.core.Tables.documents(s, d)
+      .select(col("doc_id"), explode(shingles(tokens(col("text")), 3)).as("g"))
+      .distinct()
+    // ONE corpus pass: postings + per-shingle corpus df ride the same
+    // index rows (df is corpus-side metadata, not probe-side state)
+    val corpus = sh.filter(col("doc_id") >= evalCap)
+      .withColumnRenamed("doc_id", "train_id")
+    val dfTab = corpus.groupBy(col("g")).agg(count(lit(1)).as("df"))
+    val index = new MergeSink(s, s"$base/postings",
+      keys = Seq("g", "train_id"), orderCols = Seq("df"), nBuckets = 16)
+    index.merge(corpus.join(dfTab, "g"))
+    require(index.versions() == Seq(1L),
+      "the corpus postings index builds in exactly one commit")
+    val verdicts = new MergeSink(s, s"$base/verdicts",
+      keys = Seq("train_id", "eval_id"), orderCols = Seq("n_shared"), nBuckets = 8)
+    Seq((0L, 50L), (50L, 100L)).foreach { case (lo, hi) =>
+      // O(|wave|): shingle only the newly-arrived benchmark docs; the
+      // corpus is represented solely by the maintained index
+      val wave = graft.core.Tables.documents(s, d)
+        .filter(col("doc_id") >= lo && col("doc_id") < hi)
+        .select(col("doc_id").as("eval_id"),
+                explode(shingles(tokens(col("text")), 3)).as("g"))
+        .distinct()
+      val hits = index.read().filter(col("df") <= dfCap)
+        .join(broadcast(wave), "g")
+        .groupBy(col("train_id"), col("eval_id"))
+        .agg(count(lit(1)).as("n_shared"))
+        .filter(col("n_shared") >= minShared)
+      verdicts.merge(hits)
+    }
+    require(verdicts.versions() == Seq(1L, 2L),
+      "one verdict commit per arriving benchmark wave")
+    verdicts.read().select(col("train_id"), col("eval_id"), col("n_shared"))
+  }
+
+  val q287Sql: String =
+    s"""${ExtQueries.docCte},
+       |  ed AS (SELECT DISTINCT doc_id, unnest(sh) AS g FROM s),
+       |  tr AS (SELECT doc_id AS train_id, g FROM ed WHERE doc_id >= 100),
+       |  keep AS (SELECT g FROM tr GROUP BY g HAVING count(*) <= 50),
+       |  ev AS (SELECT doc_id AS eval_id, g FROM ed WHERE doc_id < 100)
+       |SELECT tr.train_id, ev.eval_id, CAST(count(*) AS BIGINT) AS n_shared
+       |FROM tr JOIN keep USING (g) JOIN ev USING (g)
+       |GROUP BY 1, 2 HAVING count(*) >= 5""".stripMargin
+
   // ---------------------------------------------------------------- q129
   /** Streaming TRENDING top-k: per 6-hour event-time window and event
     * type, the top 3 events by value — the q128 TopK Aggregator
@@ -3955,6 +4024,7 @@ object StreamingQueries {
     "q211_streaming_pq_index" -> (q211StreamingPqIndex _, q211Sql),
     "q110_change_feed" -> (q110ChangeFeed _, q110Sql),
     "q119_streaming_curation_index" -> (q119StreamingCurationIndex _, ExtQueries.q113Sql),
+    "q287_incremental_decontamination" -> (q287IncrementalDecontamination _, q287Sql),
     "q129_streaming_trending" -> (q129StreamingTrending _, q129Sql),
     "q134_streaming_distinct" -> (q134StreamingDistinct _, q134Sql),
     "q135_streaming_quantiles" -> (q135StreamingQuantiles _, q135Sql),

@@ -646,4 +646,61 @@ class CurationSpec extends SparkSpec {
     assert(big.getAs[Long]("quota") / 100000.0 < big.getAs[Long]("tokens") / totTok)
     assert(small.getAs[Long]("quota") / 100000.0 > small.getAs[Long]("tokens") / totTok)
   }
+
+  test("q287 maintained-index decontamination == the one-shot batch screen") {
+    // independent oracle: the plain one-shot screen (no index, no
+    // waves) computed with vanilla DataFrame ops over the same corpus
+    val sh = graft.core.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), explode(graft.ext.TextAnalysis.shingles(
+        graft.ext.TextAnalysis.tokens(col("text")), 3)).as("g"))
+      .distinct()
+    val tr = sh.filter(col("doc_id") >= 100L).withColumnRenamed("doc_id", "train_id")
+    val keep = tr.groupBy(col("g")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= 50L).select(col("g"))
+    val ev = sh.filter(col("doc_id") < 100L).withColumnRenamed("doc_id", "eval_id")
+    val expected = tr.join(keep, "g").join(ev, "g")
+      .groupBy(col("train_id"), col("eval_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= 5L)
+    val got = SparkEntry.queries("q287_incremental_decontamination")(spark, sfDir)
+    assert(got.exceptAll(expected).isEmpty && expected.exceptAll(got).isEmpty,
+      "wave-probed index verdicts diverge from the one-shot batch screen")
+  }
+
+  test("q288 span excision: islands match a local brute recomputation") {
+    // fully independent re-derivation in driver-local Scala: tokenize,
+    // collect the benchmark gram set, find hit positions, merge
+    // overlapping [p, p+2] spans, account removed tokens
+    val all = graft.core.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1).toSeq).toMap
+    def grams(ts: Seq[String]): Seq[(Long, String)] =
+      (1 to math.max(ts.length - 2, 1))
+        .map(i => i.toLong -> ts.slice(i - 1, i + 2).mkString(" "))
+    val bench: Set[String] =
+      all.filter(_._1 < 100L).values.flatMap(grams(_).map(_._2)).toSet
+    val expected: Map[Long, (Long, Long, Long)] = all.collect {
+      case (id, ts) if id >= 100L =>
+        val hits = grams(ts).collect { case (p, g) if bench(g) => p }.sorted
+        if (hits.isEmpty) None
+        else {
+          val nTok = ts.length.toLong
+          // gaps-and-islands on start positions: overlap while gap <= 2
+          val islands = hits.tail.foldLeft(Seq(Seq(hits.head))) { (acc, p) =>
+            if (p - acc.last.last <= 2) acc.init :+ (acc.last :+ p)
+            else acc :+ Seq(p)
+          }
+          val removed = islands.map(i => math.min(i.last + 2, nTok) - i.head + 1).sum
+          Some(id -> ((nTok, islands.size.toLong, removed)))
+        }
+    }.flatten.toMap
+    val got = SparkEntry.queries("q288_decontam_span_excise")(spark, sfDir)
+      .collect().map(r => r.getAs[Long]("train_id") ->
+        ((r.getAs[Long]("n_tokens"), r.getAs[Long]("n_spans"),
+          r.getAs[Long]("n_removed")))).toMap
+    assert(got == expected,
+      s"span accounting diverges: only-got=${(got.keySet -- expected.keySet).take(5)} " +
+        s"only-exp=${(expected.keySet -- got.keySet).take(5)} " +
+        s"diff=${expected.collect { case (k, v) if got.get(k).exists(_ != v) => (k, v, got(k)) }.take(5)}")
+  }
 }
