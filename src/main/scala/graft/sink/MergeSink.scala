@@ -229,6 +229,25 @@ final class MergeSink(
     manifest.snapshot(Some(buckets))
       .map(df => applyDv(df.drop(BucketCol), manifest.dv(), Some(buckets)))
 
+  /** Latest-per-key state restricted to the buckets `probe`'s key rows
+    * route to — the KEYED-LOOKUP read. `probe` must expose this sink's
+    * key columns; resolution is the same committed-layout routing every
+    * write uses, so a key present in the table is ALWAYS inside the
+    * returned frame (the result is the full rows of the touched
+    * buckets — a superset of the probe's matches, never a subset).
+    * Cost: O(touched buckets), the point of maintaining a bucketed
+    * table — a per-batch lookup against a 100 TB labels/index table
+    * must not re-scan the table per micro-batch. Only the bucket IDS
+    * are collected (O(buckets) metadata, the same discipline as
+    * [[merge]]'s touched-bucket audit).
+    */
+  def readForKeys(probe: DataFrame): DataFrame = {
+    val touched = probe.select(bucketOf.as(BucketCol)).distinct()
+      .collect().map(_.getInt(0)).toSeq
+    if (touched.isEmpty) read().filter(lit(false))
+    else readBuckets(touched).getOrElse(read().filter(lit(false)))
+  }
+
   /** One-time adoption of a table written by the pre-manifest code
     * (bucket dirs at the root, no `_MANIFEST`) — reads fail loudly on
     * such layouts instead of treating them as empty. File renames
@@ -314,12 +333,21 @@ final class MergeSink(
     * `read().where(c isin vs)`; PipelineSpec asserts equivalence and
     * pruning.
     */
-  def readPoints(c: String, vs: Seq[Long]): DataFrame = {
-    val bs = vs.flatMap(v => bucketsForPoint(c, v)).distinct.sorted
-    val resolved =
-      if (bs.isEmpty) read().filter(lit(false))
-      else readBuckets(bs).getOrElse(read().filter(lit(false)))
-    resolved.filter(col(c).isin(vs: _*))
+  def readPoints(c: String, vs: Seq[Long]): DataFrame =
+    readBucketsForPoints(c, vs).filter(col(c).isin(vs: _*))
+
+  /** [[readPoints]] WITHOUT the residual `isin` filter: the rows of
+    * every bucket some probe's bloom admits. For a caller that joins
+    * the result on `c` anyway (the join discharges non-matches), the
+    * residual filter is redundant — and an `isin` over a large probe
+    * set is a degenerate expression (thousands of literals in one
+    * predicate). Bloom probing is batched: one sidecar read per
+    * bucket for the whole probe set ([[TableManifest.bucketsForPoints]]).
+    */
+  def readBucketsForPoints(c: String, vs: Seq[Long]): DataFrame = {
+    val bs = manifest.bucketsForPoints(c, vs.map(BucketBloom.hashLong))
+    if (bs.isEmpty) read().filter(lit(false))
+    else readBuckets(bs).getOrElse(read().filter(lit(false)))
   }
 
   /** Upsert one batch. Empty batches are a no-op (no read, no write).

@@ -664,9 +664,19 @@ final class TableManifest(spark: SparkSession, val root: String) {
     * prunes.
     */
   def bucketsForPoint(c: String, hash: Long): Seq[Int] =
+    bucketsForPoints(c, Seq(hash))
+
+  /** Batched form of [[bucketsForPoint]]: ONE manifest resolve and ONE
+    * sidecar read per bucket for the whole probe set (the per-value
+    * form re-opened every bucket's bloom file per probe — a
+    * 10k-point sweep turned into 10k x buckets of file I/O). A bucket
+    * is admitted if ANY probe hash might be contained (or it has no
+    * sidecar — missing information never prunes).
+    */
+  def bucketsForPoints(c: String, hashes: Seq[Long]): Seq[Int] =
     mapping().keys.filter { b =>
       bloom(b, c).forall { case (k, bits) =>
-        BucketBloom.mightContain(bits, k, hash)
+        hashes.exists(h => BucketBloom.mightContain(bits, k, h))
       }
     }.toSeq.sorted
 

@@ -754,6 +754,55 @@ class StreamingSpec extends SparkSpec {
     assert((up1 ++ up2 ++ up3) == batch)
   }
 
+  test("incremental CC indexed path: == frame path per batch, pruned table touches") {
+    import graft.ext.{Dedup, IncrementalCc}
+    import graft.sink.MergeSink
+    import org.apache.spark.sql.functions.{col, input_file_name, lit}
+    def edges(ps: (Long, Long)*) = ps.toSeq.toDF("id_a", "id_b")
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("cluster_id")).toMap
+    val dir = java.nio.file.Files.createTempDirectory("graft_icc_idx_").toString
+    val sink = new MergeSink(spark, dir, keys = Seq("id"), orderCols = Seq("upd"),
+      nBuckets = 8, bloomCols = Seq("cluster_id"))
+    // the same new-node / absorption / label-lowering sequence as the
+    // frame-path test, replayed through the sink-backed indexed step
+    val batches = Seq(edges(1L -> 2L, 5L -> 6L), edges(2L -> 6L), edges(0L -> 6L))
+    var lab = Map.empty[Long, Long]
+    batches.zipWithIndex.foreach { case (e, i) =>
+      val frame = asMap(IncrementalCc.applyBatch(spark,
+        if (lab.isEmpty) IncrementalCc.emptyLabels(spark)
+        else lab.toSeq.toDF("id", "cluster_id"), e))
+      val indexed = asMap(IncrementalCc.applyBatchIndexed(spark, sink, e))
+      assert(indexed == frame, s"batch $i: indexed=$indexed frame=$frame")
+      sink.merge(indexed.toSeq.toDF("id", "cluster_id")
+        .withColumn("upd", lit(i.toLong)))
+      lab = lab ++ frame
+    }
+    val oneShot = Dedup.connectedComponents(
+      edges(1L -> 2L, 5L -> 6L, 2L -> 6L, 0L -> 6L), "id_a", "id_b")
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("cluster_id")).toMap
+    assert(asMap(sink.read().select(col("id"), col("cluster_id"))) == oneShot)
+    // FALLBACK path (cap 0 forces the full-table absorbed sweep) must
+    // agree with the frame path on the same state
+    val more = edges(7L -> 8L, 8L -> 0L)
+    val fb = asMap(IncrementalCc.applyBatchIndexed(spark, sink, more,
+      absorbedProbeCap = 0))
+    val fr = asMap(IncrementalCc.applyBatch(spark,
+      sink.read().select(col("id"), col("cluster_id")), more))
+    assert(fb == fr, s"fallback diverges: $fb vs $fr")
+    // PRUNING bites: the keyed-lookup read touches strictly fewer
+    // files than the full read, and a never-present cluster_id probe
+    // admits fewer buckets than carry files
+    val allFiles = sink.read().select(input_file_name()).distinct().count()
+    val oneKey = sink.readForKeys(Seq(0L).toDF("id"))
+      .select(input_file_name()).distinct().count()
+    assert(oneKey < allFiles, s"readForKeys read $oneKey of $allFiles files")
+    val withFiles = sink.bucketFileCounts().count(_._2 > 0)
+    val admitted = sink.bucketsForPoint("cluster_id", 999999L).size
+    assert(admitted < withFiles,
+      s"cluster_id bloom admitted $admitted of $withFiles file-carrying buckets")
+  }
+
   test("two-sided join IVM (q258 shape): a crash between the view fold and the base merge replays exactly-once") {
     // Judge round-9 #5: q258's correctness rests on delta-sequencing
     // (dO |x| L_now, then O_now |x| dL) — a crash AFTER the view fold
