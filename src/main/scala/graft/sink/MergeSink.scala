@@ -170,7 +170,12 @@ final class MergeSink(
 
   /** Current committed state (bucket column dropped — callers see the
     * logical schema they wrote). Keys deleted merge-on-read
-    * ([[deleteVector]]) are excluded.
+    * ([[deleteVector]]) are excluded. Snapshot and DV set come from
+    * separate manifest parses: a commit racing plan construction can
+    * at worst apply the NEWER version's deletes to this version's rows
+    * (recent-delete visibility, never resurrection or row loss — DV
+    * anti-joins only ever REMOVE); pruned reads, where version skew
+    * COULD lose rows, run under [[consistentRead]] instead.
     */
   def read(): DataFrame =
     manifest.snapshot().map(df => applyDv(df.drop(BucketCol), manifest.dv(), None))
@@ -240,12 +245,45 @@ final class MergeSink(
     * must not re-scan the table per micro-batch. Only the bucket IDS
     * are collected (O(buckets) metadata, the same discipline as
     * [[merge]]'s touched-bucket audit).
+    *
+    * Routing and data resolution parse the manifest separately, so the
+    * whole plan construction runs under [[consistentRead]]'s version
+    * fence — a commit landing mid-construction (rebucket flips the
+    * routing, a merge moves a bucket's generation) retries instead of
+    * serving one layout's routing over another's data.
     */
-  def readForKeys(probe: DataFrame): DataFrame = {
+  def readForKeys(probe: DataFrame): DataFrame = consistentRead {
     val touched = probe.select(bucketOf.as(BucketCol)).distinct()
       .collect().map(_.getInt(0)).toSeq
     if (touched.isEmpty) read().filter(lit(false))
     else readBuckets(touched).getOrElse(read().filter(lit(false)))
+  }
+
+  /** OPTIMISTIC READ FENCE for multi-parse plan constructions. The
+    * manifest is re-parsed by every metadata call (mapping, blooms,
+    * layout, snapshot), so a read path that makes several of them can
+    * straddle a concurrent commit and combine state from two versions
+    * — e.g. bloom admission from version N+1 pruning a bucket whose
+    * version-N data the snapshot then serves, silently dropping rows
+    * (the READ-side sibling of the stage-fence lost-update race).
+    * Plans pin immutable generation files at construction time, so
+    * "version unchanged across construction" makes every parse
+    * provably identical. Concurrent commits are rare (writers hold the
+    * table lock far longer than a plan takes to build); after a few
+    * racing retries we fail loudly rather than spin.
+    */
+  private[graft] def consistentRead(build: => DataFrame): DataFrame = {
+    var attempt = 0
+    while (true) {
+      val v0 = manifest.currentVersion()
+      val df = build
+      if (manifest.currentVersion() == v0) return df
+      attempt += 1
+      if (attempt >= 5) throw new IllegalStateException(
+        s"table at $path kept committing during 5 read-plan constructions — " +
+          "pruned reads need a quiescent-enough manifest; use read() or retry")
+    }
+    throw new IllegalStateException("unreachable")
   }
 
   /** One-time adoption of a table written by the pre-manifest code
@@ -342,9 +380,12 @@ final class MergeSink(
     * residual filter is redundant — and an `isin` over a large probe
     * set is a degenerate expression (thousands of literals in one
     * predicate). Bloom probing is batched: one sidecar read per
-    * bucket for the whole probe set ([[TableManifest.bucketsForPoints]]).
+    * bucket for the whole probe set ([[TableManifest.bucketsForPoints]]),
+    * and admission + data resolution run under [[consistentRead]]'s
+    * version fence (a commit between them could prune a bucket by the
+    * NEW sidecar while serving the OLD generation's rows).
     */
-  def readBucketsForPoints(c: String, vs: Seq[Long]): DataFrame = {
+  def readBucketsForPoints(c: String, vs: Seq[Long]): DataFrame = consistentRead {
     val bs = manifest.bucketsForPoints(c, vs.map(BucketBloom.hashLong))
     if (bs.isEmpty) read().filter(lit(false))
     else readBuckets(bs).getOrElse(read().filter(lit(false)))

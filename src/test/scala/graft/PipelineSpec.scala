@@ -1035,4 +1035,32 @@ class PipelineSpec extends SparkSpec {
         .unionByName(b(2)))
     assert(state(sink) == expectedFinal)
   }
+
+  test("consistentRead fence: a racing commit retries construction; churn fails loudly") {
+    import graft.sink.MergeSink
+    val dir = freshDir()
+    val sink = new MergeSink(spark, dir,
+      keys = Seq("id"), orderCols = Seq("upd"), nBuckets = 4)
+    def batch(upd: Long, lo: Long, hi: Long) =
+      spark.range(lo, hi).select(col("id"), lit(upd).as("upd"))
+    sink.merge(batch(0L, 0L, 20L))
+    // one commit lands between the version probe and plan completion:
+    // the fence must retry and the retried plan must see the NEW state
+    var builds = 0
+    var next = 21L
+    val df = sink.consistentRead {
+      builds += 1
+      if (builds == 1) sink.merge(batch(1L, 20L, next))
+      sink.read()
+    }
+    assert(builds == 2, s"fence did not retry the straddled build (builds=$builds)")
+    assert(df.count() == 21L, "retried plan must serve the post-commit state")
+    // a table that keeps committing during every construction attempt
+    // must fail loudly instead of spinning
+    val churn = intercept[IllegalStateException](sink.consistentRead {
+      sink.merge(batch(2L, next, next + 1)); next += 1
+      sink.read()
+    })
+    assert(churn.getMessage.contains("kept committing"))
+  }
 }
