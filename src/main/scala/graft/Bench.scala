@@ -33,19 +33,51 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    deterministic for a plan + data, so this catches the plan
   *    changes both wall time (sub-second noise) and shape
   *    fingerprints (same node multiset, more bytes) can miss.
-  *  - every flag SELF-ADJUDICATES: the flagged query re-measures solo
-  *    x3 post-sweep and the artifact records `rerun` + `reproduced`,
-  *    so only reproducible regressions demand a SEMANTICS entry.
+  *  - every flag SELF-ADJUDICATES: a flagged query re-measures up to
+  *    `repeats - 1` more times immediately (same quiet sequential
+  *    environment, cleared cache) and the artifact records `rerun`
+  *    (min of the re-measures) + `reproduced` (does the regression
+  *    rule still hold on the overall min?), so only reproducible
+  *    regressions demand a SEMANTICS entry.
+  *
+  * Round-13 rework (judge: the r12 driver bench died rc=124 on a
+  * ~1.8x-slower host — the suite must fit the driver window):
+  *  - LAZY repeats: every query is timed ONCE; only a query whose
+  *    first measurement trips a regression rule re-runs (up to
+  *    `repeats - 1` extra). min-of-3 bought nothing on the ~270
+  *    queries that never flag, and a flagged query's extra runs ARE
+  *    the old post-sweep adjudication pass — same rule, same fields.
+  *  - WALL-CLOCK BUDGET (SPARK_GRAFT_BENCH_BUDGET_SEC, default 1200):
+  *    past 60% of it flagged queries get one re-run, past 85% none
+  *    (rerun = -1, reproduced = false — the established "not
+  *    machine-adjudicated" marker). The sweep itself never skips a
+  *    query: a complete artifact with thin adjudication beats a dead
+  *    one.
+  *  - INCREMENTAL emission: the artifact file is rewritten after
+  *    every query with `"partial":true`, so a driver kill mid-sweep
+  *    still leaves parseable per-query data. The `best` section is
+  *    merged from the prior artifact over the FULL registered surface
+  *    (not just measured queries), so a partial artifact becoming the
+  *    next run's prior cannot erase historical minima.
+  *  - `host_ratio` rides the artifact: median(live/best) over queries
+  *    with best >= 0.5 s. The r12 slow-host episode was adjudicated
+  *    manually by exactly this statistic; now it is in-band.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
-    // optional: Bench [queryName ...] limits to those queries (debugging)
+    // optional: Bench [queryName ...] limits to those queries (used by
+    // single-query adjudication re-measures; subset runs route their
+    // artifact to BENCH_lastrun.json, never the canonical file)
     val only: Set[String] = args.toSet
-    // 3 timed runs, report the min: external machine load and GC add
-    // multi-second noise to single measurements (observed 2-4x swings
-    // on identical code under load average ~5); min-of-3 recovers the
-    // plan's true cost far more reliably than min-of-2.
+    // max runs per query: 1 always + up to (repeats-1) re-runs when the
+    // first measurement trips a regression rule
     val repeats = sys.env.getOrElse("SPARK_GRAFT_REPEATS", "3").toInt
+    // SPARK_GRAFT_EAGER=1: force `repeats` timed runs per query
+    // regardless of flags — the local A/B measurement mode (the lazy
+    // default is the driver-window mode; an A/B of a single query
+    // wants min-of-N, not min-of-1)
+    val eager = sys.env.get("SPARK_GRAFT_EAGER").contains("1")
+    val budgetSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SEC", "1200").toDouble
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       math.min(32, Runtime.getRuntime.availableProcessors()).toString)
@@ -57,6 +89,8 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val benchStart = System.nanoTime()
+    def elapsedSec: Double = (System.nanoTime() - benchStart) / 1e9
     // Fail fast with ONE clear message if the driver regenerated the
     // testdata with a different schema (it has, between rounds).
     graft.core.Preflight.check(spark, sfDir)
@@ -95,63 +129,11 @@ object Bench {
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.isEmpty || only.contains(n) }
 
-    val warmDir = "/root/testdata/sf0.001"
-    selected.foreach { case (_, fn) =>
-      try exec(fn(spark, warmDir)) catch { case _: Throwable => () }
-      spark.catalog.clearCache()
-    }
-
-    // A failed query must be VISIBLE: its time is the -1 sentinel (never
-    // a bogus time-to-crash) and its message lands in the errors map.
-    // Cache is cleared AFTER every run: queries that persist
-    // intermediates (minhash shingles, CC frontiers, simhash sigs)
-    // must not bleed cached blocks into each other's measurements —
-    // each timed number is a cold-cache plan execution.
-    val results = selected.map { case (name, fn) =>
-      val runs = (1 to repeats).map { _ =>
-        val s0 = shuffleNow()
-        val (p0, c0) = busNow()
-        val t0 = System.nanoTime()
-        try {
-          exec(fn(spark, sfDir))
-          val dt = (System.nanoTime() - t0) / 1e9
-          val (p1, c1) = busNow()
-          Right((dt, shuffleNow() - s0, (p1 - p0) + (c1 - c0)))
-        }
-        catch { case t: Throwable => Left(t.toString) }
-        finally spark.catalog.clearCache()
-      }
-      val times = runs.collect { case Right((s, _, _)) => s }
-      val shuffles = runs.collect { case Right((_, b, _)) => b }
-      val buses = runs.collect { case Right((_, _, b)) => b }
-      val errs = runs.collect { case Left(e) => e }
-      // shuffle/bus volume: min across repeats (retries/speculation can
-      // only inflate; the plan's own volume is the repeated minimum)
-      (name,
-        if (errs.nonEmpty) -1.0 else times.min,
-        if (errs.nonEmpty) -1.0 else shuffles.min / 1e6,
-        if (errs.nonEmpty) -1.0 else buses.min / 1e6,
-        errs.headOption)
-    }
-    def jstr(s: String) = "\"" + s.replaceAll("[\"\\\\\n\r\t]", " ").take(200) + "\""
-    def jmap(m: Seq[(String, Double)]) =
-      m.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    def mb(v: Double) = math.rint(v * 1000) / 1000 // shuffle MB at KB resolution
-    val qs = jmap(results.map { case (k, v, _, _, _) => (k, v) })
-    val shuffleMb = jmap(results.map { case (k, _, b, _, _) => (k, mb(b)) })
-    // bus volume only for queries that touched the bus — an all-zero map
-    // would just pad the artifact
-    val busMb = jmap(results.collect { case (k, _, _, b, _) if b != 0.0 => (k, mb(b)) })
-    val errors = results.collect { case (k, _, _, _, Some(e)) => "\"" + k + "\":" + jstr(e) }
-      .mkString("{", ",", "}")
-    val total = results.collect { case (_, v, _, _, None) => v }.sum
-    val nFailed = results.count(_._5.nonEmpty)
-
     // Artifact routing: BENCH_local.json is the CURATED artifact —
-    // full query set, canonical sf0.1 dir, min-of-3. Subset debug runs
-    // (`Bench q201`), other sf dirs, and single-shot runs write
-    // BENCH_lastrun.json instead, so they can never silently clobber
-    // the committed baseline. SPARK_GRAFT_BENCH_OUT overrides both.
+    // full query set, canonical sf0.1 dir, adjudication-capable run.
+    // Subset debug runs (`Bench q201`), other sf dirs, and single-shot
+    // runs write BENCH_lastrun.json instead, so they can never silently
+    // clobber the committed baseline. SPARK_GRAFT_BENCH_OUT overrides.
     val canonical = only.isEmpty && sfDir == "/root/testdata/sf0.1" && repeats >= 3
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
       if (canonical) "BENCH_local.json" else "BENCH_lastrun.json")
@@ -161,6 +143,8 @@ object Bench {
     // silently yielded an empty map on any format drift (ADVICE low).
     // Migration: an old-format artifact (pre round 9) has no `best`
     // section; its `queries` WERE the keep-min minima, so they seed it.
+    // Parsed BEFORE the sweep: the lazy-repeat rule needs each query's
+    // historical best at measurement time.
     val (priorBest, priorBestShuffle, priorBestBus): (Map[String, Double], Map[String, Double], Map[String, Double]) = {
       val p = java.nio.file.Paths.get(outFile)
       if (!java.nio.file.Files.exists(p)) (Map.empty, Map.empty, Map.empty)
@@ -200,129 +184,193 @@ object Bench {
           (Map.empty[String, Double], Map.empty[String, Double], Map.empty[String, Double])
         }
     }
-    // New best: per-query min of prior best and today's live time.
-    // Failed queries (-1) keep their prior best (the failure is loud in
-    // queries/errors; best records history, not health). Queries no
-    // longer in the surface drop out; new ones enter at live time.
-    def keepMin(prior: Map[String, Double], live: Seq[(String, Double)]): Seq[(String, Double)] =
-      live.map { case (name, v) =>
-        val b = prior.get(name) match {
-          case Some(old) if old >= 0 && v >= 0 => math.min(old, v)
-          case Some(old) if old >= 0           => old
-          case _                               => v
-        }
-        (name, b)
-      }
-    // New best: per-query min of prior best and today's live value.
-    // Failed queries (-1) keep their prior best (the failure is loud in
-    // queries/errors; best records history, not health). Queries no
-    // longer in the surface drop out; new ones enter at live values.
-    val best = keepMin(priorBest, results.map { case (n, v, _, _, _) => (n, v) })
-    val bestShuffle = keepMin(priorBestShuffle,
-      results.map { case (n, _, b, _, _) => (n, mb(b)) })
-    val bestBus = keepMin(priorBestBus,
-      results.collect { case (n, _, _, b, _) if b != 0.0 => (n, mb(b)) })
-    // Regression surfacing (judge round-8 #3 for TIME, round-9 #3 for
-    // SHUFFLE VOLUME): time regresses at live > 2x historical best AND
-    // > 0.5 s absolute; shuffle volume at live > 2x best AND > 1 MB
-    // absolute (volume is near-deterministic — min-of-repeats strips the
-    // only inflator, task retries — so the floor just masks KB jitter). The absolute floors keep the streaming-floor class
-    // (2-7 s micro-batch/RocksDB fixed cost) and KB-scale volume jitter
-    // out; a genuine plan change — an unpushed filter, a lost
-    // broadcast — trips both conditions of its metric.
+
+    val warmT0 = System.nanoTime()
+    val warmDir = "/root/testdata/sf0.001"
+    selected.foreach { case (_, fn) =>
+      try exec(fn(spark, warmDir)) catch { case _: Throwable => () }
+      spark.catalog.clearCache()
+    }
+    val warmupSec = (System.nanoTime() - warmT0) / 1e9
+
+    def mb(v: Double) = math.rint(v * 1000) / 1000 // shuffle MB at KB resolution
     def timeRegressed(live: Double, b: Double): Boolean =
       live > 2 * b && live - b > 0.5
-    def shuffleRegressed(live: Double, b: Double): Boolean =
+    def volRegressed(live: Double, b: Double): Boolean =
       mb(live) > 2 * b && mb(live) - b > 1.0
-    // (query, kind, live value, historical best)
-    val flags: Seq[(String, String, Double, Double)] =
-      results.flatMap { case (name, v, sh, bus, err) =>
-        val t = priorBest.get(name) match {
-          case Some(b) if err.isEmpty && v >= 0 && b > 0 && timeRegressed(v, b) =>
-            Seq((name, "time", v, b))
-          case _ => Nil
-        }
-        val s = priorBestShuffle.get(name) match {
-          case Some(b) if err.isEmpty && sh >= 0 && b >= 0 && shuffleRegressed(sh, b) =>
-            Seq((name, "shuffle", mb(sh), b))
-          case _ => Nil
-        }
-        val u = priorBestBus.get(name) match {
-          case Some(b) if err.isEmpty && bus >= 0 && b >= 0 && shuffleRegressed(bus, b) =>
-            Seq((name, "bus", mb(bus), b))
-          case _ => Nil
-        }
-        t ++ s ++ u
+
+    final case class Meas(sec: Double, shuffleB: Long, busB: Long)
+    def runOnce(fn: (SparkSession, String) => DataFrame): Either[String, Meas] = {
+      val s0 = shuffleNow()
+      val (p0, c0) = busNow()
+      val t0 = System.nanoTime()
+      try {
+        exec(fn(spark, sfDir))
+        val dt = (System.nanoTime() - t0) / 1e9
+        val (p1, c1) = busNow()
+        Right(Meas(dt, shuffleNow() - s0, (p1 - p0) + (c1 - c0)))
       }
-    // SELF-ADJUDICATION (round-10 verdict #5): the repo's SEMANTICS
-    // rule for an in-band flag is "reproduce solo x3 before blaming
-    // the code" — two rounds running, a manual adjudication was burned
-    // on what turned out to be AQE/stage-race variance. Bench now
-    // applies the rule itself: each flagged query is re-measured solo
-    // x3 AFTER the sweep (quiet in-process environment, cleared
-    // cache), and the flag carries `rerun` (the re-measured min) and
-    // `reproduced` (does the regression condition still hold on it?).
-    // A non-reproduced flag needs no SEMANTICS entry; a reproduced one
-    // is a real plan change to fix or adjudicate.
-    val adjudicated = flags.map { case (name, kind, live, b) =>
-      val fn = SparkEntry.queries(name)
-      val reruns = (1 to 3).flatMap { _ =>
-        val s0 = shuffleNow()
-        val (p0, c0) = busNow()
-        val t0 = System.nanoTime()
-        try {
-          exec(fn(spark, sfDir))
-          val dt = (System.nanoTime() - t0) / 1e9
-          val (p1, c1) = busNow()
-          Seq((dt, shuffleNow() - s0, (p1 - p0) + (c1 - c0)))
-        } catch { case _: Throwable => Nil }
-        finally spark.catalog.clearCache()
-      }
-      val rerun =
-        if (reruns.isEmpty) -1.0
-        else kind match {
-          case "time" => reruns.map(_._1).min
-          case "bus"  => mb(reruns.map(_._3).min / 1e6)
-          case _      => mb(reruns.map(_._2).min / 1e6)
+      catch { case t: Throwable => Left(t.toString) }
+      finally spark.catalog.clearCache()
+    }
+
+    // (query, kind, live, best, rerun, reproduced)
+    final case class Flag(name: String, kind: String, live: Double, best: Double,
+                          rerun: Double, reproduced: Boolean)
+    final case class Result(name: String, sec: Double, shuffleMb: Double,
+                            busMb: Double, err: Option[String], flags: Seq[Flag])
+
+    def jstr(s: String) = "\"" + s.replaceAll("[\"\\\\\n\r\t]", " ").take(200) + "\""
+    def jmap(m: Seq[(String, Double)]) =
+      m.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    def flagJson(f: Flag): String = f.kind match {
+      case "time" =>
+        s"""{"query":"${f.name}","live":${f.live},"best":${f.best},"rerun":${f.rerun},"reproduced":${f.reproduced}}"""
+      case "bus" =>
+        s"""{"query":"${f.name}","bus_live_mb":${f.live},"bus_best_mb":${f.best},"bus_rerun_mb":${f.rerun},"reproduced":${f.reproduced}}"""
+      case _ =>
+        s"""{"query":"${f.name}","shuffle_live_mb":${f.live},"shuffle_best_mb":${f.best},"shuffle_rerun_mb":${f.rerun},"reproduced":${f.reproduced}}"""
+    }
+
+    // Best-section merge over the FULL registered surface: prior minima
+    // survive even for queries this (possibly partial/subset) run never
+    // measured — only de-registered queries drop out. Measured queries
+    // floor their entry at today's live value; failed ones (-1) keep
+    // their prior best (the failure is loud in queries/errors; best
+    // records history, not health).
+    val registered = SparkEntry.queries.keySet
+    def mergeBest(prior: Map[String, Double], live: Map[String, Double]): Seq[(String, Double)] = {
+      val names = (prior.keySet.filter(registered) ++ live.keySet).toSeq.sorted
+      names.map { n =>
+        val b = (prior.get(n), live.get(n)) match {
+          case (Some(old), Some(v)) if old >= 0 && v >= 0 => math.min(old, v)
+          case (Some(old), _) if old >= 0                 => old
+          case (_, Some(v))                               => v
+          case _                                          => -1.0
         }
-      val reproduced = rerun >= 0 &&
-        (if (kind == "time") timeRegressed(rerun, b) else shuffleRegressed(rerun, b))
-      (name, kind, live, b, rerun, reproduced)
+        (n, b)
+      }
     }
-    val regressions = adjudicated.map {
-      case (name, "time", live, b, rerun, rep) =>
-        s"""{"query":"$name","live":$live,"best":$b,"rerun":$rerun,"reproduced":$rep}"""
-      case (name, "bus", live, b, rerun, rep) =>
-        s"""{"query":"$name","bus_live_mb":$live,"bus_best_mb":$b,"bus_rerun_mb":$rerun,"reproduced":$rep}"""
-      case (name, _, live, b, rerun, rep) =>
-        s"""{"query":"$name","shuffle_live_mb":$live,"shuffle_best_mb":$b,"shuffle_rerun_mb":$rerun,"reproduced":$rep}"""
+
+    def emit(results: Seq[Result], partial: Boolean): Unit = {
+      val qs = jmap(results.map(r => (r.name, r.sec)))
+      val shuffleMb = jmap(results.map(r => (r.name, r.shuffleMb)))
+      val busMb = jmap(results.collect { case r if r.busMb != 0.0 => (r.name, r.busMb) })
+      val errors = results.collect { case r if r.err.nonEmpty => "\"" + r.name + "\":" + jstr(r.err.get) }
+        .mkString("{", ",", "}")
+      val total = results.collect { case r if r.err.isEmpty => r.sec }.sum
+      val nFailed = results.count(_.err.nonEmpty)
+      val regJson = results.flatMap(_.flags).map(flagJson).mkString("[", ",", "]")
+      val best = mergeBest(priorBest,
+        results.collect { case r if r.err.isEmpty => (r.name, r.sec) }.toMap)
+      val bestShuffle = mergeBest(priorBestShuffle,
+        results.collect { case r if r.err.isEmpty => (r.name, r.shuffleMb) }.toMap)
+      val bestBus = mergeBest(priorBestBus,
+        results.collect { case r if r.err.isEmpty && r.busMb != 0.0 => (r.name, r.busMb) }.toMap)
+      val bestTotal = best.map(_._2).filter(_ > 0).sum
+      // host-speed indicator: median(live/best) over queries big enough
+      // to measure — ~1.0 on a healthy host, ~1.8 in the r12 episode;
+      // lets a reader separate uniform host drift from per-query
+      // regressions without re-deriving it from the raw maps
+      val bestMap = best.toMap
+      val ratios = results.collect {
+        case r if r.err.isEmpty && r.sec > 0 && bestMap.getOrElse(r.name, -1.0) >= 0.5 =>
+          r.sec / bestMap(r.name)
+      }.sorted
+      val hostRatio =
+        if (ratios.isEmpty) 1.0 else math.rint(ratios(ratios.size / 2) * 100) / 100
+      val stamp = java.time.Instant.now().toString
+      val provenance =
+        s"""{"policy":"live measurements canonical; best = per-query historical minima; regression = live > 2x best + 0.5s (time) or + 1MB (volume); lazy repeats: re-run only on flag, budget-bounded","repeats":$repeats,"budget_sec":$budgetSec,"warmup_sec":${math.rint(warmupSec * 10) / 10},"written":"$stamp"}"""
+      val partialField = if (partial) """"partial":true,""" else ""
+      val liveJson =
+        s"""{"metric":"total",$partialField"value":$total,"unit":"sec","queries":$qs,"failed":$nFailed,"errors":$errors,"sf":"$sfDir","regressions":$regJson,"host_ratio":$hostRatio,"shuffle_mb":$shuffleMb,"bus_mb":$busMb}"""
+      val artifactJson =
+        s"""{"metric":"total",$partialField"value":$total,"unit":"sec","queries":$qs,"failed":$nFailed,"errors":$errors,"sf":"$sfDir","regressions":$regJson,"host_ratio":$hostRatio,"best":${jmap(best)},"best_total":$bestTotal,"shuffle_mb":$shuffleMb,"best_shuffle_mb":${jmap(bestShuffle)},"bus_mb":$busMb,"best_bus_mb":${jmap(bestBus)},"provenance":$provenance}"""
+      // The driver captures only a bounded output TAIL; an ~8 KB JSON
+      // line has been truncated into "parsed: null" two rounds running.
+      // Persist the full JSON to a file (atomically: write + move, so a
+      // kill mid-write can't leave a truncated artifact), and at the
+      // end print the JSON plus a short health summary as the LAST
+      // lines so any tail capture shows pass/fail at a glance.
+      try {
+        val tmp = java.nio.file.Paths.get(outFile + ".tmp")
+        java.nio.file.Files.writeString(tmp,
+          (if (canonical) artifactJson else liveJson) + "\n")
+        java.nio.file.Files.move(tmp, java.nio.file.Paths.get(outFile),
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      } catch { case e: Throwable =>
+        // never fail the bench over the artifact, but never hide it either
+        System.err.println(s"[bench] WARN could not write $outFile: $e")
+      }
+      if (!partial) {
+        val summary =
+          s"""{"metric":"summary","failed":$nFailed,"total_sec":${math.round(total)},"queries":${results.size},"regressions":${results.flatMap(_.flags).size},"host_ratio":$hostRatio,"sf":"$sfDir"}"""
+        // Summary goes to stderr too: even if a capture channel prefixes
+        // or truncates stdout, the bare line exists somewhere.
+        System.err.println(summary)
+        println(liveJson)
+        println(summary)
+      }
     }
-    val regJson = regressions.mkString("[", ",", "]")
-    val bestTotal = best.map(_._2).filter(_ > 0).sum
-    val stamp = java.time.Instant.now().toString
-    val provenance =
-      s"""{"policy":"live measurements canonical; best = per-query historical minima; regression = live > 2x best + 0.5s (time) or + 1MB (shuffle)","repeats":$repeats,"written":"$stamp"}"""
-    val liveJson =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$nFailed,"errors":$errors,"sf":"$sfDir","regressions":$regJson,"shuffle_mb":$shuffleMb,"bus_mb":$busMb}"""
-    val artifactJson =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$nFailed,"errors":$errors,"sf":"$sfDir","regressions":$regJson,"best":${jmap(best)},"best_total":$bestTotal,"shuffle_mb":$shuffleMb,"best_shuffle_mb":${jmap(bestShuffle)},"bus_mb":$busMb,"best_bus_mb":${jmap(bestBus)},"provenance":$provenance}"""
-    // The driver captures only a bounded output TAIL; an ~8 KB JSON line
-    // has been truncated into "parsed: null" two rounds running. Persist
-    // the full JSON to a file too, and make the LAST line a short
-    // health summary so any tail capture shows pass/fail at a glance.
-    try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile),
-      (if (canonical) artifactJson else liveJson) + "\n")
-    catch { case e: Throwable =>
-      // never fail the bench over the artifact, but never hide it either
-      System.err.println(s"[bench] WARN could not write $outFile: $e")
+
+    // A failed query must be VISIBLE: its time is the -1 sentinel (never
+    // a bogus time-to-crash) and its message lands in the errors map.
+    // Cache is cleared AFTER every run: queries that persist
+    // intermediates (minhash shingles, CC frontiers, simhash sigs)
+    // must not bleed cached blocks into each other's measurements —
+    // each timed number is a cold-cache plan execution.
+    val acc = scala.collection.mutable.ArrayBuffer.empty[Result]
+    selected.foreach { case (name, fn) =>
+      val first = runOnce(fn)
+      val res = first match {
+        case Left(e) => Result(name, -1.0, -1.0, -1.0, Some(e), Nil)
+        case Right(m0) =>
+          def trips(m: Meas): Seq[(String, Double, Double)] = {
+            val t = priorBest.get(name).toSeq.collect {
+              case b if b > 0 && timeRegressed(m.sec, b) => ("time", m.sec, b)
+            }
+            val s = priorBestShuffle.get(name).toSeq.collect {
+              case b if b >= 0 && volRegressed(m.shuffleB / 1e6, b) =>
+                ("shuffle", mb(m.shuffleB / 1e6), b)
+            }
+            val u = priorBestBus.get(name).toSeq.collect {
+              case b if b >= 0 && m.busB != 0 && volRegressed(m.busB / 1e6, b) =>
+                ("bus", mb(m.busB / 1e6), b)
+            }
+            t ++ s ++ u
+          }
+          val firstTrips = trips(m0)
+          // lazy repeats: extra runs only when flagged, bounded by the
+          // remaining wall-clock budget
+          val maxExtra =
+            if (eager) repeats - 1
+            else if (firstTrips.isEmpty) 0
+            else if (elapsedSec > 0.85 * budgetSec) 0
+            else if (elapsedSec > 0.60 * budgetSec) 1
+            else repeats - 1
+          val extra = (1 to maxExtra).map(_ => runOnce(fn)).collect { case Right(m) => m }
+          val all = m0 +: extra
+          val live = Meas(all.map(_.sec).min, all.map(_.shuffleB).min, all.map(_.busB).min)
+          val flags = trips(live).map { case (kind, liveV, b) =>
+            val rerun =
+              if (extra.isEmpty) -1.0
+              else kind match {
+                case "time" => extra.map(_.sec).min
+                case "bus"  => mb(extra.map(_.busB).min / 1e6)
+                case _      => mb(extra.map(_.shuffleB).min / 1e6)
+              }
+            val reproduced = rerun >= 0 &&
+              (if (kind == "time") timeRegressed(rerun, b) else volRegressed(rerun, b))
+            Flag(name, kind, liveV, b, rerun, reproduced)
+          }
+          Result(name, live.sec, mb(live.shuffleB / 1e6), mb(live.busB / 1e6), None, flags)
+      }
+      acc += res
+      emit(acc.toSeq, partial = true)
     }
-    val summary =
-      s"""{"metric":"summary","failed":$nFailed,"total_sec":${math.round(total)},"queries":${results.size},"regressions":${regressions.size},"sf":"$sfDir"}"""
-    // Summary goes to stderr too: even if a capture channel prefixes or
-    // truncates stdout, the bare line exists somewhere.
-    System.err.println(summary)
-    println(liveJson)
-    println(summary)
+    emit(acc.toSeq, partial = false)
     spark.stop()
   }
 }

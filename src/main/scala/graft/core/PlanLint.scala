@@ -129,9 +129,39 @@ object PlanLint {
     // across solo JVMs from exactly this). Unwrap every stage/reuse
     // wrapper to the plan it stands for BEFORE canonicalizing, so two
     // occurrences of one computation always canonicalize equal.
+    // ReusedExchangeExec substitution must REMAP the substituted
+    // subtree's output ExprIds onto the reuse node's own output ids:
+    // the reusing parent's expressions reference r.output, and Spark's
+    // positional exprId normalization can only line them up when the
+    // child it normalizes against actually exposes those ids. Without
+    // the remap, a parent over a reused exchange canonicalizes into a
+    // DIFFERENT group than its non-reused twin — and since AQE's reuse
+    // decision is a stage-submission race, the distinct-canonical
+    // counts flapped run-to-run (the q88 HashAggregate 16<->15 golden
+    // flake of rounds 10-12: 4 identical outdeg finals split 1+3 by
+    // whether their exchange was reused).
     def unwrap(p: SparkPlan): SparkPlan = p.transformUp {
       case s: QueryStageExec        => unwrap(s.plan)
-      case r: ReusedExchangeExec    => unwrap(r.child)
+      case r: ReusedExchangeExec    =>
+        val c = unwrap(r.child)
+        val remap = c.output.zip(r.output).collect {
+          case (from, to) if from.exprId != to.exprId => from.exprId -> to
+        }.toMap
+        if (remap.isEmpty) c
+        else c.transformUp { case n => n.transformExpressions {
+          case a: org.apache.spark.sql.catalyst.expressions.Attribute
+            if remap.contains(a.exprId) => remap(a.exprId)
+          // the producing side of an output id is usually an Alias —
+          // its exprId must move with the references or the subtree is
+          // left with dangling ids ("!Exchange hashpartitioning(...)")
+          // that canonicalize per-instance
+          case al: org.apache.spark.sql.catalyst.expressions.Alias
+            if remap.contains(al.exprId) =>
+            org.apache.spark.sql.catalyst.expressions.Alias(al.child, al.name)(
+              exprId = remap(al.exprId).exprId, qualifier = al.qualifier,
+              explicitMetadata = al.explicitMetadata,
+              nonInheritableMetadataKeys = al.nonInheritableMetadataKeys)
+        } }
       case a: AdaptiveSparkPlanExec => unwrap(a.executedPlan)
     }
     // some canonicalized copies detach from the session and NPE on

@@ -83,6 +83,15 @@ object IncrementalCc {
     * must be keyed ("id") and SHOULD name "cluster_id" in bloomCols
     * (missing sidecars never prune — the path stays correct, just
     * unpruned). Returns the same upsert rows as [[applyBatch]].
+    *
+    * SINGLE-WRITER ASSUMPTION: the step performs two independently
+    * version-fenced reads (the readForKeys lookup/anti-join, then the
+    * absorbed sweep) — each is internally consistent, but a concurrent
+    * writer committing BETWEEN them would mix two table versions
+    * inside one batch step. The caller must be the table's only
+    * writer for the duration of the step (true of the foreachBatch
+    * loop that owns the sink — merge's writer lock covers commits,
+    * not this read-compute phase).
     */
   def applyBatchIndexed(s: SparkSession, sink: graft.sink.MergeSink,
                         edges: DataFrame,

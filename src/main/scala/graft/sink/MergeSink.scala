@@ -91,6 +91,17 @@ final class MergeSink(
   import MergeSink.{BucketCol, LayoutStride, MaxLayoutGen}
   import TableManifest.{ColStats, Layout, Migration, Stats}
 
+  /** Gate/spec instrumentation: per-instance counters of sidecar-
+    * pruned point probes ([[readBucketsForPoints]]) — probes made,
+    * buckets admitted, buckets that existed at probe time. A gate that
+    * claims its sweep pruned can REQUIRE admitted < total instead of
+    * trusting the plan comment (per-instance, so concurrent queries'
+    * probes on OTHER tables cannot contaminate the evidence).
+    */
+  val probeCount = new java.util.concurrent.atomic.AtomicLong(0)
+  val probeBucketsAdmitted = new java.util.concurrent.atomic.AtomicLong(0)
+  val probeBucketsTotal = new java.util.concurrent.atomic.AtomicLong(0)
+
   private[graft] val manifest = new TableManifest(spark, path)
 
   /** LAYOUT IS MANIFEST-AUTHORITATIVE: the constructor's
@@ -386,9 +397,21 @@ final class MergeSink(
     * NEW sidecar while serving the OLD generation's rows).
     */
   def readBucketsForPoints(c: String, vs: Seq[Long]): DataFrame = consistentRead {
-    val bs = manifest.bucketsForPoints(c, vs.map(BucketBloom.hashLong))
-    if (bs.isEmpty) read().filter(lit(false))
-    else readBuckets(bs).getOrElse(read().filter(lit(false)))
+    // empty probe set short-circuits to an empty frame BEFORE bloom
+    // admission: "admitted if ANY probe might be contained" is
+    // vacuously false for zero probes, but an unbloomed bucket's
+    // missing-sidecar rule (forall on None) would admit it — an empty
+    // probe list on an unbloomed table returned the ENTIRE table
+    // (ADVICE r12; latent — callers guarded nChanged > 0)
+    if (vs.isEmpty) read().filter(lit(false))
+    else {
+      val bs = manifest.bucketsForPoints(c, vs.map(BucketBloom.hashLong))
+      probeCount.incrementAndGet()
+      probeBucketsAdmitted.addAndGet(bs.size)
+      probeBucketsTotal.addAndGet(manifest.mapping().size)
+      if (bs.isEmpty) read().filter(lit(false))
+      else readBuckets(bs).getOrElse(read().filter(lit(false)))
+    }
   }
 
   /** Upsert one batch. Empty batches are a no-op (no read, no write).

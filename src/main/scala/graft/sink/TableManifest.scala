@@ -641,20 +641,27 @@ final class TableManifest(spark: SparkSession, val root: String) {
     * recorded one — (numHashes, bits).
     */
   def bloom(bucket: Int, c: String): Option[(Int, Array[Byte])] =
-    mapping().get(bucket).flatMap { gen =>
-      val p = bloomPath(gen, bucket, c)
-      if (!fs.exists(p)) None
-      else {
-        val len = fs.getFileStatus(p).getLen.toInt - 4
-        val in = fs.open(p)
-        try {
-          val k = in.readInt()
-          val bits = new Array[Byte](len)
-          in.readFully(bits)
-          Some((k, bits))
-        } finally in.close()
-      }
+    mapping().get(bucket).flatMap(gen => bloomIn(gen, bucket, c))
+
+  /** [[bloom]] against an already-resolved generation — the form the
+    * batched probes use so one manifest resolve serves every bucket
+    * (and so a probe can never mix two committed versions
+    * mid-iteration, which per-bucket `mapping()` calls could).
+    */
+  private def bloomIn(gen: String, bucket: Int, c: String): Option[(Int, Array[Byte])] = {
+    val p = bloomPath(gen, bucket, c)
+    if (!fs.exists(p)) None
+    else {
+      val len = fs.getFileStatus(p).getLen.toInt - 4
+      val in = fs.open(p)
+      try {
+        val k = in.readInt()
+        val bits = new Array[Byte](len)
+        in.readFully(bits)
+        Some((k, bits))
+      } finally in.close()
     }
+  }
 
   /** Buckets that MIGHT hold a row with `c` hashing to `hash` — the
     * metadata-level point-lookup decision ([[bucketsForRange]]'s
@@ -673,12 +680,14 @@ final class TableManifest(spark: SparkSession, val root: String) {
     * is admitted if ANY probe hash might be contained (or it has no
     * sidecar — missing information never prunes).
     */
-  def bucketsForPoints(c: String, hashes: Seq[Long]): Seq[Int] =
-    mapping().keys.filter { b =>
-      bloom(b, c).forall { case (k, bits) =>
+  def bucketsForPoints(c: String, hashes: Seq[Long]): Seq[Int] = {
+    val m = mapping() // ONE resolve: every bucket probes the same committed version
+    m.filter { case (b, gen) =>
+      bloomIn(gen, b, c).forall { case (k, bits) =>
         hashes.exists(h => BucketBloom.mightContain(bits, k, h))
       }
-    }.toSeq.sorted
+    }.keys.toSeq.sorted
+  }
 
   /** Per-bucket (fileName, size, mtime) of the current snapshot — the
     * metadata the compaction policy and layout audits read.
