@@ -185,9 +185,26 @@ object Bench {
         }
     }
 
+    // Warm-up (round-13 rework): the old FULL-surface sf0.001 pass cost
+    // 467 s of the r13 slow-host run — the ~50 streaming/commit gates
+    // pay their multi-second fixed floors at ANY sf, so warming them
+    // double-paid the suite's most expensive tier. What warm-up
+    // actually buys across queries is the SHARED machinery (first job,
+    // parquet reader, codegen compiler, noop sink); per-query codegen
+    // can only be warmed by the query itself, and the lazy-repeat rule
+    // already absorbs that: a first run inflated past the flag
+    // threshold re-measures warm and records the min. So: warm the
+    // shared paths with one cheap scan+agg query; SPARK_GRAFT_WARMUP=
+    // full restores the old behavior for A/B.
     val warmT0 = System.nanoTime()
     val warmDir = "/root/testdata/sf0.001"
-    selected.foreach { case (_, fn) =>
+    val warmSet =
+      if (sys.env.get("SPARK_GRAFT_WARMUP").contains("full")) selected
+      else selected.filter(_._1 == "q01_pricing_summary") match {
+        case Seq() => selected.take(1)
+        case w     => w
+      }
+    warmSet.foreach { case (_, fn) =>
       try exec(fn(spark, warmDir)) catch { case _: Throwable => () }
       spark.catalog.clearCache()
     }
