@@ -407,19 +407,34 @@ object AdvancedQueries {
   }
 
   /** Corpus PQ codes (vid, s, cent_idx): argmin per subspace via the
-    * packed-long min (round-6 snap + idx tie-break) inside a
-    * HashAggregate over a broadcast codebook — no sort, no window. */
+    * native codegen encoder [[graft.functions.PqEncodeCodes]] against
+    * the plan-embedded codebook — one row per vector in, nSub codes
+    * out, no join, no aggregate, no shuffle (round 13; the previous
+    * broadcast-crossJoin + packed-min HashAggregate materialized
+    * nCents x nSub = 128 lambda-evaluated rows per vector and was the
+    * scale probe's dominant cost at sf10). The codebook is index
+    * METADATA (PqCents x dim floats = 4 KB), collected once per call —
+    * at 100 TB it is trained once and versioned with the index, so
+    * baking it into the plan is the production shape, not a shortcut.
+    * Distance accumulation order, the round-6 snap, and the
+    * (distance, idx) tie-break are replicated bit-exactly (scaladoc of
+    * the expression); every consumer gate (q205/q207/q210/q211) stays
+    * on its unchanged one-shot oracle.
+    */
   private[graft] def pqEncode(emb: DataFrame, cents: DataFrame): DataFrame = {
-    val m = lit(PqCents.toLong)
-    val dist6i = round(round(pqSubDist(col("embedding"), col("ce"), col("s")), 6) * 1e6, 0)
-      .cast("long")
-    emb.select(col("vec_id").as("vid"), col("embedding"))
-      .crossJoin(broadcast(cents))
-      .withColumn("packed", dist6i * m + col("cent_idx"))
-      .groupBy(col("vid"), col("s"))
-      .agg(min(col("packed")).as("p"))
-      .withColumn("cent_idx", pmod(col("p"), m))
-      .select(col("vid"), col("s"), col("cent_idx"))
+    val cb: Array[Float] = cents.select(col("cent_idx"), col("ce")).distinct()
+      .collect()
+      .sortBy(_.getLong(0))
+      .flatMap(_.getSeq[Float](1))
+    require(cb.length == PqCents * PqSubspaces * PqSubDim,
+      s"codebook resolved ${cb.length} floats, expected full ${PqCents}x${PqSubspaces * PqSubDim}")
+    val codes = org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.functions.PqEncodeCodes(
+        org.apache.spark.sql.graft.ColumnBridge.expression(col("embedding")),
+        cb, PqSubspaces, PqSubDim, PqCents))
+    emb.select(col("vec_id").as("vid"), posexplode(codes))
+      .select(col("vid"), (col("pos") + 1).cast("int").as("s"),
+              col("col").as("cent_idx"))
   }
 
   /** ADC lookup table (qid, s, cent_idx, qd6i): |Q| x 8 x 16 rows —
