@@ -134,4 +134,60 @@ class AdvancedSpec extends SparkSpec {
     val after1 = graft.ext.Graph.kCorePeel(chain, k = 2, maxRounds = 1).count()
     assert(after1 == 6L, s"one peel round of the 6-chain should leave 6 directed edges, saw $after1")
   }
+
+  test("PqEncodeCodes: packed argmin semantics pinned — snap, tie-break, fold order") {
+    import graft.functions.PqEncodeCodes
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    // 1 subspace, dim 2, 3 centroids; vector equidistant from cents 1
+    // and 2 -> the (dist, idx) tie-break must pick the LOWER index
+    val cb = Array[Float](
+      0f, 0f,   // cent 0: dist = 2.0
+      2f, 0f,   // cent 1: dist = 2.0  (tie with cent 2)
+      0f, 2f)   // cent 2: dist = 2.0 - same distance, higher idx
+    val emb = new GenericArrayData(Array[Float](1f, 1f))
+    val codes = PqEncodeCodes.computeCodes(emb, cb, nSub = 1, subDim = 2, nCents = 3)
+    assert(codes.toLongArray().toSeq === Seq(0L), "equidistant tie must go to the lowest index")
+    // strictly nearer centroid wins regardless of position
+    val cb2 = Array[Float](5f, 5f, 1.25f, 0.75f, 0f, 0f)
+    val codes2 = PqEncodeCodes.computeCodes(emb, cb2, 1, 2, 3)
+    assert(codes2.toLongArray().toSeq === Seq(1L))
+    // snap semantics == the replaced column chain's round(round(d,6)*1e6,0):
+    // a distance differing only past the 6th decimal must TIE (same
+    // snapped micros), and the tie then resolves by index
+    val eps = 1e-9f
+    val cb3 = Array[Float](2f + eps, 0f, 2f, 0f)
+    val codes3 = PqEncodeCodes.computeCodes(emb, cb3, 1, 2, 2)
+    assert(codes3.toLongArray().toSeq === Seq(0L),
+      "sub-micro distance difference must snap equal and resolve by index")
+    // multi-subspace: codes are per-subspace independent argmins
+    val cb4 = Array[Float](
+      0f, 0f, 9f, 9f,   // cent 0: best in subspace 0
+      9f, 9f, 0f, 0f)   // cent 1: best in subspace 1
+    val emb4 = new GenericArrayData(Array[Float](0.1f, 0.1f, 0.2f, 0.2f))
+    val codes4 = PqEncodeCodes.computeCodes(emb4, cb4, nSub = 2, subDim = 2, nCents = 2)
+    assert(codes4.toLongArray().toSeq === Seq(0L, 1L))
+  }
+
+  test("pqEncode (native) == the replaced crossJoin + packed-min formulation, row for row") {
+    import org.apache.spark.sql.functions._
+    val emb = graft.core.Tables.embeddings(spark, sfDir)
+    val cents = graft.queries.AdvancedQueries.pqCodebook(spark, emb)
+    val native = graft.queries.AdvancedQueries.pqEncode(emb, cents)
+    // the pre-round-13 formulation, inlined as the reference
+    val m = lit(16L)
+    val sub = (v: org.apache.spark.sql.Column, c: org.apache.spark.sql.Column,
+               sCol: org.apache.spark.sql.Column) =>
+      aggregate(
+        zip_with(slice(v, (sCol - 1) * 8 + 1, lit(8)), slice(c, (sCol - 1) * 8 + 1, lit(8)),
+          (x, y) => (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double"))),
+        lit(0.0), (acc, x) => acc + x)
+    val dist6i = round(round(sub(col("embedding"), col("ce"), col("s")), 6) * 1e6, 0).cast("long")
+    val ref = emb.select(col("vec_id").as("vid"), col("embedding"))
+      .crossJoin(broadcast(cents))
+      .withColumn("packed", dist6i * m + col("cent_idx"))
+      .groupBy(col("vid"), col("s")).agg(min(col("packed")).as("p"))
+      .select(col("vid"), col("s"), pmod(col("p"), m).as("cent_idx"))
+    assert(native.exceptAll(ref).isEmpty && ref.exceptAll(native).isEmpty,
+      "native encoder must be row-identical to the replaced formulation")
+  }
 }
