@@ -41,7 +41,12 @@ import org.apache.spark.sql.types._
   * code after the min-aggregate; here the expression is null-safe
   * (NULL in -> NULL array out), and a posexplode caller drops the
   * row. Embeddings are non-null by schema in every gate and testdata
-  * drop.
+  * drop — and both corners are PINNED by spec (AdvancedSpec), not just
+  * documented: a NULL embedding yields a NULL code array (posexplode
+  * drop is the caller's explicit choice), and an embedding SHORTER
+  * than nSub x subDim fails fast with a clear message instead of
+  * reading past the unsafe buffer (the old slice/zip_with form
+  * silently degraded to null distances there).
   */
 case class PqEncodeCodes(
     child: Expression,
@@ -94,6 +99,16 @@ object PqEncodeCodes {
   def computeCodes(emb: ArrayData, cb: Array[Float],
                    nSub: Int, subDim: Int, nCents: Int): ArrayData = {
     val dim = nSub * subDim
+    // Fail fast on a malformed vector: the unsafe getFloat below would
+    // otherwise read past the array buffer (AIOOBE deep inside
+    // generated code, or worse, garbage floats). The replaced
+    // slice/zip_with formulation degraded to null distances here; a
+    // short embedding is corrupt input, not a null, so the defined
+    // behavior is a loud error naming the row's shape.
+    if (emb.numElements() < dim)
+      throw new IllegalArgumentException(
+        s"PqEncodeCodes: embedding has ${emb.numElements()} elements, " +
+          s"need >= $dim ($nSub subspaces x $subDim dims)")
     val out = new Array[Long](nSub)
     var s = 0
     while (s < nSub) {

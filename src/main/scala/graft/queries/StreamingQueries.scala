@@ -1814,7 +1814,7 @@ object StreamingQueries {
     * sink's per-instance probe counters must show the sidecar path
     * actually ran (probeCount > 0) and actually pruned
     * (admitted < existing buckets summed over probes) — a REQUIRE,
-    * not a plan comment. 16 buckets and 6 slices keep the gate's
+    * not a plan comment. 32 buckets and 8 slices keep the gate's
     * commit sequencing affordable while bloom exclusion still has
     * room to bite at gate scale.
     */
@@ -3382,9 +3382,11 @@ object StreamingQueries {
     * verdicts keyed (train_id, eval_id). Per-wave cost is O(|wave|)
     * shingling + the bloom-admitted buckets' reads — sublinear in the
     * index whenever the wave's shingle set doesn't blanket it; probe
-    * lists are driver metadata, so a wave over probeCap distinct
-    * shingles falls back to the full index scan (q249's measured-cap
-    * discipline) rather than shipping a data-scale literal list.
+    * lists are driver metadata, REQUIREd under probeCap (an over-cap
+    * wave aborts the gate loudly — a production caller splits such a
+    * wave into sub-cap probe chunks, which the residual g equi-join
+    * makes exactly equivalent, rather than shipping a data-scale
+    * literal list).
     * REQUIREs pin the shape: exactly ONE index commit (the corpus is
     * never re-scanned), one verdict commit PER WAVE, and every wave
     * under the cap actually taking the pruned path. The oracle is
@@ -3424,11 +3426,17 @@ object StreamingQueries {
         .localCheckpoint(true) // shingled once: probe list + join probe
       val ghs = wave.select(xxhash64(col("g")).as("gh")).distinct()
         .limit(probeCap + 1).collect().map(_.getLong(0)).toSeq
-      val admitted =
-        if (ghs.size <= probeCap) index.readBucketsForPoints("gh", ghs)
-        else index.read() // data-scale wave: no driver-side literal list
+      // Cap check BEFORE probing: the gate's contract is that the
+      // pruned sidecar path is the one exercised, so an over-cap wave
+      // aborts loudly here. (A full `index.read()` fallback would also
+      // be correct — the residual g equi-join discharges any
+      // over-admission — but an `else` branch after this require is
+      // dead code, and a production caller with a data-scale wave
+      // splits it into sub-cap probe chunks instead: chunked probes
+      // are exactly equivalent under the equi-join residual.)
       require(ghs.size <= probeCap,
         "gate waves are benchmark-sized: the pruned path must be the one exercised")
+      val admitted = index.readBucketsForPoints("gh", ghs)
       val hits = admitted.filter(col("df") <= dfCap)
         .join(broadcast(wave), "g")
         .groupBy(col("train_id"), col("eval_id"))

@@ -168,6 +168,38 @@ class AdvancedSpec extends SparkSpec {
     assert(codes4.toLongArray().toSeq === Seq(0L, 1L))
   }
 
+  test("PqEncodeCodes corners pinned: NULL embedding -> NULL codes (posexplode drops); short embedding fails fast") {
+    import org.apache.spark.sql.functions._
+    // 2 cents x (1 subspace x 2 dims)
+    val cb = Array[Float](0f, 0f, 1f, 1f)
+    def codesCol = org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.functions.PqEncodeCodes(
+        org.apache.spark.sql.graft.ColumnBridge.expression(col("embedding")),
+        cb, nSub = 1, subDim = 2, nCents = 2))
+    val df = Seq(
+      (1L, Some(Seq(0.9f, 0.9f))),
+      (2L, None: Option[Seq[Float]])
+    ).toDF("vec_id", "embedding")
+    // expression level: NULL in -> NULL array out (never a fabricated code)
+    val byId = df.select(col("vec_id"), codesCol.as("codes")).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getSeq[Long](1))).toMap
+    assert(byId(1L) === Seq(1L), "non-null vector must encode normally beside a NULL row")
+    assert(byId(2L) == null, "NULL embedding must carry a NULL code array")
+    // q205-path shape: posexplode DROPS the NULL row — the documented
+    // (and deliberate) caller behavior, pinned so it can't change silently
+    val exploded = df.select(col("vec_id"), posexplode(codesCol)).collect().map(_.getLong(0))
+    assert(exploded.toSeq === Seq(1L), "posexplode must drop the NULL-embedding row only")
+    // a SHORT embedding is corrupt input: loud error naming the shape,
+    // never an unsafe-buffer over-read or silent null distances
+    val ex = intercept[Throwable] {
+      Seq((3L, Seq(0.5f))).toDF("vec_id", "embedding").select(codesCol).collect()
+    }
+    val msgs = Iterator.iterate(ex)(_.getCause).takeWhile(_ != null).take(8)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+    assert(msgs.contains("PqEncodeCodes") && msgs.contains("need >="),
+      s"short embedding must fail fast with the shape in the message, saw: $msgs")
+  }
+
   test("pqEncode (native) == the replaced crossJoin + packed-min formulation, row for row") {
     import org.apache.spark.sql.functions._
     val emb = graft.core.Tables.embeddings(spark, sfDir)
