@@ -336,7 +336,7 @@ object Bench {
     // cache shape, GC pressure, fragmented old gen from the ~150
     // queries before it) starts from zero. Returns per-metric
     // (sec, shuffle_mb, bus_mb) parsed from the child's own artifact.
-    def freshMeasure(qname: String): Option[(Double, Double, Double)] = {
+    def freshMeasure(qname: String, bestSec: Double): Option[(Double, Double, Double)] = {
       import scala.jdk.CollectionConverters._
       val out = java.nio.file.Files.createTempFile("graft_fresh_", ".json")
       val log = java.nio.file.Files.createTempFile("graft_fresh_", ".log")
@@ -357,7 +357,12 @@ object Bench {
         env.put("SPARK_GRAFT_BENCH_OUT", out.toString)
         env.put("SPARK_GRAFT_SF_DIR", sfDir)
         env.put("SPARK_GRAFT_EAGER", "1")
-        env.put("SPARK_GRAFT_REPEATS", "2")
+        // min-of-2 is enough for multi-second queries, but a SUB-SECOND
+        // query's fresh-JVM measurement is dominated by its own first-run
+        // codegen compile — the r14 sweep's one residual flag (q123,
+        // best 0.18 s) measured 1.5 s as a min-of-2 in a fresh JVM. Tiny
+        // queries cost ~nothing to repeat, so buy them a warmer min.
+        env.put("SPARK_GRAFT_REPEATS", if (bestSec > 0 && bestSec < 2.0) "5" else "2")
         env.put("SPARK_GRAFT_CPUS", cpus)
         env.put("SPARK_GRAFT_FRESH_CHILD", "1") // a fork never forks
         pb.redirectErrorStream(true)
@@ -616,7 +621,7 @@ object Bench {
             else {
               freshForks += 1
               val fr0 = System.nanoTime()
-              val fm = freshMeasure(name)
+              val fm = freshMeasure(name, priorBest.getOrElse(name, -1.0))
               rerunSpent += (System.nanoTime() - fr0) / 1e9
               fm match {
                 case None => flags // fork failed: in-sweep verdict stands

@@ -38,6 +38,28 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("l_comment"), "scan reads unused l_comment")
   }
 
+  test("q241's PPJoin plan stays exchange-REUSABLE: self-joined legs plan as ReusedExchange") {
+    // The PPJoin candidate step self-joins `prefix` and re-reads
+    // `base`/`docs`; the 1.171 MB canonical shuffle volume depends on
+    // those legs planning as ReusedExchange rather than duplicate
+    // exchanges (~6.5 MB re-materialized with reuse disabled — measured
+    // round 14). Under AQE, reuse is a best-effort runtime cache and
+    // can legitimately miss under sweep load (the r13 q241 volume flag,
+    // SEMANTICS round-14); REUSABILITY of the shape is plan-time and
+    // deterministic with AQE off, so that is what CI pins: an edit that
+    // makes the two legs non-canonical (e.g. divergent expression
+    // rewrites per leg) would silently multiply q241's shuffle at every
+    // scale, and this assertion catches it at spec time.
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val p = plan("q241_planted_pair_completeness")
+      val reused = "ReusedExchange".r.findAllIn(p).size
+      assert(reused >= 1,
+        s"expected ReusedExchange in q241's static plan, saw none — the self-join legs no longer reuse")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
   test("dimension join broadcasts the small side (no full shuffle)") {
     val p = plan("q04_broadcast_dim")
     assert(p.contains("BroadcastHashJoin"), "dim join is not broadcast")
