@@ -357,12 +357,15 @@ object Bench {
         env.put("SPARK_GRAFT_BENCH_OUT", out.toString)
         env.put("SPARK_GRAFT_SF_DIR", sfDir)
         env.put("SPARK_GRAFT_EAGER", "1")
-        // min-of-2 is enough for multi-second queries, but a SUB-SECOND
-        // query's fresh-JVM measurement is dominated by its own first-run
-        // codegen compile — the r14 sweep's one residual flag (q123,
-        // best 0.18 s) measured 1.5 s as a min-of-2 in a fresh JVM. Tiny
-        // queries cost ~nothing to repeat, so buy them a warmer min.
-        env.put("SPARK_GRAFT_REPEATS", if (bestSec > 0 && bestSec < 2.0) "5" else "2")
+        // min-of-2 under-samples: a SUB-SECOND query's fresh-JVM
+        // measurement is dominated by its own first-run codegen compile
+        // (q123, best 0.18 s, read 1.5 s as a min-of-2), and a VOLUME
+        // verdict needs enough executions for a timing-dependent
+        // exchange-reuse hit to show up in the min (q241: 4/4 cold
+        // single executions missed at 4.138 MB; warm seconds hit
+        // 1.171 MB). Tiny queries repeat for ~nothing; bigger ones get
+        // min-of-3.
+        env.put("SPARK_GRAFT_REPEATS", if (bestSec > 0 && bestSec < 2.0) "5" else "3")
         env.put("SPARK_GRAFT_CPUS", cpus)
         env.put("SPARK_GRAFT_FRESH_CHILD", "1") // a fork never forks
         pb.redirectErrorStream(true)
@@ -612,10 +615,17 @@ object Bench {
           // that caused it; r13's q143 rerun was WORSE than live).
           // Spill flags stay in-sweep: spill measured in a fresh quiet
           // JVM says nothing about the sweep-state spill it adjudicates.
+          // SUB-0.5s-BEST time flags never fork (r14 sweep 3 lesson:
+          // they spent all three slots before the sweep's one decisive
+          // volume flag arrived, and their fresh verdicts are dominated
+          // by fixed overheads that degrade MORE than compute on a
+          // contended host — q122's min-of-5 fresh still read 10x best).
+          def forkWorthy(f: Flag): Boolean =
+            f.reproduced && f.kind != "spill" && (f.kind != "time" || f.best >= 0.5)
           val wantFresh = !eager && sys.env.get("SPARK_GRAFT_FRESH_CHILD").isEmpty &&
-            freshForks < 3 &&
+            freshForks < 4 &&
             elapsedSec < 0.70 * budgetSec && rerunSpent < 0.25 * budgetSec &&
-            flags.exists(f => f.reproduced && f.kind != "spill")
+            flags.exists(forkWorthy)
           val flagsAdj =
             if (!wantFresh) flags
             else {
@@ -652,7 +662,43 @@ object Bench {
       }
       emit(acc.toSeq, partial = true)
     }
-    emit(refilterTime(acc.toSeq), partial = false)
+    // Adjudicate flags the re-filter ADDS: a query judged clean at
+    // measurement time under the seed normalizer never got its lazy
+    // reruns, so a re-filter-added flag would ship with rerun = -1
+    // ("not machine-adjudicated" — the r14 sweep shipped five such).
+    // Each gets one end-of-sweep rerun under the FULL normalizer,
+    // escalating to the fresh-JVM verdict if it still reproduces,
+    // under the same budget caps as in-loop adjudication.
+    val finalResults = refilterTime(acc.toSeq).map { r => try {
+      r.flags.find(f => f.kind == "time" && f.rerun < 0 && f.fresh < 0) match {
+        case Some(f) if elapsedSec < 0.85 * budgetSec && rerunSpent < 0.25 * budgetSec =>
+          val rr0 = System.nanoTime()
+          val adj = runOnce(SparkEntry.queries(r.name)) match {
+            case Right(m) =>
+              val f1 = f.copy(rerun = m.sec, reproduced = timeRegressed(m.sec, f.best))
+              if (f1.reproduced && !eager && freshForks < 4 && f.best >= 0.5 &&
+                  sys.env.get("SPARK_GRAFT_FRESH_CHILD").isEmpty &&
+                  elapsedSec < 0.80 * budgetSec) {
+                freshForks += 1
+                freshMeasure(r.name, f.best) match {
+                  case Some((fSec, _, _)) =>
+                    f1.copy(fresh = fSec, reproduced = timeRegressed(fSec, f.best))
+                  case None => f1
+                }
+              } else f1
+            case Left(_) => f
+          }
+          rerunSpent += (System.nanoTime() - rr0) / 1e9
+          r.copy(flags = r.flags.map(x => if (x.kind == "time") adj else x))
+        case _ => r
+      }
+    } catch { case e: Throwable =>
+      // the final pass must never cost the artifact: any adjudication
+      // failure ships the flag with its rerun = -1 marker instead
+      System.err.println(s"[bench] WARN final-pass adjudication of ${r.name} failed: $e")
+      r
+    }}
+    emit(finalResults, partial = false)
     spark.stop()
   }
 }
