@@ -43,6 +43,16 @@ object Rank {
     */
   def globalRowNumber(df: DataFrame, order: Seq[Column], rnCol: String,
                       numPartitions: Int = 0): DataFrame =
+    globalRowNumberWithTotal(df, order, rnCol, numPartitions)._1
+
+  /** [[globalRowNumber]] plus the TOTAL row count, for free: pass 2
+    * already collects one count per partition to build the offsets, so
+    * their sum is driver metadata the caller would otherwise pay a
+    * whole extra aggregate job (plus a broadcast attach) to recompute —
+    * q123's partner-draw modulus was exactly that redundant pass.
+    */
+  def globalRowNumberWithTotal(df: DataFrame, order: Seq[Column], rnCol: String,
+                               numPartitions: Int = 0): (DataFrame, Long) =
     twoPhase(df, order, numPartitions, count(lit(1))) { (parted, w) =>
       parted.withColumn(rnCol, row_number().over(w).cast("long") + col("__off"))
     }
@@ -63,7 +73,7 @@ object Rank {
       parted.withColumn(outCol,
         sum(col(valueCol)).over(w.rowsBetween(Window.unboundedPreceding,
           Window.currentRow)).cast("long") + col("__off"))
-    }
+    }._1
 
   /** Shared two-pass skeleton: range-repartition + in-partition sort
     * (checkpointed — see class doc), per-partition aggregate `perPart`
@@ -71,9 +81,13 @@ object Rank {
     * prefix-sum offsets broadcast back on `__pid`, then `build` runs
     * the parallel per-partition window with `__off` in scope.
     */
+  /** Returns (result, sum of the per-partition aggregates) — for
+    * `count(*)` that sum is the exact total row count, already on the
+    * driver as a byproduct of building the offsets.
+    */
   private def twoPhase(df: DataFrame, order: Seq[Column], numPartitions: Int,
                        perPart: Column)(
-      build: (DataFrame, org.apache.spark.sql.expressions.WindowSpec) => DataFrame): DataFrame = {
+      build: (DataFrame, org.apache.spark.sql.expressions.WindowSpec) => DataFrame): (DataFrame, Long) = {
     val spark = df.sparkSession
     import spark.implicits._
     val parts =
@@ -92,6 +106,7 @@ object Rank {
     val offDf = broadcast(offsets.toDF("__pid", "__off"))
     // pass 3: parallel per-partition window + offset
     val w = Window.partitionBy(col("__pid")).orderBy(order: _*)
-    build(parted.join(offDf, "__pid"), w).drop("__pid", "__off")
+    (build(parted.join(offDf, "__pid"), w).drop("__pid", "__off"),
+     totals.values.sum)
   }
 }

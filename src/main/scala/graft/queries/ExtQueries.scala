@@ -1631,20 +1631,24 @@ object ExtQueries {
     */
   def q123NegativeSampling(s: SparkSession, d: String): DataFrame = {
     val k = 3
-    val ranked = graft.ops.Rank.globalRowNumber(
+    // corpus size arrives FREE with the rank pass (one long per
+    // partition is already collected to build the offsets — round 14);
+    // the previous separate count aggregate + broadcast crossJoin was
+    // a whole redundant job on the fixed-floor path
+    val (ranked0, nRows) = graft.ops.Rank.globalRowNumberWithTotal(
         docs(s, d).select(col("doc_id"),
           md5(col("text").cast("binary")).as("content_hash")),
         Seq(col("doc_id")), "rn")
-      .withColumn("rnk", col("rn") - 1).drop("rn")
-    val n = ranked.agg(count(lit(1)).as("n"))
-    val draws = ranked.crossJoin(broadcast(n))
-      .select(col("doc_id"), col("content_hash"), col("rnk"), col("n"),
+    val ranked = ranked0.withColumn("rnk", col("rn") - 1).drop("rn")
+    val n = lit(nRows)
+    val draws = ranked
+      .select(col("doc_id"), col("content_hash"), col("rnk"),
         explode(array((0 until k).map(lit): _*)).as("j"))
       .withColumn("h", pmod(conv(substring(
         md5(concat(col("doc_id").cast("string"), lit("#"), col("j").cast("string"))),
-        1, 7), 16, 10).cast("long"), col("n")))
+        1, 7), 16, 10).cast("long"), n))
       .withColumn("cand", when(col("h") === col("rnk"),
-        pmod(col("h") + 1, col("n"))).otherwise(col("h")))
+        pmod(col("h") + 1, n)).otherwise(col("h")))
     val partners = ranked.select(col("rnk").as("cand"),
       col("doc_id").as("neg_doc_id"), col("content_hash").as("neg_hash"))
     draws.join(partners, "cand")

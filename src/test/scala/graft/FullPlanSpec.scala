@@ -70,7 +70,6 @@ class FullPlanSpec extends SparkSpec {
     val bnlj = Seq(
       "q112_bigram_lm" -> "corpus-total bigram count (1 row) for log-prob normalization",
       "q117_semantic_dedup" -> "k-means centroid table (k<=16 rows)",
-      "q123_negative_sampling" -> "corpus count n (1 row) for modular hash draws",
       "q132_fk_audit" -> "per-table count frames (1 row each) for the RI summary",
       "q163_rolling_distinct" -> "distinct-day probe frame (day-cardinality)",
       "q177_welch_ttest" -> "two group-moment rows joined all-pairs (2x1)",
