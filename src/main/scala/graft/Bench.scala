@@ -74,11 +74,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    `graft.Bench <query>` (same classpath/module options/heap as
   *    this process, eager min-of-2, its own warm-up), and THAT
   *    measurement is the verdict of record — `rerun_fresh` +
-  *    `rerun_mode:"fresh-jvm"` ride the flag. Bounded: at most 3
-  *    forks per sweep, none past 70% of the wall budget, spend
-  *    counts against the adjudication budget. A fork that fails to
-  *    produce a number leaves the in-sweep verdict standing
-  *    (`rerun_mode:"in-sweep"`).
+  *    `rerun_mode:"fresh-jvm"` ride the flag. Bounded: at most 4
+  *    forks per sweep, none past 70% of the wall budget, the child's
+  *    grace period is clamped to the remaining budget, spend counts
+  *    against the adjudication budget. A fork that fails to produce a
+  *    number leaves the in-sweep verdict standing
+  *    (`rerun_mode:"in-sweep"`), and the fresh verdict applies only
+  *    to the flags that earned the fork (sub-0.5s-best time flags
+  *    never take one — their fresh numbers are fixed-overhead noise).
   *  - SEEDED host normalizer: the running median(live/best) needs 20
   *    samples, so on a uniformly slow host the first ~19 queries of
   *    the sweep were judged un-normalized and flagged spuriously
@@ -371,7 +374,12 @@ object Bench {
         pb.redirectErrorStream(true)
         pb.redirectOutput(log.toFile)
         val proc = pb.start()
-        val done = proc.waitFor(420, java.util.concurrent.TimeUnit.SECONDS)
+        // clamp the fork's grace period to the REMAINING wall budget: a
+        // hung child admitted just under the 70%/80% gates must not push
+        // the sweep past the driver window the budget exists to protect
+        val waitSec = math.max(60L, math.min(420L,
+          ((0.95 * budgetSec) - elapsedSec).toLong))
+        val done = proc.waitFor(waitSec, java.util.concurrent.TimeUnit.SECONDS)
         if (!done) { proc.destroyForcibly(); None }
         else if (proc.exitValue() != 0) {
           System.err.println(s"[bench] WARN fresh-jvm rerun of $qname exited rc=${proc.exitValue()}")
@@ -489,8 +497,11 @@ object Bench {
         results.collect { case r if r.err.isEmpty => (r.name, r.shuffleMb) }.toMap)
       val bestBus = mergeBest(priorBestBus,
         results.collect { case r if r.err.isEmpty && r.busMb != 0.0 => (r.name, r.busMb) }.toMap)
+      // spill best records ZEROS too — "never spilled" is the baseline
+      // the 0 -> large rule needs; the live spill_mb map stays
+      // nonzero-only for compactness
       val bestSpill = mergeBest(priorBestSpill,
-        results.collect { case r if r.err.isEmpty && r.spillMb > 0.0 => (r.name, r.spillMb) }.toMap)
+        results.collect { case r if r.err.isEmpty && r.spillMb >= 0.0 => (r.name, r.spillMb) }.toMap)
       val bestTotal = best.map(_._2).filter(_ > 0).sum
       // host-speed indicator: median(live/best) over queries big enough
       // to measure — ~1.0 on a healthy host, ~1.8 in the r12 episode;
@@ -506,7 +517,7 @@ object Bench {
       val hostNorm = math.rint(hostEst() * 100) / 100
       val stamp = java.time.Instant.now().toString
       val provenance =
-        s"""{"policy":"live measurements canonical; best = per-query historical minima; regression = live > 2x best x host_norm + 0.5s (time, seeded normalizer + final re-filter) or > 2x best + 1MB (shuffle/bus) or + 64MB (spill); lazy repeats: re-run only on flag, budget-bounded; reproduced in-sweep flags escalate to a fresh forked JVM (<=3/sweep) whose measurement is the verdict of record","repeats":$repeats,"budget_sec":$budgetSec,"warmup_sec":${math.rint(warmupSec * 10) / 10},"written":"$stamp"}"""
+        s"""{"policy":"live measurements canonical; best = per-query historical minima; regression = live > 2x best x host_norm + 0.5s (time, seeded normalizer + final re-filter) or > 2x best + 1MB (shuffle/bus) or + 64MB (spill); lazy repeats: re-run only on flag, budget-bounded; reproduced in-sweep flags escalate to a fresh forked JVM (<=4/sweep, volume + multi-second time flags only) whose measurement is the verdict of record","repeats":$repeats,"budget_sec":$budgetSec,"warmup_sec":${math.rint(warmupSec * 10) / 10},"written":"$stamp"}"""
       val partialField = if (partial) """"partial":true,""" else ""
       val liveJson =
         s"""{"metric":"total",$partialField"value":$total,"unit":"sec","queries":$qs,"failed":$nFailed,"errors":$errors,"sf":"$sfDir","regressions":$regJson,"host_ratio":$hostRatio,"host_norm":$hostNorm,"shuffle_mb":$shuffleMb,"bus_mb":$busMb,"spill_mb":$spillMb}"""
@@ -566,10 +577,16 @@ object Bench {
               case b if b >= 0 && m.busB != 0 && volRegressed(m.busB / 1e6, b) =>
                 ("bus", mb(m.busB / 1e6), b)
             }
-            val sp = priorBestSpill.get(name).toSeq.collect {
-              case b if b >= 0 && spillRegressed(m.spillB / 1e6, b) =>
-                ("spill", mb(m.spillB / 1e6), b)
-            }
+            // a previously-measured query absent from best_spill_mb never
+            // spilled: judge it against an explicit 0 so a 0 -> large jump
+            // (the exact regression this metric exists for) flags instead
+            // of being grandfathered in as the new best
+            val sp = priorBestSpill.get(name)
+              .orElse(if (priorBest.contains(name)) Some(0.0) else None)
+              .toSeq.collect {
+                case b if b >= 0 && spillRegressed(m.spillB / 1e6, b) =>
+                  ("spill", mb(m.spillB / 1e6), b)
+              }
             t ++ s ++ u ++ sp
           }
           val firstTrips = trips(m0)
@@ -636,6 +653,11 @@ object Bench {
               fm match {
                 case None => flags // fork failed: in-sweep verdict stands
                 case Some((fSec, fShuf, fBus)) =>
+                  // the fresh verdict applies ONLY to the flags that
+                  // earned the fork: an already-exonerated co-flag, or a
+                  // sub-0.5s time flag the policy excludes, must not be
+                  // re-convicted by a fresh number that is fixed-overhead
+                  // noise for its class
                   flags.map { f =>
                     val freshV = f.kind match {
                       case "time"    => fSec
@@ -643,7 +665,7 @@ object Bench {
                       case "bus"     => fBus
                       case _         => -1.0
                     }
-                    if (freshV < 0) f
+                    if (freshV < 0 || !forkWorthy(f)) f
                     else f.copy(fresh = freshV, reproduced = f.kind match {
                       case "time" => timeRegressed(freshV, f.best)
                       case _      => volRegressed(freshV, f.best)
@@ -681,9 +703,12 @@ object Bench {
                   elapsedSec < 0.80 * budgetSec) {
                 freshForks += 1
                 freshMeasure(r.name, f.best) match {
-                  case Some((fSec, _, _)) =>
+                  // fSec < 0 = the child's query FAILED (its artifact
+                  // records the -1 sentinel, the process still exits 0):
+                  // the in-sweep verdict stands, same as the in-loop path
+                  case Some((fSec, _, _)) if fSec >= 0 =>
                     f1.copy(fresh = fSec, reproduced = timeRegressed(fSec, f.best))
-                  case None => f1
+                  case _ => f1
                 }
               } else f1
             case Left(_) => f

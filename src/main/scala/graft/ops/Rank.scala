@@ -79,11 +79,10 @@ object Rank {
     * (checkpointed — see class doc), per-partition aggregate `perPart`
     * collected to the driver (one long per partition), exclusive
     * prefix-sum offsets broadcast back on `__pid`, then `build` runs
-    * the parallel per-partition window with `__off` in scope.
-    */
-  /** Returns (result, sum of the per-partition aggregates) — for
-    * `count(*)` that sum is the exact total row count, already on the
-    * driver as a byproduct of building the offsets.
+    * the parallel per-partition window with `__off` in scope. Returns
+    * (result, sum of the per-partition aggregates) — for `count(*)`
+    * that sum is the exact total row count, already on the driver as a
+    * byproduct of building the offsets.
     */
   private def twoPhase(df: DataFrame, order: Seq[Column], numPartitions: Int,
                        perPart: Column)(
