@@ -102,6 +102,31 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    host-normalized time rule: a runtime-only regression with
   *    identical plans and volumes shows up as spill long before it
   *    shows up anywhere else.
+  *
+  * Round-15 rework (judge asks #1/#7 — the r14 DRIVER sweep landed in
+  * a window whose raw median(live/best) was 3.7x, past the normalizer
+  * clamp, and shipped 39 of 40 flags with rerun = -1 while 74-120x
+  * tail flags went unadjudicated):
+  *  - HOST-SATURATION self-marking: a sweep whose raw median exceeds
+  *    the clamp ceiling publishes `"host_saturated":true` — its time
+  *    data is non-canonical by construction; judge by volume / spill /
+  *    correctness plus the fresh-JVM verdicts.
+  *  - MAGNITUDE-ORDERED end-of-sweep adjudication: unresolved flags
+  *    are worked largest-normalized-ratio first, decisive flags
+  *    (multi-second best, >10x normalized) fork a fresh JVM DIRECTLY
+  *    (an in-sweep rerun in a saturated window can only convict), and
+  *    the end pass may spend the whole remaining wall window — the
+  *    sweep is complete, so adjudication no longer competes with it.
+  *  - FLOOR-AWARE time rule: per-query Spark JOB counts ride the
+  *    artifact (`jobs`), a 5-sample probe measures the sweep's per-job
+  *    launch cost (`floor_per_job_sec` in provenance, capped 0.5 s),
+  *    and the time rule subtracts jobs x that cost from the live
+  *    reading before applying 2x — the recurring "fixed driver-job
+  *    floor x contended host" false-flag class (q122/q149/q150/q243:
+  *    sub-second compute behind 3-5 sequential jobs) stops consuming
+  *    adjudication budget on every slow window, while a genuine
+  *    compute regression still sticks out (the floor is additive,
+  *    never a multiple of compute).
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -149,12 +174,23 @@ object Bench {
     // (host-normalized away) and volume (identical plan) both miss.
     val shuffleBytes = new java.util.concurrent.atomic.AtomicLong(0)
     val spillBytes = new java.util.concurrent.atomic.AtomicLong(0)
+    // per-query JOB COUNT (round 15, judge ask #7): the recurring false-
+    // flag class is "fixed driver-job floor x contended host" — a
+    // sub-second query with 3-4 sequential jobs reads 5-10x its best
+    // when job-launch overhead degrades more than compute. Counting
+    // jobs per query lets the time rule subtract an in-band floor
+    // estimate (jobs x measured per-job launch cost) before applying 2x.
+    val jobCount = new java.util.concurrent.atomic.AtomicLong(0)
     spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
       override def onStageCompleted(
           ev: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
         shuffleBytes.addAndGet(ev.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
         spillBytes.addAndGet(
           ev.stageInfo.taskMetrics.memoryBytesSpilled + ev.stageInfo.taskMetrics.diskBytesSpilled)
+      }
+      override def onJobStart(
+          ev: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobCount.incrementAndGet(); ()
       }
     })
     def shuffleNow(): Long = {
@@ -195,10 +231,26 @@ object Bench {
     // historical best at measurement time. The prior `host_ratio`
     // seeds the normalizer (round 14) so the first ~19 queries of a
     // slow-host sweep aren't judged against a fast-host yardstick.
-    val (priorBest, priorBestShuffle, priorBestBus, priorBestSpill, priorHostRatio):
-        (Map[String, Double], Map[String, Double], Map[String, Double], Map[String, Double], Double) = {
+    // BEST RE-PIN (round 15, judge ask #2): the measurement regime
+    // changed in round 13 (one-query warm-up + lazy single repeats, vs
+    // the old full-warmup triple-repeat), and a handful of sub-second
+    // fixed-floor queries carry `best` minima only the OLD regime on
+    // the fastest-ever host could produce — unreachable numbers that
+    // re-flag on every slow window and consume adjudication budget
+    // without a code change behind them. SPARK_GRAFT_REPIN=<q1,q2,...>
+    // retires such a TIME best explicitly: the old minimum moves to the
+    // in-band `best_archive` map (carried forward verbatim — the
+    // archive preserves the old-regime record, it is never re-minned),
+    // and the query's best re-seeds from THIS sweep's live measurement,
+    // from which future sweeps min-merge as usual. Explicit list only —
+    // an automatic rule would grandfather real regressions. Each re-pin
+    // must be documented in SEMANTICS with the archived value.
+    val repinSet: Set[String] = sys.env.get("SPARK_GRAFT_REPIN")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet).getOrElse(Set.empty)
+    val (priorBest, priorBestShuffle, priorBestBus, priorBestSpill, priorHostRatio, bestArchive):
+        (Map[String, Double], Map[String, Double], Map[String, Double], Map[String, Double], Double, Map[String, Double]) = {
       val p = java.nio.file.Paths.get(outFile)
-      if (!java.nio.file.Files.exists(p)) (Map.empty, Map.empty, Map.empty, Map.empty, 1.0)
+      if (!java.nio.file.Files.exists(p)) (Map.empty, Map.empty, Map.empty, Map.empty, 1.0, Map.empty)
       else
         try {
           import org.json4s._
@@ -239,11 +291,18 @@ object Bench {
             case JLong(l)   => l.toDouble
             case _          => 1.0
           }
-          (m, sh, bu, sp, hr)
+          // archive carried forward verbatim; a re-pinned query's old
+          // minimum joins it (oldest value wins — the archive records
+          // the retired regime, not a running min) and leaves priorBest
+          val arch0 = numbers(j \ "best_archive")
+          val retiring = m.view.filterKeys(k => repinSet(k) && !arch0.contains(k)).toMap
+          if (retiring.nonEmpty)
+            System.err.println(s"[bench] re-pinning best for ${retiring.keys.toSeq.sorted.mkString(",")} — old minima archived in best_archive")
+          (m -- repinSet, sh, bu, sp, hr, arch0 ++ retiring)
         } catch { case e: Throwable =>
           System.err.println(s"[bench] WARN could not parse prior artifact $outFile: $e")
           (Map.empty[String, Double], Map.empty[String, Double],
-           Map.empty[String, Double], Map.empty[String, Double], 1.0)
+           Map.empty[String, Double], Map.empty[String, Double], 1.0, Map.empty[String, Double])
         }
     }
 
@@ -271,6 +330,23 @@ object Bench {
       spark.catalog.clearCache()
     }
     val warmupSec = (System.nanoTime() - warmT0) / 1e9
+
+    // PER-JOB LAUNCH-COST probe (round 15, judge ask #7): five trivial
+    // single-task noop jobs, median. This is what the CURRENT sweep's
+    // host charges per job launch (scheduler round-trip + task launch +
+    // result fetch) — ~0.03-0.06 s healthy, 0.2-0.5 s on the contended
+    // windows that generated every q122/q149/q150/q243-class false
+    // flag. Capped at 0.5 s so one probe hiccup cannot buy a floor
+    // that masks a real multi-job regression. Rides the artifact as
+    // floor_per_job_sec.
+    val perJobSec: Double = {
+      val ts = (1 to 5).map { _ =>
+        val t0 = System.nanoTime()
+        exec(spark.range(1).toDF("i"))
+        (System.nanoTime() - t0) / 1e9
+      }.sorted
+      math.min(0.5, ts(ts.size / 2))
+    }
 
     def mb(v: Double) = math.rint(v * 1000) / 1000 // shuffle MB at KB resolution
     // HOST-NORMALIZED time rule (round 13): `best` minima were recorded
@@ -301,9 +377,16 @@ object Bench {
         val sorted = hostSamples.sorted
         math.min(3.0, math.max(1.0, sorted(sorted.size / 2)))
       }
-    def timeRegressed(live: Double, b: Double): Boolean = {
+    // floorSec = this query's measured job count x the sweep's per-job
+    // launch cost (judge ask #7): subtracted from the live reading
+    // before the 2x rule, so a fixed-floor query (3-4 sequential driver
+    // jobs, sub-second compute) stops flagging on every slow window
+    // while a genuine compute regression still sticks out — the floor
+    // is additive overhead, never a multiple of compute.
+    def timeRegressed(live: Double, b: Double, floorSec: Double = 0.0): Boolean = {
       val h = hostEst()
-      live > 2 * b * h && live - b * h > 0.5
+      val l = math.max(0.0, live - floorSec)
+      l > 2 * b * h && l - b * h > 0.5
     }
     def volRegressed(live: Double, b: Double): Boolean =
       mb(live) > 2 * b && mb(live) - b > 1.0
@@ -313,10 +396,12 @@ object Bench {
     def spillRegressed(live: Double, b: Double): Boolean =
       mb(live) > 2 * b && mb(live) - b > 64.0
 
-    final case class Meas(sec: Double, shuffleB: Long, busB: Long, spillB: Long)
+    final case class Meas(sec: Double, shuffleB: Long, busB: Long, spillB: Long,
+                          jobs: Long)
     def runOnce(fn: (SparkSession, String) => DataFrame): Either[String, Meas] = {
-      val s0 = shuffleNow()
+      val s0 = shuffleNow() // drains the listener bus, so j0 is settled
       val sp0 = spillNow()
+      val j0 = jobCount.get()
       val (p0, c0) = busNow()
       val t0 = System.nanoTime()
       try {
@@ -324,11 +409,16 @@ object Bench {
         val dt = (System.nanoTime() - t0) / 1e9
         val sh = shuffleNow() - s0 // drains the listener bus first
         val (p1, c1) = busNow()
-        Right(Meas(dt, sh, (p1 - p0) + (c1 - c0), spillNow() - sp0))
+        Right(Meas(dt, sh, (p1 - p0) + (c1 - c0), spillNow() - sp0,
+                   jobCount.get() - j0))
       }
       catch { case t: Throwable => Left(t.toString) }
       finally spark.catalog.clearCache()
     }
+    // a query's launch-overhead floor: its own measured job count x the
+    // sweep's per-job cost (jobs are deterministic for a plan + data,
+    // so any run's count serves every verdict on that query)
+    def floorOf(jobs: Long): Double = jobs * perJobSec
 
     // FRESH-JVM adjudication (round 14, judge ask #1): re-measure a
     // reproduced flag in a forked second JVM — same classpath, module
@@ -341,6 +431,12 @@ object Bench {
     // (sec, shuffle_mb, bus_mb) parsed from the child's own artifact.
     def freshMeasure(qname: String, bestSec: Double): Option[(Double, Double, Double)] = {
       import scala.jdk.CollectionConverters._
+      // a fork needs a real window (JVM + Spark startup + warm-up +
+      // min-of-N); if the remaining wall budget cannot grant one, skip
+      // the fork entirely rather than letting the old 60 s wait floor
+      // push the sweep past the driver window it exists to protect
+      // (ADVICE round 14)
+      if ((0.95 * budgetSec) - elapsedSec < 60) return None
       val out = java.nio.file.Files.createTempFile("graft_fresh_", ".json")
       val log = java.nio.file.Files.createTempFile("graft_fresh_", ".log")
       try {
@@ -375,10 +471,10 @@ object Bench {
         pb.redirectOutput(log.toFile)
         val proc = pb.start()
         // clamp the fork's grace period to the REMAINING wall budget: a
-        // hung child admitted just under the 70%/80% gates must not push
-        // the sweep past the driver window the budget exists to protect
-        val waitSec = math.max(60L, math.min(420L,
-          ((0.95 * budgetSec) - elapsedSec).toLong))
+        // hung child admitted just under the admission gates must not
+        // push the sweep past the driver window the budget exists to
+        // protect (admission above guarantees >= 60 s remains)
+        val waitSec = math.min(420L, ((0.95 * budgetSec) - elapsedSec).toLong)
         val done = proc.waitFor(waitSec, java.util.concurrent.TimeUnit.SECONDS)
         if (!done) { proc.destroyForcibly(); None }
         else if (proc.exitValue() != 0) {
@@ -393,9 +489,17 @@ object Bench {
             case JLong(l)   => Some(l.toDouble)
             case _          => None
           }
+          // bus absence semantics (ADVICE round 14): the child's emit
+          // omits zero-bus queries from bus_mb, so "bus_mb is a map and
+          // the query is absent" IS a measured zero — but a missing or
+          // non-object bus_mb section (format drift) is the -1 no-
+          // verdict sentinel, same as shuffle, never a silent zero.
+          val busV = j \ "bus_mb" match {
+            case JObject(_) => num(j \ "bus_mb" \ qname).getOrElse(0.0)
+            case _          => -1.0
+          }
           num(j \ "queries" \ qname).map { t =>
-            (t, num(j \ "shuffle_mb" \ qname).getOrElse(-1.0),
-                num(j \ "bus_mb" \ qname).getOrElse(0.0))
+            (t, num(j \ "shuffle_mb" \ qname).getOrElse(-1.0), busV)
           }
         }
       } catch { case e: Throwable =>
@@ -410,10 +514,15 @@ object Bench {
     // (query, kind, live, best, rerun, reproduced, fresh)
     // fresh >= 0 means a forked-JVM verdict exists and IS the verdict
     // of record (rerun_mode:"fresh-jvm"); -1 means in-sweep only.
+    // refilterExon (round 15, ADVICE): a flag the final full-sweep
+    // normalizer un-flags is KEPT (marked) when it carries adjudication
+    // data — a fresh-JVM fork's spend must leave a trace in the
+    // published artifact; only data-free flags (rerun<0, fresh<0) drop.
     final case class Flag(name: String, kind: String, live: Double, best: Double,
-                          rerun: Double, reproduced: Boolean, fresh: Double = -1.0)
+                          rerun: Double, reproduced: Boolean, fresh: Double = -1.0,
+                          refilterExon: Boolean = false)
     final case class Result(name: String, sec: Double, shuffleMb: Double,
-                            busMb: Double, spillMb: Double,
+                            busMb: Double, spillMb: Double, jobs: Long,
                             err: Option[String], flags: Seq[Flag])
 
     def jstr(s: String) = "\"" + s.replaceAll("[\"\\\\\n\r\t]", " ").take(200) + "\""
@@ -422,15 +531,16 @@ object Bench {
     def flagJson(f: Flag): String = {
       val mode = if (f.fresh >= 0) "fresh-jvm" else "in-sweep"
       val freshField = if (f.fresh >= 0) s""","rerun_fresh":${f.fresh}""" else ""
+      val exonField = if (f.refilterExon) s""","refilter":"exonerated"""" else ""
       f.kind match {
         case "time" =>
-          s"""{"query":"${f.name}","live":${f.live},"best":${f.best},"rerun":${f.rerun}$freshField,"rerun_mode":"$mode","reproduced":${f.reproduced}}"""
+          s"""{"query":"${f.name}","live":${f.live},"best":${f.best},"rerun":${f.rerun}$freshField,"rerun_mode":"$mode","reproduced":${f.reproduced}$exonField}"""
         case "bus" =>
-          s"""{"query":"${f.name}","bus_live_mb":${f.live},"bus_best_mb":${f.best},"bus_rerun_mb":${f.rerun}$freshField,"rerun_mode":"$mode","reproduced":${f.reproduced}}"""
+          s"""{"query":"${f.name}","bus_live_mb":${f.live},"bus_best_mb":${f.best},"bus_rerun_mb":${f.rerun}$freshField,"rerun_mode":"$mode","reproduced":${f.reproduced}$exonField}"""
         case "spill" =>
-          s"""{"query":"${f.name}","spill_live_mb":${f.live},"spill_best_mb":${f.best},"spill_rerun_mb":${f.rerun},"rerun_mode":"in-sweep","reproduced":${f.reproduced}}"""
+          s"""{"query":"${f.name}","spill_live_mb":${f.live},"spill_best_mb":${f.best},"spill_rerun_mb":${f.rerun},"rerun_mode":"in-sweep","reproduced":${f.reproduced}$exonField}"""
         case _ =>
-          s"""{"query":"${f.name}","shuffle_live_mb":${f.live},"shuffle_best_mb":${f.best},"shuffle_rerun_mb":${f.rerun}$freshField,"rerun_mode":"$mode","reproduced":${f.reproduced}}"""
+          s"""{"query":"${f.name}","shuffle_live_mb":${f.live},"shuffle_best_mb":${f.best},"shuffle_rerun_mb":${f.rerun}$freshField,"rerun_mode":"$mode","reproduced":${f.reproduced}$exonField}"""
       }
     }
 
@@ -459,24 +569,30 @@ object Bench {
     // first 20 queries that is the prior artifact's seed, which can be
     // stale in either direction. The published artifact re-judges every
     // time flag under the FULL sweep's normalizer: seed-era false flags
-    // drop, seed-era false passes gain a flag with the established
-    // rerun = -1 "not machine-adjudicated" marker. Adjudication data
-    // (rerun / fresh) is never discarded, only the verdict is
-    // recomputed; volume flags are host-independent and pass through.
+    // drop (or, when they carry adjudication data, stay with an
+    // explicit refilter:"exonerated" marker so fork spend leaves a
+    // trace — ADVICE round 14), seed-era false passes gain a flag with
+    // the established rerun = -1 "not machine-adjudicated" marker.
+    // Volume flags are host-independent and pass through.
     def refilterTime(results: Seq[Result]): Seq[Result] = results.map { r =>
       if (r.err.nonEmpty) r
       else {
         val nonTime = r.flags.filter(_.kind != "time")
-        val timeFlag = priorBest.get(r.name)
-          .filter(b => b > 0 && timeRegressed(r.sec, b))
-          .map { b =>
+        val floor = floorOf(r.jobs)
+        val timeFlag = priorBest.get(r.name).filter(_ > 0) match {
+          case Some(b) if timeRegressed(r.sec, b, floor) =>
             r.flags.find(_.kind == "time") match {
               case Some(f) =>
                 val verdictV = if (f.fresh >= 0) f.fresh else f.rerun
-                f.copy(reproduced = verdictV >= 0 && timeRegressed(verdictV, b))
-              case None => Flag(r.name, "time", r.sec, b, -1.0, reproduced = false)
+                Some(f.copy(reproduced = verdictV >= 0 && timeRegressed(verdictV, b, floor)))
+              case None => Some(Flag(r.name, "time", r.sec, b, -1.0, reproduced = false))
             }
-          }
+          case _ =>
+            // un-flagged under the full normalizer: keep (marked) only
+            // if an in-sweep rerun or a fresh-JVM fork was spent on it
+            r.flags.find(f => f.kind == "time" && (f.rerun >= 0 || f.fresh >= 0))
+              .map(_.copy(reproduced = false, refilterExon = true))
+        }
         r.copy(flags = nonTime ++ timeFlag.toSeq)
       }
     }
@@ -515,14 +631,27 @@ object Bench {
       val hostRatio =
         if (ratios.isEmpty) 1.0 else math.rint(ratios(ratios.size / 2) * 100) / 100
       val hostNorm = math.rint(hostEst() * 100) / 100
+      // HOST-SATURATION self-marking (round 15, judge ask #1): when the
+      // raw full-sweep median(live/best) exceeds the normalizer's clamp
+      // ceiling, the window is one no median can absorb (r14 driver:
+      // 3.7x median with 74-120x tails) — every time flag in such an
+      // artifact is suspect BY CONSTRUCTION and the reader should judge
+      // by volume/spill/correctness plus the fresh-JVM verdicts only.
+      val hostSaturated = hostRatio > 3.0
+      val jobsJson = results.collect { case r if r.jobs >= 0 => "\"" + r.name + "\":" + r.jobs }
+        .mkString("{", ",", "}")
       val stamp = java.time.Instant.now().toString
       val provenance =
-        s"""{"policy":"live measurements canonical; best = per-query historical minima; regression = live > 2x best x host_norm + 0.5s (time, seeded normalizer + final re-filter) or > 2x best + 1MB (shuffle/bus) or + 64MB (spill); lazy repeats: re-run only on flag, budget-bounded; reproduced in-sweep flags escalate to a fresh forked JVM (<=4/sweep, volume + multi-second time flags only) whose measurement is the verdict of record","repeats":$repeats,"budget_sec":$budgetSec,"warmup_sec":${math.rint(warmupSec * 10) / 10},"written":"$stamp"}"""
+        s"""{"policy":"live measurements canonical; best = per-query historical minima; regression = (live - jobs x floor_per_job_sec) > 2x best x host_norm + 0.5s (time, seeded normalizer + final re-filter) or > 2x best + 1MB (shuffle/bus) or + 64MB (spill); lazy repeats: re-run only on flag, budget-bounded; end-of-sweep adjudication is magnitude-ordered (live/best x norm descending), fork-first for multi-second >10x flags, and may spend the whole remaining wall window; fresh forked-JVM measurements are the verdict of record; host_saturated marks a sweep whose raw median(live/best) exceeded the normalizer clamp — its time data is non-canonical; an explicitly re-pinned best (SPARK_GRAFT_REPIN, SEMANTICS-documented) re-seeds from the sweep's live min with the retired minimum preserved verbatim in best_archive","repeats":$repeats,"budget_sec":$budgetSec,"warmup_sec":${math.rint(warmupSec * 10) / 10},"floor_per_job_sec":${math.rint(perJobSec * 1000) / 1000},"written":"$stamp"}"""
       val partialField = if (partial) """"partial":true,""" else ""
+      val satField = if (hostSaturated) """"host_saturated":true,""" else ""
       val liveJson =
-        s"""{"metric":"total",$partialField"value":$total,"unit":"sec","queries":$qs,"failed":$nFailed,"errors":$errors,"sf":"$sfDir","regressions":$regJson,"host_ratio":$hostRatio,"host_norm":$hostNorm,"shuffle_mb":$shuffleMb,"bus_mb":$busMb,"spill_mb":$spillMb}"""
+        s"""{"metric":"total",$partialField"value":$total,"unit":"sec","queries":$qs,"failed":$nFailed,"errors":$errors,"sf":"$sfDir","regressions":$regJson,$satField"host_ratio":$hostRatio,"host_norm":$hostNorm,"shuffle_mb":$shuffleMb,"bus_mb":$busMb,"spill_mb":$spillMb,"jobs":$jobsJson}"""
+      val archField =
+        if (bestArchive.isEmpty) ""
+        else s""""best_archive":${jmap(bestArchive.toSeq.sortBy(_._1))},"""
       val artifactJson =
-        s"""{"metric":"total",$partialField"value":$total,"unit":"sec","queries":$qs,"failed":$nFailed,"errors":$errors,"sf":"$sfDir","regressions":$regJson,"host_ratio":$hostRatio,"host_norm":$hostNorm,"best":${jmap(best)},"best_total":$bestTotal,"shuffle_mb":$shuffleMb,"best_shuffle_mb":${jmap(bestShuffle)},"bus_mb":$busMb,"best_bus_mb":${jmap(bestBus)},"spill_mb":$spillMb,"best_spill_mb":${jmap(bestSpill)},"provenance":$provenance}"""
+        s"""{"metric":"total",$partialField"value":$total,"unit":"sec","queries":$qs,"failed":$nFailed,"errors":$errors,"sf":"$sfDir","regressions":$regJson,$satField"host_ratio":$hostRatio,"host_norm":$hostNorm,"best":${jmap(best)},"best_total":$bestTotal,${archField}"shuffle_mb":$shuffleMb,"best_shuffle_mb":${jmap(bestShuffle)},"bus_mb":$busMb,"best_bus_mb":${jmap(bestBus)},"spill_mb":$spillMb,"best_spill_mb":${jmap(bestSpill)},"jobs":$jobsJson,"provenance":$provenance}"""
       // The driver captures only a bounded output TAIL; an ~8 KB JSON
       // line has been truncated into "parsed: null" two rounds running.
       // Persist the full JSON to a file (atomically: write + move, so a
@@ -542,7 +671,7 @@ object Bench {
       }
       if (!partial) {
         val summary =
-          s"""{"metric":"summary","failed":$nFailed,"total_sec":${math.round(total)},"queries":${results.size},"regressions":${results.flatMap(_.flags).size},"host_ratio":$hostRatio,"sf":"$sfDir"}"""
+          s"""{"metric":"summary","failed":$nFailed,"total_sec":${math.round(total)},"queries":${results.size},"regressions":${results.flatMap(_.flags).size},$satField"host_ratio":$hostRatio,"sf":"$sfDir"}"""
         // Summary goes to stderr too: even if a capture channel prefixes
         // or truncates stdout, the bare line exists somewhere.
         System.err.println(summary)
@@ -563,11 +692,12 @@ object Bench {
     selected.foreach { case (name, fn) =>
       val first = runOnce(fn)
       val res = first match {
-        case Left(e) => Result(name, -1.0, -1.0, -1.0, -1.0, Some(e), Nil)
+        case Left(e) => Result(name, -1.0, -1.0, -1.0, -1.0, -1L, Some(e), Nil)
         case Right(m0) =>
           def trips(m: Meas): Seq[(String, Double, Double)] = {
             val t = priorBest.get(name).toSeq.collect {
-              case b if b > 0 && timeRegressed(m.sec, b) => ("time", m.sec, b)
+              case b if b > 0 && timeRegressed(m.sec, b, floorOf(m.jobs)) =>
+                ("time", m.sec, b)
             }
             val s = priorBestShuffle.get(name).toSeq.collect {
               case b if b >= 0 && volRegressed(m.shuffleB / 1e6, b) =>
@@ -580,9 +710,14 @@ object Bench {
             // a previously-measured query absent from best_spill_mb never
             // spilled: judge it against an explicit 0 so a 0 -> large jump
             // (the exact regression this metric exists for) flags instead
-            // of being grandfathered in as the new best
-            val sp = priorBestSpill.get(name)
-              .orElse(if (priorBest.contains(name)) Some(0.0) else None)
+            // of being grandfathered in as the new best. Guarded on a
+            // spill-AWARE prior (ADVICE round 14): on the first sweep
+            // after the metric shipped, best_spill_mb doesn't exist yet,
+            // and the 0-baseline rule would flag every historically-
+            // spilling query at once — that sweep records baselines.
+            val sp = (if (priorBestSpill.isEmpty) None
+                      else priorBestSpill.get(name)
+                        .orElse(if (priorBest.contains(name)) Some(0.0) else None))
               .toSeq.collect {
                 case b if b >= 0 && spillRegressed(m.spillB / 1e6, b) =>
                   ("spill", mb(m.spillB / 1e6), b)
@@ -609,7 +744,8 @@ object Bench {
           rerunSpent += (System.nanoTime() - rr0) / 1e9
           val all = m0 +: extra
           val live = Meas(all.map(_.sec).min, all.map(_.shuffleB).min,
-                          all.map(_.busB).min, all.map(_.spillB).min)
+                          all.map(_.busB).min, all.map(_.spillB).min,
+                          all.map(_.jobs).min)
           val flags = trips(live).map { case (kind, liveV, b) =>
             val rerun =
               if (extra.isEmpty) -1.0
@@ -620,7 +756,7 @@ object Bench {
                 case _       => mb(extra.map(_.shuffleB).min / 1e6)
               }
             val reproduced = rerun >= 0 && (kind match {
-              case "time"  => timeRegressed(rerun, b)
+              case "time"  => timeRegressed(rerun, b, floorOf(live.jobs))
               case "spill" => spillRegressed(rerun, b)
               case _       => volRegressed(rerun, b)
             })
@@ -639,8 +775,12 @@ object Bench {
           // contended host — q122's min-of-5 fresh still read 10x best).
           def forkWorthy(f: Flag): Boolean =
             f.reproduced && f.kind != "spill" && (f.kind != "time" || f.best >= 0.5)
+          // In-loop forks cap at 3 of the sweep-wide 8: the END-OF-SWEEP
+          // pass adjudicates magnitude-ordered (round 15) and must keep
+          // slots for the largest flags, which the in-loop path would
+          // otherwise spend in query-name order (the r14 failure mode).
           val wantFresh = !eager && sys.env.get("SPARK_GRAFT_FRESH_CHILD").isEmpty &&
-            freshForks < 4 &&
+            freshForks < 3 &&
             elapsedSec < 0.70 * budgetSec && rerunSpent < 0.25 * budgetSec &&
             flags.exists(forkWorthy)
           val flagsAdj =
@@ -667,62 +807,119 @@ object Bench {
                     }
                     if (freshV < 0 || !forkWorthy(f)) f
                     else f.copy(fresh = freshV, reproduced = f.kind match {
-                      case "time" => timeRegressed(freshV, f.best)
+                      case "time" => timeRegressed(freshV, f.best, floorOf(live.jobs))
                       case _      => volRegressed(freshV, f.best)
                     })
                   }
               }
             }
           Result(name, live.sec, mb(live.shuffleB / 1e6), mb(live.busB / 1e6),
-                 mb(live.spillB / 1e6), None, flagsAdj)
+                 mb(live.spillB / 1e6), live.jobs, None, flagsAdj)
       }
       acc += res
       res match {
-        case Result(name, sec, _, _, _, None, _) =>
+        case Result(name, sec, _, _, _, _, None, _) =>
           priorBest.get(name).foreach { b => if (b >= 0.5 && sec > 0) hostSamples += sec / b }
         case _ => ()
       }
       emit(acc.toSeq, partial = true)
     }
-    // Adjudicate flags the re-filter ADDS: a query judged clean at
-    // measurement time under the seed normalizer never got its lazy
-    // reruns, so a re-filter-added flag would ship with rerun = -1
-    // ("not machine-adjudicated" — the r14 sweep shipped five such).
-    // Each gets one end-of-sweep rerun under the FULL normalizer,
-    // escalating to the fresh-JVM verdict if it still reproduces,
-    // under the same budget caps as in-loop adjudication.
-    val finalResults = refilterTime(acc.toSeq).map { r => try {
-      r.flags.find(f => f.kind == "time" && f.rerun < 0 && f.fresh < 0) match {
-        case Some(f) if elapsedSec < 0.85 * budgetSec && rerunSpent < 0.25 * budgetSec =>
-          val rr0 = System.nanoTime()
-          val adj = runOnce(SparkEntry.queries(r.name)) match {
-            case Right(m) =>
-              val f1 = f.copy(rerun = m.sec, reproduced = timeRegressed(m.sec, f.best))
-              if (f1.reproduced && !eager && freshForks < 4 && f.best >= 0.5 &&
-                  sys.env.get("SPARK_GRAFT_FRESH_CHILD").isEmpty &&
-                  elapsedSec < 0.80 * budgetSec) {
-                freshForks += 1
-                freshMeasure(r.name, f.best) match {
-                  // fSec < 0 = the child's query FAILED (its artifact
-                  // records the -1 sentinel, the process still exits 0):
-                  // the in-sweep verdict stands, same as the in-loop path
-                  case Some((fSec, _, _)) if fSec >= 0 =>
-                    f1.copy(fresh = fSec, reproduced = timeRegressed(fSec, f.best))
-                  case _ => f1
-                }
-              } else f1
-            case Left(_) => f
+    // END-OF-SWEEP adjudication (round-15 rework, judge ask #1): the
+    // r14 driver sweep shipped 39 of 40 flags rerun = -1 because (a)
+    // the in-loop adjudication budget (25% of the window) starved on
+    // sweep overhead before the big flags arrived, and (b) the final
+    // pass walked flags in query-name order. Both fixed here:
+    //  - the sweep is COMPLETE at this point, so every remaining second
+    //    of the wall window spent on adjudication costs the artifact
+    //    nothing — the end pass is bounded only by the wall clock (each
+    //    fork self-clamps to the remainder) and the sweep-wide fork
+    //    cap, never by the in-loop rerunSpent cap;
+    //  - the queue is MAGNITUDE-ORDERED — live/(best x host_norm)
+    //    descending — so a 98x flag can never lose its verdict to a
+    //    2.1x one arriving earlier in the alphabet;
+    //  - decisive flags FORK FIRST: a multi-second-best time flag at
+    //    >10x the host-normalized expectation goes straight to the
+    //    fresh-JVM verdict — on the saturated windows that produce such
+    //    flags an in-sweep rerun inherits the contention and can only
+    //    convict, so running it first wastes the window's scarcest
+    //    resource (fork slots x remaining seconds).
+    val refiltered = refilterTime(acc.toSeq)
+    def magnitude(f: Flag): Double =
+      if (f.kind == "time") f.live / math.max(1e-9, f.best * hostEst())
+      else f.live / math.max(1e-9, f.best)
+    def forkVerdict(qname: String, f: Flag, floor: Double): Flag = {
+      freshForks += 1
+      freshMeasure(qname, f.best) match {
+        case Some((fSec, fShuf, fBus)) =>
+          val v = f.kind match {
+            case "time" => fSec; case "shuffle" => fShuf; case _ => fBus
           }
-          rerunSpent += (System.nanoTime() - rr0) / 1e9
-          r.copy(flags = r.flags.map(x => if (x.kind == "time") adj else x))
-        case _ => r
+          // v < 0 = the child's query failed or the metric carried the
+          // no-verdict sentinel: the in-sweep verdict stands
+          if (v < 0) f
+          else f.copy(fresh = v, reproduced = f.kind match {
+            case "time" => timeRegressed(v, f.best, floor)
+            case _      => volRegressed(v, f.best)
+          })
+        case None => f
       }
-    } catch { case e: Throwable =>
-      // the final pass must never cost the artifact: any adjudication
-      // failure ships the flag with its rerun = -1 marker instead
-      System.err.println(s"[bench] WARN final-pass adjudication of ${r.name} failed: $e")
-      r
-    }}
+    }
+    val canForkAtAll = !eager && sys.env.get("SPARK_GRAFT_FRESH_CHILD").isEmpty
+    // unresolved = no fresh verdict AND (never adjudicated, or the
+    // in-sweep rerun convicted). Spill flags join for the one in-sweep
+    // rerun but never fork (a fresh quiet JVM's spill says nothing
+    // about the sweep-state spill it would adjudicate).
+    val unresolved = refiltered.flatMap { r =>
+      r.flags.collect {
+        case f if r.err.isEmpty && f.fresh < 0 && !f.refilterExon &&
+                  (f.rerun < 0 || f.reproduced) => (r, f)
+      }
+    }.sortBy { case (_, f) => -magnitude(f) }
+    val adjudicated = scala.collection.mutable.Map.empty[(String, String), Flag]
+    unresolved.foreach { case (r, f) =>
+      try {
+        if (elapsedSec < 0.92 * budgetSec) {
+          val floor = floorOf(r.jobs)
+          val forkOk = canForkAtAll && freshForks < 8 && f.kind != "spill" &&
+            (f.kind != "time" || f.best >= 0.5)
+          val decisive = f.kind == "time" && f.best >= 0.5 && magnitude(f) > 10
+          val f1 =
+            if (forkOk && (decisive || f.reproduced)) forkVerdict(r.name, f, floor)
+            else if (f.rerun < 0 && elapsedSec + math.max(r.sec, 0.0) * 1.2 < 0.92 * budgetSec) {
+              // never adjudicated, not fork-decisive: one in-sweep rerun
+              // (skipped if the query itself cannot fit the remainder),
+              // escalating to the fork on reproduce
+              runOnce(SparkEntry.queries(r.name)) match {
+                case Right(m) =>
+                  val rv = f.kind match {
+                    case "time"  => m.sec
+                    case "spill" => mb(m.spillB / 1e6)
+                    case "bus"   => mb(m.busB / 1e6)
+                    case _       => mb(m.shuffleB / 1e6)
+                  }
+                  val rep = f.kind match {
+                    case "time"  => timeRegressed(rv, f.best, floor)
+                    case "spill" => spillRegressed(rv, f.best)
+                    case _       => volRegressed(rv, f.best)
+                  }
+                  val f2 = f.copy(rerun = rv, reproduced = rep)
+                  if (rep && forkOk && elapsedSec < 0.92 * budgetSec)
+                    forkVerdict(r.name, f2, floor)
+                  else f2
+                case Left(_) => f
+              }
+            } else f
+          if (f1 ne f) adjudicated((r.name, f.kind)) = f1
+        }
+      } catch { case e: Throwable =>
+        // the final pass must never cost the artifact: any adjudication
+        // failure ships the flag with its existing markers instead
+        System.err.println(s"[bench] WARN final-pass adjudication of ${r.name} failed: $e")
+      }
+    }
+    val finalResults = refiltered.map { r =>
+      r.copy(flags = r.flags.map(f => adjudicated.getOrElse((r.name, f.kind), f)))
+    }
     emit(finalResults, partial = false)
     spark.stop()
   }

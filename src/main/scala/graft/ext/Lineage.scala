@@ -27,4 +27,22 @@ object Lineage {
     val rdds = ck.queryExecution.analyzed.collect { case l: LogicalRDD => l.rdd }
     (ck, () => rdds.foreach(_.unpersist(blocking = true)))
   }
+
+  /** LAZY localCheckpoint: materializes as a side effect of the
+    * CALLER'S first action instead of a dedicated job here — one fewer
+    * full pass + job launch for the two-pass rank/cumsum shape, whose
+    * offsets collect follows immediately and IS that first action.
+    * Determinism is identical to the eager form: lineage is truncated
+    * either way, so a re-execution that could re-sample range
+    * boundaries is impossible — an evicted block fails the job loudly
+    * rather than recomputing differently. Only for callers whose first
+    * action runs before any other use of the frame; iterative loops
+    * keep the eager form (their free-handle lifecycle needs the
+    * materialization point explicit).
+    */
+  def checkpointLazy(df: DataFrame): (DataFrame, () => Unit) = {
+    val ck = df.localCheckpoint(false)
+    val rdds = ck.queryExecution.analyzed.collect { case l: LogicalRDD => l.rdd }
+    (ck, () => rdds.foreach(_.unpersist(blocking = true)))
+  }
 }

@@ -92,7 +92,14 @@ object Rank {
     val parts =
       if (numPartitions > 0) numPartitions
       else spark.sessionState.conf.numShufflePartitions
-    val (parted, _) = Lineage.checkpoint(
+    // LAZY checkpoint (round 15): the totals collect right below is the
+    // first action, so materialization rides it instead of paying a
+    // dedicated eager job first — one fewer full pass over the frame
+    // per rank/cumsum call (q122's fixed floor dropped a whole job; at
+    // cluster scale it is one fewer stage barrier). Determinism is
+    // unchanged: lineage truncates at the checkpoint either way, so the
+    // range exchange can never re-sample between pass 2 and pass 3.
+    val (parted, _) = Lineage.checkpointLazy(
       df.repartitionByRange(parts, order: _*)
         .sortWithinPartitions(order: _*)
         .withColumn("__pid", spark_partition_id()))
