@@ -161,8 +161,14 @@ final class FileBus(root: String, visibilityMs: Long, maxDeliveries: Int) {
     Files.move(tmp, p, StandardCopyOption.ATOMIC_MOVE)
   }
 
-  private def segLines(seg: Long): Seq[String] =
-    Files.readAllLines(segPath(seg), UTF_8).asScala.toSeq
+  // IndexedSeq, deliberately: consumeFiltered's delivery loop does
+  // `lines(i)` and `lines.length` per message, and `Buffer.toSeq`
+  // builds a LIST — O(i) per access, O(n^2) per segment. Invisible at
+  // the sf0.01 gate (~1k-line segments); at the synthesized sf1 tier
+  // one consume burned 16 CPU-minutes in List.drop before the round-15
+  // full-sf1 sweep caught it mid-loop (jstack: LinearSeqOps.apply).
+  private def segLines(seg: Long): IndexedSeq[String] =
+    Files.readAllLines(segPath(seg), UTF_8).asScala.toIndexedSeq
 
   // ------------------------------------------------------------ consume
 
