@@ -287,24 +287,26 @@ object Dedup {
     // via Lineage handles (Dataset.unpersist alone does not release
     // localCheckpoint storage); only the escaping final frame is left
     // to the ContextCleaner.
-    var (labels, freeLabels) = Lineage.checkpoint(
+    // Convergence witness: every label is non-increasing per round, so
+    // the label SUM strictly decreases iff anything changed. The sum
+    // RIDES the checkpoint job itself (checkpointObserved) — one job
+    // per round, not checkpoint + separate aggregate (round 15, guide
+    // §1.2/§2: the loop's job-launch floor halves, frames unchanged).
+    val witness = sum(col("cluster_id").cast("decimal(38,0)")).as("s")
+    def asDec(v: Any): java.math.BigDecimal = v.asInstanceOf[java.math.BigDecimal]
+    var (labels, m0, freeLabels) = Lineage.checkpointObserved(
       sym.select(col("src").as("id")).distinct()
-        .withColumn("cluster_id", col("id")))
-    // convergence witness: every label is non-increasing per round, so
-    // the label SUM strictly decreases iff anything changed — one
-    // aggregate on the new frame instead of a join+count per round
-    def labelSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("cluster_id").cast("decimal(38,0)"))).first().getDecimal(0)
-    var prevSum = labelSum(labels)
+        .withColumn("cluster_id", col("id")), witness)
+    var prevSum = asDec(m0("s"))
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
       val viaNeighbor = sym.join(labels, sym("dst") === labels("id"))
         .select(col("src").as("id"), col("cluster_id"))
-      val (next, freeNext) = Lineage.checkpoint(
+      val (next, mN, freeNext) = Lineage.checkpointObserved(
         labels.unionByName(viaNeighbor)
-          .groupBy(col("id")).agg(min(col("cluster_id")).as("cluster_id")))
-      val s = labelSum(next)
+          .groupBy(col("id")).agg(min(col("cluster_id")).as("cluster_id")), witness)
+      val s = asDec(mN("s"))
       converged = s.compareTo(prevSum) == 0
       prevSum = s
       freeLabels() // previous round is fully superseded
@@ -356,18 +358,22 @@ object Dedup {
     */
   def contractiveComponents(edges: DataFrame, idA: String = "id_a",
                             idB: String = "id_b", contractRounds: Int = 4): DataFrame = {
-    // canonical undirected edges BETWEEN CURRENT LABELS (self-loops out)
-    var (e, freeE) = Lineage.checkpoint(
+    // canonical undirected edges BETWEEN CURRENT LABELS (self-loops out).
+    // The emptiness witness (count) rides each edge checkpoint's own
+    // materialization job (checkpointObserved, round 15) — the loop no
+    // longer pays a separate isEmpty job per round.
+    val witness = count(lit(1)).as("n")
+    var (e, mE, freeE) = Lineage.checkpointObserved(
       edges.select(greatest(col(idA), col(idB)).as("a"),
                    least(col(idA), col(idB)).as("b"))
-        .filter(col("a") =!= col("b")).distinct())
+        .filter(col("a") =!= col("b")).distinct(), witness)
     // composed id -> current-label mapping over ALL ids seen in the
     // input (self-loop-only nodes stay their own singleton labels)
     var (labels, freeLabels) = Lineage.checkpoint(
       edges.select(col(idA).as("id")).unionByName(edges.select(col(idB).as("id")))
         .distinct().withColumn("cluster_id", col("id")))
     var round = 0
-    var done = e.isEmpty
+    var done = mE("n") == 0L
     while (!done && round < contractRounds) {
       val sym = e.unionByName(e.select(col("b").as("a"), col("a").as("b")))
       // m(l) = min(N(l) ∪ {l}) — one map-side-combinable aggregate over
@@ -385,15 +391,15 @@ object Dedup {
       // where the geometric shrinkage comes from
       val mA = m.select(col("old").as("a"), col("m").as("ma"))
       val mB = m.select(col("old").as("b"), col("m").as("mb"))
-      val (eN, freeEN) = Lineage.checkpoint(
+      val (eN, mEN, freeEN) = Lineage.checkpointObserved(
         e.join(mA, "a").join(mB, "b")
           .select(greatest(col("ma"), col("mb")).as("a"),
                   least(col("ma"), col("mb")).as("b"))
-          .filter(col("a") =!= col("b")).distinct())
+          .filter(col("a") =!= col("b")).distinct(), witness)
       freeLabels(); freeE()
       labels = labelsN; freeLabels = freeLabelsN
       e = eN; freeE = freeEN
-      done = e.isEmpty
+      done = mEN("n") == 0L
       round += 1
     }
     if (done) { freeE(); labels }
@@ -444,12 +450,15 @@ object Dedup {
     * deterministically per round (see [[Lineage]]).
     */
   def starComponents(symEdges: DataFrame, maxRounds: Int = 30): DataFrame = {
-    // canonical down-pointing parent edges (src > dst), self-loops out
-    var (e, freeE) = Lineage.checkpoint(symEdges.select(
+    // canonical down-pointing parent edges (src > dst), self-loops out.
+    // Edge counts ride each checkpoint's materialization job
+    // (checkpointObserved, round 15) — no separate count per round.
+    val witness = count(lit(1)).as("n")
+    var (e, mE, freeE) = Lineage.checkpointObserved(symEdges.select(
         greatest(col("src"), col("dst")).as("src"),
         least(col("src"), col("dst")).as("dst"))
-      .filter(col("src") =!= col("dst")).distinct())
-    var n = e.count()
+      .filter(col("src") =!= col("dst")).distinct(), witness)
+    var n = mE("n").asInstanceOf[Long]
     var converged = false
     var round = 0
     while (!converged && round < maxRounds) {
@@ -468,15 +477,15 @@ object Dedup {
       // small neighbors v ≠ m.
       val minsS = large.groupBy(col("src")).agg(min(col("dst")).as("m"))
       val joined = large.join(minsS, "src")
-      val (next, freeNext) = Lineage.checkpoint(
+      val (next, mNext, freeNext) = Lineage.checkpointObserved(
         joined.select(col("src"), col("m").as("dst"))
           .unionByName(joined.filter(col("dst") =!= col("m"))
             .select(col("dst").as("src"), col("m").as("dst")))
           .filter(col("src") =!= col("dst"))
-          .distinct())
+          .distinct(), witness)
       // exact fixed-point check: next ⊆ e with equal distinct counts ⇒
       // set equality; a fixed point of large∘small is a star forest.
-      val nNext = next.count()
+      val nNext = mNext("n").asInstanceOf[Long]
       converged = nNext == n && next.except(e).isEmpty
       freeLarge() // next is materialized; the intermediate is dead
       freeE()     // the except() check above was the last read of e

@@ -149,15 +149,29 @@ object Graph {
       .groupBy(col("src"), col("dst")).agg(min(col("w")).as("w"))
     var dist = Seq((source, 0L)).toDF("node", "dist")
     var free: () => Unit = () => ()
-    (1 to rounds).foreach { _ =>
+    // convergence witness riding each round's checkpoint job
+    // (checkpointObserved, round 15): distances only decrease and the
+    // node set only grows, so an unchanged (count, sum) pair means the
+    // relaxation reached its fixpoint — every later round is a no-op
+    // on both engines (the bounded-horizon contract is preserved
+    // exactly), so exit early instead of launching it.
+    var prev: (Long, Any) = (-1L, null)
+    var round = 1
+    var stable = false
+    while (round <= rounds && !stable) {
       val relaxed = dist.join(edges, dist("node") === edges("src"))
         .select(edges("dst").as("node"),
           (dist("dist") + edges("w").cast("long")).as("dist"))
-      val (ck, freeCk) = Lineage.checkpoint(
-        dist.unionByName(relaxed).groupBy(col("node")).agg(min(col("dist")).as("dist")))
+      val (ck, m, freeCk) = Lineage.checkpointObserved(
+        dist.unionByName(relaxed).groupBy(col("node")).agg(min(col("dist")).as("dist")),
+        count(lit(1)).as("n"), sum(col("dist").cast("decimal(38,0)")).as("s"))
       free()
       free = freeCk
       dist = ck
+      val cur = (m("n").asInstanceOf[Long], m("s"))
+      stable = cur._1 == prev._1 && cur._2 == prev._2
+      prev = cur
+      round += 1
     }
     dist
   }
@@ -232,17 +246,18 @@ object Graph {
         sys.error(s"labelPropagateToFixpoint: no convergence in $maxRounds rounds")
       val nbr = edges.join(labels, edges("src") === labels("vx"))
         .groupBy(col("dst")).agg(min(col("lbl")).as("nl"))
-      // the changed flag rides INSIDE the checkpointed frame, so the
-      // exact convergence witness is a scan of the just-materialized
-      // blocks — not a second labels-vs-labels join per round (which
-      // re-ran the round's whole join once more; measured ~30% of
-      // q208's wall time)
-      val (ckNext, freeNext) = Lineage.checkpoint(
+      // the changed-row count rides the checkpoint's own
+      // materialization job (checkpointObserved, round 15) — the old
+      // form scanned the just-written blocks in a SECOND job per round
+      // (itself the round-14 fix for re-running the round's join); now
+      // each round is exactly one job, same frames, same witness
+      val (ckNext, mNext, freeNext) = Lineage.checkpointObserved(
         labels.join(nbr, labels("vx") === nbr("dst"), "left")
           .select(labels("vx"),
             least(col("lbl"), coalesce(col("nl"), col("lbl"))).as("lbl"),
-            (coalesce(col("nl"), col("lbl")) < col("lbl")).as("chg")))
-      val changed = ckNext.filter(col("chg")).count()
+            (coalesce(col("nl"), col("lbl")) < col("lbl")).as("chg")),
+        count(when(col("chg"), 1)).as("changed"))
+      val changed = mNext("changed").asInstanceOf[Long]
       free()
       free = freeNext
       labels = ckNext.select(col("vx"), col("lbl"))
@@ -264,13 +279,17 @@ object Graph {
                                   contractRounds: Int = 2): DataFrame = {
     // canonical undirected edges (self-loops out), and the composed
     // original-id -> current-label map, both rolled forward per round
-    var (e, freeE) = Lineage.checkpoint(
+    // per-round emptiness witness rides the edge checkpoints
+    // (checkpointObserved, round 15) — no separate isEmpty job
+    val witness = count(lit(1)).as("n")
+    var (e, mE0, freeE) = Lineage.checkpointObserved(
       edgesIn.select(greatest(col("src"), col("dst")).as("a"),
                      least(col("src"), col("dst")).as("b"))
-        .filter(col("a") =!= col("b")).distinct())
+        .filter(col("a") =!= col("b")).distinct(), witness)
+    var nE = mE0("n").asInstanceOf[Long]
     var mapped: Option[(DataFrame, () => Unit)] = None // vx -> label
     var round = 0
-    while (round < contractRounds && !e.isEmpty) {
+    while (round < contractRounds && nE != 0L) {
       // m(l) = min(N(l) ∪ {l}) over the CURRENT label graph
       val (m, freeM) = Lineage.checkpoint(
         e.unionByName(e.select(col("b").as("a"), col("a").as("b")))
@@ -286,15 +305,16 @@ object Graph {
       })
       val mA = m.select(col("v0").as("a"), col("m").as("ma"))
       val mB = m.select(col("v0").as("b"), col("m").as("mb"))
-      val (eN, freeEN) = Lineage.checkpoint(
+      val (eN, mEN, freeEN) = Lineage.checkpointObserved(
         e.join(mA, "a").join(mB, "b")
           .select(greatest(col("ma"), col("mb")).as("a"),
                   least(col("ma"), col("mb")).as("b"))
-          .filter(col("a") =!= col("b")).distinct())
+          .filter(col("a") =!= col("b")).distinct(), witness)
       mapped.foreach(_._2())
       freeM(); freeE()
       mapped = Some((mappedN, freeMappedN))
       e = eN; freeE = freeEN
+      nE = mEN("n").asInstanceOf[Long]
       round += 1
     }
     val (map, freeMap) = mapped.getOrElse(
@@ -336,21 +356,23 @@ object Graph {
     * Returns the stable (or capped) edge frame.
     */
   def kCorePeel(edgesIn: DataFrame, k: Int, maxRounds: Int): DataFrame = {
-    val (ck0, free0) = Lineage.checkpoint(edgesIn.select(col("src"), col("dst")))
-    var e = ck0
-    var free: () => Unit = free0
-    var n = e.count()
+    // surviving-edge counts ride each round's checkpoint job
+    // (checkpointObserved, round 15) — one job per peel round
+    val witness = count(lit(1)).as("n")
+    var (e, m0, free) = Lineage.checkpointObserved(
+      edgesIn.select(col("src"), col("dst")), witness)
+    var n = m0("n").asInstanceOf[Long]
     var stable = false
     var round = 0
     while (!stable && round < maxRounds) {
       round += 1
       val alive = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
         .filter(col("deg") >= k).select(col("src").as("v"))
-      val (ckNext, freeNext) = Lineage.checkpoint(
+      val (ckNext, mNext, freeNext) = Lineage.checkpointObserved(
         e.join(alive.select(col("v").as("src")), "src")
           .join(alive.select(col("v").as("dst")), "dst")
-          .select(col("src"), col("dst")))
-      val nNext = ckNext.count()
+          .select(col("src"), col("dst")), witness)
+      val nNext = mNext("n").asInstanceOf[Long]
       free()
       free = freeNext
       e = ckNext
@@ -366,21 +388,31 @@ object Graph {
     val edges = edgesIn.select(col("a").as("src"), col("b").as("dst"))
       .unionByName(edgesIn.select(col("b").as("src"), col("a").as("dst")))
       .filter(col("src") =!= col("dst")).distinct()
+    // `visited` is the LAZY UNION of the checkpointed per-hop frontiers
+    // (round 15): the old form re-checkpointed the whole visited set
+    // every round — an O(visited) copy plus a second job per hop that
+    // bought nothing, since the frontiers ARE materialized and their
+    // union is the same rows. Plan depth grows one leaf per hop
+    // (bounded by maxHops); the frontier count rides the frontier
+    // checkpoint (checkpointObserved) so an exhausted frontier exits
+    // early — identical output, later rounds were provable no-ops.
     var visited = Seq((source, 0L)).toDF("node", "hops")
     var frontier = visited
-    var free: () => Unit = () => ()
-    (1 to maxHops).foreach { h =>
+    var h = 1
+    var exhausted = false
+    while (h <= maxHops && !exhausted) {
       val next = frontier.join(edges, frontier("node") === edges("src"))
         .select(edges("dst").as("node"))
         .distinct()
         .join(visited, Seq("node"), "left_anti")
         .withColumn("hops", lit(h.toLong))
-      val (ckNext, freeNext) = Lineage.checkpoint(next)
-      val (ckVisited, freeVisited) = Lineage.checkpoint(visited.unionByName(ckNext))
-      free() // previous rounds' blocks: superseded, release
-      free = () => { freeNext(); freeVisited() }
+      // frontier checkpoints escape via the returned union — their
+      // blocks are the ContextCleaner's, exactly like any escaping frame
+      val (ckNext, m, _) = Lineage.checkpointObserved(next, count(lit(1)).as("n"))
       frontier = ckNext
-      visited = ckVisited
+      visited = visited.unionByName(ckNext)
+      exhausted = m("n").asInstanceOf[Long] == 0L
+      h += 1
     }
     visited
   }

@@ -100,20 +100,25 @@ object IncrementalCc {
       return applyBatch(s, emptyLabels(s), edges)
     val eps = edges.select(col("id_a").as("id"))
       .unionByName(edges.select(col("id_b").as("id"))).distinct()
+    val s2 = s // JobLabel takes the session; keep the param name free
     val lookup = sink.readForKeys(eps).select(col("id"), col("cluster_id"))
-    val withLbl = eps.join(lookup, Seq("id"), "left")
-      .select(col("id"), coalesce(col("cluster_id"), col("id")).as("lbl"))
-      .localCheckpoint(true)
+    val withLbl = graft.core.JobLabel(s2, "icc:lookup") {
+      eps.join(lookup, Seq("id"), "left")
+        .select(col("id"), coalesce(col("cluster_id"), col("id")).as("lbl"))
+        .localCheckpoint(true)
+    }
     val contraction = edges
       .join(withLbl.select(col("id").as("id_a"), col("lbl").as("la")), "id_a")
       .join(withLbl.select(col("id").as("id_b"), col("lbl").as("lb")), "id_b")
       .select(col("la"), col("lb")).filter(col("la") =!= col("lb"))
     val mapping =
-      if (contraction.isEmpty)
+      if (graft.core.JobLabel(s2, "icc:contract-empty?")(contraction.isEmpty))
         s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
           StructType(Seq(StructField("old_lbl", LongType), StructField("new_lbl", LongType))))
-      else Dedup.connectedComponents(contraction, "la", "lb")
-        .select(col("id").as("old_lbl"), col("cluster_id").as("new_lbl"))
+      else graft.core.JobLabel(s2, "icc:contract-cc") {
+        Dedup.connectedComponents(contraction, "la", "lb")
+          .select(col("id").as("old_lbl"), col("cluster_id").as("new_lbl"))
+      }
     val withFinal = withLbl
       .join(mapping, withLbl("lbl") === mapping("old_lbl"), "left")
       .select(col("id"), coalesce(col("new_lbl"), col("lbl")).as("cluster_id"))
@@ -122,22 +127,31 @@ object IncrementalCc {
     // absence from the table
     val newNodes = withFinal.join(lookup.select(col("id")), Seq("id"), "left_anti")
     // `mapping` is connectedComponents' output — already a materialized
-    // (lineage-checkpointed) frame, so this filter and its count are
-    // cheap scans of existing blocks (phase-profiled at sf10:
-    // ~0.2 s/batch); persisting or re-checkpointing here would only
-    // add corpus-scale disk passes
+    // (lineage-checkpointed) frame, so this filter and its bounded
+    // collect are cheap scans of existing blocks (phase-profiled at
+    // sf10: ~0.2 s/batch); persisting or re-checkpointing here would
+    // only add corpus-scale disk passes.
+    // ONE bounded collect decides the absorbed-sweep strategy AND
+    // supplies the probe labels (round 15): the old count()-then-
+    // collect() pair paid two job launches per batch for the same
+    // metadata — collecting cap+1 rows answers "zero / probe-sized /
+    // over cap" and yields the probe list in a single job.
     val changed = mapping.filter(col("new_lbl") =!= col("old_lbl"))
-    val nChanged = changed.count()
+    val lblsCapped = graft.core.JobLabel(s2, "icc:changed") {
+      changed.select(col("old_lbl")).limit(absorbedProbeCap + 1)
+        .collect().map(_.getLong(0)).toSeq
+    }
     val members =
-      if (nChanged == 0L)
+      if (lblsCapped.isEmpty)
         lookup.filter(lit(false))
-      else if (nChanged <= absorbedProbeCap) {
-        val lbls = changed.select(col("old_lbl")).collect().map(_.getLong(0)).toSeq
+      else if (lblsCapped.size <= absorbedProbeCap) {
         // no residual isin: the equi-join below discharges the bloom's
         // false positives (readPoints' giant-isin form is for SMALL
         // probe sets)
-        sink.readBucketsForPoints("cluster_id", lbls)
-          .select(col("id"), col("cluster_id"))
+        graft.core.JobLabel(s2, "icc:members") {
+          sink.readBucketsForPoints("cluster_id", lblsCapped)
+            .select(col("id"), col("cluster_id"))
+        }
       } else sink.read().select(col("id"), col("cluster_id"))
     val absorbed = members.as("l")
       .join(changed, col("l.cluster_id") === col("old_lbl"))

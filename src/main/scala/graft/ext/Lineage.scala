@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame, Observation}
 import org.apache.spark.sql.execution.LogicalRDD
 
 /** Deterministic block lifecycle for iterative-loop localCheckpoints.
@@ -44,5 +44,28 @@ object Lineage {
     val ck = df.localCheckpoint(false)
     val rdds = ck.queryExecution.analyzed.collect { case l: LogicalRDD => l.rdd }
     (ck, () => rdds.foreach(_.unpersist(blocking = true)))
+  }
+
+  /** Eager localCheckpoint with OBSERVED aggregate metrics riding the
+    * materialization job itself (optimization guide §1/§2: iterative
+    * loops paid TWO job launches per round — one to checkpoint the
+    * round's frame, one to scan the just-written blocks for the
+    * convergence witness. `Dataset.observe` attaches the witness
+    * aggregates to the checkpoint's own execution, so each round is
+    * ONE job and the convergence value arrives with it — across the
+    * CC / label-prop / k-core / star loops this halves per-round job
+    * count with bit-identical frames and witnesses).
+    *
+    * Returns (checkpointed frame, metric values by name, free handle).
+    * Metrics must be named aggregate expressions (`sum(c).as("s")`).
+    * An empty input frame yields SQL aggregate semantics (sum -> null,
+    * count -> 0) — callers handle null exactly as they handled the
+    * old separate-aggregate result.
+    */
+  def checkpointObserved(df: DataFrame, metrics: Column*): (DataFrame, Map[String, Any], () => Unit) = {
+    val obs = Observation()
+    val ck = df.observe(obs, metrics.head, metrics.tail: _*).localCheckpoint(true)
+    val rdds = ck.queryExecution.analyzed.collect { case l: LogicalRDD => l.rdd }
+    (ck, obs.get, () => rdds.foreach(_.unpersist(blocking = true)))
   }
 }

@@ -69,6 +69,52 @@ object StreamingQueries {
     */
   val StatePartitionsDefault = 8
 
+  /** Write `df` as ONE data file per non-empty slice into `inDir`
+    * (slice = `sliceOf`, a deterministic long expression over the
+    * row), in a SINGLE Spark job — the micro-batch feed builder every
+    * slice-fed gate uses. The old form ran one full filter scan +
+    * coalesce(1) write job PER slice (n passes over the source, n job
+    * launches); this stages one `partitionBy(slice)` write (each slice
+    * value is owned by exactly one task after the explicit hash
+    * repartition, so each slice dir holds exactly one part file) and
+    * then MOVES the files into `inDir` — renames, not data. File
+    * mtimes are stamped strictly increasing in slice order, making
+    * batch arrival order explicit instead of a write-timing accident
+    * (the q250 stampBatchMtime discipline); under maxFilesPerTrigger=1
+    * each non-empty slice is exactly one micro-batch, empty slices
+    * produce no file (the old form wrote a 0-row file whose batch was
+    * a no-op end to end). Returns the number of files written (=
+    * non-empty slices), which IS the expected micro-batch count.
+    */
+  private def writeSliceFeed(df: DataFrame, sliceOf: Column, nSlices: Int,
+                             inDir: String, format: String = "parquet"): Int = {
+    val staging = inDir.stripSuffix("/") + "__stage"
+    df.withColumn("__sl", sliceOf.cast("long"))
+      .repartition(nSlices, col("__sl"))
+      .write.partitionBy("__sl").format(format).save(staging)
+    val sliceDirs = Option(new java.io.File(staging).listFiles())
+      .getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("__sl="))
+      .sortBy(_.getName.stripPrefix("__sl=").toLong)
+    Files.createDirectories(java.nio.file.Paths.get(inDir))
+    var n = 0
+    sliceDirs.foreach { dir =>
+      val sl = dir.getName.stripPrefix("__sl=").toLong
+      val parts = dir.listFiles().filter(f =>
+        f.getName.startsWith("part-") && !f.getName.endsWith(".crc"))
+      require(parts.length == 1,
+        s"slice $sl wrote ${parts.length} files — one task must own each slice")
+      val ext = parts(0).getName.dropWhile(_ != '.')
+      val dst = java.nio.file.Paths.get(inDir, f"slice-$sl%05d$ext")
+      Files.move(parts(0).toPath, dst)
+      require(dst.toFile.setLastModified(1700000000000L + sl * 60000L),
+        s"cannot stamp mtime on $dst")
+      n += 1
+    }
+    graft.core.TempDirs.deleteRecursively(staging)
+    n
+  }
+
   /** Session conf for STATEFUL streams, latched by the query at
     * `start()` and restored immediately after (both settings are baked
     * into the running query once started):
@@ -1131,11 +1177,9 @@ object StreamingQueries {
     val planes = Similarity.planes(nPlanes = 40, dim = 64, seed = 42L)
     val corpus = Similarity.plantedNearDupCorpus(
       graft.core.Tables.embeddings(s, d), idCap = 500)
-    // one file per vec_id%4 slice (hash-repartition can leave a
-    // partition empty); parquet wire: float32 embeddings ride exact
-    (0 until 4).foreach(i => corpus
-      .filter(pmod(col("vec_id"), lit(4)) === lit(i))
-      .coalesce(1).write.mode("append").parquet(inDir))
+    // one file per vec_id%4 slice, built in a single staged write
+    // (round 15); parquet wire: float32 embeddings ride exact
+    val nFiles = writeSliceFeed(corpus, pmod(col("vec_id"), lit(4)), 4, inDir)
     val stream = s.readStream
       .schema(StructType(Seq(
         StructField("vec_id", LongType),
@@ -1153,7 +1197,7 @@ object StreamingQueries {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    val expectedCommits = (4 + indexFilesPerTrigger(s) - 1) / indexFilesPerTrigger(s)
+    val expectedCommits = (nFiles + indexFilesPerTrigger(s) - 1) / indexFilesPerTrigger(s)
     require(sink.versions().size == expectedCommits,
       s"expected $expectedCommits incremental index commits, got ${sink.versions()}")
     Similarity.nearDupFromIndex(sink.read(), threshold = 0.9)
@@ -1180,11 +1224,10 @@ object StreamingQueries {
     val inDir = s"$base/in"; val ckpt = s"$base/ckpt"; val idxDir = s"$base/codes"
     val emb = graft.core.Tables.embeddings(s, d)
     val cents = AdvancedQueries.pqCodebook(s, emb)
-    // one file per vec_id%4 slice (hash-repartition can leave a
-    // partition empty); parquet wire: float32 embeddings ride exact
-    (0 until 4).foreach(i => emb.select(col("vec_id"), col("embedding"))
-      .filter(pmod(col("vec_id"), lit(4)) === lit(i))
-      .coalesce(1).write.mode("append").parquet(inDir))
+    // one file per vec_id%4 slice, built in a single staged write
+    // (round 15); parquet wire: float32 embeddings ride exact
+    val nFiles = writeSliceFeed(emb.select(col("vec_id"), col("embedding")),
+      pmod(col("vec_id"), lit(4)), 4, inDir)
     val stream = s.readStream
       .schema(StructType(Seq(
         StructField("vec_id", LongType),
@@ -1203,7 +1246,7 @@ object StreamingQueries {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    val expectedCommits = (4 + indexFilesPerTrigger(s) - 1) / indexFilesPerTrigger(s)
+    val expectedCommits = (nFiles + indexFilesPerTrigger(s) - 1) / indexFilesPerTrigger(s)
     require(sink.versions().size == expectedCommits,
       s"expected $expectedCommits incremental index commits, got ${sink.versions()}")
     sink.read().select(col("vid"), col("s").cast("long").as("s"), col("code"))
@@ -1513,9 +1556,7 @@ object StreamingQueries {
     val inDir = s"$base/in"; val ckpt = s"$base/ckpt"; val statsDir = s"$base/stats"
     val ev = graft.core.Tables.events(s, d)
       .select(col("event_id"), col("event_type"), col("value"))
-    (0 until 4).foreach(i => ev
-      .filter(pmod(col("event_id"), lit(4)) === lit(i))
-      .coalesce(1).write.mode("append").parquet(inDir))
+    writeSliceFeed(ev, pmod(col("event_id"), lit(4)), 4, inDir)
     val wire = StructType(Seq(
       StructField("event_id", LongType), StructField("event_type", StringType),
       StructField("value", DoubleType)))
@@ -1588,10 +1629,11 @@ object StreamingQueries {
     val base = graft.core.TempDirs.scoped("graft_q264_")
     val inDir = s"$base/in"; val ckpt = s"$base/ckpt"; val driftDir = s"$base/drift"
     val ev = graft.core.Tables.events(s, d).select(col("event_id"), col("event_type"))
-    (0 until 4).foreach(i => ev
-      .filter(pmod(col("event_id"), lit(4)) === lit(i))
-      .withColumn("slice", lit(i.toLong))
-      .coalesce(1).write.mode("append").parquet(inDir))
+    // the slice id rides IN the wire data (the drift gate keys on it),
+    // computed in-plan — identical to the old per-slice lit(i) since
+    // the filter pinned pmod(event_id, 4) == i
+    writeSliceFeed(ev.withColumn("slice", pmod(col("event_id"), lit(4)).cast("long")),
+      col("slice"), 4, inDir)
     val refP = ev.groupBy(col("event_type")).agg(count(lit(1)).as("nr"))
       .crossJoin(ev.agg(count(lit(1)).as("tr")))
       .withColumn("pr", col("nr").cast("double") / col("tr").cast("double"))
@@ -1756,14 +1798,13 @@ object StreamingQueries {
   def q249StreamingCc(s: SparkSession, d: String): DataFrame = {
     val base = graft.core.TempDirs.scoped("graft_q249_")
     val inDir = s"$base/in"; val ckpt = s"$base/ckpt"; val labDir = s"$base/labels"
-    val pairs = q249Edges(s, d).persist()
-    val sliceOf = pmod(col("id_a") + col("id_b"), lit(4))
-    val sliceSizes = pairs.groupBy(sliceOf.as("sl")).count()
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    val expectedCommits = sliceSizes.count(_._2 > 0)
-    (0 until 4).foreach(i => pairs.filter(sliceOf === lit(i.toLong))
-      .coalesce(1).write.mode("append").parquet(inDir))
-    pairs.unpersist()
+    // ONE staged write builds the whole slice feed (round 15): the old
+    // form persisted the pair frame, ran a slice-size aggregate, and
+    // then one filtered coalesce-write job per slice — 6 jobs and 5
+    // passes over the pairs; the feed writer is 1 job, and the file
+    // count IS the expected commit count (empty slices write no file).
+    val expectedCommits = writeSliceFeed(q249Edges(s, d),
+      pmod(col("id_a") + col("id_b"), lit(4)), 4, inDir)
     val wire = StructType(Seq(
       StructField("id_a", LongType), StructField("id_b", LongType)))
     // The batch step is the INDEXED form (applyBatchIndexed): endpoint
@@ -1784,11 +1825,11 @@ object StreamingQueries {
       .option("maxFilesPerTrigger", "1").parquet(inDir)
       .writeStream
       .foreachBatch { (batch: DataFrame, bid: Long) =>
+        // every feed file is a non-empty slice by writeSliceFeed's
+        // contract, so the old per-batch isEmpty probe job is gone
         val e = batch.select(col("id_a"), col("id_b"))
-        if (!e.isEmpty) {
-          sink.merge(graft.ext.IncrementalCc.applyBatchIndexed(s, sink, e)
-            .withColumn("upd", lit(bid)))
-        }
+        sink.merge(graft.ext.IncrementalCc.applyBatchIndexed(s, sink, e)
+          .withColumn("upd", lit(bid)))
       }
       .option("checkpointLocation", ckpt)
       .trigger(Trigger.AvailableNow())
@@ -1822,15 +1863,9 @@ object StreamingQueries {
     val base = graft.core.TempDirs.scoped("graft_q289_")
     val inDir = s"$base/in"; val ckpt = s"$base/ckpt"; val labDir = s"$base/labels"
     val (edges, copyLight) = q249EdgesWithStats(s, d)
-    val pairs = edges.persist()
-    val nSlices = 8L
-    val sliceOf = pmod(col("id_a") * 31L + col("id_b"), lit(nSlices))
-    val sliceSizes = pairs.groupBy(sliceOf.as("sl")).count()
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    val expectedCommits = sliceSizes.count(_._2 > 0)
-    (0L until nSlices).foreach(i => pairs.filter(sliceOf === lit(i))
-      .coalesce(1).write.mode("append").parquet(inDir))
-    pairs.unpersist()
+    // one staged write for the 8-slice feed — see q249's feed comment
+    val expectedCommits = writeSliceFeed(edges,
+      pmod(col("id_a") * 31L + col("id_b"), lit(8L)), 8, inDir)
     val wire = StructType(Seq(
       StructField("id_a", LongType), StructField("id_b", LongType)))
     val sink = new MergeSink(s, labDir,
@@ -1840,11 +1875,11 @@ object StreamingQueries {
       .option("maxFilesPerTrigger", "1").parquet(inDir)
       .writeStream
       .foreachBatch { (batch: DataFrame, bid: Long) =>
+        // feed files are non-empty by writeSliceFeed's contract — no
+        // per-batch isEmpty probe job
         val e = batch.select(col("id_a"), col("id_b"))
-        if (!e.isEmpty) {
-          sink.merge(graft.ext.IncrementalCc.applyBatchIndexed(s, sink, e)
-            .withColumn("upd", lit(bid)))
-        }
+        sink.merge(graft.ext.IncrementalCc.applyBatchIndexed(s, sink, e)
+          .withColumn("upd", lit(bid)))
       }
       .option("checkpointLocation", ckpt)
       .trigger(Trigger.AvailableNow())
@@ -3026,9 +3061,7 @@ object StreamingQueries {
     val docs = graft.core.Tables.documents(s, d)
       .select(col("doc_id"), col("lang"), col("n_chars"))
       .filter(col("n_chars") > 0)
-    (0 until 4).foreach(i => docs
-      .filter(pmod(col("doc_id"), lit(4)) === lit(i))
-      .coalesce(1).write.mode("append").parquet(inDir))
+    writeSliceFeed(docs, pmod(col("doc_id"), lit(4)), 4, inDir)
     val wire = StructType(Seq(
       StructField("doc_id", LongType), StructField("lang", StringType),
       StructField("n_chars", LongType)))
@@ -3333,10 +3366,9 @@ object StreamingQueries {
     val base = graft.core.TempDirs.scoped("graft_q119_")
     val inDir = s"$base/in"; val ckpt = s"$base/ckpt"; val idxDir = s"$base/index"
     val docs = graft.core.Tables.documents(s, d).select(col("doc_id"), col("text"))
-    // one file per doc_id%4 slice -> exactly 4 micro-batches
-    (0 until 4).foreach(i => docs
-      .filter(pmod(col("doc_id"), lit(4)) === lit(i))
-      .coalesce(1).write.mode("append").json(inDir))
+    // one file per doc_id%4 slice -> one micro-batch per file
+    val nFiles = writeSliceFeed(docs, pmod(col("doc_id"), lit(4)), 4, inDir,
+      format = "json")
     val wire = StructType(Seq(
       StructField("doc_id", LongType), StructField("text", StringType)))
     val stream = s.readStream.schema(wire)
@@ -3353,7 +3385,7 @@ object StreamingQueries {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    val expectedCommits = (4 + indexFilesPerTrigger(s) - 1) / indexFilesPerTrigger(s)
+    val expectedCommits = (nFiles + indexFilesPerTrigger(s) - 1) / indexFilesPerTrigger(s)
     require(sink.versions().size == expectedCommits,
       s"expected $expectedCommits incremental index commits, got ${sink.versions()}")
     sink.read().select(col("doc_id"), col("n_tokens"), col("dup_unigram_frac"),

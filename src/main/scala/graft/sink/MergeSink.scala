@@ -420,8 +420,10 @@ final class MergeSink(
     * (see [[MergeSink.withWriterLock]]).
     */
   def merge(batch: DataFrame): Unit = MergeSink.withWriterLock(spark, path, "merge") {
-    val touched = batch.select(bucketOf.as(BucketCol)).distinct()
-      .collect().map(_.getInt(0)).toSeq
+    val touched = graft.core.JobLabel(spark, s"merge:route $path") {
+      batch.select(bucketOf.as(BucketCol)).distinct()
+        .collect().map(_.getInt(0)).toSeq
+    }
     if (touched.nonEmpty) {
       val current = manifest.mapping()
       val base = readBuckets(touched) match {
@@ -430,20 +432,24 @@ final class MergeSink(
       }
       val merged = Cdc.latestByKey(base, keys, orderCols)
       val gen = manifest.newGenDir()
-      merged
-        .withColumn(BucketCol, bucketOf)
-        // key-sorted within each write task: parquet row-group min/max
-        // stats then let point lookups and merge reads skip row groups
-        .sortWithinPartitions(keys.map(col): _*)
-        .write
-        .partitionBy(BucketCol)
-        .parquet(s"$path/$gen")
-      writeBloomsOfGen(gen)
-      // all-or-nothing publish; crashed attempts' files stay invisible
-      manifest.commit(
-        current ++ manifest.writtenBuckets(gen).map(_ -> gen),
-        manifest.stats() ++ statsOfGen(gen),
-        layoutState)
+      graft.core.JobLabel(spark, s"merge:write $path") {
+        merged
+          .withColumn(BucketCol, bucketOf)
+          // key-sorted within each write task: parquet row-group min/max
+          // stats then let point lookups and merge reads skip row groups
+          .sortWithinPartitions(keys.map(col): _*)
+          .write
+          .partitionBy(BucketCol)
+          .parquet(s"$path/$gen")
+      }
+      graft.core.JobLabel(spark, s"merge:sidecars $path") {
+        writeBloomsOfGen(gen)
+        // all-or-nothing publish; crashed attempts' files stay invisible
+        manifest.commit(
+          current ++ manifest.writtenBuckets(gen).map(_ -> gen),
+          manifest.stats() ++ statsOfGen(gen),
+          layoutState)
+      }
       manifest.vacuum()
     }
   }
