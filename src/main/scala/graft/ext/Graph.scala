@@ -92,9 +92,35 @@ object Graph {
     * oracle check a degree-ordered implementation.
     */
   def triangleCounts(edgesIn: DataFrame): DataFrame = {
-    val und = edgesIn.select(
-        least(col("a"), col("b")).as("x"), greatest(col("a"), col("b")).as("y"))
-      .filter(col("x") =!= col("y")).distinct()
+    // the canonical edge set is read four times (degree pass, orient
+    // join, closure side, bloom build) — materialize it once as an
+    // eager localCheckpoint whose count (the bloom sizing input) rides
+    // the materialization job. A persist() here instead measurably
+    // DUPLICATED stages (InMemoryRelation broke in-plan exchange reuse:
+    // 4x identical 7.5 MB exchanges in the profile); the checkpointed
+    // LogicalRDD keeps downstream subtree dedup intact. Blocks escape
+    // with the result (ContextCleaner's), like every loop output.
+    val (und, undM, _) = Lineage.checkpointObserved(
+      edgesIn.select(
+          least(col("a"), col("b")).as("x"), greatest(col("a"), col("b")).as("y"))
+        .filter(col("x") =!= col("y")).distinct(),
+      count(lit(1)).as("n"))
+    // WEDGE PRE-FILTER (optimization guide §3.2): the wedge frame is
+    // O(sum outdeg^2) rows and the closure semi-join is its only
+    // consumer, so every non-closing wedge shuffled to that join is
+    // wasted wire — measured 383 of q143's 450 shuffle MB and the
+    // dominant stage (8.3 s fetch+join of 12 s compute) at sf0.1. A
+    // bloom sketch over the canonical edge set (~1 byte/edge, executor-
+    // memory metadata like the IVF centroids) drops definitely-
+    // non-closing wedges BEFORE the exchange; false positives are
+    // discharged by the exact semi-join, false negatives are
+    // impossible, so the result is bit-identical at any scale — and at
+    // 100 TB the sketch (O(|E|) bits) broadcasts where the edge set
+    // itself never could.
+    val nEdges = undM("n").asInstanceOf[Long]
+    val bloom = graft.functions.BloomFunctions.buildBloom(
+      und.select(xxhash64(col("x"), col("y")).as("k")), "k",
+      expectedItems = nEdges, fpp = 0.01)
     val deg = und.select(col("x").as("node"))
       .unionByName(und.select(col("y").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("deg"))
@@ -111,14 +137,18 @@ object Graph {
           .otherwise(col("x")).as("dst"),
         col("dx"), col("dy"))
     val o = oriented.select(col("src"), col("dst"))
-    // wedges at a common source: unordered target pairs (u < v by the
-    // same (deg, id) orientation order keeps each wedge once)
+    // wedges at a common source: unordered target pairs (u < v by id
+    // keeps each wedge once), bloom-prefiltered before the exchange
     val l = o.select(col("src"), col("dst").as("u"))
     val r = o.select(col("src"), col("dst").as("v"))
     val wedges = l.join(r, "src").filter(col("u") < col("v"))
-    // closure: the (u, v) edge exists in EITHER orientation
-    val closure = o.select(col("src").as("u"), col("dst").as("v"))
-      .unionByName(o.select(col("dst").as("u"), col("src").as("v")))
+      .filter(graft.functions.BloomFunctions.mightContain(
+        xxhash64(col("u"), col("v")), bloom))
+    // closure: wedges emit u < v by id and `und` IS the canonical
+    // (min, max) edge set, so it serves as the closure side directly —
+    // half the rows of the old both-orientations union of `o`, same
+    // matches
+    val closure = und.select(col("x").as("u"), col("y").as("v"))
     val tris = wedges.join(closure, Seq("u", "v"), "left_semi")
     tris.select(explode(array(col("src"), col("u"), col("v"))).as("node"))
       .groupBy(col("node")).agg(count(lit(1)).as("n_triangles"))
