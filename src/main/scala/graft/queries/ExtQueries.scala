@@ -1748,8 +1748,14 @@ object ExtQueries {
     var r = 1
     var exhausted = false
     while (r <= rounds && !exhausted) {
-      val (ck, f) = Lineage.checkpoint(corpus)
-      free(); free = f
+      // LAZY checkpoint: the round's argmax first() below is the
+      // frame's first action and materializes it as a side effect —
+      // one job per round instead of checkpoint + argmax (round 15);
+      // the rewrite then reads the materialized blocks. Lineage is
+      // truncated identically, so round plans stay O(1) deep. The
+      // PREVIOUS round's blocks are freed only after the argmax has
+      // materialized this round's frame (its plan reads them).
+      val (ck, f) = Lineage.checkpointLazy(corpus)
       val best = ck
         .select(explode(expr(
           """zip_with(slice(split(text, ' '), 1, greatest(size(split(text, ' ')) - 1, 0)),
@@ -1759,6 +1765,7 @@ object ExtQueries {
         .agg(min(struct((-col("c")).as("nc"), col("a"), col("b"))).as("m"))
         .select(col("m.a"), col("m.b"), (-col("m.nc")).as("c"))
         .first()
+      free(); free = f // superseded only now — ck is materialized
       if (best.isNullAt(0)) {
         exhausted = true // every doc is a single token: no pairs left
       } else {

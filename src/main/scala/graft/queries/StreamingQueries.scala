@@ -2044,8 +2044,8 @@ object StreamingQueries {
     require(oversized.isEmpty, s"buckets not compacted to one file: $oversized")
     // (1) live-row equality, both directions
     val postKeys = post.select(col("tok"), col("doc_id"))
-    require(postKeys.except(preLive).limit(1).count() == 0 &&
-        preLive.except(postKeys).limit(1).count() == 0,
+    require(postKeys.except(preLive).unionByName(preLive.except(postKeys))
+        .limit(1).count() == 0,
       "compaction changed the live row set")
     preLive.unpersist()
     sink.read().filter(!col("is_deleted")).select(col("tok"), col("doc_id"))
@@ -2182,7 +2182,7 @@ object StreamingQueries {
       s"rebucket must commit exactly one version: $vPre -> ${sink16.versions()}")
     val pre = sink16.readAt(vPre).select(col("user_id"), col("document_id"), col("ts_us"))
     val post = sink16.readAt(vPost).select(col("user_id"), col("document_id"), col("ts_us"))
-    require(post.except(pre).isEmpty && pre.except(post).isEmpty,
+    require(post.except(pre).unionByName(pre.except(post)).isEmpty,
       "rebucket changed table content — layout maintenance must be invisible")
     sink16.merge(flat.filter(pmod(col("document_id"), lit(3)) === lit(2)))
     flat.unpersist()
@@ -2497,8 +2497,8 @@ object StreamingQueries {
     sink.compact(maxFilesPerBucket = 64)
     require(sink.deleteVectors().isEmpty,
       "compaction must consume every outstanding deletion vector")
-    require(beforeCompact.exceptAll(sink.read()).isEmpty &&
-            sink.read().exceptAll(beforeCompact).isEmpty,
+    require(beforeCompact.exceptAll(sink.read())
+        .unionByName(sink.read().exceptAll(beforeCompact)).isEmpty,
       "physical DV application must be content-invisible")
     sink.read().select(col("event_id"), col("cents"))
   }
@@ -2978,7 +2978,9 @@ object StreamingQueries {
       flat.filter(pmod(col("document_id"), lit(3)) <= lit(upTo)),
       Seq("user_id"), Seq("ts_us", "document_id")).select(cols: _*)
     def assertEq(a: DataFrame, b: DataFrame, what: String): Unit =
-      require(a.except(b).isEmpty && b.except(a).isEmpty,
+      // one action for the symmetric difference instead of two
+      // bidirectional except jobs (round 15) — same witness
+      require(a.except(b).unionByName(b.except(a)).isEmpty,
         s"$what: table content diverged from the one-shot oracle")
 
     val sink = new MergeSink(s, s"$base/state",

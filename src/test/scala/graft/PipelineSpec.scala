@@ -855,6 +855,59 @@ class PipelineSpec extends SparkSpec {
     assert(sink.readRange("k", 5000.0, 6000.0).isEmpty)
   }
 
+  test("footer stats: commit-time zone maps from parquet footers equal the scan-computed aggregates, nulls included") {
+    import graft.sink.MergeSink
+    val dir = freshDir() + "/fstats"
+    // v carries NULLs (every 5th row) and one bucket (k in [0,50)) that
+    // is ALL-NULL for v — the two footer corners: partial nulls must
+    // not disturb min/max, an all-null bucket-column records no stats
+    val df = spark.range(400).select(
+      $"id".as("k"),
+      ($"id" % 7).as("ver"),
+      when($"id" < 50, lit(null).cast("double"))
+        .when($"id" % 5 === 0, lit(null).cast("double"))
+        .otherwise($"id".cast("double") * 2.5).as("v"))
+    val sink = new MergeSink(spark, dir, keys = Seq("k"), orderCols = Seq("ver"),
+      nBuckets = 8, statsCols = Seq("k", "v"), rangeBucketWidth = Some(50L))
+    sink.merge(df)
+    // independent truth: per-bucket scan aggregates over the committed state
+    val truth = sink.read()
+      .groupBy((($"k" / 50).cast("int")).as("b"))
+      .agg(min($"k").as("kmn"), max($"k").as("kmx"),
+           min($"v").as("vmn"), max($"v").as("vmx"))
+      .collect().map(r => r.getInt(0) ->
+        (r.getLong(1), r.getLong(2), Option(r.get(3)), Option(r.get(4)))).toMap
+    truth.foreach { case (b, (kmn, kmx, vmn, vmx)) =>
+      // zone-map pruning answers derive from the committed stats: a
+      // point range at the bucket's k-min must resolve exactly it
+      assert(sink.bucketsForRange("k", kmn.toDouble, kmn.toDouble) == Seq(b))
+      vmn match {
+        case Some(mn) =>
+          assert(sink.bucketsForRange("v", mn.asInstanceOf[Double],
+            mn.asInstanceOf[Double]).contains(b),
+            s"bucket $b lost its v stats (footer path diverged from scan)")
+        case None =>
+          // all-null bucket: no stats recorded -> range reads must
+          // still be correct (missing stats never prune)
+          assert(sink.readRange("v", 0.0, 1e9).filter($"k" < 50).isEmpty)
+      }
+      vmx.foreach { mx =>
+        assert(!sink.bucketsForRange("v", mx.asInstanceOf[Double] + 0.5, 1e18)
+          .contains(b) || truth.exists(_._2._4.exists(_.asInstanceOf[Double] > mx.asInstanceOf[Double])),
+          s"bucket $b's v max in footer stats exceeds the scan truth")
+      }
+    }
+    // readRange equivalence over the null-bearing column end to end
+    val got = sink.readRange("v", 100.0, 400.0).select($"k").as[Long].collect().toSet
+    val want = sink.read().where($"v" >= 100.0 && $"v" <= 400.0)
+      .select($"k").as[Long].collect().toSet
+    assert(got == want && got.nonEmpty)
+    // the stats above must have come from FOOTERS, not the fallback
+    // scan — the point of the metadata path is skipping the re-read
+    assert(sink.statsFromFooter.get() > 0 && sink.statsFromScan.get() == 0,
+      s"footer stats path never fired: footer=${sink.statsFromFooter.get()} scan=${sink.statsFromScan.get()}")
+  }
+
   test("bloom sidecars: secondary-id point lookup prunes buckets; readPoints equals full-scan isin; compaction rebuilds") {
     import graft.sink.MergeSink
     val dir = freshDir() + "/bloom"
