@@ -28,6 +28,61 @@ object IncrementalCc {
   def emptyLabels(s: SparkSession): DataFrame =
     s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row], labelSchema)
 
+  /** Contraction-graph size (edges) below which the per-batch label CC
+    * runs as a DRIVER union-find instead of the distributed fixpoint.
+    * The contraction graph is batch-METADATA-scale by the class
+    * contract (at most 2|edges| label nodes), and the distributed CC
+    * costs 6-10 sequential job launches per micro-batch for what is
+    * typically a few hundred label edges — the same driver/distributed
+    * threshold choice as broadcast joins and the absorbedProbeCap
+    * probe list. 100k edges collect as ~1.6 MB; a batch whose
+    * contraction exceeds the cap (corpus-scale backfill slices) takes
+    * the distributed path unchanged.
+    */
+  val ContractionDriverCap = 100000
+
+  /** The contraction CC's old_lbl -> new_lbl mapping, computed on the
+    * driver (min-label union-find) when the contraction graph fits
+    * [[ContractionDriverCap]], else by [[Dedup.connectedComponents]].
+    * The ONE bounded collect also answers emptiness, so callers no
+    * longer pay a separate isEmpty probe job. Labels are identical to
+    * the distributed tier's by construction: both emit, for every node
+    * of the contraction graph, the minimum reachable node id
+    * (ExtSpec "driver union-find" pins equality).
+    */
+  private[graft] def contractionMapping(s: SparkSession, contraction: DataFrame,
+                                        cap: Int = ContractionDriverCap): DataFrame = {
+    val sample = contraction.limit(cap + 1).collect()
+    if (sample.isEmpty)
+      s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(StructField("old_lbl", LongType), StructField("new_lbl", LongType))))
+    else if (sample.length <= cap) {
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent(r)
+        var c = x
+        while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      sample.foreach { row =>
+        val (a, b) = (row.getLong(0), row.getLong(1))
+        val (ra, rb) = (find(a), find(b))
+        // min-label union: the smaller root stays the representative,
+        // so every component's root IS its minimum member id
+        if (ra != rb) {
+          if (ra < rb) parent(rb) = ra else parent(ra) = rb
+        } else parent.getOrElseUpdate(ra, ra)
+      }
+      val nodes = sample.iterator.flatMap(r => Iterator(r.getLong(0), r.getLong(1)))
+        .toArray.distinct
+      import s.implicits._
+      nodes.toSeq.map(n => (n, find(n))).toDF("old_lbl", "new_lbl")
+    } else
+      Dedup.connectedComponents(contraction, "la", "lb")
+        .select(col("id").as("old_lbl"), col("cluster_id").as("new_lbl"))
+  }
+
   def applyBatch(s: SparkSession, labels: DataFrame, edges: DataFrame): DataFrame = {
     val lab = labels.select(col("id"), col("cluster_id"))
     val eps = edges.select(col("id_a").as("id"))
@@ -39,12 +94,7 @@ object IncrementalCc {
       .join(withLbl.select(col("id").as("id_a"), col("lbl").as("la")), "id_a")
       .join(withLbl.select(col("id").as("id_b"), col("lbl").as("lb")), "id_b")
       .select(col("la"), col("lb")).filter(col("la") =!= col("lb"))
-    val mapping =
-      if (contraction.isEmpty)
-        s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-          StructType(Seq(StructField("old_lbl", LongType), StructField("new_lbl", LongType))))
-      else Dedup.connectedComponents(contraction, "la", "lb")
-        .select(col("id").as("old_lbl"), col("cluster_id").as("new_lbl"))
+    val mapping = contractionMapping(s, contraction)
     val withFinal = withLbl
       .join(mapping, withLbl("lbl") === mapping("old_lbl"), "left")
       .select(col("id"), coalesce(col("new_lbl"), col("lbl")).as("cluster_id"))
@@ -111,14 +161,9 @@ object IncrementalCc {
       .join(withLbl.select(col("id").as("id_a"), col("lbl").as("la")), "id_a")
       .join(withLbl.select(col("id").as("id_b"), col("lbl").as("lb")), "id_b")
       .select(col("la"), col("lb")).filter(col("la") =!= col("lb"))
-    val mapping =
-      if (graft.core.JobLabel(s2, "icc:contract-empty?")(contraction.isEmpty))
-        s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-          StructType(Seq(StructField("old_lbl", LongType), StructField("new_lbl", LongType))))
-      else graft.core.JobLabel(s2, "icc:contract-cc") {
-        Dedup.connectedComponents(contraction, "la", "lb")
-          .select(col("id").as("old_lbl"), col("cluster_id").as("new_lbl"))
-      }
+    val mapping = graft.core.JobLabel(s2, "icc:contract-cc") {
+      contractionMapping(s, contraction)
+    }
     val withFinal = withLbl
       .join(mapping, withLbl("lbl") === mapping("old_lbl"), "left")
       .select(col("id"), coalesce(col("new_lbl"), col("lbl")).as("cluster_id"))

@@ -737,6 +737,29 @@ class ExtSpec extends SparkSpec {
     assert(got2 == Map(0L -> 1L, 1L -> 1L, 2L -> 1L), got2.toString)
   }
 
+  test("contraction mapping: driver union-find equals the distributed CC tier, both cap sides") {
+    import graft.ext.IncrementalCc
+    // cliques, a path, a crossing component, and an isolated pair —
+    // the shapes the CC equality suite uses
+    val edges = Seq((5L, 3L), (3L, 1L), (9L, 8L), (2L, 7L), (7L, 1L),
+      (10L, 11L), (11L, 12L), (12L, 10L)).toDF("la", "lb")
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaDriver = asMap(IncrementalCc.contractionMapping(spark, edges))
+    val viaDistributed = asMap(
+      graft.ext.Dedup.connectedComponents(edges, "la", "lb"))
+    assert(viaDriver == viaDistributed,
+      s"driver union-find diverged: $viaDriver vs $viaDistributed")
+    assert(viaDriver == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 1L, 7L -> 1L,
+      8L -> 8L, 9L -> 8L, 10L -> 10L, 11L -> 10L, 12L -> 10L))
+    // over the cap the distributed tier must produce the same labels
+    val viaCapped = asMap(IncrementalCc.contractionMapping(spark, edges, cap = 3))
+    assert(viaCapped == viaDriver, "over-cap fallback diverged")
+    // empty contraction: empty mapping, correct schema
+    val empty = IncrementalCc.contractionMapping(spark, edges.filter(lit(false)))
+    assert(empty.isEmpty && empty.columns.toSeq == Seq("old_lbl", "new_lbl"))
+  }
+
   test("audio features: hand-checked energy/crossings/peak; undecodable payloads drop") {
     import graft.ext.Multimodal
     import Multimodal.MediaRecord
