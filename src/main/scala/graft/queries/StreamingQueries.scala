@@ -1574,7 +1574,7 @@ object StreamingQueries {
             coalesce(sum(col("cents")), lit(0L)).as("s1"),
             min(col("cents")).as("mn"), max(col("cents")).as("mx"),
             hll_sketch_agg(col("cents")).as("sk"))
-          .withColumn("part", lit(id)))
+          .withColumn("part", lit(id)), materializeBatch = true)
       }
       .option("checkpointLocation", ckpt)
       .trigger(Trigger.AvailableNow())
@@ -1657,7 +1657,8 @@ object StreamingQueries {
         sink.merge(bc.groupBy(col("slice")).agg(
           sum(col("nb")).as("n_slice"),
           round(sum(col("pb") * log(col("pb") / m)) / lit(2) +
-            sum(col("pr") * log(col("pr") / m)) / lit(2), 6).as("js")))
+            sum(col("pr") * log(col("pr") / m)) / lit(2), 6).as("js")),
+          materializeBatch = true)
       }
       .option("checkpointLocation", ckpt)
       .trigger(Trigger.AvailableNow())
@@ -1829,7 +1830,7 @@ object StreamingQueries {
         // contract, so the old per-batch isEmpty probe job is gone
         val e = batch.select(col("id_a"), col("id_b"))
         sink.merge(graft.ext.IncrementalCc.applyBatchIndexed(s, sink, e)
-          .withColumn("upd", lit(bid)))
+          .withColumn("upd", lit(bid)), materializeBatch = true)
       }
       .option("checkpointLocation", ckpt)
       .trigger(Trigger.AvailableNow())
@@ -1879,7 +1880,7 @@ object StreamingQueries {
         // per-batch isEmpty probe job
         val e = batch.select(col("id_a"), col("id_b"))
         sink.merge(graft.ext.IncrementalCc.applyBatchIndexed(s, sink, e)
-          .withColumn("upd", lit(bid)))
+          .withColumn("upd", lit(bid)), materializeBatch = true)
       }
       .option("checkpointLocation", ckpt)
       .trigger(Trigger.AvailableNow())
@@ -1985,7 +1986,7 @@ object StreamingQueries {
         sink.merge(
           fresh.withColumn("is_deleted", lit(false))
             .unionByName(stale.withColumn("is_deleted", lit(true)))
-            .withColumn("upd", lit(bid)))
+            .withColumn("upd", lit(bid)), materializeBatch = true)
       }
       .option("checkpointLocation", ckpt)
       .trigger(Trigger.AvailableNow())
@@ -3094,7 +3095,7 @@ object StreamingQueries {
             col("col._1").as("priority"), col("col._2").as("doc_id"))
           .join(pool.select(col("doc_id"), col("n_chars")).distinct(), Seq("doc_id"))
           .select(col("lang"), col("rk"), col("priority"), col("doc_id"), col("n_chars"))
-          .withColumn("upd", lit(bid)))
+          .withColumn("upd", lit(bid)), materializeBatch = true)
       }
       .option("checkpointLocation", ckpt)
       .trigger(Trigger.AvailableNow())
@@ -3442,7 +3443,8 @@ object StreamingQueries {
     val index = new MergeSink(s, s"$base/postings",
       keys = Seq("g", "train_id"), orderCols = Seq("df"), nBuckets = 16,
       bloomCols = Seq("gh"))
-    index.merge(corpus.join(dfTab, "g").withColumn("gh", xxhash64(col("g"))))
+    index.merge(corpus.join(dfTab, "g").withColumn("gh", xxhash64(col("g"))),
+      materializeBatch = true)
     require(index.versions() == Seq(1L),
       "the corpus postings index builds in exactly one commit")
     val probeCap = 200000
@@ -3476,7 +3478,7 @@ object StreamingQueries {
         .groupBy(col("train_id"), col("eval_id"))
         .agg(count(lit(1)).as("n_shared"))
         .filter(col("n_shared") >= minShared)
-      verdicts.merge(hits)
+      verdicts.merge(hits, materializeBatch = true)
     }
     require(verdicts.versions() == Seq(1L, 2L),
       "one verdict commit per arriving benchmark wave")

@@ -498,7 +498,29 @@ final class MergeSink(
     * table fails fast instead of interleaving commits
     * (see [[MergeSink.withWriterLock]]).
     */
-  def merge(batch: DataFrame): Unit = MergeSink.withWriterLock(spark, path, "merge") {
+  /** Upsert one batch. `materializeBatch = true` runs the batch plan
+    * ONCE (lazy localCheckpoint: the touched-bucket route collect is
+    * the materializing action, the merge write scans the blocks, the
+    * blocks are freed after the commit) — the right call when the
+    * delta plan is expensive, e.g. it joins the sink's own state
+    * (q287's postings delta: the route collect profiled as expensive
+    * as the write). The default recomputes, which is CHEAPER for plain
+    * projections of a source table: the route job then reads only the
+    * pruned bucket column instead of materializing every column
+    * (measured +17% on q258's projection-only merges when
+    * materialization was unconditional).
+    */
+  def merge(batch: DataFrame, materializeBatch: Boolean = false): Unit =
+      MergeSink.withWriterLock(spark, path, "merge") {
+    if (!materializeBatch) mergeImpl(batch)
+    else {
+      val (b, freeBatch) = graft.ext.Lineage.checkpointLazy(batch)
+      try mergeImpl(b)
+      finally freeBatch()
+    }
+  }
+
+  private def mergeImpl(batch: DataFrame): Unit = {
     val touched = graft.core.JobLabel(spark, s"merge:route $path") {
       batch.select(bucketOf.as(BucketCol)).distinct()
         .collect().map(_.getInt(0)).toSeq

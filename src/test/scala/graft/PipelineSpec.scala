@@ -166,7 +166,7 @@ class PipelineSpec extends SparkSpec {
     val b2 = rows.filter(pmod($"ingestion_seq", lit(3)) === 2)
       .unionByName(b1.limit(20)) // redelivered rows
     val b0 = rows.filter(pmod($"ingestion_seq", lit(3)) === 0)
-    Seq(b1, b2, b0).foreach(sink.merge)
+    Seq(b1, b2, b0).foreach(sink.merge(_))
 
     val expected = Cdc.latestByKey(rows, Warehouse.DedupKeys, Warehouse.VersionCols)
       .select($"original_id", $"ingestion_seq").as[(String, Long)].collect().toSet
@@ -675,7 +675,7 @@ class PipelineSpec extends SparkSpec {
     val rows = Warehouse.toWarehouseRows(env).cache()
     val sink = new MergeSink(spark, dir, Warehouse.DedupKeys, Warehouse.VersionCols, 4)
     val slices = (0 until 3).map(i => rows.filter(pmod($"ingestion_seq", lit(3)) === i))
-    slices.foreach(sink.merge)
+    slices.foreach(sink.merge(_))
     assert(sink.versions() == Seq(1L, 2L, 3L))
     def lww(df: org.apache.spark.sql.DataFrame) =
       Cdc.latestByKey(df, Warehouse.DedupKeys, Warehouse.VersionCols)
@@ -789,7 +789,7 @@ class PipelineSpec extends SparkSpec {
     val rows = Warehouse.toWarehouseRows(env).cache()
     val sink = new MergeSink(spark, dir, Warehouse.DedupKeys, Warehouse.VersionCols, 4)
     val slices = (0 until 3).map(i => rows.filter(pmod($"ingestion_seq", lit(3)) === i))
-    slices.foreach(sink.merge) // v1..v3
+    slices.foreach(sink.merge(_)) // v1..v3
     def state(df: org.apache.spark.sql.DataFrame) =
       df.select($"original_id", $"ingestion_seq").as[(String, Long)].collect().toSet
 
