@@ -142,29 +142,25 @@ final class AggSink(
     try {
       val touched = partial.select(col(BucketCol)).distinct()
         .collect().map(_.getInt(0)).toSeq
-      // per-bucket applied fences — at most |touched| (id, fence) ints
-      // reach the driver; metadata, not data
-      val fences: Map[Int, Long] =
-        if (touched.nonEmpty)
-          manifest.snapshot(Some(touched)).map(
-            _.groupBy(col(BucketCol)).agg(max(col(FenceCol)).as("f"))
-              .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap)
-            .getOrElse(Map.empty)
-        else Map.empty
-      val fold = touched.filter(b => batchId < 0 || fences.getOrElse(b, -1L) < batchId)
-      if (fold.nonEmpty) {
+      if (touched.nonEmpty) {
         val current = manifest.mapping()
-        val partialIn = partial.filter(col(BucketCol).isin(fold: _*)).drop(BucketCol)
-        val base = manifest.snapshot(Some(fold)) match {
-          case Some(state) =>
-            state.drop(BucketCol, FenceCol).unionByName(partialIn)
-          case None => partialIn
+        // Per-bucket applied fences ride the fold plan itself (round
+        // 15): state rows KEEP their fence through the aggregate
+        // (max(FenceCol) per key — every row of a committed bucket
+        // carries the same fence, partial rows carry null), a window
+        // over the bucket column (the same partitioning the
+        // reclamation windows below already establish) yields each
+        // bucket's applied fence, and the fold filter + the new fence
+        // column derive from it — so the old separate fences-collect
+        // job (a second read of the touched buckets) is gone. A bucket
+        // new in this batch has no state row -> null fence -> -1 ->
+        // foldable, exactly the old Map.getOrElse(-1) semantics.
+        val partialIn = partial.drop(BucketCol)
+          .withColumn(FenceCol, lit(null).cast("long"))
+        val base = manifest.snapshot(Some(touched)) match {
+          case Some(state) => state.drop(BucketCol).unionByName(partialIn)
+          case None        => partialIn
         }
-        // fence travels WITH the data: same files, same atomic manifest
-        // commit — never ahead of or behind the aggregate it certifies.
-        // Unfenced merges (batchId = -1) carry prior fences forward.
-        val fenceOf: Column = greatest(lit(batchId),
-          coalesce(element_at(typedlit(fences), col(BucketCol)), lit(-1L)))
         val gen = manifest.newGenDir()
         // fence-row reclamation: a key retracted to count zero exists
         // only to carry its bucket's replay fence — once the bucket
@@ -177,18 +173,34 @@ final class AggSink(
         // column, the same partitioning the write needs anyway.
         val wAll = org.apache.spark.sql.expressions.Window.partitionBy(col(BucketCol))
         val wOrd = wAll.orderBy(keys.map(col): _*)
-        aggregate(base)
+        val aggs = sumCols.map(c => sum(col(c)).as(c)) ++ Seq(
+          sum(col(CountCol)).as(CountCol), max(col(FenceCol)).as("__f_key"))
+        val applied = max(col("__f_key")).over(wAll)
+        // fence travels WITH the data: same files, same atomic manifest
+        // commit — never ahead of or behind the aggregate it certifies.
+        // Unfenced merges (batchId = -1) carry prior fences forward;
+        // an already-fenced bucket's rows are filtered out wholesale,
+        // so its files are not even rewritten (the replay no-op).
+        base.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
           .withColumn(BucketCol, bucketOf)
+          .withColumn("__f_bucket", coalesce(applied, lit(-1L)))
+          .filter(lit(batchId) < 0L || col("__f_bucket") < lit(batchId))
           .withColumn("__nz",
             max(when(col(CountCol) =!= 0L, 1).otherwise(0)).over(wAll))
           .withColumn("__rk", row_number().over(wOrd))
           .filter(col(CountCol) =!= 0L || (col("__nz") === 0 && col("__rk") === 1))
-          .drop("__nz", "__rk")
-          .withColumn(FenceCol, fenceOf)
+          .withColumn(FenceCol, greatest(lit(batchId), col("__f_bucket")))
+          .drop("__nz", "__rk", "__f_key", "__f_bucket")
           .write
           .partitionBy(BucketCol).parquet(s"$path/$gen")
-        manifest.commit(current ++ manifest.writtenBuckets(gen).map(_ -> gen))
-        manifest.vacuum()
+        // a fully-fenced (replayed) batch writes no bucket dir: no
+        // commit, no version — the old fold-set-empty skip, now decided
+        // by the write's own output
+        val written = manifest.writtenBuckets(gen)
+        if (written.nonEmpty) {
+          manifest.commit(current ++ written.map(_ -> gen))
+          manifest.vacuum()
+        } else graft.core.TempDirs.deleteRecursively(s"$path/$gen")
       }
     } finally partial.unpersist()
   }
