@@ -52,7 +52,7 @@ object JobProfile {
       override def onJobEnd(ev: SparkListenerJobEnd): Unit = {
         Option(jobs.remove(ev.jobId)).foreach { case (site, t0) =>
           val parts = site.split(" tasks=")
-          out.add((ev.jobId, parts(0), (ev.time - t0) / 1000.0,
+          out.add((ev.jobId, parts(0) + s" t0=$t0 t1=${ev.time}", (ev.time - t0) / 1000.0,
             parts.lift(1).map(_.toInt).getOrElse(-1)))
         }
       }

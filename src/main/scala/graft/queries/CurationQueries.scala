@@ -277,6 +277,13 @@ object CurationQueries {
         """CASE CAST(conv(substring(md5(concat(CAST(event_id AS STRING), '#',
           |  CAST(b AS STRING))), 1, 7), 16, 10) AS BIGINT) % 4
           |  WHEN 0 THEN 0L WHEN 3 THEN 2L ELSE 1L END""".stripMargin))
+      // ONE exchange serves the histogram groupBy, both windows and the
+      // median aggregate (round 16, guide §2.4): hash(event_type, b) is
+      // a subset of every downstream clustering — the old plan
+      // exchanged once for the (type, b, value) histogram and AGAIN for
+      // the (type, b) windows, and values are near-unique so the
+      // histogram's map-side combine saved nothing on the first hop
+      .repartition(col("event_type"), col("b"))
       .groupBy(col("event_type"), col("b"), col("value"))
       .agg(sum(col("wt")).as("wv"))
       .withColumn("cum", sum(col("wv")).over(w))
@@ -460,17 +467,29 @@ object CurationQueries {
     * ranks agree by construction.
     */
   def q219ItemItemCf(s: SparkSession, d: String): DataFrame = {
-    val oi = Tables.lineitem(s, d)
-      .select(col("l_orderkey"), col("l_partkey")).distinct()
-    val ni = oi.groupBy(col("l_partkey")).agg(count(lit(1)).as("n"))
-    val co = oi.select(col("l_orderkey"), col("l_partkey").as("item"))
-      .join(oi.select(col("l_orderkey"), col("l_partkey").as("partner")), "l_orderkey")
+    // Round 16 (guide §2.3/§2.4): ONE exchange builds per-order
+    // BASKETS — collect_set dedupes in-aggregate, so the old shape's
+    // distinct exchange AND both self-join exchanges of the deduped
+    // frame are gone; pairs fan out WITHIN the task (bounded by basket
+    // size squared, as before). The basket subplan feeds both the pair
+    // fanout and the per-item occurrence counts (same exchange,
+    // planner-reused). Item norms are dim-scale and broadcast
+    // explicitly (§3.1) so the co table is never re-shuffled for them.
+    val baskets = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_partkey"))
+      .groupBy(col("l_orderkey"))
+      .agg(collect_set(col("l_partkey")).as("items"))
+    val ni = baskets.select(explode(col("items")).as("l_partkey"))
+      .groupBy(col("l_partkey")).agg(count(lit(1)).as("n"))
+    val co = baskets
+      .select(explode(col("items")).as("item"), col("items"))
+      .select(col("item"), explode(col("items")).as("partner"))
       .filter(col("item") =!= col("partner"))
       .groupBy(col("item"), col("partner")).agg(count(lit(1)).as("co"))
       .filter(col("co") >= 2)
     val scored = co
-      .join(ni.select(col("l_partkey").as("item"), col("n").as("na")), "item")
-      .join(ni.select(col("l_partkey").as("partner"), col("n").as("nb")), "partner")
+      .join(broadcast(ni.select(col("l_partkey").as("item"), col("n").as("na"))), "item")
+      .join(broadcast(ni.select(col("l_partkey").as("partner"), col("n").as("nb"))), "partner")
       .withColumn("cos", col("co").cast("double") /
         (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))))
     scored
@@ -956,28 +975,46 @@ object CurationQueries {
     * witness can flag against it without a second pair-count pass.
     */
   private def aprioriPipeline(oi: DataFrame): (DataFrame, DataFrame) = {
-    // fp feeds FOUR consumers (fi + three sub-pair prunes) and poi
-    // THREE (the triple self-join) — cache both or the pair-count
-    // job re-runs per consumer (the q206 one-scan discipline; the
-    // harness clears the cache after each query)
-    val fp = oi.select(col("l_orderkey"), col("l_partkey").as("x"))
-      .join(oi.select(col("l_orderkey"), col("l_partkey").as("y")), "l_orderkey")
+    // Round 16 (guide §2.3/§2.4 — the q219 basket reshape one order
+    // higher): per-order BASKETS are built with ONE exchange
+    // (collect_set dedupes in-aggregate) and pairs/triples fan out
+    // WITHIN the task, replacing the old shape's distinct exchange +
+    // five l_orderkey self-join exchanges. The fan-out stays
+    // basket-bounded exactly as before (C(|basket|, 2/3)). fp is
+    // dim-scale by the support filter and BROADCASTS into the three
+    // sub-pair prunes (§3.1) — the candidate-triple frame is never
+    // shuffled for them. Caches: baskets feeds the pair count and the
+    // pruned re-basket; fp feeds fi + three broadcast builds (each
+    // broadcast materializes independently — uncached, the pair count
+    // would re-run per build).
+    val baskets = oi.groupBy(col("l_orderkey"))
+      .agg(collect_set(col("l_partkey")).as("items"))
+      .cache()
+    val fp = baskets
+      .select(explode(col("items")).as("x"), col("items"))
+      .select(col("x"), explode(col("items")).as("y"))
       .filter(col("x") < col("y"))
       .groupBy(col("x"), col("y")).agg(count(lit(1)).as("n"))
       .filter(col("n") >= 2)
       .select(col("x"), col("y"))
       .cache()
     val fi = fp.select(col("x").as("i")).unionByName(fp.select(col("y").as("i"))).distinct()
-    val poi = oi.join(fi.select(col("i").as("l_partkey")), Seq("l_partkey"), "left_semi")
-      .cache()
-    val triples = poi.select(col("l_orderkey"), col("l_partkey").as("x"))
-      .join(poi.select(col("l_orderkey"), col("l_partkey").as("y")), "l_orderkey")
+    // basket shrink to frequent items BEFORE the cubic fan-out (the
+    // A-priori prune, unchanged in spirit: explode, semi-join the
+    // frequent-item dim, re-collect the now-smaller baskets)
+    val poi = baskets
+      .select(col("l_orderkey"), explode(col("items")).as("l_partkey"))
+      .join(fi.select(col("i").as("l_partkey")), Seq("l_partkey"), "left_semi")
+      .groupBy(col("l_orderkey")).agg(collect_set(col("l_partkey")).as("items"))
+    val triples = poi
+      .select(explode(col("items")).as("x"), col("items"))
+      .select(col("x"), explode(col("items")).as("y"), col("items"))
       .filter(col("x") < col("y"))
-      .join(poi.select(col("l_orderkey"), col("l_partkey").as("z")), "l_orderkey")
+      .select(col("x"), col("y"), explode(col("items")).as("z"))
       .filter(col("y") < col("z"))
-      .join(fp, Seq("x", "y"), "left_semi")
-      .join(fp.select(col("x"), col("y").as("z")), Seq("x", "z"), "left_semi")
-      .join(fp.select(col("x").as("y"), col("y").as("z")), Seq("y", "z"), "left_semi")
+      .join(broadcast(fp), Seq("x", "y"), "left_semi")
+      .join(broadcast(fp.select(col("x"), col("y").as("z"))), Seq("x", "z"), "left_semi")
+      .join(broadcast(fp.select(col("x").as("y"), col("y").as("z"))), Seq("y", "z"), "left_semi")
     (fp, triples.groupBy(col("x"), col("y"), col("z")).agg(count(lit(1)).as("support"))
       .filter(col("support") >= 2))
   }

@@ -93,12 +93,6 @@ final class AggSink(
     manifest.snapshot().map(_.drop(BucketCol, FenceCol).filter(col(CountCol) =!= 0L))
       .getOrElse(throw new IllegalStateException(s"no committed state at $path"))
 
-  private def aggregate(df: DataFrame): DataFrame =
-    df.groupBy(keys.map(col): _*)
-      .agg(sum(col(sumCols.head)).as(sumCols.head),
-           (sumCols.tail.map(c => sum(col(c)).as(c)) :+
-             sum(col(CountCol)).as(CountCol)): _*)
-
   /** Fold one micro-batch of RAW rows into the aggregate table.
     * `batchId` >= 0 arms the per-bucket fence (buckets that already
     * folded this id are left untouched — their files are not even
@@ -155,10 +149,9 @@ final class AggSink(
         // job (a second read of the touched buckets) is gone. A bucket
         // new in this batch has no state row -> null fence -> -1 ->
         // foldable, exactly the old Map.getOrElse(-1) semantics.
-        val partialIn = partial.drop(BucketCol)
-          .withColumn(FenceCol, lit(null).cast("long"))
+        val partialIn = partial.withColumn(FenceCol, lit(null).cast("long"))
         val base = manifest.snapshot(Some(touched)) match {
-          case Some(state) => state.drop(BucketCol).unionByName(partialIn)
+          case Some(state) => state.unionByName(partialIn)
           case None        => partialIn
         }
         val gen = manifest.newGenDir()
@@ -181,8 +174,16 @@ final class AggSink(
         // Unfenced merges (batchId = -1) carry prior fences forward;
         // an already-fenced bucket's rows are filtered out wholesale,
         // so its files are not even rewritten (the replay no-op).
-        base.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
-          .withColumn(BucketCol, bucketOf)
+        //
+        // ONE exchange serves the whole fold (round 16, guide §2.4):
+        // the bucket column is functional on the keys, so grouping by
+        // (bucket ++ keys) under an explicit hash(bucket) repartition
+        // satisfies the aggregate's distribution AND both windows'
+        // partitionBy(bucket) — the old shape exchanged once for the
+        // agg (hash keys) and again for the windows (hash bucket).
+        base.repartition(col(BucketCol))
+          .groupBy((col(BucketCol) +: keys.map(col)): _*)
+          .agg(aggs.head, aggs.tail: _*)
           .withColumn("__f_bucket", coalesce(applied, lit(-1L)))
           .filter(lit(batchId) < 0L || col("__f_bucket") < lit(batchId))
           .withColumn("__nz",

@@ -182,8 +182,15 @@ final class MergeSink(
     val paths = rel.values.flatten.toSeq.distinct.sorted
     if (paths.isEmpty) df
     else {
-      val dvKeys = paths.map(p => spark.read.parquet(s"$path/$p"))
-        .reduce(_ unionByName _)
+      // ONE read with an EXPLICIT schema (round 16): DV files hold
+      // exactly the key columns, whose types `df` already knows — a
+      // bare spark.read.parquet per vector file each ran a single-task
+      // footer schema-inference job, so a table with v delete commits
+      // paid O(v x buckets) job launches per DV-applied read
+      val dvSchema = org.apache.spark.sql.types.StructType(
+        df.schema.fields.filter(f => keys.contains(f.name)))
+      val dvKeys = spark.read.schema(dvSchema)
+        .parquet(paths.map(p => s"$path/$p"): _*)
         .select(keys.map(col): _*).distinct()
       df.join(broadcast(dvKeys), keys, "left_anti")
     }
@@ -396,6 +403,27 @@ final class MergeSink(
                 val colChunk = blk.getColumns.asScala
                   .find(_.getPath.toDotString == c)
                   .getOrElse(return None) // column missing: undecidable
+                // Only PLAIN numeric physical types are decidable from
+                // footers: a logical annotation over a numeric physical
+                // (int32/int64-backed DECIMAL's unscaled value,
+                // TIMESTAMP/TIME/DATE epochs) yields raw physical units
+                // that diverge from the scan path's cast-to-double
+                // semantics — wrong zone maps would silently prune
+                // buckets holding matching rows (round-15 ADVICE). Such
+                // columns fall back to the scan, which casts correctly.
+                val pt = colChunk.getPrimitiveType
+                import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+                val physOk = pt.getPrimitiveTypeName match {
+                  case INT32 | INT64 | FLOAT | DOUBLE => true
+                  case _                              => false
+                }
+                val annOk = pt.getLogicalTypeAnnotation match {
+                  case null => true
+                  case i: org.apache.parquet.schema.LogicalTypeAnnotation.IntLogicalTypeAnnotation =>
+                    i.isSigned // unsigned stats reinterpret as signed: undecidable
+                  case _ => false // DECIMAL / TIMESTAMP / TIME / DATE / ...
+                }
+                if (!physOk || !annOk) return None
                 val st = colChunk.getStatistics
                 if (st == null || !st.isNumNullsSet) return None
                 if (st.hasNonNullValue) {
@@ -752,15 +780,19 @@ final class MergeSink(
       ps.drop(d1.getOrElse(b, Seq.empty).size).map(b -> _) }
     if (dvOnly && newDv.nonEmpty) {
       val touched = newDv.map(_._1).distinct.sorted
-      val newKeys = newDv.map { case (_, p) => spark.read.parquet(s"$path/$p") }
-        .reduce(_ unionByName _).select(keys.map(col): _*).distinct()
+      val snap1 = manifest.snapshotAt(v1, Some(touched))
+        .getOrElse(throw new IllegalStateException(s"version $v1 missing at $path"))
+        .drop(BucketCol)
+      // one read, explicit key schema (round 16) — see [[applyDv]]: a
+      // bare read per vector file ran a schema-inference job each
+      val dvSchema = org.apache.spark.sql.types.StructType(
+        snap1.schema.fields.filter(f => keys.contains(f.name)))
+      val newKeys = spark.read.schema(dvSchema)
+        .parquet(newDv.map { case (_, p) => s"$path/$p" }: _*)
+        .select(keys.map(col): _*).distinct()
       // alive-at-v1 rows of ONLY the vectored buckets (a key in a new
       // vector that an older vector already killed must NOT re-report)
-      val alive = applyDv(
-        manifest.snapshotAt(v1, Some(touched))
-          .getOrElse(throw new IllegalStateException(s"version $v1 missing at $path"))
-          .drop(BucketCol),
-        d1, Some(touched))
+      val alive = applyDv(snap1, d1, Some(touched))
       // deletes carry NULL data columns (the general path's contract:
       // AFTER values, which for a delete do not exist)
       val nulled = alive.columns.filterNot(keys.contains).toSeq
@@ -858,33 +890,48 @@ final class MergeSink(
     */
   def deleteVector(keyRows: DataFrame): Unit =
       MergeSink.withWriterLock(spark, path, "delete-vector") {
-    val keyList = keyRows.select(keys.map(col): _*).distinct()
+    // no write-side distinct (round 16): every DV consumer dedupes at
+    // read ([[applyDv]] and [[changesBetween]]'s fast path both
+    // `.distinct()` the vector keys), so the exchange a distinct plans
+    // here bought nothing — duplicate probe rows merely repeat in the
+    // sidecar bytes
+    val keyList = keyRows.select(keys.map(col): _*)
       .withColumn(BucketCol, bucketOf)
     val held = manifest.mapping().keySet
+    val gen = manifest.newGenDir()
+    // ONE distributed write; the touched-bucket set is discovered from
+    // the write's own output dirs (round 16, guide §2.4: the previous
+    // separate route collect was a second full pass over the key frame
+    // purely to learn which buckets it was about to write). Per-bucket
+    // renames then move the dirs out of the partition layout (DV dirs
+    // must NOT look like `__bucket=` data dirs, and must NOT be
+    // `_`-prefixed — Spark file discovery hides such segments).
+    graft.core.JobLabel(spark, s"dv:write $path") {
+      keyList.write.partitionBy(BucketCol).parquet(s"$path/$gen/dvtmp")
+    }
+    val fs = new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
+    val dvtmp = new Path(s"$path/$gen/dvtmp")
+    val written =
+      if (!fs.exists(dvtmp)) Seq.empty[Int]
+      else fs.listStatus(dvtmp).toSeq
+        .filter(st => st.isDirectory && st.getPath.getName.startsWith(s"$BucketCol="))
+        .map(_.getPath.getName.stripPrefix(s"$BucketCol=").toInt)
     // only buckets that exist can hold rows to delete — a key routed
     // to an absent bucket has no row, and recording a vector for it
     // would wrongly delete a FUTURE insert of that key
-    val touched = keyList.select(col(BucketCol)).distinct()
-      .collect().map(_.getInt(0)).filter(held.contains).toSeq.sorted
+    val touched = written.filter(held.contains).sorted
     if (touched.nonEmpty) {
-      val gen = manifest.newGenDir()
-      // one distributed write, then per-bucket renames out of the
-      // partition layout (DV dirs must NOT look like `__bucket=` data dirs, and must NOT be
-      // `_`-prefixed — Spark file discovery hides such segments)
-      keyList.filter(col(BucketCol).isin(touched: _*))
-        .write.partitionBy(BucketCol).parquet(s"$path/$gen/dvtmp")
-      val fs = new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
       touched.foreach { b =>
         fs.rename(new Path(s"$path/$gen/dvtmp/$BucketCol=$b"),
                   new Path(s"$path/$gen/dv_$b"))
       }
-      fs.delete(new Path(s"$path/$gen/dvtmp"), true)
+      fs.delete(dvtmp, true)
       val dv = manifest.dv()
       val appended = dv ++ touched.map(b =>
         b -> (dv.getOrElse(b, Seq.empty) :+ s"$gen/dv_$b"))
       manifest.commit(manifest.mapping(), manifest.stats(), layoutState,
         dvState = Some(appended))
-    }
+    } else fs.delete(new Path(s"$path/$gen"), true)
   }
 
   /** Outstanding deletion vectors per bucket — maintenance metadata

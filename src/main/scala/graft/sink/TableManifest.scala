@@ -586,12 +586,23 @@ final class TableManifest(spark: SparkSession, val root: String) {
       case None     => m
     }
     if (sel.isEmpty) None
-    else Some(
-      sel.groupBy(_._2).map { case (gen, bm) =>
+    else {
+      // ONE schema inference for the whole snapshot (round 16): every
+      // generation of a sink table writes the full logical schema, so
+      // the first generation's inferred schema serves the rest — a bare
+      // spark.read.parquet per generation each ran its own single-task
+      // footer schema-inference job, so a snapshot spanning g
+      // generations paid g job launches purely to re-learn one schema.
+      val gens = sel.groupBy(_._2).toSeq.map { case (gen, bm) =>
         val base = s"$root/$gen"
-        val paths = bm.keys.toSeq.sorted.map(b => s"$base/$BucketCol=$b")
-        spark.read.option("basePath", base).parquet(paths: _*)
-      }.reduce(_ unionByName _))
+        (base, bm.keys.toSeq.sorted.map(b => s"$base/$BucketCol=$b"))
+      }
+      val first = spark.read.option("basePath", gens.head._1).parquet(gens.head._2: _*)
+      val rest = gens.tail.map { case (base, paths) =>
+        spark.read.schema(first.schema).option("basePath", base).parquet(paths: _*)
+      }
+      Some((first +: rest).reduce(_ unionByName _))
+    }
   }
 
   /** Resolved snapshot read with the `__bucket` partition column.

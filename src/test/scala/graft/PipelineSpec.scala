@@ -908,6 +908,35 @@ class PipelineSpec extends SparkSpec {
       s"footer stats path never fired: footer=${sink.statsFromFooter.get()} scan=${sink.statsFromScan.get()}")
   }
 
+  test("footer stats: a decimal statsCol is footer-undecidable and falls back to the scan; zone maps stay in cast-to-double units") {
+    import graft.sink.MergeSink
+    val dir = freshDir() + "/fstats_dec"
+    // amt is DECIMAL(10,2) — parquet stores it int64-backed with a
+    // DECIMAL logical annotation whose footer min/max is the UNSCALED
+    // value (100x the logical one). Recording that raw number would
+    // make bucketsForRange silently prune buckets that hold matching
+    // rows; the gate must route the whole generation to the scan path.
+    val df = spark.range(400).select(
+      $"id".as("k"), ($"id" % 7).as("ver"),
+      ($"id" % 100).cast("decimal(10,2)").as("amt"))
+    val sink = new MergeSink(spark, dir, keys = Seq("k"), orderCols = Seq("ver"),
+      nBuckets = 8, statsCols = Seq("k", "amt"), rangeBucketWidth = Some(50L))
+    sink.merge(df)
+    assert(sink.statsFromScan.get() > 0 && sink.statsFromFooter.get() == 0,
+      s"decimal statsCol must force the scan fallback: " +
+        s"footer=${sink.statsFromFooter.get()} scan=${sink.statsFromScan.get()}")
+    // scan-computed zone maps answer range reads in LOGICAL units and
+    // still prune: bucket 0 holds k in [0,50) -> amt in [0,50); bucket 1
+    // holds k in [50,100) -> amt in [50,100), outside [0,10]
+    assert(sink.bucketsForRange("amt", 0.0, 10.0).size <
+      sink.bucketFileCounts().size, "decimal zone maps must still prune")
+    val got = sink.readRange("amt", 0.0, 10.0).select($"k").as[Long].collect().toSet
+    val want = sink.read().where($"amt" >= 0.0 && $"amt" <= 10.0)
+      .select($"k").as[Long].collect().toSet
+    assert(got == want && got.nonEmpty,
+      "readRange over a decimal statsCol diverged from the full-scan predicate")
+  }
+
   test("bloom sidecars: secondary-id point lookup prunes buckets; readPoints equals full-scan isin; compaction rebuilds") {
     import graft.sink.MergeSink
     val dir = freshDir() + "/bloom"
