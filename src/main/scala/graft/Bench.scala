@@ -296,9 +296,22 @@ object Bench {
           // the retired regime, not a running min) and leaves priorBest
           val arch0 = numbers(j \ "best_archive")
           val retiring = m.view.filterKeys(k => repinSet(k) && !arch0.contains(k)).toMap
-          if (retiring.nonEmpty)
-            System.err.println(s"[bench] re-pinning best for ${retiring.keys.toSeq.sorted.mkString(",")} — old minima archived in best_archive")
-          (m -- repinSet, sh, bu, sp, hr, arch0 ++ retiring)
+          // a re-pin retires the query's VOLUME minima too (round 16
+          // measurement fix: the r15 q247 flag was a SHUFFLE flag and
+          // the time-only retirement left the retired regime's shuffle
+          // best re-flagging every sweep); retired volume minima are
+          // archived under ":<metric>"-suffixed keys so the flat
+          // archive stays self-describing and never collides with the
+          // time entries
+          val retiringVol =
+            (sh.view.filterKeys(repinSet).map { case (k, v) => s"$k:shuffle_mb" -> v } ++
+             bu.view.filterKeys(repinSet).map { case (k, v) => s"$k:bus_mb" -> v } ++
+             sp.view.filterKeys(repinSet).map { case (k, v) => s"$k:spill_mb" -> v })
+              .toMap.view.filterKeys(k => !arch0.contains(k)).toMap
+          if (retiring.nonEmpty || retiringVol.nonEmpty)
+            System.err.println(s"[bench] re-pinning best for ${(retiring.keys ++ retiringVol.keys).toSeq.sorted.mkString(",")} — old minima archived in best_archive")
+          (m -- repinSet, sh -- repinSet, bu -- repinSet, sp -- repinSet, hr,
+            arch0 ++ retiring ++ retiringVol)
         } catch { case e: Throwable =>
           System.err.println(s"[bench] WARN could not parse prior artifact $outFile: $e")
           (Map.empty[String, Double], Map.empty[String, Double],

@@ -360,6 +360,25 @@ object ScaleProbe {
         s""""rerun_mode":"$mode",""" +
         s""""reproduced":$reproduced}""")
     }
+    // StatePartitionsKey production-cardinality probe (round 16, VERDICT
+    // ask #9): one stream-stream join measured at the gate default (8
+    // state partitions) and at 32 on the same data — the per-micro-batch
+    // commit floor is partitions x state stores x batches, which is WHY
+    // the local gates pin 8 and a production deployment sets the key to
+    // its real key cardinality before first start. No query-path change;
+    // this gives the "conf-parameterised at scale" claim a measured row.
+    val spQuery = "q93_stream_stream_join"
+    val spKey = graft.queries.StreamingQueries.StatePartitionsKey
+    val spProbe: Seq[(Int, Double)] = Seq(8, 32).map { n =>
+      spark.conf.set(spKey, n.toString)
+      try {
+        val t = r3(time(spQuery, dirs.head._2))
+        System.err.println(s"[probe] $spQuery @ $n state partitions: $t s")
+        n -> t
+      } finally spark.conf.unset(spKey)
+    }
+    val spJson = spProbe.map { case (n, t) => s""""sec_at_$n":$t""" }.mkString(",")
+
     val qJson = rows.map { case (n, cls, ts, exps) =>
       val secs = ts.map { case (sf, t) => s""""${sf}_sec":$t""" }.mkString(",")
       val liveE2e = e2e(exps)
@@ -380,6 +399,7 @@ object ScaleProbe {
          | "sfs": ["sf0.1", "sf1 (synth x10)", "sf10 (synth x100)"],
          | "method": "min-of-$repeats noop-sink runs per sf on local[$cpus]; exponents = log10 time ratio per 10x data; prior_*/delta_* diff the previously committed artifact; flagged = a per-decade exponent worsened by > $FlagThreshold AND the end-to-end (sf0.1->sf10) slope worsened by > $EndToEndThreshold (a worse decade offset by an equally better other decade is middle-point measurement jitter, logged but not flagged); every flag then re-measures solo post-sweep and, if still reproduced, escalates to a FORKED FRESH JVM per sf (rerun_* fields, rerun_mode in-jvm|fresh-jvm — an in-JVM rerun shares the sweep JVM and can only convict, never exonerate a JVM-state flag) and carries machine adjudication in `reproduced` — only reproduced flags fail the run",
          | "flagged": [${flagged.map(_._2).mkString(",")}],
+         | "state_partitions_probe": {"query":"$spQuery","sf":"${dirs.head._1}",$spJson,"note":"per-micro-batch commit floor scales with state partitions x stores; gates pin 8, production sets ${spKey} to real key cardinality"},
          | "queries": {$qJson}
          |}""".stripMargin
     java.nio.file.Files.writeString(java.nio.file.Paths.get(out), json + "\n")

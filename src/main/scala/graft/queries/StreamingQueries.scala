@@ -88,30 +88,37 @@ object StreamingQueries {
     */
   private def writeSliceFeed(df: DataFrame, sliceOf: Column, nSlices: Int,
                              inDir: String, format: String = "parquet"): Int = {
+    import org.apache.hadoop.fs.Path
     val staging = inDir.stripSuffix("/") + "__stage"
     df.withColumn("__sl", sliceOf.cast("long"))
       .repartition(nSlices, col("__sl"))
       .write.partitionBy("__sl").format(format).save(staging)
-    val sliceDirs = Option(new java.io.File(staging).listFiles())
-      .getOrElse(Array.empty)
-      .filter(f => f.isDirectory && f.getName.startsWith("__sl="))
-      .sortBy(_.getName.stripPrefix("__sl=").toLong)
-    Files.createDirectories(java.nio.file.Paths.get(inDir))
+    // Hadoop FS API throughout (round-15 ADVICE): the write above goes
+    // through Spark's Hadoop layer, so the listing/moves must resolve
+    // the SAME filesystem — the old java.io.File form silently found
+    // zero slice dirs on any non-local FS
+    val fs = new Path(staging).getFileSystem(
+      df.sparkSession.sessionState.newHadoopConf())
+    val stagingPath = new Path(staging)
+    val sliceDirs =
+      (if (fs.exists(stagingPath)) fs.listStatus(stagingPath).toSeq else Seq.empty)
+        .filter(st => st.isDirectory && st.getPath.getName.startsWith("__sl="))
+        .sortBy(_.getPath.getName.stripPrefix("__sl=").toLong)
+    fs.mkdirs(new Path(inDir))
     var n = 0
     sliceDirs.foreach { dir =>
-      val sl = dir.getName.stripPrefix("__sl=").toLong
-      val parts = dir.listFiles().filter(f =>
-        f.getName.startsWith("part-") && !f.getName.endsWith(".crc"))
+      val sl = dir.getPath.getName.stripPrefix("__sl=").toLong
+      val parts = fs.listStatus(dir.getPath).toSeq.filter(f =>
+        f.getPath.getName.startsWith("part-") && !f.getPath.getName.endsWith(".crc"))
       require(parts.length == 1,
         s"slice $sl wrote ${parts.length} files — one task must own each slice")
-      val ext = parts(0).getName.dropWhile(_ != '.')
-      val dst = java.nio.file.Paths.get(inDir, f"slice-$sl%05d$ext")
-      Files.move(parts(0).toPath, dst)
-      require(dst.toFile.setLastModified(1700000000000L + sl * 60000L),
-        s"cannot stamp mtime on $dst")
+      val ext = parts.head.getPath.getName.dropWhile(_ != '.')
+      val dst = new Path(inDir, f"slice-$sl%05d$ext")
+      require(fs.rename(parts.head.getPath, dst), s"cannot move slice file to $dst")
+      fs.setTimes(dst, 1700000000000L + sl * 60000L, -1)
       n += 1
     }
-    graft.core.TempDirs.deleteRecursively(staging)
+    fs.delete(stagingPath, true)
     n
   }
 
